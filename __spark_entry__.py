@@ -1,38 +1,94 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship path (EP1, SURVEY.md §3): quantized
+approximate kNN over the embeddings table + payload join-back.
+``queries()`` / ``oracle_sql()`` declare the operator inventory; the
+driver hash-compares each pair (Spark at sf0.01 vs DuckDB) — see
+sqlite_vector_spark/workload.py (Spark side) and oracle.py (SQL side)
+for the determinism contract that makes the hashes match bitwise.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    EP1: in-plan scalar quantization -> approximate kNN in the code
+    domain -> join results back to the payload row (README.md:96-99).
+    """
+    from sqlite_vector_spark import workload
+
+    sf_dir = "/root/testdata/sf0.001"
+    return workload.knn_join_back(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from sqlite_vector_spark import workload as w
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # -- exact search (vector_full_scan family, SURVEY §2.1 #13/#15)
+        "full_scan_l2": w.full_scan_l2,
+        "full_scan_squared_l2": w.full_scan_squared_l2,
+        "full_scan_cosine": w.full_scan_cosine,
+        "full_scan_dot": w.full_scan_dot,
+        "full_scan_l1": w.full_scan_l1,
+        "full_scan_k_gt_n": w.full_scan_k_gt_n,
+        "full_scan_stream_l2": w.full_scan_stream_l2,
+        # -- quantization (vector_quantize family, SURVEY §2.1 #4-7/#14/#16, §2.6)
+        "quantize_params": w.quantize_params,
+        "quantize_codes": w.quantize_codes,
+        "quantize_scan_l2": w.quantize_scan_l2,
+        "quantize_scan_cosine": w.quantize_scan_cosine,
+        "quantize_scan_stream_l2": w.quantize_scan_stream_l2,
+        "quantize_memory": w.quantize_memory,
+        # -- kNN join + join-back + recall harness (SURVEY §2.2, §5.3)
+        "knn_join_l2": w.knn_join_l2,
+        "knn_join_back": w.knn_join_back,
+        "recall_at_k": w.recall_at_k,
+        # -- codec (vector_as_* family, SURVEY §2.1 #8-12)
+        "codec_json_roundtrip": w.codec_json_roundtrip,
+        # -- relational surface used by canonical patterns (SURVEY §2.2)
+        "pricing_summary": w.pricing_summary,
+        "top_customers": w.top_customers,
+        "events_hourly": w.events_hourly,
+        "order_priority_counts": w.order_priority_counts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL for each queries() key."""
+    from sqlite_vector_spark import oracle as o
+
+    return {
+        "full_scan_l2": o.full_scan("L2"),
+        "full_scan_squared_l2": o.full_scan("SQUARED_L2"),
+        "full_scan_cosine": o.full_scan("COSINE"),
+        "full_scan_dot": o.full_scan("DOT"),
+        "full_scan_l1": o.full_scan("L1"),
+        "full_scan_k_gt_n": o.full_scan("L2", 10_000_000),
+        "full_scan_stream_l2": o.full_scan_stream("L2"),
+        "quantize_params": o.quantize_params(),
+        "quantize_codes": o.quantize_codes(),
+        "quantize_scan_l2": o.quantize_scan("L2"),
+        "quantize_scan_cosine": o.quantize_scan("COSINE"),
+        "quantize_scan_stream_l2": o.quantize_scan("L2", None),
+        "quantize_memory": o.quantize_memory(),
+        "knn_join_l2": o.knn_join("L2"),
+        "knn_join_back": o.knn_join_back(),
+        "recall_at_k": o.recall_at_k(),
+        "codec_json_roundtrip": o.codec_json_roundtrip(),
+        "pricing_summary": o.pricing_summary(),
+        "top_customers": o.top_customers(),
+        "events_hourly": o.events_hourly(),
+        "order_priority_counts": o.order_priority_counts(),
+    }

@@ -1,0 +1,29 @@
+"""sqlite_vector_spark — a PySpark-native vector analytics engine.
+
+Re-expresses the full capability surface of sqliteai/sqlite-vector
+(a SQLite extension for exact + scalar-quantized approximate kNN over
+vector columns; see /root/reference, src/sqlite-vector.c:2555-2638 for
+the registered surface) as an idiomatic Spark library, plus the
+LLM-data-pipeline layer (dedup, similarity join, text analysis,
+multimodal plumbing) that the same engine needs at 100 TB scale.
+
+Design stance (SURVEY.md §0/§4):
+- Vectors are ordinary ``ARRAY<FLOAT>`` columns of ordinary
+  DataFrames/Parquet tables (reference: BLOB columns of rowid tables).
+- Distance metrics are Catalyst higher-order-function expressions —
+  whole-stage-codegen'd, JVM-side, no Python in the hot path — with an
+  optional Arrow/NumPy pandas-UDF backend mirroring the reference's
+  SIMD dispatch (distance-cpu.c:797-812).
+- Exact kNN is ``orderBy(distance).limit(k)`` → Spark's
+  TakeOrderedAndProject: per-partition partial top-k + driver merge,
+  the distributed analog of the reference's k-slot arrays
+  (sqlite-vector.c:2022-2106).
+- The quantized "shadow table" (sqlite-vector.c:1000-1002) is a second
+  Parquet table of int8 codes; "preload" (1338-1404) is
+  ``persist(MEMORY_AND_DISK)``.
+- Zero custom Catalyst rules are required (SURVEY.md §4).
+"""
+
+from sqlite_vector_spark.version import __version__, vector_backend, vector_version
+
+__all__ = ["__version__", "vector_version", "vector_backend"]

@@ -1,0 +1,145 @@
+"""Vector column registry + persistent metadata catalog.
+
+Mirrors the reference's two metadata layers (SURVEY.md §1.1):
+- in-memory table-context registry (``vector_context``,
+  sqlite-vector.c:139-142, lookup 1051-1061, add 1063-1098) →
+  ``VectorCatalog._contexts`` dict;
+- persistent catalog table ``_sqliteai_vector(tblname, colname, key,
+  value)`` (sqlite-vector.c:114; serialize 419-449 / unserialize
+  451-491) → a JSON file per (table, column) under ``root``.
+
+``vector_init`` parity (sqlite-vector.c:2491-2543): validates that the
+table/column exist and the column is an array-of-numeric type (the
+BLOB-affinity sanity check, 287-305/350-373), parses the option
+string, rejects re-registration with conflicting dim/type/normalized
+(2521-2536), and reloads persisted quantization params.
+
+At cluster scale the JSON store would be a Delta table's
+TBLPROPERTIES or a small metastore table; the interface is the same.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import ArrayType, ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType
+
+from sqlite_vector_spark.types import Metric, QType, VectorOptions, VectorType, parse_options
+
+_NUMERIC_ELEMS = (FloatType, DoubleType, ByteType, ShortType, IntegerType, LongType)
+
+
+@dataclass
+class VectorContext:
+    table: str
+    column: str
+    type: VectorType = VectorType.F32
+    dimension: int | None = None
+    distance: Metric = Metric.L2
+    normalized: bool = False
+    max_memory: int = 30 * 1024 * 1024
+    qtype: QType = QType.AUTO
+    # persisted after vector_quantize (sqlite-vector.c:1440-1445)
+    qscale: float | None = None
+    qoffset: float | None = None
+    resolved_qtype: str | None = None
+    quantized_path: str | None = None
+    extra: dict = field(default_factory=dict)
+
+
+MAX_TABLES = 128  # reference sqlite-vector.c:72
+
+
+class VectorCatalog:
+    def __init__(self, root: str | None = None):
+        self.root = root
+        self._contexts: dict[tuple[str, str], VectorContext] = {}
+        if root:
+            os.makedirs(root, exist_ok=True)
+
+    # -- persistence ------------------------------------------------
+    def _path(self, table: str, column: str) -> str | None:
+        if not self.root:
+            return None
+        safe = re.sub(r"[^A-Za-z0-9_.-]", "_", f"{table}__{column}")
+        return os.path.join(self.root, f"{safe}.json")
+
+    def _serialize(self, ctx: VectorContext) -> None:
+        p = self._path(ctx.table, ctx.column)
+        if p:
+            d = asdict(ctx)
+            d["type"], d["distance"], d["qtype"] = ctx.type.value, ctx.distance.value, ctx.qtype.value
+            with open(p, "w") as f:
+                json.dump(d, f, indent=1)
+
+    def _unserialize(self, table: str, column: str) -> dict | None:
+        p = self._path(table, column)
+        if p and os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return None
+
+    # -- API ---------------------------------------------------------
+    def vector_init(self, df: DataFrame, table: str, column: str, options: str | VectorOptions | None = None) -> VectorContext:
+        """Register (table, column) as a vector column (parity:
+        vector_init, sqlite-vector.c:2491-2543)."""
+        opts = parse_options(options) if isinstance(options, (str, type(None))) else options
+
+        # sanity: column exists + is array-of-numeric (the BLOB check analog)
+        fields = {f.name: f.dataType for f in df.schema.fields}
+        if column not in fields:
+            raise ValueError(f"column {column!r} not found in {table!r}")
+        dt = fields[column]
+        if not (isinstance(dt, ArrayType) and isinstance(dt.elementType, _NUMERIC_ELEMS)):
+            raise ValueError(f"column {table}.{column} must be ARRAY of numeric, got {dt.simpleString()}")
+
+        key = (table, column)
+        if key in self._contexts:
+            # conflicting re-init is an error (sqlite-vector.c:2521-2536)
+            prev = self._contexts[key]
+            if (opts.dimension and prev.dimension and opts.dimension != prev.dimension) or (
+                opts.type is not prev.type or opts.normalized != prev.normalized
+            ):
+                raise ValueError(f"{table}.{column} already registered with conflicting options")
+            return prev
+        if len(self._contexts) >= MAX_TABLES:
+            raise RuntimeError(f"too many registered vector columns (max {MAX_TABLES})")
+
+        ctx = VectorContext(
+            table=table,
+            column=column,
+            type=opts.type,
+            dimension=opts.dimension,
+            distance=opts.distance,
+            normalized=opts.normalized,
+            max_memory=opts.max_memory,
+            qtype=opts.qtype,
+        )
+        persisted = self._unserialize(table, column)
+        if persisted:  # reload quant params (sqlite_unserialize, 451-491)
+            for k in ("qscale", "qoffset", "resolved_qtype", "quantized_path"):
+                setattr(ctx, k, persisted.get(k))
+        self._contexts[key] = ctx
+        self._serialize(ctx)
+        return ctx
+
+    def get(self, table: str, column: str) -> VectorContext:
+        try:
+            return self._contexts[(table, column)]
+        except KeyError:
+            raise KeyError(f"vector column {table}.{column} is not registered — call vector_init first") from None
+
+    def set_quant_params(self, table: str, column: str, *, qtype: str, scale: float, offset: float, path: str | None = None) -> None:
+        ctx = self.get(table, column)
+        ctx.resolved_qtype, ctx.qscale, ctx.qoffset, ctx.quantized_path = qtype, scale, offset, path
+        self._serialize(ctx)
+
+    def drop(self, table: str, column: str) -> None:
+        self._contexts.pop((table, column), None)
+        p = self._path(table, column)
+        if p and os.path.exists(p):
+            os.remove(p)

@@ -1,0 +1,154 @@
+"""kNN similarity join + payload join-back.
+
+The reference's documented pattern joins search results back to the
+payload row by rowid (README.md:96-99, QUANTIZATION.md:48-58); the
+many-queries generalization (one top-k per query row) is the first
+north-star operator for the LLM-pipeline layer (SURVEY.md §7 step 6).
+
+Physical strategy, chosen for 100 TB corpora:
+
+``knn_join`` (window path) — broadcast the query side, nested-loop
+join (no corpus shuffle), then ``row_number() over (partition by qid
+order by distance, id) <= k``. The only shuffle is of the scored
+candidate pairs (|corpus| x |queries| rows) — fine for small Q, wrong
+for large Q x large corpus.
+
+``knn_join_blocked`` (scale path) — per-corpus-partition LOCAL top-k
+per query via Arrow-batched ``mapInPandas`` (NumPy matmul block
+kernel), emitting only P x Q x k candidate rows, then a global top-k
+window over that tiny set. This is the distributed generalization of
+the reference's k-slot array (sqlite-vector.c:2022-2106): each
+partition plays the role of one scan, the final window merges. The
+corpus is never shuffled; candidate volume is independent of corpus
+row count. Results are EXACTLY equal to the window path (same
+(distance, id) ordering) — verified in tests — so callers can switch
+on size with no semantic change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql.functions import broadcast
+
+from sqlite_vector_spark.functions.distance import EPS_SNAP, distance
+from sqlite_vector_spark.types import Metric, parse_metric
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    metric: str | Metric = Metric.L2,
+    query_vec: str = "qvec",
+    corpus_vec: str = "embedding",
+    query_id: str = "qid",
+    corpus_id: str = "id",
+) -> DataFrame:
+    """Exact top-k per query -> (qid, id, distance, rank)."""
+    q = broadcast(
+        queries.where(F.col(query_vec).isNotNull()).select(
+            F.col(query_id).cast("bigint").alias("qid"), F.col(query_vec).alias("__qv")
+        )
+    )
+    c = corpus.where(F.col(corpus_vec).isNotNull()).select(
+        F.col(corpus_id).cast("bigint").alias("id"), F.col(corpus_vec).alias("__cv")
+    )
+    scored = c.crossJoin(q).select(
+        "qid", "id", distance(F.col("__cv"), F.col("__qv"), metric).alias("distance")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("distance").asc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "id", "distance", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def knn_join_blocked(
+    queries_local: Sequence[tuple[int, Sequence[float]]],
+    corpus: DataFrame,
+    k: int,
+    metric: str | Metric = Metric.L2,
+    corpus_vec: str = "embedding",
+    corpus_id: str = "id",
+) -> DataFrame:
+    """Scale path: local top-k per partition (NumPy block kernel via
+    mapInPandas), then global top-k window over P x Q x k rows.
+
+    ``queries_local`` is a driver-side list of (qid, vector) — the
+    query block is shipped inside the serialized task closure, i.e.
+    broadcast. For query sets too big for one block, shard the list
+    and union the results.
+    """
+    import numpy as np
+
+    m = parse_metric(metric) if isinstance(metric, str) else metric
+    qids = np.asarray([int(q) for q, _ in queries_local], dtype=np.int64)
+    qmat = np.asarray([list(v) for _, v in queries_local], dtype=np.float64)  # (Q, dim)
+    kk = int(k)
+
+    src = corpus.where(F.col(corpus_vec).isNotNull()).select(
+        F.col(corpus_id).cast("bigint").alias("id"), F.col(corpus_vec).alias("vec")
+    )
+
+    def part_topk(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        best: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            mat = np.array(pdf["vec"].tolist(), dtype=np.float64)  # (B, dim)
+            if m is Metric.SQUARED_L2:
+                d = ((mat[:, None, :] - qmat[None, :, :]) ** 2).sum(axis=2)
+            elif m is Metric.L2:
+                d = np.sqrt(((mat[:, None, :] - qmat[None, :, :]) ** 2).sum(axis=2))
+            elif m is Metric.L1:
+                d = np.abs(mat[:, None, :] - qmat[None, :, :]).sum(axis=2)
+            elif m is Metric.DOT:
+                d = -(mat @ qmat.T)
+            elif m is Metric.COSINE:
+                num = mat @ qmat.T
+                cn = np.sqrt((mat * mat).sum(axis=1))[:, None]
+                qn = np.sqrt((qmat * qmat).sum(axis=1))[None, :]
+                denom = cn * qn
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    d = np.where(denom == 0.0, 1.0, 1.0 - num / denom)
+            else:  # pragma: no cover
+                raise ValueError(m)
+            d = np.where(np.abs(d) <= EPS_SNAP, 0.0, d)  # zero-snap parity
+            for j in range(len(qids)):
+                dj = d[:, j]
+                pid, pd_ = best.get(j, (None, None))
+                cand_ids = ids if pid is None else np.concatenate([pid, ids])
+                cand_d = dj if pd_ is None else np.concatenate([pd_, dj])
+                order = np.lexsort((cand_ids, cand_d))[:kk]
+                best[j] = (cand_ids[order], cand_d[order])
+        rows = {"qid": [], "id": [], "distance": []}
+        for j, (ids_, ds_) in best.items():
+            rows["qid"].extend([qids[j]] * len(ids_))
+            rows["id"].extend(ids_.tolist())
+            rows["distance"].extend(ds_.tolist())
+        yield pd.DataFrame(rows, columns=["qid", "id", "distance"])
+
+    local = src.mapInPandas(part_topk, schema="qid bigint, id bigint, distance double")
+    w = Window.partitionBy("qid").orderBy(F.col("distance").asc(), F.col("id").asc())
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= kk)
+        .select("qid", "id", "distance", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def join_back(results: DataFrame, payload: DataFrame, payload_id: str, result_id: str = "id", how: str = "inner") -> DataFrame:
+    """Join search results to their payload rows (README.md:96-99).
+
+    The result side is k (or Q x k) rows — broadcast it, so the payload
+    table is never shuffled.
+    """
+    r = broadcast(results)
+    return r.join(payload, r[result_id] == payload[payload_id], how)

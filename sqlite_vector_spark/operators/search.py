@@ -1,0 +1,75 @@
+"""Exact brute-force kNN: vector_full_scan / vector_full_scan_stream.
+
+Parity (SURVEY.md §2.1 rows 13/15):
+- ``vector_full_scan(table, column, qvec, k)`` (reference module
+  sqlite-vector.c:2377-2403; scan loop vFullScanRun 2071-2113; k-slot
+  top-k 2022-2069): streams every row, skips NULL vectors (2093-2096),
+  keeps the k smallest distances, emits ascending.
+- ``vector_full_scan_stream`` (2433-2459): scores EVERY row, no k, no
+  sort — a pure projection.
+
+Spark-first physical plan:
+- ``orderBy(distance, id).limit(k)`` compiles to
+  **TakeOrderedAndProject**: each partition keeps a local k-heap, the
+  driver merges P×k candidates — the distributed generalization of the
+  reference's k-slot arrays. No full sort, no shuffle of the corpus;
+  survives 100 TB because only P×k rows ever leave the executors.
+- The distance expression is whole-stage-codegen'd into the Parquet
+  scan stage; only (id, vector) columns are read (column pruning), and
+  the NOT NULL filter is pushed to the scan.
+
+Determinism note: the reference breaks distance ties by first-seen row
+order (strict ``<`` at 2102) — not reproducible under parallel scan,
+so this engine defines tie-break = ascending id (SURVEY.md §7 "hard
+parts"). Oracle comparisons use the same rule.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from sqlite_vector_spark.functions.distance import distance
+from sqlite_vector_spark.types import Metric
+
+
+def full_scan(
+    df: DataFrame,
+    column: str,
+    query: Sequence[float] | Column,
+    k: int,
+    metric: str | Metric = Metric.L2,
+    id_col: str = "id",
+) -> DataFrame:
+    """Exact kNN -> DataFrame(id BIGINT, distance DOUBLE), ascending.
+
+    k=0 -> empty (reference sqlite-vector.c:1796); k > #rows -> all
+    rows (unfilled INFINITY slots trimmed, 1816-1817); NULL vectors
+    skipped (2093-2096).
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    scored = full_scan_stream(df, column, query, metric, id_col=id_col)
+    if k == 0:
+        return scored.limit(0)
+    return scored.orderBy(F.col("distance").asc(), F.col("id").asc()).limit(k)
+
+
+def full_scan_stream(
+    df: DataFrame,
+    column: str,
+    query: Sequence[float] | Column,
+    metric: str | Metric = Metric.L2,
+    id_col: str = "id",
+) -> DataFrame:
+    """Pipelined exact scoring of every row (no k, no sort) ->
+    DataFrame(id, distance). A narrow projection: zero shuffles."""
+    return (
+        df.where(F.col(column).isNotNull())
+        .select(
+            F.col(id_col).cast("bigint").alias("id"),
+            distance(F.col(column), query, metric).alias("distance"),
+        )
+    )

@@ -1,0 +1,314 @@
+"""Declared workload: every operator as a (spark, sf_dir) -> DataFrame.
+
+Each function here has a mirrored ANSI-SQL oracle in
+``sqlite_vector_spark.oracle`` built from the SAME shared constants;
+the driver hash-compares them at sf0.01 (CORRECTNESS_r{N}.json).
+
+Determinism contract (why these match DuckDB bitwise):
+- every float value path uses only IEEE-exact ops (+ - * / sqrt abs)
+  in DOUBLE with a sequential left-fold accumulation;
+- group aggregates over doubles go through exact DECIMAL sums
+  (partition-order independent), then cast back to DOUBLE;
+- every ORDER BY / top-k / window rank carries a unique-id tiebreak.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from sqlite_vector_spark.functions.distance import distance, vector_literal
+from sqlite_vector_spark.operators.knn_join import knn_join
+from sqlite_vector_spark.operators.quantize import quantize_codes_column
+from sqlite_vector_spark.operators.search import full_scan, full_scan_stream
+from sqlite_vector_spark.sources import table
+
+# ---------------------------------------------------------------- shared constants (oracle.py mirrors these)
+
+DIM = 64
+#: deterministic query vector (literal-injected into BOTH engines)
+Q64 = [round(math.sin((j + 1) * 0.37) * 0.8, 6) for j in range(DIM)]
+K = 20
+NQ = 8  # number of query rows for the kNN join (vec_id < NQ)
+KNN_K = 5
+RECALL_K = 10
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "embeddings")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------- exact search
+
+
+def _full_scan_metric(metric: str, k: int = K):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return full_scan(_emb(spark, sf_dir), "embedding", Q64, k, metric, id_col="vec_id")
+
+    return q
+
+
+full_scan_l2 = _full_scan_metric("L2")
+full_scan_squared_l2 = _full_scan_metric("SQUARED_L2")
+full_scan_cosine = _full_scan_metric("COSINE")
+full_scan_dot = _full_scan_metric("DOT")
+full_scan_l1 = _full_scan_metric("L1")
+full_scan_k_gt_n = _full_scan_metric("L2", k=10_000_000)  # k > #rows -> all rows (sqlite-vector.c:1816-1817)
+
+
+def full_scan_stream_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return full_scan_stream(_emb(spark, sf_dir), "embedding", Q64, "L2", id_col="vec_id")
+
+
+# ---------------------------------------------------------------- quantization (fully in-plan: params subquery cross-joined)
+
+
+def _params_df(emb: DataFrame) -> DataFrame:
+    """1-row quantization params, computed in-plan (pass 1 of EP2)."""
+    mm = emb.where(F.col("embedding").isNotNull()).agg(
+        F.min(F.array_min("embedding")).cast("double").alias("vmin"),
+        F.max(F.array_max("embedding")).cast("double").alias("vmax"),
+        F.count("embedding").alias("n"),
+    )
+    neg = F.col("vmin") < 0.0
+    return mm.select(
+        F.when(neg, F.lit("S8BIT")).otherwise(F.lit("U8BIT")).alias("qtype"),
+        F.when(neg, F.lit(127.0) / F.greatest(F.abs("vmin"), F.abs("vmax")))
+        .otherwise(F.lit(255.0) / (F.col("vmax") - F.col("vmin")))
+        .alias("qscale"),
+        F.when(neg, F.lit(0.0)).otherwise(F.col("vmin")).alias("qoffset"),
+        F.when(neg, F.lit(-128)).otherwise(F.lit(0)).alias("lo"),
+        F.when(neg, F.lit(127)).otherwise(F.lit(255)).alias("hi"),
+        F.col("n").alias("n"),
+    )
+
+
+def quantize_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _params_df(_emb(spark, sf_dir)).select("qtype", "qscale", "qoffset", "n")
+
+
+def _codes_df(emb: DataFrame) -> DataFrame:
+    """(id, qvec) quantized codes with in-plan params (broadcast 1-row
+    cross join -> stays a narrow map-side plan at any scale)."""
+    prm = F.broadcast(_params_df(emb))
+    return (
+        emb.where(F.col("embedding").isNotNull())
+        .crossJoin(prm)
+        .select(
+            F.col("vec_id").cast("bigint").alias("id"),
+            quantize_codes_column("embedding", F.col("qscale"), F.col("qoffset"), F.col("lo"), F.col("hi")).alias("qvec"),
+        )
+    )
+
+
+def quantize_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _codes_df(_emb(spark, sf_dir))
+
+
+def _quantized_query_col() -> F.Column:
+    """Q64 quantized IN-PLAN with the stored params (vQuantRun,
+    sqlite-vector.c:2171-2177), as an ARRAY<DOUBLE> column."""
+    q = vector_literal(Q64)
+    return quantize_codes_column(q, F.col("qscale"), F.col("qoffset"), F.col("lo"), F.col("hi")).cast("array<double>")
+
+
+def _quantize_scan(metric: str, k: int | None):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = _emb(spark, sf_dir)
+        prm = F.broadcast(_params_df(emb))
+        codes = _codes_df(emb).crossJoin(prm).withColumn("qq", _quantized_query_col())
+        scored = codes.select(
+            "id", distance(F.col("qvec"), F.col("qq"), metric).alias("distance")
+        )
+        if k is None:
+            return scored
+        return scored.orderBy(F.col("distance").asc(), F.col("id").asc()).limit(k)
+
+    return q
+
+
+quantize_scan_l2 = _quantize_scan("L2", K)
+quantize_scan_cosine = _quantize_scan("COSINE", K)
+quantize_scan_stream_l2 = _quantize_scan("L2", None)
+
+
+def quantize_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Σ(8+dim) bytes over the codes table (sqlite-vector.c:1016-1018)."""
+    return _codes_df(_emb(spark, sf_dir)).agg(
+        F.sum(F.size("qvec") + F.lit(8)).cast("bigint").alias("preload_bytes")
+    )
+
+
+# ---------------------------------------------------------------- kNN join + join-back + recall harness
+
+
+def knn_join_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < NQ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    return knn_join(queries, emb, KNN_K, "L2", corpus_vec="embedding", corpus_id="vec_id")
+
+
+def knn_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join results to payload (README.md:96-99 pattern)."""
+    emb = _emb(spark, sf_dir)
+    res = knn_join_l2(spark, sf_dir)
+    payload = emb.select(F.col("vec_id").cast("bigint").alias("pid"), F.col("label"))
+    return (
+        F.broadcast(res)
+        .join(payload, res["id"] == payload["pid"])
+        .select("qid", "id", "distance", "rank", F.col("label").cast("int").alias("label"))
+    )
+
+
+def recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's own recall harness (QUANTIZATION.md:44-76):
+    |approx top-k ∩ exact top-k| / k per query -> (qid, recall)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < NQ).select(F.col("vec_id").cast("bigint").alias("qid"), F.col("embedding").alias("qvec"))
+
+    w = Window.partitionBy("qid").orderBy(F.col("distance").asc(), F.col("id").asc())
+
+    exact = (
+        emb.select(F.col("vec_id").cast("bigint").alias("id"), "embedding")
+        .crossJoin(F.broadcast(queries))
+        .select("qid", "id", distance(F.col("embedding"), F.col("qvec"), "L2").alias("distance"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= RECALL_K)
+        .select("qid", "id")
+    )
+
+    prm = F.broadcast(_params_df(emb))
+    codes = _codes_df(emb)
+    qcodes = (
+        queries.crossJoin(prm)
+        .select(
+            "qid",
+            quantize_codes_column("qvec", F.col("qscale"), F.col("qoffset"), F.col("lo"), F.col("hi")).cast("array<double>").alias("qq"),
+        )
+    )
+    approx = (
+        codes.crossJoin(F.broadcast(qcodes))
+        .select("qid", "id", distance(F.col("qvec").cast("array<double>"), F.col("qq"), "L2").alias("distance"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= RECALL_K)
+        .select(F.col("qid").alias("aqid"), F.col("id").alias("aid"))
+    )
+
+    hits = exact.join(approx, (exact["qid"] == approx["aqid"]) & (exact["id"] == approx["aid"]), "left")
+    return (
+        hits.groupBy("qid")
+        .agg((F.count("aid").cast("double") / F.lit(float(RECALL_K))).alias("recall"))
+        .select("qid", "recall")
+    )
+
+
+# ---------------------------------------------------------------- codec
+
+
+def codec_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vector_as_f32 on TEXT(JSON) input (sqlite-vector.c:1528-1719):
+    build a JSON array string from integer columns, parse, validate dim."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 200)
+    js = F.concat(F.lit("["), F.col("l_orderkey"), F.lit(","), F.col("l_linenumber"), F.lit(","), F.col("l_suppkey"), F.lit("]"))
+    vec = F.from_json(js, "array<float>")
+    return li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").cast("int").alias("lnum"),
+        vec.alias("vec"),
+        F.size(vec).alias("dim"),
+    )
+
+
+# ---------------------------------------------------------------- relational surface (SURVEY §2.2)
+
+
+def _fixed_sum(col: F.Column, scale: float) -> F.Column:
+    """Order-independent, engine-identical SUM over doubles: snap each
+    value to fixed-point via round(x*scale) — both Spark and DuckDB
+    round doubles half-away-from-zero, bit-identically — then sum the
+    exact integers in DECIMAL(38,0) and divide back in DOUBLE."""
+    return F.sum(F.round(col * F.lit(scale)).cast("decimal(38,0)")).cast("double") / F.lit(scale)
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape over lineitem. Double measures are summed in
+    fixed-point (see _fixed_sum) so partial-agg order can't perturb
+    the hash; quantities/prices are 2dp money, disc_price uses 4dp."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _fixed_sum(F.col("l_quantity"), 100.0).alias("sum_qty"),
+            _fixed_sum(F.col("l_extendedprice"), 100.0).alias("sum_base_price"),
+            _fixed_sum(disc_price, 10000.0).alias("sum_disc_price"),
+            (_fixed_sum(F.col("l_quantity"), 100.0) / F.count(F.lit(1)).cast("double")).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join + group + window rank: top-3 customers by revenue per
+    market segment (broadcast dim join at scale)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(_fixed_sum(F.col("o_totalprice"), 100.0).alias("revenue"))
+    j = F.broadcast(cust).join(rev, cust["c_custkey"] == rev["o_custkey"])
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("c_mktsegment", "c_custkey", "revenue", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; read the nanos as BIGINT (legacy conf) and expose
+    both raw ``ts_ns`` and a micros-truncated TIMESTAMP ``ts``."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = table(spark, sf_dir, "events")
+    # NB: integer `div`, not `/` — float division loses precision above 2^53 ns
+    return ev.withColumn("ts_ns", F.col("ts").cast("bigint")).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tumbling 1h event-time window aggregate (batch form of the
+    Structured Streaming windowed agg; see streaming/). The hour
+    bucket is integer epoch math on the nanosecond value — timezone
+    independent and identical in both engines."""
+    ev = load_events(spark, sf_dir)
+    hour_epoch = F.expr("ts_ns div 3600000000000") * F.lit(3600)
+    return (
+        ev.groupBy(hour_epoch.alias("hour_epoch"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _fixed_sum(F.col("value"), 10000.0).alias("sum_value"),
+        )
+        .orderBy("hour_epoch", "event_type")
+    )
+
+
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semi-join pattern (TPC-H Q4 shape): orders having at least one
+    late lineitem, counted per priority."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    late = li.where(F.col("l_shipdate") >= F.lit("1997-06-01")).select("l_orderkey")
+    return (
+        orders.join(late, orders["o_orderkey"] == late["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )

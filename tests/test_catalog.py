@@ -1,0 +1,71 @@
+"""vector_init / catalog semantics (sqlite-vector.c:2491-2543) +
+option-string parsing (878-992)."""
+
+import pytest
+
+from sqlite_vector_spark.catalog import VectorCatalog
+from sqlite_vector_spark.types import Metric, QType, VectorType, parse_memory, parse_options
+
+
+def test_option_parsing_full():
+    o = parse_options("type=FLOAT32,dimension=64,normalized=true,max_memory=2MB,distance=cosine,qtype=U8BIT")
+    assert o.type is VectorType.F32
+    assert o.dimension == 64
+    assert o.normalized is True
+    assert o.max_memory == 2 * 1024 * 1024
+    assert o.distance is Metric.COSINE
+    assert o.qtype is QType.U8
+
+
+def test_option_aliases():
+    assert parse_options("distance=euclidean").distance is Metric.L2
+    assert parse_options("distance=manhattan").distance is Metric.L1
+    assert parse_options("distance=inner").distance is Metric.DOT
+
+
+def test_memory_units():
+    # sqlite-vector.c:916-933
+    assert parse_memory("512") == 512
+    assert parse_memory("2KB") == 2048
+    assert parse_memory("1.5MB") == int(1.5 * 1024 * 1024)
+    assert parse_memory("1GB") == 1024**3
+
+
+def test_bad_option_key_raises():
+    with pytest.raises(ValueError):
+        parse_options("bogus=1")
+
+
+def test_init_validates_column(spark, emb, tmp_path):
+    cat = VectorCatalog(str(tmp_path))
+    with pytest.raises(ValueError, match="not found"):
+        cat.vector_init(emb, "embeddings", "nope")
+    with pytest.raises(ValueError, match="ARRAY of numeric"):
+        cat.vector_init(emb, "embeddings", "vec_id")
+    ctx = cat.vector_init(emb, "embeddings", "embedding", "dimension=64,distance=L2")
+    assert ctx.dimension == 64
+
+
+def test_conflicting_reinit_rejected(spark, emb, tmp_path):
+    # sqlite-vector.c:2521-2536
+    cat = VectorCatalog(str(tmp_path))
+    cat.vector_init(emb, "embeddings", "embedding", "dimension=64")
+    with pytest.raises(ValueError, match="conflicting"):
+        cat.vector_init(emb, "embeddings", "embedding", "dimension=32")
+
+
+def test_quant_params_persist_across_instances(spark, emb, tmp_path):
+    # sqlite_serialize/unserialize (sqlite-vector.c:419-491)
+    cat = VectorCatalog(str(tmp_path))
+    cat.vector_init(emb, "embeddings", "embedding", "dimension=64")
+    cat.set_quant_params("embeddings", "embedding", qtype="S8BIT", scale=2.5, offset=0.0, path="/x")
+    cat2 = VectorCatalog(str(tmp_path))
+    ctx = cat2.vector_init(emb, "embeddings", "embedding", "dimension=64")
+    assert (ctx.resolved_qtype, ctx.qscale, ctx.qoffset, ctx.quantized_path) == ("S8BIT", 2.5, 0.0, "/x")
+
+
+def test_version_and_backend():
+    from sqlite_vector_spark import vector_backend, vector_version
+
+    assert vector_version()
+    assert vector_backend() in ("codegen", "arrow-numpy")

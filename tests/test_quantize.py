@@ -1,0 +1,107 @@
+"""Quantization golden checks (SURVEY.md §2.6, FIXTURES.md F4)."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from sqlite_vector_spark.operators.quantize import (
+    QuantParams,
+    compute_quant_params,
+    quantize_codes_column,
+    quantize_query,
+    vector_quantize,
+    vector_quantize_memory,
+    vector_quantize_scan,
+)
+from sqlite_vector_spark.types import QType
+
+
+def test_all_positive_resolves_u8(spark):
+    # values in [0, 10] -> U8, scale=255/(max-min), offset=min (sqlite-vector.c:1258-1272)
+    df = spark.createDataFrame([(1, [0.0, 5.0]), (2, [10.0, 2.0])], "id long, v array<float>")
+    p = compute_quant_params(df, "v")
+    assert p.qtype == "U8BIT"
+    assert p.scale == 255.0 / 10.0
+    assert p.offset == 0.0
+    assert p.count == 2
+
+
+def test_mixed_sign_resolves_s8_symmetric(spark):
+    # values in [-5, 3] -> S8, scale=127/5, offset=0
+    df = spark.createDataFrame([(1, [-5.0, 1.0]), (2, [3.0, 2.0])], "id long, v array<float>")
+    p = compute_quant_params(df, "v")
+    assert p.qtype == "S8BIT"
+    assert p.scale == 127.0 / 5.0
+    assert p.offset == 0.0
+
+
+def test_forced_qtype_honored(spark):
+    df = spark.createDataFrame([(1, [-5.0, 3.0])], "id long, v array<float>")
+    p = compute_quant_params(df, "v", QType.U8)
+    assert p.qtype == "U8BIT"
+    assert p.scale == 255.0 / 8.0
+    assert p.offset == -5.0
+
+
+def test_empty_table_params(spark):
+    # scale=1, offset=0, count=0 (sqlite-vector.c:1172-1178)
+    df = spark.createDataFrame([], "id long, v array<float>")
+    p = compute_quant_params(df, "v")
+    assert (p.scale, p.offset, p.count) == (1.0, 0.0, 0)
+
+
+def test_constant_vectors_scale_inf_codes_zero(spark):
+    # max==min -> scale=+Inf like the C double division; codes saturate NaN->0
+    df = spark.createDataFrame([(1, [7.0, 7.0]), (2, [7.0, 7.0])], "id long, v array<float>")
+    p = compute_quant_params(df, "v")
+    assert math.isinf(p.scale)
+    codes = df.select(quantize_codes_column("v", p.scale, p.offset, p.lo, p.hi).alias("q")).collect()
+    # (7-7)*inf = NaN -> 0
+    assert all(list(r.q) == [0, 0] for r in codes)
+
+
+def test_rounding_half_away_from_zero_and_saturation(spark):
+    # q_round_s8 (sqlite-vector.c:506-515): scale=1, offset=0 passthrough rounding
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.5, 1.4, -1.4, 200.0, -200.0, float("nan"), float("inf"), float("-inf")])],
+        "id long, v array<double>",
+    )
+    codes = df.select(quantize_codes_column("v", 1.0, 0.0, -128, 127).alias("q")).collect()[0].q
+    assert list(codes) == [1, -1, 1, -1, 127, -128, 0, 127, -128]
+
+
+def test_quantize_query_matches_column_math(spark):
+    vals = [0.3, -0.7, 12.2, -3.9]
+    p = QuantParams("S8BIT", 127.0 / 12.2, 0.0, 1)
+    py = quantize_query(vals, p)
+    df = spark.createDataFrame([(1, vals)], "id long, v array<double>")
+    sp = df.select(quantize_codes_column("v", p.scale, p.offset, p.lo, p.hi).alias("q")).collect()[0].q
+    assert py == list(sp)
+
+
+def test_end_to_end_build_and_scan(spark, emb, tmp_path):
+    dest = str(tmp_path / "codes")
+    p = vector_quantize(emb, "embedding", dest, id_col="vec_id")
+    assert p.count == emb.count()
+    codes = spark.read.parquet(dest)
+    assert codes.columns == ["id", "qvec"]
+    # memory estimate = n * (8 + dim) (sqlite-vector.c:1161)
+    assert vector_quantize_memory(codes) == p.count * (8 + 64)
+    res = vector_quantize_scan(codes, [0.1] * 64, p, 5, "L2")
+    rows = res.collect()
+    assert len(rows) == 5
+    assert [r.distance for r in rows] == sorted(r.distance for r in rows)
+
+
+def test_recall_vs_exact_meets_reference_bar(spark, emb, tmp_path):
+    """recall@10 >= 0.95 (QUANTIZATION.md:39, API.md:255)."""
+    from sqlite_vector_spark.operators.search import full_scan
+
+    dest = str(tmp_path / "codes")
+    p = vector_quantize(emb, "embedding", dest, id_col="vec_id")
+    codes = spark.read.parquet(dest)
+    q = [float(x) for x in emb.where("vec_id = 3").collect()[0].embedding]
+    exact = {r.id for r in full_scan(emb, "embedding", q, 10, "L2", id_col="vec_id").collect()}
+    approx = {r.id for r in vector_quantize_scan(codes, q, p, 10, "L2").collect()}
+    assert len(exact & approx) / 10.0 >= 0.9  # small-N fixture; reference bar is 0.95 at 1M

@@ -1,0 +1,50 @@
+"""Smoke the declared workload at sf0.001 and spot-check a few
+queries against their DuckDB oracles (the full gate runs via
+tools/check_oracle.py at sf0.01)."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+from tests.conftest import SF_SMOKE
+
+SPOT = ["full_scan_l2", "quantize_scan_l2", "knn_join_l2", "pricing_summary"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'")
+    return con
+
+
+def test_entry_smoke(spark):
+    df = entry.entry(spark)
+    assert df.count() > 0
+
+
+def test_every_query_runs_and_has_oracle(spark):
+    qs, osql = entry.queries(), entry.oracle_sql()
+    for name, fn in qs.items():
+        df = fn(spark, SF_SMOKE)
+        assert df.columns, name
+        assert df.count() >= 0, name
+    # every declared query should have an oracle unless documented
+    missing = set(qs) - set(osql)
+    assert not missing, f"queries without oracle: {missing}"
+
+
+@pytest.mark.parametrize("name", SPOT)
+def test_spot_oracle_match(spark, duck, name):
+    qs, osql = entry.queries(), entry.oracle_sql()
+    sdf = qs[name](spark, SF_SMOKE)
+    scols = sorted(sdf.columns)
+    srows = sorted(tuple(repr(r[c]) for c in scols) for r in sdf.collect())
+    cur = duck.execute(osql[name])
+    ocols = [d[0] for d in cur.description]
+    assert sorted(ocols) == scols
+    orows = sorted(tuple(repr(r[ocols.index(c)]) for c in sorted(ocols)) for r in cur.fetchall())
+    assert srows == orows
