@@ -62,6 +62,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": w.top_customers,
         "events_hourly": w.events_hourly,
         "order_priority_counts": w.order_priority_counts,
+        # -- LLM-pipeline: text analysis (north star, BASELINE.json)
+        "text_stats": w.text_stats,
+        "lang_id": w.lang_id_q,
+        "fingerprint": w.fingerprint_q,
+        # -- LLM-pipeline: dedup family
+        "dedup_exact": w.dedup_exact_q,
+        "minhash_signatures": w.minhash_sig_q,
+        "lsh_candidate_pairs": w.lsh_pairs_q,
+        "simhash": w.simhash_q,
+        "ngram_jaccard_pairs": w.jaccard_pairs_q,
+        "embedding_neardup": w.embedding_neardup_q,
+        # -- LLM-pipeline: ANN similarity search (IVF partition-pruned)
+        "ivf_scan_l2": w.ivf_scan_l2,
     }
 
 
@@ -91,4 +104,14 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": o.top_customers(),
         "events_hourly": o.events_hourly(),
         "order_priority_counts": o.order_priority_counts(),
+        "text_stats": o.text_stats(),
+        "lang_id": o.lang_id_q(),
+        "fingerprint": o.fingerprint_q(),
+        "dedup_exact": o.dedup_exact_q(),
+        "minhash_signatures": o.minhash_sig_q(),
+        "lsh_candidate_pairs": o.lsh_pairs_q(),
+        "simhash": o.simhash_q(),
+        "ngram_jaccard_pairs": o.jaccard_pairs_q(),
+        "embedding_neardup": o.embedding_neardup_q(),
+        "ivf_scan_l2": o.ivf_scan_l2(),
     }

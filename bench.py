@@ -93,6 +93,13 @@ def main():
     bench("top_customers", lambda: w.top_customers(spark, SF_DIR).collect(), n=2)
     bench("events_hourly", lambda: w.events_hourly(spark, SF_DIR).count(), n=2)
 
+    # LLM-pipeline layer: text analysis, dedup, ANN
+    bench("text_stats", lambda: w.text_stats(spark, SF_DIR).count(), n=2)
+    bench("minhash_lsh_pairs", lambda: w.lsh_pairs_q(spark, SF_DIR).count())
+    bench("simhash", lambda: w.simhash_q(spark, SF_DIR).count())
+    bench("embedding_neardup", lambda: w.embedding_neardup_q(spark, SF_DIR).count())
+    bench("ivf_scan_l2", lambda: w.ivf_scan_l2(spark, SF_DIR).collect())
+
     total = round(sum(times.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

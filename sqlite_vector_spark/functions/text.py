@@ -1,0 +1,143 @@
+"""Text-analysis primitives for LLM-data pipelines.
+
+These are the operators a 100 TB training-data pipeline needs over a
+``documents(doc_id, text, ...)`` table: tokenization, quality scoring,
+language ID, fingerprinting, shingling. All are pure Catalyst
+expressions (split/filter/transform/aggregate higher-order functions)
+— JVM-side, whole-stage-codegen'd, zero Python in the scan, and every
+one has an exact SQL mirror in oracle.py.
+
+Hashing convention: polynomial rolling hash over characters,
+``h = fold(chars, h*31 + ascii(c)) mod 1e9+7`` — deterministic,
+overflow-free in BIGINT (acc < 1e9+7, so acc*31 + 127 << 2^63), and
+expressible identically in any SQL engine. Spark's builtin xxhash64/
+murmur are NOT used in correctness-gated paths because oracles can't
+reproduce them; swap in xxhash64 for pure-throughput jobs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+HASH_P = 1_000_000_007
+HASH_B = 31
+
+
+def _col(c: str | Column) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def words(text: str | Column) -> Column:
+    """Whitespace tokens, empties dropped (multi-space safe)."""
+    return F.filter(F.split(_col(text), " "), lambda w: w != "")
+
+
+def token_count(text: str | Column) -> Column:
+    return F.size(words(text)).cast("bigint")
+
+
+def char_count(text: str | Column) -> Column:
+    return F.length(_col(text)).cast("bigint")
+
+
+def polyhash(s: str | Column) -> Column:
+    """Polynomial rolling hash of a string -> BIGINT in [0, 1e9+7)."""
+    return F.aggregate(
+        F.split(_col(s), ""),
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * HASH_B + F.ascii(c)) % HASH_P,
+    )
+
+
+def fingerprint(text: str | Column) -> Column:
+    """Document fingerprint = rolling hash of the full text."""
+    return polyhash(text)
+
+
+def punct_count(text: str | Column, chars: str = ".,!?;:") -> Column:
+    t = _col(text)
+    pattern = "[" + "".join("\\" + ch for ch in chars) + "]"
+    return (F.length(t) - F.length(F.regexp_replace(t, pattern, ""))).cast("bigint")
+
+
+def substr_count(text: str | Column, needle: str) -> Column:
+    """Occurrences of ``needle`` via length arithmetic (identical in
+    any SQL engine, no regex dialect risk)."""
+    t = _col(text)
+    return ((F.length(t) - F.length(F.replace(t, F.lit(needle)))) / F.lit(len(needle))).cast("bigint")
+
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def stopword_count(text: str | Column, stopwords=STOPWORDS) -> Column:
+    """Stopword occurrences, counted as space-delimited whole words
+    over the padded text (' '||text||' ')."""
+    padded = F.concat(F.lit(" "), _col(text), F.lit(" "))
+    total = F.lit(0).cast("bigint")
+    for sw in stopwords:
+        total = total + substr_count(padded, f" {sw} ")
+    return total
+
+
+def quality_score(text: str | Column) -> Column:
+    """Composite quality in [0,1]: longer docs with moderate
+    punctuation and some stopwords score higher (the classic
+    Gopher/C4-style length+symbol heuristics, reduced to
+    deterministic arithmetic)."""
+    t = _col(text)
+    n_tok = token_count(t).cast("double")
+    n_chr = char_count(t).cast("double")
+    punct_ratio = punct_count(t).cast("double") / n_chr
+    stop_ratio = stopword_count(t).cast("double") / n_tok
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0))
+    stop_score = F.least(stop_ratio * F.lit(4.0), F.lit(1.0))
+    return F.when(n_chr == 0.0, F.lit(0.0)).otherwise(
+        (len_score + punct_score + stop_score) / F.lit(3.0)
+    )
+
+
+#: language marker words (whole-word matched); scored by occurrence count
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "das"),
+    "fr": ("le", "et", "les"),
+    "es": ("el", "y", "los"),
+    "zh": ("de", "shi", "le"),
+}
+LANG_ORDER = ("de", "en", "es", "fr", "zh")  # tie-break: alphabetical
+
+
+def lang_scores(text: str | Column) -> dict[str, Column]:
+    padded = F.concat(F.lit(" "), _col(text), F.lit(" "))
+    out = {}
+    for lang in LANG_ORDER:
+        total = F.lit(0).cast("bigint")
+        for m in LANG_MARKERS[lang]:
+            total = total + substr_count(padded, f" {m} ")
+        out[lang] = total
+    return out
+
+
+def lang_id(text: str | Column) -> Column:
+    """n-gram/marker heuristic language ID: argmax of marker counts,
+    first-in-alphabetical-order wins ties, 'und' if all zero."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best == 0, F.lit("und")).otherwise(expr)
+
+
+def shingles(text: str | Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings; fewer than n words -> empty."""
+    w = words(text)
+    return F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
+        )
+    )

@@ -1,0 +1,282 @@
+"""Deduplication operators for LLM-data pipelines.
+
+Five dedup families, each designed for 100 TB corpora:
+
+- **exact**: hash-groupBy on content. One shuffle on the group key;
+  at scale, group on a 64-bit content hash instead of the raw text so
+  shuffle rows are ~16 bytes (the text only travels for the keeper).
+- **MinHash + LSH**: shingle -> K permuted min-hashes -> band keys ->
+  candidates join. Shuffle volume is docs x bands tiny rows; the
+  classic near-dup pipeline (Broder '97) and the standard
+  web-scale approach.
+- **SimHash**: 32-bit sign-of-weighted-sum fingerprint; near-dups
+  share the fingerprint (or a low Hamming distance); groupBy on the
+  fingerprint is one shuffle of 8-byte keys.
+- **n-gram Jaccard**: exact similarity on LSH candidates only —
+  never all-pairs.
+- **embedding near-dup**: random-hyperplane LSH buckets + in-bucket
+  cosine threshold; the bucket join replaces the quadratic cross
+  join (all-pairs only within buckets).
+
+Every operator is pure Catalyst expressions + joins (no Python), and
+deterministic: hashes are the polynomial char hash of
+functions/text.py, so the DuckDB oracle reproduces results exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from sqlite_vector_spark.functions.distance import distance
+from sqlite_vector_spark.functions.text import HASH_P, polyhash, shingles, words
+
+# deterministic MinHash permutation parameters (a*h + b) mod P
+MINHASH_A = (2, 3, 5, 7, 11, 13, 17, 19)
+MINHASH_B = (1, 2, 3, 4, 5, 6, 7, 8)
+NUM_HASHES = 8
+LSH_BANDS = 4
+ROWS_PER_BAND = 2
+SHINGLE_N = 3
+
+
+def exact_dedup(df: DataFrame, key_cols: Sequence[str], id_col: str) -> DataFrame:
+    """One row per distinct key: (keys..., dup_count, keeper_id=min id).
+
+    Scale note: for wide text keys, pre-hash -- ``groupBy(xxhash64(text))``
+    -- so the shuffle carries 8-byte keys; re-check the raw text within
+    groups if hash-collision paranoia warrants.
+    """
+    return df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("dup_count"),
+        F.min(F.col(id_col)).alias("keeper_id"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = NUM_HASHES,
+    shingle_n: int = SHINGLE_N,
+) -> DataFrame:
+    """Long-form MinHash signature: (id, j, minhash) for j in [0,H).
+
+    Plan shape: explode shingles (map-side), hash (map-side), explode
+    x H (map-side), one groupBy(id, j) shuffle of (16B key, 8B min)
+    rows. Docs with < shingle_n words produce no shingles and are
+    absent (they can't be near-dup candidates).
+    """
+    sh = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.explode(shingles(text_col, shingle_n)).alias("s"),
+    ).select("id", polyhash("s").alias("h"))
+    # one groupBy(id) with H min-aggregates (NOT explode x H then
+    # groupBy(id, j)): the shuffle carries #shingles rows instead of
+    # #shingles x H — 8x less volume at 100 TB for H=8
+    perms = sh.select(
+        "id",
+        *[
+            ((F.lit(MINHASH_A[j]) * F.col("h") + F.lit(MINHASH_B[j])) % F.lit(HASH_P)).alias(f"p{j}")
+            for j in range(num_hashes)
+        ],
+    )
+    mins = perms.groupBy("id").agg(*[F.min(f"p{j}").alias(f"m{j}") for j in range(num_hashes)])
+    return mins.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), F.col(f"m{j}").alias("minhash"))
+                    for j in range(num_hashes)
+                ]
+            )
+        ).alias("x"),
+    ).select("id", F.col("x.j").alias("j"), F.col("x.minhash").alias("minhash"))
+
+
+def lsh_band_keys(
+    sig: DataFrame,
+    bands: int = LSH_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """(id, band, band_hash): rows of a band combined into one BIGINT
+    via positional weights (minhash < P ~ 1e9, so P-weighted sum fits
+    int64 for rows_per_band=2)."""
+    weight = F.when(F.col("j") % rows_per_band == 0, F.lit(HASH_P)).otherwise(F.lit(1))
+    return (
+        sig.withColumn("band", (F.col("j") / F.lit(rows_per_band)).cast("bigint"))
+        .groupBy("id", "band")
+        .agg(F.sum(F.col("minhash") * weight).alias("band_hash"))
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = NUM_HASHES,
+    bands: int = LSH_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+    shingle_n: int = SHINGLE_N,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (a < b) sharing >= 1 LSH band.
+
+    The self-join is on (band, band_hash) — at scale both sides are
+    pre-shuffled on the same key (one exchange each), and bucket
+    sizes, not corpus size, bound the pair blow-up.
+    """
+    keys = lsh_band_keys(minhash_signatures(df, id_col, text_col, num_hashes, shingle_n), bands, rows_per_band)
+    left = keys.select(F.col("id").alias("a"), "band", "band_hash")
+    right = keys.select(F.col("id").alias("b"), "band", "band_hash")
+    return (
+        left.join(right, ["band", "band_hash"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """(id, simhash): sign-of-sum fingerprint over token hashes.
+
+    Map-side: tokens explode + hash; one groupBy(id, bit) shuffle, one
+    groupBy(id) re-agg (both tiny fixed-width rows).
+    """
+    toks = df.select(
+        F.col(id_col).cast("bigint").alias("id"), F.explode(words(text_col)).alias("w")
+    ).select("id", polyhash("w").alias("h"))
+    # bit positions unrolled Python-side (shift amounts must be literals)
+    per_bit = toks.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)).alias("v"),
+                    )
+                    for b in range(bits)
+                ]
+            )
+        ).alias("bv"),
+    ).select("id", F.col("bv.b").alias("b"), F.col("bv.v").alias("v"))
+    sums = per_bit.groupBy("id", "b").agg(F.sum("v").alias("s"))
+    powers = F.array(*[F.lit(1 << b).cast("bigint") for b in range(bits)])
+    return sums.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.element_at(powers, F.col("b") + 1)).otherwise(F.lit(0).cast("bigint"))
+        ).cast("bigint").alias("simhash")
+    )
+
+
+def jaccard_pairs(
+    candidates: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Exact word-set Jaccard for candidate pairs (a, b) ->
+    (a, b, inter, union_, jaccard). Computes set sizes/intersections
+    via distinct-token joins — only candidate pairs are scored, never
+    all pairs."""
+    dw = df.select(F.col(id_col).cast("bigint").alias("id"), F.explode(words(text_col)).alias("w")).distinct()
+    cnt = dw.groupBy("id").agg(F.count(F.lit(1)).alias("c"))
+    x = dw.select(F.col("id").alias("a"), F.col("w").alias("wa"))
+    y = dw.select(F.col("id").alias("b2"), F.col("w").alias("wb"))
+    inter = (
+        candidates.join(x, "a")
+        .join(y, (F.col("b") == F.col("b2")) & (F.col("wa") == F.col("wb")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = cnt.select(F.col("id").alias("a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("id").alias("b"), F.col("c").alias("cb"))
+    out = (
+        candidates.join(inter, ["a", "b"], "left")
+        .join(ca, "a")
+        .join(cb, "b")
+        .select(
+            "a",
+            "b",
+            F.coalesce(F.col("inter"), F.lit(0)).alias("inter"),
+            (F.col("ca") + F.col("cb") - F.coalesce(F.col("inter"), F.lit(0))).alias("union_"),
+            (
+                F.coalesce(F.col("inter"), F.lit(0)).cast("double")
+                / (F.col("ca") + F.col("cb") - F.coalesce(F.col("inter"), F.lit(0))).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return out
+
+
+def hyperplane_bucket(vec: str | Column, planes: Sequence[Sequence[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: bit p = sign(dot(vec, plane_p)).
+
+    Planes ride in as literals (broadcast with the plan); the dot
+    product is the same IEEE-exact fold as every other distance, so
+    bucket assignment is oracle-reproducible.
+    """
+    v = F.col(vec) if isinstance(vec, str) else vec
+    bucket = F.lit(0).cast("bigint")
+    for p, plane in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(v, lit, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0.0, F.lit(1 << p).cast("bigint")).otherwise(F.lit(0))
+    return bucket
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: Sequence[Sequence[float]],
+    threshold: float,
+    metric: str = "COSINE",
+) -> DataFrame:
+    """(a, b, distance) pairs with distance < threshold, candidates
+    restricted to equal LSH buckets (sign-random-projection).
+
+    Scale: the join is shuffle-on-bucket; within-bucket pair counts are
+    bounded by bucket size. More planes -> smaller buckets -> higher
+    speed / lower recall; tune planes to corpus size.
+    """
+    base = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_bucket(vec_col, planes).alias("bucket"),
+    )
+    if str(metric).upper() == "COSINE":
+        # precompute each row's norm ONCE before the pair join — the
+        # per-pair expression then folds only the dot product (3x less
+        # work); numerically identical to folding na/nb per pair since
+        # the per-row fold is the same expression
+        from sqlite_vector_spark.functions.distance import _dot_sum, snap_zero
+
+        base = base.withColumn("nrm", F.sqrt(_dot_sum(F.col("v"), F.col("v"))))
+        left = base.select(F.col("id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "bucket")
+        right = base.select(F.col("id").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "bucket")
+        denom = F.col("na") * F.col("nb")
+        cos = F.when(denom == F.lit(0.0), F.lit(1.0)).otherwise(
+            F.lit(1.0) - _dot_sum(F.col("va"), F.col("vb")) / denom
+        )
+        return (
+            left.join(right, "bucket")
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b", snap_zero(cos).alias("distance"))
+            .where(F.col("distance") < threshold)
+        )
+    left = base.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
+    right = base.select(F.col("id").alias("b"), F.col("v").alias("vb"), "bucket")
+    return (
+        left.join(right, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", distance(F.col("va"), F.col("vb"), metric).alias("distance"))
+        .where(F.col("distance") < threshold)
+    )

@@ -1,0 +1,108 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the pipeline as ``BINARY`` columns
+with a typed metadata struct — the Spark-side schema, partitioning,
+and Arrow batch shape are real and tested; the actual media decode is
+STUBBED (the container has no image/audio libraries) behind
+``decoder=`` hooks:
+
+- ``decoder=None``  -> raises NotImplementedError (clearly marked stub)
+- ``decoder="fake"`` -> deterministic feature extraction from the raw
+  bytes (rolling hash -> pseudo-features), so the full pipeline is
+  exercisable end-to-end in tests and benchmarks.
+
+Swap in a real decoder (PIL/torchaudio/ffmpeg) by passing a callable
+``bytes -> list[float]``; the Spark plumbing does not change: the
+work runs in ``mapInPandas`` over Arrow record batches, one Python
+worker per partition, no driver involvement, scales with executors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: canonical multimodal schema: id + opaque payload + typed metadata
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("media_type", StringType()),   # image/jpeg, audio/wav, ...
+        StructField("width", LongType()),          # images/video
+        StructField("height", LongType()),
+        StructField("duration_ms", LongType()),    # audio/video
+    ]
+)
+
+
+def _fake_features(payload: bytes, dim: int) -> list[float]:
+    """Deterministic pseudo-features: rolling-hash of the bytes fanned
+    out to ``dim`` lanes. Stands in for a real CNN/spectrogram embed."""
+    h = 0
+    for byte in payload:
+        h = (h * 31 + byte) % 1_000_000_007
+    return [((h * (j + 1)) % 1009) / 1009.0 for j in range(dim)]
+
+
+def extract_features(
+    df: DataFrame,
+    dim: int = 16,
+    decoder: Callable[[bytes], list[float]] | str | None = None,
+    payload_col: str = "payload",
+    id_col: str = "id",
+) -> DataFrame:
+    """(id, feature ARRAY<FLOAT>) via mapInPandas over Arrow batches.
+
+    The decode runs per-partition in the Python worker: batch shape is
+    (arrow_batch_rows, payload bytes); output is a fixed-dim vector
+    column ready for the kNN/dedup operators above.
+    """
+    if decoder is None:
+        raise NotImplementedError(
+            "media decode is stubbed: no image/audio libraries in this "
+            "environment. Pass decoder='fake' for the deterministic "
+            "test decoder, or a callable bytes -> list[float]."
+        )
+    dec = (lambda b: _fake_features(b, dim)) if decoder == "fake" else decoder
+
+    out_schema = StructType(
+        [StructField("id", LongType()), StructField("feature", ArrayType(FloatType()))]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [None if b is None else dec(bytes(b)) for b in pdf[payload_col]]
+            yield pd.DataFrame({"id": pdf[id_col], "feature": feats})
+
+    src = df.select(F.col(id_col).cast("bigint").alias(id_col), payload_col)
+    return src.mapInPandas(run, schema=out_schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    every_ms: int = 1000,
+    id_col: str = "id",
+    duration_col: str = "duration_ms",
+) -> DataFrame:
+    """(id, frame_ts_ms) one row per sampled frame timestamp — pure
+    Catalyst (sequence + explode), no decode needed. Downstream decode
+    of individual frames would go through extract_features."""
+    return df.where(F.col(duration_col).isNotNull()).select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.col(duration_col).cast("bigint"), F.lit(every_ms).cast("bigint"))
+        ).alias("frame_ts_ms"),
+    )

@@ -254,3 +254,184 @@ FROM orders
 WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00')
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority"""
+
+
+# ---------------------------------------------------------------- text analysis / dedup / ANN mirrors
+
+from sqlite_vector_spark.functions.text import HASH_B, HASH_P, LANG_MARKERS, LANG_ORDER, STOPWORDS
+from sqlite_vector_spark.workload import HYPERPLANES, IVF_C, IVF_K, IVF_NPROBE, NEARDUP_T
+
+WORDS = "list_filter(string_split(text, ' '), w -> w <> '')"
+
+
+def polyhash_sql(s: str) -> str:
+    """Mirror of functions.text.polyhash: left fold (acc*31+ascii)%P."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({s}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, c) -> (acc * {HASH_B} + c) % {HASH_P})"
+    )
+
+
+def _substr_count(padded: str, needle: str) -> str:
+    return f"CAST((length({padded}) - length(replace({padded}, '{needle}', ''))) / {len(needle)} AS BIGINT)"
+
+
+def _stop_count(col: str = "text") -> str:
+    padded = f"(' ' || {col} || ' ')"
+    return "(" + " + ".join(_substr_count(padded, f" {sw} ") for sw in STOPWORDS) + ")"
+
+
+_PUNCT_RE = "[\\.\\,\\!\\?\\;\\:]"
+
+
+def text_stats() -> str:
+    n_tok = f"CAST(len({WORDS}) AS BIGINT)"
+    n_chr = "CAST(length(text) AS BIGINT)"
+    n_punct = f"CAST(length(text) - length(regexp_replace(text, '{_PUNCT_RE}', '', 'g')) AS BIGINT)"
+    n_stop = _stop_count()
+    tokd = f"CAST({n_tok} AS DOUBLE)"
+    chrd = f"CAST({n_chr} AS DOUBLE)"
+    len_score = f"least({tokd} / 100.0, 1.0)"
+    punct_score = f"(1.0 - least(CAST({n_punct} AS DOUBLE) / {chrd} * 4.0, 1.0))"
+    stop_score = f"least(CAST({n_stop} AS DOUBLE) / {tokd} * 4.0, 1.0)"
+    quality = f"(CASE WHEN {chrd} = 0.0 THEN 0.0 ELSE ({len_score} + {punct_score} + {stop_score}) / 3.0 END)"
+    return f"""SELECT doc_id,
+       {n_tok} AS n_tokens,
+       {n_chr} AS n_chars_len,
+       {n_punct} AS n_punct,
+       {n_stop} AS n_stop,
+       {quality} AS quality
+FROM documents"""
+
+
+def lang_id_q() -> str:
+    padded = "(' ' || text || ' ')"
+    scores = {
+        lang: "(" + " + ".join(_substr_count(padded, f" {m} ") for m in LANG_MARKERS[lang]) + ")"
+        for lang in LANG_ORDER
+    }
+    best = "greatest(" + ", ".join(scores[lang] for lang in LANG_ORDER) + ")"
+    cases = " ".join(f"WHEN {scores[lang]} = {best} THEN '{lang}'" for lang in LANG_ORDER)
+    return f"""SELECT doc_id,
+       (CASE WHEN {best} = 0 THEN 'und' {cases} ELSE 'und' END) AS lang_pred
+FROM documents"""
+
+
+def fingerprint_q() -> str:
+    return f"SELECT doc_id, {polyhash_sql('text')} AS fp FROM documents"
+
+
+def dedup_exact_q() -> str:
+    return """SELECT text, count(*) AS dup_count, min(doc_id) AS keeper_id
+FROM documents GROUP BY text"""
+
+
+# MinHash constants must mirror operators/dedup.py
+_MH_A = "[2, 3, 5, 7, 11, 13, 17, 19]"
+_MH_B = "[1, 2, 3, 4, 5, 6, 7, 8]"
+
+_SHINGLES = f"""WITH w AS (
+  SELECT doc_id, {WORDS} AS ws FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+                ELSE list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' ')) END) AS s
+  FROM w),
+hashed AS (SELECT doc_id, {polyhash_sql('s')} AS h FROM sh),
+sig AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, CAST(j AS INTEGER) AS j,
+         min((({_MH_A})[j + 1] * h + ({_MH_B})[j + 1]) % {HASH_P}) AS minhash
+  FROM hashed, range(0, 8) t(j)
+  GROUP BY 1, 2),
+bandkeys AS (
+  SELECT id, CAST(j // 2 AS BIGINT) AS band,
+         CAST(sum(minhash * (CASE WHEN j % 2 = 0 THEN {HASH_P} ELSE 1 END)) AS BIGINT) AS band_hash
+  FROM sig GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT l.id AS a, r.id AS b
+  FROM bandkeys l JOIN bandkeys r ON l.band = r.band AND l.band_hash = r.band_hash
+  WHERE l.id < r.id)"""
+
+
+def minhash_sig_q() -> str:
+    return _SHINGLES + "\nSELECT id, j, minhash FROM sig"
+
+
+def lsh_pairs_q() -> str:
+    return _SHINGLES + "\nSELECT a, b FROM cand"
+
+
+def simhash_q() -> str:
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest({WORDS}) AS w FROM documents),
+hashed AS (SELECT doc_id, {polyhash_sql('w')} AS h FROM toks),
+bits AS (
+  SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS s
+  FROM hashed, range(0, 32) t(b)
+  GROUP BY 1, 2)
+SELECT CAST(doc_id AS BIGINT) AS id,
+       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY 1"""
+
+
+def jaccard_pairs_q() -> str:
+    return _SHINGLES + f""",
+dw AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS id, w FROM (SELECT doc_id, unnest({WORDS}) AS w FROM documents)),
+cnt AS (SELECT id, count(*) AS c FROM dw GROUP BY id),
+inter AS (
+  SELECT cand.a, cand.b, count(*) AS inter
+  FROM cand JOIN dw x ON x.id = cand.a JOIN dw y ON y.id = cand.b AND y.w = x.w
+  GROUP BY 1, 2)
+SELECT c.a, c.b,
+       coalesce(i.inter, 0) AS inter,
+       ca.c + cb.c - coalesce(i.inter, 0) AS union_,
+       CAST(coalesce(i.inter, 0) AS DOUBLE) / CAST(ca.c + cb.c - coalesce(i.inter, 0) AS DOUBLE) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+JOIN cnt ca ON ca.id = c.a
+JOIN cnt cb ON cb.id = c.b"""
+
+
+def _plane_dot(vec: str, plane: list[float]) -> str:
+    lit = "[" + ",".join(repr(float(x)) for x in plane) + "]::DOUBLE[]"
+    return _fold(f"list_transform(range(1, {DIM + 1}), i -> CAST({vec}[i] AS DOUBLE) * ({lit})[i])")
+
+
+def embedding_neardup_q() -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN {_plane_dot('embedding', plane)} > 0.0 THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(HYPERPLANES)
+    )
+    d = dist_sql("COSINE", "va", "vb")
+    return f"""WITH base AS (
+  SELECT CAST(vec_id AS BIGINT) AS id, embedding AS v, CAST({bucket} AS BIGINT) AS bucket
+  FROM embeddings WHERE embedding IS NOT NULL)
+SELECT a, b, distance FROM (
+  SELECT l.id AS a, r.id AS b, {d.replace('va', 'l.v').replace('vb', 'r.v')} AS distance
+  FROM base l JOIN base r ON l.bucket = r.bucket AND l.id < r.id)
+WHERE distance < {NEARDUP_T!r}"""
+
+
+def ivf_scan_l2() -> str:
+    d_assign = dist_sql("L2", "e.embedding", "c.cv")
+    d_probe = dist_sql("L2", "cv", "q")
+    d_final = dist_sql("L2", "v", "q")
+    return f"""WITH qq AS (SELECT {qvec_literal(Q64)} AS q),
+cent AS (SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_C}),
+assign AS (
+  SELECT id, v, cid AS cluster FROM (
+    SELECT e.vec_id AS id, e.embedding AS v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d_assign} ASC, c.cid ASC) AS rn
+    FROM embeddings e, cent c WHERE e.embedding IS NOT NULL)
+  WHERE rn = 1),
+probes AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (ORDER BY {d_probe} ASC, cid ASC) AS rn
+    FROM cent, qq)
+  WHERE rn <= {IVF_NPROBE})
+SELECT id, {d_final} AS distance
+FROM assign, qq
+WHERE cluster IN (SELECT cid FROM probes)
+ORDER BY distance ASC, id ASC
+LIMIT {IVF_K}"""

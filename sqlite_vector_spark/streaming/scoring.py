@@ -1,0 +1,62 @@
+"""Structured Streaming operators: stream-static vector scoring and
+windowed event aggregation.
+
+The reference's "*_stream" TVFs are pipelined cursors, not event-time
+streams (SURVEY.md §1.1) — the batch projections in operators/search
+cover that parity. THIS module is the Spark-native extension the
+north star asks for: the same scoring expressions applied to an
+unbounded stream.
+
+Because the distance kernels are pure Column expressions, they drop
+into ``readStream`` unchanged — that is the payoff of keeping the
+whole engine declarative. Stream-static joins against a broadcast
+static dimension (e.g. the quantization params or a centroid set)
+need no state store; windowed aggregates use standard watermarks.
+
+At scale: scoring is stateless (map-only over micro-batches); the
+windowed agg keeps one state row per (window, event_type) — bounded
+by the watermark horizon.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from sqlite_vector_spark.functions.distance import distance
+from sqlite_vector_spark.types import Metric
+
+
+def score_stream(
+    stream: DataFrame,
+    vec_col: str,
+    query: Sequence[float],
+    metric: str | Metric = "L2",
+    id_col: str = "id",
+) -> DataFrame:
+    """Continuous exact scoring of a vector stream: the streaming form
+    of vector_full_scan_stream. Stateless projection — one output row
+    per input row, any trigger, no watermark needed."""
+    return stream.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).cast("bigint").alias("id"),
+        distance(F.col(vec_col), list(query), metric).alias("distance"),
+    )
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time window counts with late-data watermark —
+    the streaming form of workload.events_hourly."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), key_col, "n_events")
+    )

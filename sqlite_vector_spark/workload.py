@@ -312,3 +312,98 @@ def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------- text analysis (documents table)
+
+from sqlite_vector_spark.functions.text import (  # noqa: E402
+    char_count,
+    fingerprint,
+    lang_id,
+    punct_count,
+    quality_score,
+    stopword_count,
+    token_count,
+)
+from sqlite_vector_spark.operators.ann import ivf_assign, ivf_search  # noqa: E402
+from sqlite_vector_spark.operators.dedup import (  # noqa: E402
+    embedding_neardup_pairs,
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+
+#: deterministic random hyperplanes for embedding LSH (literal-injected both sides)
+HYPERPLANES = [[((p * DIM + j) * 37 % 101) / 101.0 - 0.5 for j in range(DIM)] for p in range(4)]
+NEARDUP_T = 0.65
+IVF_C = 16
+IVF_NPROBE = 2
+IVF_K = 10
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char/punct/stopword counts + quality score."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        char_count(t).alias("n_chars_len"),
+        punct_count(t).alias("n_punct"),
+        stopword_count(t).alias("n_stop"),
+        quality_score(t).alias("quality"),
+    )
+
+
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------- dedup family (documents table)
+
+
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs(spark, sf_dir), ["text"], "doc_id")
+
+
+def minhash_sig_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_signatures(_docs(spark, sf_dir), "doc_id", "text")
+    return sig.select("id", F.col("j").cast("int").alias("j"), "minhash")
+
+
+def lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_candidate_pairs(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    cand = lsh_candidate_pairs(docs, "doc_id", "text")
+    return jaccard_pairs(cand, docs, "doc_id", "text")
+
+
+def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup_pairs(_emb(spark, sf_dir), "vec_id", "embedding", HYPERPLANES, NEARDUP_T)
+
+
+# ---------------------------------------------------------------- ANN: IVF partition-pruned search
+
+
+def ivf_scan_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate search: centroids = first IVF_C vectors, assign
+    every row to its nearest centroid, probe the IVF_NPROBE centroids
+    nearest the query, top-k within probed clusters only."""
+    emb = _emb(spark, sf_dir)
+    cent_rows = emb.where(F.col("vec_id") < IVF_C).orderBy("vec_id").collect()
+    centroids = [list(r.embedding) for r in cent_rows]
+    assigned = ivf_assign(emb, "embedding", centroids, id_col="vec_id", metric="L2")
+    return ivf_search(assigned, Q64, centroids, IVF_K, nprobe=IVF_NPROBE, metric="L2")

@@ -1,0 +1,110 @@
+"""Dedup + text analysis operators."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from sqlite_vector_spark.functions.text import (
+    HASH_B,
+    HASH_P,
+    fingerprint,
+    lang_id,
+    polyhash,
+    quality_score,
+    shingles,
+    token_count,
+    words,
+)
+from sqlite_vector_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+
+
+def _tdf(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_polyhash_matches_python(spark):
+    def py_hash(s):
+        h = 0
+        for ch in s:
+            h = (h * HASH_B + ord(ch)) % HASH_P
+        return h
+
+    df = spark.createDataFrame([(1, "hello world"), (2, ""), (3, "a")], "id long, s string")
+    rows = {r.id: r.h for r in df.select("id", polyhash("s").alias("h")).collect()}
+    assert rows[1] == py_hash("hello world")
+    assert rows[3] == py_hash("a")
+
+
+def test_token_count_multispace(spark):
+    df = _tdf(spark, [(1, "a  b   c"), (2, "one"), (3, "x y z w")])
+    got = {r.doc_id: r.n for r in df.select("doc_id", token_count("text").alias("n")).collect()}
+    assert got == {1: 3, 2: 1, 3: 4}
+
+
+def test_shingles(spark):
+    df = _tdf(spark, [(1, "a b c d"), (2, "a b")])
+    got = {r.doc_id: list(r.s) for r in df.select("doc_id", shingles("text", 3).alias("s")).collect()}
+    assert got[1] == ["a b c", "b c d"]
+    assert got[2] == []
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = _tdf(spark, [(5, "same"), (2, "same"), (9, "other")])
+    got = {r.text: (r.dup_count, r.keeper_id) for r in exact_dedup(df, ["text"], "doc_id").collect()}
+    assert got == {"same": (2, 2), "other": (1, 9)}
+
+
+def test_duplicate_docs_share_minhash_and_collide_in_lsh(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = _tdf(spark, [(1, base), (2, base), (3, "completely different words entirely here now forever and always")])
+    sig = minhash_signatures(df, "doc_id", "text")
+    s1 = sorted((r.j, r.minhash) for r in sig.where("id = 1").collect())
+    s2 = sorted((r.j, r.minhash) for r in sig.where("id = 2").collect())
+    assert s1 == s2
+    pairs = {(r.a, r.b) for r in lsh_candidate_pairs(df, "doc_id", "text").collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_jaccard_identical_is_one(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = _tdf(spark, [(1, base), (2, base)])
+    cand = lsh_candidate_pairs(df, "doc_id", "text")
+    jp = jaccard_pairs(cand, df, "doc_id", "text").collect()
+    assert len(jp) == 1 and jp[0].jaccard == 1.0
+
+
+def test_simhash_identical_docs_equal(spark):
+    df = _tdf(spark, [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "nothing shared at all")])
+    got = {r.id: r.simhash for r in simhash(df, "doc_id", "text").collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+
+
+def test_embedding_neardup_finds_identical_vectors(spark):
+    planes = [[0.5, -0.25, 0.125, 0.4], [-0.3, 0.2, 0.7, -0.1]]
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0, 2.0, 3.0, 4.0]), (3, [-4.0, 3.0, -2.0, 1.0])],
+        "id long, v array<float>",
+    )
+    pairs = embedding_neardup_pairs(df, "id", "v", planes, threshold=0.01).collect()
+    assert [(p.a, p.b, p.distance) for p in pairs] == [(1, 2, 0.0)]
+
+
+def test_quality_and_lang(spark, docs):
+    out = docs.select("doc_id", quality_score(F.col("text")).alias("q"), lang_id(F.col("text")).alias("lang")).collect()
+    assert all(0.0 <= r.q <= 1.0 for r in out)
+    assert all(r.lang in ("de", "en", "es", "fr", "zh", "und") for r in out)
+
+
+def test_dedup_ops_stay_jvm_side(spark, docs):
+    from sqlite_vector_spark.plans import assert_not_in_plan
+
+    assert_not_in_plan(minhash_signatures(docs, "doc_id", "text"), "BatchEvalPython", "ArrowEvalPython")
+    assert_not_in_plan(simhash(docs, "doc_id", "text"), "BatchEvalPython", "ArrowEvalPython")

@@ -1,0 +1,85 @@
+"""Structured Streaming scoring + multimodal plumbing."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from sqlite_vector_spark.operators.multimodal import MEDIA_SCHEMA, extract_features, frame_sample
+from sqlite_vector_spark.streaming import score_stream, windowed_event_counts
+
+
+def test_stream_static_scoring(spark, emb, tmp_path):
+    """readStream over the embeddings parquet -> distance projection ->
+    memory sink; results equal the batch projection."""
+    src = str(tmp_path / "stream_src")
+    emb.limit(50).write.parquet(src)
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    scored = score_stream(stream, "embedding", [0.1] * 64, "L2", id_col="vec_id")
+    assert scored.isStreaming
+    q = scored.writeStream.format("memory").queryName("scored_t").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        got = {r.id: r.distance for r in spark.sql("SELECT * FROM scored_t").collect()}
+    finally:
+        q.stop()
+    batch = spark.read.parquet(src)
+    from sqlite_vector_spark.operators.search import full_scan_stream
+
+    want = {r.id: r.distance for r in full_scan_stream(batch, "embedding", [0.1] * 64, "L2", id_col="vec_id").collect()}
+    assert got == want
+
+
+def test_windowed_event_counts_streaming(spark, tmp_path):
+    src = str(tmp_path / "ev_src")
+    rows = [(i, f"2026-01-01 0{i % 3}:15:00", "click") for i in range(9)]
+    df = spark.createDataFrame(rows, "event_id long, ts_s string, event_type string").select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type"
+    )
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    agg = windowed_event_counts(stream, ts_col="ts", key_col="event_type", window="1 hour")
+    q = agg.writeStream.format("memory").queryName("wincounts").outputMode("complete").start()
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM wincounts").collect()
+    finally:
+        q.stop()
+    assert sum(r.n_events for r in got) == 9
+    assert len(got) == 3  # three distinct hours
+
+
+def test_extract_features_stub_raises_without_decoder(spark):
+    df = spark.createDataFrame([(1, bytearray(b"xx"), "image/jpeg", 2, 2, None)], MEDIA_SCHEMA)
+    with pytest.raises(NotImplementedError, match="stubbed"):
+        extract_features(df)
+
+
+def test_extract_features_fake_decoder_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"payload-a"), "image/jpeg", 4, 4, None), (2, bytearray(b"payload-b"), "image/png", 4, 4, None)],
+        MEDIA_SCHEMA,
+    )
+    a = {r.id: list(r.feature) for r in extract_features(df, dim=8, decoder="fake").collect()}
+    b = {r.id: list(r.feature) for r in extract_features(df, dim=8, decoder="fake").collect()}
+    assert a == b
+    assert len(a[1]) == 8 and a[1] != a[2]
+
+
+def test_fake_features_feed_knn(spark):
+    """features flow straight into the vector operators."""
+    df = spark.createDataFrame(
+        [(i, bytearray(f"img-{i % 3}".encode()), "image/jpeg", 4, 4, None) for i in range(9)],
+        MEDIA_SCHEMA,
+    )
+    feats = extract_features(df, dim=8, decoder="fake")
+    from sqlite_vector_spark.operators.search import full_scan
+
+    q = [r for r in feats.where("id = 0").collect()][0].feature
+    res = full_scan(feats, "feature", [float(x) for x in q], 3, "L2", id_col="id")
+    ids = [r.id for r in res.collect()]
+    assert ids == [0, 3, 6]  # same payload mod 3 -> distance 0
+
+
+def test_frame_sample_counts(spark):
+    df = spark.createDataFrame([(1, None, "video/mp4", None, None, 3500)], MEDIA_SCHEMA)
+    frames = frame_sample(df, every_ms=1000).collect()
+    assert [r.frame_ts_ms for r in frames] == [0, 1000, 2000, 3000]
