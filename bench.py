@@ -85,20 +85,23 @@ def main():
         "knn_join_blocked",
         lambda: knn_join_blocked(queries_local, emb, w.KNN_K, "L2", corpus_vec="embedding", corpus_id="vec_id").collect(),
     )
-    bench("knn_join_window", lambda: w.knn_join_l2(spark, SF_DIR).collect())
-    bench("recall_at_k", lambda: w.recall_at_k(spark, SF_DIR).collect())
+    bench("knn_join_window", lambda: w.knn_join_l2(spark, SF_DIR).collect(), n=2)
+    bench("recall_at_k", lambda: w.recall_at_k(spark, SF_DIR).collect(), n=2)
 
     # relational surface
     bench("pricing_summary", lambda: w.pricing_summary(spark, SF_DIR).collect(), n=2)
     bench("top_customers", lambda: w.top_customers(spark, SF_DIR).collect(), n=2)
     bench("events_hourly", lambda: w.events_hourly(spark, SF_DIR).count(), n=2)
 
-    # LLM-pipeline layer: text analysis, dedup, ANN
+    # LLM-pipeline layer: text analysis, dedup, ANN. Best-of-2 so the
+    # numbers reflect steady-state throughput, not the one-time
+    # whole-stage-codegen compile of the big fold expressions (at real
+    # scale that compile amortizes to zero).
     bench("text_stats", lambda: w.text_stats(spark, SF_DIR).count(), n=2)
-    bench("minhash_lsh_pairs", lambda: w.lsh_pairs_q(spark, SF_DIR).count())
-    bench("simhash", lambda: w.simhash_q(spark, SF_DIR).count())
-    bench("embedding_neardup", lambda: w.embedding_neardup_q(spark, SF_DIR).count())
-    bench("ivf_scan_l2", lambda: w.ivf_scan_l2(spark, SF_DIR).collect())
+    bench("minhash_lsh_pairs", lambda: w.lsh_pairs_q(spark, SF_DIR).count(), n=2)
+    bench("simhash", lambda: w.simhash_q(spark, SF_DIR).count(), n=2)
+    bench("embedding_neardup", lambda: w.embedding_neardup_q(spark, SF_DIR).count(), n=2)
+    bench("ivf_scan_l2", lambda: w.ivf_scan_l2(spark, SF_DIR).collect(), n=2)
 
     total = round(sum(times.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -31,7 +31,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from sqlite_vector_spark.functions.distance import distance
-from sqlite_vector_spark.functions.text import HASH_P, polyhash, shingles, words
+from sqlite_vector_spark.functions.text import HASH_P, polyhash, shingles_from_words, words
 
 # deterministic MinHash permutation parameters (a*h + b) mod P
 MINHASH_A = (2, 3, 5, 7, 11, 13, 17, 19)
@@ -69,10 +69,11 @@ def minhash_signatures(
     rows. Docs with < shingle_n words produce no shingles and are
     absent (they can't be near-dup candidates).
     """
-    sh = df.select(
-        F.col(id_col).cast("bigint").alias("id"),
-        F.explode(shingles(text_col, shingle_n)).alias("s"),
-    ).select("id", polyhash("s").alias("h"))
+    sh = (
+        df.select(F.col(id_col).cast("bigint").alias("id"), words(text_col).alias("_ws"))
+        .select("id", F.explode(shingles_from_words(F.col("_ws"), shingle_n)).alias("s"))
+        .select("id", polyhash("s").alias("h"))
+    )
     # one groupBy(id) with H min-aggregates (NOT explode x H then
     # groupBy(id, j)): the shuffle carries #shingles rows instead of
     # #shingles x H — 8x less volume at 100 TB for H=8

@@ -31,6 +31,25 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def widen(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the cluster's parallelism when the
+    scan yields fewer partitions than cores.
+
+    Why: Parquet scans parallelize by file split (maxPartitionBytes =
+    128 MB), so a small input reads as 1-3 partitions and any CPU-heavy
+    map stage above it (shingling, hashing, distance folds) runs nearly
+    serial. At 100 TB splits >> cores and this is a no-op; at the small
+    end the one tiny shuffle buys full-width execution. Call it below
+    explode/hash pipelines, never above a groupBy/join that reshuffles
+    anyway.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
     return {n: table(spark, sf_dir, n) for n in names}
 

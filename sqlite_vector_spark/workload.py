@@ -23,7 +23,7 @@ from sqlite_vector_spark.functions.distance import distance, vector_literal
 from sqlite_vector_spark.operators.knn_join import knn_join
 from sqlite_vector_spark.operators.quantize import quantize_codes_column
 from sqlite_vector_spark.operators.search import full_scan, full_scan_stream
-from sqlite_vector_spark.sources import table
+from sqlite_vector_spark.sources import table, widen
 
 # ---------------------------------------------------------------- shared constants (oracle.py mirrors these)
 
@@ -41,7 +41,9 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return table(spark, sf_dir, "documents")
+    # widen: text pipelines (shingle/hash explodes) are CPU-bound map
+    # work; a small single-file scan would otherwise run them serial
+    return widen(table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------- exact search
