@@ -125,17 +125,29 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Near-duplicate candidate pairs (a < b) sharing >= 1 LSH band.
 
-    The self-join is on (band, band_hash) — at scale both sides are
-    pre-shuffled on the same key (one exchange each), and bucket
-    sizes, not corpus size, bound the pair blow-up.
+    Single-pass shape: ONE scan/hash pipeline, one shuffle on
+    (band, band_hash) collecting each bucket's id list, pairs expanded
+    from the sorted list with array HOFs, then a distinct. A self-join
+    formulation re-executes the whole minhash pipeline for each side
+    (Spark does not reuse the exchange across join inputs — measured),
+    doubling the dominant cost; bucket sizes, not corpus size, still
+    bound the pair blow-up.
     """
     keys = lsh_band_keys(minhash_signatures(df, id_col, text_col, num_hashes, shingle_n), bands, rows_per_band)
-    left = keys.select(F.col("id").alias("a"), "band", "band_hash")
-    right = keys.select(F.col("id").alias("b"), "band", "band_hash")
+    buckets = keys.groupBy("band", "band_hash").agg(F.array_sort(F.collect_list("id")).alias("ids"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     return (
-        left.join(right, ["band", "band_hash"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
+        buckets.where(F.size("ids") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .distinct()
     )
 
