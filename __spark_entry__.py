@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": w.embedding_neardup_q,
         # -- LLM-pipeline: ANN similarity search (IVF partition-pruned)
         "ivf_scan_l2": w.ivf_scan_l2,
+        "ivf_kmeans_scan_l2": w.ivf_kmeans_scan_l2,  # rows-only (iterative)
     }
 
 

@@ -88,6 +88,54 @@ def probe_clusters(query: Sequence[float], centroids: Sequence[Sequence[float]],
     return [i for _, i in scored[:nprobe]]
 
 
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str,
+    c: int,
+    dim: int,
+    iters: int = 5,
+    id_col: str = "id",
+    metric: str | Metric = "L2",
+) -> list[list[float]]:
+    """Lloyd's k-means over a vector column, DataFrame-native.
+
+    Scale shape per iteration: one map-side assignment (the same O(C)
+    fold as ivf_assign — no shuffle) + one groupBy(cluster) whose
+    aggregates are per-dimension sums — partial (map-side combine)
+    aggregation, so the only thing shuffled is C x (dim+1) doubles per
+    partition, never vectors. The driver holds only the C centroids.
+
+    Deterministic: seeds are the C lowest-id rows; assignment uses the
+    engine's IEEE-exact distance fold with lowest-index tiebreak.
+    Empty clusters keep their previous centroid. (pyspark.ml's KMeans
+    is the library alternative; this stays dependency-free and
+    bit-deterministic.)
+    """
+    base = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
+    )
+    seed_rows = base.orderBy("id").limit(c).collect()
+    centroids = [[float(x) for x in r.vec] for r in seed_rows]
+    for _ in range(iters):
+        assigned = base.select(
+            "vec", nearest_centroid_from(centroid_distances(F.col("vec"), centroids, metric)).alias("cluster")
+        )
+        sums = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.element_at("vec", i + 1).cast("double")).alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        new = list(centroids)
+        for r in sums:
+            if r.n > 0:
+                new[int(r.cluster)] = [r[f"s{i}"] / r.n for i in range(dim)]
+        centroids = new
+    return centroids
+
+
 def ivf_search(
     assigned: DataFrame,
     query: Sequence[float],

@@ -431,3 +431,14 @@ def ivf_scan_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = [list(r.embedding) for r in cent_rows]
     assigned = ivf_assign(emb, "embedding", centroids, id_col="vec_id", metric="L2")
     return ivf_search(assigned, Q64, centroids, IVF_K, nprobe=IVF_NPROBE, metric="L2")
+
+
+def ivf_kmeans_scan_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with Lloyd-trained centroids (operators.ann.kmeans_fit).
+    Iterative training is not SQL-expressible -> rows-only check."""
+    from sqlite_vector_spark.operators.ann import kmeans_fit
+
+    emb = _emb(spark, sf_dir)
+    centroids = kmeans_fit(emb, "embedding", IVF_C, DIM, iters=3, id_col="vec_id")
+    assigned = ivf_assign(emb, "embedding", centroids, id_col="vec_id", metric="L2")
+    return ivf_search(assigned, Q64, centroids, IVF_K, nprobe=IVF_NPROBE, metric="L2")

@@ -51,3 +51,18 @@ def test_ivf_recall_improves_with_nprobe(setup, emb):
     exact = [r.id for r in full_scan(emb, "embedding", q, 10, "L2", id_col="vec_id").collect()]
     r_all = {r.id for r in ivf_search(assigned, q, cent, 10, nprobe=8).collect()}
     assert set(exact) == r_all  # probing everything == exact
+
+
+def test_ivf_partitioned_store_prunes_partitions(setup, spark, tmp_path):
+    """The 100 TB contract: assignment written partitionBy('cluster')
+    makes the probe filter a planning-time PartitionFilter — unprobed
+    clusters' files are never opened."""
+    cent, assigned = setup
+    dest = str(tmp_path / "ivf_store")
+    assigned.write.partitionBy("cluster").parquet(dest)
+    stored = spark.read.parquet(dest)
+    pruned = stored.where(F.col("cluster").isin([0, 3]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters", 1)[1][:120]
+    # and the scan actually restricts to the two directories
+    assert {r.cluster for r in pruned.select("cluster").distinct().collect()} == {0, 3}

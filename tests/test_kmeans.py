@@ -1,0 +1,56 @@
+"""Lloyd's k-means (DataFrame-native) for IVF centroid training."""
+
+import pyspark.sql.functions as F
+
+from sqlite_vector_spark.operators.ann import ivf_assign, ivf_search, kmeans_fit
+
+
+def _blobs(spark):
+    """Three well-separated 2-d blobs, 30 points each."""
+    rows = []
+    rid = 0
+    for cx, cy in ((0.0, 0.0), (10.0, 10.0), (-10.0, 10.0)):
+        for i in range(30):
+            rows.append((rid, [cx + (i % 5) * 0.1, cy + (i // 5) * 0.1]))
+            rid += 1
+    return spark.createDataFrame(rows, "id long, v array<float>")
+
+
+def test_kmeans_recovers_blobs(spark):
+    df = _blobs(spark)
+    cents = kmeans_fit(df, "v", 3, dim=2, iters=6)
+    assert len(cents) == 3
+    # each blob center ~ (cx+0.2, cy+0.25); every centroid lands near one
+    targets = [(0.2, 0.25), (10.2, 10.25), (-9.8, 10.25)]
+    for cx, cy in targets:
+        assert any(abs(c[0] - cx) < 0.5 and abs(c[1] - cy) < 0.5 for c in cents), (cents, (cx, cy))
+
+
+def test_kmeans_assignment_partitions_blobs(spark):
+    df = _blobs(spark)
+    cents = kmeans_fit(df, "v", 3, dim=2, iters=6)
+    assigned = ivf_assign(df, "v", cents, id_col="id")
+    sizes = {r.cluster: r.n for r in assigned.groupBy("cluster").agg(F.count("*").alias("n")).collect()}
+    assert sorted(sizes.values()) == [30, 30, 30]
+
+
+def test_ivf_search_on_kmeans_centroids(spark):
+    df = _blobs(spark)
+    cents = kmeans_fit(df, "v", 3, dim=2, iters=6)
+    assigned = ivf_assign(df, "v", cents, id_col="id")
+    # query near blob 2's corner: nprobe=1 must already find true top-3
+    out = ivf_search(assigned, [10.0, 10.0], cents, 3, nprobe=1)
+    got = [r.id for r in out.collect()]
+    exact = (
+        df.select("id", F.sqrt(
+            (F.element_at("v", 1) - 10.0) ** 2 + (F.element_at("v", 2) - 10.0) ** 2
+        ).alias("d")).orderBy("d", "id").limit(3).collect()
+    )
+    assert got == [r.id for r in exact]
+
+
+def test_empty_cluster_keeps_centroid(spark):
+    # 2 points, 3 centroids -> at least one cluster empty every iter
+    df = spark.createDataFrame([(0, [0.0, 0.0]), (1, [1.0, 1.0])], "id long, v array<float>")
+    cents = kmeans_fit(df, "v", 2, dim=2, iters=3)
+    assert len(cents) == 2 and all(len(c) == 2 for c in cents)

@@ -34,7 +34,10 @@ def test_every_query_runs_and_has_oracle(spark):
         assert df.count() >= 0, name
     # every declared query should have an oracle unless documented
     # rows-only (driver records the weaker check; judge sees which)
-    ROWS_ONLY = {"f16_scan_l2"}  # DuckDB has no half floats
+    ROWS_ONLY = {
+        "f16_scan_l2",  # DuckDB has no half floats
+        "ivf_kmeans_scan_l2",  # iterative centroid training
+    }
     missing = set(qs) - set(osql) - ROWS_ONLY
     assert not missing, f"queries without oracle: {missing}"
 
