@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_counts": w.order_priority_counts,
         # -- LLM-pipeline: text analysis (north star, BASELINE.json)
         "text_stats": w.text_stats,
+        "token_counts": w.token_counts_q,
         "lang_id": w.lang_id_q,
         "fingerprint": w.fingerprint_q,
         # -- LLM-pipeline: dedup family
@@ -114,6 +115,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": o.events_hourly(),
         "order_priority_counts": o.order_priority_counts(),
         "text_stats": o.text_stats(),
+        "token_counts": o.token_counts_q(),
         "lang_id": o.lang_id_q(),
         "fingerprint": o.fingerprint_q(),
         "dedup_exact": o.dedup_exact_q(),

@@ -84,6 +84,7 @@ def main():
     bench(
         "knn_join_blocked",
         lambda: knn_join_blocked(queries_local, emb, w.KNN_K, "L2", corpus_vec="embedding", corpus_id="vec_id").collect(),
+        n=2,
     )
     bench("knn_join_window", lambda: w.knn_join_l2(spark, SF_DIR).collect(), n=2)
     bench("recall_at_k", lambda: w.recall_at_k(spark, SF_DIR).collect(), n=2)

@@ -41,6 +41,20 @@ def char_count(text: str | Column) -> Column:
     return F.length(_col(text)).cast("bigint")
 
 
+#: BPE-ish pre-tokenizer: alphabetic runs, single digits, single
+#: non-alnum marks — the GPT-2-style pre-tokenization reduced to a
+#: regex that parses identically in Java (Spark) and RE2 (DuckDB).
+SUBWORD_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def subword_token_count(text: str | Column) -> Column:
+    """Subword-granularity token count (BPE pre-token proxy): a cheap,
+    deterministic stand-in for tokenizer-exact counts when budgeting
+    100 TB corpora (real BPE merges need the vocab file; counts at
+    pre-token granularity are the standard upper-bound estimate)."""
+    return F.size(F.regexp_extract_all(_col(text), F.lit(SUBWORD_RE), F.lit(0))).cast("bigint")
+
+
 def polyhash(s: str | Column) -> Column:
     """Polynomial rolling hash of a string -> BIGINT in [0, 1e9+7)."""
     return F.aggregate(

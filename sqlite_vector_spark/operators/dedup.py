@@ -155,34 +155,26 @@ def lsh_candidate_pairs(
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """(id, simhash): sign-of-sum fingerprint over token hashes.
 
-    Map-side: tokens explode + hash; one groupBy(id, bit) shuffle, one
-    groupBy(id) re-agg (both tiny fixed-width rows).
+    One groupBy(id) with ``bits`` per-bit sum aggregates — the ±1
+    contributions fold map-side (partial aggregation), so the shuffle
+    carries one row of 32 partials per (partition, id) instead of
+    #tokens x 32 exploded bit rows. Same values as the per-bit-explode
+    formulation (the oracle keeps the unnest form).
     """
     toks = df.select(
         F.col(id_col).cast("bigint").alias("id"), F.explode(words(text_col)).alias("w")
     ).select("id", polyhash("w").alias("h"))
-    # bit positions unrolled Python-side (shift amounts must be literals)
-    per_bit = toks.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("b"),
-                        (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)).alias("v"),
-                    )
-                    for b in range(bits)
-                ]
-            )
-        ).alias("bv"),
-    ).select("id", F.col("bv.b").alias("b"), F.col("bv.v").alias("v"))
-    sums = per_bit.groupBy("id", "b").agg(F.sum("v").alias("s"))
-    powers = F.array(*[F.lit(1 << b).cast("bigint") for b in range(bits)])
-    return sums.groupBy("id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.element_at(powers, F.col("b") + 1)).otherwise(F.lit(0).cast("bigint"))
-        ).cast("bigint").alias("simhash")
+    sums = toks.groupBy("id").agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)).alias(f"s{b}")
+            for b in range(bits)
+        ]
     )
+    fingerprint = sum(
+        (F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint")) for b in range(bits)),
+        F.lit(0).cast("bigint"),
+    )
+    return sums.select("id", fingerprint.cast("bigint").alias("simhash"))
 
 
 def jaccard_pairs(

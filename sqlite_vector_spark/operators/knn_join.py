@@ -90,8 +90,14 @@ def knn_join_blocked(
     qmat = np.asarray([list(v) for _, v in queries_local], dtype=np.float64)  # (Q, dim)
     kk = int(k)
 
-    src = corpus.where(F.col(corpus_vec).isNotNull()).select(
-        F.col(corpus_id).cast("bigint").alias("id"), F.col(corpus_vec).alias("vec")
+    from sqlite_vector_spark.sources import widen
+
+    # widen: the block kernel is CPU-bound per partition; a small
+    # single-split scan would run it serial (no-op at real scale)
+    src = widen(
+        corpus.where(F.col(corpus_vec).isNotNull()).select(
+            F.col(corpus_id).cast("bigint").alias("id"), F.col(corpus_vec).alias("vec")
+        )
     )
 
     def part_topk(batches: Iterator) -> Iterator:

@@ -305,6 +305,15 @@ def text_stats() -> str:
 FROM documents"""
 
 
+def token_counts_q() -> str:
+    from sqlite_vector_spark.functions.text import SUBWORD_RE
+
+    return f"""SELECT doc_id,
+       CAST(len({WORDS}) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{SUBWORD_RE}')) AS BIGINT) AS subword_tokens
+FROM documents"""
+
+
 def lang_id_q() -> str:
     padded = "(' ' || text || ' ')"
     scores = {

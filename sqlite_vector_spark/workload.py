@@ -362,6 +362,18 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish subword token counts per document."""
+    from sqlite_vector_spark.functions.text import subword_token_count
+
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count(t).alias("ws_tokens"),
+        subword_token_count(t).alias("subword_tokens"),
+    )
+
+
 def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 

@@ -1,0 +1,87 @@
+"""Physical-plan pins for the scale contracts (SURVEY §4, README).
+
+These tests fail if a future change silently degrades the plan —
+e.g. a top-k that becomes a global sort, a scan that stops pruning
+columns, or a pair join that goes cartesian.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from sqlite_vector_spark.plans import assert_in_plan, assert_not_in_plan, physical_plan
+from sqlite_vector_spark import workload as w
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_full_scan_is_take_ordered_not_sort(spark):
+    df = w.full_scan_l2(spark, SF)
+    assert_in_plan(df, "TakeOrderedAndProject")
+    assert_not_in_plan(df, "SortExec")
+
+
+def test_full_scan_prunes_columns(spark):
+    plan = physical_plan(w.full_scan_l2(spark, SF))
+    scan = plan[plan.index("FileScan"):]
+    # only the id + vector columns are read
+    assert "vec_id" in scan[:200] and "embedding" in scan[:200]
+    assert "label" not in scan[:200]
+
+
+def test_quantize_scan_no_corpus_shuffle(spark):
+    # the only exchanges allowed are the 1-row params broadcast sides;
+    # the codes themselves must not hash-shuffle
+    plan = physical_plan(w.quantize_scan_l2(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "hashpartitioning(id" not in plan
+
+
+def test_knn_join_broadcasts_queries(spark):
+    df = w.knn_join_l2(spark, SF)
+    assert_in_plan(df, "BroadcastHashJoin") if "BroadcastHashJoin" in physical_plan(df) else assert_in_plan(
+        df, "BroadcastNestedLoopJoin"
+    )
+
+
+def test_lsh_pairs_single_scan_no_cartesian(spark):
+    df = w.lsh_pairs_q(spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("FileScan") == 1
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_neardup_join_is_bucket_keyed_not_cartesian(spark):
+    df = w.embedding_neardup_q(spark, SF)
+    assert_not_in_plan(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+    assert_in_plan(df, "bucket")
+
+
+def test_dedup_exact_partial_aggregation(spark):
+    # partial_count / merge_count = map-side combine before the shuffle
+    plan = physical_plan(w.dedup_exact_q(spark, SF))
+    assert "partial_count" in plan or "partial" in plan, plan[:500]
+
+
+def test_text_stats_is_map_only(spark):
+    # pure projection: no exchange at all above the scan (widen's
+    # round-robin repartition is the single allowed exchange)
+    plan = physical_plan(w.text_stats(spark, SF))
+    assert plan.count("Exchange") <= 1
+    assert "hashpartitioning" not in plan
+
+
+def test_minhash_folds_before_shuffle(spark):
+    # the groupBy(id) must see partial_min aggregates (map-side fold of
+    # the 8 permutations), not raw exploded rows
+    plan = physical_plan(w.minhash_sig_q(spark, SF))
+    assert "partial_min" in plan or "partial" in plan, plan[:500]
+
+
+def test_ivf_assign_is_shuffle_free(spark):
+    from sqlite_vector_spark.operators.ann import ivf_assign
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = [list(r.embedding) for r in emb.where("vec_id < 4").collect()]
+    df = ivf_assign(emb, "embedding", cents, id_col="vec_id")
+    plan = physical_plan(df)
+    assert "Exchange" not in plan, plan[:500]
