@@ -46,8 +46,18 @@ def knn_join(
     corpus_vec: str = "embedding",
     query_id: str = "qid",
     corpus_id: str = "id",
+    salt: int | None = None,
 ) -> DataFrame:
-    """Exact top-k per query -> (qid, id, distance, rank)."""
+    """Exact top-k per query -> (qid, id, distance, rank).
+
+    ``salt``: two-phase top-k for skew. The plain window shuffles ALL
+    of a query's scored rows to one partition — with few queries over
+    a huge corpus that partition is the whole corpus. Salting first
+    takes a local top-k within (qid, id mod salt) — each bucket holds
+    1/salt of the rows — then the global window ranks only salt x k
+    survivors per query. Results are identical (any global top-k row
+    is also top-k of its bucket).
+    """
     q = broadcast(
         queries.where(F.col(query_vec).isNotNull()).select(
             F.col(query_id).cast("bigint").alias("qid"), F.col(query_vec).alias("__qv")
@@ -59,6 +69,11 @@ def knn_join(
     scored = c.crossJoin(q).select(
         "qid", "id", distance(F.col("__cv"), F.col("__qv"), metric).alias("distance")
     )
+    if salt is not None and salt > 1:
+        w1 = Window.partitionBy("qid", F.pmod(F.col("id"), F.lit(int(salt)))).orderBy(
+            F.col("distance").asc(), F.col("id").asc()
+        )
+        scored = scored.withColumn("__r1", F.row_number().over(w1)).where(F.col("__r1") <= k).drop("__r1")
     w = Window.partitionBy("qid").orderBy(F.col("distance").asc(), F.col("id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

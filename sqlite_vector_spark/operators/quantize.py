@@ -186,6 +186,8 @@ def vector_quantize(
     qtype: QType = QType.AUTO,
     catalog=None,
     table: str | None = None,
+    max_memory: int | None = None,
+    dim: int | None = None,
 ) -> QuantParams:
     """Build the quantized replica (parity: vector_quantize).
 
@@ -193,6 +195,12 @@ def vector_quantize(
     NULL vectors are skipped (sqlite-vector.c:1214). Returns the
     resolved params (count = rows quantized, the reference's return
     value). Persists params to the catalog if given (1440-1445).
+
+    ``max_memory`` mirrors the reference's chunking budget
+    (sqlite-vector.c:1161, 1182-1186): chunk capacity =
+    max_memory / (8 + dim) records, expressed here as
+    ``maxRecordsPerFile`` so each output file is one readable
+    "chunk" no bigger than the budget.
     """
     params = compute_quant_params(df, column, qtype)
     codes = (
@@ -202,7 +210,10 @@ def vector_quantize(
             quantize_codes_column(column, params.scale, params.offset, params.lo, params.hi).alias("qvec"),
         )
     )
-    codes.write.mode("overwrite").parquet(dest_path)
+    writer = codes.write.mode("overwrite")
+    if max_memory is not None and dim is not None:
+        writer = writer.option("maxRecordsPerFile", max(1, int(max_memory) // (8 + int(dim))))
+    writer.parquet(dest_path)
     if catalog is not None and table is not None:
         catalog.set_quant_params(table, column, qtype=params.qtype, scale=params.scale, offset=params.offset, path=dest_path)
     return params

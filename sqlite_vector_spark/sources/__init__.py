@@ -31,6 +31,28 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def ingest_json_vectors(
+    df: DataFrame,
+    json_col: str,
+    vtype: str = "FLOAT32",
+    dim: int | None = None,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """The reference's primary ingest path as a batch transform:
+    ``INSERT ... VALUES(vector_as_f32('[...]'))`` (README.md:79-83,
+    vector_from_json sqlite-vector.c:1528-1653) — a string column of
+    JSON number arrays becomes a typed vector column, with the
+    declared-dimension check (mismatches -> NULL, 1646-1649).
+
+    Works on any source DataFrame (json/csv/parquet/jdbc reads alike):
+    ingest is a map-only projection, no shuffle.
+    """
+    from sqlite_vector_spark.codec import from_json_vector
+    from sqlite_vector_spark.types import parse_type
+
+    return df.withColumn(out_col, from_json_vector(json_col, parse_type(vtype), dim))
+
+
 def widen(df: DataFrame) -> DataFrame:
     """Round-robin repartition up to the cluster's parallelism when the
     scan yields fewer partitions than cores.
