@@ -178,15 +178,28 @@ def recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < NQ).select(F.col("vec_id").cast("bigint").alias("qid"), F.col("embedding").alias("qvec"))
 
     w = Window.partitionBy("qid").orderBy(F.col("distance").asc(), F.col("id").asc())
+    # two-phase top-k: local top-k within (qid, id mod SALT) buckets
+    # first, so NQ huge per-query partitions become NQ x SALT small
+    # ones; survivors (SALT x k per query) then take the global rank.
+    # Identical results — any global top-k row is top-k of its bucket.
+    SALT = 16
+    w1 = Window.partitionBy("qid", F.pmod(F.col("id"), F.lit(SALT))).orderBy(
+        F.col("distance").asc(), F.col("id").asc()
+    )
 
-    exact = (
+    def topk(scored: DataFrame) -> DataFrame:
+        return (
+            scored.withColumn("__r1", F.row_number().over(w1))
+            .where(F.col("__r1") <= RECALL_K)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= RECALL_K)
+        )
+
+    exact = topk(
         emb.select(F.col("vec_id").cast("bigint").alias("id"), "embedding")
         .crossJoin(F.broadcast(queries))
         .select("qid", "id", distance(F.col("embedding"), F.col("qvec"), "L2").alias("distance"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= RECALL_K)
-        .select("qid", "id")
-    )
+    ).select("qid", "id")
 
     prm = F.broadcast(_params_df(emb))
     codes = _codes_df(emb)
@@ -197,13 +210,10 @@ def recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             quantize_codes_column("qvec", F.col("qscale"), F.col("qoffset"), F.col("lo"), F.col("hi")).cast("array<double>").alias("qq"),
         )
     )
-    approx = (
+    approx = topk(
         codes.crossJoin(F.broadcast(qcodes))
         .select("qid", "id", distance(F.col("qvec").cast("array<double>"), F.col("qq"), "L2").alias("distance"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= RECALL_K)
-        .select(F.col("qid").alias("aqid"), F.col("id").alias("aid"))
-    )
+    ).select(F.col("qid").alias("aqid"), F.col("id").alias("aid"))
 
     hits = exact.join(approx, (exact["qid"] == approx["aqid"]) & (exact["id"] == approx["aid"]), "left")
     return (

@@ -94,3 +94,25 @@ def test_distance_is_codegen_plan(spark, emb):
 
     df = emb.select(distance("embedding", [0.0] * 64, "L2").alias("d"))
     assert_not_in_plan(df, "BatchEvalPython", "ArrowEvalPython")
+
+
+def test_backend_dispatch_arrow_numpy(spark, emb):
+    """set_backend('arrow-numpy') routes literal-query distance through
+    the NumPy kernel (reference: init_distance_functions force_cpu,
+    distance-cpu.c:797-812); results agree with codegen to float tol."""
+    import pytest
+
+    from sqlite_vector_spark.operators.search import full_scan
+    from sqlite_vector_spark.version import set_backend, vector_backend
+
+    q = [0.1] * 64
+    base = full_scan(emb, "embedding", q, 10, "L2", id_col="vec_id").collect()
+    assert vector_backend() == "codegen"
+    set_backend("arrow-numpy")
+    try:
+        alt = full_scan(emb, "embedding", q, 10, "L2", id_col="vec_id").collect()
+    finally:
+        set_backend("codegen")
+    assert [r.id for r in alt] == [r.id for r in base]
+    for a, b in zip(alt, base):
+        assert a.distance == pytest.approx(b.distance, rel=1e-12)
