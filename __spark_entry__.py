@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_scan_l1": w.quantize_scan_l1,
         "quantize_scan_squared_l2": w.quantize_scan_squared_l2,
         "quantize_scan_stream_l2": w.quantize_scan_stream_l2,
+        "rerank_scan_l2": w.rerank_scan_l2,  # two-stage: quantized prefilter + exact rerank
         # -- FLOAT16 storage scan (lane-rule kernel; rows-only check)
         "f16_scan_l2": w.f16_scan_l2,
         "quantize_memory": w.quantize_memory,
@@ -79,6 +80,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": w.simhash_q,
         "ngram_jaccard_pairs": w.jaccard_pairs_q,
         "embedding_neardup": w.embedding_neardup_q,
+        # -- LLM-pipeline: embedding utilities + composite prep
+        "normalize": w.normalize_q,
+        "corpus_prep": w.corpus_prep_q,
         # -- LLM-pipeline: ANN similarity search (IVF partition-pruned)
         "ivf_scan_l2": w.ivf_scan_l2,
         "ivf_kmeans_scan_l2": w.ivf_kmeans_scan_l2,  # rows-only (iterative)
@@ -105,6 +109,7 @@ def oracle_sql() -> dict[str, str]:
         "quantize_scan_l1": o.quantize_scan("L1"),
         "quantize_scan_squared_l2": o.quantize_scan("SQUARED_L2"),
         "quantize_scan_stream_l2": o.quantize_scan("L2", None),
+        "rerank_scan_l2": o.rerank_scan_l2(),
         "quantize_memory": o.quantize_memory(),
         "knn_join_l2": o.knn_join("L2"),
         "knn_join_back": o.knn_join_back(),
@@ -124,5 +129,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": o.simhash_q(),
         "ngram_jaccard_pairs": o.jaccard_pairs_q(),
         "embedding_neardup": o.embedding_neardup_q(),
+        "normalize": o.normalize_q(),
+        "corpus_prep": o.corpus_prep_q(),
         "ivf_scan_l2": o.ivf_scan_l2(),
     }

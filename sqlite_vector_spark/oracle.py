@@ -152,6 +152,25 @@ FROM codes, qq
 {limit}"""
 
 
+def rerank_scan_l2() -> str:
+    from sqlite_vector_spark.workload import RERANK_M
+
+    qd = dist_sql("L2", "qvec", "q")
+    d = dist_sql("L2", "embedding", "eq")
+    return f"""WITH codes AS ({CODES}),
+qq AS (SELECT {QQUERY} AS q FROM {PARAMS} prm),
+cand AS (
+  SELECT id FROM (
+    SELECT id, {qd} AS qd FROM codes, qq
+    ORDER BY qd ASC, id ASC LIMIT {RERANK_M})),
+eqq AS (SELECT {qvec_literal(Q64)} AS eq)
+SELECT vec_id AS id, {d} AS distance
+FROM embeddings, eqq
+WHERE vec_id IN (SELECT id FROM cand)
+ORDER BY distance ASC, id ASC
+LIMIT {K}"""
+
+
 def quantize_memory() -> str:
     return f"""WITH codes AS ({CODES})
 SELECT CAST(sum(len(qvec) + 8) AS BIGINT) AS preload_bytes FROM codes"""
@@ -400,6 +419,35 @@ FROM cand c
 LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
 JOIN cnt ca ON ca.id = c.a
 JOIN cnt cb ON cb.id = c.b"""
+
+
+def normalize_q() -> str:
+    nrm = _fold(f"list_transform(range(1, {DIM + 1}), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
+    return f"""SELECT CAST(vec_id AS BIGINT) AS id,
+       CASE WHEN sqrt({nrm}) = 0.0 THEN list_transform(embedding, x -> CAST(x AS DOUBLE))
+            ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt({nrm})) END AS unit_vec
+FROM embeddings WHERE embedding IS NOT NULL"""
+
+
+def corpus_prep_q() -> str:
+    n_tok = f"CAST(len({WORDS}) AS BIGINT)"
+    n_chr = "CAST(length(text) AS BIGINT)"
+    n_punct = f"CAST(length(text) - length(regexp_replace(text, '{_PUNCT_RE}', '', 'g')) AS BIGINT)"
+    n_stop = _stop_count()
+    tokd = f"CAST({n_tok} AS DOUBLE)"
+    chrd = f"CAST({n_chr} AS DOUBLE)"
+    len_score = f"least({tokd} / 100.0, 1.0)"
+    punct_score = f"(1.0 - least(CAST({n_punct} AS DOUBLE) / {chrd} * 4.0, 1.0))"
+    stop_score = f"least(CAST({n_stop} AS DOUBLE) / {tokd} * 4.0, 1.0)"
+    quality = f"(CASE WHEN {chrd} = 0.0 THEN 0.0 ELSE ({len_score} + {punct_score} + {stop_score}) / 3.0 END)"
+    return f"""WITH stats AS (
+  SELECT doc_id, text, {n_tok} AS n_tokens, {quality} AS quality
+  FROM documents),
+filtered AS (SELECT * FROM stats WHERE quality > 0.5),
+keepers AS (SELECT text, min(doc_id) AS doc_id FROM filtered GROUP BY text)
+SELECT f.doc_id, f.n_tokens, f.quality
+FROM filtered f
+WHERE EXISTS (SELECT 1 FROM keepers k WHERE k.text = f.text AND k.doc_id = f.doc_id)"""
 
 
 def _plane_dot(vec: str, plane: list[float]) -> str:

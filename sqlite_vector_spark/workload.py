@@ -143,6 +143,38 @@ quantize_scan_squared_l2 = _quantize_scan("SQUARED_L2", K)
 quantize_scan_stream_l2 = _quantize_scan("L2", None)
 
 
+RERANK_M = 60  # prefilter candidate count (3x K)
+
+
+def rerank_scan_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: quantized prefilter to the top RERANK_M in code
+    space, then exact L2 rerank of only those candidates to top K.
+
+    The standard compressed-index recipe (prefilter cheap, rerank
+    exact): recall ~1 at a fraction of exact-scan cost. Scale shape:
+    stage 1 is the quantized TakeOrderedAndProject (M rows to the
+    driver-side merge), stage 2 re-scores M rows via a broadcast
+    semi-join against the full-precision table — the corpus is scanned
+    once per stage, never shuffled.
+    """
+    emb = _emb(spark, sf_dir)
+    prm = F.broadcast(_params_df(emb))
+    codes = _codes_df(emb).crossJoin(prm).withColumn("qq", _quantized_query_col())
+    cand = (
+        codes.select("id", distance(F.col("qvec"), F.col("qq"), "L2").alias("qd"))
+        .orderBy(F.col("qd").asc(), F.col("id").asc())
+        .limit(RERANK_M)
+        .select("id")
+    )
+    full = emb.select(F.col("vec_id").cast("bigint").alias("id"), "embedding")
+    return (
+        full.join(F.broadcast(cand), "id", "left_semi")
+        .select("id", distance(F.col("embedding"), Q64, "L2").alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("id").asc())
+        .limit(K)
+    )
+
+
 def quantize_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Σ(8+dim) bytes over the codes table (sqlite-vector.c:1016-1018)."""
     return _codes_df(_emb(spark, sf_dir)).agg(
@@ -420,6 +452,47 @@ def jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(_emb(spark, sf_dir), "vec_id", "embedding", HYPERPLANES, NEARDUP_T)
+
+
+def normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize the embedding column (zero vectors pass through).
+
+    The reference parses a ``normalized`` flag but never computes it
+    (SURVEY §1.3); this makes it real: on normalized vectors
+    COSINE == 1 + DOT, so cosine search can run on the cheaper dot
+    kernel. Map-only projection, the norm folded once per row.
+    """
+    from sqlite_vector_spark.functions.distance import _dot_sum
+
+    emb = _emb(spark, sf_dir)
+    nrm = F.sqrt(_dot_sum(F.col("embedding"), F.col("embedding")))
+    unit = F.when(nrm == F.lit(0.0), F.col("embedding").cast("array<double>")).otherwise(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") / nrm)
+    )
+    return emb.where(F.col("embedding").isNotNull()).select(
+        F.col("vec_id").cast("bigint").alias("id"), unit.alias("unit_vec")
+    )
+
+
+def corpus_prep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep in one declarative plan:
+    quality-filter -> exact-dedup (keep the lowest doc_id per distinct
+    text) -> per-doc token budget columns. The composite the LLM
+    pipeline runs nightly; every stage is an operator from this repo.
+    """
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    stats = docs.select(
+        "doc_id",
+        "text",
+        token_count(t).alias("n_tokens"),
+        quality_score(t).alias("quality"),
+    ).where(F.col("quality") > 0.5)
+    keepers = stats.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        stats.join(keepers, ["text", "doc_id"], "left_semi")
+        .select("doc_id", "n_tokens", "quality")
+    )
 
 
 # ---------------------------------------------------------------- FLOAT16 storage path (rows-only check: no SQL half floats)
