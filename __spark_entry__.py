@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": w.minhash_sig_q,
         "lsh_candidate_pairs": w.lsh_pairs_q,
         "simhash": w.simhash_q,
+        "simhash_neardup": w.simhash_neardup_q,
         "ngram_jaccard_pairs": w.jaccard_pairs_q,
         "embedding_neardup": w.embedding_neardup_q,
         # -- LLM-pipeline: embedding utilities + composite prep
@@ -127,6 +128,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": o.minhash_sig_q(),
         "lsh_candidate_pairs": o.lsh_pairs_q(),
         "simhash": o.simhash_q(),
+        "simhash_neardup": o.simhash_neardup_q(max_hamming=1),
         "ngram_jaccard_pairs": o.jaccard_pairs_q(),
         "embedding_neardup": o.embedding_neardup_q(),
         "normalize": o.normalize_q(),

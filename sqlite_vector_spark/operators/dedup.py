@@ -134,22 +134,7 @@ def lsh_candidate_pairs(
     bound the pair blow-up.
     """
     keys = lsh_band_keys(minhash_signatures(df, id_col, text_col, num_hashes, shingle_n), bands, rows_per_band)
-    buckets = keys.groupBy("band", "band_hash").agg(F.array_sort(F.collect_list("id")).alias("ids"))
-    pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
-    return (
-        buckets.where(F.size("ids") >= 2)
-        .select(F.explode(pairs).alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .distinct()
-    )
+    return _bucket_pairs(keys, "band", "band_hash")
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
@@ -175,6 +160,74 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
         F.lit(0).cast("bigint"),
     )
     return sums.select("id", fingerprint.cast("bigint").alias("simhash"))
+
+
+def _bucket_pairs(keyed: DataFrame, band_col: str, hash_col: str, id_col: str = "id") -> DataFrame:
+    """(a, b) distinct pairs sharing any (band, hash) bucket — the
+    single-pass collect+expand shape shared by MinHash-LSH and SimHash
+    banding (one shuffle, no self-join re-scan)."""
+    buckets = keyed.groupBy(band_col, hash_col).agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        buckets.where(F.size("ids") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .distinct()
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 6,
+    bands: int = 4,
+    bits: int = 32,
+) -> DataFrame:
+    """(a, b, hamming) pairs with Hamming(simhash) <= max_hamming,
+    candidates restricted to pairs agreeing on >= 1 of ``bands``
+    fingerprint bytes (the pigeonhole guarantee: hamming < bands
+    implies some band matches exactly).
+
+    Scale: fingerprints are 8-byte rows; banding keys are 2 bigints —
+    the candidate join shuffles bytes-per-doc, never text.
+    """
+    sim = simhash(df, id_col, text_col, bits)
+    width = bits // bands
+    mask = (1 << width) - 1
+    keyed = sim.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("bigint").alias("band"),
+                        F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("k"),
+    ).select("id", F.col("k.band").alias("band"), F.col("k.bh").alias("bh"))
+    cand = _bucket_pairs(keyed, "band", "bh")
+    fp = sim.select(F.col("id"), F.col("simhash"))
+    a_fp = fp.select(F.col("id").alias("a"), F.col("simhash").alias("fa"))
+    b_fp = fp.select(F.col("id").alias("b"), F.col("simhash").alias("fb"))
+    return (
+        cand.join(a_fp, "a")
+        .join(b_fp, "b")
+        .select("a", "b", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("bigint").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
 
 
 def jaccard_pairs(

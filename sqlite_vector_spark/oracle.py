@@ -403,6 +403,36 @@ SELECT CAST(doc_id AS BIGINT) AS id,
 FROM bits GROUP BY 1"""
 
 
+_SIMHASH_CTE = f"""WITH toks AS (
+  SELECT doc_id, unnest({WORDS}) AS w FROM documents),
+hashed AS (SELECT doc_id, {{PH}} AS h FROM toks),
+bits AS (
+  SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS s
+  FROM hashed, range(0, 32) t(b)
+  GROUP BY 1, 2),
+fp AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY 1)"""
+
+
+def simhash_neardup_q(max_hamming: int = 6, bands: int = 4, bits: int = 32) -> str:
+    width = bits // bands
+    mask = (1 << width) - 1
+    cte = _SIMHASH_CTE.replace("{PH}", polyhash_sql("w"))
+    return f"""{cte},
+keys AS (
+  SELECT id, CAST(b AS BIGINT) AS band, (simhash >> (b * {width})) & {mask} AS bh
+  FROM fp, range(0, {bands}) t(b)),
+cand AS (
+  SELECT DISTINCT l.id AS a, r.id AS b
+  FROM keys l JOIN keys r ON l.band = r.band AND l.bh = r.bh
+  WHERE l.id < r.id)
+SELECT c.a, c.b, CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT) AS hamming
+FROM cand c JOIN fp fa ON fa.id = c.a JOIN fp fb ON fb.id = c.b
+WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {max_hamming}"""
+
+
 def jaccard_pairs_q() -> str:
     return _SHINGLES + f""",
 dw AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS id, w FROM (SELECT doc_id, unnest({WORDS}) AS w FROM documents)),

@@ -444,6 +444,15 @@ def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def simhash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqlite_vector_spark.operators.dedup import simhash_neardup_pairs
+
+    # hamming<=1: tight near-dup bar — 32-bit fingerprints over short
+    # synthetic docs have a high collision baseline (hamming 5-7 is
+    # noise here); real corpora use 64-bit simhash with hamming<=3
+    return simhash_neardup_pairs(_docs(spark, sf_dir), "doc_id", "text", max_hamming=1)
+
+
 def jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     cand = lsh_candidate_pairs(docs, "doc_id", "text")
