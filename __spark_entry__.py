@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_memory": w.quantize_memory,
         # -- kNN join + join-back + recall harness (SURVEY §2.2, §5.3)
         "knn_join_l2": w.knn_join_l2,
+        "knn_join_cosine": w.knn_join_cosine,
         "knn_join_back": w.knn_join_back,
         "recall_at_k": w.recall_at_k,
         # -- codec (vector_as_* family, SURVEY §2.1 #8-12)
@@ -68,6 +69,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": w.top_customers,
         "events_hourly": w.events_hourly,
         "order_priority_counts": w.order_priority_counts,
+        "shipping_priority": w.shipping_priority,
+        "region_volume": w.region_volume,
+        "sessionize": w.sessionize,
         # -- LLM-pipeline: text analysis (north star, BASELINE.json)
         "text_stats": w.text_stats,
         "token_counts": w.token_counts_q,
@@ -81,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": w.simhash_neardup_q,
         "ngram_jaccard_pairs": w.jaccard_pairs_q,
         "embedding_neardup": w.embedding_neardup_q,
+        "neardup_representatives": w.neardup_representatives_q,
         # -- LLM-pipeline: embedding utilities + composite prep
         "normalize": w.normalize_q,
         "corpus_prep": w.corpus_prep_q,
@@ -93,6 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL for each queries() key."""
     from sqlite_vector_spark import oracle as o
+    from sqlite_vector_spark import workload as w
 
     return {
         "full_scan_l2": o.full_scan("L2"),
@@ -113,6 +119,7 @@ def oracle_sql() -> dict[str, str]:
         "rerank_scan_l2": o.rerank_scan_l2(),
         "quantize_memory": o.quantize_memory(),
         "knn_join_l2": o.knn_join("L2"),
+        "knn_join_cosine": o.knn_join("COSINE"),
         "knn_join_back": o.knn_join_back(),
         "recall_at_k": o.recall_at_k(),
         "codec_json_roundtrip": o.codec_json_roundtrip(),
@@ -120,6 +127,9 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": o.top_customers(),
         "events_hourly": o.events_hourly(),
         "order_priority_counts": o.order_priority_counts(),
+        "shipping_priority": o.shipping_priority(),
+        "region_volume": o.region_volume(),
+        "sessionize": o.sessionize(w.SESSION_GAP_US),
         "text_stats": o.text_stats(),
         "token_counts": o.token_counts_q(),
         "lang_id": o.lang_id_q(),
@@ -131,6 +141,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup": o.simhash_neardup_q(max_hamming=1),
         "ngram_jaccard_pairs": o.jaccard_pairs_q(),
         "embedding_neardup": o.embedding_neardup_q(),
+        "neardup_representatives": o.neardup_representatives_q(w.JACCARD_T),
         "normalize": o.normalize_q(),
         "corpus_prep": o.corpus_prep_q(),
         "ivf_scan_l2": o.ivf_scan_l2(),

@@ -267,6 +267,54 @@ GROUP BY 1, 2
 ORDER BY 1, 2"""
 
 
+def shipping_priority() -> str:
+    return f"""SELECT l_orderkey, {_fixed_sum('l_extendedprice * (1.0 - l_discount)', 10000.0)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10"""
+
+
+def region_volume() -> str:
+    return f"""SELECT n_name, {_fixed_sum('l_extendedprice * (1.0 - l_discount)', 10000.0)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC"""
+
+
+def sessionize(gap_us: int) -> str:
+    ordered = "PARTITION BY user_id ORDER BY us, event_id"
+    return f"""WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+b AS (
+  SELECT user_id, event_id, us, value,
+         CASE WHEN (us - lag(us) OVER ({ordered})) IS NULL
+                   OR (us - lag(us) OVER ({ordered})) > {gap_us}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e),
+s AS (
+  SELECT user_id, us, value,
+         sum(new_sess) OVER ({ordered} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM b)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       count(*) AS n_events, min(us) AS start_us, max(us) AS end_us,
+       {_fixed_sum('value', 10000.0)} AS sum_value
+FROM s
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq"""
+
+
 def order_priority_counts() -> str:
     return """SELECT o_orderpriority, count(*) AS order_count
 FROM orders
@@ -449,6 +497,19 @@ FROM cand c
 LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
 JOIN cnt ca ON ca.id = c.a
 JOIN cnt cb ON cb.id = c.b"""
+
+
+def neardup_representatives_q(jaccard_t: float) -> str:
+    did = "CAST(d.doc_id AS BIGINT)"
+    rep = f"least({did}, coalesce(nbr.min_nbr, {did}))"
+    return f"""WITH jp AS ({jaccard_pairs_q()}),
+pairs AS (SELECT a, b FROM jp WHERE jaccard >= {jaccard_t!r}),
+edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+nbr AS (SELECT a, min(b) AS min_nbr FROM edges GROUP BY a)
+SELECT {did} AS doc_id, {rep} AS rep_id, {rep} <> {did} AS is_dup
+FROM documents d
+LEFT JOIN nbr ON nbr.a = CAST(d.doc_id AS BIGINT)
+ORDER BY doc_id"""
 
 
 def normalize_q() -> str:

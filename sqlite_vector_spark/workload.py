@@ -191,6 +191,12 @@ def knn_join_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(queries, emb, KNN_K, "L2", corpus_vec="embedding", corpus_id="vec_id")
 
 
+def knn_join_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < NQ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    return knn_join(queries, emb, KNN_K, "COSINE", corpus_vec="embedding", corpus_id="vec_id")
+
+
 def knn_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join results to payload (README.md:96-99 pattern)."""
     emb = _emb(spark, sf_dir)
@@ -347,6 +353,94 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: filtered customer dim (broadcast) x orders x
+    lineitem -> revenue per order -> top-10. The fact-fact join
+    (lineitem x orders) shuffles on the join key; AQE converts it to
+    broadcast when the filtered orders side is small enough."""
+    cust = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = table(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-01-01")).select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-01-01"))
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey")
+        .agg(_fixed_sum(disc_price, 10000.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the fact joins four broadcast dims; revenue per
+    nation where customer and supplier share the nation. One shuffle
+    total (the lineitem x orders key), then map-side dim probes."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1999-01-01"))
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    reg = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA").select("r_regionkey")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(
+            F.broadcast(cust),
+            (orders["o_custkey"] == cust["c_custkey"]) & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy("n_name")
+        .agg(_fixed_sum(disc_price, 10000.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+#: session boundary when a user is idle longer than this (micros —
+#: micros, not nanos, because DuckDB truncates TIMESTAMP_NS to micros)
+SESSION_GAP_US = 8 * 3600 * 1_000_000
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event sessionization (gap-based session windows, the batch form
+    of Structured Streaming's session_window): lag-gap boundary flag ->
+    running-sum session id -> per-session aggregate. Both windows and
+    the group-by partition by user_id, so the whole pipeline is one
+    shuffle; per-user state is bounded by that user's events."""
+    ev = load_events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    flagged = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > F.lit(SESSION_GAP_US)), 1).otherwise(0)
+    )
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn("session_seq", F.sum("new_sess").over(wcum))
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+            _fixed_sum(F.col("value"), 10000.0).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_seq").cast("bigint").alias("session_seq"),
+            "n_events",
+            "start_us",
+            "end_us",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
 def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """semi-join pattern (TPC-H Q4 shape): orders having at least one
     late lineitem, counted per priority."""
@@ -461,6 +555,39 @@ def jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(_emb(spark, sf_dir), "vec_id", "embedding", HYPERPLANES, NEARDUP_T)
+
+
+#: verified-near-dup bar for representative selection
+JACCARD_T = 0.8
+
+
+def neardup_representatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection — the 'keep one per cluster'
+    step of the dedup pipeline: every doc maps to the smallest doc_id
+    among itself and its verified near-duplicates (one hop over the
+    LSH->Jaccard edge set; full connected components is iterative and
+    unnecessary at this edge density). rep_id != doc_id marks the row
+    as a removable duplicate. Edge set is tiny relative to the corpus
+    -> broadcast join back onto documents."""
+    docs = _docs(spark, sf_dir)
+    pairs = (
+        jaccard_pairs_q(spark, sf_dir)
+        .where(F.col("jaccard") >= F.lit(JACCARD_T))
+        .select("a", "b")
+    )
+    edges = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    nbr = edges.groupBy("a").agg(F.min("b").alias("min_nbr"))
+    did = F.col("doc_id").cast("bigint")
+    return (
+        docs.select(did.alias("doc_id"))
+        .join(F.broadcast(nbr), F.col("doc_id") == nbr["a"], "left")
+        .select(
+            "doc_id",
+            F.least(F.col("doc_id"), F.coalesce(F.col("min_nbr"), F.col("doc_id"))).alias("rep_id"),
+        )
+        .withColumn("is_dup", F.col("rep_id") != F.col("doc_id"))
+        .orderBy("doc_id")
+    )
 
 
 def normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:

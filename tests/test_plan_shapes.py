@@ -85,3 +85,27 @@ def test_ivf_assign_is_shuffle_free(spark):
     df = ivf_assign(emb, "embedding", cents, id_col="vec_id")
     plan = physical_plan(df)
     assert "Exchange" not in plan, plan[:500]
+
+
+def test_shipping_priority_topk_and_broadcast_dim(spark):
+    df = w.shipping_priority(spark, SF)
+    plan = physical_plan(df)
+    # top-10 must be partial top-k, not a global sort of all orders
+    assert "TakeOrderedAndProject" in plan
+    # the filtered customer dim probes map-side
+    assert "BroadcastHashJoin" in plan
+
+
+def test_region_volume_broadcasts_all_dims(spark):
+    plan = physical_plan(w.region_volume(spark, SF))
+    # supplier/customer/nation/region all broadcast; only the
+    # lineitem x orders key (and the final agg) may shuffle by hash
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:800]
+    assert "CartesianProduct" not in plan
+
+
+def test_sessionize_single_user_shuffle(spark):
+    # lag-window, running-sum window, and group-by all partition by
+    # user_id -> exactly one hash exchange in the whole pipeline
+    plan = physical_plan(w.sessionize(spark, SF))
+    assert plan.count("hashpartitioning(user_id") <= 1, plan[:800]
