@@ -54,8 +54,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_scan_squared_l2": w.quantize_scan_squared_l2,
         "quantize_scan_stream_l2": w.quantize_scan_stream_l2,
         "rerank_scan_l2": w.rerank_scan_l2,  # two-stage: quantized prefilter + exact rerank
-        # -- FLOAT16 storage scan (lane-rule kernel; rows-only check)
+        # -- FLOAT16/BFLOAT16 storage scans (lane-rule kernel; rows-only checks)
         "f16_scan_l2": w.f16_scan_l2,
+        "bf16_scan_l2": w.bf16_scan_l2,
+        # -- native INT8/UINT8 storage scans (integer-domain kernels)
+        "i8_scan_l2": w.i8_scan_l2,
+        "u8_scan_cosine": w.u8_scan_cosine,
         "quantize_memory": w.quantize_memory,
         # -- kNN join + join-back + recall harness (SURVEY §2.2, §5.3)
         "knn_join_l2": w.knn_join_l2,
@@ -72,6 +76,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": w.shipping_priority,
         "region_volume": w.region_volume,
         "sessionize": w.sessionize,
+        "promo_revenue_share": w.promo_revenue_share,
+        "events_rollup": w.events_rollup,
+        "quality_rejects": w.quality_rejects,
         # -- LLM-pipeline: text analysis (north star, BASELINE.json)
         "text_stats": w.text_stats,
         "token_counts": w.token_counts_q,
@@ -117,6 +124,8 @@ def oracle_sql() -> dict[str, str]:
         "quantize_scan_squared_l2": o.quantize_scan("SQUARED_L2"),
         "quantize_scan_stream_l2": o.quantize_scan("L2", None),
         "rerank_scan_l2": o.rerank_scan_l2(),
+        "i8_scan_l2": o.typed_scan(w.I8_PARAMS, "L2"),
+        "u8_scan_cosine": o.typed_scan(w.U8_PARAMS, "COSINE"),
         "quantize_memory": o.quantize_memory(),
         "knn_join_l2": o.knn_join("L2"),
         "knn_join_cosine": o.knn_join("COSINE"),
@@ -130,6 +139,9 @@ def oracle_sql() -> dict[str, str]:
         "shipping_priority": o.shipping_priority(),
         "region_volume": o.region_volume(),
         "sessionize": o.sessionize(w.SESSION_GAP_US),
+        "promo_revenue_share": o.promo_revenue_share(),
+        "events_rollup": o.events_rollup(),
+        "quality_rejects": o.quality_rejects(),
         "text_stats": o.text_stats(),
         "token_counts": o.token_counts_q(),
         "lang_id": o.lang_id_q(),

@@ -152,6 +152,27 @@ FROM codes, qq
 {limit}"""
 
 
+def typed_scan(params: tuple[str, float, float], metric: str, k: int = K) -> str:
+    """Mirror of workload._typed_scan: fixed-param int8/uint8 ingest
+    (q_round) + exact integer-domain top-k."""
+    from sqlite_vector_spark.operators.quantize import QuantParams, quantize_query
+    from sqlite_vector_spark.workload import Q64 as _q
+
+    qtype, scale, offset = params
+    p = QuantParams(qtype, scale, offset, 0)
+    r = f"((CAST(x AS DOUBLE) - ({offset!r})) * {scale!r})"
+    tv = f"list_transform(embedding, x -> CAST({q_round(r, str(p.lo), str(p.hi))} AS DOUBLE))"
+    qcodes = [float(c) for c in quantize_query(_q, p)]
+    d = dist_sql(metric, "tv", "q")
+    return f"""WITH t AS (
+  SELECT vec_id AS id, {tv} AS tv FROM embeddings WHERE embedding IS NOT NULL),
+qq AS (SELECT {qvec_literal(qcodes)} AS q)
+SELECT id, {d} AS distance
+FROM t, qq
+ORDER BY distance ASC, id ASC
+LIMIT {k}"""
+
+
 def rerank_scan_l2() -> str:
     from sqlite_vector_spark.workload import RERANK_M
 
@@ -321,6 +342,33 @@ FROM orders
 WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00')
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority"""
+
+
+def promo_revenue_share() -> str:
+    disc = "l_extendedprice * (1.0 - l_discount)"
+    promo = f"CASE WHEN p_type = 'ECONOMY' THEN {disc} ELSE 0.0 END"
+    return f"""SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INTEGER) AS ship_month,
+       {_fixed_sum(promo, 10000.0)} AS promo_revenue,
+       {_fixed_sum(disc, 10000.0)} AS total_revenue,
+       {_fixed_sum(promo, 10000.0)} / {_fixed_sum(disc, 10000.0)} AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+ORDER BY 1"""
+
+
+def events_rollup() -> str:
+    return f"""SELECT event_type, (epoch_ns(ts) // 86400000000000) AS day_epoch,
+       count(*) AS n_events, {_fixed_sum('value', 10000.0)} AS sum_value
+FROM events
+GROUP BY ROLLUP(event_type, day_epoch)
+ORDER BY event_type ASC NULLS FIRST, day_epoch ASC NULLS FIRST"""
+
+
+def quality_rejects() -> str:
+    return f"""SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+EXCEPT
+SELECT doc_id FROM ({corpus_prep_q()})
+ORDER BY doc_id"""
 
 
 # ---------------------------------------------------------------- text analysis / dedup / ANN mirrors

@@ -455,6 +455,57 @@ def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a broadcast-dim
+    join — the share of revenue coming from ECONOMY-type parts, per
+    ship month. Exercises the part table + CASE-style agg."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "ECONOMY", disc_price).otherwise(F.lit(0.0))
+    # month bucket via tz-independent date parts of the timestamp
+    month = (F.year("l_shipdate") * F.lit(100) + F.month("l_shipdate")).cast("int")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(month.alias("ship_month"))
+        .agg(
+            _fixed_sum(promo, 10000.0).alias("promo_revenue"),
+            _fixed_sum(disc_price, 10000.0).alias("total_revenue"),
+        )
+        .withColumn("promo_share", F.col("promo_revenue") / F.col("total_revenue"))
+        .orderBy("ship_month")
+    )
+
+
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (grouping-sets family): per (event_type, day)
+    counts plus per-type and grand totals in one pass — partial
+    aggregation expands the grouping sets map-side."""
+    ev = load_events(spark, sf_dir)
+    day_epoch = F.expr("ts_ns div 86400000000000").cast("bigint")
+    return (
+        ev.withColumn("day_epoch", day_epoch)
+        .rollup("event_type", "day_epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _fixed_sum(F.col("value"), 10000.0).alias("sum_value"),
+        )
+        .orderBy(
+            F.col("event_type").asc_nulls_first(),
+            F.col("day_epoch").asc_nulls_first(),
+        )
+    )
+
+
+def quality_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op shape (EXCEPT): documents dropped by corpus_prep — the
+    anti-set of the quality/dedup filter, i.e. the rows a pipeline
+    audit would inspect. EXCEPT distinct on the id projection."""
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("bigint").alias("doc_id"))
+    kept = corpus_prep_q(spark, sf_dir).select("doc_id")
+    return docs.exceptAll(kept).distinct().orderBy("doc_id")
+
+
 # ---------------------------------------------------------------- text analysis (documents table)
 
 from sqlite_vector_spark.functions.text import (  # noqa: E402
@@ -648,6 +699,58 @@ def f16_scan_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", encode_vector("embedding", VectorType.F16).alias("v16")
     )
     return halffloat_full_scan(emb, "v16", Q64, K, "L2", VectorType.F16, id_col="vec_id")
+
+
+def bf16_scan_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vector_full_scan over FLOATB16 storage: bf16 = high 16 bits of
+    f32 with round-to-nearest-even encode (reference distance-cpu.h:
+    100-108), scanned with the same NaN/Inf lane-rule kernel. DuckDB
+    has no bf16 either -> rows-only check."""
+    from sqlite_vector_spark.codec import encode_vector
+    from sqlite_vector_spark.functions.halffloat import halffloat_full_scan
+    from sqlite_vector_spark.types import VectorType
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", encode_vector("embedding", VectorType.BF16).alias("v16")
+    )
+    return halffloat_full_scan(emb, "v16", Q64, K, "L2", VectorType.BF16, id_col="vec_id")
+
+
+# ---------------------------------------------------------------- native INT8/UINT8 storage (vector_type INT8/UINT8, SURVEY §1.2)
+
+#: fixed ingest params for the typed tables (literal on both sides)
+I8_PARAMS = ("S8BIT", 100.0, 0.0)
+U8_PARAMS = ("U8BIT", 127.5, -1.0)
+
+
+def _typed_scan(params: tuple[str, float, float], metric: str):
+    """vector_full_scan over a native INT8/UINT8 vector table: the
+    embeddings are ingested as int codes (vector_as_i8/u8 with a fixed
+    affine map — q_round semantics, sqlite-vector.c:495-515), then
+    scanned exactly in the integer domain (reference distance-cpu.c:
+    470-693 accumulates in int; DOUBLE accumulation here is identical
+    because |code| <= 255 keeps every partial sum integer-exact)."""
+    from sqlite_vector_spark.operators.quantize import QuantParams, quantize_query
+
+    qtype, scale, offset = params
+    p = QuantParams(qtype, scale, offset, 0)
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = _emb(spark, sf_dir)
+        typed = emb.select(
+            "vec_id",
+            quantize_codes_column("embedding", scale, offset, p.lo, p.hi)
+            .cast("array<double>")
+            .alias("tv"),
+        )
+        qcodes = [float(c) for c in quantize_query(Q64, p)]
+        return full_scan(typed, "tv", qcodes, K, metric, id_col="vec_id")
+
+    return q
+
+
+i8_scan_l2 = _typed_scan(I8_PARAMS, "L2")
+u8_scan_cosine = _typed_scan(U8_PARAMS, "COSINE")
 
 
 # ---------------------------------------------------------------- ANN: IVF partition-pruned search

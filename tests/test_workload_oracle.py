@@ -36,6 +36,7 @@ def test_every_query_runs_and_has_oracle(spark):
     # rows-only (driver records the weaker check; judge sees which)
     ROWS_ONLY = {
         "f16_scan_l2",  # DuckDB has no half floats
+        "bf16_scan_l2",  # ... nor bfloat16
         "ivf_kmeans_scan_l2",  # iterative centroid training
     }
     missing = set(qs) - set(osql) - ROWS_ONLY
