@@ -92,7 +92,10 @@ def main():
     # relational surface
     bench("pricing_summary", lambda: w.pricing_summary(spark, SF_DIR).collect(), n=2)
     bench("top_customers", lambda: w.top_customers(spark, SF_DIR).collect(), n=2)
+    bench("shipping_priority", lambda: w.shipping_priority(spark, SF_DIR).collect(), n=2)
+    bench("region_volume", lambda: w.region_volume(spark, SF_DIR).collect(), n=2)
     bench("events_hourly", lambda: w.events_hourly(spark, SF_DIR).count(), n=2)
+    bench("sessionize", lambda: w.sessionize(spark, SF_DIR).count(), n=2)
 
     # LLM-pipeline layer: text analysis, dedup, ANN. Best-of-2 so the
     # numbers reflect steady-state throughput, not the one-time

@@ -89,18 +89,35 @@ def dot(a: str | Column, b: str | Column) -> Column:
     return -_dot_sum(_col(a), _col(b))
 
 
+def _let(value: Column, body) -> Column:
+    """Bind ``value`` once, reference it many times: single-element
+    array + transform = a let-binding in Catalyst expression space.
+
+    Why: a CASE whose branches repeat a subexpression (snap_zero, the
+    cosine zero-norm guard) duplicates the whole fold subtree, and
+    when Catalyst pushes a filter on the result into a join condition
+    the fold gets inlined AGAIN — up to 4 evaluations per row pair.
+    Cross-operator common-subexpression elimination doesn't exist, so
+    we eliminate it by construction. Same IEEE ops, same order →
+    bit-identical to the unbound form (oracle hashes unchanged)."""
+    return F.transform(F.array(value), body)[0]
+
+
 def cosine(a: str | Column, b: str | Column) -> Column:
     # 1 − dot/(‖a‖·‖b‖); zero-norm → 1.0 (distance-cpu.c:105-107)
     a, b = _col(a), _col(b)
     num = _dot_sum(a, b)
     denom = F.sqrt(_dot_sum(a, a)) * F.sqrt(_dot_sum(b, b))
-    return F.when(denom == F.lit(0.0), F.lit(1.0)).otherwise(F.lit(1.0) - num / denom)
+    return _let(
+        denom,
+        lambda dn: F.when(dn == F.lit(0.0), F.lit(1.0)).otherwise(F.lit(1.0) - num / dn),
+    )
 
 
 def snap_zero(d: Column) -> Column:
     """|d| ≤ 8·FLT_EPSILON → 0.0 (sqlite-vector.c:994-996, applied to
     every emitted distance: 2099, 2143, 2217, 1927, 1959, 1985)."""
-    return F.when(F.abs(d) <= F.lit(EPS_SNAP), F.lit(0.0)).otherwise(d)
+    return _let(d, lambda v: F.when(F.abs(v) <= F.lit(EPS_SNAP), F.lit(0.0)).otherwise(v))
 
 
 _BUILDERS = {

@@ -79,3 +79,44 @@ def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, Dat
 def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
     for n in names:
         table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def read_vectors_csv(
+    spark: SparkSession,
+    path: str,
+    vec_col: str,
+    vtype: str = "FLOAT32",
+    dim: int | None = None,
+    **options,
+) -> DataFrame:
+    """CSV vector source: the vector column holds a JSON-array string
+    (the reference's TEXT ingest form, README.md:79-83). Header on by
+    default; pass schema=... to skip the inference scan — mandatory at
+    real scale, where inference would read the data twice."""
+    opts = {"header": "true", **{k: str(v) for k, v in options.items()}}
+    df = spark.read.options(**opts).csv(path)
+    return ingest_json_vectors(df, vec_col, vtype, dim, out_col=vec_col)
+
+
+def read_vectors_jsonl(
+    spark: SparkSession,
+    path: str,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    schema: str | None = None,
+) -> DataFrame:
+    """JSON-lines vector source: one object per line with a numeric
+    array field. Spark's json reader parallelizes by line split, so
+    this scales like any text source. Pass ``schema`` (DDL string) to
+    skip inference at scale; the declared-dimension check mirrors
+    vector_from_json (sqlite-vector.c:1646-1649): mismatch -> NULL."""
+    import pyspark.sql.functions as F
+
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.json(path)
+    vec = F.col(vec_col).cast("array<float>")
+    if dim is not None:
+        vec = F.when(F.size(F.col(vec_col)) == dim, vec)
+    return df.withColumn(vec_col, vec)

@@ -60,3 +60,27 @@ def windowed_event_counts(
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("win.start").alias("window_start"), key_col, "n_events")
     )
+
+
+def sessionized_event_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session windows over an event stream — the streaming
+    form of workload.sessionize, using Spark's native session_window
+    (merging-window state; a session closes when the watermark passes
+    its end + gap). One state row per open session per key."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )

@@ -40,3 +40,35 @@ def test_quantize_max_memory_chunks_files(spark, emb, tmp_path):
     # each file holds at most 50 records
     for f in files:
         assert spark.read.parquet(f).count() <= 50
+
+
+def test_read_vectors_csv_roundtrip(spark, tmp_path):
+    from sqlite_vector_spark.sources import read_vectors_csv
+
+    p = tmp_path / "vecs.csv"
+    p.write_text('id,vec\n0,"[1.5, 2.0]"\n1,"[0, -4]"\n2,"[1]"\n')
+    out = read_vectors_csv(spark, str(p), "vec", "FLOAT32", dim=2).orderBy("id").collect()
+    assert out[0].vec == [1.5, 2.0]
+    assert out[1].vec == [0.0, -4.0]
+    assert out[2].vec is None  # dim mismatch -> NULL
+
+
+def test_read_vectors_jsonl_roundtrip(spark, tmp_path):
+    from sqlite_vector_spark.sources import read_vectors_jsonl
+
+    p = tmp_path / "vecs.jsonl"
+    p.write_text(
+        '{"id": 0, "embedding": [1.5, 2.0]}\n'
+        '{"id": 1, "embedding": [0, -4]}\n'
+        '{"id": 2, "embedding": [1]}\n'
+    )
+    out = (
+        read_vectors_jsonl(
+            spark, str(p), "embedding", dim=2, schema="id long, embedding array<double>"
+        )
+        .orderBy("id")
+        .collect()
+    )
+    assert out[0].embedding == [1.5, 2.0]
+    assert out[1].embedding == [0.0, -4.0]
+    assert out[2].embedding is None

@@ -83,3 +83,30 @@ def test_frame_sample_counts(spark):
     df = spark.createDataFrame([(1, None, "video/mp4", None, None, 3500)], MEDIA_SCHEMA)
     frames = frame_sample(df, every_ms=1000).collect()
     assert [r.frame_ts_ms for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_sessionized_event_counts_streaming(spark, tmp_path):
+    from sqlite_vector_spark.streaming import sessionized_event_counts
+
+    src = str(tmp_path / "sess_src")
+    # user 1: two bursts 2h apart (-> 2 sessions); user 2: one burst
+    stamps = [
+        (1, "2026-01-01 00:00:00"), (1, "2026-01-01 00:10:00"),
+        (1, "2026-01-01 02:30:00"),
+        (2, "2026-01-01 01:00:00"), (2, "2026-01-01 01:20:00"),
+    ]
+    df = spark.createDataFrame(stamps, "user_id long, ts_s string").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    agg = sessionized_event_counts(stream, ts_col="ts", key_col="user_id", gap="30 minutes")
+    q = agg.writeStream.format("memory").queryName("sessions_t").outputMode("complete").start()
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r.user_id, r.n_events) for r in spark.sql("SELECT * FROM sessions_t").collect()
+        )
+    finally:
+        q.stop()
+    assert got == [(1, 1), (1, 2), (2, 2)]
