@@ -24,6 +24,54 @@ Design stance (SURVEY.md §0/§4):
 - Zero custom Catalyst rules are required (SURVEY.md §4).
 """
 
-from sqlite_vector_spark.version import __version__, vector_backend, vector_version
+from sqlite_vector_spark.catalog import VectorCatalog
+from sqlite_vector_spark.codec import (
+    vector_as_bf16,
+    vector_as_f16,
+    vector_as_f32,
+    vector_as_i8,
+    vector_as_u8,
+)
+from sqlite_vector_spark.functions.distance import distance, vector_literal
+from sqlite_vector_spark.operators.quantize import (
+    vector_quantize,
+    vector_quantize_cleanup,
+    vector_quantize_memory,
+    vector_quantize_preload,
+    vector_quantize_scan,
+    vector_quantize_scan_stream,
+)
+from sqlite_vector_spark.operators.search import full_scan, full_scan_stream
+from sqlite_vector_spark.version import __version__, set_backend, vector_backend, vector_version
 
-__all__ = ["__version__", "vector_version", "vector_backend"]
+#: reference TVF names (sqlite-vector.c:2377-2459) — aliases so every
+#: function registered by sqlite3_vector_init resolves under its own
+#: name here (vector_init lives on VectorCatalog, mirroring the
+#: per-connection context registry, sqlite-vector.c:1063-1098)
+vector_full_scan = full_scan
+vector_full_scan_stream = full_scan_stream
+
+__all__ = [
+    "__version__",
+    "vector_version",
+    "vector_backend",
+    "set_backend",
+    "VectorCatalog",
+    "distance",
+    "vector_literal",
+    "vector_as_f32",
+    "vector_as_f16",
+    "vector_as_bf16",
+    "vector_as_i8",
+    "vector_as_u8",
+    "vector_full_scan",
+    "vector_full_scan_stream",
+    "full_scan",
+    "full_scan_stream",
+    "vector_quantize",
+    "vector_quantize_scan",
+    "vector_quantize_scan_stream",
+    "vector_quantize_memory",
+    "vector_quantize_preload",
+    "vector_quantize_cleanup",
+]

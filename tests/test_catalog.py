@@ -69,3 +69,30 @@ def test_version_and_backend():
 
     assert vector_version()
     assert vector_backend() in ("codegen", "arrow-numpy")
+
+
+def test_reference_registered_surface_resolves():
+    """Every function sqlite3_vector_init registers (reference
+    sqlite-vector.c:2574-2634) has a counterpart importable from the
+    package root (vector_init lives on VectorCatalog)."""
+    import sqlite_vector_spark as sv
+
+    for name in (
+        "vector_version",
+        "vector_backend",
+        "vector_quantize",
+        "vector_quantize_memory",
+        "vector_quantize_preload",
+        "vector_quantize_cleanup",
+        "vector_as_f32",
+        "vector_as_f16",
+        "vector_as_bf16",
+        "vector_as_i8",
+        "vector_as_u8",
+        "vector_full_scan",
+        "vector_quantize_scan",
+        "vector_full_scan_stream",
+        "vector_quantize_scan_stream",
+    ):
+        assert callable(getattr(sv, name)), name
+    assert callable(sv.VectorCatalog.vector_init)
