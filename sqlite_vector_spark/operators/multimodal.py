@@ -106,3 +106,56 @@ def frame_sample(
             F.sequence(F.lit(0).cast("bigint"), F.col(duration_col).cast("bigint"), F.lit(every_ms).cast("bigint"))
         ).alias("frame_ts_ms"),
     )
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, int, int], bytes] | str | None = None,
+    payload_col: str = "payload",
+    id_col: str = "id",
+) -> DataFrame:
+    """payload -> resized payload via mapInPandas (same hook pattern as
+    extract_features: None -> stub error; 'fake' -> deterministic
+    truncate/pad standing in for a real image resampler). Metadata
+    width/height are rewritten to the target; other columns pass
+    through untouched."""
+    if resizer is None:
+        raise NotImplementedError(
+            "media resize is stubbed: no image libraries in this "
+            "environment. Pass resizer='fake' for the deterministic "
+            "test resizer, or a callable (bytes, w, h) -> bytes."
+        )
+    if resizer == "fake":
+        def rz(b: bytes, w: int, h: int) -> bytes:
+            n = max(1, (w * h) // 64)
+            return (b * (n // max(len(b), 1) + 1))[:n]
+    else:
+        rz = resizer
+
+    out_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = [None if b is None else rz(bytes(b), width, height) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "payload": out,
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                }
+            )
+
+    src = df.select(F.col(id_col).cast("bigint").alias(id_col), payload_col)
+    return src.mapInPandas(run, schema=out_schema)

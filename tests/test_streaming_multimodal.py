@@ -110,3 +110,16 @@ def test_sessionized_event_counts_streaming(spark, tmp_path):
     finally:
         q.stop()
     assert got == [(1, 1), (1, 2), (2, 2)]
+
+
+def test_resize_media_stub_and_fake(spark):
+    from sqlite_vector_spark.operators.multimodal import resize_media
+
+    rows = [(1, b"abcdef", "image/jpeg", 640, 480, None), (2, None, "image/jpeg", 10, 10, None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    with pytest.raises(NotImplementedError):
+        resize_media(df, 8, 8).collect()
+    out = {r.id: r for r in resize_media(df, 8, 8, resizer="fake").collect()}
+    assert out[1].width == 8 and out[1].height == 8
+    assert out[1].payload is not None and len(out[1].payload) == 1  # 8*8//64
+    assert out[2].payload is None

@@ -1,0 +1,118 @@
+"""Scale probe: the reference's headline workload (1M x 768-dim ANN,
+API.md:253-255) run on this engine, plus the preload-speedup analog.
+
+Generates a deterministic synthetic corpus IN-PLAN (spark.range +
+expression-built vectors — no driver materialization), writes it as
+Parquet, then times:
+  - exact kNN (vector_full_scan, codegen fold + TakeOrderedAndProject)
+  - quantize build (two-pass, EP2)
+  - quantized kNN cold (shadow-table scan)
+  - quantized kNN preloaded (persist = the reference's preload buffer)
+and reports recall@k of quantized-vs-exact — BASELINE.md's >= 0.95 bar.
+
+Usage: python tools/scale_probe.py [n_rows] [dim]   (default 1000000 768)
+Prints one JSON line; paste results into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+DIM = int(sys.argv[2]) if len(sys.argv) > 2 else 768
+K = 20
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main():
+    import pyspark.sql.functions as F
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("scale-probe")
+        .config("spark.sql.shuffle.partitions", str(max(int(CPUS), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from sqlite_vector_spark.operators.quantize import (
+        vector_quantize,
+        vector_quantize_preload,
+        vector_quantize_scan,
+    )
+    from sqlite_vector_spark.operators.search import full_scan
+
+    root = tempfile.mkdtemp(prefix="svspark_probe_")
+    base = os.path.join(root, "base")
+    shadow = os.path.join(root, "shadow")
+    out = {"n": N, "dim": DIM, "k": K, "cpus": int(CPUS)}
+
+    # deterministic synthetic corpus, built JVM-side: v[j] = sin(id*(j+1) * 1e-5)
+    # (dense, mixed-sign, no two rows identical)
+    gen = spark.range(N).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(DIM)),
+            lambda j: F.sin(F.col("id").cast("double") * j.cast("double") * F.lit(1e-5)).cast("float"),
+        ).alias("embedding"),
+    )
+    t0 = time.time()
+    gen.write.mode("overwrite").parquet(base)
+    out["gen_write_s"] = round(time.time() - t0, 2)
+    df = spark.read.parquet(base)
+
+    q = [0.5 * (1 if j % 2 == 0 else -1) * ((j % 97) / 97.0) for j in range(DIM)]
+
+    def timed(name, fn, n=2):
+        best = None
+        for _ in range(n):
+            t = time.time()
+            r = fn()
+            dt = time.time() - t
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
+        return r
+
+    exact = timed("exact_knn_s", lambda: full_scan(df, "embedding", q, K, "L2", id_col="vec_id").collect())
+
+    # the "SIMD" analog: Arrow-batched NumPy kernel (reference
+    # dispatches SSE2/AVX2/NEON the same way, distance-cpu.c:797-812)
+    from sqlite_vector_spark.version import set_backend
+
+    set_backend("arrow-numpy")
+    timed("exact_knn_numpy_s", lambda: full_scan(df, "embedding", q, K, "L2", id_col="vec_id").collect())
+    set_backend("codegen")
+
+    t0 = time.time()
+    params = vector_quantize(df, "embedding", shadow, id_col="vec_id")
+    out["quantize_build_s"] = round(time.time() - t0, 2)
+    codes = spark.read.parquet(shadow)
+
+    timed("quantized_knn_cold_s", lambda: vector_quantize_scan(codes, q, params, K, "L2").collect(), n=1)
+    vector_quantize_preload(codes)
+    approx = timed("quantized_knn_preloaded_s", lambda: vector_quantize_scan(codes, q, params, K, "L2").collect(), n=3)
+
+    exact_ids = {r.id for r in exact}
+    approx_ids = {r.id for r in approx}
+    out["recall_at_k"] = round(len(exact_ids & approx_ids) / K, 4)
+    out["preload_speedup_x"] = round(out["quantized_knn_cold_s"] / out["quantized_knn_preloaded_s"], 2)
+    out["quantized_vs_exact_x"] = round(out["exact_knn_s"] / out["quantized_knn_preloaded_s"], 2)
+
+    print(json.dumps(out))
+    spark.stop()
+    shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
