@@ -105,3 +105,23 @@ def test_recall_vs_exact_meets_reference_bar(spark, emb, tmp_path):
     exact = {r.id for r in full_scan(emb, "embedding", q, 10, "L2", id_col="vec_id").collect()}
     approx = {r.id for r in vector_quantize_scan(codes, q, p, 10, "L2").collect()}
     assert len(exact & approx) / 10.0 >= 0.9  # small-N fixture; reference bar is 0.95 at 1M
+
+
+def test_quantize_numpy_backend_codes_identical(spark, emb, tmp_path):
+    """The Arrow/NumPy encode kernel must produce bit-identical codes
+    to the codegen HOF path (integer output -> no accumulation-order
+    slack to hide behind)."""
+    from sqlite_vector_spark.operators.quantize import vector_quantize
+    from sqlite_vector_spark.version import set_backend
+
+    a_path, b_path = str(tmp_path / "a"), str(tmp_path / "b")
+    pa = vector_quantize(emb, "embedding", a_path, id_col="vec_id")
+    set_backend("arrow-numpy")
+    try:
+        pb = vector_quantize(emb, "embedding", b_path, id_col="vec_id")
+    finally:
+        set_backend("codegen")
+    assert (pa.qtype, pa.scale, pa.offset) == (pb.qtype, pb.scale, pb.offset)
+    rows_a = {r.id: list(r.qvec) for r in spark.read.parquet(a_path).collect()}
+    rows_b = {r.id: list(r.qvec) for r in spark.read.parquet(b_path).collect()}
+    assert rows_a == rows_b

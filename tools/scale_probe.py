@@ -97,6 +97,14 @@ def main():
     t0 = time.time()
     params = vector_quantize(df, "embedding", shadow, id_col="vec_id")
     out["quantize_build_s"] = round(time.time() - t0, 2)
+
+    # Arrow/NumPy encode backend: bit-identical codes, vectorized batches
+    set_backend("arrow-numpy")
+    t0 = time.time()
+    vector_quantize(df, "embedding", shadow + "_np", id_col="vec_id")
+    out["quantize_build_numpy_s"] = round(time.time() - t0, 2)
+    set_backend("codegen")
+
     codes = spark.read.parquet(shadow)
 
     timed("quantized_knn_cold_s", lambda: vector_quantize_scan(codes, q, params, K, "L2").collect(), n=1)
