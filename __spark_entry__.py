@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep": w.corpus_prep_q,
         # -- LLM-pipeline: ANN similarity search (IVF partition-pruned)
         "ivf_scan_l2": w.ivf_scan_l2,
+        "ivf_scan_cosine": w.ivf_scan_cosine,
+        "embedding_code_dedup": w.embedding_code_dedup_q,
         "ivf_kmeans_scan_l2": w.ivf_kmeans_scan_l2,  # rows-only (iterative)
     }
 
@@ -157,4 +159,6 @@ def oracle_sql() -> dict[str, str]:
         "normalize": o.normalize_q(),
         "corpus_prep": o.corpus_prep_q(),
         "ivf_scan_l2": o.ivf_scan_l2(),
+        "ivf_scan_cosine": o.ivf_scan("COSINE"),
+        "embedding_code_dedup": o.embedding_code_dedup_q(),
     }

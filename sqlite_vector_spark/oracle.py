@@ -610,9 +610,21 @@ WHERE distance < {NEARDUP_T!r}"""
 
 
 def ivf_scan_l2() -> str:
+    return ivf_scan("L2")
+
+
+def embedding_code_dedup_q() -> str:
+    return f"""WITH codes AS ({CODES})
+SELECT min(id) AS keep_id, count(*) AS n_dups
+FROM codes
+GROUP BY qvec
+ORDER BY keep_id"""
+
+
+def ivf_scan(metric: str) -> str:
     d_assign = dist_sql("L2", "e.embedding", "c.cv")
     d_probe = dist_sql("L2", "cv", "q")
-    d_final = dist_sql("L2", "v", "q")
+    d_final = dist_sql(metric, "v", "q")
     return f"""WITH qq AS (SELECT {qvec_literal(Q64)} AS q),
 cent AS (SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_C}),
 assign AS (

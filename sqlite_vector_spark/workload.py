@@ -767,6 +767,33 @@ def ivf_scan_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(assigned, Q64, centroids, IVF_K, nprobe=IVF_NPROBE, metric="L2")
 
 
+def ivf_scan_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with cosine scoring over L2-assigned clusters — the
+    standard normalized-corpus recipe: partition geometry in L2,
+    score candidates in the query's metric."""
+    emb = _emb(spark, sf_dir)
+    cent_rows = emb.where(F.col("vec_id") < IVF_C).orderBy("vec_id").collect()
+    centroids = [list(r.embedding) for r in cent_rows]
+    assigned = ivf_assign(emb, "embedding", centroids, id_col="vec_id", metric="L2")
+    return ivf_search(assigned, Q64, centroids, IVF_K, nprobe=IVF_NPROBE, metric="COSINE")
+
+
+def embedding_code_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding dedup by quantized-code grouping (SURVEY §7 step 7):
+    vectors whose u8/i8 code words coincide are equal within half a
+    code step per dimension — an approximate-dedup bucket that needs
+    no pair join at all. Keep the lowest id per code word. Shuffle
+    moves only (code word, count, min-id) partials (map-side combine)."""
+    emb = _emb(spark, sf_dir)
+    codes = _codes_df(emb)
+    return (
+        codes.groupBy("qvec")
+        .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .select("keep_id", "n_dups")
+        .orderBy("keep_id")
+    )
+
+
 def ivf_kmeans_scan_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with Lloyd-trained centroids (operators.ann.kmeans_fit).
     Iterative training is not SQL-expressible -> rows-only check."""
