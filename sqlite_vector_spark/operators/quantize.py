@@ -104,9 +104,27 @@ def resolve_params(vmin: float | None, vmax: float | None, n: int, qtype: QType 
     return QuantParams("S8BIT", scale, 0.0, n)
 
 
-def compute_quant_params(df: DataFrame, column: str, qtype: QType = QType.AUTO) -> QuantParams:
-    """Pass 1 as a single Spark agg job."""
-    row = df.where(F.col(column).isNotNull()).agg(*quant_params_agg(column)).collect()[0]
+def compute_quant_params(
+    df: DataFrame, column: str, qtype: QType = QType.AUTO, dim: int | None = None
+) -> QuantParams:
+    """Pass 1 as a single Spark agg job.
+
+    When ``dim`` is declared, malformed vectors (wrong length) fail the
+    build, mirroring the reference's short-blob error during quantize
+    (sqlite-vector.c:1219-1225) — folded into the same agg job, no
+    extra pass."""
+    aggs = quant_params_agg(column)
+    if dim is not None:
+        aggs = aggs + [
+            F.sum(F.when(F.size(F.col(column)) != dim, 1).otherwise(0)).alias("bad_dim")
+        ]
+    row = df.where(F.col(column).isNotNull()).agg(*aggs).collect()[0]
+    if dim is not None and (row["bad_dim"] or 0) > 0:
+        raise ValueError(
+            f"vector_quantize: {row['bad_dim']} row(s) in {column!r} do not have "
+            f"the declared dimension {dim} (reference errors on short blobs, "
+            "sqlite-vector.c:1219-1225)"
+        )
     return resolve_params(row["vmin"], row["vmax"], row["n"], qtype)
 
 
@@ -231,7 +249,7 @@ def vector_quantize(
     ``maxRecordsPerFile`` so each output file is one readable
     "chunk" no bigger than the budget.
     """
-    params = compute_quant_params(df, column, qtype)
+    params = compute_quant_params(df, column, qtype, dim=dim)
     # runtime backend dispatch (init_distance_functions analog): the
     # Arrow/NumPy encode produces bit-identical integer codes ~10x
     # faster at high dims; HOF expression stays the default

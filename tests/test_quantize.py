@@ -125,3 +125,17 @@ def test_quantize_numpy_backend_codes_identical(spark, emb, tmp_path):
     rows_a = {r.id: list(r.qvec) for r in spark.read.parquet(a_path).collect()}
     rows_b = {r.id: list(r.qvec) for r in spark.read.parquet(b_path).collect()}
     assert rows_a == rows_b
+
+
+def test_quantize_declared_dim_rejects_malformed(spark, tmp_path):
+    """Wrong-length vectors fail the build when dim is declared
+    (reference short-blob error, sqlite-vector.c:1219-1225)."""
+    from sqlite_vector_spark.operators.quantize import vector_quantize
+
+    rows = [(0, [1.0, 2.0]), (1, [3.0, 4.0]), (2, [5.0])]
+    df = spark.createDataFrame(rows, "id long, v array<float>")
+    with pytest.raises(ValueError, match="dimension"):
+        vector_quantize(df, "v", str(tmp_path / "q"), dim=2)
+    # without the declaration the scan paths trust the data (SURVEY §2.3)
+    p = vector_quantize(df.where("id < 2"), "v", str(tmp_path / "q2"), dim=2)
+    assert p.count == 2
