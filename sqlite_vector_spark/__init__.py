@@ -42,6 +42,7 @@ from sqlite_vector_spark.operators.quantize import (
     vector_quantize_scan_stream,
 )
 from sqlite_vector_spark.operators.search import full_scan, full_scan_stream
+from sqlite_vector_spark.router import knn
 from sqlite_vector_spark.version import __version__, set_backend, vector_backend, vector_version
 
 #: reference TVF names (sqlite-vector.c:2377-2459) — aliases so every
@@ -57,6 +58,7 @@ __all__ = [
     "vector_backend",
     "set_backend",
     "VectorCatalog",
+    "knn",
     "distance",
     "vector_literal",
     "vector_as_f32",

@@ -1,0 +1,57 @@
+"""Index selection: route a top-k request to the best registered path.
+
+SURVEY §4 flags this as the one optional optimizer extension beyond
+reference parity — a rule rewriting "ORDER BY distance LIMIT k" over a
+registered vector table onto the quantized replica. No Catalyst rule
+is needed: the catalog already knows whether a replica exists, so the
+routing decision is metadata-only at the API layer (the same place the
+reference decides between vector_full_scan and vector_quantize_scan by
+which TVF the user names — here the engine picks).
+
+Distances follow the routed path's domain: exact scans return true
+distances; replica scans return quantized-unit distances (SURVEY §2.3
+— never rescaled). Callers that need comparable distances across paths
+should rerank, e.g. ``rerank_scan`` in workload.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sqlite_vector_spark.catalog import VectorCatalog
+from sqlite_vector_spark.operators.quantize import QuantParams, vector_quantize_scan
+from sqlite_vector_spark.operators.search import full_scan
+
+
+def knn(
+    spark: SparkSession,
+    catalog: VectorCatalog,
+    table: str,
+    column: str,
+    query: Sequence[float],
+    k: int,
+    metric: str | None = None,
+    prefer: str = "auto",
+    id_col: str = "id",
+) -> DataFrame:
+    """Top-k over a registered vector column.
+
+    ``prefer``: "auto" uses the quantized replica when one is
+    registered (the cheap path, mirroring the reference's TVF cost
+    asymmetry, sqlite-vector.c:1851 vs 2248), "exact" forces the base
+    scan, "quantized" requires the replica (error if absent).
+    """
+    if prefer not in ("auto", "exact", "quantized"):
+        raise ValueError(f"prefer must be auto|exact|quantized, got {prefer!r}")
+    ctx = catalog.get(table, column)
+    m = metric or ctx.distance
+    has_replica = ctx.quantized_path is not None and ctx.qscale is not None
+    if prefer == "quantized" and not has_replica:
+        raise ValueError(f"{table}.{column} has no quantized replica — run vector_quantize first")
+    if prefer != "exact" and has_replica:
+        codes = spark.read.parquet(ctx.quantized_path)
+        params = QuantParams(ctx.resolved_qtype, float(ctx.qscale), float(ctx.qoffset), 0)
+        return vector_quantize_scan(codes, query, params, k, m)
+    return full_scan(spark.table(table), column, query, k, m, id_col=id_col)

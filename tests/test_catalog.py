@@ -96,3 +96,34 @@ def test_reference_registered_surface_resolves():
     ):
         assert callable(getattr(sv, name)), name
     assert callable(sv.VectorCatalog.vector_init)
+
+
+def test_router_index_selection(spark, emb, tmp_path):
+    """knn() routes to the quantized replica when registered, the base
+    scan otherwise / when forced; the replica route reads the shadow
+    parquet, not the base table."""
+    import pytest as _pytest
+
+    from sqlite_vector_spark.catalog import VectorCatalog
+    from sqlite_vector_spark.operators.quantize import vector_quantize
+    from sqlite_vector_spark.router import knn
+
+    cat = VectorCatalog(str(tmp_path / "cat"))
+    emb.createOrReplaceTempView("emb_router_t")
+    cat.vector_init(emb, "emb_router_t", "embedding", "type=FLOAT32,dimension=64,distance=L2")
+
+    with _pytest.raises(ValueError, match="no quantized replica"):
+        knn(spark, cat, "emb_router_t", "embedding", [0.1] * 64, 5, prefer="quantized")
+    # no replica yet -> auto falls back to exact
+    exact = knn(spark, cat, "emb_router_t", "embedding", [0.1] * 64, 5, id_col="vec_id")
+    assert exact.count() == 5
+
+    shadow = str(tmp_path / "shadow")
+    vector_quantize(emb, "embedding", shadow, id_col="vec_id", catalog=cat, table="emb_router_t")
+    routed = knn(spark, cat, "emb_router_t", "embedding", [0.1] * 64, 5)
+    assert any("shadow" in f for f in routed.inputFiles())  # replica scan
+    assert routed.count() == 5
+    forced = knn(spark, cat, "emb_router_t", "embedding", [0.1] * 64, 5, prefer="exact", id_col="vec_id")
+    assert not any("shadow" in f for f in forced.inputFiles())
+    # same neighbor set on this corpus (quantized-domain distances)
+    assert {r.id for r in routed.collect()} == {r.id for r in forced.collect()}
