@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": w.jaccard_pairs_q,
         "embedding_neardup": w.embedding_neardup_q,
         "neardup_representatives": w.neardup_representatives_q,
+        "sample_mix": w.sample_mix_q,
         # -- LLM-pipeline: embedding utilities + composite prep
         "normalize": w.normalize_q,
         "corpus_prep": w.corpus_prep_q,
@@ -156,6 +157,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": o.jaccard_pairs_q(),
         "embedding_neardup": o.embedding_neardup_q(),
         "neardup_representatives": o.neardup_representatives_q(w.JACCARD_T),
+        "sample_mix": o.sample_mix_q(w.MIX_RATES),
         "normalize": o.normalize_q(),
         "corpus_prep": o.corpus_prep_q(),
         "ivf_scan_l2": o.ivf_scan_l2(),

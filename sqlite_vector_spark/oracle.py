@@ -547,6 +547,15 @@ JOIN cnt ca ON ca.id = c.a
 JOIN cnt cb ON cb.id = c.b"""
 
 
+def sample_mix_q(rates: dict[str, int]) -> str:
+    case = "CASE lang " + " ".join(f"WHEN '{k}' THEN {v}" for k, v in rates.items()) + " ELSE 0 END"
+    bucket = f"(({polyhash_sql('text')}) % 100 + 100) % 100"
+    return f"""SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, {bucket} AS bucket
+FROM documents
+WHERE {bucket} < {case}
+ORDER BY doc_id"""
+
+
 def neardup_representatives_q(jaccard_t: float) -> str:
     did = "CAST(d.doc_id AS BIGINT)"
     rep = f"least({did}, coalesce(nbr.min_nbr, {did}))"

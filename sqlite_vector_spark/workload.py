@@ -608,6 +608,28 @@ def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(_emb(spark, sf_dir), "vec_id", "embedding", HYPERPLANES, NEARDUP_T)
 
 
+#: per-language keep rates (percent) for the training-mix sampler —
+#: downsample the dominant language, keep the tail
+MIX_RATES = {"en": 40, "de": 80, "es": 80, "fr": 80, "zh": 60}
+
+
+def sample_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for a training-data mix:
+    keep a document iff its content-hash bucket (fingerprint % 100)
+    falls under its language's rate. No RNG -> reproducible across
+    runs and engines; map-only -> no shuffle; rebalances the corpus
+    the way large LLM mixes downweight dominant sources."""
+    d = _docs(spark, sf_dir)
+    rate_map = F.create_map(*[F.lit(x) for kv in MIX_RATES.items() for x in kv])
+    bucket = F.pmod(fingerprint(F.col("text")), F.lit(100))
+    return (
+        d.withColumn("bucket", bucket)
+        .where(F.col("bucket") < F.coalesce(rate_map[F.col("lang")], F.lit(0)))
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "lang", "bucket")
+        .orderBy("doc_id")
+    )
+
+
 #: verified-near-dup bar for representative selection
 JACCARD_T = 0.8
 
