@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": w.embedding_neardup_q,
         "neardup_representatives": w.neardup_representatives_q,
         "sample_mix": w.sample_mix_q,
+        "token_budget_pack": w.token_budget_pack_q,
         # -- LLM-pipeline: embedding utilities + composite prep
         "normalize": w.normalize_q,
         "corpus_prep": w.corpus_prep_q,
@@ -158,6 +159,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": o.embedding_neardup_q(),
         "neardup_representatives": o.neardup_representatives_q(w.JACCARD_T),
         "sample_mix": o.sample_mix_q(w.MIX_RATES),
+        "token_budget_pack": o.token_budget_pack_q(w.LANG_TOKEN_BUDGET),
         "normalize": o.normalize_q(),
         "corpus_prep": o.corpus_prep_q(),
         "ivf_scan_l2": o.ivf_scan_l2(),

@@ -577,7 +577,8 @@ def normalize_q() -> str:
 FROM embeddings WHERE embedding IS NOT NULL"""
 
 
-def corpus_prep_q() -> str:
+def _quality_sql() -> tuple[str, str]:
+    """(n_tokens, quality) SQL — mirror of functions.text.quality_score."""
     n_tok = f"CAST(len({WORDS}) AS BIGINT)"
     n_chr = "CAST(length(text) AS BIGINT)"
     n_punct = f"CAST(length(text) - length(regexp_replace(text, '{_PUNCT_RE}', '', 'g')) AS BIGINT)"
@@ -588,6 +589,11 @@ def corpus_prep_q() -> str:
     punct_score = f"(1.0 - least(CAST({n_punct} AS DOUBLE) / {chrd} * 4.0, 1.0))"
     stop_score = f"least(CAST({n_stop} AS DOUBLE) / {tokd} * 4.0, 1.0)"
     quality = f"(CASE WHEN {chrd} = 0.0 THEN 0.0 ELSE ({len_score} + {punct_score} + {stop_score}) / 3.0 END)"
+    return n_tok, quality
+
+
+def corpus_prep_q() -> str:
+    n_tok, quality = _quality_sql()
     return f"""WITH stats AS (
   SELECT doc_id, text, {n_tok} AS n_tokens, {quality} AS quality
   FROM documents),
@@ -596,6 +602,21 @@ keepers AS (SELECT text, min(doc_id) AS doc_id FROM filtered GROUP BY text)
 SELECT f.doc_id, f.n_tokens, f.quality
 FROM filtered f
 WHERE EXISTS (SELECT 1 FROM keepers k WHERE k.text = f.text AND k.doc_id = f.doc_id)"""
+
+
+def token_budget_pack_q(budget: int) -> str:
+    n_tok, quality = _quality_sql()
+    return f"""WITH stats AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, {n_tok} AS n_tokens, {quality} AS quality
+  FROM documents),
+p AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM stats)
+SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM p WHERE cum_tokens <= {budget}
+ORDER BY doc_id"""
 
 
 def _plane_dot(vec: str, plane: list[float]) -> str:

@@ -630,6 +630,37 @@ def sample_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-language token budget for greedy mix packing
+LANG_TOKEN_BUDGET = 1500
+
+
+def token_budget_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget packing: per language, take the
+    highest-quality documents until the budget is spent — the final
+    'fill the mix' step of corpus assembly. The window partitions by
+    lang, so state is bounded per shard; at cluster scale budgets
+    shard again by (lang, hash-bucket) with per-bucket quotas."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    stats = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang",
+        token_count(t).alias("n_tokens"),
+        quality_score(t).alias("quality"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        stats.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+        .where(F.col("cum_tokens") <= LANG_TOKEN_BUDGET)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")
+    )
+
+
 #: verified-near-dup bar for representative selection
 JACCARD_T = 0.8
 
