@@ -105,6 +105,9 @@ def main():
     bench("minhash_lsh_pairs", lambda: w.lsh_pairs_q(spark, SF_DIR).count(), n=2)
     bench("simhash", lambda: w.simhash_q(spark, SF_DIR).count(), n=2)
     bench("embedding_neardup", lambda: w.embedding_neardup_q(spark, SF_DIR).count(), n=2)
+    bench("embedding_code_dedup", lambda: w.embedding_code_dedup_q(spark, SF_DIR).count(), n=2)
+    bench("sample_mix", lambda: w.sample_mix_q(spark, SF_DIR).count(), n=2)
+    bench("token_budget_pack", lambda: w.token_budget_pack_q(spark, SF_DIR).count(), n=2)
     bench("ivf_scan_l2", lambda: w.ivf_scan_l2(spark, SF_DIR).collect(), n=2)
 
     total = round(sum(times.values()), 4)
