@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": w.sessionize,
         "promo_revenue_share": w.promo_revenue_share,
         "events_rollup": w.events_rollup,
+        "events_props_agg": w.events_props_agg,
         "quality_rejects": w.quality_rejects,
         # -- LLM-pipeline: text analysis (north star, BASELINE.json)
         "text_stats": w.text_stats,
@@ -145,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": o.sessionize(w.SESSION_GAP_US),
         "promo_revenue_share": o.promo_revenue_share(),
         "events_rollup": o.events_rollup(),
+        "events_props_agg": o.events_props_agg(),
         "quality_rejects": o.quality_rejects(),
         "text_stats": o.text_stats(),
         "token_counts": o.token_counts_q(),

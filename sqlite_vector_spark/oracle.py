@@ -336,6 +336,15 @@ GROUP BY user_id, session_seq
 ORDER BY user_id, session_seq"""
 
 
+def events_props_agg() -> str:
+    k = "CAST(json_extract(props, '$.k') AS BIGINT)"
+    return f"""SELECT event_type, count(*) AS n, sum({k}) AS sum_k, min({k}) AS min_k, max({k}) AS max_k
+FROM events
+WHERE {k} IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type"""
+
+
 def order_priority_counts() -> str:
     return """SELECT o_orderpriority, count(*) AS order_count
 FROM orders

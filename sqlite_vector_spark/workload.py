@@ -441,6 +441,26 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull ``k`` out of the JSON props
+    string per event and aggregate per event type. JSON path eval is
+    a map-only projection; only (type, partial aggregates) shuffle."""
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .where(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """semi-join pattern (TPC-H Q4 shape): orders having at least one
     late lineitem, counted per priority."""
