@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- LLM-pipeline: ANN similarity search (IVF partition-pruned)
         "ivf_scan_l2": w.ivf_scan_l2,
         "ivf_scan_cosine": w.ivf_scan_cosine,
+        "lsh_scan_cosine": w.lsh_scan_cosine,
         "embedding_code_dedup": w.embedding_code_dedup_q,
         "ivf_kmeans_scan_l2": w.ivf_kmeans_scan_l2,  # rows-only (iterative)
     }
@@ -166,5 +167,6 @@ def oracle_sql() -> dict[str, str]:
         "corpus_prep": o.corpus_prep_q(),
         "ivf_scan_l2": o.ivf_scan_l2(),
         "ivf_scan_cosine": o.ivf_scan("COSINE"),
+        "lsh_scan_cosine": o.lsh_scan_cosine(w._query_bucket()[1]),
         "embedding_code_dedup": o.embedding_code_dedup_q(),
     }

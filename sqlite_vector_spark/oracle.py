@@ -660,6 +660,20 @@ GROUP BY qvec
 ORDER BY keep_id"""
 
 
+def lsh_scan_cosine(probes: list[int]) -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN {_plane_dot('embedding', plane)} > 0.0 THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(HYPERPLANES)
+    )
+    d = dist_sql("COSINE", "embedding", "q")
+    return f"""WITH qq AS (SELECT {qvec_literal(Q64)} AS q)
+SELECT vec_id AS id, {d} AS distance
+FROM embeddings, qq
+WHERE embedding IS NOT NULL AND ({bucket}) IN ({", ".join(str(int(b)) for b in probes)})
+ORDER BY distance ASC, id ASC
+LIMIT {K}"""
+
+
 def ivf_scan(metric: str) -> str:
     d_assign = dist_sql("L2", "e.embedding", "c.cv")
     d_probe = dist_sql("L2", "cv", "q")

@@ -840,6 +840,36 @@ def ivf_scan_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(assigned, Q64, centroids, IVF_K, nprobe=IVF_NPROBE, metric="L2")
 
 
+def _query_bucket() -> tuple[int, list[int]]:
+    """Driver-side hyperplane bucket of Q64 + Hamming-1 multiprobe
+    set. Same sequential left-fold dot in float64 as the engine's
+    hyperplane_bucket and the oracle SQL — bit-reproducible."""
+    qb = 0
+    for p, plane in enumerate(HYPERPLANES):
+        acc = 0.0
+        for h, q in zip(plane, Q64):
+            acc = acc + float(q) * float(h)
+        if acc > 0.0:
+            qb += 1 << p
+    probes = [qb] + [qb ^ (1 << p) for p in range(len(HYPERPLANES))]
+    return qb, probes
+
+
+def lsh_scan_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (the hash analog of IVF): restrict the corpus
+    to the query's hyperplane bucket plus its Hamming-1 multiprobe
+    neighbors, exact cosine top-k within. With the bucket column
+    materialized and the table partitioned by it, the IN filter is
+    partition pruning — candidate volume ~ (1+P)/2^P of the corpus."""
+    from sqlite_vector_spark.operators.dedup import hyperplane_bucket
+
+    _, probes = _query_bucket()
+    emb = _emb(spark, sf_dir)
+    bucketed = emb.withColumn("bucket", hyperplane_bucket("embedding", HYPERPLANES))
+    pruned = bucketed.where(F.col("bucket").isin([int(b) for b in probes]))
+    return full_scan(pruned, "embedding", Q64, K, "COSINE", id_col="vec_id")
+
+
 def ivf_scan_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with cosine scoring over L2-assigned clusters — the
     standard normalized-corpus recipe: partition geometry in L2,
