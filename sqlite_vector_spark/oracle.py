@@ -139,7 +139,11 @@ def quantize_params() -> str:
 
 
 def quantize_codes() -> str:
-    return CODES
+    # serialized form matching workload.quantize_codes (gate-hashable)
+    return f"""SELECT id,
+       array_to_string(list_transform(qvec, x -> CAST(x AS VARCHAR)), ',') AS qvec_csv,
+       CAST(len(qvec) AS INTEGER) AS dim
+FROM ({CODES})"""
 
 
 def quantize_scan(metric: str, k: int | None = K) -> str:
@@ -242,7 +246,9 @@ GROUP BY e.qid"""
 def codec_json_roundtrip() -> str:
     return """SELECT l_orderkey AS okey,
        CAST(l_linenumber AS INTEGER) AS lnum,
-       CAST(concat('[', l_orderkey, ',', l_linenumber, ',', l_suppkey, ']') AS FLOAT[]) AS vec,
+       array_to_string(list_transform(
+           CAST(concat('[', l_orderkey, ',', l_linenumber, ',', l_suppkey, ']') AS FLOAT[]),
+           x -> CAST(CAST(x AS INTEGER) AS VARCHAR)), ',') AS vec_csv,
        CAST(3 AS INTEGER) AS dim
 FROM lineitem WHERE l_orderkey <= 200"""
 
@@ -338,7 +344,9 @@ ORDER BY user_id, session_seq"""
 
 def events_props_agg() -> str:
     k = "CAST(json_extract(props, '$.k') AS BIGINT)"
-    return f"""SELECT event_type, count(*) AS n, sum({k}) AS sum_k, min({k}) AS min_k, max({k}) AS max_k
+    # CAST the sum: DuckDB sum(BIGINT) yields HUGEINT (int128) which the
+    # driver canonicalizer hashes differently from Spark's BIGINT.
+    return f"""SELECT event_type, count(*) AS n, CAST(sum({k}) AS BIGINT) AS sum_k, min({k}) AS min_k, max({k}) AS max_k
 FROM events
 WHERE {k} IS NOT NULL
 GROUP BY event_type

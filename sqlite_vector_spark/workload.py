@@ -110,7 +110,16 @@ def _codes_df(emb: DataFrame) -> DataFrame:
 
 
 def quantize_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _codes_df(_emb(spark, sf_dir))
+    """Declared-gate form of the code table: the ARRAY<SMALLINT> codes
+    are serialized to a CSV string so the driver's canonicalizer (which
+    sorts + hashes scalar columns) can adjudicate them; the raw array
+    path stays in _codes_df for the scan pipelines."""
+    codes = _codes_df(_emb(spark, sf_dir))
+    return codes.select(
+        "id",
+        F.concat_ws(",", F.col("qvec").cast("array<string>")).alias("qvec_csv"),
+        F.size("qvec").alias("dim"),
+    )
 
 
 def _quantized_query_col() -> F.Column:
@@ -270,10 +279,12 @@ def codec_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 200)
     js = F.concat(F.lit("["), F.col("l_orderkey"), F.lit(","), F.col("l_linenumber"), F.lit(","), F.col("l_suppkey"), F.lit("]"))
     vec = F.from_json(js, "array<float>")
+    # serialize via int so float-format differences can't perturb the
+    # gate hash (values are integral by construction)
     return li.select(
         F.col("l_orderkey").alias("okey"),
         F.col("l_linenumber").cast("int").alias("lnum"),
-        vec.alias("vec"),
+        F.concat_ws(",", vec.cast("array<int>").cast("array<string>")).alias("vec_csv"),
         F.size(vec).alias("dim"),
     )
 
