@@ -4,18 +4,39 @@ lane rules (SURVEY.md §2.5).
 Semantics ground truth — the reference CPU kernels for half-precision
 inputs (/root/reference/src/distance-cpu.c):
 
-- bf16 L2 164-205 / f16 L2 318-364: LASSQ-style scaled sum of squares
-  accumulated in DOUBLE for overflow safety (LASSQ_UPDATE macro,
-  distance-cpu.c:23-35). Any lane whose difference is ±Inf (which
-  includes mismatched-sign infinities) returns +INFINITY immediately
-  (182-185, 332-335); NaN lanes — from a NaN input or from same-sign
-  Inf−Inf — contribute nothing (182-191, 338-348).
-- f16 L1 366-397: NaN lanes skipped; an Inf difference → +INFINITY.
-- f16 DOT 399-429: NaN lanes skipped; the first ±Inf product returns
-  ∓INFINITY (sign negated with the final distance, 413-416).
-- f16 COSINE 431-466: any Inf lane → 1.0; non-finite or zero
-  denominator → 1.0; the cosine is clamped to [−1, 1] (462-465) so the
-  distance lands in [0, 2].
+The two half formats have DIFFERENT lane rules in the reference, and
+this module replicates each:
+
+- **f16 L2/SQUARED_L2 318-364, L1 366-397**: the Inf check runs on the
+  RAW INPUTS before the NaN skip — any lane where either side is ±Inf
+  and the pair is not same-signed-Inf returns +INFINITY immediately
+  (332-335), *including lanes whose other side is NaN*. Only then are
+  NaN-input lanes skipped (338-348). LASSQ-style scaled sum of squares
+  accumulated in DOUBLE (LASSQ_UPDATE, distance-cpu.c:23-35).
+- **f16 DOT 399-429**: NaN-input lanes skipped; the first ±Inf product
+  in lane order returns ∓INFINITY (sign negated with the final
+  distance, 413-416); a NaN product from non-NaN inputs (0·Inf)
+  poisons the accumulator → NaN result.
+- **f16 COSINE 431-466**: NaN-input lanes skipped; any Inf lane → 1.0;
+  non-finite or non-positive denominator or non-finite dot → 1.0; the
+  cosine is clamped to [−1, 1] (462-465) so the distance is in [0, 2].
+- **bf16 L2/SQUARED_L2 164-205**: rules key off the FLOAT32 DIFFERENCE
+  instead: isinf(x−y) → +INFINITY (176-190, so a bf16-max-vs-negated
+  overflow returns Inf), isnan(x−y) — NaN input OR same-sign Inf−Inf —
+  skips the lane. (Inf, NaN) is therefore a *skipped* lane for bf16
+  but +INFINITY for f16.
+- **bf16 L1 286-314 / DOT 255-284 / COSINE 207-253**: NO lane rules —
+  plain float32 folds; NaN propagates to the result, Inf accumulates.
+  bf16 COSINE only guards zero norms (→ 1.0) and does NOT clamp the
+  cosine; f16's clamp does not apply.
+
+Deliberate deviation (documented, mirrored by the golden tests): for
+f16 L2/L1 a same-signed (Inf, Inf) lane is SKIPPED here, where the
+reference falls through its input checks, computes Inf−Inf = NaN, and
+poisons the accumulator (LASSQ_UPDATE(NaN), 338-348) — an accidental
+NaN result we do not replicate, same policy as the preload-arity bug
+(SURVEY §2.3). All final distances are rounded through FLOAT32 like
+the reference's `return (float)out`.
 
 These rules are not expressible with Spark's built-in array HOFs
 (NaN/Inf branching per lane defeats codegen and `aggregate` cannot
@@ -79,37 +100,83 @@ def _first_inf_sign(np, prod, valid):
     return np.where(has, sign, 0.0)
 
 
-def _distances(np, mat, q, metric: Metric):
+def _f32(np, d):
+    """Round final distances through FLOAT32 like `return (float)out`."""
+    with np.errstate(over="ignore"):
+        return d.astype(np.float32).astype(np.float64)
+
+
+def _lassq(np, fin):
+    """Two-pass LASSQ: scale = max|d|, ssq = Σ(d/scale)² (algebraically
+    identical to the sequential LASSQ_UPDATE, distance-cpu.c:23-35)."""
+    scale = np.abs(fin).max(axis=1) if fin.shape[1] else np.zeros(fin.shape[0])
+    safe = np.where(scale == 0.0, 1.0, scale)
+    ssq = ((fin / safe[:, None]) ** 2).sum(axis=1)
+    return np.where(scale == 0.0, 0.0, (safe**2) * ssq)
+
+
+def _distances(np, mat, q, metric: Metric, vtype: VectorType = VectorType.F16):
+    f16 = vtype is not VectorType.BF16
     nan_lane = np.isnan(mat) | np.isnan(q)[None, :]
 
     if metric in (Metric.L2, Metric.SQUARED_L2, Metric.L1):
-        diff = np.where(nan_lane, 0.0, mat - q[None, :])
-        # same-sign Inf−Inf yields NaN: a skipped lane (distance-cpu.c:338-348)
-        skip = nan_lane | np.isnan(diff)
-        diff = np.where(skip, 0.0, diff)
-        inf_row = np.isinf(diff).any(axis=1)
+        if f16:
+            # Inf-mismatch on RAW inputs before the NaN skip
+            # (distance-cpu.c:332-335): covers (Inf, finite), (Inf, NaN)
+            # and opposite-signed (Inf, Inf).
+            inf_m, inf_q = np.isinf(mat), np.isinf(q)[None, :]
+            same_sign = inf_m & inf_q & (np.sign(mat) == np.sign(q)[None, :])
+            inf_row = ((inf_m | inf_q) & ~same_sign).any(axis=1)
+            # same-sign Inf pair: skipped (documented deviation — the
+            # reference NaN-poisons via LASSQ_UPDATE(Inf−Inf))
+            skip = nan_lane | same_sign
+            with np.errstate(invalid="ignore"):
+                diff = np.where(skip, 0.0, mat - q[None, :])
+        else:
+            # bf16: rules key off the FLOAT32 difference
+            # (distance-cpu.c:176-190); overflow to Inf is semantic.
+            with np.errstate(invalid="ignore", over="ignore"):
+                d32 = (mat - q[None, :]).astype(np.float32)
+            if metric is Metric.L1:
+                # bf16 L1 (286-314): plain fold, NO lane rules — NaN
+                # propagates, Inf accumulates.
+                return _f32(np, np.abs(d32.astype(np.float64)).sum(axis=1))
+            inf_row = np.isinf(d32).any(axis=1)
+            diff = np.where(np.isnan(d32), 0.0, d32.astype(np.float64))
         if metric is Metric.L1:
             d = np.abs(np.where(np.isinf(diff), 0.0, diff)).sum(axis=1)
-            return np.where(inf_row, np.inf, d)
+            return np.where(inf_row, np.inf, _f32(np, d))
         fin = np.where(np.isinf(diff), 0.0, diff)
-        scale = np.abs(fin).max(axis=1)
-        safe = np.where(scale == 0.0, 1.0, scale)
-        ssq = ((fin / safe[:, None]) ** 2).sum(axis=1)
-        sq = np.where(scale == 0.0, 0.0, (safe**2) * ssq)
+        sq = _lassq(np, fin)
         d = sq if metric is Metric.SQUARED_L2 else np.sqrt(sq)
-        return np.where(inf_row, np.inf, d)
+        return np.where(inf_row, np.inf, _f32(np, d))
 
     if metric is Metric.DOT:
-        with np.errstate(invalid="ignore"):
+        with np.errstate(invalid="ignore", over="ignore"):
             prod = mat * q[None, :]
-        skip = nan_lane | np.isnan(prod)  # includes 0·Inf
-        valid = ~skip
+        if not f16:
+            # bf16 DOT (255-284): plain fold, NaN propagates.
+            return _f32(np, -prod.sum(axis=1))
+        valid = ~nan_lane
         infsign = _first_inf_sign(np, prod, valid)
-        prod = np.where(skip | np.isinf(prod), 0.0, prod)
-        d = -prod.sum(axis=1)
+        # 0·Inf on non-NaN inputs poisons the accumulator (399-429) —
+        # unless an Inf product short-circuits first.
+        poison = (np.isnan(prod) & valid).any(axis=1)
+        fin = np.where(~valid | np.isnan(prod) | np.isinf(prod), 0.0, prod)
+        d = _f32(np, -fin.sum(axis=1))
+        d = np.where(poison, np.nan, d)
         return np.where(infsign != 0.0, -infsign * np.inf, d)
 
     if metric is Metric.COSINE:
+        if not f16:
+            # bf16 COSINE (207-253): no NaN/Inf handling, no clamp;
+            # only zero norms → 1.0.
+            with np.errstate(invalid="ignore", over="ignore", divide="ignore"):
+                num = (mat * q[None, :]).sum(axis=1)
+                nx = (mat * mat).sum(axis=1)
+                ny = float((q * q).sum())
+                d = 1.0 - num / (np.sqrt(nx) * np.sqrt(ny))
+            return np.where((nx == 0.0) | (ny == 0.0), 1.0, _f32(np, d))
         valid = ~nan_lane
         a = np.where(valid, mat, 0.0)
         qq = np.where(valid, q[None, :], 0.0)
@@ -120,8 +187,9 @@ def _distances(np, mat, q, metric: Metric):
         denom = np.sqrt((a * a).sum(axis=1)) * np.sqrt((qq * qq).sum(axis=1))
         with np.errstate(divide="ignore", invalid="ignore"):
             cos = np.clip(num / denom, -1.0, 1.0)  # distance-cpu.c:462-465
-        bad = any_inf | ~np.isfinite(denom) | (denom == 0.0)
-        return np.where(bad, 1.0, 1.0 - cos)
+        # !(denom > 0) || !isfinite(denom) || !isfinite(dot) → 1.0 (459-460)
+        bad = any_inf | ~np.isfinite(denom) | (denom <= 0.0) | ~np.isfinite(num)
+        return np.where(bad, 1.0, _f32(np, 1.0 - cos))
 
     raise ValueError(metric)  # pragma: no cover
 
@@ -130,7 +198,9 @@ def halffloat_distance_udf(
     metric: str | Metric, query: Sequence[float], vtype: VectorType = VectorType.F16
 ):
     """pandas UDF: packed f16/bf16 BINARY column -> DOUBLE distance to
-    ``query`` with the reference lane rules. NULL blobs -> NULL."""
+    ``query`` with the reference lane rules. NULL blobs -> NULL; a
+    NaN-valued distance (bf16 NaN propagation, f16 DOT 0·Inf poison)
+    also surfaces as SQL NULL through the Arrow bridge."""
     import numpy as np
 
     m = parse_metric(metric) if isinstance(metric, str) else metric
@@ -142,7 +212,7 @@ def halffloat_distance_udf(
         out = pd.Series(np.full(len(col), np.nan), index=col.index, dtype="float64")
         if mask.any():
             mat = _decode_batch(np, col[mask].tolist(), vtype)
-            d = _distances(np, mat, q, m)
+            d = _distances(np, mat, q, m, vtype)
             d = np.where(np.abs(d) <= EPS_SNAP, 0.0, d)  # nearly_zero_float32
             out[mask] = d
         return out

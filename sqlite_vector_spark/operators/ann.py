@@ -30,7 +30,7 @@ from collections.abc import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from sqlite_vector_spark.functions.distance import distance
+from sqlite_vector_spark.functions.distance import EPS_SNAP, distance
 from sqlite_vector_spark.operators.search import full_scan
 from sqlite_vector_spark.types import Metric
 
@@ -82,7 +82,10 @@ def probe_clusters(query: Sequence[float], centroids: Sequence[Sequence[float]],
         for x, y in zip(c, query):
             d = float(x) - float(y)
             acc = acc + d * d
-        return math.sqrt(acc)
+        d = math.sqrt(acc)
+        # same nearly-zero snap as the engine/oracle scans (EPS_SNAP),
+        # so probe selection can't diverge on sub-epsilon ties
+        return 0.0 if abs(d) <= EPS_SNAP else d
 
     scored = sorted((dist(c), i) for i, c in enumerate(centroids))
     return [i for _, i in scored[:nprobe]]

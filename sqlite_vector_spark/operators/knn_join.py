@@ -20,9 +20,13 @@ window over that tiny set. This is the distributed generalization of
 the reference's k-slot array (sqlite-vector.c:2022-2106): each
 partition plays the role of one scan, the final window merges. The
 corpus is never shuffled; candidate volume is independent of corpus
-row count. Results are EXACTLY equal to the window path (same
-(distance, id) ordering) — verified in tests — so callers can switch
-on size with no semantic change.
+row count. Results match the window path to float tolerance: the
+NumPy block kernel reduces with pairwise summation, not the window
+path's sequential left fold, so distances can differ in the final
+ulp and top-k membership could in principle flip on a near-exact-tie
+k boundary (same caveat as distance.py's arrow-numpy backend).
+Equality is verified in tests on real data; callers needing
+bit-parity with the oracle use the window path.
 """
 
 from __future__ import annotations

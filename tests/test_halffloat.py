@@ -79,8 +79,13 @@ def test_f16_dot_rules(spark):
     assert d == -INF
     (d,) = run(spark, [f16_blob([-INF, 4.0, 9.0])], "DOT", q)
     assert d == INF
-    # 0 · Inf = NaN lane -> skipped
+    # 0 · Inf = NaN product on non-NaN inputs poisons the accumulator
+    # (distance-cpu.c:413-417: dot += NaN) -> NaN result, which the
+    # Arrow bridge surfaces as SQL NULL (pandas NaN == NA for floats)
     (d,) = run(spark, [f16_blob([3.0, 4.0, INF])], "DOT", q)
+    assert d is None
+    # ...but a NaN INPUT lane is skipped (411)
+    (d,) = run(spark, [f16_blob([3.0, 4.0, NAN])], "DOT", q)
     assert d == pytest.approx(-11.0)
 
 
