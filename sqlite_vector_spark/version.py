@@ -11,9 +11,20 @@ UDFs over NumPy.
 __version__ = "0.1.0"
 
 #: Execution backends, analogous to CPU/SSE2/AVX2/NEON in the reference.
-BACKENDS = ("codegen", "arrow-numpy")
+#: "auto" mirrors the reference's runtime SIMD dispatch: it resolves to
+#: arrow-numpy for literal-query scans at dim >= AUTO_DIM and codegen
+#: otherwise. Oracle-gated paths pin "codegen" (see __spark_entry__)
+#: because the NumPy pairwise sum is not bit-identical to the
+#: sequential fold the DuckDB oracle performs.
+BACKENDS = ("auto", "codegen", "arrow-numpy")
 
-_active_backend = "codegen"
+#: Measured crossover (tools/scale_probe.py, local[8]): arrow-numpy is
+#: ~3-20x faster from dim 16 upward once row counts are non-trivial,
+#: and never loses badly below that; codegen only wins on tiny vectors
+#: where the Python worker round-trip dominates.
+AUTO_DIM = 32
+
+_active_backend = "auto"
 
 
 def vector_version() -> str:
@@ -33,3 +44,11 @@ def set_backend(name: str) -> None:
     if name not in BACKENDS:
         raise ValueError(f"unknown backend {name!r}; choose from {BACKENDS}")
     _active_backend = name
+
+
+def resolve_backend(dim: int | None = None) -> str:
+    """Concrete backend for a literal-query distance of dimension
+    ``dim`` under the active setting ("auto" picks by dim)."""
+    if _active_backend != "auto":
+        return _active_backend
+    return "arrow-numpy" if dim is not None and dim >= AUTO_DIM else "codegen"

@@ -68,7 +68,7 @@ def test_version_and_backend():
     from sqlite_vector_spark import vector_backend, vector_version
 
     assert vector_version()
-    assert vector_backend() in ("codegen", "arrow-numpy")
+    assert vector_backend() in ("auto", "codegen", "arrow-numpy")
 
 
 def test_reference_registered_surface_resolves():

@@ -88,31 +88,56 @@ def test_pandas_udf_backend_agrees(spark, metric):
         assert got[i] == pytest.approx(want[i], rel=1e-12, abs=1e-12)
 
 
-def test_distance_is_codegen_plan(spark, emb):
-    """the hot path must stay JVM-side: no Python eval in the plan."""
+def test_distance_is_codegen_plan_when_pinned(spark, emb):
+    """under the pinned codegen backend (the oracle-gate setting) the
+    hot path stays JVM-side: no Python eval in the plan."""
     from sqlite_vector_spark.plans import assert_not_in_plan
+    from sqlite_vector_spark.version import set_backend
 
-    df = emb.select(distance("embedding", [0.0] * 64, "L2").alias("d"))
+    set_backend("codegen")
+    try:
+        df = emb.select(distance("embedding", [0.0] * 64, "L2").alias("d"))
+    finally:
+        set_backend("auto")
     assert_not_in_plan(df, "BatchEvalPython", "ArrowEvalPython")
+
+
+def test_auto_backend_resolves_by_dim(spark, emb):
+    """default 'auto' mirrors the reference's runtime SIMD dispatch
+    (init_distance_functions, distance-cpu.c:797-812): Arrow/NumPy for
+    dim >= AUTO_DIM literal-query scans, codegen below."""
+    from sqlite_vector_spark.plans import assert_not_in_plan
+    from sqlite_vector_spark.version import AUTO_DIM, vector_backend
+
+    assert vector_backend() == "auto"
+    wide = emb.select(distance("embedding", [0.0] * 64, "L2").alias("d"))
+    assert "ArrowEvalPython" in wide._jdf.queryExecution().executedPlan().toString()
+    narrow = _df(spark).select(distance("v", Q, "L2").alias("d"))  # dim 3 < AUTO_DIM
+    assert_not_in_plan(narrow, "BatchEvalPython", "ArrowEvalPython")
+    assert AUTO_DIM <= 64
 
 
 def test_backend_dispatch_arrow_numpy(spark, emb):
     """set_backend('arrow-numpy') routes literal-query distance through
     the NumPy kernel (reference: init_distance_functions force_cpu,
-    distance-cpu.c:797-812); results agree with codegen to float tol."""
+    distance-cpu.c:797-812); results agree with codegen to float tol
+    and RANKS are identical on real data (the auto-dispatch contract)."""
     import pytest
 
     from sqlite_vector_spark.operators.search import full_scan
-    from sqlite_vector_spark.version import set_backend, vector_backend
+    from sqlite_vector_spark.version import set_backend
 
     q = [0.1] * 64
-    base = full_scan(emb, "embedding", q, 10, "L2", id_col="vec_id").collect()
-    assert vector_backend() == "codegen"
+    set_backend("codegen")
+    try:
+        base = full_scan(emb, "embedding", q, 50, "L2", id_col="vec_id").collect()
+    finally:
+        set_backend("auto")
     set_backend("arrow-numpy")
     try:
-        alt = full_scan(emb, "embedding", q, 10, "L2", id_col="vec_id").collect()
+        alt = full_scan(emb, "embedding", q, 50, "L2", id_col="vec_id").collect()
     finally:
-        set_backend("codegen")
+        set_backend("auto")
     assert [r.id for r in alt] == [r.id for r in base]
     for a, b in zip(alt, base):
         assert a.distance == pytest.approx(b.distance, rel=1e-12)
