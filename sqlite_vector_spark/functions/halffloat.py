@@ -28,7 +28,10 @@ this module replicates each:
 - **bf16 L1 286-314 / DOT 255-284 / COSINE 207-253**: NO lane rules —
   plain float32 folds; NaN propagates to the result, Inf accumulates.
   bf16 COSINE only guards zero norms (→ 1.0) and does NOT clamp the
-  cosine; f16's clamp does not apply.
+  cosine; f16's clamp does not apply. DOT/COSINE accumulate in FLOAT32
+  (matching the reference fmaf fold): denormal products underflow to
+  0.0f — an all-denormal bf16 vector hits the zero-norm guard → 1.0 —
+  and mid-accumulation overflow saturates to ±Inf.
 
 Deliberate deviation (documented, mirrored by the golden tests): for
 f16 L2/L1 a same-signed (Inf, Inf) lane is SKIPPED here, where the
@@ -155,8 +158,15 @@ def _distances(np, mat, q, metric: Metric, vtype: VectorType = VectorType.F16):
         with np.errstate(invalid="ignore", over="ignore"):
             prod = mat * q[None, :]
         if not f16:
-            # bf16 DOT (255-284): plain fold, NaN propagates.
-            return _f32(np, -prod.sum(axis=1))
+            # bf16 DOT (255-284): plain FLOAT32 fmaf fold — accumulate
+            # in f32 so denormal products underflow to 0 and overflow
+            # saturates to Inf like the reference (ADVICE r2). Pairwise
+            # vs sequential ordering differs only in final-ulp.
+            with np.errstate(invalid="ignore", over="ignore", under="ignore"):
+                s = (mat.astype(np.float32) * q.astype(np.float32)[None, :]).sum(
+                    axis=1, dtype=np.float32
+                )
+            return _f32(np, -s.astype(np.float64))
         valid = ~nan_lane
         infsign = _first_inf_sign(np, prod, valid)
         # 0·Inf on non-NaN inputs poisons the accumulator (399-429) —
@@ -170,11 +180,16 @@ def _distances(np, mat, q, metric: Metric, vtype: VectorType = VectorType.F16):
     if metric is Metric.COSINE:
         if not f16:
             # bf16 COSINE (207-253): no NaN/Inf handling, no clamp;
-            # only zero norms → 1.0.
-            with np.errstate(invalid="ignore", over="ignore", divide="ignore"):
-                num = (mat * q[None, :]).sum(axis=1)
-                nx = (mat * mat).sum(axis=1)
-                ny = float((q * q).sum())
+            # only zero norms → 1.0. Dot and norms accumulate in
+            # FLOAT32 like the reference's fmaf fold (ADVICE r2): an
+            # all-denormal vector's norm underflows to 0.0f and hits
+            # the zero-norm guard, returning 1.0.
+            m32 = mat.astype(np.float32)
+            q32 = q.astype(np.float32)
+            with np.errstate(invalid="ignore", over="ignore", divide="ignore", under="ignore"):
+                num = (m32 * q32[None, :]).sum(axis=1, dtype=np.float32).astype(np.float64)
+                nx = (m32 * m32).sum(axis=1, dtype=np.float32).astype(np.float64)
+                ny = float((q32 * q32).sum(dtype=np.float32))
                 d = 1.0 - num / (np.sqrt(nx) * np.sqrt(ny))
             return np.where((nx == 0.0) | (ny == 0.0), 1.0, _f32(np, d))
         valid = ~nan_lane
@@ -237,6 +252,12 @@ def halffloat_full_scan(
     scored = (
         df.where(c.isNotNull())
         .select(F.col(id_col).cast("bigint").alias("id"), kernel(c).alias("distance"))
+        # NaN distances (bf16 NaN propagation, f16 DOT 0·Inf poison)
+        # surface as SQL NULL through Arrow, and ASC sort is NULLS
+        # FIRST — but the reference never admits them: k-slots init to
+        # INFINITY and insertion requires d < slot, which NaN never
+        # satisfies (sqlite-vector.c:1809, 2102).
+        .where(F.col("distance").isNotNull())
     )
     if k == 0:
         return scored.limit(0)

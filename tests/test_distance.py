@@ -112,7 +112,7 @@ def test_auto_backend_resolves_by_dim(spark, emb):
     assert vector_backend() == "auto"
     wide = emb.select(distance("embedding", [0.0] * 64, "L2").alias("d"))
     assert "ArrowEvalPython" in wide._jdf.queryExecution().executedPlan().toString()
-    narrow = _df(spark).select(distance("v", Q, "L2").alias("d"))  # dim 3 < AUTO_DIM
+    narrow = _df(spark).select(distance("v", Q, "L2").alias("d"))  # dim 4 < AUTO_DIM
     assert_not_in_plan(narrow, "BatchEvalPython", "ArrowEvalPython")
     assert AUTO_DIM <= 64
 

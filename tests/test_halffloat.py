@@ -128,6 +128,19 @@ def test_halffloat_full_scan_topk(spark):
     assert [r.id for r in out] == [10, 9, 11]
 
 
+def test_halffloat_full_scan_excludes_nan_distance(spark):
+    """A NaN-valued distance (bf16 L1 NaN propagation) becomes SQL NULL
+    via Arrow and would sort NULLS-FIRST into the top-k; the reference
+    never admits such rows (slots init INFINITY, insertion needs
+    d < slot, sqlite-vector.c:1809) so the scan must drop them."""
+    rows = [(i, bf16_blob([float(i), 0.0])) for i in range(5)]
+    rows.append((99, bf16_blob([float("nan"), 0.0])))  # NaN -> NaN L1 distance
+    df = spark.createDataFrame(rows, "id long, v binary")
+    out = halffloat_full_scan(df, "v", [0.0, 0.0], 3, "L1", VectorType.BF16).collect()
+    assert [r.id for r in out] == [0, 1, 2]
+    assert all(r.distance is not None for r in out)
+
+
 def test_codec_roundtrip_through_f16(spark):
     df = spark.createDataFrame([(0, [1.5, -2.25, 0.1])], "id long, v array<float>")
     back = df.select(decode_vector(encode_vector("v", VectorType.F16), VectorType.F16).alias("w"))

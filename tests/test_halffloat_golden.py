@@ -116,13 +116,24 @@ def seq_bf16(a, b, metric):
     if metric == "L1":
         return f32(sum(abs(float(np.float32(x) - np.float32(y))) for x, y in zip(a, b)))
     if metric == "DOT":
-        return f32(-sum(x * y for x, y in zip(a, b)))
+        # f32 fmaf fold (255-284): sequential f32 accumulation so
+        # denormal products underflow and overflow saturates.
+        dot = np.float32(0.0)
+        with np.errstate(over="ignore", under="ignore", invalid="ignore"):
+            for x, y in zip(a, b):
+                dot = np.float32(dot + np.float32(x) * np.float32(y))
+        return f32(-float(dot))
     if metric == "COSINE":
-        dot = sum(x * y for x, y in zip(a, b))
-        nx = sum(x * x for x in a)
-        ny = sum(y * y for y in b)
+        dot = nx = ny = np.float32(0.0)
+        with np.errstate(over="ignore", under="ignore", invalid="ignore"):
+            for x, y in zip(a, b):
+                x32, y32 = np.float32(x), np.float32(y)
+                dot = np.float32(dot + x32 * y32)
+                nx = np.float32(nx + x32 * x32)
+                ny = np.float32(ny + y32 * y32)
+        dot, nx, ny = float(dot), float(nx), float(ny)
         if nx == 0.0 or ny == 0.0:
-            return 1.0  # 248-250
+            return 1.0  # 248-250 (all-denormal norms underflow here)
         return f32(1.0 - dot / (math.sqrt(nx) * math.sqrt(ny)))  # no clamp
     raise ValueError(metric)
 
@@ -234,6 +245,25 @@ def test_documented_deviations():
     assert engine([INF, 5.0], [INF, 2.0], "L1", F16) == pytest.approx(3.0)
     # bf16 same-sign Inf: NaN diff → genuinely skipped by the reference
     assert engine([INF, 5.0], [INF, 2.0], "L2", BF16) == pytest.approx(3.0)
+
+
+def test_bf16_denormal_norm_underflows_to_zero_guard():
+    """bf16 COSINE accumulates in f32 (fmaf fold, 207-253): an
+    all-denormal vector's squared-norm products underflow f32 to 0.0,
+    so the zero-norm guard fires and the distance is exactly 1.0
+    (ADVICE r2 — an f64 accumulator would return a real cosine)."""
+    row = [BF16_DENORM, 2 * BF16_DENORM]
+    assert engine(row, row, "COSINE", BF16) == 1.0
+    a, b = decoded(row, row, BF16)
+    assert seq_bf16(a, b, "COSINE") == 1.0
+
+
+def test_bf16_dot_f32_overflow_saturates():
+    """bf16 DOT in f32: a product beyond f32 max overflows to Inf and
+    the negated distance is -Inf (no lane rules to stop it)."""
+    assert engine([BF16_MAX, 0.0], [BF16_MAX, 0.0], "DOT", BF16) == -INF
+    a, b = decoded([BF16_MAX, 0.0], [BF16_MAX, 0.0], BF16)
+    assert seq_bf16(a, b, "DOT") == -INF
 
 
 def test_dot_first_inf_product_sign_wins():
