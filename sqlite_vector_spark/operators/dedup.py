@@ -239,8 +239,24 @@ def jaccard_pairs(
     """Exact word-set Jaccard for candidate pairs (a, b) ->
     (a, b, inter, union_, jaccard). Computes set sizes/intersections
     via distinct-token joins — only candidate pairs are scored, never
-    all pairs."""
-    dw = df.select(F.col(id_col).cast("bigint").alias("id"), F.explode(words(text_col)).alias("w")).distinct()
+    all pairs.
+
+    Scale shape: the distinct-token table is built ONLY for candidate
+    docs — the corpus is semi-joined against the broadcast candidate
+    id set BEFORE the token explode, so the token-table shuffle is
+    bounded by the candidate count (typically ~0.01% of docs), not the
+    corpus size. At 100 TB, persist ``candidates`` first so its plan
+    is not recomputed for the id set and the two pair joins.
+    """
+    cand_ids = (
+        candidates.select(F.col("a").alias("id"))
+        .unionByName(candidates.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    cdocs = df.select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(text_col).alias("_t")
+    ).join(F.broadcast(cand_ids), "id", "left_semi")
+    dw = cdocs.select("id", F.explode(words("_t")).alias("w")).distinct()
     cnt = dw.groupBy("id").agg(F.count(F.lit(1)).alias("c"))
     x = dw.select(F.col("id").alias("a"), F.col("w").alias("wa"))
     y = dw.select(F.col("id").alias("b2"), F.col("w").alias("wb"))

@@ -50,6 +50,21 @@ def test_lsh_pairs_single_scan_no_cartesian(spark):
     assert_not_in_plan(df, "CartesianProduct")
 
 
+def test_jaccard_token_table_is_candidate_bounded(spark):
+    """VERDICT r2 #2: the distinct-token table must be built over
+    candidate docs only — the corpus semi-joins the broadcast candidate
+    id set BEFORE the token explode, so every token exchange is
+    candidate-bounded, never corpus-wide."""
+    df = w.jaccard_pairs_q(spark, SF)
+    plan = physical_plan(df)
+    assert_not_in_plan(df, "CartesianProduct")
+    # the token table (dw) is referenced three times (pair sides + set
+    # sizes); each copy must carry the broadcast LeftSemi pruning join
+    # under its token explode — a corpus-wide token table would show
+    # fewer LeftSemi joins than dw references
+    assert plan.count("LeftSemi") >= 3, plan[:1200]
+
+
 def test_neardup_join_is_bucket_keyed_not_cartesian(spark):
     df = w.embedding_neardup_q(spark, SF)
     assert_not_in_plan(df, "CartesianProduct", "BroadcastNestedLoopJoin")
