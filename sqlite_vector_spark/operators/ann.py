@@ -139,6 +139,66 @@ def kmeans_fit(
     return centroids
 
 
+def lsh_probe_buckets(
+    query: Sequence[float], planes: Sequence[Sequence[float]], hamming: int = 1
+) -> list[int]:
+    """Driver-side: the query's hyperplane bucket plus its Hamming-h
+    multiprobe neighbors (h=1 flips each plane bit once). Same
+    sequential left-fold dot in float64 as dedup.hyperplane_bucket and
+    the SQL oracle — bucket selection is bit-reproducible."""
+    qb = 0
+    for p, plane in enumerate(planes):
+        acc = 0.0
+        for h, q in zip(plane, query):
+            acc = acc + float(q) * float(h)
+        if acc > 0.0:
+            qb |= 1 << p
+    probes = [qb]
+    if hamming >= 1:
+        probes += [qb ^ (1 << p) for p in range(len(planes))]
+    return probes
+
+
+def lsh_bucket_store(
+    df: DataFrame,
+    vec_col: str,
+    planes: Sequence[Sequence[float]],
+    dest: str,
+    id_col: str = "id",
+) -> None:
+    """Materialize (id, vec, bucket) written ``partitionBy("bucket")``
+    — the hash analog of the IVF partitioned store. Bucket assignment
+    is one map-side projection (no shuffle); at query time the probe
+    IN filter becomes planning-time partition pruning, so only
+    (1 + P)/2^P of the corpus files are ever opened."""
+    from sqlite_vector_spark.operators.dedup import hyperplane_bucket
+
+    base = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.col(vec_col).alias("vec"),
+        hyperplane_bucket(vec_col, planes).alias("bucket"),
+    )
+    base.write.partitionBy("bucket").mode("overwrite").parquet(dest)
+
+
+def lsh_bucket_scan(
+    spark,
+    dest: str,
+    query: Sequence[float],
+    planes: Sequence[Sequence[float]],
+    k: int,
+    metric: str | Metric = "COSINE",
+    hamming: int = 1,
+) -> DataFrame:
+    """ANN over a bucket-partitioned store: probe the query's bucket +
+    Hamming-``hamming`` neighbors via an IN filter (PartitionFilters in
+    the plan — tests/test_ann.py pins it), exact top-k within."""
+    probes = lsh_probe_buckets(query, planes, hamming)
+    stored = spark.read.parquet(dest)
+    pruned = stored.where(F.col("bucket").isin([int(b) for b in probes]))
+    return full_scan(pruned, "vec", [float(x) for x in query], k, metric, id_col="id")
+
+
 def ivf_search(
     assigned: DataFrame,
     query: Sequence[float],

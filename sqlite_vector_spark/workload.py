@@ -853,25 +853,25 @@ def ivf_scan_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _query_bucket() -> tuple[int, list[int]]:
     """Driver-side hyperplane bucket of Q64 + Hamming-1 multiprobe
-    set. Same sequential left-fold dot in float64 as the engine's
-    hyperplane_bucket and the oracle SQL — bit-reproducible."""
-    qb = 0
-    for p, plane in enumerate(HYPERPLANES):
-        acc = 0.0
-        for h, q in zip(plane, Q64):
-            acc = acc + float(q) * float(h)
-        if acc > 0.0:
-            qb += 1 << p
-    probes = [qb] + [qb ^ (1 << p) for p in range(len(HYPERPLANES))]
-    return qb, probes
+    set (operators.ann.lsh_probe_buckets — bit-reproducible)."""
+    from sqlite_vector_spark.operators.ann import lsh_probe_buckets
+
+    probes = lsh_probe_buckets(Q64, HYPERPLANES, hamming=1)
+    return probes[0], probes
 
 
 def lsh_scan_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (the hash analog of IVF): restrict the corpus
     to the query's hyperplane bucket plus its Hamming-1 multiprobe
-    neighbors, exact cosine top-k within. With the bucket column
-    materialized and the table partitioned by it, the IN filter is
-    partition pruning — candidate volume ~ (1+P)/2^P of the corpus."""
+    neighbors, exact cosine top-k within — candidate volume
+    ~ (1+P)/2^P of the corpus.
+
+    This oracle-gated entry computes buckets in-plan (the testdata is
+    a plain parquet file); the production 100 TB path materializes the
+    store once with operators.ann.lsh_bucket_store (partitionBy
+    "bucket") and probes with lsh_bucket_scan, where the same IN
+    filter is planning-time partition pruning — proven equivalent and
+    plan-pinned in tests/test_ann.py::test_lsh_bucket_store_prunes."""
     from sqlite_vector_spark.operators.dedup import hyperplane_bucket
 
     _, probes = _query_bucket()
