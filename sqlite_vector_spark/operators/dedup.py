@@ -286,6 +286,59 @@ def jaccard_pairs(
     return out
 
 
+def connected_components_min_label(edges: DataFrame, max_iters: int = 30) -> DataFrame:
+    """(id, cluster) for every node appearing in ``edges``: cluster is
+    the smallest id reachable through the undirected edge set —
+    iterated min-label propagation to a fixed point (driver-checked
+    convergence), the standard Spark connected-components recipe for
+    short-diameter graphs. Near-dup clusters are chains/cliques of a
+    few docs, so the loop converges in a handful of rounds; a chain
+    A~B~C collapses to one label even though A and C share no edge
+    (the one-hop min-neighbor shortcut under-merges exactly there).
+
+    Scale shape: the corpus never enters the loop — only the verified
+    near-dup edge set (~0.01%% of docs) propagates; each iteration is
+    one equi-join of the label table with the edge list plus a
+    groupBy-min, both shuffling 16-byte rows on id. The edge set and
+    each label generation are localCheckpoint-ed so plans stay bounded
+    instead of growing one join per iteration. Broadcast the returned
+    labels back onto the corpus.
+
+    Raises RuntimeError if ``max_iters`` rounds do not converge (the
+    fixed point is required for deterministic, oracle-checkable
+    output; diameter > max_iters would silently under-merge).
+    """
+    sym = edges.select(F.col("a").cast("bigint").alias("a"), F.col("b").cast("bigint").alias("b"))
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint()
+    labels = (
+        sym.select(F.col("a").alias("id")).distinct().select("id", F.col("id").alias("cluster"))
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        nbr = (
+            sym.join(labels.select(F.col("id").alias("b"), F.col("cluster").alias("nc")), "b")
+            .groupBy("a")
+            .agg(F.min("nc").alias("min_nc"))
+            .select(F.col("a").alias("id"), "min_nc")
+        )
+        new = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("cluster"), F.coalesce(F.col("min_nc"), F.col("cluster"))).alias("cluster"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.select("id", F.col("cluster").alias("old")), "id")
+            .where(F.col("cluster") != F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"label propagation did not converge in {max_iters} iterations")
+
+
 def hyperplane_bucket(vec: str | Column, planes: Sequence[Sequence[float]]) -> Column:
     """Random-hyperplane LSH bucket id: bit p = sign(dot(vec, plane_p)).
 

@@ -574,15 +574,24 @@ ORDER BY doc_id"""
 
 
 def neardup_representatives_q(jaccard_t: float) -> str:
+    """Transitive version: rep_id = min doc_id in the connected
+    component of the verified near-dup graph, via a recursive CTE
+    computing each node's reachable set (the edge set is tiny, so the
+    transitive closure is cheap for the oracle)."""
     did = "CAST(d.doc_id AS BIGINT)"
-    rep = f"least({did}, coalesce(nbr.min_nbr, {did}))"
-    return f"""WITH jp AS ({jaccard_pairs_q()}),
+    rep = f"coalesce(comp.cluster, {did})"
+    return f"""WITH RECURSIVE jp AS ({jaccard_pairs_q()}),
 pairs AS (SELECT a, b FROM jp WHERE jaccard >= {jaccard_t!r}),
 edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
-nbr AS (SELECT a, min(b) AS min_nbr FROM edges GROUP BY a)
+reach(id, m) AS (
+  SELECT a AS id, a AS m FROM edges
+  UNION
+  SELECT e.a AS id, r.m AS m FROM edges e JOIN reach r ON r.id = e.b
+),
+comp AS (SELECT id, min(m) AS cluster FROM reach GROUP BY id)
 SELECT {did} AS doc_id, {rep} AS rep_id, {rep} <> {did} AS is_dup
 FROM documents d
-LEFT JOIN nbr ON nbr.a = CAST(d.doc_id AS BIGINT)
+LEFT JOIN comp ON comp.id = CAST(d.doc_id AS BIGINT)
 ORDER BY doc_id"""
 
 

@@ -699,26 +699,29 @@ JACCARD_T = 0.8
 def neardup_representatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-representative selection — the 'keep one per cluster'
     step of the dedup pipeline: every doc maps to the smallest doc_id
-    among itself and its verified near-duplicates (one hop over the
-    LSH->Jaccard edge set; full connected components is iterative and
-    unnecessary at this edge density). rep_id != doc_id marks the row
-    as a removable duplicate. Edge set is tiny relative to the corpus
-    -> broadcast join back onto documents."""
+    in its CONNECTED COMPONENT of the verified near-dup graph
+    (operators.dedup.connected_components_min_label, run to a fixed
+    point), so chains A~B~C collapse to one representative even when
+    A and C share no direct edge. rep_id != doc_id marks the row as a
+    removable duplicate. The component labels cover only docs in the
+    edge set -> broadcast join back onto the corpus; singletons keep
+    their own id."""
+    from sqlite_vector_spark.operators.dedup import connected_components_min_label
+
     docs = _docs(spark, sf_dir)
     pairs = (
         jaccard_pairs_q(spark, sf_dir)
         .where(F.col("jaccard") >= F.lit(JACCARD_T))
         .select("a", "b")
     )
-    edges = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    nbr = edges.groupBy("a").agg(F.min("b").alias("min_nbr"))
+    comp = connected_components_min_label(pairs)
     did = F.col("doc_id").cast("bigint")
     return (
         docs.select(did.alias("doc_id"))
-        .join(F.broadcast(nbr), F.col("doc_id") == nbr["a"], "left")
+        .join(F.broadcast(comp), F.col("doc_id") == comp["id"], "left")
         .select(
             "doc_id",
-            F.least(F.col("doc_id"), F.coalesce(F.col("min_nbr"), F.col("doc_id"))).alias("rep_id"),
+            F.coalesce(F.col("cluster"), F.col("doc_id")).alias("rep_id"),
         )
         .withColumn("is_dup", F.col("rep_id") != F.col("doc_id"))
         .orderBy("doc_id")

@@ -103,6 +103,30 @@ def test_quality_and_lang(spark, docs):
     assert all(r.lang in ("de", "en", "es", "fr", "zh", "und") for r in out)
 
 
+def test_connected_components_chain_collapses(spark):
+    """A~B~C with no direct A~C edge must collapse to ONE component
+    labeled min(id) — the under-merge the one-hop min-neighbor
+    shortcut gets wrong (VERDICT r2 #4)."""
+    from sqlite_vector_spark.operators.dedup import connected_components_min_label
+
+    edges = spark.createDataFrame([(2, 3), (3, 4)], "a long, b long")
+    got = {r.id: r.cluster for r in connected_components_min_label(edges).collect()}
+    assert got == {2: 2, 3: 2, 4: 2}
+
+
+def test_connected_components_long_chain_and_islands(spark):
+    """A 6-node path needs several propagation rounds (diameter 5);
+    separate components keep separate labels."""
+    from sqlite_vector_spark.operators.dedup import connected_components_min_label
+
+    path = [(i, i + 1) for i in range(10, 15)]  # 10-11-12-13-14-15
+    island = [(100, 101)]
+    edges = spark.createDataFrame(path + island, "a long, b long")
+    got = {r.id: r.cluster for r in connected_components_min_label(edges).collect()}
+    assert all(got[i] == 10 for i in range(10, 16))
+    assert got[100] == 100 and got[101] == 100
+
+
 def test_dedup_ops_stay_jvm_side(spark, docs):
     from sqlite_vector_spark.plans import assert_not_in_plan
 
