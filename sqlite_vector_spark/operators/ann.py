@@ -103,16 +103,22 @@ def kmeans_fit(
     """Lloyd's k-means over a vector column, DataFrame-native.
 
     Scale shape per iteration: one map-side assignment (the same O(C)
-    fold as ivf_assign — no shuffle) + one groupBy(cluster) whose
-    aggregates are per-dimension sums — partial (map-side combine)
-    aggregation, so the only thing shuffled is C x (dim+1) doubles per
-    partition, never vectors. The driver holds only the C centroids.
+    fold as ivf_assign — no shuffle) + posexplode to (cluster, pos, x)
+    rows and one groupBy(cluster, pos) sum/count. Partial (map-side
+    combine) aggregation folds the exploded rows back to C x dim
+    partials per partition before the shuffle, so shuffle volume is
+    independent of row count — and unlike a groupBy with ``dim``
+    per-dimension aggregate COLUMNS, the plan stays a 2-aggregate,
+    3-column shape at any dimension (768-col aggregate lists choke
+    codegen; this doesn't). The driver collects C x dim (cluster,
+    pos, sum, n) rows — a few thousand — and holds only the C
+    centroids.
 
-    Deterministic: seeds are the C lowest-id rows; assignment uses the
-    engine's IEEE-exact distance fold with lowest-index tiebreak.
-    Empty clusters keep their previous centroid. (pyspark.ml's KMeans
-    is the library alternative; this stays dependency-free and
-    bit-deterministic.)
+    Deterministic seeds (the C lowest-id rows) and IEEE-exact
+    assignment with lowest-index tiebreak; per-dimension sums reduce
+    in partition order, so centroid values are deterministic only up
+    to float addition order — fine for a rows-only-checked iterative
+    operator. Empty clusters keep their previous centroid.
     """
     base = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
@@ -123,18 +129,21 @@ def kmeans_fit(
         assigned = base.select(
             "vec", nearest_centroid_from(centroid_distances(F.col("vec"), centroids, metric)).alias("cluster")
         )
-        sums = (
-            assigned.groupBy("cluster")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(F.element_at("vec", i + 1).cast("double")).alias(f"s{i}") for i in range(dim)],
-            )
+        parts = (
+            assigned.select("cluster", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum(F.col("x").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
+        sums: dict[tuple[int, int], float] = {}
+        counts: dict[int, int] = {}
+        for r in parts:
+            sums[(int(r.cluster), int(r.pos))] = float(r.s)
+            counts[int(r.cluster)] = int(r.n)
         new = list(centroids)
-        for r in sums:
-            if r.n > 0:
-                new[int(r.cluster)] = [r[f"s{i}"] / r.n for i in range(dim)]
+        for ci, n in counts.items():
+            if n > 0:
+                new[ci] = [sums[(ci, p)] / n for p in range(dim)]
         centroids = new
     return centroids
 
