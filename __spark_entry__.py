@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_memory": w.quantize_memory,
         # -- kNN join + join-back + recall harness (SURVEY §2.2, §5.3)
         "knn_join_l2": w.knn_join_l2,
+        "knn_join_blocked_l2": w.knn_join_blocked_l2,  # scale path, sequential fold
         "knn_join_back": w.knn_join_back,
         "recall_at_k": w.recall_at_k,
         # -- codec (vector_as_* family, SURVEY §2.1 #8-12)
@@ -130,9 +131,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": w.jaccard_pairs_q,
         "embedding_neardup": w.embedding_neardup_q,
         "neardup_representatives": w.neardup_representatives_q,
+        # ---- past the 50-entry gate horizon: entries green in BOTH
+        # r1 and r2 (sample_mix) or metric variants of kernels gated
+        # above.
         "sample_mix": w.sample_mix_q,
-        # ---- past the 50-entry gate horizon: metric variants of
-        # kernels already gated above, green in r1 AND r2.
         "full_scan_squared_l2": w.full_scan_squared_l2,
         "full_scan_dot": w.full_scan_dot,
         "full_scan_l1": w.full_scan_l1,
@@ -170,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
         "u8_scan_cosine": o.typed_scan(w.U8_PARAMS, "COSINE"),
         "quantize_memory": o.quantize_memory(),
         "knn_join_l2": o.knn_join("L2"),
+        "knn_join_blocked_l2": o.knn_join("L2"),  # blocked path: same result contract
         "knn_join_cosine": o.knn_join("COSINE"),
         "knn_join_back": o.knn_join_back(),
         "recall_at_k": o.recall_at_k(),

@@ -6,6 +6,13 @@ local[$SPARK_GRAFT_CPUS]. Times include the full Spark action
 startup. Derived targets (BASELINE.md): quantized+cached scan should
 beat the exact scan ~4x (the preload-speedup analog); everything
 within 2x of the reference's single-node throughput at equal scale.
+
+Methodology (pinned since round 3 so cross-round deltas are
+attributable): every query runs N=3 times; "queries" reports the BEST
+run (steady-state throughput — whole-stage-codegen compile and FS
+cache warm-up amortize to zero at real scale) and "spread" reports
+max-min across the runs, so a regression can be told from machine
+noise. Set SPARK_GRAFT_BENCH_N to override.
 """
 
 from __future__ import annotations
@@ -19,11 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_N", "3"))
 
 
 def main():
     from pyspark.sql import SparkSession
-    import pyspark.sql.functions as F
 
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -49,66 +56,68 @@ def main():
     emb.count()  # warm FS cache / JIT before timing
 
     times: dict[str, float] = {}
+    spread: dict[str, float] = {}
 
-    def bench(name: str, fn, n: int = 1):
-        best = None
+    def bench(name: str, fn, n: int = N_RUNS):
+        runs = []
         for _ in range(n):
             t0 = time.time()
             fn()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 4)
+            runs.append(time.time() - t0)
+        times[name] = round(min(runs), 4)
+        spread[name] = round(max(runs) - min(runs), 4)
 
     # exact search family (collect is k rows -> negligible)
-    bench("full_scan_l2", lambda: w.full_scan_l2(spark, SF_DIR).collect(), n=2)
-    bench("full_scan_cosine", lambda: w.full_scan_cosine(spark, SF_DIR).collect(), n=2)
-    bench("full_scan_stream_l2", lambda: w.full_scan_stream_l2(spark, SF_DIR).count(), n=2)
+    bench("full_scan_l2", lambda: w.full_scan_l2(spark, SF_DIR).collect())
+    bench("full_scan_cosine", lambda: w.full_scan_cosine(spark, SF_DIR).collect())
+    bench("full_scan_stream_l2", lambda: w.full_scan_stream_l2(spark, SF_DIR).count())
 
     # quantize build (the EP2 two-pass index build) + approximate scan
     import tempfile
 
     qdir = tempfile.mkdtemp(prefix="svspark_bench_")
     dest = os.path.join(qdir, "codes")
-    t0 = time.time()
-    params = vector_quantize(emb, "embedding", dest, id_col="vec_id")
-    times["quantize_build"] = round(time.time() - t0, 4)
+    params = None
+
+    def build():
+        nonlocal params
+        params = vector_quantize(emb, "embedding", dest, id_col="vec_id")
+
+    bench("quantize_build", build)
 
     codes = spark.read.parquet(dest)
     q = w.Q64
     bench("quantize_scan_cold", lambda: vector_quantize_scan(codes, q, params, 20, "L2").collect())
     vector_quantize_preload(codes)  # persist -> the "preload" path
-    bench("quantize_scan_preloaded", lambda: vector_quantize_scan(codes, q, params, 20, "L2").collect(), n=3)
+    bench("quantize_scan_preloaded", lambda: vector_quantize_scan(codes, q, params, 20, "L2").collect())
 
     # kNN similarity join (scale path: blocked local top-k)
     queries_local = [(r.vec_id, list(r.embedding)) for r in emb.where(f"vec_id < {w.NQ}").collect()]
     bench(
         "knn_join_blocked",
         lambda: knn_join_blocked(queries_local, emb, w.KNN_K, "L2", corpus_vec="embedding", corpus_id="vec_id").collect(),
-        n=2,
     )
-    bench("knn_join_window", lambda: w.knn_join_l2(spark, SF_DIR).collect(), n=2)
-    bench("recall_at_k", lambda: w.recall_at_k(spark, SF_DIR).collect(), n=2)
+    bench("knn_join_window", lambda: w.knn_join_l2(spark, SF_DIR).collect())
+    bench("recall_at_k", lambda: w.recall_at_k(spark, SF_DIR).collect())
 
     # relational surface
-    bench("pricing_summary", lambda: w.pricing_summary(spark, SF_DIR).collect(), n=2)
-    bench("top_customers", lambda: w.top_customers(spark, SF_DIR).collect(), n=2)
-    bench("shipping_priority", lambda: w.shipping_priority(spark, SF_DIR).collect(), n=2)
-    bench("region_volume", lambda: w.region_volume(spark, SF_DIR).collect(), n=2)
-    bench("events_hourly", lambda: w.events_hourly(spark, SF_DIR).count(), n=2)
-    bench("sessionize", lambda: w.sessionize(spark, SF_DIR).count(), n=2)
+    bench("pricing_summary", lambda: w.pricing_summary(spark, SF_DIR).collect())
+    bench("top_customers", lambda: w.top_customers(spark, SF_DIR).collect())
+    bench("shipping_priority", lambda: w.shipping_priority(spark, SF_DIR).collect())
+    bench("region_volume", lambda: w.region_volume(spark, SF_DIR).collect())
+    bench("events_hourly", lambda: w.events_hourly(spark, SF_DIR).count())
+    bench("sessionize", lambda: w.sessionize(spark, SF_DIR).count())
 
-    # LLM-pipeline layer: text analysis, dedup, ANN. Best-of-2 so the
-    # numbers reflect steady-state throughput, not the one-time
-    # whole-stage-codegen compile of the big fold expressions (at real
-    # scale that compile amortizes to zero).
-    bench("text_stats", lambda: w.text_stats(spark, SF_DIR).count(), n=2)
-    bench("minhash_lsh_pairs", lambda: w.lsh_pairs_q(spark, SF_DIR).count(), n=2)
-    bench("simhash", lambda: w.simhash_q(spark, SF_DIR).count(), n=2)
-    bench("embedding_neardup", lambda: w.embedding_neardup_q(spark, SF_DIR).count(), n=2)
-    bench("embedding_code_dedup", lambda: w.embedding_code_dedup_q(spark, SF_DIR).count(), n=2)
-    bench("sample_mix", lambda: w.sample_mix_q(spark, SF_DIR).count(), n=2)
-    bench("token_budget_pack", lambda: w.token_budget_pack_q(spark, SF_DIR).count(), n=2)
-    bench("ivf_scan_l2", lambda: w.ivf_scan_l2(spark, SF_DIR).collect(), n=2)
+    # LLM-pipeline layer: text analysis, dedup, ANN
+    bench("text_stats", lambda: w.text_stats(spark, SF_DIR).count())
+    bench("minhash_lsh_pairs", lambda: w.lsh_pairs_q(spark, SF_DIR).count())
+    bench("ngram_jaccard_pairs", lambda: w.jaccard_pairs_q(spark, SF_DIR).count())
+    bench("simhash", lambda: w.simhash_q(spark, SF_DIR).count())
+    bench("embedding_neardup", lambda: w.embedding_neardup_q(spark, SF_DIR).count())
+    bench("embedding_code_dedup", lambda: w.embedding_code_dedup_q(spark, SF_DIR).count())
+    bench("sample_mix", lambda: w.sample_mix_q(spark, SF_DIR).count())
+    bench("token_budget_pack", lambda: w.token_budget_pack_q(spark, SF_DIR).count())
+    bench("ivf_scan_l2", lambda: w.ivf_scan_l2(spark, SF_DIR).collect())
 
     total = round(sum(times.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -117,6 +126,8 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": times,
+        "spread": spread,
+        "n_runs": N_RUNS,
         "sf": float(sf),
         "cpus": int(CPUS),
     }))

@@ -86,6 +86,41 @@ def knn_join(
     )
 
 
+def _seq_block_distances(np, mat, qmat, m: Metric):
+    """(B, Q) distances with SEQUENTIAL dim-order accumulation: every
+    output lane folds `acc = acc + term_i` in index order — the exact
+    rounding of the scalar left fold in the codegen expressions and
+    the oracle's list_reduce (per-lane terms are rounded once, like
+    `(x-y)*CAST((x-y) AS DOUBLE)`)."""
+    b, dim = mat.shape
+    nq = qmat.shape[0]
+    acc = np.zeros((b, nq))
+    if m in (Metric.L2, Metric.SQUARED_L2):
+        for i in range(dim):
+            diff = mat[:, i, None] - qmat[None, :, i]
+            acc += diff * diff
+        return np.sqrt(acc) if m is Metric.L2 else acc
+    if m is Metric.L1:
+        for i in range(dim):
+            acc += np.abs(mat[:, i, None] - qmat[None, :, i])
+        return acc
+    if m is Metric.DOT:
+        for i in range(dim):
+            acc += mat[:, i, None] * qmat[None, :, i]
+        return -acc
+    if m is Metric.COSINE:
+        cn = np.zeros(b)
+        qn = np.zeros(nq)
+        for i in range(dim):
+            acc += mat[:, i, None] * qmat[None, :, i]
+            cn += mat[:, i] * mat[:, i]
+            qn += qmat[:, i] * qmat[:, i]
+        denom = np.sqrt(cn)[:, None] * np.sqrt(qn)[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.where(denom == 0.0, 1.0, 1.0 - acc / denom)
+    raise ValueError(m)  # pragma: no cover
+
+
 def knn_join_blocked(
     queries_local: Sequence[tuple[int, Sequence[float]]],
     corpus: DataFrame,
@@ -93,6 +128,7 @@ def knn_join_blocked(
     metric: str | Metric = Metric.L2,
     corpus_vec: str = "embedding",
     corpus_id: str = "id",
+    accumulate: str = "pairwise",
 ) -> DataFrame:
     """Scale path: local top-k per partition (NumPy block kernel via
     mapInPandas), then global top-k window over P x Q x k rows.
@@ -101,10 +137,21 @@ def knn_join_blocked(
     query block is shipped inside the serialized task closure, i.e.
     broadcast. For query sets too big for one block, shard the list
     and union the results.
-    """
+
+    ``accumulate``: "pairwise" (default) reduces with NumPy pairwise
+    summation — fastest, final-ulp different from the sequential left
+    fold. "sequential" loops the dim axis with an (B, Q) accumulator:
+    each lane adds in index order, bit-identical to the codegen HOF
+    fold and the DuckDB oracle's list_reduce, so the blocked path can
+    be hash-gated like the window path (still vectorized over the
+    B x Q block; only the dim axis is a Python loop — ~dim array ops
+    per batch)."""
     import numpy as np
 
     m = parse_metric(metric) if isinstance(metric, str) else metric
+    if accumulate not in ("pairwise", "sequential"):
+        raise ValueError(f"accumulate must be 'pairwise' or 'sequential', got {accumulate!r}")
+    seq = accumulate == "sequential"
     qids = np.asarray([int(q) for q, _ in queries_local], dtype=np.int64)
     qmat = np.asarray([list(v) for _, v in queries_local], dtype=np.float64)  # (Q, dim)
     kk = int(k)
@@ -128,7 +175,9 @@ def knn_join_blocked(
                 continue
             ids = pdf["id"].to_numpy(dtype=np.int64)
             mat = np.array(pdf["vec"].tolist(), dtype=np.float64)  # (B, dim)
-            if m is Metric.SQUARED_L2:
+            if seq:
+                d = _seq_block_distances(np, mat, qmat, m)
+            elif m is Metric.SQUARED_L2:
                 d = ((mat[:, None, :] - qmat[None, :, :]) ** 2).sum(axis=2)
             elif m is Metric.L2:
                 d = np.sqrt(((mat[:, None, :] - qmat[None, :, :]) ** 2).sum(axis=2))

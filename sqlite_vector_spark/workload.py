@@ -206,6 +206,26 @@ def knn_join_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(queries, emb, KNN_K, "COSINE", corpus_vec="embedding", corpus_id="vec_id")
 
 
+def knn_join_blocked_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blocked (mapInPandas local-top-k) kNN join — the 100 TB
+    scale path — in sequential-fold accumulation mode, so it is
+    hash-gated against the SAME oracle as the window path instead of
+    tolerance-only checked. Candidate volume P x Q x k, corpus never
+    shuffled (operators/knn_join.py)."""
+    from sqlite_vector_spark.operators.knn_join import knn_join_blocked
+
+    emb = _emb(spark, sf_dir)
+    queries_local = [
+        (int(r.vec_id), list(r.embedding))
+        for r in emb.where(F.col("vec_id") < NQ).orderBy("vec_id").collect()
+        if r.embedding is not None
+    ]
+    return knn_join_blocked(
+        queries_local, emb, KNN_K, "L2",
+        corpus_vec="embedding", corpus_id="vec_id", accumulate="sequential",
+    )
+
+
 def knn_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join results to payload (README.md:96-99 pattern)."""
     emb = _emb(spark, sf_dir)
