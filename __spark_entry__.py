@@ -83,7 +83,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- exact search (vector_full_scan family, SURVEY §2.1 #13/#15)
         "full_scan_l2": w.full_scan_l2,
         "full_scan_cosine": w.full_scan_cosine,
-        "full_scan_k_gt_n": w.full_scan_k_gt_n,
         "full_scan_stream_l2": w.full_scan_stream_l2,
         # -- quantization (vector_quantize family, SURVEY §2.1 #4-7/#14/#16, §2.6)
         "quantize_params": w.quantize_params,
@@ -120,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- LLM-pipeline: text analysis (north star, BASELINE.json)
         "text_stats": w.text_stats,
         "token_counts": w.token_counts_q,
+        "bpe_token_counts": w.bpe_token_counts_q,  # rows-only (merge loop not SQL-expressible)
         "lang_id": w.lang_id_q,
         "fingerprint": w.fingerprint_q,
         # -- LLM-pipeline: dedup family
@@ -132,9 +132,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": w.embedding_neardup_q,
         "neardup_representatives": w.neardup_representatives_q,
         # ---- past the 50-entry gate horizon: entries green in BOTH
-        # r1 and r2 (sample_mix) or metric variants of kernels gated
-        # above.
+        # r1 and r2 (sample_mix, full_scan_k_gt_n) or metric variants
+        # of kernels gated above.
         "sample_mix": w.sample_mix_q,
+        "full_scan_k_gt_n": w.full_scan_k_gt_n,
         "full_scan_squared_l2": w.full_scan_squared_l2,
         "full_scan_dot": w.full_scan_dot,
         "full_scan_l1": w.full_scan_l1,

@@ -612,6 +612,28 @@ def token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocab-exact BPE token counts (functions/bpe.py): merges trained
+    driver-side on a deterministic corpus sample (doc_id < 50, the
+    k-means-seed pattern), applied corpus-wide via the Arrow-batched
+    merge-loop UDF. The data-dependent merge iteration is not
+    SQL-expressible -> rows-only check; subword_tokens (the gated
+    pre-token upper bound) rides along, and the invariant
+    bpe_tokens <= subword_pretokens is pinned in tests."""
+    from sqlite_vector_spark.functions.bpe import bpe_token_count_udf, train_bpe
+    from sqlite_vector_spark.functions.text import subword_token_count
+
+    docs = _docs(spark, sf_dir)
+    sample = [r.text for r in docs.where(F.col("doc_id") < 50).orderBy("doc_id").collect()]
+    merges = train_bpe(sample, num_merges=200)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        bpe_token_count_udf(merges)(t).alias("bpe_tokens"),
+        subword_token_count(t).alias("subword_tokens"),
+    )
+
+
 def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
