@@ -90,7 +90,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_scan_l2": w.quantize_scan_l2,
         "quantize_scan_stream_l2": w.quantize_scan_stream_l2,
         "rerank_scan_l2": w.rerank_scan_l2,  # two-stage: quantized prefilter + exact rerank
-        # -- FLOAT16/BFLOAT16 storage scans (lane-rule kernel; rows-only checks)
+        # -- FLOAT16/BFLOAT16 storage scans (lane-rule kernel; hash-gated
+        #    via the SQL half-rounding replay, oracle.halffloat_scan)
         "f16_scan_l2": w.f16_scan_l2,
         "bf16_scan_l2": w.bf16_scan_l2,
         # -- native INT8/UINT8 storage scans (integer-domain kernels)
@@ -169,6 +170,8 @@ def oracle_sql() -> dict[str, str]:
         "quantize_scan_squared_l2": o.quantize_scan("SQUARED_L2"),
         "quantize_scan_stream_l2": o.quantize_scan("L2", None),
         "rerank_scan_l2": o.rerank_scan_l2(),
+        "f16_scan_l2": o.halffloat_scan("f16"),
+        "bf16_scan_l2": o.halffloat_scan("bf16"),
         "i8_scan_l2": o.typed_scan(w.I8_PARAMS, "L2"),
         "u8_scan_cosine": o.typed_scan(w.U8_PARAMS, "COSINE"),
         "quantize_memory": o.quantize_memory(),

@@ -50,10 +50,14 @@ map-only projection fused into the scan stage; no shuffle, no state.
 
 LASSQ note: the reference updates scale/ssq sequentially per lane; we
 use the algebraically identical two-pass form (scale = max|diff|,
-ssq = Σ(diff/scale)²) which is equally overflow-safe and vectorizes.
-Results can differ from the sequential form only in final-ulp
-rounding, which the correctness harness treats as tolerance, not
-hash-parity (no DuckDB oracle exists for half floats).
+ssq = Σ(diff/scale)²) which is equally overflow-safe and vectorizes,
+with the Σ itself a sequential lane-order fold. Results can differ
+from the reference's one-pass form only in final-ulp rounding (golden
+tests treat that as tolerance), but they are BIT-EXACTLY reproducible
+by the DuckDB oracle (oracle.halffloat_scan), which re-derives the
+half rounding in SQL (roundbankers at the format's ulp) and replays
+the identical two-pass fold — so f16/bf16 scans are hash-gated like
+every f32 entry, not rows-only.
 """
 
 from __future__ import annotations
@@ -109,12 +113,24 @@ def _f32(np, d):
         return d.astype(np.float32).astype(np.float64)
 
 
+def _seq_sum(np, m):
+    """Row sums in strict lane order (one vectorized add per lane, so
+    the fold order equals the reference's sequential accumulate and a
+    SQL ``list_reduce`` left fold can reproduce it bit-exactly)."""
+    acc = np.zeros(m.shape[0])
+    for j in range(m.shape[1]):
+        acc = acc + m[:, j]
+    return acc
+
+
 def _lassq(np, fin):
     """Two-pass LASSQ: scale = max|d|, ssq = Σ(d/scale)² (algebraically
-    identical to the sequential LASSQ_UPDATE, distance-cpu.c:23-35)."""
+    identical to the sequential LASSQ_UPDATE, distance-cpu.c:23-35).
+    The Σ is a sequential lane-order fold — the DuckDB oracle
+    (oracle.halffloat_scan) mirrors it term for term."""
     scale = np.abs(fin).max(axis=1) if fin.shape[1] else np.zeros(fin.shape[0])
     safe = np.where(scale == 0.0, 1.0, scale)
-    ssq = ((fin / safe[:, None]) ** 2).sum(axis=1)
+    ssq = _seq_sum(np, (fin / safe[:, None]) ** 2)
     return np.where(scale == 0.0, 0.0, (safe**2) * ssq)
 
 

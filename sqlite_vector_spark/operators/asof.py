@@ -1,0 +1,77 @@
+"""As-of (point-in-time) join — the time-series operator Spark lacks.
+
+For every left row, find the most recent right row with
+``right.ts <= left.ts`` within the same partition key (user, symbol,
+sensor, ...). The reference engine has no as-of operator; this is one
+of the beyond-reference operators a training-data / event pipeline
+needs (feature lookups "as of" label time, last-touch attribution).
+
+Spark-first shape — NOT a range join and NOT a per-key collect:
+
+    union(left tagged 1, right tagged 0)
+      -> single Exchange on the partition key
+      -> Window last(value, ignorenulls) ordered by (ts, tag, id)
+      -> filter back to left rows
+
+One shuffle total, no join node at all: the classic sorted-merge
+as-of reduces to a carry-forward window over the interleaved stream.
+At 100 TB both inputs shuffle once on the same key and the window is
+a streaming pass per partition — the same cost profile as sessionize.
+Ties: a right row at exactly left.ts IS visible (tag 0 sorts before
+tag 1); multiple right rows on one timestamp resolve to the largest
+id (deterministic, id-tiebroken ordering).
+
+DuckDB mirrors this with an identical UNION ALL + LAST_VALUE IGNORE
+NULLS window (oracle.asof_join_events_q), so the operator is
+hash-gated despite ASOF JOIN itself being engine-specific syntax.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    id_col: str,
+    carry: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: left columns plus, for each left row, the
+    ``carry`` columns of the most recent right row at-or-before its
+    timestamp (NULL when no right row precedes it).
+
+    ``on``: equality partition key present in both inputs.
+    ``ts``: ordering column (bigint epoch or timestamp), both inputs.
+    ``id_col``: unique id in both inputs — the deterministic tiebreak.
+    ``carry``: right-side columns to attach, renamed ``<col><suffix>``.
+    """
+    lcols = left.columns
+    tagged_l = left.select(
+        *lcols,
+        F.lit(1).alias("_tag"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in carry],
+    )
+    tagged_r = right.select(
+        *[
+            F.col(c) if c in (on, ts, id_col) else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("_tag"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in carry],
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("_tag").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged_l.unionByName(tagged_r).select(
+        *lcols,
+        "_tag",
+        *[F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}") for c in carry],
+    )
+    return carried.where(F.col("_tag") == 1).drop("_tag")

@@ -691,6 +691,77 @@ ORDER BY distance ASC, id ASC
 LIMIT {K}"""
 
 
+def _half_round_sql(x: str, fmt: str) -> str:
+    """Exact round-to-nearest-even of DOUBLE ``x`` (an f32-exact value)
+    into f16 or bf16 value space, result as DOUBLE — mirrors
+    codec.encode_vector / halffloat._decode_batch without bit tricks:
+    ulp = 2^(max(e, e_min) - mant_bits), value = roundbankers(x/ulp)*ulp.
+    The exponent from log2 is snapped with exact power() comparisons so
+    binade edges can't be off by one; |x| past the format max rounds to
+    ±Inf. Verified bit-exact against numpy's casts over the real data
+    and a denormal/overflow-boundary corpus (tests/test_halffloat_golden
+    pins the engine side; check_oracle pins this side)."""
+    if fmt == "f16":
+        mant, emin, maxfin = 10, -14, 65504.0
+    elif fmt == "bf16":
+        mant, emin, maxfin = 7, -126, 3.3895313892515355e38
+    else:  # pragma: no cover
+        raise ValueError(fmt)
+    ax = f"abs({x})"
+    e0 = f"CAST(floor(log2({ax})) AS INTEGER)"
+    e = (
+        f"(CASE WHEN {ax} < power(2.0, {e0}) THEN {e0} - 1 "
+        f"WHEN {ax} >= power(2.0, {e0} + 1) THEN {e0} + 1 ELSE {e0} END)"
+    )
+    ulp = f"power(2.0, greatest({e}, {emin}) - {mant})"
+    r = f"(roundbankers({ax} / {ulp}, 0) * {ulp})"
+    return (
+        f"(CASE WHEN {x} = 0.0 THEN {x} "
+        f"WHEN {r} > {maxfin!r} THEN sign({x}) * 'infinity'::DOUBLE "
+        f"ELSE sign({x}) * {r} END)"
+    )
+
+
+def halffloat_scan(fmt: str, k: int = K) -> str:
+    """L2 kNN over half-precision storage — the SQL replay of
+    halffloat_full_scan for finite data (the NaN/Inf lane rules never
+    fire on the generated embeddings; the golden tests cover them).
+    Op-for-op mirror of halffloat._distances: per-lane diff (through a
+    FLOAT32 round for bf16, distance-cpu.c:176), two-pass LASSQ with a
+    sequential lane-order Σ, sqrt, final FLOAT32 round, eps-snap."""
+    import numpy as np
+
+    if fmt == "f16":
+        q = np.asarray(Q64, dtype=np.float64).astype(np.float16).astype(np.float64)
+        lane = "(v[i] - q[i])"
+    else:
+        bits = np.asarray(Q64, dtype="<f4").view("<u4").astype("<u8")
+        q = (
+            (((bits + 0x7FFF + ((bits >> 16) & 1)) >> 16).astype("<u4") << np.uint32(16))
+            .view("<f4")
+            .astype(np.float64)
+        )
+        lane = "CAST(CAST((v[i] - q[i]) AS FLOAT) AS DOUBLE)"
+    rounded = _half_round_sql("CAST(x AS DOUBLE)", fmt)
+    ssq = _fold("list_transform(d, x -> (x / scale) * (x / scale))")
+    dist = (
+        f"(CASE WHEN scale = 0.0 THEN 0.0 "
+        f"ELSE CAST(CAST(sqrt((scale * scale) * {ssq}) AS FLOAT) AS DOUBLE) END)"
+    )
+    return f"""WITH hv AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> {rounded}) AS v
+  FROM embeddings WHERE embedding IS NOT NULL),
+qq AS (SELECT {qvec_literal(list(q))} AS q),
+dl AS (
+  SELECT id, list_transform(range(1, {DIM + 1}), i -> {lane}) AS d
+  FROM hv, qq),
+sc AS (SELECT id, d, list_max(list_transform(d, x -> abs(x))) AS scale FROM dl)
+SELECT id, {snap(dist)} AS distance
+FROM sc
+ORDER BY distance ASC, id ASC
+LIMIT {k}"""
+
+
 def ivf_scan(metric: str) -> str:
     d_assign = dist_sql("L2", "e.embedding", "c.cv")
     d_probe = dist_sql("L2", "cv", "q")

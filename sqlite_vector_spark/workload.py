@@ -811,7 +811,7 @@ def corpus_prep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------- FLOAT16 storage path (rows-only check: no SQL half floats)
+# ---------------------------------------------------------------- FLOAT16 storage path (hash-gated: oracle re-derives the half rounding in SQL)
 
 
 def f16_scan_l2(spark: SparkSession, sf_dir: str) -> DataFrame:

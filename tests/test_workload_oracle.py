@@ -35,9 +35,8 @@ def test_every_query_runs_and_has_oracle(spark):
     # every declared query should have an oracle unless documented
     # rows-only (driver records the weaker check; judge sees which)
     ROWS_ONLY = {
-        "f16_scan_l2",  # DuckDB has no half floats
-        "bf16_scan_l2",  # ... nor bfloat16
         "ivf_kmeans_scan_l2",  # iterative centroid training
+        "bpe_token_counts",  # greedy merge loop not SQL-expressible
     }
     missing = set(qs) - set(osql) - ROWS_ONLY
     assert not missing, f"queries without oracle: {missing}"
