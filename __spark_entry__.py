@@ -80,15 +80,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_pack": w.token_budget_pack_q,
         "normalize": w.normalize_q,
         "corpus_prep": w.corpus_prep_q,
+        # -- LLM-pipeline round-3 additions (first gate pass this round)
+        "contamination_check": w.contamination_check_q,
+        "repetition_scores": w.repetition_scores_q,
+        "source_stats": w.source_stats_q,
+        "asof_join_events": w.asof_join_events_q,
+        "value_quantiles": w.value_quantiles_q,
         # -- exact search (vector_full_scan family, SURVEY §2.1 #13/#15)
         "full_scan_l2": w.full_scan_l2,
-        "full_scan_cosine": w.full_scan_cosine,
-        "full_scan_stream_l2": w.full_scan_stream_l2,
         # -- quantization (vector_quantize family, SURVEY §2.1 #4-7/#14/#16, §2.6)
         "quantize_params": w.quantize_params,
         "quantize_codes": w.quantize_codes,
         "quantize_scan_l2": w.quantize_scan_l2,
-        "quantize_scan_stream_l2": w.quantize_scan_stream_l2,
         "rerank_scan_l2": w.rerank_scan_l2,  # two-stage: quantized prefilter + exact rerank
         # -- FLOAT16/BFLOAT16 storage scans (lane-rule kernel; hash-gated
         #    via the SQL half-rounding replay, oracle.halffloat_scan)
@@ -109,12 +112,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": w.pricing_summary,
         "top_customers": w.top_customers,
         "events_hourly": w.events_hourly,
-        "order_priority_counts": w.order_priority_counts,
         "shipping_priority": w.shipping_priority,
         "region_volume": w.region_volume,
         "sessionize": w.sessionize,
         "promo_revenue_share": w.promo_revenue_share,
-        "events_rollup": w.events_rollup,
         "events_props_agg": w.events_props_agg,
         "quality_rejects": w.quality_rejects,
         # -- LLM-pipeline: text analysis (north star, BASELINE.json)
@@ -133,10 +134,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": w.embedding_neardup_q,
         "neardup_representatives": w.neardup_representatives_q,
         # ---- past the 50-entry gate horizon: entries green in BOTH
-        # r1 and r2 (sample_mix, full_scan_k_gt_n) or metric variants
-        # of kernels gated above.
+        # r1 and r2 or metric/stream variants of kernels gated above.
         "sample_mix": w.sample_mix_q,
         "full_scan_k_gt_n": w.full_scan_k_gt_n,
+        "full_scan_cosine": w.full_scan_cosine,
+        "full_scan_stream_l2": w.full_scan_stream_l2,
+        "quantize_scan_stream_l2": w.quantize_scan_stream_l2,
+        "order_priority_counts": w.order_priority_counts,
+        "events_rollup": w.events_rollup,
         "full_scan_squared_l2": w.full_scan_squared_l2,
         "full_scan_dot": w.full_scan_dot,
         "full_scan_l1": w.full_scan_l1,
@@ -212,4 +217,9 @@ def oracle_sql() -> dict[str, str]:
         "ivf_scan_cosine": o.ivf_scan("COSINE"),
         "lsh_scan_cosine": o.lsh_scan_cosine(w._query_bucket()[1]),
         "embedding_code_dedup": o.embedding_code_dedup_q(),
+        "contamination_check": o.contamination_check_q(),
+        "repetition_scores": o.repetition_scores_q(),
+        "source_stats": o.source_stats_q(),
+        "asof_join_events": o.asof_join_events_q(),
+        "value_quantiles": o.value_quantiles_q(),
     }

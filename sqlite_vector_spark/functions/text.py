@@ -165,3 +165,22 @@ def shingles_from_words(w: Column, n: int = 3) -> Column:
 def shingles(text: str | Column, n: int = 3) -> Column:
     """Word n-gram shingles as strings; fewer than n words -> empty."""
     return shingles_from_words(words(text), n)
+
+
+def distinct_token_count(w: Column) -> Column:
+    """Type count (distinct tokens) from a projected words array."""
+    return F.size(F.array_distinct(w)).cast("bigint")
+
+
+def top_token_freq(w: Column) -> Column:
+    """Highest single-token occurrence count in a projected words
+    array; 0 for empty docs. Pure HOF (array_distinct x filter) —
+    O(types x tokens) per doc but entirely JVM-side with no shuffle,
+    which beats an explode + two groupBys for any real doc length
+    (repetitive docs have FEW types, exactly when the product is
+    smallest). The repetition operator stays map-only at 100 TB."""
+    return F.aggregate(
+        F.array_distinct(w),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: F.greatest(acc, F.size(F.filter(w, lambda y: y == x)).cast("bigint")),
+    )

@@ -784,3 +784,101 @@ FROM assign, qq
 WHERE cluster IN (SELECT cid FROM probes)
 ORDER BY distance ASC, id ASC
 LIMIT {IVF_K}"""
+
+
+# ---------------------------------------------------------------- round-3 additions: contamination / repetition / source mix /
+# ---------------------------------------------------------------- as-of join / exact group quantiles
+
+from sqlite_vector_spark.workload import BENCH_MOD, QUANTILES
+
+#: 3-word shingle list from a words array ws (same shape as _SHINGLES)
+_SH3 = ("CASE WHEN len(ws) < 3 THEN []::VARCHAR[] "
+        "ELSE list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' ')) END")
+
+
+def contamination_check_q() -> str:
+    return f"""WITH w AS (SELECT doc_id, {WORDS} AS ws FROM documents),
+dsh AS (
+  SELECT DISTINCT doc_id, unnest({_SH3}) AS s FROM w),
+bench AS (SELECT DISTINCT s FROM dsh WHERE doc_id % {BENCH_MOD} = 0),
+train AS (SELECT doc_id, s FROM dsh WHERE doc_id % {BENCH_MOD} <> 0),
+tot AS (SELECT doc_id, count(*) AS c FROM train GROUP BY 1),
+ov AS (SELECT doc_id, count(*) AS o FROM train JOIN bench USING (s) GROUP BY 1)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       coalesce(t.c, 0) AS n_shingles,
+       coalesce(v.o, 0) AS n_overlap,
+       CASE WHEN coalesce(t.c, 0) = 0 THEN 0.0
+            ELSE CAST(coalesce(v.o, 0) AS DOUBLE) / CAST(t.c AS DOUBLE) END AS contamination
+FROM documents d
+LEFT JOIN tot t ON t.doc_id = d.doc_id
+LEFT JOIN ov v ON v.doc_id = d.doc_id
+WHERE d.doc_id % {BENCH_MOD} <> 0
+ORDER BY doc_id"""
+
+
+def repetition_scores_q() -> str:
+    top = ("coalesce(list_max(list_transform(list_distinct(ws), "
+           "w -> CAST(len(list_filter(ws, x -> x = w)) AS BIGINT))), 0)")
+    return f"""WITH w AS (SELECT doc_id, {WORDS} AS ws FROM documents),
+s AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(ws) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(ws)) AS BIGINT) AS n_types,
+         {top} AS top_freq
+  FROM w)
+SELECT doc_id, n_tokens, n_types, top_freq,
+       CASE WHEN n_tokens = 0 THEN 0.0
+            ELSE CAST(top_freq AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS rep_ratio,
+       CASE WHEN n_tokens = 0 THEN 0.0
+            ELSE CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS type_token_ratio
+FROM s"""
+
+
+def source_stats_q() -> str:
+    n_tok, quality = _quality_sql()
+    return f"""WITH per_doc AS (
+  SELECT source, lang, {n_tok} AS n_tok, {quality} AS q FROM documents)
+SELECT source, lang,
+       count(*) AS n_docs,
+       sum(n_tok) AS sum_tokens,
+       {_fixed_sum('q', 1000000.0)} AS sum_quality
+FROM per_doc
+GROUP BY source, lang
+ORDER BY source, lang"""
+
+
+def asof_join_events_q() -> str:
+    return """WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us, event_type, value FROM events),
+tagged AS (
+  SELECT event_id, user_id, us, value, 1 AS tag,
+         NULL::BIGINT AS c_id, NULL::BIGINT AS c_us
+  FROM e WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT event_id, user_id, us, NULL::DOUBLE AS value, 0 AS tag,
+         event_id AS c_id, us AS c_us
+  FROM e WHERE event_type = 'click'),
+w AS (
+  SELECT event_id, user_id, us, value, tag,
+         last_value(c_id IGNORE NULLS) OVER win AS click_id,
+         last_value(c_us IGNORE NULLS) OVER win AS click_us
+  FROM tagged
+  WINDOW win AS (PARTITION BY user_id ORDER BY us, tag, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id, us, value, click_id, click_us
+FROM w WHERE tag = 1
+ORDER BY event_id"""
+
+
+def value_quantiles_q() -> str:
+    picks = ", ".join(
+        f"max(CASE WHEN rn = CAST(ceil({q!r} * n) AS INTEGER) THEN value END) AS p{int(q * 100)}"
+        for q in QUANTILES
+    )
+    return f"""WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type, {picks}
+FROM r GROUP BY event_type ORDER BY event_type"""

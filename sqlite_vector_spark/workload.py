@@ -561,12 +561,15 @@ def quality_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from sqlite_vector_spark.functions.text import (  # noqa: E402
     char_count,
+    distinct_token_count,
     fingerprint,
     lang_id,
     punct_count,
     quality_score,
     stopword_count,
     token_count,
+    top_token_freq,
+    words,
 )
 from sqlite_vector_spark.operators.ann import ivf_assign, ivf_search  # noqa: E402
 from sqlite_vector_spark.operators.dedup import (  # noqa: E402
@@ -962,3 +965,135 @@ def ivf_kmeans_scan_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = kmeans_fit(emb, "embedding", IVF_C, DIM, iters=3, id_col="vec_id")
     assigned = ivf_assign(emb, "embedding", centroids, id_col="vec_id", metric="L2")
     return ivf_search(assigned, Q64, centroids, IVF_K, nprobe=IVF_NPROBE, metric="L2")
+
+
+# ---------------------------------------------------------------- round-3 LLM-pipeline additions: contamination, repetition,
+# ---------------------------------------------------------------- source mix, as-of join, exact group quantiles
+
+#: every 50th doc plays the held-out eval set for contamination checks
+BENCH_MOD = 50
+#: word n-gram width shared by the contamination check and minhash shingles
+CONTAM_N = 3
+#: exact quantile levels reported per event_type
+QUANTILES = (0.5, 0.9, 0.99)
+
+
+def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination sweep: for every training doc (docs
+    NOT in the benchmark slice), the fraction of its distinct 3-gram
+    shingles that appear anywhere in the benchmark slice
+    (doc_id % BENCH_MOD == 0 stands in for the eval suite). The
+    benchmark shingle set is broadcast — the corpus is never shuffled
+    on shingle (operators/contamination.py)."""
+    from sqlite_vector_spark.operators.contamination import benchmark_contamination
+
+    docs = _docs(spark, sf_dir)
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    return (
+        benchmark_contamination(docs.where(~is_bench), docs.where(is_bench), n=CONTAM_N)
+        .orderBy("doc_id")
+    )
+
+
+def repetition_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition metrics (the Gopher repetition filters,
+    deterministic form): token/type counts, the top token frequency,
+    and the two ratios used as filter thresholds. Map-only — all HOFs
+    over one projected words array, no shuffle at any scale."""
+    docs = _docs(spark, sf_dir)
+    w = F.col("w")
+    stats = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), words(F.col("text")).alias("w")
+    ).select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("n_tokens"),
+        distinct_token_count(w).alias("n_types"),
+        top_token_freq(w).alias("top_freq"),
+    )
+    zero = F.col("n_tokens") == 0
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "top_freq",
+        F.when(zero, F.lit(0.0))
+        .otherwise(F.col("top_freq").cast("double") / F.col("n_tokens").cast("double"))
+        .alias("rep_ratio"),
+        F.when(zero, F.lit(0.0))
+        .otherwise(F.col("n_types").cast("double") / F.col("n_tokens").cast("double"))
+        .alias("type_token_ratio"),
+    )
+
+
+def source_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition by (source, lang): doc/token counts and the
+    quality-score sum — the mix report a pretraining run is tuned
+    against. One shuffle on the tiny (source, lang) key space with
+    map-side partials; quality sums in fixed-point (engine-exact)."""
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    per_doc = docs.select(
+        "source", "lang", token_count(t).alias("n_tok"), quality_score(t).alias("q")
+    )
+    return (
+        per_doc.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+            _fixed_sum(F.col("q"), 1_000_000.0).alias("sum_quality"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+def asof_join_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution via the as-of join operator: every
+    purchase event joined to the most recent click by the same user at
+    or before it (operators/asof.py — one shuffle on user_id, window
+    carry-forward, no join node)."""
+    from sqlite_vector_spark.operators.asof import asof_join
+
+    ev = load_events(spark, sf_dir).select(
+        # micros, not nanos: DuckDB stores TIMESTAMP_NS parquet at µs
+        # precision, so the oracle can only mirror µs (same convention
+        # as sessionize)
+        "event_id", F.expr("ts_ns div 1000").alias("us"), "user_id", "event_type", "value"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").drop("event_type")
+    clicks = ev.where(F.col("event_type") == "click").drop("event_type")
+    out = asof_join(
+        purchases, clicks, on="user_id", ts="us", id_col="event_id",
+        carry=["event_id", "us"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "us",
+        "value",
+        F.col("event_id_asof").alias("click_id"),
+        F.col("us_asof").alias("click_us"),
+    ).orderBy("event_id")
+
+
+def value_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-event_type quantiles of value (type-1 / lower-value
+    definition: the element at rank ceil(q*n), id-tiebroken). Exact
+    group quantiles need a total order per group — fine here (5
+    groups x sortable partitions); at 100 TB swap in approx_percentile
+    or a t-digest merge and keep this as the audit path. One shuffle
+    on event_type."""
+    ev = load_events(spark, sf_dir).select("event_id", "event_type", "value")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    agg = [
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("int"), F.col("value"))
+        ).alias(f"p{int(q * 100)}")
+        for q in QUANTILES
+    ]
+    return ranked.groupBy("event_type").agg(*agg).orderBy("event_type")

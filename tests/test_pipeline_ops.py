@@ -1,0 +1,148 @@
+"""Round-3 LLM-pipeline operators: as-of join, contamination,
+repetition metrics, exact group quantiles — semantics on small
+fixtures plus the plan shapes that make them scale."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from sqlite_vector_spark.operators.asof import asof_join
+from sqlite_vector_spark.operators.contamination import benchmark_contamination
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------- as-of join
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [(1, 100, 10, 5.0), (2, 100, 20, 6.0), (3, 100, 35, 7.0), (4, 200, 5, 8.0)],
+        "event_id long, user_id long, us long, value double",
+    )
+    quotes = spark.createDataFrame(
+        [(101, 100, 8, 1.0), (102, 100, 20, 2.0), (103, 100, 21, 3.0), (104, 300, 1, 4.0)],
+        "event_id long, user_id long, us long, value double",
+    )
+    return trades, quotes
+
+
+def test_asof_backward_semantics(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on="user_id", ts="us", id_col="event_id", carry=["event_id", "us"])
+    got = {r.event_id: (r.event_id_asof, r.us_asof) for r in out.collect()}
+    assert got[1] == (101, 8)  # most recent quote before ts=10
+    assert got[2] == (102, 20)  # tie at equal ts: right row IS visible
+    assert got[3] == (103, 21)  # latest of the two earlier quotes
+    assert got[4] == (None, None)  # user 200 has no quotes at all
+
+
+def test_asof_ties_resolve_to_largest_id(spark):
+    left = spark.createDataFrame([(10, 1, 100)], "event_id long, user_id long, us long")
+    right = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 100), (3, 1, 99)], "event_id long, user_id long, us long"
+    )
+    out = asof_join(left, right, on="user_id", ts="us", id_col="event_id", carry=["event_id"])
+    assert out.collect()[0].event_id_asof == 2  # same-ts quotes: largest id wins
+
+
+def test_asof_single_shuffle_no_join_node(trades_quotes):
+    """The operator's scale claim: union + one Exchange on the key +
+    Window — no join operator anywhere in the plan."""
+    trades, quotes = trades_quotes
+    plan = _plan(asof_join(trades, quotes, on="user_id", ts="us", id_col="event_id", carry=["us"]))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+# ---------------------------------------------------------------- contamination
+
+
+@pytest.fixture(scope="module")
+def contam_docs(spark):
+    mk = lambda i, t: (i, t)
+    return spark.createDataFrame(
+        [
+            mk(0, "alpha beta gamma delta"),  # benchmark doc
+            mk(1, "alpha beta gamma epsilon"),  # shares shingle 'alpha beta gamma'
+            mk(2, "zeta eta theta iota"),  # clean
+            mk(3, "xy"),  # too short for any shingle
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_contamination_overlap_counts(contam_docs):
+    bench = contam_docs.where(F.col("doc_id") == 0)
+    train = contam_docs.where(F.col("doc_id") != 0)
+    got = {r.doc_id: r for r in benchmark_contamination(train, bench).collect()}
+    assert got[1].n_shingles == 2 and got[1].n_overlap == 1
+    assert got[1].contamination == pytest.approx(0.5)
+    assert got[2].n_overlap == 0 and got[2].contamination == 0.0
+    assert got[3].n_shingles == 0 and got[3].contamination == 0.0  # no div-by-zero
+
+
+def test_contamination_bench_side_is_broadcast(contam_docs):
+    """The corpus must never shuffle on shingle: the one shingle
+    exchange in the plan is the tiny benchmark-side distinct; the
+    overlap join itself is broadcast."""
+    bench = contam_docs.where(F.col("doc_id") == 0)
+    train = contam_docs.where(F.col("doc_id") != 0)
+    plan = _plan(benchmark_contamination(train, bench))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning(shingle") <= 1
+
+
+# ---------------------------------------------------------------- repetition metrics
+
+
+def test_repetition_scores_values(spark, monkeypatch, tmp_path):
+    from sqlite_vector_spark.functions.text import distinct_token_count, top_token_freq, words
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z"), (3, "")], "doc_id long, text string"
+    ).select(
+        "doc_id",
+        words(F.col("text")).alias("w"),
+    ).select(
+        "doc_id",
+        F.size("w").alias("n"),
+        distinct_token_count(F.col("w")).alias("types"),
+        top_token_freq(F.col("w")).alias("top"),
+    )
+    got = {r.doc_id: r for r in df.collect()}
+    assert (got[1].n, got[1].types, got[1].top) == (4, 2, 3)
+    assert (got[2].n, got[2].types, got[2].top) == (3, 3, 1)
+    assert (got[3].n, got[3].types, got[3].top) == (0, 0, 0)
+
+
+def test_repetition_query_is_map_only(spark):
+    """repetition_scores is pure HOFs over one projected array: no
+    hash shuffle anywhere (the only exchange is widen()'s round-robin
+    parallelism repartition, which carries no grouping)."""
+    from sqlite_vector_spark import workload as w
+
+    plan = _plan(w.repetition_scores_q(spark, "/root/testdata/sf0.001"))
+    assert "hashpartitioning" not in plan
+
+
+# ---------------------------------------------------------------- exact group quantiles
+
+
+def test_value_quantiles_rank_definition(spark):
+    """Type-1 quantile: element at rank ceil(q*n) in (value, id) order."""
+    from sqlite_vector_spark import workload as w
+
+    out = {r.event_type: r for r in w.value_quantiles_q(spark, "/root/testdata/sf0.001").collect()}
+    ev = w.load_events(spark, "/root/testdata/sf0.001").select("event_type", "value").collect()
+    import math
+
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    for t, vals in by_type.items():
+        vals.sort()
+        for q, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+            assert out[t][col] == vals[math.ceil(q * len(vals)) - 1], (t, col)
