@@ -119,6 +119,12 @@ def main():
     bench("token_budget_pack", lambda: w.token_budget_pack_q(spark, SF_DIR).count())
     bench("ivf_scan_l2", lambda: w.ivf_scan_l2(spark, SF_DIR).collect())
 
+    # round-3 pipeline additions
+    bench("contamination_check", lambda: w.contamination_check_q(spark, SF_DIR).count())
+    bench("repetition_scores", lambda: w.repetition_scores_q(spark, SF_DIR).count())
+    bench("asof_join_events", lambda: w.asof_join_events_q(spark, SF_DIR).count())
+    bench("value_quantiles", lambda: w.value_quantiles_q(spark, SF_DIR).collect())
+
     total = round(sum(times.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
