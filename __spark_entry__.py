@@ -75,7 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_scan_cosine": w.ivf_scan_cosine,
         "lsh_scan_cosine": w.lsh_scan_cosine,
         "embedding_code_dedup": w.embedding_code_dedup_q,
-        "ivf_kmeans_scan_l2": w.ivf_kmeans_scan_l2,  # rows-only (iterative)
+        "ivf_kmeans_scan_l2": w.ivf_kmeans_scan_l2,  # hash-gated: fixed iters unroll to SQL
         # -- LLM-pipeline: packing + embedding utilities + composite prep
         "token_budget_pack": w.token_budget_pack_q,
         "normalize": w.normalize_q,
@@ -217,6 +217,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_scan_cosine": o.ivf_scan("COSINE"),
         "lsh_scan_cosine": o.lsh_scan_cosine(w._query_bucket()[1]),
         "embedding_code_dedup": o.embedding_code_dedup_q(),
+        "ivf_kmeans_scan_l2": o.ivf_kmeans_scan("L2"),
         "contamination_check": o.contamination_check_q(),
         "repetition_scores": o.repetition_scores_q(),
         "source_stats": o.source_stats_q(),

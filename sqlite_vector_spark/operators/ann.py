@@ -114,11 +114,16 @@ def kmeans_fit(
     pos, sum, n) rows — a few thousand — and holds only the C
     centroids.
 
-    Deterministic seeds (the C lowest-id rows) and IEEE-exact
-    assignment with lowest-index tiebreak; per-dimension sums reduce
-    in partition order, so centroid values are deterministic only up
-    to float addition order — fine for a rows-only-checked iterative
-    operator. Empty clusters keep their previous centroid.
+    Fully deterministic: seeds are the C lowest-id rows, assignment is
+    IEEE-exact with lowest-index tiebreak, and the per-dimension sums
+    accumulate in FIXED-POINT (round(x*1e6) summed in DECIMAL(38,0),
+    the _fixed_sum recipe) so partial-agg order cannot perturb the
+    centroids. That makes the whole training run reproducible AND
+    SQL-expressible — with ``iters`` fixed, Lloyd unrolls into one CTE
+    chain per iteration, which is exactly how the DuckDB oracle
+    adjudicates ivf_kmeans_scan_l2 (oracle.ivf_kmeans_scan). The 1e-6
+    quantization of the means is irrelevant to cluster geometry. Empty
+    clusters keep their previous centroid.
     """
     base = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
@@ -132,13 +137,18 @@ def kmeans_fit(
         parts = (
             assigned.select("cluster", F.posexplode("vec").alias("pos", "x"))
             .groupBy("cluster", "pos")
-            .agg(F.sum(F.col("x").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.sum(
+                    F.round(F.col("x").cast("double") * F.lit(1_000_000.0)).cast("decimal(38,0)")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()
         )
         sums: dict[tuple[int, int], float] = {}
         counts: dict[int, int] = {}
         for r in parts:
-            sums[(int(r.cluster), int(r.pos))] = float(r.s)
+            sums[(int(r.cluster), int(r.pos))] = float(r.s) / 1_000_000.0
             counts[int(r.cluster)] = int(r.n)
         new = list(centroids)
         for ci, n in counts.items():

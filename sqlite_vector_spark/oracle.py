@@ -786,6 +786,70 @@ ORDER BY distance ASC, id ASC
 LIMIT {IVF_K}"""
 
 
+def ivf_kmeans_scan(metric: str = "L2", iters: int = 3) -> str:
+    """IVF over Lloyd-TRAINED centroids, fully adjudicated in SQL: with
+    ``iters`` fixed, k-means unrolls into one CTE chain per iteration
+    (assign -> fixed-point per-dimension sums -> means, empty clusters
+    keep their previous centroid). This only works because kmeans_fit
+    accumulates in DECIMAL fixed-point (order-independent) and assigns
+    with the same snapped sequential-fold distances as every scan — the
+    centroids are bit-identical on both engines, so the final probe +
+    scan hash-matches like plain ivf_scan."""
+    d_assign = dist_sql("L2", "b.v", "c.cv")
+    parts = [
+        f"""base AS (
+  SELECT CAST(vec_id AS BIGINT) AS id, embedding AS v
+  FROM embeddings WHERE embedding IS NOT NULL),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS cid,
+         list_transform(v, x -> CAST(x AS DOUBLE)) AS cv
+  FROM (SELECT id, v FROM base ORDER BY id LIMIT {IVF_C}))"""
+    ]
+    for it in range(1, iters + 1):
+        prev, a, p, m, cur = f"c{it - 1}", f"a{it}", f"p{it}", f"m{it}", f"c{it}"
+        parts.append(f"""{a} AS (
+  SELECT id, v, cid AS cluster FROM (
+    SELECT b.id, b.v, c.cid,
+           row_number() OVER (PARTITION BY b.id ORDER BY {d_assign} ASC, c.cid ASC) AS rn
+    FROM base b, {prev} c)
+  WHERE rn = 1),
+{p} AS (
+  SELECT cluster, i AS pos,
+         sum(CAST(round(CAST(v[i] AS DOUBLE) * 1000000.0) AS DECIMAL(38,0))) AS s,
+         count(*) AS n
+  FROM {a}, range(1, {DIM + 1}) t(i)
+  GROUP BY 1, 2),
+{m} AS (
+  SELECT cluster AS cid,
+         list((CAST(s AS DOUBLE) / 1000000.0) / n ORDER BY pos) AS cv
+  FROM {p} GROUP BY cluster),
+{cur} AS (
+  SELECT {prev}.cid, coalesce({m}.cv, {prev}.cv) AS cv
+  FROM {prev} LEFT JOIN {m} ON {m}.cid = {prev}.cid)""")
+    last = f"c{iters}"
+    d_probe = dist_sql("L2", "cv", "q")
+    d_final = dist_sql(metric, "v", "q")
+    parts.append(f"""qq AS (SELECT {qvec_literal(Q64)} AS q),
+assign AS (
+  SELECT id, v, cid AS cluster FROM (
+    SELECT b.id, b.v, c.cid,
+           row_number() OVER (PARTITION BY b.id ORDER BY {d_assign} ASC, c.cid ASC) AS rn
+    FROM base b, {last} c)
+  WHERE rn = 1),
+probes AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (ORDER BY {d_probe} ASC, cid ASC) AS rn
+    FROM {last}, qq)
+  WHERE rn <= {IVF_NPROBE})""")
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes}
+SELECT id, {d_final} AS distance
+FROM assign, qq
+WHERE cluster IN (SELECT cid FROM probes)
+ORDER BY distance ASC, id ASC
+LIMIT {IVF_K}"""
+
+
 # ---------------------------------------------------------------- round-3 additions: contamination / repetition / source mix /
 # ---------------------------------------------------------------- as-of join / exact group quantiles
 

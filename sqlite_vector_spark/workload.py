@@ -958,7 +958,8 @@ def embedding_code_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ivf_kmeans_scan_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with Lloyd-trained centroids (operators.ann.kmeans_fit).
-    Iterative training is not SQL-expressible -> rows-only check."""
+    Hash-gated: with fixed iters and fixed-point centroid sums the
+    training unrolls into the oracle's CTE chain (oracle.ivf_kmeans_scan)."""
     from sqlite_vector_spark.operators.ann import kmeans_fit
 
     emb = _emb(spark, sf_dir)

@@ -24,7 +24,11 @@ def _run_batches(spark, tmp_path, name, schema, batches, build):
     seen = []
     try:
         for i, b in enumerate(batches):
-            b.write.mode("append").parquet(src)
+            # one file per batch: a multi-file write can straddle two
+            # file-source listings under load, splitting the batch into
+            # two triggers and leaving stale update-mode rows in the
+            # memory sink snapshot
+            b.coalesce(1).write.mode("append").parquet(src)
             q.processAllAvailable()
             seen.append(spark.sql(f"SELECT * FROM {name}").collect())
     finally:
@@ -56,9 +60,12 @@ def test_streaming_topk_maintains_best_k(spark, tmp_path):
         spark, tmp_path, "topk", b1.schema, [b1, b2],
         lambda s: streaming_topk(s, 2),
     )
-    # batch 1: q1 best-2 = ids 11 (3.0), 10 (5.0)
-    r1 = sorted([(r.qid, r.rank, r.id) for r in snaps[0]])
-    assert r1 == [(1, 1, 11), (1, 2, 10)]
+    # batch 1: q1 best-2 = ids 11 (3.0), 10 (5.0) — latest row per
+    # (qid, rank), like the batch-2 check (update-mode sink appends)
+    first = {}
+    for r in snaps[0]:
+        first[(r.qid, r.rank)] = r.id
+    assert first == {(1, 1): 11, (1, 2): 10}
     # batch 2 update-mode sink: latest rows per (qid, rank)
     latest = {}
     for r in snaps[1]:
