@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize": w.normalize_q,
         "corpus_prep": w.corpus_prep_q,
         # -- LLM-pipeline round-3 additions (first gate pass this round)
+        "chunk_dedup": w.chunk_dedup_q,
+        "random_projection": w.random_projection_q,
         "contamination_check": w.contamination_check_q,
         "repetition_scores": w.repetition_scores_q,
         "source_stats": w.source_stats_q,
@@ -102,12 +104,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u8_scan_cosine": w.u8_scan_cosine,
         "quantize_memory": w.quantize_memory,
         # -- kNN join + join-back + recall harness (SURVEY §2.2, §5.3)
-        "knn_join_l2": w.knn_join_l2,
         "knn_join_blocked_l2": w.knn_join_blocked_l2,  # scale path, sequential fold
         "knn_join_back": w.knn_join_back,
         "recall_at_k": w.recall_at_k,
-        # -- codec (vector_as_* family, SURVEY §2.1 #8-12)
-        "codec_json_roundtrip": w.codec_json_roundtrip,
         # -- relational surface used by canonical patterns (SURVEY §2.2)
         "pricing_summary": w.pricing_summary,
         "top_customers": w.top_customers,
@@ -137,6 +136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r1 and r2 or metric/stream variants of kernels gated above.
         "sample_mix": w.sample_mix_q,
         "full_scan_k_gt_n": w.full_scan_k_gt_n,
+        "knn_join_l2": w.knn_join_l2,
+        "codec_json_roundtrip": w.codec_json_roundtrip,
         "full_scan_cosine": w.full_scan_cosine,
         "full_scan_stream_l2": w.full_scan_stream_l2,
         "quantize_scan_stream_l2": w.quantize_scan_stream_l2,
@@ -223,4 +224,6 @@ def oracle_sql() -> dict[str, str]:
         "source_stats": o.source_stats_q(),
         "asof_join_events": o.asof_join_events_q(),
         "value_quantiles": o.value_quantiles_q(),
+        "chunk_dedup": o.chunk_dedup_q(),
+        "random_projection": o.random_projection_q(),
     }

@@ -167,6 +167,19 @@ def shingles(text: str | Column, n: int = 3) -> Column:
     return shingles_from_words(words(text), n)
 
 
+def word_chunks(w: Column, size: int = 8) -> Column:
+    """Non-overlapping ``size``-word chunks of a projected words array,
+    each joined back to a string (the last chunk may be shorter) — the
+    unit for sub-document (CCNet line-level style) dedup."""
+    n_chunks = F.ceil(F.size(w) / F.lit(size)).cast("int")
+    return F.when(F.size(w) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - F.lit(1)),
+            lambda j: F.concat_ws(" ", F.slice(w, j * size + F.lit(1), size)),
+        )
+    )
+
+
 def distinct_token_count(w: Column) -> Column:
     """Type count (distinct tokens) from a projected words array."""
     return F.size(F.array_distinct(w)).cast("bigint")

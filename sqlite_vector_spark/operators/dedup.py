@@ -407,3 +407,51 @@ def embedding_neardup_pairs(
         .select("a", "b", distance(F.col("va"), F.col("vb"), metric).alias("distance"))
         .where(F.col("distance") < threshold)
     )
+
+
+def chunk_dedup_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 8,
+) -> DataFrame:
+    """Sub-document dedup (CCNet line-level style, word chunks standing
+    in for lines): fingerprint every non-overlapping ``size``-word
+    chunk and report, per doc, how many of its chunk instances are
+    corpus-duplicated (fingerprint occurs >= 2 times anywhere,
+    including within one doc).
+
+    Scale shape: the chunk table shuffles once on the 8-byte
+    fingerprint for the global count (map-side combine collapses
+    repeats) and once on doc_id for the per-doc rollup — both carry
+    (id, hash) pairs, never text. Global sub-document dedup cannot
+    avoid a corpus-wide shuffle (every chunk must meet its duplicates
+    somewhere), so minimizing the shuffled row width is the lever.
+    """
+    from sqlite_vector_spark.functions.text import polyhash, word_chunks, words
+
+    base = docs.select(F.col(id_col).cast("bigint").alias("id"), words(text_col).alias("w"))
+    hashed = base.select(
+        "id", F.explode(word_chunks(F.col("w"), size)).alias("chunk")
+    ).select("id", polyhash(F.col("chunk")).alias("h"))
+    counts = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (
+        hashed.join(counts, "h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("c") >= 2, F.lit(1)).otherwise(F.lit(0))).cast("bigint").alias("n_dup_chunks"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).cast("bigint").alias("doc_id"))
+        .join(per_doc.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_dup_chunks", F.lit(0)).alias("n_dup_chunks"),
+            F.when(F.coalesce("n_chunks", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(F.coalesce("n_dup_chunks", F.lit(0)).cast("double") / F.col("n_chunks").cast("double"))
+            .alias("dup_ratio"),
+        )
+    )

@@ -946,3 +946,38 @@ def value_quantiles_q() -> str:
   FROM events)
 SELECT event_type, {picks}
 FROM r GROUP BY event_type ORDER BY event_type"""
+
+
+def chunk_dedup_q() -> str:
+    from sqlite_vector_spark.workload import CHUNK_W as S
+
+    chunks = (
+        f"CASE WHEN len(ws) = 0 THEN []::VARCHAR[] "
+        f"ELSE list_transform(range(0, CAST(ceil(len(ws) / {float(S)!r}) AS BIGINT)), "
+        f"j -> array_to_string(ws[j * {S} + 1 : j * {S} + {S}], ' ')) END"
+    )
+    return f"""WITH w AS (SELECT doc_id, {WORDS} AS ws FROM documents),
+ch AS (SELECT doc_id, unnest({chunks}) AS chunk FROM w),
+h AS (SELECT doc_id, {polyhash_sql('chunk')} AS h FROM ch),
+cnt AS (SELECT h, count(*) AS c FROM h GROUP BY h),
+pd AS (
+  SELECT doc_id, count(*) AS n_chunks,
+         CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+  FROM h JOIN cnt USING (h) GROUP BY doc_id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       coalesce(pd.n_chunks, 0) AS n_chunks,
+       coalesce(pd.n_dup_chunks, 0) AS n_dup_chunks,
+       CASE WHEN coalesce(pd.n_chunks, 0) = 0 THEN 0.0
+            ELSE CAST(pd.n_dup_chunks AS DOUBLE) / CAST(pd.n_chunks AS DOUBLE) END AS dup_ratio
+FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+ORDER BY doc_id"""
+
+
+def random_projection_q() -> str:
+    from sqlite_vector_spark.workload import PROJ_PLANES
+
+    cols = ", ".join(
+        f"{_plane_dot('embedding', plane)} AS p{p}" for p, plane in enumerate(PROJ_PLANES)
+    )
+    return f"""SELECT CAST(vec_id AS BIGINT) AS id, {cols}
+FROM embeddings WHERE embedding IS NOT NULL"""

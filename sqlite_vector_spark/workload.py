@@ -1098,3 +1098,43 @@ def value_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in QUANTILES
     ]
     return ranked.groupBy("event_type").agg(*agg).orderBy("event_type")
+
+
+#: chunk width (words) for sub-document dedup
+CHUNK_W = 8
+#: deterministic projection planes (literal-injected both sides), 8 x DIM.
+#: 6-decimal values like Q64: DuckDB parses longer decimal literals
+#: through DECIMAL before the DOUBLE cast, which can be off the
+#: correctly-rounded parse by an ulp — n/1e6 stays exact in both engines.
+PROJ_PLANES = [
+    [round(((p * DIM + j) * 53 % 97) / 97.0 - 0.5, 6) for j in range(DIM)] for p in range(8)
+]
+
+
+def chunk_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup report: per doc, the share of its 8-word
+    chunks that are corpus-duplicated (operators/dedup.py
+    chunk_dedup_stats)."""
+    from sqlite_vector_spark.operators.dedup import chunk_dedup_stats
+
+    return chunk_dedup_stats(_docs(spark, sf_dir), size=CHUNK_W).orderBy("doc_id")
+
+
+def random_projection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss-style dimensionality reduction with a
+    deterministic plane matrix: DIM -> 8 dims as one map-only
+    projection (each output dim a sequential IEEE-exact fold, the
+    same zip_with fold as the LSH bucket dots). The standard
+    embedding prep before cheap ANN / clustering at 100 TB; output
+    dims are separate DOUBLE columns so the gate hashes scalars."""
+    emb = _emb(spark, sf_dir).where(F.col("embedding").isNotNull())
+    projs = []
+    for p, plane in enumerate(PROJ_PLANES):
+        lit = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), lit, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        projs.append(dot.alias(f"p{p}"))
+    return emb.select(F.col("vec_id").cast("bigint").alias("id"), *projs)

@@ -146,3 +146,58 @@ def test_value_quantiles_rank_definition(spark):
         vals.sort()
         for q, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
             assert out[t][col] == vals[math.ceil(q * len(vals)) - 1], (t, col)
+
+
+# ---------------------------------------------------------------- chunk-level dedup
+
+
+def test_word_chunks_shapes(spark):
+    from sqlite_vector_spark.functions.text import word_chunks, words
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b"), (3, "")], "doc_id long, text string"
+    ).select("doc_id", word_chunks(words(F.col("text")), size=4).alias("ch"))
+    got = {r.doc_id: r.ch for r in df.collect()}
+    assert got[1] == ["a b c d", "e f g h", "i j"]  # last chunk short
+    assert got[2] == ["a b"]
+    assert got[3] == []
+
+
+def test_chunk_dedup_counts(spark):
+    from sqlite_vector_spark.operators.dedup import chunk_dedup_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 x1 x2 x3 x4"),  # size=4 -> chunks "w1..w4", "x1..x4"
+            (2, "w1 w2 w3 w4 y1 y2 y3 y4"),  # shares chunk "w1 w2 w3 w4" with doc 1
+            (3, "z1 z2 z3 z4"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in chunk_dedup_stats(docs, size=4).collect()}
+    assert got[1].n_chunks == 2 and got[1].n_dup_chunks == 1
+    assert got[1].dup_ratio == pytest.approx(0.5)
+    assert got[2].n_dup_chunks == 1
+    assert got[3].n_dup_chunks == 0 and got[3].dup_ratio == 0.0
+
+
+# ---------------------------------------------------------------- random projection
+
+
+def test_random_projection_matches_sequential_fold(spark):
+    from sqlite_vector_spark import workload as w
+
+    out = w.random_projection_q(spark, "/root/testdata/sf0.001")
+    row = out.where("id = 0").collect()[0]
+    vec = [
+        float(x)
+        for x in spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .where("vec_id = 0")
+        .collect()[0]
+        .embedding
+    ]
+    for p, plane in enumerate(w.PROJ_PLANES):
+        acc = 0.0
+        for x, y in zip(vec, plane):
+            acc = acc + x * y
+        assert row[f"p{p}"] == acc  # bit-exact sequential fold
