@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": w.chunk_dedup_q,
         "random_projection": w.random_projection_q,
         "contamination_check": w.contamination_check_q,
+        "pii_scrub": w.pii_scrub_q,
         "repetition_scores": w.repetition_scores_q,
         "source_stats": w.source_stats_q,
         "asof_join_events": w.asof_join_events_q,
@@ -101,7 +102,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf16_scan_l2": w.bf16_scan_l2,
         # -- native INT8/UINT8 storage scans (integer-domain kernels)
         "i8_scan_l2": w.i8_scan_l2,
-        "u8_scan_cosine": w.u8_scan_cosine,
         "quantize_memory": w.quantize_memory,
         # -- kNN join + join-back + recall harness (SURVEY §2.2, §5.3)
         "knn_join_blocked_l2": w.knn_join_blocked_l2,  # scale path, sequential fold
@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_scan_k_gt_n": w.full_scan_k_gt_n,
         "knn_join_l2": w.knn_join_l2,
         "codec_json_roundtrip": w.codec_json_roundtrip,
+        "u8_scan_cosine": w.u8_scan_cosine,
         "full_scan_cosine": w.full_scan_cosine,
         "full_scan_stream_l2": w.full_scan_stream_l2,
         "quantize_scan_stream_l2": w.quantize_scan_stream_l2,
@@ -226,4 +227,5 @@ def oracle_sql() -> dict[str, str]:
         "value_quantiles": o.value_quantiles_q(),
         "chunk_dedup": o.chunk_dedup_q(),
         "random_projection": o.random_projection_q(),
+        "pii_scrub": o.pii_scrub_q(),
     }

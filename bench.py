@@ -124,6 +124,8 @@ def main():
     bench("repetition_scores", lambda: w.repetition_scores_q(spark, SF_DIR).count())
     bench("asof_join_events", lambda: w.asof_join_events_q(spark, SF_DIR).count())
     bench("value_quantiles", lambda: w.value_quantiles_q(spark, SF_DIR).collect())
+    bench("chunk_dedup", lambda: w.chunk_dedup_q(spark, SF_DIR).count())
+    bench("random_projection", lambda: w.random_projection_q(spark, SF_DIR).count())
 
     total = round(sum(times.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

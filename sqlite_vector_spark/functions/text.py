@@ -197,3 +197,32 @@ def top_token_freq(w: Column) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, x: F.greatest(acc, F.size(F.filter(w, lambda y: y == x)).cast("bigint")),
     )
+
+
+#: PII patterns restricted to the Java-regex ∩ RE2 common subset
+#: (classes, bounded repeats, alternation — no lookaround/backrefs),
+#: so Spark and any SQL oracle compile them identically.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "phone": r"\+?[0-9][0-9()\- ]{6,}[0-9]",
+}
+#: scrub order matters: emails before phones (digit runs inside an
+#: address must not be half-redacted), ipv4 before phone likewise
+PII_ORDER = ("email", "ipv4", "phone")
+
+
+def pii_count(text: str | Column, kind: str) -> Column:
+    """Occurrences of one PII pattern (email / ipv4 / phone)."""
+    return F.size(
+        F.regexp_extract_all(_col(text), F.lit(PII_PATTERNS[kind]), F.lit(0))
+    ).cast("bigint")
+
+
+def scrub_pii(text: str | Column) -> Column:
+    """Redact PII in place: each match replaced by ``<KIND>``. The
+    standard pre-training scrub pass — map-only, JVM-side regex."""
+    out = _col(text)
+    for kind in PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out

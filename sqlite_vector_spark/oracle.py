@@ -981,3 +981,18 @@ def random_projection_q() -> str:
     )
     return f"""SELECT CAST(vec_id AS BIGINT) AS id, {cols}
 FROM embeddings WHERE embedding IS NOT NULL"""
+
+
+def pii_scrub_q() -> str:
+    from sqlite_vector_spark.functions.text import PII_ORDER, PII_PATTERNS
+
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{PII_PATTERNS[k]}')) AS BIGINT) AS n_{'ipv4' if k == 'ipv4' else k + 's'}"
+        for k in ("email", "ipv4", "phone")
+    )
+    scrubbed = "text"
+    for k in PII_ORDER:
+        scrubbed = f"regexp_replace({scrubbed}, '{PII_PATTERNS[k]}', '<{k.upper()}>', 'g')"
+    return f"""SELECT CAST(doc_id AS BIGINT) AS doc_id, {counts},
+       CAST(length({scrubbed}) AS BIGINT) AS scrubbed_len
+FROM documents"""

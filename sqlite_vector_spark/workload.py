@@ -1138,3 +1138,21 @@ def random_projection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         projs.append(dot.alias(f"p{p}"))
     return emb.select(F.col("vec_id").cast("bigint").alias("id"), *projs)
+
+
+def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub sweep: per-doc match counts for each pattern class
+    plus the redacted-text length (map-only; the generated corpus is
+    PII-free so every count gates at 0 — the match/redact behavior
+    itself is pinned by fixture tests, test_pipeline_ops)."""
+    from sqlite_vector_spark.functions.text import pii_count, scrub_pii
+
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        pii_count(t, "email").alias("n_emails"),
+        pii_count(t, "ipv4").alias("n_ipv4"),
+        pii_count(t, "phone").alias("n_phones"),
+        F.length(scrub_pii(t)).cast("bigint").alias("scrubbed_len"),
+    )

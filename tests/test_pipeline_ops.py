@@ -201,3 +201,32 @@ def test_random_projection_matches_sequential_fold(spark):
         for x, y in zip(vec, plane):
             acc = acc + x * y
         assert row[f"p{p}"] == acc  # bit-exact sequential fold
+
+
+# ---------------------------------------------------------------- PII scrubbing
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from sqlite_vector_spark.functions.text import pii_count, scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@corp.example.co or call +1 (555) 123-4567 now"),
+            (2, "server at 192.168.10.1 responded"),
+            (3, "clean text with no identifiers"),
+        ],
+        "doc_id long, text string",
+    ).select(
+        "doc_id",
+        pii_count(F.col("text"), "email").alias("e"),
+        pii_count(F.col("text"), "ipv4").alias("ip"),
+        pii_count(F.col("text"), "phone").alias("ph"),
+        scrub_pii(F.col("text")).alias("s"),
+    )
+    got = {r.doc_id: r for r in df.collect()}
+    assert (got[1].e, got[1].ph) == (1, 1)
+    assert "<EMAIL>" in got[1].s and "<PHONE>" in got[1].s
+    assert "bob.smith" not in got[1].s and "555" not in got[1].s
+    assert got[2].ip == 1 and "<IPV4>" in got[2].s and "192.168" not in got[2].s
+    assert (got[3].e, got[3].ip, got[3].ph) == (0, 0, 0)
+    assert got[3].s == "clean text with no identifiers"
