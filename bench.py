@@ -126,6 +126,7 @@ def main():
     bench("value_quantiles", lambda: w.value_quantiles_q(spark, SF_DIR).collect())
     bench("chunk_dedup", lambda: w.chunk_dedup_q(spark, SF_DIR).count())
     bench("random_projection", lambda: w.random_projection_q(spark, SF_DIR).count())
+    bench("pii_scrub", lambda: w.pii_scrub_q(spark, SF_DIR).count())
 
     total = round(sum(times.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -230,3 +230,15 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert got[2].ip == 1 and "<IPV4>" in got[2].s and "192.168" not in got[2].s
     assert (got[3].e, got[3].ip, got[3].ph) == (0, 0, 0)
     assert got[3].s == "clean text with no identifiers"
+
+
+def test_chunk_dedup_shuffles_hashes_not_text(spark):
+    """chunk_dedup's scale claim: the corpus-wide exchanges carry
+    (id, hash) rows — the chunk STRINGS are hashed map-side and never
+    cross a shuffle boundary."""
+    from sqlite_vector_spark import workload as w
+
+    plan = _plan(w.chunk_dedup_q(spark, "/root/testdata/sf0.001"))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "chunk" not in line, line
