@@ -88,6 +88,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": w.repetition_scores_q,
         "source_stats": w.source_stats_q,
         "asof_join_events": w.asof_join_events_q,
+        "asof_tolerance_events": w.asof_tolerance_events_q,
+        "embedding_centroids": w.embedding_centroids_q,
+        "text_normalize": w.text_normalize_q,
         "value_quantiles": w.value_quantiles_q,
         # -- exact search (vector_full_scan family, SURVEY §2.1 #13/#15)
         "full_scan_l2": w.full_scan_l2,
@@ -102,20 +105,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf16_scan_l2": w.bf16_scan_l2,
         # -- native INT8/UINT8 storage scans (integer-domain kernels)
         "i8_scan_l2": w.i8_scan_l2,
-        "quantize_memory": w.quantize_memory,
         # -- kNN join + join-back + recall harness (SURVEY §2.2, §5.3)
         "knn_join_blocked_l2": w.knn_join_blocked_l2,  # scale path, sequential fold
         "knn_join_back": w.knn_join_back,
         "recall_at_k": w.recall_at_k,
         # -- relational surface used by canonical patterns (SURVEY §2.2)
         "pricing_summary": w.pricing_summary,
-        "top_customers": w.top_customers,
         "events_hourly": w.events_hourly,
         "shipping_priority": w.shipping_priority,
         "region_volume": w.region_volume,
         "sessionize": w.sessionize,
         "promo_revenue_share": w.promo_revenue_share,
-        "events_props_agg": w.events_props_agg,
         "quality_rejects": w.quality_rejects,
         # -- LLM-pipeline: text analysis (north star, BASELINE.json)
         "text_stats": w.text_stats,
@@ -139,6 +139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_l2": w.knn_join_l2,
         "codec_json_roundtrip": w.codec_json_roundtrip,
         "u8_scan_cosine": w.u8_scan_cosine,
+        "quantize_memory": w.quantize_memory,
+        "top_customers": w.top_customers,
+        "events_props_agg": w.events_props_agg,
         "full_scan_cosine": w.full_scan_cosine,
         "full_scan_stream_l2": w.full_scan_stream_l2,
         "quantize_scan_stream_l2": w.quantize_scan_stream_l2,
@@ -228,4 +231,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_dedup": o.chunk_dedup_q(),
         "random_projection": o.random_projection_q(),
         "pii_scrub": o.pii_scrub_q(),
+        "asof_tolerance_events": o.asof_tolerance_events_q(),
+        "embedding_centroids": o.embedding_centroids_q(),
+        "text_normalize": o.text_normalize_q(),
     }

@@ -226,3 +226,12 @@ def scrub_pii(text: str | Column) -> Column:
     for kind in PII_ORDER:
         out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
     return out
+
+
+def normalize_text(text: str | Column) -> Column:
+    """Canonical form for dedup/tokenization: lowercase, punctuation
+    to spaces, runs of spaces collapsed, ends trimmed. ASCII-safe
+    operations only, so any SQL engine mirrors it exactly."""
+    t = F.lower(_col(text))
+    t = F.regexp_replace(t, "[\\.\\,\\!\\?\;\\:]", " ")
+    return F.trim(F.regexp_replace(t, "  *", " "))

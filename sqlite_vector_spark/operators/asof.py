@@ -40,21 +40,34 @@ def asof_join(
     id_col: str,
     carry: list[str],
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
-    """Backward as-of join: left columns plus, for each left row, the
-    ``carry`` columns of the most recent right row at-or-before its
-    timestamp (NULL when no right row precedes it).
+    """As-of join: left columns plus, for each left row, the ``carry``
+    columns of the matched right row (NULL when none qualifies).
+
+    ``direction="backward"`` (default): most recent right row with
+    ``right.ts <= left.ts``; same-ts ties resolve to the LARGEST right
+    id. ``direction="forward"``: earliest right row with
+    ``right.ts >= left.ts``; ties resolve to the SMALLEST right id.
+    ``tolerance``: maximum |left.ts − right.ts| in ts units — a match
+    farther away is nulled out (pandas merge_asof semantics). The
+    tolerance check needs the right ts, so ``ts`` is always carried
+    internally.
 
     ``on``: equality partition key present in both inputs.
     ``ts``: ordering column (bigint epoch or timestamp), both inputs.
     ``id_col``: unique id in both inputs — the deterministic tiebreak.
     ``carry``: right-side columns to attach, renamed ``<col><suffix>``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
     lcols = left.columns
+    carry_all = list(dict.fromkeys([*carry, ts] if tolerance is not None else carry))
     tagged_l = left.select(
         *lcols,
         F.lit(1).alias("_tag"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in carry],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in carry_all],
     )
     tagged_r = right.select(
         *[
@@ -62,16 +75,36 @@ def asof_join(
             for c in lcols
         ],
         F.lit(0).alias("_tag"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in carry],
+        *[F.col(c).alias(f"{c}{suffix}") for c in carry_all],
     )
+    if direction == "backward":
+        order = [F.col(ts).asc(), F.col("_tag").asc(), F.col(id_col).asc()]
+    else:
+        # descending scan: the carried right row is the smallest ts
+        # >= left.ts; _tag still ascends so an equal-ts right row
+        # sorts before the left row and IS visible
+        order = [F.col(ts).desc(), F.col("_tag").asc(), F.col(id_col).desc()]
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts).asc(), F.col("_tag").asc(), F.col(id_col).asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = tagged_l.unionByName(tagged_r).select(
         *lcols,
         "_tag",
-        *[F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}") for c in carry],
+        *[F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}") for c in carry_all],
     )
-    return carried.where(F.col("_tag") == 1).drop("_tag")
+    out = carried.where(F.col("_tag") == 1).drop("_tag")
+    if tolerance is not None:
+        gap = F.abs(F.col(ts) - F.col(f"{ts}{suffix}"))
+        within = gap <= F.lit(tolerance)
+        out = out.select(
+            *lcols,
+            *[
+                F.when(within, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}")
+                for c in carry_all
+            ],
+        )
+        if ts not in carry:
+            out = out.drop(f"{ts}{suffix}")
+    return out

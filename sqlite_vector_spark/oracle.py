@@ -996,3 +996,46 @@ def pii_scrub_q() -> str:
     return f"""SELECT CAST(doc_id AS BIGINT) AS doc_id, {counts},
        CAST(length({scrubbed}) AS BIGINT) AS scrubbed_len
 FROM documents"""
+
+
+def asof_tolerance_events_q() -> str:
+    from sqlite_vector_spark.workload import ASOF_TOL_US
+
+    return f"""WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events),
+tagged AS (
+  SELECT event_id, user_id, us, 1 AS tag, NULL::BIGINT AS c_id, NULL::BIGINT AS c_us
+  FROM e WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT event_id, user_id, us, 0 AS tag, event_id AS c_id, us AS c_us
+  FROM e WHERE event_type = 'click'),
+w AS (
+  SELECT event_id, user_id, us, tag,
+         last_value(c_id IGNORE NULLS) OVER win AS click_id,
+         last_value(c_us IGNORE NULLS) OVER win AS click_us
+  FROM tagged
+  WINDOW win AS (PARTITION BY user_id ORDER BY us, tag, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id, us,
+       CASE WHEN abs(us - click_us) <= {ASOF_TOL_US} THEN click_id END AS click_id
+FROM w WHERE tag = 1
+ORDER BY event_id"""
+
+
+def embedding_centroids_q() -> str:
+    return f"""SELECT CAST(label AS INTEGER) AS label, CAST(i - 1 AS INTEGER) AS pos,
+       (CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) / count(*) AS c
+FROM embeddings, range(1, {DIM + 1}) t(i)
+WHERE embedding IS NOT NULL
+GROUP BY label, i
+ORDER BY label, pos"""
+
+
+def text_normalize_q() -> str:
+    norm = ("trim(regexp_replace(regexp_replace(lower(text), "
+            f"'{_PUNCT_RE}', ' ', 'g'), '  *', ' ', 'g'))")
+    n_tok = f"CAST(len(list_filter(string_split({norm}, ' '), w -> w <> '')) AS BIGINT)"
+    return f"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {norm} AS norm_text,
+       {n_tok} AS norm_tokens
+FROM documents"""

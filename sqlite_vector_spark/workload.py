@@ -1156,3 +1156,69 @@ def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pii_count(t, "phone").alias("n_phones"),
         F.length(scrub_pii(t)).cast("bigint").alias("scrubbed_len"),
     )
+
+
+#: as-of tolerance for the attribution query: 1 hour in micros
+ASOF_TOL_US = 3_600_000_000
+
+
+def asof_tolerance_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution with a 1-hour window: like asof_join_events but a
+    click more than ASOF_TOL_US older than the purchase no longer
+    counts (pandas merge_asof tolerance semantics)."""
+    from sqlite_vector_spark.operators.asof import asof_join
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", F.expr("ts_ns div 1000").alias("us"), "user_id", "event_type", "value"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").drop("event_type")
+    clicks = ev.where(F.col("event_type") == "click").drop("event_type")
+    out = asof_join(
+        purchases, clicks, on="user_id", ts="us", id_col="event_id",
+        carry=["event_id"], tolerance=ASOF_TOL_US,
+    )
+    return out.select(
+        "event_id", "user_id", "us",
+        F.col("event_id_asof").alias("click_id"),
+    ).orderBy("event_id")
+
+
+def embedding_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class prototypes / dataset
+    cartography) in long (label, pos, c) form. Fixed-point DECIMAL
+    sums per (label, dimension) — the same order-independent recipe as
+    kmeans_fit, so the means are bit-identical across engines and
+    partitionings. One shuffle of C x dim partials (map-side combine);
+    dimension count never widens the aggregate schema."""
+    emb = _emb(spark, sf_dir).where(F.col("embedding").isNotNull())
+    return (
+        emb.select(F.col("label").cast("int").alias("label"), F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(
+                F.round(F.col("x").cast("double") * F.lit(1_000_000.0)).cast("decimal(38,0)")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "pos",
+            ((F.col("s").cast("double") / F.lit(1_000_000.0)) / F.col("n")).alias("c"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+def text_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus normalization pass: lowercase, punctuation -> space,
+    whitespace collapse, trim — the map-only canonicalization run
+    before dedup/tokenization so surface variants hash together."""
+    from sqlite_vector_spark.functions.text import normalize_text, token_count
+
+    docs = _docs(spark, sf_dir)
+    norm = normalize_text(F.col("text"))
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        norm.alias("norm_text"),
+        token_count(norm).alias("norm_tokens"),
+    )

@@ -242,3 +242,38 @@ def test_chunk_dedup_shuffles_hashes_not_text(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "chunk" not in line, line
+
+
+def test_asof_forward_direction(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on="user_id", ts="us", id_col="event_id",
+        carry=["event_id", "us"], direction="forward",
+    )
+    got = {r.event_id: (r.event_id_asof, r.us_asof) for r in out.collect()}
+    assert got[1] == (102, 20)  # earliest quote at-or-after ts=10
+    assert got[2] == (102, 20)  # equal ts qualifies for >=
+    assert got[3] == (None, None)  # nothing after ts=35
+    assert got[4] == (None, None)
+
+
+def test_asof_tolerance_nulls_far_matches(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on="user_id", ts="us", id_col="event_id",
+        carry=["event_id"], tolerance=3,
+    )
+    got = {r.event_id: r.event_id_asof for r in out.collect()}
+    assert got[1] == 101  # gap 2 <= 3
+    assert got[2] == 102  # gap 0
+    assert got[3] is None  # nearest quote is 14 away — outside tolerance
+    assert "us_asof" not in out.columns  # internal carry dropped
+
+
+def test_normalize_text(spark):
+    from sqlite_vector_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "Hello,  World!  Mixed.CASE text")], "doc_id long, text string"
+    ).select(normalize_text(F.col("text")).alias("s"))
+    assert df.collect()[0].s == "hello world mixed case text"
