@@ -127,6 +127,8 @@ def main():
     bench("chunk_dedup", lambda: w.chunk_dedup_q(spark, SF_DIR).count())
     bench("random_projection", lambda: w.random_projection_q(spark, SF_DIR).count())
     bench("pii_scrub", lambda: w.pii_scrub_q(spark, SF_DIR).count())
+    bench("text_normalize", lambda: w.text_normalize_q(spark, SF_DIR).count())
+    bench("embedding_centroids", lambda: w.embedding_centroids_q(spark, SF_DIR).count())
 
     total = round(sum(times.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

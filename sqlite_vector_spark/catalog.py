@@ -48,6 +48,10 @@ class VectorContext:
     qoffset: float | None = None
     resolved_qtype: str | None = None
     quantized_path: str | None = None
+    # persisted after ivf_store: cluster-partitioned replica + its
+    # centroids (C x dim — metadata-sized, rides in the catalog JSON)
+    ivf_path: str | None = None
+    ivf_centroids: list | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -121,7 +125,7 @@ class VectorCatalog:
         )
         persisted = self._unserialize(table, column)
         if persisted:  # reload quant params (sqlite_unserialize, 451-491)
-            for k in ("qscale", "qoffset", "resolved_qtype", "quantized_path"):
+            for k in ("qscale", "qoffset", "resolved_qtype", "quantized_path", "ivf_path", "ivf_centroids"):
                 setattr(ctx, k, persisted.get(k))
         self._contexts[key] = ctx
         self._serialize(ctx)
@@ -136,6 +140,12 @@ class VectorCatalog:
     def set_quant_params(self, table: str, column: str, *, qtype: str, scale: float, offset: float, path: str | None = None) -> None:
         ctx = self.get(table, column)
         ctx.resolved_qtype, ctx.qscale, ctx.qoffset, ctx.quantized_path = qtype, scale, offset, path
+        self._serialize(ctx)
+
+    def set_ivf_index(self, table: str, column: str, *, path: str, centroids) -> None:
+        ctx = self.get(table, column)
+        ctx.ivf_path = path
+        ctx.ivf_centroids = [[float(x) for x in c] for c in centroids]
         self._serialize(ctx)
 
     def drop(self, table: str, column: str) -> None:

@@ -235,3 +235,37 @@ def ivf_search(
     probes = probe_clusters(query, centroids, nprobe)
     pruned = assigned.where(F.col("cluster").isin([int(p) for p in probes]))
     return full_scan(pruned, "vec", [float(x) for x in query], k, metric, id_col="id")
+
+
+def ivf_store(
+    df: DataFrame,
+    vec_col: str,
+    centroids: Sequence[Sequence[float]],
+    dest: str,
+    id_col: str = "id",
+    metric: str | Metric = "L2",
+) -> None:
+    """Materialize the IVF assignment ``partitionBy("cluster")`` — the
+    persistent form of ivf_assign. Assignment is map-side (no
+    shuffle); the write groups rows into one directory per cluster so
+    a probe IN filter becomes planning-time partition pruning
+    (tests/test_ann.py pins PartitionFilters)."""
+    assigned = ivf_assign(df, vec_col, centroids, id_col=id_col, metric=metric)
+    assigned.write.partitionBy("cluster").mode("overwrite").parquet(dest)
+
+
+def ivf_stored_scan(
+    spark,
+    dest: str,
+    query: Sequence[float],
+    centroids: Sequence[Sequence[float]],
+    k: int,
+    nprobe: int = 2,
+    metric: str | Metric = "L2",
+) -> DataFrame:
+    """Approximate top-k over an ivf_store directory: probe-cluster
+    IN filter (partition pruning), exact top-k within the probes."""
+    probes = probe_clusters([float(x) for x in query], centroids, nprobe)
+    stored = spark.read.parquet(dest)
+    pruned = stored.where(F.col("cluster").isin([int(c) for c in probes]))
+    return full_scan(pruned, "vec", [float(x) for x in query], k, metric, id_col="id")

@@ -35,21 +35,33 @@ def knn(
     metric: str | None = None,
     prefer: str = "auto",
     id_col: str = "id",
+    nprobe: int = 2,
 ) -> DataFrame:
     """Top-k over a registered vector column.
 
-    ``prefer``: "auto" uses the quantized replica when one is
-    registered (the cheap path, mirroring the reference's TVF cost
-    asymmetry, sqlite-vector.c:1851 vs 2248), "exact" forces the base
-    scan, "quantized" requires the replica (error if absent).
+    ``prefer``: "auto" picks the cheapest registered path —
+    IVF partition-pruned store > quantized replica > exact base scan
+    (mirroring the reference's TVF cost asymmetry, sqlite-vector.c:1851
+    vs 2248, extended with the partition-pruning tier the reference
+    lacks). "exact" forces the base scan; "quantized"/"ivf" require
+    that replica (error if absent). IVF results are true-domain
+    distances over probed clusters (approximate by probe coverage);
+    quantized results are quantized-unit distances (SURVEY §2.3).
     """
-    if prefer not in ("auto", "exact", "quantized"):
-        raise ValueError(f"prefer must be auto|exact|quantized, got {prefer!r}")
+    if prefer not in ("auto", "exact", "quantized", "ivf"):
+        raise ValueError(f"prefer must be auto|exact|quantized|ivf, got {prefer!r}")
     ctx = catalog.get(table, column)
     m = metric or ctx.distance
     has_replica = ctx.quantized_path is not None and ctx.qscale is not None
+    has_ivf = ctx.ivf_path is not None and ctx.ivf_centroids
     if prefer == "quantized" and not has_replica:
         raise ValueError(f"{table}.{column} has no quantized replica — run vector_quantize first")
+    if prefer == "ivf" and not has_ivf:
+        raise ValueError(f"{table}.{column} has no IVF store — run ivf_store + set_ivf_index first")
+    if prefer in ("auto", "ivf") and has_ivf:
+        from sqlite_vector_spark.operators.ann import ivf_stored_scan
+
+        return ivf_stored_scan(spark, ctx.ivf_path, query, ctx.ivf_centroids, k, nprobe=nprobe, metric=m)
     if prefer != "exact" and has_replica:
         codes = spark.read.parquet(ctx.quantized_path)
         params = QuantParams(ctx.resolved_qtype, float(ctx.qscale), float(ctx.qoffset), 0)

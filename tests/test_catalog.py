@@ -127,3 +127,47 @@ def test_router_index_selection(spark, emb, tmp_path):
     assert not any("shadow" in f for f in forced.inputFiles())
     # same neighbor set on this corpus (quantized-domain distances)
     assert {r.id for r in routed.collect()} == {r.id for r in forced.collect()}
+
+
+def test_router_ivf_tier(spark, emb, tmp_path):
+    """With an IVF store registered, auto-routing prefers it over the
+    quantized replica; the scan is partition-pruned to the probed
+    clusters and returns true-domain distances."""
+    import pytest as _pytest
+
+    from sqlite_vector_spark.catalog import VectorCatalog
+    from sqlite_vector_spark.operators.ann import ivf_store, probe_clusters
+    from sqlite_vector_spark.operators.quantize import vector_quantize
+    from sqlite_vector_spark.router import knn
+
+    cat = VectorCatalog(str(tmp_path / "cat"))
+    emb.createOrReplaceTempView("emb_ivf_router_t")
+    cat.vector_init(emb, "emb_ivf_router_t", "embedding", "type=FLOAT32,dimension=64,distance=L2")
+    with _pytest.raises(ValueError, match="no IVF store"):
+        knn(spark, cat, "emb_ivf_router_t", "embedding", [0.1] * 64, 5, prefer="ivf")
+
+    # quantized replica AND ivf store both registered -> ivf wins auto
+    shadow = str(tmp_path / "shadow")
+    vector_quantize(emb, "embedding", shadow, id_col="vec_id", catalog=cat, table="emb_ivf_router_t")
+    cent = [list(r.embedding) for r in emb.orderBy("vec_id").limit(8).collect()]
+    dest = str(tmp_path / "ivf")
+    ivf_store(emb, "embedding", cent, dest, id_col="vec_id")
+    cat.set_ivf_index("emb_ivf_router_t", "embedding", path=dest, centroids=cent)
+
+    routed = knn(spark, cat, "emb_ivf_router_t", "embedding", [0.1] * 64, 5)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    # probe IN filter lands in PartitionFilters = planning-time pruning
+    # (actual file-skipping is pinned in test_ann's pruning proof);
+    # inputFiles() lists pre-pruning so it only proves the source
+    assert "PartitionFilters: [" in plan and "cluster" in plan
+    assert any("/ivf" in f for f in routed.inputFiles())
+    assert routed.count() == 5
+    # routed rows really come from the probed clusters only
+    probes = set(probe_clusters([0.1] * 64, cent, 2))
+    stored = spark.read.parquet(dest)
+    probe_ids = {r.id for r in stored.where(stored.cluster.isin([int(c) for c in probes])).collect()}
+    assert {r.id for r in routed.collect()} <= probe_ids
+    # catalog round-trip: a fresh catalog over the same root reloads the index
+    cat2 = VectorCatalog(str(tmp_path / "cat"))
+    ctx2 = cat2.vector_init(emb, "emb_ivf_router_t", "embedding", "type=FLOAT32,dimension=64,distance=L2")
+    assert ctx2.ivf_path == dest and len(ctx2.ivf_centroids) == 8
