@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_scan_cosine": w.lsh_scan_cosine,
         "embedding_code_dedup": w.embedding_code_dedup_q,
         "ivf_kmeans_scan_l2": w.ivf_kmeans_scan_l2,  # hash-gated: fixed iters unroll to SQL
+        "ivf_knn_join_l2": w.ivf_knn_join_l2_q,
         # -- LLM-pipeline: packing + embedding utilities + composite prep
         "token_budget_pack": w.token_budget_pack_q,
         "normalize": w.normalize_q,
@@ -98,7 +99,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_params": w.quantize_params,
         "quantize_codes": w.quantize_codes,
         "quantize_scan_l2": w.quantize_scan_l2,
-        "rerank_scan_l2": w.rerank_scan_l2,  # two-stage: quantized prefilter + exact rerank
         # -- FLOAT16/BFLOAT16 storage scans (lane-rule kernel; hash-gated
         #    via the SQL half-rounding replay, oracle.halffloat_scan)
         "f16_scan_l2": w.f16_scan_l2,
@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_json_roundtrip": w.codec_json_roundtrip,
         "u8_scan_cosine": w.u8_scan_cosine,
         "quantize_memory": w.quantize_memory,
+        "rerank_scan_l2": w.rerank_scan_l2,  # two-stage: quantized prefilter + exact rerank
         "top_customers": w.top_customers,
         "events_props_agg": w.events_props_agg,
         "full_scan_cosine": w.full_scan_cosine,
@@ -234,4 +235,5 @@ def oracle_sql() -> dict[str, str]:
         "asof_tolerance_events": o.asof_tolerance_events_q(),
         "embedding_centroids": o.embedding_centroids_q(),
         "text_normalize": o.text_normalize_q(),
+        "ivf_knn_join_l2": o.ivf_knn_join_l2_q(),
     }

@@ -118,6 +118,7 @@ def main():
     bench("sample_mix", lambda: w.sample_mix_q(spark, SF_DIR).count())
     bench("token_budget_pack", lambda: w.token_budget_pack_q(spark, SF_DIR).count())
     bench("ivf_scan_l2", lambda: w.ivf_scan_l2(spark, SF_DIR).collect())
+    bench("ivf_knn_join", lambda: w.ivf_knn_join_l2_q(spark, SF_DIR).count())
 
     # round-3 pipeline additions
     bench("contamination_check", lambda: w.contamination_check_q(spark, SF_DIR).count())

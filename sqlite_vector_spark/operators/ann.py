@@ -269,3 +269,61 @@ def ivf_stored_scan(
     stored = spark.read.parquet(dest)
     pruned = stored.where(F.col("cluster").isin([int(c) for c in probes]))
     return full_scan(pruned, "vec", [float(x) for x in query], k, metric, id_col="id")
+
+
+def probe_clusters_col(vec: str | Column, centroids: Sequence[Sequence[float]], nprobe: int) -> Column:
+    """In-plan probe selection: ARRAY<BIGINT> of the ``nprobe`` nearest
+    centroid indices for a VECTOR COLUMN (the DataFrame-native analog
+    of the driver-side probe_clusters). (distance, index) struct sort
+    gives the same snapped-L2 + lowest-index order as the SQL
+    row_number mirror."""
+    d_arr = centroid_distances(vec, centroids, metric="L2")
+    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1)).cast("array<bigint>")
+    pairs = F.arrays_zip(d_arr.alias("d"), idx.alias("i"))
+    return F.transform(F.slice(F.array_sort(pairs), 1, nprobe), lambda s: s["i"])
+
+
+def ivf_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    k: int,
+    nprobe: int = 2,
+    metric: str | Metric = "L2",
+    q_id: str = "qid",
+    q_vec: str = "qv",
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Approximate many-query kNN join through the IVF geometry — the
+    100 TB form of the similarity join: each query scores only its
+    ``nprobe`` probed clusters instead of the whole corpus.
+
+    Shape: corpus assignment is map-side (fold-argmin, no shuffle);
+    queries pick probes in-plan and explode to (query x probe) rows —
+    a small broadcast side — so the join is a broadcast hash join on
+    ``cluster`` with candidate volume Σ_q(probed cluster sizes),
+    independent of total corpus size in the probe fraction. Top-k per
+    query via an id-tiebroken rank window over candidates only.
+    Results are true-domain distances; recall is governed by
+    nprobe/C exactly like single-query IVF."""
+    assigned = ivf_assign(corpus, vec_col, centroids, id_col=id_col, metric="L2")
+    qx = (
+        queries.select(
+            F.col(q_id).cast("bigint").alias("qid"),
+            F.col(q_vec).alias("_qv"),
+            probe_clusters_col(q_vec, centroids, nprobe).alias("_probes"),
+        )
+        .select("qid", "_qv", F.explode("_probes").alias("cluster"))
+    )
+    scored = (
+        assigned.join(F.broadcast(qx), "cluster")
+        .select("qid", "id", distance(F.col("vec"), F.col("_qv"), metric).alias("distance"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("distance").asc(), F.col("id").asc())
+    return (
+        scored.select("qid", "id", "distance", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+    )

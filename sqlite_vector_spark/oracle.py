@@ -1039,3 +1039,33 @@ def text_normalize_q() -> str:
        {norm} AS norm_text,
        {n_tok} AS norm_tokens
 FROM documents"""
+
+
+def ivf_knn_join_l2_q() -> str:
+    d_assign = dist_sql("L2", "e.embedding", "c.cv")
+    d_probe = dist_sql("L2", "c.cv", "q.qv")
+    d_final = dist_sql("L2", "a.v", "qp.qv")
+    return f"""WITH cent AS (
+  SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_C}),
+assign AS (
+  SELECT id, v, cid AS cluster FROM (
+    SELECT e.vec_id AS id, e.embedding AS v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d_assign} ASC, c.cid ASC) AS rn
+    FROM embeddings e, cent c WHERE e.embedding IS NOT NULL)
+  WHERE rn = 1),
+q AS (SELECT CAST(vec_id AS BIGINT) AS qid, embedding AS qv
+      FROM embeddings WHERE vec_id < {NQ} AND embedding IS NOT NULL),
+qp AS (
+  SELECT qid, qv, cid AS cluster FROM (
+    SELECT q.qid, q.qv, c.cid,
+           row_number() OVER (PARTITION BY q.qid ORDER BY {d_probe} ASC, c.cid ASC) AS rn
+    FROM q, cent c)
+  WHERE rn <= {IVF_NPROBE}),
+scored AS (
+  SELECT qp.qid, a.id, {d_final} AS distance
+  FROM assign a JOIN qp ON a.cluster = qp.cluster),
+ranked AS (
+  SELECT qid, id, distance,
+         row_number() OVER (PARTITION BY qid ORDER BY distance ASC, id ASC) AS rn
+  FROM scored)
+SELECT qid, id, distance, CAST(rn AS INTEGER) AS rank FROM ranked WHERE rn <= {KNN_K}"""

@@ -1222,3 +1222,21 @@ def text_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("norm_text"),
         token_count(norm).alias("norm_tokens"),
     )
+
+
+def ivf_knn_join_l2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN JOIN through IVF probes: the first NQ vectors as
+    queries, each scoring only its nprobe probed clusters
+    (operators/ann.ivf_knn_join)."""
+    from sqlite_vector_spark.operators.ann import ivf_knn_join
+
+    emb = _emb(spark, sf_dir)
+    cent_rows = emb.where(F.col("vec_id") < IVF_C).orderBy("vec_id").collect()
+    centroids = [list(r.embedding) for r in cent_rows]
+    queries = emb.where((F.col("vec_id") < NQ) & F.col("embedding").isNotNull()).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return ivf_knn_join(
+        queries, emb, centroids, KNN_K, nprobe=IVF_NPROBE, metric="L2",
+        id_col="vec_id", vec_col="embedding",
+    )

@@ -102,3 +102,38 @@ def test_ivf_partitioned_store_prunes_partitions(setup, spark, tmp_path):
     assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters", 1)[1][:120]
     # and the scan actually restricts to the two directories
     assert {r.cluster for r in pruned.select("cluster").distinct().collect()} == {0, 3}
+
+
+def test_ivf_knn_join_shape_and_recall(spark, emb):
+    """ivf_knn_join: broadcast hash join on cluster (queries side is
+    the small side), k rows per query, and reasonable overlap with the
+    exact kNN join on this easy corpus."""
+    import pyspark.sql.functions as F
+
+    from sqlite_vector_spark.operators.ann import ivf_knn_join
+    from sqlite_vector_spark.operators.knn_join import knn_join
+
+    cent = [list(r.embedding) for r in emb.orderBy("vec_id").limit(8).collect()]
+    queries = emb.where("vec_id < 4").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    out = ivf_knn_join(queries, emb, cent, 5, nprobe=2, id_col="vec_id", vec_col="embedding")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "cluster" in plan
+
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.qid, []).append(r)
+    assert set(per_q) == {0, 1, 2, 3}
+    for qid, rs in per_q.items():
+        assert len(rs) == 5 and sorted(r.rank for r in rs) == [1, 2, 3, 4, 5]
+        assert any(r.id == qid for r in rs)  # the query itself is its own 0-distance hit
+
+    exact = knn_join(
+        queries, emb, 5, "L2", query_vec="qv", corpus_vec="embedding", corpus_id="vec_id"
+    ).collect()
+    exact_ids = {(r.qid, r.id) for r in exact}
+    approx_ids = {(r.qid, r.id) for r in rows}
+    overlap = len(exact_ids & approx_ids) / len(exact_ids)
+    assert overlap >= 0.5, overlap  # probe coverage, not exactness, bounds recall
