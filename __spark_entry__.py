@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats": w.source_stats_q,
         "asof_join_events": w.asof_join_events_q,
         "asof_tolerance_events": w.asof_tolerance_events_q,
+        "asof_forward_events": w.asof_forward_events_q,
         "embedding_centroids": w.embedding_centroids_q,
         "text_normalize": w.text_normalize_q,
         "value_quantiles": w.value_quantiles_q,
@@ -97,7 +98,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_scan_l2": w.full_scan_l2,
         # -- quantization (vector_quantize family, SURVEY §2.1 #4-7/#14/#16, §2.6)
         "quantize_params": w.quantize_params,
-        "quantize_codes": w.quantize_codes,
         "quantize_scan_l2": w.quantize_scan_l2,
         # -- FLOAT16/BFLOAT16 storage scans (lane-rule kernel; hash-gated
         #    via the SQL half-rounding replay, oracle.halffloat_scan)
@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u8_scan_cosine": w.u8_scan_cosine,
         "quantize_memory": w.quantize_memory,
         "rerank_scan_l2": w.rerank_scan_l2,  # two-stage: quantized prefilter + exact rerank
+        "quantize_codes": w.quantize_codes,
         "top_customers": w.top_customers,
         "events_props_agg": w.events_props_agg,
         "full_scan_cosine": w.full_scan_cosine,
@@ -236,4 +237,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_centroids": o.embedding_centroids_q(),
         "text_normalize": o.text_normalize_q(),
         "ivf_knn_join_l2": o.ivf_knn_join_l2_q(),
+        "asof_forward_events": o.asof_forward_events_q(),
     }

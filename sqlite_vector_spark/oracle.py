@@ -1069,3 +1069,27 @@ ranked AS (
          row_number() OVER (PARTITION BY qid ORDER BY distance ASC, id ASC) AS rn
   FROM scored)
 SELECT qid, id, distance, CAST(rn AS INTEGER) AS rank FROM ranked WHERE rn <= {KNN_K}"""
+
+
+def asof_forward_events_q() -> str:
+    """Forward as-of mirror: descending scan, right rows (tag 0) still
+    sort before left at equal ts so an equal-ts purchase is visible;
+    id DESC makes the carried row the smallest qualifying id."""
+    return """WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events),
+tagged AS (
+  SELECT event_id, user_id, us, 1 AS tag, NULL::BIGINT AS p_id, NULL::BIGINT AS p_us
+  FROM e WHERE event_type = 'click'
+  UNION ALL
+  SELECT event_id, user_id, us, 0 AS tag, event_id AS p_id, us AS p_us
+  FROM e WHERE event_type = 'purchase'),
+w AS (
+  SELECT event_id, user_id, us, tag,
+         last_value(p_id IGNORE NULLS) OVER win AS purchase_id,
+         last_value(p_us IGNORE NULLS) OVER win AS purchase_us
+  FROM tagged
+  WINDOW win AS (PARTITION BY user_id ORDER BY us DESC, tag ASC, event_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id, us, purchase_id, purchase_us
+FROM w WHERE tag = 1
+ORDER BY event_id"""

@@ -1240,3 +1240,25 @@ def ivf_knn_join_l2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, emb, centroids, KNN_K, nprobe=IVF_NPROBE, metric="L2",
         id_col="vec_id", vec_col="embedding",
     )
+
+
+def asof_forward_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each click joined to the EARLIEST purchase by
+    the same user at or after it (conversion attribution, the mirror
+    of asof_join_events; ties resolve to the smallest purchase id)."""
+    from sqlite_vector_spark.operators.asof import asof_join
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", F.expr("ts_ns div 1000").alias("us"), "user_id", "event_type"
+    )
+    clicks = ev.where(F.col("event_type") == "click").drop("event_type")
+    purchases = ev.where(F.col("event_type") == "purchase").drop("event_type")
+    out = asof_join(
+        clicks, purchases, on="user_id", ts="us", id_col="event_id",
+        carry=["event_id", "us"], direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "us",
+        F.col("event_id_asof").alias("purchase_id"),
+        F.col("us_asof").alias("purchase_us"),
+    ).orderBy("event_id")
