@@ -98,7 +98,7 @@ def test_contamination_bench_side_is_broadcast(contam_docs):
 # ---------------------------------------------------------------- repetition metrics
 
 
-def test_repetition_scores_values(spark, monkeypatch, tmp_path):
+def test_repetition_scores_values(spark):
     from sqlite_vector_spark.functions.text import distinct_token_count, top_token_freq, words
 
     df = spark.createDataFrame(
@@ -277,3 +277,25 @@ def test_normalize_text(spark):
         [(1, "Hello,  World!  Mixed.CASE text")], "doc_id long, text string"
     ).select(normalize_text(F.col("text")).alias("s"))
     assert df.collect()[0].s == "hello world mixed case text"
+
+
+def test_embedding_centroids_dim_robust_plan(spark):
+    """Centroids aggregate through posexplode partials: the plan is a
+    2-aggregate shape whose width is independent of vector dimension
+    (no per-dimension aggregate columns)."""
+    from sqlite_vector_spark import workload as w
+
+    plan = _plan(w.embedding_centroids_q(spark, "/root/testdata/sf0.001"))
+    assert plan.count("HashAggregate") >= 2
+    assert "posexplode" in plan.lower() or "Generate" in plan
+    # exactly one corpus shuffle: the (label, pos) partial exchange
+    assert plan.count("Exchange hashpartitioning(label") <= 2  # partials + orderBy range uses rangepartitioning
+
+
+def test_value_quantiles_single_group_shuffle(spark):
+    """Quantiles shuffle the events once on event_type for the rank
+    window; the rollup reuses that partitioning."""
+    from sqlite_vector_spark import workload as w
+
+    plan = _plan(w.value_quantiles_q(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange hashpartitioning(event_type") == 1
