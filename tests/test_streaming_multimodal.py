@@ -123,3 +123,44 @@ def test_resize_media_stub_and_fake(spark):
     assert out[1].width == 8 and out[1].height == 8
     assert out[1].payload is not None and len(out[1].payload) == 1  # 8*8//64
     assert out[2].payload is None
+
+
+def test_streaming_text_pipeline_scrub_and_score(spark, docs, tmp_path):
+    """The text-pipeline functions (PII scrub, quality, repetition) are
+    plain Catalyst projections, so they run unchanged inside a
+    Structured Streaming micro-batch — ingest-time cleaning at scale."""
+    import pyspark.sql.functions as F
+
+    from sqlite_vector_spark.functions.text import (
+        pii_count,
+        quality_score,
+        scrub_pii,
+        top_token_freq,
+        words,
+    )
+
+    src = str(tmp_path / "docs_src")
+    docs.limit(50).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    cleaned = stream.select(
+        "doc_id",
+        scrub_pii(F.col("text")).alias("clean_text"),
+        pii_count(F.col("text"), "email").alias("n_emails"),
+        quality_score(F.col("text")).alias("quality"),
+        top_token_freq(words(F.col("text"))).alias("top_freq"),
+    )
+    q = (
+        cleaned.writeStream.format("memory")
+        .queryName("clean_docs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM clean_docs").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 50
+    assert all(r.n_emails == 0 for r in rows)  # corpus is PII-free
+    assert all(r.clean_text and r.quality is not None and r.top_freq >= 1 for r in rows)
