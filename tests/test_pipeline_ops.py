@@ -299,3 +299,41 @@ def test_value_quantiles_single_group_shuffle(spark):
 
     plan = _plan(w.value_quantiles_q(spark, "/root/testdata/sf0.001"))
     assert plan.count("Exchange hashpartitioning(event_type") == 1
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("direction,tolerance", [("backward", None), ("forward", None), ("backward", 7)])
+def test_asof_matches_pandas_merge_asof(spark, seed, direction, tolerance):
+    """Independent reference: randomized fixtures (ts collisions, empty
+    users, duplicate-ts right rows) must match pandas merge_asof —
+    whose tie rules (backward: last right row in (ts, id) order =
+    largest id; forward: first = smallest id; exact matches allowed;
+    tolerance nulls far matches) are exactly this operator's."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(seed)
+    n = 40
+    left = [(i, rng.randrange(5), rng.randrange(60)) for i in range(n)]
+    right = [(1000 + i, rng.randrange(5), rng.randrange(60)) for i in range(n)]
+    ldf = spark.createDataFrame(left, "event_id long, user_id long, us long")
+    rdf = spark.createDataFrame(right, "event_id long, user_id long, us long")
+    out = asof_join(
+        ldf, rdf, on="user_id", ts="us", id_col="event_id",
+        carry=["event_id"], direction=direction, tolerance=tolerance,
+    )
+    got = {r.event_id: r.event_id_asof for r in out.collect()}
+
+    lp = pd.DataFrame(left, columns=["event_id", "user_id", "us"]).sort_values(["us", "event_id"])
+    rp = pd.DataFrame(right, columns=["event_id", "user_id", "us"]).sort_values(["us", "event_id"])
+    merged = pd.merge_asof(
+        lp, rp, on="us", by="user_id", direction=direction,
+        suffixes=("", "_asof"),
+        tolerance=tolerance,
+    )
+    exp = {
+        int(r.event_id): (None if pd.isna(r.event_id_asof) else int(r.event_id_asof))
+        for r in merged.itertuples()
+    }
+    assert got == exp
