@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_code_dedup": w.embedding_code_dedup_q,
         "ivf_kmeans_scan_l2": w.ivf_kmeans_scan_l2,  # hash-gated: fixed iters unroll to SQL
         "ivf_knn_join_l2": w.ivf_knn_join_l2_q,
+        "ivf_recall_at_k": w.ivf_recall_at_k_q,
         # -- LLM-pipeline: packing + embedding utilities + composite prep
         "token_budget_pack": w.token_budget_pack_q,
         "normalize": w.normalize_q,
@@ -128,7 +129,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": w.minhash_sig_q,
         "lsh_candidate_pairs": w.lsh_pairs_q,
         "simhash": w.simhash_q,
-        "simhash_neardup": w.simhash_neardup_q,
         "ngram_jaccard_pairs": w.jaccard_pairs_q,
         "embedding_neardup": w.embedding_neardup_q,
         "neardup_representatives": w.neardup_representatives_q,
@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_l2": w.knn_join_l2,
         "codec_json_roundtrip": w.codec_json_roundtrip,
         "u8_scan_cosine": w.u8_scan_cosine,
+        "simhash_neardup": w.simhash_neardup_q,
         "quantize_memory": w.quantize_memory,
         "rerank_scan_l2": w.rerank_scan_l2,  # two-stage: quantized prefilter + exact rerank
         "quantize_codes": w.quantize_codes,
@@ -238,4 +239,5 @@ def oracle_sql() -> dict[str, str]:
         "text_normalize": o.text_normalize_q(),
         "ivf_knn_join_l2": o.ivf_knn_join_l2_q(),
         "asof_forward_events": o.asof_forward_events_q(),
+        "ivf_recall_at_k": o.ivf_recall_at_k_q(),
     }

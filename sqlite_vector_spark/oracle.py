@@ -1093,3 +1093,23 @@ w AS (
 SELECT event_id, user_id, us, purchase_id, purchase_us
 FROM w WHERE tag = 1
 ORDER BY event_id"""
+
+
+def ivf_recall_at_k_q() -> str:
+    d = dist_sql("L2", "cv", "qv")
+    return f"""WITH ivf AS ({ivf_knn_join_l2_q()}),
+q AS (SELECT CAST(vec_id AS BIGINT) AS qid, embedding AS qv
+      FROM embeddings WHERE vec_id < {NQ} AND embedding IS NOT NULL),
+c AS (SELECT vec_id AS id, embedding AS cv FROM embeddings WHERE embedding IS NOT NULL),
+exact AS (
+  SELECT qid AS eqid, id AS eid FROM (
+    SELECT q.qid, c.id,
+           row_number() OVER (PARTITION BY q.qid ORDER BY {d} ASC, c.id ASC) AS rn
+    FROM c, q)
+  WHERE rn <= {KNN_K})
+SELECT e.eqid AS qid,
+       CAST(count(i.id) AS DOUBLE) / {float(KNN_K)!r} AS recall
+FROM exact e
+LEFT JOIN ivf i ON i.qid = e.eqid AND i.id = e.eid
+GROUP BY e.eqid
+ORDER BY qid"""

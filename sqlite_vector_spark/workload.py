@@ -1262,3 +1262,37 @@ def asof_forward_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id_asof").alias("purchase_id"),
         F.col("us_asof").alias("purchase_us"),
     ).orderBy("event_id")
+
+
+def ivf_recall_at_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall harness for the IVF route (the QUANTIZATION.md:44-76
+    verification pattern applied to probe-based ANN): |IVF top-k ∩
+    exact top-k| / k per query. The operational dial a user turns
+    nprobe with."""
+    from sqlite_vector_spark.operators.ann import ivf_knn_join
+    from sqlite_vector_spark.operators.knn_join import knn_join
+
+    emb = _emb(spark, sf_dir)
+    cent_rows = emb.where(F.col("vec_id") < IVF_C).orderBy("vec_id").collect()
+    centroids = [list(r.embedding) for r in cent_rows]
+    queries = emb.where((F.col("vec_id") < NQ) & F.col("embedding").isNotNull()).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    approx = ivf_knn_join(
+        queries, emb, centroids, KNN_K, nprobe=IVF_NPROBE, metric="L2",
+        id_col="vec_id", vec_col="embedding",
+    ).select("qid", "id")
+    exact = knn_join(
+        queries, emb, KNN_K, "L2", query_vec="qv", corpus_vec="embedding", corpus_id="vec_id"
+    ).select(F.col("qid").alias("eqid"), F.col("id").alias("eid"))
+    return (
+        exact.join(
+            approx,
+            (approx.qid == exact.eqid) & (approx.id == exact.eid),
+            "left",
+        )
+        .groupBy("eqid")
+        .agg((F.count("id").cast("double") / F.lit(float(KNN_K))).alias("recall"))
+        .select(F.col("eqid").alias("qid"), "recall")
+        .orderBy("qid")
+    )
