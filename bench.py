@@ -52,18 +52,30 @@ def main():
         vector_quantize_scan,
     )
 
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    emb.count()  # warm FS cache / JIT before timing
-
     times: dict[str, float] = {}
     spread: dict[str, float] = {}
+    errors: dict[str, str] = {}
+
+    try:
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        emb.count()  # warm FS cache / JIT before timing
+    except Exception as exc:  # noqa: BLE001
+        errors["__setup__"] = f"{type(exc).__name__}: {exc}"[:500]
+        emb = None
 
     def bench(name: str, fn, n: int = N_RUNS):
+        # Failure-isolated: one query's exception must not destroy the
+        # round's bench evidence — record the error, keep the partial
+        # numbers, and always emit the final JSON line.
         runs = []
-        for _ in range(n):
-            t0 = time.time()
-            fn()
-            runs.append(time.time() - t0)
+        try:
+            for _ in range(n):
+                t0 = time.time()
+                fn()
+                runs.append(time.time() - t0)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            return
         times[name] = round(min(runs), 4)
         spread[name] = round(max(runs) - min(runs), 4)
 
@@ -85,18 +97,25 @@ def main():
 
     bench("quantize_build", build)
 
-    codes = spark.read.parquet(dest)
-    q = w.Q64
-    bench("quantize_scan_cold", lambda: vector_quantize_scan(codes, q, params, 20, "L2").collect())
-    vector_quantize_preload(codes)  # persist -> the "preload" path
-    bench("quantize_scan_preloaded", lambda: vector_quantize_scan(codes, q, params, 20, "L2").collect())
+    if params is not None:
+        codes = spark.read.parquet(dest)
+        q = w.Q64
+        bench("quantize_scan_cold", lambda: vector_quantize_scan(codes, q, params, 20, "L2").collect())
+        vector_quantize_preload(codes)  # persist -> the "preload" path
+        bench("quantize_scan_preloaded", lambda: vector_quantize_scan(codes, q, params, 20, "L2").collect())
+    else:
+        errors.setdefault("quantize_scan_cold", "skipped: quantize_build failed")
+        errors.setdefault("quantize_scan_preloaded", "skipped: quantize_build failed")
 
     # kNN similarity join (scale path: blocked local top-k)
-    queries_local = [(r.vec_id, list(r.embedding)) for r in emb.where(f"vec_id < {w.NQ}").collect()]
-    bench(
-        "knn_join_blocked",
-        lambda: knn_join_blocked(queries_local, emb, w.KNN_K, "L2", corpus_vec="embedding", corpus_id="vec_id").collect(),
-    )
+    try:
+        queries_local = [(r.vec_id, list(r.embedding)) for r in emb.where(f"vec_id < {w.NQ}").collect()]
+        bench(
+            "knn_join_blocked",
+            lambda: knn_join_blocked(queries_local, emb, w.KNN_K, "L2", corpus_vec="embedding", corpus_id="vec_id").collect(),
+        )
+    except Exception as exc:  # noqa: BLE001
+        errors["knn_join_blocked"] = f"{type(exc).__name__}: {exc}"[:500]
     bench("knn_join_window", lambda: w.knn_join_l2(spark, SF_DIR).collect())
     bench("recall_at_k", lambda: w.recall_at_k(spark, SF_DIR).collect())
 
@@ -133,7 +152,7 @@ def main():
 
     total = round(sum(times.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    out = {
         "metric": "headline operator wall-clock at sf" + sf,
         "value": total,
         "unit": "sec",
@@ -142,7 +161,10 @@ def main():
         "n_runs": N_RUNS,
         "sf": float(sf),
         "cpus": int(CPUS),
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -596,10 +596,16 @@ ORDER BY doc_id"""
 
 
 def normalize_q() -> str:
+    # Gate form mirrors workload.normalize_q: fixed-point micro-units
+    # CSV (round(x*1e6) -> BIGINT -> comma-joined) because the driver's
+    # canonicalizer can't hash list columns; round parity at 1e6 is the
+    # same rule embedding_centroids relies on.
     nrm = _fold(f"list_transform(range(1, {DIM + 1}), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")
+    unit = (f"CASE WHEN sqrt({nrm}) = 0.0 THEN list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+            f"ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt({nrm})) END")
     return f"""SELECT CAST(vec_id AS BIGINT) AS id,
-       CASE WHEN sqrt({nrm}) = 0.0 THEN list_transform(embedding, x -> CAST(x AS DOUBLE))
-            ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt({nrm})) END AS unit_vec
+       list_aggregate(list_transform({unit}, x -> CAST(CAST(round(x * 1000000.0) AS BIGINT) AS VARCHAR)), 'string_agg', ',') AS unit_csv,
+       CAST(len(embedding) AS INT) AS dim
 FROM embeddings WHERE embedding IS NOT NULL"""
 
 
@@ -904,7 +910,7 @@ def source_stats_q() -> str:
   SELECT source, lang, {n_tok} AS n_tok, {quality} AS q FROM documents)
 SELECT source, lang,
        count(*) AS n_docs,
-       sum(n_tok) AS sum_tokens,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
        {_fixed_sum('q', 1000000.0)} AS sum_quality
 FROM per_doc
 GROUP BY source, lang

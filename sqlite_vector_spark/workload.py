@@ -356,15 +356,47 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; read the nanos as BIGINT (legacy conf) and expose
-    both raw ``ts_ns`` and a micros-truncated TIMESTAMP ``ts``."""
+    """Load events.parquet and expose an epoch-nanoseconds ``ts_ns``
+    column regardless of how ``ts`` is physically encoded. The driver
+    has shipped two encodings across rounds:
+
+    - TIMESTAMP(NANOS) (INT64 nanos): Spark's reader rejects it unless
+      ``spark.sql.legacy.parquet.nanosAsLong`` is set, in which case the
+      column surfaces as BIGINT nanos — expose it directly and derive a
+      micros-truncated TIMESTAMP ``ts``.
+    - timestamp[us] (TIMESTAMP_NTZ after read): derive epoch micros
+      from the wall-clock components (date + h/m/s.fraction), which is
+      exact and session-timezone-independent — the DuckDB oracle's
+      ``epoch_us(ts)`` treats the same wall clock as UTC, and the
+      driver's gate session does not pin a timezone, so NTZ→TIMESTAMP
+      casts (session-tz-dependent) must be avoided here.
+    """
+    # Harmless for the timestamp[us] encoding; required before the read
+    # for the INT64-nanos encoding, so set unconditionally.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = table(spark, sf_dir, "events")
-    # NB: integer `div`, not `/` — float division loses precision above 2^53 ns
-    return ev.withColumn("ts_ns", F.col("ts").cast("bigint")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type == "bigint":
+        # NB: integer `div`, not `/` — float division loses precision above 2^53 ns
+        return ev.withColumn("ts_ns", F.col("ts").cast("bigint")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    if ts_type == "timestamp":
+        # LTZ timestamp: the instant is already defined; unix_micros is
+        # exact and session-timezone-independent.
+        return ev.withColumn(
+            "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000).cast("bigint")
+        )
+    # timestamp_ntz: wall-clock component epoch math. hour/minute/
+    # date_part on NTZ read the local datetime directly (no tz
+    # conversion), and unix_date is exact on DATE — no DST pitfalls.
+    ts_us = (
+        F.unix_date(F.col("ts").cast("date")).cast("bigint") * F.lit(86400000000).cast("bigint")
+        + F.hour("ts").cast("bigint") * F.lit(3600000000).cast("bigint")
+        + F.minute("ts").cast("bigint") * F.lit(60000000).cast("bigint")
+        + (F.expr("date_part('SECOND', ts)") * 1000000).cast("bigint")
     )
+    return ev.withColumn("ts_ns", ts_us * F.lit(1000).cast("bigint"))
 
 
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -773,23 +805,40 @@ def neardup_representatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def normalize_vectors(emb: DataFrame, vec_col: str = "embedding") -> F.Column:
+    """L2-unit-normalized copy of ``vec_col`` as an ARRAY<DOUBLE> column
+    (zero vectors pass through). Library form — map-only, the norm
+    folded once per row."""
+    from sqlite_vector_spark.functions.distance import _dot_sum
+
+    nrm = F.sqrt(_dot_sum(F.col(vec_col), F.col(vec_col)))
+    return F.when(nrm == F.lit(0.0), F.col(vec_col).cast("array<double>")).otherwise(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm)
+    )
+
+
 def normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-normalize the embedding column (zero vectors pass through).
 
     The reference parses a ``normalized`` flag but never computes it
     (SURVEY §1.3); this makes it real: on normalized vectors
     COSINE == 1 + DOT, so cosine search can run on the cheaper dot
-    kernel. Map-only projection, the norm folded once per row.
-    """
-    from sqlite_vector_spark.functions.distance import _dot_sum
+    kernel.
 
+    Gate form: the unit vector is serialized as fixed-point micro-units
+    CSV (round(x*1e6) per lane) because the driver's canonicalizer
+    can't sort/hash raw array columns — same serialization pattern as
+    ``quantize_codes``, same 1e6 round parity already proven green by
+    ``embedding_centroids``. The raw array form is
+    ``normalize_vectors`` above.
+    """
     emb = _emb(spark, sf_dir)
-    nrm = F.sqrt(_dot_sum(F.col("embedding"), F.col("embedding")))
-    unit = F.when(nrm == F.lit(0.0), F.col("embedding").cast("array<double>")).otherwise(
-        F.transform(F.col("embedding"), lambda x: x.cast("double") / nrm)
-    )
+    unit = normalize_vectors(emb)
+    unit_fp = F.transform(unit, lambda x: F.round(x * F.lit(1000000.0)).cast("bigint"))
     return emb.where(F.col("embedding").isNotNull()).select(
-        F.col("vec_id").cast("bigint").alias("id"), unit.alias("unit_vec")
+        F.col("vec_id").cast("bigint").alias("id"),
+        F.concat_ws(",", unit_fp.cast("array<string>")).alias("unit_csv"),
+        F.size("embedding").alias("dim"),
     )
 
 
