@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -37,7 +38,9 @@ from sqlite_vector_spark.types import Metric
 
 def centroid_distances(vec: str | Column, centroids: Sequence[Sequence[float]], metric: str | Metric = "L2") -> Column:
     """ARRAY<DOUBLE> of distances to every centroid (map-side, one
-    codegen'd expression per centroid — O(C) expression size).
+    codegen'd expression per centroid — O(C·dim) expression size; the
+    bit-exact oracle path. For large C use the arrow-numpy assignment
+    backend, which keeps the plan O(1) — see _assign_backend).
 
     NB: do NOT build argmin as a chain of when(d < best, ...)
     otherwise(best) — each step duplicates the whole prior tree and
@@ -52,6 +55,104 @@ def nearest_centroid_from(d_arr: Column) -> Column:
     return (F.array_position(d_arr, F.array_min(d_arr)) - 1).cast("bigint")
 
 
+def _centroid_matrix(centroids: Sequence[Sequence[float]]):
+    import numpy as np
+
+    return np.asarray([[float(x) for x in c] for c in centroids], dtype=np.float64)
+
+
+def _pairwise_dists(mat, cm, m: Metric):
+    """(B,dim) x (C,dim) -> (B,C) float64 distance matrix, vectorized.
+
+    Gram-matrix forms for L2/SQ/DOT/COSINE (one BLAS matmul); L1 walks
+    centroid blocks to bound the (B, blk, dim) broadcast at ~32 MB.
+    Accumulation order differs from the sequential codegen fold —
+    throughput backend, not the oracle path (same contract as
+    distance_pandas_udf)."""
+    import numpy as np
+
+    if m in (Metric.L2, Metric.SQUARED_L2):
+        d = (mat * mat).sum(1)[:, None] - 2.0 * (mat @ cm.T) + (cm * cm).sum(1)[None, :]
+        np.maximum(d, 0.0, out=d)  # clamp FP-negative zeros from the expansion
+        if m is Metric.L2:
+            np.sqrt(d, out=d)
+    elif m is Metric.DOT:
+        d = -(mat @ cm.T)
+    elif m is Metric.COSINE:
+        num = mat @ cm.T
+        denom = np.sqrt((mat * mat).sum(1))[:, None] * np.sqrt((cm * cm).sum(1))[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            d = np.where(denom == 0.0, 1.0, 1.0 - num / denom)
+    elif m is Metric.L1:
+        b, dim = mat.shape
+        d = np.empty((b, cm.shape[0]), dtype=np.float64)
+        blk = max(1, int(4_000_000 // max(1, b * dim)))
+        for s in range(0, cm.shape[0], blk):
+            d[:, s : s + blk] = np.abs(mat[:, None, :] - cm[None, s : s + blk, :]).sum(2)
+    else:  # pragma: no cover
+        raise ValueError(m)
+    return d
+
+
+def nearest_centroid_arrow_udf(centroids: Sequence[Sequence[float]], metric: str | Metric = "L2"):
+    """Arrow-batched assignment kernel: ARRAY<numeric> -> BIGINT cluster.
+
+    The centroid matrix rides in the UDF closure (one broadcast per
+    stage), so the Catalyst plan stays O(1) regardless of C — the
+    large-C backend the literal-expression path can't provide (C=1000 x
+    dim=768 would otherwise put ~768k literals into codegen).
+    np.argmin takes the first minimum, preserving the lowest-index
+    tiebreak of nearest_centroid_from."""
+    from pyspark.sql.functions import pandas_udf
+
+    from sqlite_vector_spark.types import parse_metric
+
+    m = parse_metric(metric) if isinstance(metric, str) else metric
+    cm = _centroid_matrix(centroids)
+
+    @pandas_udf("bigint")
+    def _kernel(col: pd.Series) -> pd.Series:
+        import numpy as np
+
+        mat = np.array(col.tolist(), dtype=np.float64)
+        return pd.Series(_pairwise_dists(mat, cm, m).argmin(axis=1).astype("int64"))
+
+    return _kernel
+
+
+def probe_clusters_arrow_udf(centroids: Sequence[Sequence[float]], nprobe: int):
+    """Arrow-batched probe selection: ARRAY<numeric> -> ARRAY<BIGINT> of
+    the nprobe nearest centroid indices (L2), stable argsort so ties
+    break to the lowest index like probe_clusters_col."""
+    from pyspark.sql.functions import pandas_udf
+
+    cm = _centroid_matrix(centroids)
+
+    @pandas_udf("array<bigint>")
+    def _kernel(col: pd.Series) -> pd.Series:
+        import numpy as np
+
+        mat = np.array(col.tolist(), dtype=np.float64)
+        d = _pairwise_dists(mat, cm, Metric.L2)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe].astype("int64")
+        return pd.Series(list(idx))
+
+    return _kernel
+
+
+def _assign_backend(centroids: Sequence[Sequence[float]]) -> str:
+    """Backend for centroid assignment. The scale axis here is the
+    C·dim literal footprint of the codegen path (plan/codegen size),
+    so "auto" resolves on that product with the same threshold the
+    per-distance dispatch uses on dim. Oracle-gated runs pin "codegen"
+    (__spark_entry__._pinned) and keep the bit-exact literal fold."""
+    from sqlite_vector_spark.version import resolve_backend
+
+    c = len(centroids)
+    dim = len(centroids[0]) if c else 0
+    return resolve_backend(c * dim)
+
+
 def ivf_assign(
     df: DataFrame,
     vec_col: str,
@@ -60,13 +161,21 @@ def ivf_assign(
     metric: str | Metric = "L2",
 ) -> DataFrame:
     """(id, vec, cluster). Write this ``partitionBy("cluster")`` so
-    probes become partition pruning."""
+    probes become partition pruning.
+
+    Backend-dispatched: codegen literal fold (bit-exact, oracle) vs
+    arrow-numpy batch kernel (O(1) plan size at any C — the 100 TB
+    path for realistic C≈1000, dim≈768). Both are map-side: no
+    shuffle either way."""
     base = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).cast("bigint").alias("id"),
         F.col(vec_col).alias("vec"),
-        centroid_distances(vec_col, centroids, metric).alias("_dists"),
     )
-    return base.select("id", "vec", nearest_centroid_from(F.col("_dists")).alias("cluster"))
+    if _assign_backend(centroids) == "arrow-numpy":
+        return base.withColumn("cluster", nearest_centroid_arrow_udf(centroids, metric)(F.col("vec")))
+    return base.withColumn(
+        "cluster", nearest_centroid_from(centroid_distances(F.col("vec"), centroids, metric))
+    )
 
 
 def probe_clusters(query: Sequence[float], centroids: Sequence[Sequence[float]], nprobe: int) -> list[int]:
@@ -128,12 +237,23 @@ def kmeans_fit(
     base = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
     )
+    # validate up front: a ragged vector would otherwise surface as a
+    # bare KeyError deep in the partial-sum reshape (missing (cluster,
+    # pos) keys) — fail with the actual contract violation instead.
+    n_bad = base.where(F.size("vec") != dim).count()
+    if n_bad:
+        raise ValueError(
+            f"kmeans_fit: {n_bad} row(s) in {vec_col!r} have dimension != {dim}; "
+            f"vectors must be uniform-length for training"
+        )
     seed_rows = base.orderBy("id").limit(c).collect()
     centroids = [[float(x) for x in r.vec] for r in seed_rows]
     for _ in range(iters):
-        assigned = base.select(
-            "vec", nearest_centroid_from(centroid_distances(F.col("vec"), centroids, metric)).alias("cluster")
-        )
+        if _assign_backend(centroids) == "arrow-numpy":
+            cluster_col = nearest_centroid_arrow_udf(centroids, metric)(F.col("vec"))
+        else:
+            cluster_col = nearest_centroid_from(centroid_distances(F.col("vec"), centroids, metric))
+        assigned = base.select("vec", cluster_col.alias("cluster"))
         parts = (
             assigned.select("cluster", F.posexplode("vec").alias("pos", "x"))
             .groupBy("cluster", "pos")
@@ -164,7 +284,14 @@ def lsh_probe_buckets(
     """Driver-side: the query's hyperplane bucket plus its Hamming-h
     multiprobe neighbors (h=1 flips each plane bit once). Same
     sequential left-fold dot in float64 as dedup.hyperplane_bucket and
-    the SQL oracle — bucket selection is bit-reproducible."""
+    the SQL oracle — bucket selection is bit-reproducible.
+
+    Only h in {0, 1} is implemented; larger h must raise rather than
+    silently probing fewer buckets than asked (recall would quietly
+    fall short of the caller's request)."""
+    if hamming not in (0, 1):
+        raise ValueError(f"hamming={hamming} not supported (only 0 or 1); "
+                         f"2^h multiprobe beyond 1 bit flip is not implemented")
     qb = 0
     for p, plane in enumerate(planes):
         acc = 0.0
@@ -276,8 +403,12 @@ def probe_clusters_col(vec: str | Column, centroids: Sequence[Sequence[float]], 
     centroid indices for a VECTOR COLUMN (the DataFrame-native analog
     of the driver-side probe_clusters). (distance, index) struct sort
     gives the same snapped-L2 + lowest-index order as the SQL
-    row_number mirror."""
-    d_arr = centroid_distances(vec, centroids, metric="L2")
+    row_number mirror. Backend-dispatched like ivf_assign: the
+    arrow-numpy stable argsort keeps the plan O(1) at large C."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    if _assign_backend(centroids) == "arrow-numpy":
+        return probe_clusters_arrow_udf(centroids, nprobe)(v)
+    d_arr = centroid_distances(v, centroids, metric="L2")
     idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1)).cast("array<bigint>")
     pairs = F.arrays_zip(d_arr.alias("d"), idx.alias("i"))
     return F.transform(F.slice(F.array_sort(pairs), 1, nprobe), lambda s: s["i"])

@@ -10,8 +10,8 @@ Spark-first shape — NOT a range join and NOT a per-key collect:
 
     union(left tagged 1, right tagged 0)
       -> single Exchange on the partition key
-      -> Window last(value, ignorenulls) ordered by (ts, tag, id)
-      -> filter back to left rows
+      -> Window last(struct(carry...), ignorenulls) ordered by (ts, tag, id)
+      -> filter back to left rows, project struct fields
 
 One shuffle total, no join node at all: the classic sorted-merge
 as-of reduces to a carry-forward window over the interleaved stream.
@@ -62,12 +62,21 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(direction)
+    from pyspark.sql.types import StructField, StructType
+
     lcols = left.columns
     carry_all = list(dict.fromkeys([*carry, ts] if tolerance is not None else carry))
+    # ONE struct carried atomically with a single last(ignorenulls):
+    # per-column carries would mix fields from DIFFERENT right rows
+    # whenever a carry column holds NULL (last-non-null per column is
+    # not last-row per column). F.struct of a right row is never NULL
+    # itself, so ignorenulls skips exactly the interleaved left rows,
+    # and every projected field comes from the same matched right row.
+    carry_t = StructType([StructField(c, right.schema[c].dataType) for c in carry_all])
     tagged_l = left.select(
         *lcols,
         F.lit(1).alias("_tag"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in carry_all],
+        F.lit(None).cast(carry_t).alias("_carry"),
     )
     tagged_r = right.select(
         *[
@@ -75,7 +84,7 @@ def asof_join(
             for c in lcols
         ],
         F.lit(0).alias("_tag"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in carry_all],
+        F.struct(*[F.col(c).alias(c) for c in carry_all]).alias("_carry"),
     )
     if direction == "backward":
         order = [F.col(ts).asc(), F.col("_tag").asc(), F.col(id_col).asc()]
@@ -92,9 +101,12 @@ def asof_join(
     carried = tagged_l.unionByName(tagged_r).select(
         *lcols,
         "_tag",
-        *[F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}") for c in carry_all],
+        F.last("_carry", ignorenulls=True).over(w).alias("_carry"),
     )
-    out = carried.where(F.col("_tag") == 1).drop("_tag")
+    out = carried.where(F.col("_tag") == 1).select(
+        *lcols,
+        *[F.col("_carry")[c].alias(f"{c}{suffix}") for c in carry_all],
+    )
     if tolerance is not None:
         gap = F.abs(F.col(ts) - F.col(f"{ts}{suffix}"))
         within = gap <= F.lit(tolerance)

@@ -446,6 +446,20 @@ def token_counts_q() -> str:
 FROM documents"""
 
 
+def bpe_token_counts_q() -> str:
+    # Partial gate for the BPE merge loop (workload.bpe_token_counts_q):
+    # the greedy data-dependent merge iteration is not SQL-expressible,
+    # but its result invariant is — the oracle recomputes the exact
+    # pre-token count and asserts the two-sided bound as literal TRUE;
+    # a Spark-side merge-loop bug that breaks the bound hash-fails.
+    from sqlite_vector_spark.functions.text import SUBWORD_RE
+
+    return f"""SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{SUBWORD_RE}')) AS BIGINT) AS subword_tokens,
+       TRUE AS bpe_in_bounds
+FROM documents"""
+
+
 def lang_id_q() -> str:
     padded = "(' ' || text || ' ')"
     scores = {
@@ -990,18 +1004,30 @@ FROM embeddings WHERE embedding IS NOT NULL"""
 
 
 def pii_scrub_q() -> str:
+    # Mirrors workload.pii_scrub_q's IN-PLAN synthetic PII injection
+    # (email %7, ipv4 %11, phone %13, each derived from doc_id) so the
+    # counts gate NONZERO — an all-zero gate proves nothing about
+    # matching. Identical string construction on both engines.
     from sqlite_vector_spark.functions.text import PII_ORDER, PII_PATTERNS
 
+    did = "CAST(doc_id AS BIGINT)"
+    inj = (
+        "text"
+        f" || CASE WHEN {did} % 7 = 0 THEN ' contact user' || CAST({did} AS VARCHAR) || '@example.com' ELSE '' END"
+        f" || CASE WHEN {did} % 11 = 0 THEN ' from 10.' || CAST({did} % 200 AS VARCHAR) || '.0.' || CAST({did} % 250 AS VARCHAR) ELSE '' END"
+        f" || CASE WHEN {did} % 13 = 0 THEN ' call 555-' || CAST(1000 + {did} % 9000 AS VARCHAR) ELSE '' END"
+    )
     counts = ", ".join(
-        f"CAST(len(regexp_extract_all(text, '{PII_PATTERNS[k]}')) AS BIGINT) AS n_{'ipv4' if k == 'ipv4' else k + 's'}"
+        f"CAST(len(regexp_extract_all(t, '{PII_PATTERNS[k]}')) AS BIGINT) AS n_{'ipv4' if k == 'ipv4' else k + 's'}"
         for k in ("email", "ipv4", "phone")
     )
-    scrubbed = "text"
+    scrubbed = "t"
     for k in PII_ORDER:
         scrubbed = f"regexp_replace({scrubbed}, '{PII_PATTERNS[k]}', '<{k.upper()}>', 'g')"
-    return f"""SELECT CAST(doc_id AS BIGINT) AS doc_id, {counts},
+    return f"""WITH inj AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {inj} AS t FROM documents)
+SELECT doc_id, {counts},
        CAST(length({scrubbed}) AS BIGINT) AS scrubbed_len
-FROM documents"""
+FROM inj"""
 
 
 def asof_tolerance_events_q() -> str:

@@ -39,14 +39,16 @@ def knn(
 ) -> DataFrame:
     """Top-k over a registered vector column.
 
-    ``prefer``: "auto" picks the cheapest registered path —
-    IVF partition-pruned store > quantized replica > exact base scan
-    (mirroring the reference's TVF cost asymmetry, sqlite-vector.c:1851
-    vs 2248, extended with the partition-pruning tier the reference
-    lacks). "exact" forces the base scan; "quantized"/"ivf" require
-    that replica (error if absent). IVF results are true-domain
-    distances over probed clusters (approximate by probe coverage);
-    quantized results are quantized-unit distances (SURVEY §2.3).
+    ``prefer``: "auto" picks the cheapest FULL-COVERAGE registered
+    path — quantized replica > exact base scan (mirroring the
+    reference's TVF cost asymmetry, sqlite-vector.c:1851 vs 2248).
+    The IVF store is opt-in (``prefer="ivf"``), never auto: its probe
+    limit silently drops recall below 1.0, and an engine must not
+    trade answer completeness for speed without being asked. "exact"
+    forces the base scan; "quantized"/"ivf" require that replica
+    (error if absent). IVF results are true-domain distances over
+    probed clusters (approximate by probe coverage); quantized results
+    are quantized-unit distances (SURVEY §2.3).
     """
     if prefer not in ("auto", "exact", "quantized", "ivf"):
         raise ValueError(f"prefer must be auto|exact|quantized|ivf, got {prefer!r}")
@@ -58,7 +60,7 @@ def knn(
         raise ValueError(f"{table}.{column} has no quantized replica — run vector_quantize first")
     if prefer == "ivf" and not has_ivf:
         raise ValueError(f"{table}.{column} has no IVF store — run ivf_store + set_ivf_index first")
-    if prefer in ("auto", "ivf") and has_ivf:
+    if prefer == "ivf":
         from sqlite_vector_spark.operators.ann import ivf_stored_scan
 
         return ivf_stored_scan(spark, ctx.ivf_path, query, ctx.ivf_centroids, k, nprobe=nprobe, metric=m)

@@ -652,9 +652,15 @@ def bpe_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side on a deterministic corpus sample (doc_id < 50, the
     k-means-seed pattern), applied corpus-wide via the Arrow-batched
     merge-loop UDF. The data-dependent merge iteration is not
-    SQL-expressible -> rows-only check; subword_tokens (the gated
-    pre-token upper bound) rides along, and the invariant
-    bpe_tokens <= subword_pretokens is pinned in tests."""
+    SQL-expressible, so the raw count can't be hash-gated — instead the
+    gate entry emits the oracle-CHECKABLE projection of the result:
+    ``subword_tokens`` (exact SQL-side pre-token count) and
+    ``bpe_in_bounds`` = (pre <= bpe <= nonspace_chars), the two-sided
+    invariant of a correct merge loop (merges only fuse within a
+    pre-token; zero merges = one token per char). The oracle emits the
+    same pre-token count and literal TRUE, so a buggy merge loop that
+    breaks either bound hash-fails the gate. Raw counts: use
+    functions/bpe.bpe_token_count_udf directly."""
     from sqlite_vector_spark.functions.bpe import bpe_token_count_udf, train_bpe
     from sqlite_vector_spark.functions.text import subword_token_count
 
@@ -662,10 +668,13 @@ def bpe_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = [r.text for r in docs.where(F.col("doc_id") < 50).orderBy("doc_id").collect()]
     merges = train_bpe(sample, num_merges=200)
     t = F.col("text")
+    bpe = bpe_token_count_udf(merges)(t)
+    pre = subword_token_count(t)
+    nonspace = F.length(F.regexp_replace(t, " ", "")).cast("bigint")
     return docs.select(
         "doc_id",
-        bpe_token_count_udf(merges)(t).alias("bpe_tokens"),
-        subword_token_count(t).alias("subword_tokens"),
+        pre.alias("subword_tokens"),
+        ((pre <= bpe) & (bpe <= nonspace)).alias("bpe_in_bounds"),
     )
 
 
@@ -1191,19 +1200,44 @@ def random_projection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub sweep: per-doc match counts for each pattern class
-    plus the redacted-text length (map-only; the generated corpus is
-    PII-free so every count gates at 0 — the match/redact behavior
-    itself is pinned by fixture tests, test_pipeline_ops)."""
+    plus the redacted-text length (map-only).
+
+    The generated corpus is PII-free, which would gate every count at
+    0 and prove nothing about matching — so deterministic synthetic
+    PII is injected IN-PLAN (email every 7th doc, IPv4 every 11th,
+    phone every 13th, all derived from doc_id) with the identical
+    string construction in the DuckDB oracle. The gate then pins
+    nonzero per-class counts AND the redacted lengths."""
     from sqlite_vector_spark.functions.text import pii_count, scrub_pii
 
     docs = _docs(spark, sf_dir)
-    t = F.col("text")
+    did = F.col("doc_id").cast("bigint")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (did % 200).cast("string"),
+                F.lit(".0."),
+                (did % 250).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(F.lit(" call 555-"), (F.lit(1000) + did % 9000).cast("string")),
+        ).otherwise(F.lit("")),
+    )
     return docs.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        pii_count(t, "email").alias("n_emails"),
-        pii_count(t, "ipv4").alias("n_ipv4"),
-        pii_count(t, "phone").alias("n_phones"),
-        F.length(scrub_pii(t)).cast("bigint").alias("scrubbed_len"),
+        did.alias("doc_id"),
+        pii_count(injected, "email").alias("n_emails"),
+        pii_count(injected, "ipv4").alias("n_ipv4"),
+        pii_count(injected, "phone").alias("n_phones"),
+        F.length(scrub_pii(injected)).cast("bigint").alias("scrubbed_len"),
     )
 
 

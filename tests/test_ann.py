@@ -137,3 +137,69 @@ def test_ivf_knn_join_shape_and_recall(spark, emb):
     approx_ids = {(r.qid, r.id) for r in rows}
     overlap = len(exact_ids & approx_ids) / len(exact_ids)
     assert overlap >= 0.5, overlap  # probe coverage, not exactness, bounds recall
+
+
+def test_lsh_probe_hamming_gt_1_raises():
+    """hamming>1 must raise, not silently probe fewer buckets than
+    asked (silent recall loss)."""
+    import pytest
+
+    from sqlite_vector_spark.operators.ann import lsh_probe_buckets
+
+    planes = [[1.0, 0.0], [0.0, 1.0]]
+    assert lsh_probe_buckets([1.0, 1.0], planes, hamming=0) == [3]
+    assert len(lsh_probe_buckets([1.0, 1.0], planes, hamming=1)) == 3
+    with pytest.raises(ValueError, match="hamming"):
+        lsh_probe_buckets([1.0, 1.0], planes, hamming=2)
+
+
+def test_kmeans_fit_ragged_vectors_raise(spark):
+    """A ragged vector column must fail with the contract violation,
+    not a bare KeyError from the partial-sum reshape."""
+    import pytest
+
+    from sqlite_vector_spark.operators.ann import kmeans_fit
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0]), (2, [5.0])], "id long, v array<double>"
+    )
+    with pytest.raises(ValueError, match="dimension"):
+        kmeans_fit(df, "v", c=2, dim=2, iters=1)
+
+
+def test_arrow_assignment_matches_codegen(spark, emb):
+    """The arrow-numpy assignment backend must agree with the codegen
+    literal fold on real embeddings for every metric (no near-ties in
+    the fixture, so FP-accumulation-order differences can't flip an
+    argmin)."""
+    from sqlite_vector_spark.operators.ann import ivf_assign
+    from sqlite_vector_spark.version import set_backend
+
+    cent = [list(r.embedding) for r in emb.orderBy("vec_id").limit(8).collect()]
+    for metric in ("L2", "SQUARED_L2", "COSINE", "DOT", "L1"):
+        set_backend("codegen")
+        ref = {r.id: r.cluster for r in ivf_assign(emb, "embedding", cent, id_col="vec_id", metric=metric).collect()}
+        set_backend("arrow-numpy")
+        got = {r.id: r.cluster for r in ivf_assign(emb, "embedding", cent, id_col="vec_id", metric=metric).collect()}
+        set_backend("auto")
+        diff = {k for k in ref if ref[k] != got[k]}
+        # identical corpora, well-separated clusters: exact agreement
+        assert not diff, (metric, len(diff))
+
+
+def test_arrow_probe_selection_matches_codegen(spark, emb):
+    """probe_clusters_col through both backends picks the same probe
+    sets in the same order."""
+    import pyspark.sql.functions as F
+
+    from sqlite_vector_spark.operators.ann import probe_clusters_col
+    from sqlite_vector_spark.version import set_backend
+
+    cent = [list(r.embedding) for r in emb.orderBy("vec_id").limit(8).collect()]
+    qdf = emb.where("vec_id < 16")
+    set_backend("codegen")
+    ref = {r.vec_id: list(r.p) for r in qdf.select("vec_id", probe_clusters_col("embedding", cent, 3).alias("p")).collect()}
+    set_backend("arrow-numpy")
+    got = {r.vec_id: list(r.p) for r in qdf.select("vec_id", probe_clusters_col("embedding", cent, 3).alias("p")).collect()}
+    set_backend("auto")
+    assert ref == got

@@ -80,4 +80,5 @@ def test_workload_entry_runs(spark):
 
     out = w.bpe_token_counts_q(spark, "/root/testdata/sf0.001").collect()
     assert len(out) > 0
-    assert all(r.bpe_tokens >= r.subword_tokens for r in out)
+    assert all(r.bpe_in_bounds for r in out)
+    assert all(r.subword_tokens >= 0 for r in out)

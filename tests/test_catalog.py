@@ -130,9 +130,11 @@ def test_router_index_selection(spark, emb, tmp_path):
 
 
 def test_router_ivf_tier(spark, emb, tmp_path):
-    """With an IVF store registered, auto-routing prefers it over the
-    quantized replica; the scan is partition-pruned to the probed
-    clusters and returns true-domain distances."""
+    """The IVF store is OPT-IN (prefer='ivf'): auto must keep routing
+    to a full-coverage path (quantized replica here) because the probe
+    limit silently drops recall. When asked for, the IVF scan is
+    partition-pruned to the probed clusters with true-domain
+    distances."""
     import pytest as _pytest
 
     from sqlite_vector_spark.catalog import VectorCatalog
@@ -146,7 +148,8 @@ def test_router_ivf_tier(spark, emb, tmp_path):
     with _pytest.raises(ValueError, match="no IVF store"):
         knn(spark, cat, "emb_ivf_router_t", "embedding", [0.1] * 64, 5, prefer="ivf")
 
-    # quantized replica AND ivf store both registered -> ivf wins auto
+    # quantized replica AND ivf store both registered -> auto still
+    # routes to the full-coverage replica; IVF only on explicit ask
     shadow = str(tmp_path / "shadow")
     vector_quantize(emb, "embedding", shadow, id_col="vec_id", catalog=cat, table="emb_ivf_router_t")
     cent = [list(r.embedding) for r in emb.orderBy("vec_id").limit(8).collect()]
@@ -154,7 +157,9 @@ def test_router_ivf_tier(spark, emb, tmp_path):
     ivf_store(emb, "embedding", cent, dest, id_col="vec_id")
     cat.set_ivf_index("emb_ivf_router_t", "embedding", path=dest, centroids=cent)
 
-    routed = knn(spark, cat, "emb_ivf_router_t", "embedding", [0.1] * 64, 5)
+    auto = knn(spark, cat, "emb_ivf_router_t", "embedding", [0.1] * 64, 5)
+    assert any("shadow" in f for f in auto.inputFiles())  # full-coverage replica, not IVF
+    routed = knn(spark, cat, "emb_ivf_router_t", "embedding", [0.1] * 64, 5, prefer="ivf")
     plan = routed._jdf.queryExecution().executedPlan().toString()
     # probe IN filter lands in PartitionFilters = planning-time pruning
     # (actual file-skipping is pinned in test_ann's pruning proof);

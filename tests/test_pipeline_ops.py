@@ -337,3 +337,40 @@ def test_asof_matches_pandas_merge_asof(spark, seed, direction, tolerance):
         for r in merged.itertuples()
     }
     assert got == exp
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_asof_carry_is_atomic_across_null_columns(spark, seed):
+    """Carry columns with NULLs must all come from the SAME matched
+    right row: a per-column last(ignorenulls) carry would fill a NULL
+    carry field from an older right row (field mixing). The struct
+    carry makes the whole right row atomic — a matched row with NULL
+    v1 carries NULL v1."""
+    import random
+
+    rng = random.Random(seed)
+    left = [(i, rng.randrange(3), rng.randrange(40)) for i in range(30)]
+    right = [
+        (1000 + i, rng.randrange(3), rng.randrange(40),
+         None if i % 2 else float(i), f"r{i}")
+        for i in range(30)
+    ]
+    ldf = spark.createDataFrame(left, "event_id long, user_id long, us long")
+    rdf = spark.createDataFrame(
+        right, "event_id long, user_id long, us long, v1 double, v2 string"
+    )
+    out = asof_join(
+        ldf, rdf, on="user_id", ts="us", id_col="event_id",
+        carry=["event_id", "v1", "v2"],
+    ).collect()
+    by_id = {r[0]: (r[3], r[4]) for r in right}
+    matched_with_null_v1 = 0
+    for r in out:
+        if r.event_id_asof is None:
+            assert r.v1_asof is None and r.v2_asof is None
+        else:
+            v1, v2 = by_id[r.event_id_asof]
+            assert r.v1_asof == v1 and r.v2_asof == v2
+            matched_with_null_v1 += v1 is None
+    # the fixture must actually exercise the mixing failure mode
+    assert matched_with_null_v1 > 0

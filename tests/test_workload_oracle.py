@@ -34,9 +34,7 @@ def test_every_query_runs_and_has_oracle(spark):
         assert df.count() >= 0, name
     # every declared query should have an oracle unless documented
     # rows-only (driver records the weaker check; judge sees which)
-    ROWS_ONLY = {
-        "bpe_token_counts",  # greedy merge loop not SQL-expressible
-    }
+    ROWS_ONLY: set[str] = set()  # every declared query is now oracle-gated
     missing = set(qs) - set(osql) - ROWS_ONLY
     assert not missing, f"queries without oracle: {missing}"
 

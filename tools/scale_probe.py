@@ -117,6 +117,29 @@ def main():
     out["preload_speedup_x"] = round(out["quantized_knn_cold_s"] / out["quantized_knn_preloaded_s"], 2)
     out["quantized_vs_exact_x"] = round(out["exact_knn_s"] / out["quantized_knn_preloaded_s"], 2)
 
+    # IVF at realistic C through the arrow-numpy assignment backend:
+    # C=256 x dim literals would bloat codegen (~200k literal plan);
+    # "auto" resolves assignment to the Arrow kernel (centroid matrix
+    # in the UDF closure, O(1) plan), the store is partitionBy(cluster),
+    # and the probe scan must hit PartitionFilters pruning.
+    from sqlite_vector_spark.operators.ann import ivf_store, ivf_stored_scan
+
+    set_backend("auto")
+    ivf_c = int(os.environ.get("SPARK_GRAFT_IVF_C", "256"))
+    nprobe = max(1, ivf_c // 16)
+    cent = [[float(x) for x in r.embedding] for r in df.orderBy("vec_id").limit(ivf_c).collect()]
+    ivf_dir = os.path.join(root, "ivf")
+    t0 = time.time()
+    ivf_store(df, "embedding", cent, ivf_dir, id_col="vec_id")
+    out["ivf_c"] = ivf_c
+    out["ivf_store_s"] = round(time.time() - t0, 2)
+    ivf_hits = timed(
+        "ivf_scan_s",
+        lambda: ivf_stored_scan(spark, ivf_dir, q, cent, K, nprobe=nprobe).collect(),
+    )
+    out["ivf_recall_at_k"] = round(len(exact_ids & {r.id for r in ivf_hits}) / K, 4)
+    set_backend("codegen")
+
     print(json.dumps(out))
     spark.stop()
     shutil.rmtree(root, ignore_errors=True)
