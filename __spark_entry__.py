@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": w.asof_join_events_q,
         "asof_tolerance_events": w.asof_tolerance_events_q,
         "asof_forward_events": w.asof_forward_events_q,
+        "asof_null_carry_events": w.asof_null_carry_events_q,  # NEW r5: atomic struct carry
         "value_quantiles": w.value_quantiles_q,
         "events_hourly": w.events_hourly,
         "sessionize": w.sessionize,
@@ -125,11 +126,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_back": w.knn_join_back,
         "recall_at_k": w.recall_at_k,
         "pricing_summary": w.pricing_summary,
+        # -- NEW r5 pipeline operators (first gate pass this round)
+        "doc_split_assign": w.doc_split_assign_q,
+        "token_doc_freq": w.token_doc_freq_q,
+        # ---- past the 50-entry gate horizon: green in CORRECTNESS_r04
+        # (latest green = r4, inside the no-older-than-r3 policy).
         "f16_scan_l2": w.f16_scan_l2,
         "bf16_scan_l2": w.bf16_scan_l2,
         "i8_scan_l2": w.i8_scan_l2,
-        # ---- past the 50-entry gate horizon: green in CORRECTNESS_r04
-        # (latest green = r4, inside the no-older-than-r3 policy).
         "token_budget_pack": w.token_budget_pack_q,
         "corpus_prep": w.corpus_prep_q,
         "chunk_dedup": w.chunk_dedup_q,
@@ -232,6 +236,9 @@ def oracle_sql() -> dict[str, str]:
         "random_projection": o.random_projection_q(),
         "pii_scrub": o.pii_scrub_q(),
         "asof_tolerance_events": o.asof_tolerance_events_q(),
+        "asof_null_carry_events": o.asof_null_carry_events_q(),
+        "doc_split_assign": o.doc_split_assign_q(w.SPLIT_TRAIN_PCT, w.SPLIT_VAL_PCT),
+        "token_doc_freq": o.token_doc_freq_q(w.MIN_DF),
         "embedding_centroids": o.embedding_centroids_q(),
         "text_normalize": o.text_normalize_q(),
         "ivf_knn_join_l2": o.ivf_knn_join_l2_q(),

@@ -150,6 +150,11 @@ def main():
     bench("text_normalize", lambda: w.text_normalize_q(spark, SF_DIR).count())
     bench("embedding_centroids", lambda: w.embedding_centroids_q(spark, SF_DIR).count())
 
+    # round-5 pipeline additions
+    bench("doc_split_assign", lambda: w.doc_split_assign_q(spark, SF_DIR).count())
+    bench("token_doc_freq", lambda: w.token_doc_freq_q(spark, SF_DIR).count())
+    bench("asof_null_carry", lambda: w.asof_null_carry_events_q(spark, SF_DIR).count())
+
     total = round(sum(times.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -477,6 +477,32 @@ def fingerprint_q() -> str:
     return f"SELECT doc_id, {polyhash_sql('text')} AS fp FROM documents"
 
 
+def doc_split_assign_q(train_pct: int, val_pct: int) -> str:
+    # Mirror of workload.doc_split_assign_q: content-hash split — the
+    # polyhash fold is non-negative, so a single % 100 suffices.
+    return f"""WITH b AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, ({polyhash_sql('text')}) % 100 AS bucket
+  FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < {train_pct} THEN 'train'
+            WHEN bucket < {val_pct} THEN 'val'
+            ELSE 'test' END AS split
+FROM b"""
+
+
+def token_doc_freq_q(min_df: int) -> str:
+    # Mirror of workload.token_doc_freq_q: distinct normalized tokens
+    # per doc -> document frequency, floored at min_df.
+    norm = ("trim(regexp_replace(regexp_replace(lower(text), "
+            f"'{_PUNCT_RE}', ' ', 'g'), '  *', ' ', 'g'))")
+    toks = f"list_distinct(list_filter(string_split({norm}, ' '), w -> w <> ''))"
+    return f"""WITH t AS (SELECT doc_id, unnest({toks}) AS token FROM documents)
+SELECT token, count(*) AS df
+FROM t GROUP BY token
+HAVING count(*) >= {min_df}
+ORDER BY df DESC, token ASC"""
+
+
 def dedup_exact_q() -> str:
     return """SELECT text, count(*) AS dup_count, min(doc_id) AS keeper_id
 FROM documents GROUP BY text"""
@@ -950,6 +976,33 @@ w AS (
   WINDOW win AS (PARTITION BY user_id ORDER BY us, tag, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
 SELECT event_id, user_id, us, value, click_id, click_us
+FROM w WHERE tag = 1
+ORDER BY event_id"""
+
+
+def asof_null_carry_events_q() -> str:
+    # Atomic struct carry mirror (workload.asof_null_carry_events_q):
+    # the carry rides as ONE struct through last_value(IGNORE NULLS),
+    # so a click whose (injected-NULL) value is NULL still carries ITS
+    # OWN NULL, never an older click's value.
+    return """WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us, event_type, value FROM events),
+tagged AS (
+  SELECT event_id, user_id, us, 1 AS tag,
+         CAST(NULL AS STRUCT(c_id BIGINT, c_val DOUBLE)) AS carry
+  FROM e WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT event_id, user_id, us, 0 AS tag,
+         struct_pack(c_id := event_id,
+                     c_val := CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END) AS carry
+  FROM e WHERE event_type = 'click'),
+w AS (
+  SELECT event_id, user_id, us, tag,
+         last_value(carry IGNORE NULLS) OVER win AS carry
+  FROM tagged
+  WINDOW win AS (PARTITION BY user_id ORDER BY us, tag, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id, us, carry.c_id AS click_id, carry.c_val AS click_value
 FROM w WHERE tag = 1
 ORDER BY event_id"""
 

@@ -1134,6 +1134,42 @@ def asof_join_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def asof_null_carry_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a NULL-bearing carry column — adjudicates the
+    ATOMIC struct carry (operators/asof.py): the click's ``value`` is
+    nulled in-plan for every event_id % 3 == 0 (identically in the
+    DuckDB oracle, which mirrors the same struct-typed
+    last(ignorenulls) window). A per-column carry would backfill those
+    NULLs from an OLDER click and hash-fail here."""
+    from sqlite_vector_spark.operators.asof import asof_join
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", F.expr("ts_ns div 1000").alias("us"), "user_id", "event_type", "value"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").drop("event_type")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .drop("event_type")
+        .withColumn(
+            "value",
+            F.when(F.col("event_id") % 3 == 0, F.lit(None).cast("double")).otherwise(
+                F.col("value")
+            ),
+        )
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", ts="us", id_col="event_id",
+        carry=["event_id", "value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.col("event_id_asof").alias("click_id"),
+        F.col("value_asof").alias("click_value"),
+    ).orderBy("event_id")
+
+
 def value_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-event_type quantiles of value (type-1 / lower-value
     definition: the element at rank ceil(q*n), id-tiebroken). Exact
@@ -1304,6 +1340,63 @@ def text_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("doc_id"),
         norm.alias("norm_text"),
         token_count(norm).alias("norm_tokens"),
+    )
+
+
+#: content-hash split thresholds (percent of hash space)
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 90
+
+
+def doc_split_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by CONTENT hash —
+    ``polyhash(text) % 100`` against 80/10/10 thresholds.
+
+    Content-based (not id-based) splitting is the leakage-safe
+    convention for training corpora: exact duplicates land in the same
+    split by construction, and assignment is stable across corpus
+    re-ingests where ids get reassigned. Map-only projection; the
+    polynomial hash is the engine-identical convention every gated
+    hash op uses (functions/text.py), so DuckDB adjudicates the split
+    bit-for-bit."""
+    from sqlite_vector_spark.functions.text import polyhash
+
+    docs = _docs(spark, sf_dir)
+    bucket = polyhash(F.col("text")) % 100
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        bucket.alias("bucket"),
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+#: document-frequency floor for the vocabulary table
+MIN_DF = 5
+
+
+def token_doc_freq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with document frequencies — the IDF-table
+    build every tokenizer/quality pipeline needs.
+
+    Per doc: distinct normalized tokens (array_distinct keeps the
+    explode bounded by types-per-doc, not tokens); one shuffle on
+    token with map-side partial counts — the canonical scalable
+    vocab-build shape (shuffle volume = distinct (doc, token) pairs,
+    then partials collapse per token). MIN_DF floors the long tail so
+    the result is a reviewable table, not the full hapax tail."""
+    from sqlite_vector_spark.functions.text import normalize_text, words
+
+    docs = _docs(spark, sf_dir)
+    toks = F.array_distinct(words(normalize_text(F.col("text"))))
+    return (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= MIN_DF)
+        .orderBy(F.col("df").desc(), F.col("token").asc())
     )
 
 

@@ -374,3 +374,46 @@ def test_asof_carry_is_atomic_across_null_columns(spark, seed):
             matched_with_null_v1 += v1 is None
     # the fixture must actually exercise the mixing failure mode
     assert matched_with_null_v1 > 0
+
+
+def test_doc_split_assign_is_content_based(spark):
+    """Split assignment must follow the content hash: duplicate texts
+    co-assign (leakage safety) and every bucket respects its
+    threshold band."""
+    from sqlite_vector_spark import workload as w
+
+    df = w.doc_split_assign_q(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    for r in rows:
+        expected = (
+            "train" if r.bucket < w.SPLIT_TRAIN_PCT
+            else "val" if r.bucket < w.SPLIT_VAL_PCT
+            else "test"
+        )
+        assert r.split == expected
+    # dup texts -> same bucket (content hash, not doc_id)
+    dup = spark.createDataFrame(
+        [(1, "same text"), (2, "same text")], "doc_id long, text string"
+    )
+    dup.createOrReplaceTempView("_t")
+    from sqlite_vector_spark.functions.text import polyhash
+
+    b = dup.select((polyhash(F.col("text")) % 100).alias("b")).collect()
+    assert b[0].b == b[1].b
+
+
+def test_token_doc_freq_floor_and_single_shuffle(spark):
+    """Vocab build: df floored at MIN_DF, one hash exchange on token
+    (map-side partial counts collapse the explode)."""
+    from sqlite_vector_spark import workload as w
+
+    df = w.token_doc_freq_q(spark, "/root/testdata/sf0.001")
+    # plan BEFORE execution: after collect, AQE prints initial+final
+    # trees and substring counts double
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(token") == 1
+    rows = df.collect()
+    assert rows and all(r.df >= w.MIN_DF for r in rows)
+    dfs = [(r.df, r.token) for r in rows]
+    assert dfs == sorted(dfs, key=lambda t: (-t[0], t[1]))
