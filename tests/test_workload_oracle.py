@@ -27,10 +27,20 @@ def test_entry_smoke(spark):
 
 
 def test_every_query_runs_and_has_oracle(spark):
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     qs, osql = entry.queries(), entry.oracle_sql()
     for name, fn in qs.items():
         df = fn(spark, SF_SMOKE)
         assert df.columns, name
+        # the driver's canonicalizer sorts + hashes scalar columns and
+        # dies on container types — every gated output must be scalar
+        # (serialize arrays CSV/fixed-point like quantize_codes)
+        bad = [
+            f.name for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        assert not bad, f"{name}: container-typed gate columns {bad}"
         assert df.count() >= 0, name
     # every declared query should have an oracle unless documented
     # rows-only (driver records the weaker check; judge sees which)

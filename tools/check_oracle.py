@@ -74,6 +74,22 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            # the DRIVER's canonicalizer sorts + hashes scalar columns
+            # and dies on container types (pandas "unhashable type:
+            # 'list'") — fail HERE so a gate entry can't pass locally
+            # but error in the real gate (the `normalize` r3/r4 trap)
+            from pyspark.sql.types import ArrayType, MapType, StructType
+
+            bad_cols = [
+                f.name for f in sdf.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType))
+            ]
+            if bad_cols:
+                failures.append(name)
+                print(f"FAIL {name}: container-typed gate columns {bad_cols} "
+                      f"would break the driver canonicalizer — serialize them "
+                      f"(CSV / fixed-point) like quantize_codes")
+                continue
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
