@@ -1116,6 +1116,22 @@ GROUP BY label, i
 ORDER BY label, pos"""
 
 
+def embedding_dim_stats_q() -> str:
+    # Mirror of workload.embedding_dim_stats_q: min/max are exact on
+    # the cast-to-double lanes; the mean uses the fixed-point DECIMAL
+    # recipe (order-independent, engine-identical).
+    x = "CAST(embedding[i] AS DOUBLE)"
+    return f"""SELECT CAST(i - 1 AS INTEGER) AS pos,
+       min({x}) AS dim_min,
+       max({x}) AS dim_max,
+       (CAST(sum(CAST(round({x} * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) / count(*) AS dim_mean,
+       count(*) AS n
+FROM embeddings, range(1, {DIM + 1}) t(i)
+WHERE embedding IS NOT NULL
+GROUP BY i
+ORDER BY pos"""
+
+
 def text_normalize_q() -> str:
     norm = ("trim(regexp_replace(regexp_replace(lower(text), "
             f"'{_PUNCT_RE}', ' ', 'g'), '  *', ' ', 'g'))")

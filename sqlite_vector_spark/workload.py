@@ -1400,6 +1400,41 @@ def token_doc_freq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_dim_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (min / max / mean / count) —
+    the feature-scaling pass an embedding pipeline runs before
+    min-max or z-normalization, and the drift check run between
+    corpus versions.
+
+    Same dim-robust shape as embedding_centroids: posexplode to
+    (pos, x) and ONE groupBy(pos) with map-side partials — the plan
+    stays 2 aggregates x 5 columns at any dimension. min/max are
+    order-independent; the mean uses the fixed-point DECIMAL recipe so
+    it is bit-identical across engines and partitionings."""
+    emb = _emb(spark, sf_dir).where(F.col("embedding").isNotNull())
+    return (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .select("pos", F.col("x").cast("double").alias("x"))
+        .groupBy("pos")
+        .agg(
+            F.min("x").alias("dim_min"),
+            F.max("x").alias("dim_max"),
+            F.sum(
+                F.round(F.col("x") * F.lit(1_000_000.0)).cast("decimal(38,0)")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("pos").cast("int").alias("pos"),
+            "dim_min",
+            "dim_max",
+            ((F.col("s").cast("double") / F.lit(1_000_000.0)) / F.col("n")).alias("dim_mean"),
+            "n",
+        )
+        .orderBy("pos")
+    )
+
+
 def ivf_knn_join_l2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate kNN JOIN through IVF probes: the first NQ vectors as
     queries, each scoring only its nprobe probed clusters

@@ -417,3 +417,27 @@ def test_token_doc_freq_floor_and_single_shuffle(spark):
     assert rows and all(r.df >= w.MIN_DF for r in rows)
     dfs = [(r.df, r.token) for r in rows]
     assert dfs == sorted(dfs, key=lambda t: (-t[0], t[1]))
+
+
+def test_embedding_dim_stats_values_and_plan(spark):
+    """Per-dimension stats: values against a NumPy cross-check (min/
+    max exact; mean to fixed-point resolution) and the dim-robust
+    2-aggregate plan shape."""
+    import numpy as np
+
+    from sqlite_vector_spark import workload as w
+
+    df = w.embedding_dim_stats_q(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "Generate" in plan  # posexplode, not per-dim agg columns
+    rows = {r.pos: r for r in df.collect()}
+    emb = w._emb(spark, "/root/testdata/sf0.001").where("embedding is not null")
+    mat = np.array([list(r.embedding) for r in emb.collect()], dtype=np.float64)
+    assert len(rows) == mat.shape[1]
+    for pos in (0, mat.shape[1] // 2, mat.shape[1] - 1):
+        col = mat[:, pos]
+        assert rows[pos].dim_min == col.min()
+        assert rows[pos].dim_max == col.max()
+        assert rows[pos].n == len(col)
+        assert abs(rows[pos].dim_mean - col.mean()) < 1e-5
