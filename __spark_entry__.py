@@ -124,13 +124,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_params": w.quantize_params,
         "quantize_scan_l2": w.quantize_scan_l2,
         "knn_join_back": w.knn_join_back,
-        "recall_at_k": w.recall_at_k,
         # -- NEW r5 pipeline operators (first gate pass this round)
         "doc_split_assign": w.doc_split_assign_q,
         "token_doc_freq": w.token_doc_freq_q,
         "embedding_dim_stats": w.embedding_dim_stats_q,
+        "purchase_session_join": w.purchase_session_join_q,  # bucketed range join
         # ---- past the 50-entry gate horizon: green in CORRECTNESS_r04
         # (latest green = r4, inside the no-older-than-r3 policy).
+        "recall_at_k": w.recall_at_k,
         "pricing_summary": w.pricing_summary,
         "f16_scan_l2": w.f16_scan_l2,
         "bf16_scan_l2": w.bf16_scan_l2,
@@ -241,6 +242,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_split_assign": o.doc_split_assign_q(w.SPLIT_TRAIN_PCT, w.SPLIT_VAL_PCT),
         "token_doc_freq": o.token_doc_freq_q(w.MIN_DF),
         "embedding_dim_stats": o.embedding_dim_stats_q(),
+        "purchase_session_join": o.purchase_session_join_q(w.SESSION_GAP_US),
         "embedding_centroids": o.embedding_centroids_q(),
         "text_normalize": o.text_normalize_q(),
         "ivf_knn_join_l2": o.ivf_knn_join_l2_q(),

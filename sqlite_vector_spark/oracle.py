@@ -1116,6 +1116,35 @@ GROUP BY label, i
 ORDER BY label, pos"""
 
 
+def purchase_session_join_q(gap_us: int) -> str:
+    # Plain BETWEEN join over the sessionize windows — the oracle
+    # keeps the naive inequality formulation; the Spark side's bucket
+    # rewrite must reproduce it exactly.
+    ordered = "PARTITION BY user_id ORDER BY us, event_id"
+    return f"""WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value FROM events),
+b AS (
+  SELECT user_id, event_id, us, value,
+         CASE WHEN (us - lag(us) OVER ({ordered})) IS NULL
+                   OR (us - lag(us) OVER ({ordered})) > {gap_us}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e),
+s AS (
+  SELECT user_id, us, value,
+         sum(new_sess) OVER ({ordered} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM b),
+sess AS (
+  SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+         min(us) AS start_us, max(us) AS end_us
+  FROM s GROUP BY user_id, session_seq),
+p AS (
+  SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.us, sess.session_seq
+FROM p JOIN sess ON sess.user_id = p.user_id
+                AND p.us BETWEEN sess.start_us AND sess.end_us
+ORDER BY p.event_id"""
+
+
 def embedding_dim_stats_q() -> str:
     # Mirror of workload.embedding_dim_stats_q: min/max are exact on
     # the cast-to-double lanes; the mean uses the fixed-point DECIMAL

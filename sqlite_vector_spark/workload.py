@@ -1400,6 +1400,35 @@ def token_doc_freq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def purchase_session_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session attribution via the bucketed RANGE JOIN
+    (operators/range_join.py): every purchase event joined to the
+    session window containing it.
+
+    The session table (gap-based windows from sessionize) is the
+    interval side; purchases are the point side. The raw formulation
+    is an inequality join (us BETWEEN start_us AND end_us) that Spark
+    would plan as a nested loop; the operator's bucket rewrite turns
+    it into one equi-join on (user_id, bucket). The DuckDB oracle runs
+    the plain BETWEEN join — identical semantics, different physical
+    strategy — so the rewrite's exactness is what the hash gate
+    adjudicates."""
+    from sqlite_vector_spark.operators.range_join import range_join
+
+    sess = sessionize(spark, sf_dir).select(
+        "user_id", "session_seq", "start_us", "end_us"
+    )
+    ev = load_events(spark, sf_dir).select(
+        "event_id", F.expr("ts_ns div 1000").alias("us"), "user_id", "event_type"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").drop("event_type")
+    out = range_join(
+        purchases, sess, on="user_id", ts="us",
+        start="start_us", end="end_us", bucket_width=SESSION_GAP_US,
+    )
+    return out.select("event_id", "user_id", "us", "session_seq").orderBy("event_id")
+
+
 def embedding_dim_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension embedding statistics (min / max / mean / count) —
     the feature-scaling pass an embedding pipeline runs before

@@ -441,3 +441,70 @@ def test_embedding_dim_stats_values_and_plan(spark):
         assert rows[pos].dim_max == col.max()
         assert rows[pos].n == len(col)
         assert abs(rows[pos].dim_mean - col.mean()) < 1e-5
+
+
+# ---------------------------------------------------------------- range join
+
+
+def test_range_join_containment_semantics(spark):
+    from sqlite_vector_spark.operators.range_join import range_join
+
+    pts = spark.createDataFrame(
+        [(1, 7, 15), (2, 7, 25), (3, 7, 99), (4, 8, 15)],
+        "pid long, key long, us long",
+    )
+    ivs = spark.createDataFrame(
+        [(100, 7, 10, 20), (101, 7, 20, 30), (102, 9, 0, 100)],
+        "iid long, key long, lo long, hi long",
+    )
+    out = range_join(pts, ivs, on="key", ts="us", start="lo", end="hi", bucket_width=7)
+    got = sorted((r.pid, r.iid) for r in out.collect())
+    # 15 in [10,20]; 25 in [20,30]; 20 would be in BOTH (inclusive) but
+    # no point sits at 20; 99 matches nothing; key 8 matches nothing
+    assert got == [(1, 100), (2, 101)]
+
+    left = range_join(pts, ivs, on="key", ts="us", start="lo", end="hi",
+                      bucket_width=7, how="left")
+    gl = {r.pid: r.iid for r in left.collect()}
+    assert gl == {1: 100, 2: 101, 3: None, 4: None}
+
+
+def test_range_join_boundary_and_multi_bucket_span(spark):
+    """Inclusive bounds on both ends, and intervals spanning many
+    buckets still match exactly once per qualifying pair."""
+    from sqlite_vector_spark.operators.range_join import range_join
+
+    pts = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 20), (3, 1, 1000)], "pid long, key long, us long"
+    )
+    ivs = spark.createDataFrame([(9, 1, 10, 1000)], "iid long, key long, lo long, hi long")
+    out = range_join(pts, ivs, on="key", ts="us", start="lo", end="hi", bucket_width=3)
+    assert sorted((r.pid, r.iid) for r in out.collect()) == [(1, 9), (2, 9), (3, 9)]
+
+
+def test_range_join_plan_is_equi_join(spark):
+    """The scale contract: the bucket rewrite must plan as a hash /
+    sort-merge EQUI-join — no BroadcastNestedLoopJoin, no cartesian."""
+    from sqlite_vector_spark import workload as w
+
+    plan = _plan(w.purchase_session_join_q(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # it IS a join — an equi one
+
+
+def test_range_join_validation(spark):
+    import pytest as _pytest
+
+    from sqlite_vector_spark.operators.range_join import range_join
+
+    pts = spark.createDataFrame([(1, 1, 1)], "pid long, key long, us long")
+    ivs = spark.createDataFrame([(2, 1, 0, 5)], "iid long, key long, lo long, hi long")
+    with _pytest.raises(ValueError, match="bucket_width"):
+        range_join(pts, ivs, on="key", ts="us", start="lo", end="hi", bucket_width=0)
+    with _pytest.raises(ValueError, match="how"):
+        range_join(pts, ivs, on="key", ts="us", start="lo", end="hi",
+                   bucket_width=5, how="outer")
+    bad = spark.createDataFrame([(2, 1, 0, 5)], "pid long, key long, lo long, hi long")
+    with _pytest.raises(ValueError, match="collide"):
+        range_join(pts, bad, on="key", ts="us", start="lo", end="hi", bucket_width=5)
