@@ -1116,6 +1116,18 @@ GROUP BY label, i
 ORDER BY label, pos"""
 
 
+def balanced_sample_q(k: int) -> str:
+    # Mirror of workload.balanced_sample_q: content-hash rank window.
+    return f"""WITH r AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {polyhash_sql('text')} ASC, CAST(doc_id AS BIGINT) ASC) AS rn
+  FROM documents)
+SELECT doc_id, lang, CAST(rn AS INTEGER) AS rn
+FROM r WHERE rn <= {k}
+ORDER BY lang, rn"""
+
+
 def approx_quantile_audit_q(n_quantiles: int) -> str:
     # Invariant gate for the GK-sketch audit (workload.
     # approx_quantile_audit_q): the oracle can't reproduce the sketch,

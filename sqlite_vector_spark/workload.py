@@ -1400,6 +1400,38 @@ def token_doc_freq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: balanced-sample quota per language
+BALANCED_K = 20
+
+
+def balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic balanced subset: exactly K docs per language,
+    picked by CONTENT-HASH order — the balanced eval-set draw every
+    training pipeline needs, with no RNG (stable across runs and
+    corpus re-ingests; sample_mix is the rate-based cousin, this is
+    the exact-quota one).
+
+    Scale shape: one shuffle on lang for the rank window; the
+    K-per-group WindowGroupLimit pushes the limit below the sort, so
+    state per group is K rows, not the group."""
+    from sqlite_vector_spark.functions.text import polyhash
+
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        polyhash(F.col("text")).asc(), F.col("doc_id").cast("bigint").asc()
+    )
+    return (
+        docs.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "lang",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= BALANCED_K)
+        .select("doc_id", "lang", F.col("rn").cast("int").alias("rn"))
+        .orderBy("lang", "rn")
+    )
+
+
 #: approx-percentile audit parameters
 APPROX_ACC = 1000
 APPROX_QS = (0.5, 0.9, 0.99)

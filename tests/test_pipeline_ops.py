@@ -539,3 +539,17 @@ def test_approx_quantile_audit_detects_violation(spark):
     # and a genuine p50 passes
     rank_le_of_good = math.ceil(target)
     assert rank_le_of_good >= target - tol
+
+
+def test_balanced_sample_exact_quota_and_determinism(spark):
+    from sqlite_vector_spark import workload as w
+
+    a = w.balanced_sample_q(spark, "/root/testdata/sf0.001").collect()
+    b = w.balanced_sample_q(spark, "/root/testdata/sf0.001").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]  # no RNG anywhere
+    per_lang = {}
+    for r in a:
+        per_lang.setdefault(r.lang, []).append(r.rn)
+    for lang, rns in per_lang.items():
+        assert rns == list(range(1, len(rns) + 1))
+        assert len(rns) <= w.BALANCED_K
