@@ -10,7 +10,17 @@ import pytest
 import __spark_entry__ as entry
 from tests.conftest import SF_SMOKE
 
-SPOT = ["full_scan_l2", "quantize_scan_l2", "knn_join_l2", "pricing_summary"]
+SPOT = [
+    "full_scan_l2",
+    "quantize_scan_l2",
+    "knn_join_l2",
+    "pricing_summary",
+    # round-5 additions: one per new operator family
+    "purchase_session_join",
+    "doc_split_assign",
+    "embedding_dim_stats",
+    "asof_null_carry_events",
+]
 
 
 @pytest.fixture(scope="module")
