@@ -120,7 +120,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_knn_join_l2": w.ivf_knn_join_l2_q,
         "ivf_recall_at_k": w.ivf_recall_at_k_q,
         "full_scan_l2": w.full_scan_l2,
-        "quantize_params": w.quantize_params,
         "knn_join_back": w.knn_join_back,
         # -- NEW r5 pipeline operators (first gate pass this round)
         "doc_split_assign": w.doc_split_assign_q,
@@ -129,10 +128,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_session_join": w.purchase_session_join_q,  # bucketed range join
         "approx_quantile_audit": w.approx_quantile_audit_q,  # sketch-contract gate
         "balanced_sample": w.balanced_sample_q,  # exact-quota per-group draw
+        "value_winsorize": w.value_winsorize_q,  # exact p01/p99 outlier clamp
         # ---- past the 50-entry gate horizon: green in CORRECTNESS_r04
         # (latest green = r4, inside the no-older-than-r3 policy).
         "recall_at_k": w.recall_at_k,
         "pricing_summary": w.pricing_summary,
+        "quantize_params": w.quantize_params,
         "embedding_code_dedup": w.embedding_code_dedup_q,
         "quantize_scan_l2": w.quantize_scan_l2,
         "f16_scan_l2": w.f16_scan_l2,
@@ -247,6 +248,7 @@ def oracle_sql() -> dict[str, str]:
         "purchase_session_join": o.purchase_session_join_q(w.SESSION_GAP_US),
         "approx_quantile_audit": o.approx_quantile_audit_q(len(w.APPROX_QS)),
         "balanced_sample": o.balanced_sample_q(w.BALANCED_K),
+        "value_winsorize": o.value_winsorize_q(w.WINSOR_LO, w.WINSOR_HI),
         "embedding_centroids": o.embedding_centroids_q(),
         "text_normalize": o.text_normalize_q(),
         "ivf_knn_join_l2": o.ivf_knn_join_l2_q(),

@@ -158,6 +158,7 @@ def main():
     bench("purchase_session_join", lambda: w.purchase_session_join_q(spark, SF_DIR).count())
     bench("approx_quantile_audit", lambda: w.approx_quantile_audit_q(spark, SF_DIR).count())
     bench("balanced_sample", lambda: w.balanced_sample_q(spark, SF_DIR).count())
+    bench("value_winsorize", lambda: w.value_winsorize_q(spark, SF_DIR).count())
 
     total = round(sum(times.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -1021,6 +1021,26 @@ SELECT event_type, {picks}
 FROM r GROUP BY event_type ORDER BY event_type"""
 
 
+def value_winsorize_q(lo: float, hi: float) -> str:
+    # Mirror of workload.value_winsorize_q: identical type-1 rank
+    # bounds + least/greatest clamp (comparison-only, bit-exact).
+    return f"""WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+b AS (
+  SELECT event_type,
+         max(CASE WHEN rn = CAST(ceil({lo!r} * n) AS INTEGER) THEN value END) AS lo,
+         max(CASE WHEN rn = CAST(ceil({hi!r} * n) AS INTEGER) THEN value END) AS hi
+  FROM r GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value,
+       least(greatest(e.value, b.lo), b.hi) AS value_clipped,
+       e.value <> least(greatest(e.value, b.lo), b.hi) AS was_clipped
+FROM events e JOIN b ON b.event_type = e.event_type
+ORDER BY e.event_id"""
+
+
 def chunk_dedup_q() -> str:
     from sqlite_vector_spark.workload import CHUNK_W as S
 

@@ -1194,6 +1194,49 @@ def value_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("event_type").agg(*agg).orderBy("event_type")
 
 
+#: winsorization clip quantiles
+WINSOR_LO, WINSOR_HI = 0.01, 0.99
+
+
+def value_winsorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clamp event values into their group's
+    exact [p01, p99] — the standard outlier-clip pass before training
+    statistics. Uses the same type-1 rank-quantile definition as
+    value_quantiles (bit-exact, id-tiebroken), so the bounds — and
+    therefore every clipped value — hash-match the oracle. Shape: one
+    rank window on event_type to find the two bound rows, broadcast
+    the tiny (type, lo, hi) table back over the events (map-side
+    clamp), so the events scan twice but never shuffle for the clip."""
+    ev = load_events(spark, sf_dir).select("event_id", "event_type", "value")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(WINSOR_LO) * F.col("n")).cast("int"), F.col("value"))
+        ).alias("lo"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(WINSOR_HI) * F.col("n")).cast("int"), F.col("value"))
+        ).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            clipped.alias("value_clipped"),
+            (F.col("value") != clipped).alias("was_clipped"),
+        )
+        .orderBy("event_id")
+    )
+
+
 #: chunk width (words) for sub-document dedup
 CHUNK_W = 8
 #: deterministic projection planes (literal-injected both sides), 8 x DIM.

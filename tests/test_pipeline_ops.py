@@ -553,3 +553,25 @@ def test_balanced_sample_exact_quota_and_determinism(spark):
     for lang, rns in per_lang.items():
         assert rns == list(range(1, len(rns) + 1))
         assert len(rns) <= w.BALANCED_K
+
+
+def test_value_winsorize_clamps_to_exact_quantile_bounds(spark):
+    from sqlite_vector_spark import workload as w
+
+    rows = w.value_winsorize_q(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    import math
+
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        vals = sorted(x.value for x in rs)
+        n = len(vals)
+        lo = vals[math.ceil(w.WINSOR_LO * n) - 1]
+        hi = vals[math.ceil(w.WINSOR_HI * n) - 1]
+        for r in rs:
+            assert r.value_clipped == min(max(r.value, lo), hi)
+            assert r.was_clipped == (r.value_clipped != r.value)
+        # the clip must actually fire somewhere (1% tails exist)
+        assert any(r.was_clipped for r in rs)
