@@ -174,7 +174,21 @@ def main():
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    # Also persist to a file: the driver captures a bounded stdout tail,
+    # and BENCH_r05.json lost medians to truncation (rc=0, parsed:null).
+    # An in-repo copy makes the round's evidence immune to capture limits.
+    try:
+        os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchmarks"), exist_ok=True)
+        stamp = os.environ.get("SPARK_GRAFT_ROUND", "latest")
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".benchmarks", f"bench_{stamp}.json"
+        )
+        with open(path, "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # bench output on stdout is still authoritative
     spark.stop()
 
 

@@ -143,14 +143,20 @@ def probe_clusters_arrow_udf(centroids: Sequence[Sequence[float]], nprobe: int):
 def _assign_backend(centroids: Sequence[Sequence[float]]) -> str:
     """Backend for centroid assignment. The scale axis here is the
     C·dim literal footprint of the codegen path (plan/codegen size),
-    so "auto" resolves on that product with the same threshold the
-    per-distance dispatch uses on dim. Oracle-gated runs pin "codegen"
-    (__spark_entry__._pinned) and keep the bit-exact literal fold."""
-    from sqlite_vector_spark.version import resolve_backend
+    which has a much later crossover than the per-distance dim
+    threshold — a tiny C=2 x dim=16 case is still firmly codegen
+    territory (the Python round-trip dominates), so "auto" dispatches
+    on AUTO_ASSIGN_LITERALS, not AUTO_DIM. Oracle-gated runs pin
+    "codegen" (__spark_entry__._pinned) and keep the bit-exact
+    literal fold."""
+    from sqlite_vector_spark.version import AUTO_ASSIGN_LITERALS, vector_backend
 
+    active = vector_backend()
+    if active != "auto":
+        return active
     c = len(centroids)
     dim = len(centroids[0]) if c else 0
-    return resolve_backend(c * dim)
+    return "arrow-numpy" if c * dim >= AUTO_ASSIGN_LITERALS else "codegen"
 
 
 def ivf_assign(
@@ -200,6 +206,41 @@ def probe_clusters(query: Sequence[float], centroids: Sequence[Sequence[float]],
     return [i for _, i in scored[:nprobe]]
 
 
+def kmeanspp_seeds(
+    sample: Sequence[Sequence[float]], c: int, seed: int = 0
+) -> list[list[float]]:
+    """Classic k-means++ seeding (Arthur & Vassilvitskii 2007) over a
+    bounded, already-collected sample — driver-side NumPy, O(sample*c).
+
+    D² sampling: the first center is uniform over the sample, each
+    subsequent center is drawn with probability proportional to the
+    squared L2 distance to the nearest already-chosen center, so seeds
+    spread across the data manifold instead of piling into the densest
+    region. Deterministic given ``seed`` (np.random.default_rng).
+    Points already chosen have D²=0 and can't repeat; if every residual
+    D² is zero (all remaining points duplicate a chosen center) the
+    rest are filled uniformly from the unchosen indices."""
+    import numpy as np
+
+    mat = np.asarray([[float(x) for x in v] for v in sample], dtype=np.float64)
+    n = mat.shape[0]
+    if n < c:
+        raise ValueError(f"kmeanspp_seeds: sample of {n} rows cannot seed c={c} clusters")
+    rng = np.random.default_rng(seed)
+    chosen = [int(rng.integers(n))]
+    d2 = ((mat - mat[chosen[0]]) ** 2).sum(axis=1)
+    for _ in range(1, c):
+        total = float(d2.sum())
+        if total > 0.0:
+            nxt = int(rng.choice(n, p=d2 / total))
+        else:
+            pool = np.setdiff1d(np.arange(n), np.asarray(chosen))
+            nxt = int(rng.choice(pool))
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((mat - mat[nxt]) ** 2).sum(axis=1))
+    return [[float(x) for x in mat[i]] for i in chosen]
+
+
 def kmeans_fit(
     df: DataFrame,
     vec_col: str,
@@ -208,6 +249,10 @@ def kmeans_fit(
     iters: int = 5,
     id_col: str = "id",
     metric: str | Metric = "L2",
+    validate: bool = False,
+    init: str = "first",
+    seed: int = 0,
+    sample_size: int = 8192,
 ) -> list[list[float]]:
     """Lloyd's k-means over a vector column, DataFrame-native.
 
@@ -223,31 +268,63 @@ def kmeans_fit(
     pos, sum, n) rows — a few thousand — and holds only the C
     centroids.
 
-    Fully deterministic: seeds are the C lowest-id rows, assignment is
-    IEEE-exact with lowest-index tiebreak, and the per-dimension sums
-    accumulate in FIXED-POINT (round(x*1e6) summed in DECIMAL(38,0),
-    the _fixed_sum recipe) so partial-agg order cannot perturb the
-    centroids. That makes the whole training run reproducible AND
-    SQL-expressible — with ``iters`` fixed, Lloyd unrolls into one CTE
-    chain per iteration, which is exactly how the DuckDB oracle
-    adjudicates ivf_kmeans_scan_l2 (oracle.ivf_kmeans_scan). The 1e-6
-    quantization of the means is irrelevant to cluster geometry. Empty
-    clusters keep their previous centroid.
+    Seeding (``init``):
+
+    - ``"first"`` (default): the C lowest-id rows. Fully deterministic
+      AND SQL-expressible — with ``iters`` fixed, Lloyd unrolls into
+      one CTE chain per iteration, which is exactly how the DuckDB
+      oracle adjudicates ivf_kmeans_scan_l2 (oracle.ivf_kmeans_scan).
+      On skewed real data, though, the first C rows usually land in
+      one region and produce unbalanced clusters.
+    - ``"kmeans++"``: sampled k-means++ — a deterministic hash-ordered
+      sample of ``sample_size`` rows (one TakeOrdered job, bounded
+      driver memory) is collected and D²-seeded driver-side
+      (kmeanspp_seeds), then refined by the same distributed Lloyd
+      iterations. Reproducible given ``seed`` but NOT SQL-expressible
+      (the D² draws don't unroll into a CTE), so oracle-gated entries
+      keep ``"first"``; pipelines on skewed corpora should use this.
+      See tests/test_kmeans.py (skewed-manifold balance/SSE) and
+      SCALE.md for measured balance + recall deltas.
+
+    Assignment is IEEE-exact with lowest-index tiebreak, and the
+    per-dimension sums accumulate in FIXED-POINT (round(x*1e6) summed
+    in DECIMAL(38,0), the _fixed_sum recipe) so partial-agg order
+    cannot perturb the centroids. The 1e-6 quantization of the means
+    is irrelevant to cluster geometry. Empty clusters keep their
+    previous centroid.
     """
     base = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
     )
-    # validate up front: a ragged vector would otherwise surface as a
-    # bare KeyError deep in the partial-sum reshape (missing (cluster,
-    # pos) keys) — fail with the actual contract violation instead.
-    n_bad = base.where(F.size("vec") != dim).count()
-    if n_bad:
-        raise ValueError(
-            f"kmeans_fit: {n_bad} row(s) in {vec_col!r} have dimension != {dim}; "
-            f"vectors must be uniform-length for training"
+    # validate=True scans for ragged vectors up front (which would
+    # otherwise surface as a bare KeyError deep in the partial-sum
+    # reshape); it costs a full count job over the input, so it is
+    # opt-in — large-corpus callers instead get the cheap in-flight
+    # check folded into each iteration's aggregation below (a ragged
+    # row produces a (cluster, pos >= dim) key, detected for free from
+    # the already-collected partials).
+    if validate:
+        n_bad = base.where(F.size("vec") != dim).count()
+        if n_bad:
+            raise ValueError(
+                f"kmeans_fit: {n_bad} row(s) in {vec_col!r} have dimension != {dim}; "
+                f"vectors must be uniform-length for training"
+            )
+    if init == "first":
+        seed_rows = base.orderBy("id").limit(c).collect()
+        centroids = [[float(x) for x in r.vec] for r in seed_rows]
+    elif init == "kmeans++":
+        # deterministic hash-ordered sample: xxhash64(id, seed) is a
+        # uniform shuffle of ids, TakeOrderedAndProject keeps the job
+        # one pass with bounded driver memory (sample_size rows)
+        samp = (
+            base.orderBy(F.xxhash64(F.col("id"), F.lit(int(seed))).asc(), F.col("id").asc())
+            .limit(int(sample_size))
+            .collect()
         )
-    seed_rows = base.orderBy("id").limit(c).collect()
-    centroids = [[float(x) for x in r.vec] for r in seed_rows]
+        centroids = kmeanspp_seeds([r.vec for r in samp], c, seed=seed)
+    else:
+        raise ValueError(f"init must be 'first' or 'kmeans++', got {init!r}")
     for _ in range(iters):
         if _assign_backend(centroids) == "arrow-numpy":
             cluster_col = nearest_centroid_arrow_udf(centroids, metric)(F.col("vec"))
@@ -266,12 +343,34 @@ def kmeans_fit(
             .collect()
         )
         sums: dict[tuple[int, int], float] = {}
-        counts: dict[int, int] = {}
+        nvals: dict[tuple[int, int], int] = {}
         for r in parts:
+            if r.cluster is None:
+                # a short vector NULLs the codegen distance fold and
+                # falls out of assignment with a NULL cluster
+                raise ValueError(
+                    f"kmeans_fit: row(s) in {vec_col!r} have dimension != {dim}; "
+                    f"vectors must be uniform-length for training"
+                )
+            if int(r.pos) >= dim:
+                raise ValueError(
+                    f"kmeans_fit: row(s) in {vec_col!r} have dimension > {dim}; "
+                    f"vectors must be uniform-length for training"
+                )
             sums[(int(r.cluster), int(r.pos))] = float(r.s) / 1_000_000.0
-            counts[int(r.cluster)] = int(r.n)
+            nvals[(int(r.cluster), int(r.pos))] = int(r.n)
         new = list(centroids)
-        for ci, n in counts.items():
+        for ci in {c_ for c_, _ in nvals}:
+            # a uniform-dim cluster has the same row count at every pos;
+            # a missing or mismatched pos means ragged input (the free
+            # in-flight replacement for the validate=True pre-scan)
+            per_pos = {nvals.get((ci, p)) for p in range(dim)}
+            if len(per_pos) != 1 or None in per_pos:
+                raise ValueError(
+                    f"kmeans_fit: row(s) in {vec_col!r} have dimension != {dim}; "
+                    f"vectors must be uniform-length for training"
+                )
+            n = per_pos.pop()
             if n > 0:
                 new[ci] = [sums[(ci, p)] / n for p in range(dim)]
         centroids = new

@@ -63,6 +63,8 @@ def range_join(
     collisions = (set(left.columns) & set(right.columns)) - {on}
     if collisions:
         raise ValueError(f"right columns collide with left: {sorted(collisions)}")
+    if "_bucket" in left.columns or "_bucket" in right.columns:
+        raise ValueError("_bucket is reserved by range_join; rename the input column")
     w = F.lit(int(bucket_width)).cast("bigint")
     # F.floor handles negative units correctly (floor, not truncate)
     lb = left.withColumn("_bucket", F.floor(F.col(ts).cast("bigint") / w).cast("bigint"))

@@ -1157,6 +1157,7 @@ def approx_quantile_audit_q(n_quantiles: int) -> str:
     return f"""SELECT event_type, CAST(t.qi AS INTEGER) AS qi,
        count(*) AS n, TRUE AS within_bound
 FROM events, range(0, {n_quantiles}) t(qi)
+WHERE value IS NOT NULL
 GROUP BY event_type, t.qi
 ORDER BY event_type, qi"""
 

@@ -24,6 +24,14 @@ BACKENDS = ("auto", "codegen", "arrow-numpy")
 #: where the Python worker round-trip dominates.
 AUTO_DIM = 32
 
+#: Crossover for CENTROID-ASSIGNMENT dispatch, measured on the C*dim
+#: literal footprint of the codegen path (not per-distance dim): the
+#: codegen assignment folds C*dim literals into the plan, and codegen
+#: stays ahead until the plan/compile cost overtakes the Python worker
+#: round-trip at a few thousand literals (tools/scale_probe.py:
+#: C=8 x dim=64 still favors codegen; C=64 x dim=128 favors arrow).
+AUTO_ASSIGN_LITERALS = 4096
+
 _active_backend = "auto"
 
 

@@ -95,13 +95,28 @@ def quantize_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _params_df(_emb(spark, sf_dir)).select("qtype", "qscale", "qoffset", "n")
 
 
-def _codes_df(emb: DataFrame) -> DataFrame:
+def _shared_params(emb: DataFrame) -> DataFrame:
+    """Params computed ONCE and materialized (1-row localCheckpoint) so
+    plans that consume them twice — query quantization AND code
+    encoding in the quantize_scan entries — don't re-derive the min/max
+    aggregate as two separate subtrees (three corpus passes where the
+    reference does two, vQuantRun sqlite-vector.c:2143-2177). The
+    eager checkpoint runs the single params job up front; both cross
+    joins then reference the materialized row."""
+    return _params_df(emb).localCheckpoint(eager=True)
+
+
+def _codes_df(emb: DataFrame, prm: DataFrame | None = None) -> DataFrame:
     """(id, qvec) quantized codes with in-plan params (broadcast 1-row
-    cross join -> stays a narrow map-side plan at any scale)."""
-    prm = F.broadcast(_params_df(emb))
+    cross join -> stays a narrow map-side plan at any scale). Pass a
+    precomputed ``prm`` (see _shared_params) when the caller also needs
+    the params elsewhere in the same plan; default derives them in-plan
+    (single-consumer callers keep the lazy one-pass form)."""
+    if prm is None:
+        prm = _params_df(emb)
     return (
         emb.where(F.col("embedding").isNotNull())
-        .crossJoin(prm)
+        .crossJoin(F.broadcast(prm))
         .select(
             F.col("vec_id").cast("bigint").alias("id"),
             quantize_codes_column("embedding", F.col("qscale"), F.col("qoffset"), F.col("lo"), F.col("hi")).alias("qvec"),
@@ -132,8 +147,10 @@ def _quantized_query_col() -> F.Column:
 def _quantize_scan(metric: str, k: int | None):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = _emb(spark, sf_dir)
-        prm = F.broadcast(_params_df(emb))
-        codes = _codes_df(emb).crossJoin(prm).withColumn("qq", _quantized_query_col())
+        prm = _shared_params(emb)
+        codes = _codes_df(emb, prm).crossJoin(F.broadcast(prm)).withColumn(
+            "qq", _quantized_query_col()
+        )
         scored = codes.select(
             "id", distance(F.col("qvec"), F.col("qq"), metric).alias("distance")
         )
@@ -167,8 +184,10 @@ def rerank_scan_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per stage, never shuffled.
     """
     emb = _emb(spark, sf_dir)
-    prm = F.broadcast(_params_df(emb))
-    codes = _codes_df(emb).crossJoin(prm).withColumn("qq", _quantized_query_col())
+    prm = _shared_params(emb)
+    codes = _codes_df(emb, prm).crossJoin(F.broadcast(prm)).withColumn(
+        "qq", _quantized_query_col()
+    )
     cand = (
         codes.select("id", distance(F.col("qvec"), F.col("qq"), "L2").alias("qd"))
         .orderBy(F.col("qd").asc(), F.col("id").asc())
@@ -268,10 +287,10 @@ def recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "id", distance(F.col("embedding"), F.col("qvec"), "L2").alias("distance"))
     ).select("qid", "id")
 
-    prm = F.broadcast(_params_df(emb))
-    codes = _codes_df(emb)
+    prm = _shared_params(emb)
+    codes = _codes_df(emb, prm)
     qcodes = (
-        queries.crossJoin(prm)
+        queries.crossJoin(F.broadcast(prm))
         .select(
             "qid",
             quantize_codes_column("qvec", F.col("qscale"), F.col("qoffset"), F.col("lo"), F.col("hi")).cast("array<double>").alias("qq"),
@@ -355,6 +374,37 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_parquet_is_utc_adjusted(sf_dir: str) -> bool:
+    """Read the parquet footer's isAdjustedToUTC flag for events.ts.
+
+    Spark surfaces a parquet timestamp as LTZ either because it truly is
+    UTC-adjusted or because ``spark.sql.parquet.inferTimestampNTZ.enabled``
+    is off — the two need opposite epoch math, and only the footer can
+    tell them apart. pyarrow encodes the flag as the timestamp type's tz
+    (``tz="UTC"`` when adjusted, ``tz=None`` for NTZ). Defaults to True
+    (the historical assumption) when the footer can't be read.
+    """
+    try:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+        import pyarrow.types as pat
+
+        path = os.path.join(sf_dir, "events.parquet")
+        if os.path.isdir(path):
+            parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if not parts:
+                return True
+            path = parts[0]
+        field_type = pq.read_schema(path).field("ts").type
+        if pat.is_timestamp(field_type):
+            return field_type.tz is not None
+        return True
+    except Exception:
+        return True
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load events.parquet and expose an epoch-nanoseconds ``ts_ns``
     column regardless of how ``ts`` is physically encoded. The driver
@@ -381,15 +431,21 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         return ev.withColumn("ts_ns", F.col("ts").cast("bigint")).withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
-    if ts_type == "timestamp":
-        # LTZ timestamp: the instant is already defined; unix_micros is
-        # exact and session-timezone-independent.
+    if ts_type == "timestamp" and _events_parquet_is_utc_adjusted(sf_dir):
+        # LTZ timestamp whose parquet footer says isAdjustedToUTC: the
+        # instant is already defined; unix_micros is exact and
+        # session-timezone-independent.
         return ev.withColumn(
             "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000).cast("bigint")
         )
-    # timestamp_ntz: wall-clock component epoch math. hour/minute/
-    # date_part on NTZ read the local datetime directly (no tz
-    # conversion), and unix_date is exact on DATE — no DST pitfalls.
+    # timestamp_ntz — or NTZ-encoded data that Spark surfaced as LTZ
+    # (spark.sql.parquet.inferTimestampNTZ.enabled=false): wall-clock
+    # component epoch math. On NTZ, hour/minute/date_part read the local
+    # datetime directly; on a misread-as-LTZ column they convert the
+    # instant back through the session timezone, exactly reversing the
+    # reader's wall→instant interpretation — either way the original
+    # wall clock comes back, matching the oracle's epoch_us(ts).
+    # unix_date is exact on DATE — no DST pitfalls.
     ts_us = (
         F.unix_date(F.col("ts").cast("date")).cast("bigint") * F.lit(86400000000).cast("bigint")
         + F.hour("ts").cast("bigint") * F.lit(3600000000).cast("bigint")
@@ -1495,7 +1551,15 @@ def approx_quantile_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe_token_counts. exact ranks live in value_quantiles — this is
     the approx path you'd actually run at scale, plus its audit."""
     qs = list(APPROX_QS)
-    ev = load_events(spark, sf_dir).select("event_type", "value")
+    # NULL values are invisible to both percentile_approx and the
+    # rank_le/rank_lt comparisons — exclude them from n too, or the
+    # target = q*n contract drifts on NULL-bearing data (the oracle SQL
+    # applies the same IS NOT NULL filter).
+    ev = (
+        load_events(spark, sf_dir)
+        .select("event_type", "value")
+        .where(F.col("value").isNotNull())
+    )
     ap = ev.groupBy("event_type").agg(
         F.percentile_approx("value", qs, APPROX_ACC).alias("aps"),
         F.count(F.lit(1)).alias("n"),

@@ -75,3 +75,71 @@ def test_empty_cluster_keeps_centroid(spark):
     df = spark.createDataFrame([(0, [0.0, 0.0]), (1, [1.0, 1.0])], "id long, v array<float>")
     cents = kmeans_fit(df, "v", 2, dim=2, iters=3)
     assert len(cents) == 2 and all(len(c) == 2 for c in cents)
+
+
+def _skewed(spark):
+    """Skewed manifold: a dense 400-point blob at the origin plus three
+    50-point satellites far away — with ids ordered so the first C rows
+    all sit inside the dense blob (data sorted by source, the realistic
+    bad case for first-C seeding)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    rid = 0
+    for _ in range(400):
+        rows.append((rid, [float(x) for x in rng.normal(0.0, 0.5, 8)]))
+        rid += 1
+    for center in ([50.0] * 8, [-50.0] * 8, [50.0] * 4 + [-50.0] * 4):
+        for _ in range(50):
+            rows.append((rid, [float(c + x) for c, x in zip(center, rng.normal(0.0, 0.5, 8))]))
+            rid += 1
+    return spark.createDataFrame(rows, "id long, v array<double>")
+
+
+def _sse(df, cents):
+    import numpy as np
+
+    mat = np.asarray([r.v for r in df.orderBy("id").collect()], dtype=np.float64)
+    cm = np.asarray(cents, dtype=np.float64)
+    d2 = ((mat[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+    return float(d2.min(axis=1).sum())
+
+
+def test_kmeanspp_beats_first_seed_on_skew(spark):
+    """VERDICT r5 #1: first-C seeding puts all seeds in the dense blob
+    (satellites merge into one far cluster); k-means++ D² seeding
+    spreads them and must cut quantization error by well over 2x."""
+    df = _skewed(spark)
+    first = kmeans_fit(df, "v", 4, dim=8, iters=5)
+    pp = kmeans_fit(df, "v", 4, dim=8, iters=5, init="kmeans++", seed=1)
+    assert _sse(df, pp) < 0.5 * _sse(df, first), (_sse(df, pp), _sse(df, first))
+    # every true center recovered by a ++ centroid
+    for target in ([0.0] * 8, [50.0] * 8, [-50.0] * 8, [50.0] * 4 + [-50.0] * 4):
+        assert any(
+            max(abs(ci - ti) for ci, ti in zip(c, target)) < 2.0 for c in pp
+        ), (pp, target)
+
+
+def test_kmeanspp_deterministic_and_validated(spark):
+    import pytest
+
+    from sqlite_vector_spark.operators.ann import kmeanspp_seeds
+
+    df = _skewed(spark)
+    a = kmeans_fit(df, "v", 4, dim=8, iters=2, init="kmeans++", seed=42)
+    b = kmeans_fit(df, "v", 4, dim=8, iters=2, init="kmeans++", seed=42)
+    assert a == b
+    with pytest.raises(ValueError, match="sample"):
+        kmeanspp_seeds([[0.0, 0.0]], c=3)
+    with pytest.raises(ValueError, match="init"):
+        kmeans_fit(df, "v", 2, dim=8, iters=1, init="bogus")
+
+
+def test_kmeanspp_duplicate_points_fill_uniformly(spark):
+    """All-duplicate residuals (every remaining point equals a chosen
+    center) must fall back to uniform fill, not crash on p=0/0."""
+    from sqlite_vector_spark.operators.ann import kmeanspp_seeds
+
+    seeds = kmeanspp_seeds([[1.0, 1.0]] * 5, c=3, seed=0)
+    assert len(seeds) == 3 and all(s == [1.0, 1.0] for s in seeds)
