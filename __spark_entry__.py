@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_memory": w.quantize_memory,
         "rerank_scan_l2": w.rerank_scan_l2,  # two-stage: quantized prefilter + exact rerank
         "quantize_codes": w.quantize_codes,
+        "quantize_update_codes": w.quantize_update_codes,
         "top_customers": w.top_customers,
         "full_scan_cosine": w.full_scan_cosine,
         "full_scan_stream_l2": w.full_scan_stream_l2,
@@ -181,6 +182,7 @@ def oracle_sql() -> dict[str, str]:
         "full_scan_stream_l2": o.full_scan_stream("L2"),
         "quantize_params": o.quantize_params(),
         "quantize_codes": o.quantize_codes(),
+        "quantize_update_codes": o.quantize_update_codes(),
         "quantize_scan_l2": o.quantize_scan("L2"),
         "quantize_scan_cosine": o.quantize_scan("COSINE"),
         "quantize_scan_dot": o.quantize_scan("DOT"),

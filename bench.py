@@ -44,6 +44,8 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    import pyspark.sql.functions as F
+
     from sqlite_vector_spark import workload as w
     from sqlite_vector_spark.operators.knn_join import knn_join_blocked
     from sqlite_vector_spark.operators.quantize import (
@@ -106,6 +108,50 @@ def main():
     else:
         errors.setdefault("quantize_scan_cold", "skipped: quantize_build failed")
         errors.setdefault("quantize_scan_preloaded", "skipped: quantize_build failed")
+
+    # incremental maintenance: append a 10% synthetic batch (new ids,
+    # values clamped into the frozen range) against the frozen params /
+    # centroids — the cost must scale with the delta, not the corpus
+    if params is not None:
+        from sqlite_vector_spark.operators.quantize import (
+            params_value_range,
+            vector_quantize_update,
+        )
+
+        lo_v, hi_v = params_value_range(params)
+        batch = (
+            emb.where(F.col("vec_id") % 10 == 0)
+            .select(
+                (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x: F.greatest(F.least(x.cast("double"), F.lit(hi_v)), F.lit(lo_v)),
+                ).alias("embedding"),
+            )
+        )
+        bench(
+            "quantize_update_append",
+            lambda: vector_quantize_update(batch, "embedding", dest, params, id_col="vec_id"),
+            n=1,  # append mutates the store; one timed run
+        )
+    else:
+        errors.setdefault("quantize_update_append", "skipped: quantize_build failed")
+    try:
+        from sqlite_vector_spark.operators.ann import ivf_store, ivf_store_append
+
+        ivf_dir = os.path.join(qdir, "ivf_inc")
+        cent_bench = [list(r.embedding) for r in emb.orderBy("vec_id").limit(16).collect()]
+        ivf_store(emb, "embedding", cent_bench, ivf_dir, id_col="vec_id")
+        batch2 = emb.where(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"), "embedding"
+        )
+        bench(
+            "ivf_store_append",
+            lambda: ivf_store_append(batch2, "embedding", cent_bench, ivf_dir, id_col="vec_id"),
+            n=1,
+        )
+    except Exception as exc:  # noqa: BLE001
+        errors["ivf_store_append"] = f"{type(exc).__name__}: {exc}"[:500]
 
     # kNN similarity join (scale path: blocked local top-k)
     try:

@@ -480,6 +480,30 @@ def ivf_store(
     assigned.write.partitionBy("cluster").mode("overwrite").parquet(dest)
 
 
+def ivf_store_append(
+    new_df: DataFrame,
+    vec_col: str,
+    centroids: Sequence[Sequence[float]],
+    dest: str,
+    id_col: str = "id",
+    metric: str | Metric = "L2",
+) -> None:
+    """Append-mode IVF maintenance: assign ONLY the new rows against
+    the frozen centroids and append into the cluster directories.
+
+    Same map-side assignment as ivf_store, ``mode("append")`` write —
+    new files land inside the existing cluster=N directories, existing
+    files are never read or rewritten, and probe-time partition
+    pruning is unchanged. Append == rebuild exactly (assignment
+    depends only on the frozen centroids; tests prove it). The 100 TB
+    daily-append path: cost scales with the delta, not the corpus.
+    Centroid drift (new data far from every centroid) is the rebuild
+    signal; monitor the mean assignment distance per batch if the
+    ingest distribution shifts."""
+    assigned = ivf_assign(new_df, vec_col, centroids, id_col=id_col, metric=metric)
+    assigned.write.partitionBy("cluster").mode("append").parquet(dest)
+
+
 def ivf_stored_scan(
     spark,
     dest: str,

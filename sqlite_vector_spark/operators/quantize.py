@@ -273,6 +273,97 @@ def vector_quantize(
     return params
 
 
+@dataclass
+class QuantUpdateReport:
+    """Result of an append-mode quantize update (vector_quantize_update)."""
+
+    params: QuantParams  # the frozen params, count bumped by n_appended
+    n_appended: int
+    new_vmin: float | None
+    new_vmax: float | None
+    #: how far the new batch's value range pokes outside the frozen
+    #: params' representable range, as a fraction of that range's width
+    #: (0.0 = fully inside; values outside saturate to lo/hi codes)
+    drift: float
+    rebuild_recommended: bool
+
+
+def params_value_range(params: QuantParams) -> tuple[float, float]:
+    """The [vmin, vmax] value interval the frozen params represent
+    without saturation (inverse of resolve_params)."""
+    if params.qtype == "U8BIT":
+        width = 255.0 / params.scale if params.scale not in (0.0, _INF) else 0.0
+        return params.offset, params.offset + width
+    abs_max = 127.0 / params.scale if params.scale not in (0.0, _INF) else 0.0
+    return -abs_max, abs_max
+
+
+def vector_quantize_update(
+    new_df: DataFrame,
+    column: str,
+    dest_path: str,
+    params: QuantParams,
+    id_col: str = "id",
+    drift_threshold: float = 0.05,
+    catalog=None,
+    table: str | None = None,
+) -> QuantUpdateReport:
+    """Append-mode index maintenance: encode ONLY the new rows against
+    the FROZEN params and append them to the existing replica.
+
+    The reference's only maintenance path is a full drop-and-rebuild
+    (sqlite-vector.c:1418-1427); at 100 TB a daily-append pipeline
+    can't re-encode the whole corpus for a 0.1% delta, so this is the
+    scale path: one agg job over the NEW rows only (min/max — the
+    drift check) + one map-side encode/append write of the new rows.
+    The existing files are never read or rewritten.
+
+    Frozen params mean values outside the original range SATURATE to
+    the lo/hi codes. The report's ``drift`` measures how far the new
+    batch's range pokes outside the representable interval (fraction
+    of its width); ``rebuild_recommended`` is set when it exceeds
+    ``drift_threshold`` — the signal to schedule a full
+    vector_quantize rebuild. Appending with frozen params is EXACTLY
+    equivalent to having had the new rows present at build time
+    whenever the global min/max is unchanged (tests prove append ==
+    rebuild); only the params-deciding extremes make the two differ.
+    """
+    base = new_df.where(F.col(column).isNotNull())
+    row = base.agg(*quant_params_agg(column)).collect()[0]
+    n_new = int(row["n"])
+    if n_new == 0:
+        return QuantUpdateReport(params, 0, None, None, 0.0, False)
+
+    from sqlite_vector_spark.version import vector_backend
+
+    if vector_backend() == "arrow-numpy":
+        enc = quantize_codes_pandas_udf(params.scale, params.offset, params.lo, params.hi)
+        code_col = enc(F.col(column).cast("array<double>"))
+    else:
+        code_col = quantize_codes_column(column, params.scale, params.offset, params.lo, params.hi)
+    base.select(F.col(id_col).cast("bigint").alias("id"), code_col.alias("qvec")).write.mode(
+        "append"
+    ).parquet(dest_path)
+
+    new_vmin, new_vmax = float(row["vmin"]), float(row["vmax"])
+    lo_v, hi_v = params_value_range(params)
+    width = hi_v - lo_v
+    overshoot = max(lo_v - new_vmin, new_vmax - hi_v, 0.0)
+    if width > 0.0:
+        drift = overshoot / width
+    else:
+        # degenerate params (constant corpus, scale=+Inf): any new
+        # value off the constant saturates — treat as full drift
+        drift = _INF if overshoot > 0.0 else 0.0
+    updated = QuantParams(params.qtype, params.scale, params.offset, params.count + n_new)
+    if catalog is not None and table is not None:
+        catalog.set_quant_params(
+            table, column, qtype=updated.qtype, scale=updated.scale,
+            offset=updated.offset, path=dest_path,
+        )
+    return QuantUpdateReport(updated, n_new, new_vmin, new_vmax, drift, drift > drift_threshold)
+
+
 def vector_quantize_scan(
     codes_df: DataFrame,
     query: Sequence[float],

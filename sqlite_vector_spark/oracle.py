@@ -146,6 +146,31 @@ def quantize_codes() -> str:
 FROM ({CODES})"""
 
 
+def quantize_update_codes() -> str:
+    # Frozen-params append encode (workload.quantize_update_codes):
+    # params from the OLD half only, codes for the NEW half, same
+    # q_round saturate semantics.
+    return f"""WITH thr AS (SELECT CAST(floor(max(vec_id)/2.0) AS BIGINT) AS t FROM embeddings),
+mm AS (
+  SELECT CAST(min(list_min(embedding)) AS DOUBLE) AS vmin,
+         CAST(max(list_max(embedding)) AS DOUBLE) AS vmax
+  FROM embeddings, thr WHERE embedding IS NOT NULL AND vec_id < t),
+prm AS (
+  SELECT CASE WHEN vmin < 0 THEN 127.0 / greatest(abs(vmin), abs(vmax))
+              ELSE 255.0 / (vmax - vmin) END AS qscale,
+         CASE WHEN vmin < 0 THEN 0.0 ELSE vmin END AS qoffset,
+         CASE WHEN vmin < 0 THEN -128 ELSE 0 END AS lo,
+         CASE WHEN vmin < 0 THEN 127 ELSE 255 END AS hi
+  FROM mm)
+SELECT vec_id AS id,
+       array_to_string(list_transform(embedding,
+         x -> CAST(CAST({q_round(_CODE_R, 'lo', 'hi')} AS SMALLINT) AS VARCHAR)), ',') AS qvec_csv,
+       CAST(len(embedding) AS INTEGER) AS dim
+FROM embeddings, thr, prm
+WHERE embedding IS NOT NULL AND vec_id >= t
+ORDER BY id"""
+
+
 def quantize_scan(metric: str, k: int | None = K) -> str:
     d = dist_sql(metric, "qvec", "q")
     limit = f"ORDER BY distance ASC, id ASC LIMIT {k}" if k is not None else ""

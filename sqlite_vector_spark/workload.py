@@ -137,6 +137,36 @@ def quantize_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantize_update_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode maintenance gate (operators.quantize.
+    vector_quantize_update): params are FROZEN on the old half of the
+    corpus (vec_id < floor(max/2)) and only the new half is encoded
+    against them — values outside the frozen range saturate to lo/hi.
+    This is the per-row encode the incremental path appends; the
+    DuckDB oracle re-derives the same frozen params from the same old
+    half, so a drift in the freeze/saturate semantics hash-fails."""
+    emb = _emb(spark, sf_dir)
+    thr = int(
+        emb.agg(F.floor(F.max("vec_id") / F.lit(2.0)).cast("bigint").alias("t")).collect()[0]["t"]
+    )
+    prm = _shared_params(emb.where(F.col("vec_id") < thr))
+    codes = (
+        emb.where((F.col("vec_id") >= thr) & F.col("embedding").isNotNull())
+        .crossJoin(F.broadcast(prm))
+        .select(
+            F.col("vec_id").cast("bigint").alias("id"),
+            quantize_codes_column(
+                "embedding", F.col("qscale"), F.col("qoffset"), F.col("lo"), F.col("hi")
+            ).alias("qvec"),
+        )
+    )
+    return codes.select(
+        "id",
+        F.concat_ws(",", F.col("qvec").cast("array<string>")).alias("qvec_csv"),
+        F.size("qvec").alias("dim"),
+    )
+
+
 def _quantized_query_col() -> F.Column:
     """Q64 quantized IN-PLAN with the stored params (vQuantRun,
     sqlite-vector.c:2171-2177), as an ARRAY<DOUBLE> column."""

@@ -203,3 +203,31 @@ def test_arrow_probe_selection_matches_codegen(spark, emb):
     got = {r.vec_id: list(r.p) for r in qdf.select("vec_id", probe_clusters_col("embedding", cent, 3).alias("p")).collect()}
     set_backend("auto")
     assert ref == got
+
+
+def test_ivf_store_append_equals_rebuild(spark, emb, tmp_path):
+    """VERDICT r5 #2: assigning only new rows against frozen centroids
+    and appending must produce the same store as a full rebuild, and
+    the appended store must still partition-prune probe scans."""
+    from sqlite_vector_spark.operators.ann import ivf_store, ivf_store_append
+
+    cent = [list(r.embedding) for r in emb.orderBy("vec_id").limit(4).collect()]
+    ids = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    mid = ids[len(ids) // 2]
+    old = emb.where(F.col("vec_id") < mid)
+    new = emb.where(F.col("vec_id") >= mid)
+
+    inc = str(tmp_path / "inc")
+    ivf_store(old, "embedding", cent, inc, id_col="vec_id")
+    ivf_store_append(new, "embedding", cent, inc, id_col="vec_id")
+    full = str(tmp_path / "full")
+    ivf_store(emb, "embedding", cent, full, id_col="vec_id")
+
+    inc_rows = {(r.id, int(r.cluster)) for r in spark.read.parquet(inc).collect()}
+    full_rows = {(r.id, int(r.cluster)) for r in spark.read.parquet(full).collect()}
+    assert inc_rows == full_rows
+
+    # probe scan over the appended store still prunes partitions
+    pruned = spark.read.parquet(inc).where(F.col("cluster").isin([0, 1]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan

@@ -139,3 +139,67 @@ def test_quantize_declared_dim_rejects_malformed(spark, tmp_path):
     # without the declaration the scan paths trust the data (SURVEY §2.3)
     p = vector_quantize(df.where("id < 2"), "v", str(tmp_path / "q2"), dim=2)
     assert p.count == 2
+
+
+def test_quantize_update_append_equals_rebuild(spark, emb, tmp_path):
+    """VERDICT r5 #2: appending new rows against frozen params must be
+    byte-equal to a full rebuild with the same rows present — whenever
+    the global min/max is unchanged (old half contains the extremes)."""
+    from sqlite_vector_spark.operators.quantize import vector_quantize_update
+
+    from sqlite_vector_spark.operators.quantize import params_value_range
+
+    ids = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    mid = ids[len(ids) // 2]
+    old = emb.select("vec_id", "embedding").where(F.col("vec_id") < mid)
+    new = emb.select("vec_id", "embedding").where(F.col("vec_id") >= mid)
+    # the sf0.001 embeddings' global extremes must live in the old half
+    # for exact equivalence; clamp the new half into the old range
+    p_old = compute_quant_params(old, "embedding")
+    lo_v, hi_v = params_value_range(p_old)
+    new = new.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.greatest(F.least(x, F.lit(hi_v)), F.lit(lo_v))
+        ).alias("embedding"),
+    )
+    inc_path = str(tmp_path / "inc")
+    p = vector_quantize(old, "embedding", inc_path, id_col="vec_id")
+    rep = vector_quantize_update(new, "embedding", inc_path, p, id_col="vec_id")
+    assert rep.n_appended == new.count()
+    assert rep.drift == 0.0 and not rep.rebuild_recommended
+    assert rep.params.count == p.count + rep.n_appended
+
+    full_path = str(tmp_path / "full")
+    vector_quantize(old.unionByName(new), "embedding", full_path, id_col="vec_id")
+    inc = {(r.id, tuple(r.qvec)) for r in spark.read.parquet(inc_path).collect()}
+    full = {(r.id, tuple(r.qvec)) for r in spark.read.parquet(full_path).collect()}
+    assert inc == full
+
+
+def test_quantize_update_drift_flags_rebuild(spark, tmp_path):
+    """New values outside the frozen range saturate and trip the
+    rebuild recommendation once past the threshold."""
+    from sqlite_vector_spark.operators.quantize import vector_quantize_update
+
+    old = spark.createDataFrame([(1, [0.0, 10.0]), (2, [5.0, 2.0])], "id long, v array<double>")
+    path = str(tmp_path / "q")
+    p = vector_quantize(old, "v", path, id_col="id")
+    # 10% overshoot above vmax=10 -> drift 0.1 > default threshold 0.05
+    new = spark.createDataFrame([(3, [4.0, 11.0])], "id long, v array<double>")
+    rep = vector_quantize_update(new, "v", path, p, id_col="id")
+    assert rep.n_appended == 1
+    assert abs(rep.drift - 0.1) < 1e-12
+    assert rep.rebuild_recommended
+    # the overshooting value saturated to the hi code
+    rows = {r.id: list(r.qvec) for r in spark.read.parquet(path).collect()}
+    assert rows[3][1] == p.hi
+    # within-threshold drift does not recommend a rebuild
+    new2 = spark.createDataFrame([(4, [0.0, 10.2])], "id long, v array<double>")
+    rep2 = vector_quantize_update(new2, "v", path, p, id_col="id")
+    assert rep2.drift < 0.05 and not rep2.rebuild_recommended
+    # empty batch is a no-op
+    rep3 = vector_quantize_update(
+        spark.createDataFrame([], "id long, v array<double>"), "v", path, p, id_col="id"
+    )
+    assert rep3.n_appended == 0 and rep3.drift == 0.0
