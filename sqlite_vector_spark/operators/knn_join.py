@@ -41,6 +41,32 @@ from sqlite_vector_spark.functions.distance import EPS_SNAP, distance
 from sqlite_vector_spark.types import Metric, parse_metric
 
 
+#: auto-salt sizing: one window partition holds all of a query's
+#: scored corpus rows, so cap the estimated bytes any single window
+#: partition sees; above the budget the join switches to the two-phase
+#: (salted) window with salt = ceil(size / budget), capped.
+SALT_BYTES_PER_PARTITION = 256 << 20
+SALT_MAX = 64
+#: Catalyst reports spark.sql.defaultSizeInBytes (~Long.MaxValue) for
+#: sources it cannot size (LogicalRDD, localCheckpoint); treat any
+#: estimate that large as UNKNOWN and don't salt on it.
+_SIZE_UNKNOWN = 1 << 59
+
+
+def _auto_salt(corpus: DataFrame) -> int | None:
+    """Derive the window salt from Catalyst's size estimate of the
+    corpus plan — no job is run. Returns None (no salting) when the
+    estimate is below one partition-budget or unavailable."""
+    try:
+        size = int(corpus._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+    if size >= _SIZE_UNKNOWN:
+        return None
+    s = -(-size // SALT_BYTES_PER_PARTITION)  # ceil
+    return min(SALT_MAX, s) if s >= 2 else None
+
+
 def knn_join(
     queries: DataFrame,
     corpus: DataFrame,
@@ -50,7 +76,7 @@ def knn_join(
     corpus_vec: str = "embedding",
     query_id: str = "qid",
     corpus_id: str = "id",
-    salt: int | None = None,
+    salt: int | None | str = "auto",
 ) -> DataFrame:
     """Exact top-k per query -> (qid, id, distance, rank).
 
@@ -60,8 +86,13 @@ def knn_join(
     takes a local top-k within (qid, id mod salt) — each bucket holds
     1/salt of the rows — then the global window ranks only salt x k
     survivors per query. Results are identical (any global top-k row
-    is also top-k of its bucket).
+    is also top-k of its bucket), so ``"auto"`` (the default) sizes
+    the salt from Catalyst's corpus size estimate (_auto_salt): no
+    salting under one partition-budget, ceil(size/budget) capped at
+    SALT_MAX above it. Pass an int to pin, None to disable.
     """
+    if salt == "auto":
+        salt = _auto_salt(corpus)
     q = broadcast(
         queries.where(F.col(query_vec).isNotNull()).select(
             F.col(query_id).cast("bigint").alias("qid"), F.col(query_vec).alias("__qv")

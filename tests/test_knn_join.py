@@ -39,3 +39,43 @@ def test_join_back_broadcasts_results(spark, emb):
 
     assert_in_plan(joined, "BroadcastHashJoin")
     assert joined.count() == 6
+
+
+def test_auto_salt_thresholds_and_identical_results(spark, emb):
+    """VERDICT r5 #7: the two-phase window engages automatically when
+    Catalyst's corpus size estimate crosses the per-partition budget,
+    and salted results are identical to the plain window's."""
+    import pyspark.sql.functions as F
+
+    import importlib
+
+    kj = importlib.import_module("sqlite_vector_spark.operators.knn_join")
+
+    queries = emb.where("vec_id < 2").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+    def n_windows(df):
+        # count Window EXEC nodes ("Window [row_number()..."), not the
+        # WindowGroupLimit pushdown helpers Spark 4 adds around them
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Window [row_number()")
+
+    # small parquet corpus under the budget: single window, no salt
+    plain = kj.knn_join(queries, emb, 5, "L2", corpus_vec="embedding", corpus_id="vec_id")
+    assert n_windows(plain) == 1
+    # derived salt crosses the threshold when the budget shrinks
+    orig = kj.SALT_BYTES_PER_PARTITION
+    kj.SALT_BYTES_PER_PARTITION = 1 << 10
+    try:
+        salted = kj.knn_join(queries, emb, 5, "L2", corpus_vec="embedding", corpus_id="vec_id")
+        assert n_windows(salted) == 2  # local bucket top-k + global window
+        assert [tuple(r) for r in salted.orderBy("qid", "rank").collect()] == [
+            tuple(r) for r in plain.orderBy("qid", "rank").collect()
+        ]
+    finally:
+        kj.SALT_BYTES_PER_PARTITION = orig
+
+    # unknown-size sources (localCheckpoint -> LogicalRDD) never salt
+    ckpt = emb.select("vec_id", "embedding").localCheckpoint(eager=True)
+    assert kj._auto_salt(ckpt) is None
