@@ -10,11 +10,16 @@ STUBBED (the container has no image/audio libraries) behind
 - ``decoder="fake"`` -> deterministic feature extraction from the raw
   bytes (rolling hash -> pseudo-features), so the full pipeline is
   exercisable end-to-end in tests and benchmarks.
+- ``decoder="pil"`` -> REAL image decode via Pillow, feature-detected:
+  used when ``PIL`` is importable (grayscale strip features /
+  resampled re-encode), raises the stub error otherwise. Tests for
+  this path are conditional (pytest.importorskip).
 
-Swap in a real decoder (PIL/torchaudio/ffmpeg) by passing a callable
-``bytes -> list[float]``; the Spark plumbing does not change: the
-work runs in ``mapInPandas`` over Arrow record batches, one Python
-worker per partition, no driver involvement, scales with executors.
+Swap in any other real decoder (torchaudio/ffmpeg) by passing a
+callable ``bytes -> list[float]``; the Spark plumbing does not
+change: the work runs in ``mapInPandas`` over Arrow record batches,
+one Python worker per partition, no driver involvement, scales with
+executors.
 """
 
 from __future__ import annotations
@@ -55,6 +60,50 @@ def _fake_features(payload: bytes, dim: int) -> list[float]:
     return [((h * (j + 1)) % 1009) / 1009.0 for j in range(dim)]
 
 
+def pil_available() -> bool:
+    """Feature-detect Pillow without importing it at module load."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _pil_features(payload: bytes, dim: int) -> list[float]:
+    """Real image features via Pillow: decode, grayscale, resample to a
+    (dim x 1) strip, normalize to [0, 1]. A stand-in global descriptor
+    (mean luminance per horizontal band) — swap for a CNN embed in a
+    real pipeline; the Spark plumbing is identical."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload)).convert("L")
+    strip = img.resize((dim, 1))
+    return [p / 255.0 for p in strip.getdata()]
+
+
+def _pil_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Real image resize via Pillow; re-encodes in the source format
+    (PNG fallback for formats Pillow can't write)."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload))
+    fmt = img.format if img.format in ("PNG", "JPEG", "BMP", "GIF", "WEBP") else "PNG"
+    out = io.BytesIO()
+    img.resize((width, height)).save(out, format=fmt)
+    return out.getvalue()
+
+
+_PIL_STUB_MSG = (
+    "requested but Pillow is not importable in this environment; "
+    "install Pillow or pass a callable / decoder='fake'"
+)
+
+
 def extract_features(
     df: DataFrame,
     dim: int = 16,
@@ -74,7 +123,14 @@ def extract_features(
             "environment. Pass decoder='fake' for the deterministic "
             "test decoder, or a callable bytes -> list[float]."
         )
-    dec = (lambda b: _fake_features(b, dim)) if decoder == "fake" else decoder
+    if decoder == "pil":
+        if not pil_available():
+            raise NotImplementedError(f"decoder='pil' {_PIL_STUB_MSG}")
+        dec = lambda b: _pil_features(b, dim)  # noqa: E731
+    elif decoder == "fake":
+        dec = lambda b: _fake_features(b, dim)  # noqa: E731
+    else:
+        dec = decoder
 
     out_schema = StructType(
         [StructField("id", LongType()), StructField("feature", ArrayType(FloatType()))]
@@ -127,7 +183,11 @@ def resize_media(
             "environment. Pass resizer='fake' for the deterministic "
             "test resizer, or a callable (bytes, w, h) -> bytes."
         )
-    if resizer == "fake":
+    if resizer == "pil":
+        if not pil_available():
+            raise NotImplementedError(f"resizer='pil' {_PIL_STUB_MSG}")
+        rz = _pil_resize
+    elif resizer == "fake":
         def rz(b: bytes, w: int, h: int) -> bytes:
             n = max(1, (w * h) // 64)
             return (b * (n // max(len(b), 1) + 1))[:n]

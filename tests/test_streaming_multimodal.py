@@ -164,3 +164,70 @@ def test_streaming_text_pipeline_scrub_and_score(spark, docs, tmp_path):
     assert len(rows) == 50
     assert all(r.n_emails == 0 for r in rows)  # corpus is PII-free
     assert all(r.clean_text and r.quality is not None and r.top_freq >= 1 for r in rows)
+
+
+def test_pil_decoder_stub_error_without_pillow(spark):
+    """Where Pillow is absent, decoder='pil' must raise the documented
+    stub error (not an ImportError mid-executor)."""
+    from sqlite_vector_spark.operators.multimodal import pil_available, resize_media
+
+    if pil_available():
+        pytest.skip("Pillow installed: the stub branch is unreachable")
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "id long, payload binary")
+    with pytest.raises(NotImplementedError, match="pil"):
+        extract_features(df, dim=4, decoder="pil").collect()
+    with pytest.raises(NotImplementedError, match="pil"):
+        resize_media(df, 2, 2, resizer="pil").collect()
+
+
+def test_pil_decoder_real_decode_golden():
+    """Conditional (runs where Pillow exists): a golden 8x1 grayscale
+    PNG decodes to its exact normalized pixel values — resize to
+    (dim=width, 1) is the identity, so no resampler variance."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from sqlite_vector_spark.operators.multimodal import _pil_features, _pil_resize
+
+    pixels = [0, 32, 64, 96, 128, 160, 192, 255]
+    img = Image.new("L", (8, 1))
+    img.putdata(pixels)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    payload = buf.getvalue()
+
+    feats = _pil_features(payload, dim=8)
+    assert feats == [p / 255.0 for p in pixels]
+
+    resized = _pil_resize(payload, 4, 1)
+    back = Image.open(io.BytesIO(resized))
+    assert back.size == (4, 1) and back.format == "PNG"
+
+
+def test_pil_decoder_through_spark_plumbing(spark):
+    """Conditional end-to-end: the pil decoder runs inside mapInPandas
+    exactly like the fake one."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from sqlite_vector_spark.operators.multimodal import resize_media
+
+    def png(pixels):
+        img = Image.new("L", (len(pixels), 1))
+        img.putdata(pixels)
+        b = io.BytesIO()
+        img.save(b, format="PNG")
+        return bytearray(b.getvalue())
+
+    df = spark.createDataFrame(
+        [(1, png([0, 255, 0, 255])), (2, png([128, 128, 128, 128]))],
+        "id long, payload binary",
+    )
+    feats = {r.id: list(r.feature) for r in extract_features(df, dim=4, decoder="pil").collect()}
+    assert feats[2] == pytest.approx([128 / 255.0] * 4)
+    out = resize_media(df, 2, 1, resizer="pil").collect()
+    assert all(r.width == 2 and r.height == 1 for r in out)
