@@ -196,6 +196,39 @@ def main():
     bench("text_normalize", lambda: w.text_normalize_q(spark, SF_DIR).count())
     bench("embedding_centroids", lambda: w.embedding_centroids_q(spark, SF_DIR).count())
 
+    # round-6: product quantization (trained codebooks — the real
+    # pipeline path; the oracle entries use seed codebooks instead)
+    try:
+        from sqlite_vector_spark.operators.pq import (
+            ivf_pq_scan,
+            pq_encode,
+            pq_fit,
+            pq_rerank_scan,
+            pq_scan,
+        )
+
+        books = pq_fit(emb, "embedding", w.PQ_M, w.PQ_KSUB, w.DIM, iters=3, id_col="vec_id")
+        pq_codes_cached = pq_encode(emb, "embedding", books, id_col="vec_id").persist()
+        pq_codes_cached.count()
+        bench("pq_encode", lambda: pq_encode(emb, "embedding", books, id_col="vec_id").count())
+        bench("pq_scan_adc", lambda: pq_scan(pq_codes_cached, w.Q64, books, 20, "L2").collect())
+        bench(
+            "pq_rerank_scan",
+            lambda: pq_rerank_scan(
+                emb, "embedding", w.Q64, books, 20, w.RERANK_M, "L2", id_col="vec_id"
+            ).collect(),
+        )
+        cent_pq = [list(r.embedding) for r in emb.orderBy("vec_id").limit(16).collect()]
+        bench(
+            "ivf_pq_scan",
+            lambda: ivf_pq_scan(
+                emb, "embedding", w.Q64, cent_pq, books, 10, nprobe=2, id_col="vec_id"
+            ).collect(),
+        )
+        pq_codes_cached.unpersist()
+    except Exception as exc:  # noqa: BLE001
+        errors["pq_family"] = f"{type(exc).__name__}: {exc}"[:500]
+
     # round-5 pipeline additions
     bench("doc_split_assign", lambda: w.doc_split_assign_q(spark, SF_DIR).count())
     bench("token_doc_freq", lambda: w.token_doc_freq_q(spark, SF_DIR).count())

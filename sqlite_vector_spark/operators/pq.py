@@ -1,0 +1,457 @@
+"""Product quantization (PQ) + IVF-PQ: compressed-domain ANN at scale.
+
+The reference stops at SCALAR quantization — one affine u8/s8 code per
+lane, 4x compression (README.md:110-121, sqlite-vector.c:1418-1500).
+Product quantization (Jegou, Douze, Schmid, "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011 — public) is the standard next
+rung on the same ladder: split each vector into M subvectors, vector-
+quantize every subspace against its own KSUB-entry codebook, and store
+M small code ids per row. At dim=768 / M=16 / KSUB=256 a row shrinks
+from 3072 bytes to 16 — 192x — which is the difference between an
+index that fits executor memory at 100 TB and one that doesn't.
+
+Search runs in the COMPRESSED domain via ADC (asymmetric distance
+computation): the query stays full-precision; a per-query lookup table
+LUT[s][j] = ||q_s - c_{s,j}||^2 is computed once driver-side (M*KSUB
+doubles — metadata math, same role as probe_clusters), and each row's
+approximate distance is the M-term sum LUT[s][code_s] — no per-lane
+arithmetic per row at all.
+
+Spark-first physical story:
+- codebooks ride into the plan as literals (or in the Arrow kernel's
+  closure at large M*KSUB) — no join, no shuffle to encode: encoding
+  is a map-side projection fused into the Parquet scan;
+- the ADC scan reads ONLY (id, codes) — at M=16 that is a ~24-byte
+  row regardless of dim; top-k is TakeOrderedAndProject exactly like
+  full_scan, so P*k rows reach the driver;
+- IVF-PQ composes the coarse partition-pruned probe (operators.ann)
+  with the ADC scan inside the probed clusters — the FAISS "IVFADC"
+  layout, here expressed as partition pruning + a fused projection.
+
+Determinism contract (what lets DuckDB adjudicate this): per-subspace
+assignment is the same snapped sequential-fold SQUARED_L2 with
+lowest-index tiebreak as ivf_assign, the LUT entries are computed with
+the identical fold in driver Python, and the ADC sum is a sequential
+left fold in subspace order — so codes, LUT values, and distances are
+all bit-reproducible in SQL (oracle.pq_codes_q / oracle.pq_scan).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from sqlite_vector_spark.functions.distance import (
+    EPS_SNAP,
+    snap_zero,
+    squared_l2,
+    vector_literal,
+)
+from sqlite_vector_spark.types import Metric, parse_metric
+
+Codebooks = Sequence[Sequence[Sequence[float]]]  # [m][ksub][dsub]
+
+
+def _check_codebooks(codebooks: Codebooks) -> tuple[int, int, int]:
+    m = len(codebooks)
+    if m == 0:
+        raise ValueError("codebooks must have at least one subspace")
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    for s, cb in enumerate(codebooks):
+        if len(cb) != ksub or any(len(e) != dsub for e in cb):
+            raise ValueError(f"codebooks ragged at subspace {s}: need uniform [m][ksub][dsub]")
+    return m, ksub, dsub
+
+
+def subvector(vec: str | Column, s: int, dsub: int) -> Column:
+    """Subspace s of a vector column (1-based slice, length dsub)."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    return F.slice(v, s * dsub + 1, dsub)
+
+
+def _pq_backend(codebooks: Codebooks) -> str:
+    """codegen (bit-exact literal folds — the oracle path) vs
+    arrow-numpy (O(1) plan size). Same dispatch contract as
+    ann._assign_backend: honour a pinned backend; auto routes on the
+    m*ksub FOLD count — each codebook entry is its own argmin
+    expression tree, so fold count (not raw literals) drives the
+    codegen cost (AUTO_PQ_FOLDS, measured in version.py)."""
+    from sqlite_vector_spark.version import AUTO_PQ_FOLDS, vector_backend
+
+    active = vector_backend()
+    if active != "auto":
+        return active
+    m, ksub, _dsub = _check_codebooks(codebooks)
+    return "arrow-numpy" if m * ksub >= AUTO_PQ_FOLDS else "codegen"
+
+
+# ---------------------------------------------------------------- encode
+
+
+def pq_encode_col(vec: str | Column, codebooks: Codebooks) -> Column:
+    """ARRAY<BIGINT> of per-subspace nearest-codebook-entry ids —
+    the codegen literal-fold path (snapped SQUARED_L2 per entry,
+    first-minimum = lowest-index tiebreak, mirrored by the SQL
+    row_number ORDER BY d, j in oracle.pq_codes_q)."""
+    m, ksub, dsub = _check_codebooks(codebooks)
+    v = F.col(vec) if isinstance(vec, str) else vec
+    cols = []
+    for s in range(m):
+        sub = subvector(v, s, dsub)
+        d_arr = F.array(
+            *[snap_zero(squared_l2(sub, vector_literal(e))) for e in codebooks[s]]
+        )
+        cols.append((F.array_position(d_arr, F.array_min(d_arr)) - 1).cast("bigint"))
+    return F.array(*cols)
+
+
+def pq_encode_arrow_udf(codebooks: Codebooks):
+    """Arrow-batched encoder: ARRAY<numeric> -> ARRAY<BIGINT> codes.
+    Codebooks ride in the closure, so the Catalyst plan stays O(1) at
+    any M*KSUB (M=16 x KSUB=256 x dsub=48 would otherwise inline ~200k
+    literals). np.argmin keeps the lowest-index tiebreak."""
+    from pyspark.sql.functions import pandas_udf
+
+    import numpy as np
+
+    m, ksub, dsub = _check_codebooks(codebooks)
+    cbs = [np.asarray([[float(x) for x in e] for e in cb], dtype=np.float64) for cb in codebooks]
+
+    @pandas_udf("array<bigint>")
+    def _kernel(col: pd.Series) -> pd.Series:
+        mat = np.array(col.tolist(), dtype=np.float64)  # (B, dim)
+        out = np.empty((mat.shape[0], m), dtype=np.int64)
+        for s in range(m):
+            sub = mat[:, s * dsub : (s + 1) * dsub]
+            # (B, ksub) squared distances via the Gram expansion
+            d = (
+                (sub * sub).sum(1)[:, None]
+                - 2.0 * (sub @ cbs[s].T)
+                + (cbs[s] * cbs[s]).sum(1)[None, :]
+            )
+            out[:, s] = d.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return _kernel
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: Codebooks,
+    id_col: str = "id",
+) -> DataFrame:
+    """(id, codes ARRAY<BIGINT>) — the PQ code table. Map-side only
+    (no shuffle at any scale); persist it as the compressed index.
+    Backend-dispatched like ivf_assign."""
+    base = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
+    )
+    if _pq_backend(codebooks) == "arrow-numpy":
+        return base.select("id", pq_encode_arrow_udf(codebooks)(F.col("vec")).alias("codes"))
+    return base.select("id", pq_encode_col(F.col("vec"), codebooks).alias("codes"))
+
+
+# ---------------------------------------------------------------- training
+
+
+def pq_codebooks_first(
+    df: DataFrame, vec_col: str, m: int, ksub: int, dim: int, id_col: str = "id"
+) -> Codebooks:
+    """Deterministic seed codebooks: subspace slices of the KSUB
+    lowest-id rows. SQL-expressible (the oracle re-derives them as a
+    WHERE id < ksub subquery) — the gate path, exactly like IVF's
+    first-C centroids. Train with pq_fit for real corpora."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    rows = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec"))
+        .orderBy("id")
+        .limit(ksub)
+        .collect()
+    )
+    if len(rows) < ksub:
+        raise ValueError(f"pq_codebooks_first: {len(rows)} rows cannot seed ksub={ksub}")
+    return [
+        [[float(x) for x in r.vec[s * dsub : (s + 1) * dsub]] for r in rows]
+        for s in range(m)
+    ]
+
+
+def pq_fit(
+    df: DataFrame,
+    vec_col: str,
+    m: int,
+    ksub: int,
+    dim: int,
+    iters: int = 5,
+    id_col: str = "id",
+    init: str = "first",
+    seed: int = 0,
+    sample_size: int = 8192,
+) -> Codebooks:
+    """Per-subspace Lloyd over ALL M subspaces in one distributed
+    aggregation per iteration — not M separate k-means jobs.
+
+    Shape per iteration: one map-side encode (pq_encode_col / Arrow
+    kernel — no shuffle), posexplode to (sub, code, pos-in-sub, x)
+    rows, one groupBy with map-side partials. Shuffle volume is
+    m*ksub*dsub partials per partition — independent of row count —
+    and the driver collects m*ksub*dsub (sum, n) rows (a few hundred
+    KB at M=16/KSUB=256/dim=768). Fixed-point sums (round(x*1e6) in
+    DECIMAL(38,0)) make the means partial-order-independent, same
+    recipe as ann.kmeans_fit. Empty codes keep their previous entry.
+
+    init="first" seeds from the KSUB lowest-id rows (deterministic,
+    SQL-expressible at iters=0); init="kmeans++" D²-seeds EVERY
+    subspace from one shared hash-ordered sample (ann.kmeanspp_seeds
+    per subspace slice — one TakeOrdered job total, not per subspace).
+    """
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    base = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
+    )
+    if init == "first":
+        codebooks = pq_codebooks_first(df, vec_col, m, ksub, dim, id_col=id_col)
+    elif init == "kmeans++":
+        from sqlite_vector_spark.operators.ann import kmeanspp_seeds
+
+        samp = (
+            base.orderBy(F.xxhash64(F.col("id"), F.lit(int(seed))).asc(), F.col("id").asc())
+            .limit(int(sample_size))
+            .collect()
+        )
+        codebooks = [
+            kmeanspp_seeds([r.vec[s * dsub : (s + 1) * dsub] for r in samp], ksub, seed=seed + s)
+            for s in range(m)
+        ]
+    else:
+        raise ValueError(f"init must be 'first' or 'kmeans++', got {init!r}")
+
+    for _ in range(iters):
+        if _pq_backend(codebooks) == "arrow-numpy":
+            codes_col = pq_encode_arrow_udf(codebooks)(F.col("vec"))
+        else:
+            codes_col = pq_encode_col(F.col("vec"), codebooks)
+        parts = (
+            base.select(codes_col.alias("codes"), F.posexplode("vec").alias("pos", "x"))
+            .select(
+                (F.col("pos") / F.lit(dsub)).cast("int").alias("sub"),
+                (F.col("pos") % F.lit(dsub)).alias("spos"),
+                F.col("x"),
+                F.col("codes"),
+            )
+            .select(
+                "sub",
+                F.element_at(F.col("codes"), F.col("sub") + 1).alias("code"),
+                "spos",
+                "x",
+            )
+            .groupBy("sub", "code", "spos")
+            .agg(
+                F.sum(
+                    F.round(F.col("x").cast("double") * F.lit(1_000_000.0)).cast("decimal(38,0)")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        sums: dict[tuple[int, int, int], float] = {}
+        nvals: dict[tuple[int, int], int] = {}
+        for r in parts:
+            if r.sub is None or int(r.sub) >= m or int(r.spos) >= dsub:
+                raise ValueError(
+                    f"pq_fit: row(s) in {vec_col!r} have dimension != {dim}; "
+                    f"vectors must be uniform-length for training"
+                )
+            sums[(int(r.sub), int(r.code), int(r.spos))] = float(r.s) / 1_000_000.0
+            nvals[(int(r.sub), int(r.code))] = int(r.n)
+        new = [list(cb) for cb in codebooks]
+        for (s, j), n in nvals.items():
+            if n > 0:
+                new[s][j] = [sums[(s, j, p)] / n for p in range(dsub)]
+        codebooks = new
+    return codebooks
+
+
+# ---------------------------------------------------------------- ADC scan
+
+
+def _py_sq_l2(a: Sequence[float], b: Sequence[float]) -> float:
+    """Driver-side snapped sequential-fold SQUARED_L2 — bit-identical
+    to functions.distance.squared_l2 (codegen) and oracle.dist_sql:
+    same lane order, same IEEE double ops, same eps-snap."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        d = float(x) - float(y)
+        acc = acc + d * d
+    return 0.0 if abs(acc) <= EPS_SNAP else acc
+
+
+def adc_lut(query: Sequence[float], codebooks: Codebooks) -> list[list[float]]:
+    """LUT[s][j] = snapped ||q_s - c_{s,j}||² — M*KSUB doubles computed
+    once per query on the driver (metadata math, like probe_clusters).
+    The same values fall out of the oracle's SQL fold over the same
+    stored codebook rows, so ADC distances hash-match."""
+    m, ksub, dsub = _check_codebooks(codebooks)
+    if len(query) != m * dsub:
+        raise ValueError(f"query dim {len(query)} != m*dsub = {m * dsub}")
+    return [
+        [_py_sq_l2(query[s * dsub : (s + 1) * dsub], e) for e in codebooks[s]]
+        for s in range(m)
+    ]
+
+
+def adc_distance_col(codes: str | Column, luts: Sequence[Sequence[float]], metric: str | Metric = "L2") -> Column:
+    """Approximate distance from PQ codes: sequential left fold of
+    LUT[s][code_s] in subspace order (F.aggregate preserves array
+    order — the oracle mirrors with the same ordered fold), then
+    sqrt for L2. Only L2/SQUARED_L2 decompose additively over
+    subspaces; other metrics must rerank in full precision."""
+    m = parse_metric(metric) if isinstance(metric, str) else metric
+    if m not in (Metric.L2, Metric.SQUARED_L2):
+        raise ValueError(f"ADC supports L2/SQUARED_L2 (additive over subspaces), got {m}")
+    c = F.col(codes) if isinstance(codes, str) else codes
+    lut_arr = F.array(*[F.array(*[F.lit(float(v)) for v in lut_s]) for lut_s in luts])
+    terms = F.zip_with(c, lut_arr, lambda code, l: F.element_at(l, (code + 1).cast("int")))
+    d2 = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+    return snap_zero(F.sqrt(d2) if m is Metric.L2 else d2)
+
+
+def adc_distance_arrow_udf(luts: Sequence[Sequence[float]], metric: str | Metric = "L2"):
+    """Arrow-batched ADC: ARRAY<BIGINT> codes -> DOUBLE. One fancy-
+    index gather + row sum per batch; the LUT rides in the closure so
+    the plan stays O(1) at any M*KSUB. Throughput backend (NumPy sum
+    order), not the oracle path — same contract as distance_pandas_udf."""
+    from pyspark.sql.functions import pandas_udf
+
+    import numpy as np
+
+    m = parse_metric(metric) if isinstance(metric, str) else metric
+    if m not in (Metric.L2, Metric.SQUARED_L2):
+        raise ValueError(f"ADC supports L2/SQUARED_L2, got {m}")
+    lut = np.asarray([[float(v) for v in row] for row in luts], dtype=np.float64)  # (M, KSUB)
+    subs = list(range(lut.shape[0]))
+
+    @pandas_udf("double")
+    def _kernel(col: pd.Series) -> pd.Series:
+        codes = np.array(col.tolist(), dtype=np.int64)  # (B, M)
+        d = lut[subs, codes].sum(axis=1)
+        if m is Metric.L2:
+            np.sqrt(d, out=d)
+        d = np.where(np.abs(d) <= EPS_SNAP, 0.0, d)
+        return pd.Series(d)
+
+    return _kernel
+
+
+def pq_scan(
+    codes_df: DataFrame,
+    query: Sequence[float],
+    codebooks: Codebooks,
+    k: int,
+    metric: str | Metric = "L2",
+    codes_col: str = "codes",
+    id_col: str = "id",
+) -> DataFrame:
+    """Compressed-domain top-k over a PQ code table -> (id, distance
+    ascending, id tiebreak). The scan touches only the ~M-byte code
+    rows; TakeOrderedAndProject keeps P*k rows leaving the executors.
+    Backend-dispatched on the LUT literal footprint (M*KSUB)."""
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    luts = adc_lut([float(x) for x in query], codebooks)
+    base = codes_df.where(F.col(codes_col).isNotNull())
+    if _pq_backend(codebooks) == "arrow-numpy":
+        dist = adc_distance_arrow_udf(luts, metric)(F.col(codes_col))
+    else:
+        dist = adc_distance_col(codes_col, luts, metric)
+    scored = base.select(F.col(id_col).cast("bigint").alias("id"), dist.alias("distance"))
+    if k == 0:
+        return scored.limit(0)
+    return scored.orderBy(F.col("distance").asc(), F.col("id").asc()).limit(k)
+
+
+def pq_rerank_scan(
+    df: DataFrame,
+    vec_col: str,
+    query: Sequence[float],
+    codebooks: Codebooks,
+    k: int,
+    prefilter: int,
+    metric: str | Metric = "L2",
+    id_col: str = "id",
+) -> DataFrame:
+    """Two-stage PQ search: ADC prefilter to ``prefilter`` candidates
+    in the compressed domain, exact rerank of only those rows in full
+    precision (any metric). The compressed analog of rerank_scan_l2:
+    stage 1 reads M-byte codes, stage 2 re-reads ``prefilter`` full
+    vectors via a broadcast semi-join — recall ~1 at a fraction of the
+    exact-scan bytes."""
+    from sqlite_vector_spark.functions.distance import distance
+    from sqlite_vector_spark.operators.search import full_scan
+
+    codes = pq_encode(df, vec_col, codebooks, id_col=id_col)
+    cand = pq_scan(codes, query, codebooks, prefilter, "L2").select("id")
+    full = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
+    )
+    return (
+        full.join(F.broadcast(cand), "id", "left_semi")
+        .select("id", distance(F.col("vec"), [float(x) for x in query], metric).alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def ivf_pq_scan(
+    df: DataFrame,
+    vec_col: str,
+    query: Sequence[float],
+    centroids: Sequence[Sequence[float]],
+    codebooks: Codebooks,
+    k: int,
+    nprobe: int = 2,
+    metric: str | Metric = "L2",
+    id_col: str = "id",
+) -> DataFrame:
+    """IVF-PQ (the FAISS IVFADC layout, non-residual): coarse-probe
+    the nprobe nearest clusters, ADC-score only rows inside them.
+
+    At 100 TB the corpus is stored as the ivf_store partitioned code
+    table (cluster=N directories holding (id, codes)): the probe IN
+    filter is planning-time partition pruning and the ADC scan reads
+    ~M bytes/row of the probed fraction only — both axes of the
+    reading cost cut at once (probe fraction x compression ratio)."""
+    from sqlite_vector_spark.operators.ann import ivf_assign, probe_clusters
+
+    probes = probe_clusters([float(x) for x in query], centroids, nprobe)
+    assigned = ivf_assign(df, vec_col, centroids, id_col=id_col, metric="L2")
+    pruned = assigned.where(F.col("cluster").isin([int(p) for p in probes]))
+    codes = pq_encode(pruned, "vec", codebooks, id_col="id")
+    return pq_scan(codes, query, codebooks, k, metric)
+
+
+def pq_memory_bytes(n_rows: int, dim: int, m: int, ksub: int, bytes_per_value: int = 4) -> dict:
+    """Size accounting for a PQ index vs the full-precision corpus —
+    the compression headline (codes + codebooks, like
+    vector_quantize_memory's estimate role)."""
+    code_bytes = 1 if ksub <= 256 else (2 if ksub <= 65536 else 8)
+    codes = n_rows * m * code_bytes
+    books = m * ksub * (dim // m) * 8
+    full = n_rows * dim * bytes_per_value
+    return {
+        "full_bytes": full,
+        "codes_bytes": codes,
+        "codebook_bytes": books,
+        "compression": full / max(1, codes + books),
+    }

@@ -1314,3 +1314,140 @@ FROM exact e
 LEFT JOIN ivf i ON i.qid = e.eqid AND i.id = e.eid
 GROUP BY e.eqid
 ORDER BY qid"""
+
+
+# ---------------------------------------------------------------- product quantization (operators/pq.py)
+
+from sqlite_vector_spark.workload import PQ_DSUB, PQ_KSUB, PQ_M  # noqa: E402
+
+
+def _pq_sub_sq(a: str, b: str, sub: str, dsub: int = PQ_DSUB) -> str:
+    """Snapped sequential-fold SQUARED_L2 between subspace ``sub`` of
+    two vectors indexed in place (no list slicing): lane i of subspace
+    s is element i + s*dsub — identical lane order and IEEE ops to
+    functions.distance.squared_l2 over F.slice and to pq._py_sq_l2."""
+    x = f"CAST({a}[i + {sub}*{dsub}] AS DOUBLE)"
+    y = f"CAST({b}[i + {sub}*{dsub}] AS DOUBLE)"
+    return snap(_fold(f"list_transform(range(1, {dsub + 1}), i -> ({x} - {y}) * ({x} - {y}))"))
+
+
+#: codebook rows (mirrors workload._pq_codebooks: first PQ_KSUB ids)
+PQ_CB = f"SELECT CAST(vec_id AS BIGINT) AS j, embedding AS cv FROM embeddings WHERE vec_id < {PQ_KSUB} AND embedding IS NOT NULL"
+
+#: subspace index table 0..PQ_M-1
+PQ_SUBS = f"SELECT unnest(range(0, {PQ_M})) AS sub"
+
+
+def _pq_codes_ctes() -> str:
+    """cb/subs/asgn/codes CTE chain: per-(row, subspace) argmin over
+    the codebook with (distance, j) tiebreak = pq.pq_encode_col's
+    first-minimum position; codes collected in subspace order."""
+    d = _pq_sub_sq("e.embedding", "c.cv", "s.sub")
+    return f"""cb AS ({PQ_CB}),
+subs AS ({PQ_SUBS}),
+asgn AS (
+  SELECT e.vec_id AS id, s.sub, c.j,
+         row_number() OVER (PARTITION BY e.vec_id, s.sub ORDER BY {d} ASC, c.j ASC) AS rn
+  FROM embeddings e, subs s, cb c
+  WHERE e.embedding IS NOT NULL),
+codes AS (SELECT id, list(j ORDER BY sub) AS cl FROM asgn WHERE rn = 1 GROUP BY id)"""
+
+
+def _pq_lut_cte() -> str:
+    """Flat LUT list ordered (sub, j): lf[s*KSUB + code + 1] =
+    snapped ||q_s - c_{s,code}||² — the same doubles pq.adc_lut
+    computes driver-side (same fold, same f32 inputs)."""
+    d = _pq_sub_sq("q", "c.cv", "s.sub")
+    return f"""lut AS (
+  SELECT list(d ORDER BY sub, j) AS lf FROM (
+    SELECT s.sub, c.j, {d} AS d FROM subs s, cb c, qq))"""
+
+
+def _pq_adc_dist() -> str:
+    """ADC distance: sequential fold of lf[s*KSUB + cl[s+1] + 1] in
+    subspace order (mirrors F.aggregate over zip_with in
+    pq.adc_distance_col), then sqrt + snap."""
+    terms = f"list_transform(range(0, {PQ_M}), s -> lf[s*{PQ_KSUB} + cl[s+1] + 1])"
+    return snap(f"sqrt({_fold(terms)})")
+
+
+def pq_codes_q() -> str:
+    return f"""WITH {_pq_codes_ctes()}
+SELECT id,
+       array_to_string(list_transform(cl, x -> CAST(x AS VARCHAR)), ',') AS codes_csv,
+       CAST(len(cl) AS BIGINT) AS m
+FROM codes
+ORDER BY id"""
+
+
+def pq_scan_l2_q(k: int = K) -> str:
+    return f"""WITH qq AS (SELECT {qvec_literal(Q64)} AS q),
+{_pq_codes_ctes()},
+{_pq_lut_cte()}
+SELECT id, {_pq_adc_dist()} AS distance
+FROM codes, lut
+ORDER BY distance ASC, id ASC
+LIMIT {k}"""
+
+
+def ivf_pq_scan_l2_q() -> str:
+    d_assign = dist_sql("L2", "e.embedding", "cn.cnv")
+    d_probe = dist_sql("L2", "cnv", "q")
+    return f"""WITH qq AS (SELECT {qvec_literal(Q64)} AS q),
+cent AS (SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS cnv FROM embeddings WHERE vec_id < {IVF_C}),
+assign AS (
+  SELECT id, cid AS cluster FROM (
+    SELECT e.vec_id AS id, cn.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d_assign} ASC, cn.cid ASC) AS rn
+    FROM embeddings e, cent cn WHERE e.embedding IS NOT NULL)
+  WHERE rn = 1),
+probes AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (ORDER BY {d_probe} ASC, cid ASC) AS rn
+    FROM cent, qq)
+  WHERE rn <= {IVF_NPROBE}),
+{_pq_codes_ctes()},
+{_pq_lut_cte()}
+SELECT c2.id AS id, {_pq_adc_dist()} AS distance
+FROM codes c2, lut, assign a
+WHERE a.id = c2.id AND a.cluster IN (SELECT cid FROM probes)
+ORDER BY distance ASC, c2.id ASC
+LIMIT {IVF_K}"""
+
+
+def pq_recall_at_k_q() -> str:
+    d_full = dist_sql("L2", "embedding", "q")
+    return f"""WITH qq AS (SELECT {qvec_literal(Q64)} AS q),
+{_pq_codes_ctes()},
+{_pq_lut_cte()},
+exact AS (
+  SELECT id FROM (
+    SELECT vec_id AS id, row_number() OVER (ORDER BY {d_full} ASC, vec_id ASC) AS rn
+    FROM embeddings, qq WHERE embedding IS NOT NULL)
+  WHERE rn <= {RECALL_K}),
+pqk AS (
+  SELECT id FROM (
+    SELECT id, row_number() OVER (ORDER BY d ASC, id ASC) AS rn FROM (
+      SELECT c2.id, {_pq_adc_dist()} AS d FROM codes c2, lut))
+  WHERE rn <= {RECALL_K})
+SELECT CAST(count(p.id) AS DOUBLE) / {float(RECALL_K)!r} AS recall
+FROM exact e LEFT JOIN pqk p ON p.id = e.id"""
+
+
+def pq_rerank_scan_l2_q() -> str:
+    from sqlite_vector_spark.workload import RERANK_M
+
+    d_full = dist_sql("L2", "e.embedding", "q")
+    return f"""WITH qq AS (SELECT {qvec_literal(Q64)} AS q),
+{_pq_codes_ctes()},
+{_pq_lut_cte()},
+cand AS (
+  SELECT id FROM (
+    SELECT id, row_number() OVER (ORDER BY d ASC, id ASC) AS rn FROM (
+      SELECT c2.id, {_pq_adc_dist()} AS d FROM codes c2, lut))
+  WHERE rn <= {RERANK_M})
+SELECT e.vec_id AS id, {d_full} AS distance
+FROM embeddings e, qq
+WHERE e.embedding IS NOT NULL AND e.vec_id IN (SELECT id FROM cand)
+ORDER BY distance ASC, id ASC
+LIMIT {K}"""

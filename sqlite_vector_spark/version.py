@@ -32,6 +32,15 @@ AUTO_DIM = 32
 #: C=8 x dim=64 still favors codegen; C=64 x dim=128 favors arrow).
 AUTO_ASSIGN_LITERALS = 4096
 
+#: Crossover for PQ-ENCODE dispatch, measured on the NUMBER OF ARGMIN
+#: FOLDS (m*ksub): each codebook entry is its own snapped squared-L2
+#: expression tree, so the codegen cost scales with fold count rather
+#: than raw literals — measured at m=8 x ksub=16 (128 folds, dim 64)
+#: codegen takes ~4.6 s/job vs ~0.15 s for the Arrow kernel even
+#: steady-state (plan re-compile per job). Tiny codebooks (<=64
+#: folds) stay codegen where the Python round-trip dominates.
+AUTO_PQ_FOLDS = 128
+
 _active_backend = "auto"
 
 

@@ -1112,6 +1112,109 @@ def ivf_kmeans_scan_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(assigned, Q64, centroids, IVF_K, nprobe=IVF_NPROBE, metric="L2")
 
 
+# ---------------------------------------------------------------- product quantization (PQ / IVF-PQ)
+
+#: PQ geometry for the gate entries: DIM=64 -> 8 subspaces of 8 lanes,
+#: 16-entry codebooks (64 bytes/vector -> 8 bytes = 32x vs f64,
+#: 8x vs the stored f32). The 100 TB setting is M=16/KSUB=256 over
+#: dim=768 (192x) — measured in SCALE.md; geometry here is sized so
+#: the DuckDB oracle's unrolled assignment stays fast at sf0.01.
+PQ_M = 8
+PQ_DSUB = DIM // PQ_M
+PQ_KSUB = 16
+
+
+def _pq_codebooks(emb: DataFrame) -> list:
+    """Deterministic seed codebooks from the PQ_KSUB lowest-id rows —
+    the SQL-expressible form (oracle re-derives them as WHERE
+    vec_id < PQ_KSUB), exactly like IVF's first-C centroids. Real
+    pipelines train with operators.pq.pq_fit (Lloyd / kmeans++)."""
+    from sqlite_vector_spark.operators.pq import pq_codebooks_first
+
+    return pq_codebooks_first(
+        emb.where(F.col("vec_id") < PQ_KSUB), "embedding", PQ_M, PQ_KSUB, DIM, id_col="vec_id"
+    )
+
+
+def pq_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ code table gate (operators.pq.pq_encode): per-subspace
+    argmin against the seed codebooks, codes serialized to CSV for
+    the driver's scalar canonicalizer (same convention as
+    quantize_codes)."""
+    from sqlite_vector_spark.operators.pq import pq_encode
+
+    emb = _emb(spark, sf_dir)
+    codes = pq_encode(emb, "embedding", _pq_codebooks(emb), id_col="vec_id")
+    return codes.select(
+        "id",
+        F.concat_ws(",", F.col("codes").cast("array<string>")).alias("codes_csv"),
+        F.size("codes").cast("bigint").alias("m"),
+    )
+
+
+def pq_scan_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain ADC top-k (operators.pq.pq_scan): the scan
+    touches only the 8-code rows; distance = sequential fold of
+    LUT[s][code_s] in subspace order + sqrt + snap, hash-matched
+    against the oracle's identical SQL fold."""
+    from sqlite_vector_spark.operators.pq import pq_encode, pq_scan
+
+    emb = _emb(spark, sf_dir)
+    books = _pq_codebooks(emb)
+    codes = pq_encode(emb, "embedding", books, id_col="vec_id")
+    return pq_scan(codes, Q64, books, K, "L2")
+
+
+def ivf_pq_scan_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (operators.pq.ivf_pq_scan): coarse probe of IVF_NPROBE
+    clusters (first-IVF_C centroids, partition-prunable at scale),
+    ADC scoring of only the probed rows — probe fraction x
+    compression ratio off the read cost at once."""
+    from sqlite_vector_spark.operators.pq import ivf_pq_scan
+
+    emb = _emb(spark, sf_dir)
+    cent_rows = emb.where(F.col("vec_id") < IVF_C).orderBy("vec_id").collect()
+    centroids = [list(r.embedding) for r in cent_rows]
+    return ivf_pq_scan(
+        emb, "embedding", Q64, centroids, _pq_codebooks(emb), IVF_K,
+        nprobe=IVF_NPROBE, metric="L2", id_col="vec_id",
+    )
+
+
+def pq_rerank_scan_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ search (operators.pq.pq_rerank_scan): ADC
+    prefilter to RERANK_M candidates in the compressed domain, exact
+    L2 rerank of only those rows — the production recipe that returns
+    TRUE distances (recall governed by the prefilter width, exactness
+    by the rerank)."""
+    from sqlite_vector_spark.operators.pq import pq_rerank_scan
+
+    emb = _emb(spark, sf_dir)
+    return pq_rerank_scan(
+        emb, "embedding", Q64, _pq_codebooks(emb), K, RERANK_M, "L2", id_col="vec_id"
+    )
+
+
+def pq_recall_at_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@RECALL_K of the ADC scan vs the exact scan for Q64 —
+    the PQ arm of the reference's recall harness
+    (QUANTIZATION.md:44-76), fully SQL-expressible so the recall
+    VALUE itself is hash-gated."""
+    from sqlite_vector_spark.operators.pq import pq_encode, pq_scan
+
+    emb = _emb(spark, sf_dir)
+    books = _pq_codebooks(emb)
+    codes = pq_encode(emb, "embedding", books, id_col="vec_id")
+    exact = full_scan(
+        emb.select(F.col("vec_id").alias("id"), "embedding"), "embedding", Q64, RECALL_K, "L2"
+    ).select("id")
+    approx = pq_scan(codes, Q64, books, RECALL_K, "L2").select(F.col("id").alias("aid"))
+    hits = exact.join(F.broadcast(approx), exact["id"] == approx["aid"], "left")
+    return hits.agg(
+        (F.count("aid").cast("double") / F.lit(float(RECALL_K))).alias("recall")
+    )
+
+
 # ---------------------------------------------------------------- round-3 LLM-pipeline additions: contamination, repetition,
 # ---------------------------------------------------------------- source mix, as-of join, exact group quantiles
 

@@ -1,0 +1,242 @@
+"""Product quantization (operators/pq.py): encode backends, ADC math,
+training vs a NumPy reference, rerank recall, IVF-PQ composition.
+
+The oracle gate (pq_codes / pq_scan_l2 / ...) pins the bit-exact SQL
+contract; these tests pin the pieces the gate can't see: backend
+equivalence, trained-codebook quality, and the memory accounting.
+"""
+
+import math
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from sqlite_vector_spark.operators.pq import (
+    adc_distance_arrow_udf,
+    adc_distance_col,
+    adc_lut,
+    ivf_pq_scan,
+    pq_codebooks_first,
+    pq_encode,
+    pq_encode_arrow_udf,
+    pq_encode_col,
+    pq_fit,
+    pq_memory_bytes,
+    pq_rerank_scan,
+    pq_scan,
+)
+from sqlite_vector_spark.operators.search import full_scan
+from sqlite_vector_spark.version import set_backend
+
+M, KSUB, DIM = 4, 8, 64
+DSUB = DIM // M
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return pq_codebooks_first(emb, "embedding", M, KSUB, DIM, id_col="vec_id")
+
+
+def test_codebooks_shape(books):
+    assert len(books) == M
+    assert all(len(cb) == KSUB for cb in books)
+    assert all(len(e) == DSUB for cb in books for e in cb)
+
+
+def test_encode_arrow_equals_codegen(emb, books):
+    """The Arrow batch encoder and the literal codegen fold must
+    produce identical codes row-for-row (same argmin, same lowest-
+    index tiebreak) — the same contract the IVF assign backends pin."""
+    base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    a = base.select("id", pq_encode_col("vec", books).alias("codes")).collect()
+    b = base.select("id", pq_encode_arrow_udf(books)(F.col("vec")).alias("codes")).collect()
+    da = {r.id: list(r.codes) for r in a}
+    db = {r.id: list(r.codes) for r in b}
+    assert da == db
+
+
+def test_backend_dispatch(emb, books):
+    """Pinned backends force their path; auto routes tiny codebooks
+    to codegen (below the literal-footprint threshold)."""
+    try:
+        set_backend("arrow-numpy")
+        plan_arrow = pq_encode(emb, "embedding", books, id_col="vec_id")._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" in plan_arrow or "EvalPython" in plan_arrow
+        set_backend("codegen")
+        plan_cg = pq_encode(emb, "embedding", books, id_col="vec_id")._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan_cg
+    finally:
+        set_backend("auto")
+
+
+def test_adc_lut_matches_reconstruction(books):
+    """LUT[s][j] must equal the snapped sequential-fold squared L2 of
+    the query subvector against codebook entry j."""
+    q = [math.sin(i * 0.1) for i in range(DIM)]
+    luts = adc_lut(q, books)
+    for s in range(M):
+        for j in range(KSUB):
+            acc = 0.0
+            for x, y in zip(q[s * DSUB : (s + 1) * DSUB], books[s][j]):
+                d = float(x) - float(y)
+                acc += d * d
+            assert luts[s][j] == acc or (acc <= 8 * 1.1920928955078125e-07 and luts[s][j] == 0.0)
+
+
+def test_adc_scan_equals_numpy_reference(spark, emb, books):
+    """pq_scan distances == NumPy ADC over the same codes (sequential
+    vs vectorized sum agree to fp tolerance; ids agree exactly)."""
+    q = [math.sin(i * 0.1) for i in range(DIM)]
+    codes_df = pq_encode(emb, "embedding", books, id_col="vec_id")
+    got = pq_scan(codes_df, q, books, 15, "L2").collect()
+
+    codes = {r.id: list(r.codes) for r in codes_df.collect()}
+    lut = np.asarray(adc_lut(q, books))
+    ref = sorted(
+        (float(np.sqrt(sum(lut[s][c] for s, c in enumerate(cs)))), i) for i, cs in codes.items()
+    )[:15]
+    assert [r.id for r in got] == [i for _, i in ref]
+    for r, (d, _) in zip(got, ref):
+        assert r.distance == pytest.approx(d, rel=1e-12)
+
+
+def test_adc_arrow_udf_matches_codegen(spark, emb, books):
+    q = [math.cos(i * 0.2) for i in range(DIM)]
+    luts = adc_lut(q, books)
+    codes_df = pq_encode(emb, "embedding", books, id_col="vec_id")
+    a = codes_df.select("id", adc_distance_col("codes", luts, "L2").alias("d")).collect()
+    b = codes_df.select("id", adc_distance_arrow_udf(luts, "L2")(F.col("codes")).alias("d")).collect()
+    da = {r.id: r.d for r in a}
+    db = {r.id: r.d for r in b}
+    assert set(da) == set(db)
+    for i in da:
+        assert da[i] == pytest.approx(db[i], rel=1e-12)
+
+
+def test_adc_rejects_nonadditive_metric(books):
+    q = [0.0] * DIM
+    with pytest.raises(ValueError, match="additive"):
+        adc_distance_col("codes", adc_lut(q, books), "COSINE")
+
+
+def test_pq_fit_matches_numpy_lloyd(spark):
+    """pq_fit (distributed, fixed-point sums) vs a plain NumPy
+    per-subspace Lloyd from the same seeds: same codes, centroids
+    equal to the 1e-6 fixed-point quantum."""
+    rng = np.random.default_rng(7)
+    m, ksub, dim, n, iters = 2, 4, 8, 64, 3
+    dsub = dim // m
+    mat = rng.normal(size=(n, dim)).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)], "id long, vec array<double>"
+    )
+    got = pq_fit(df, "vec", m, ksub, dim, iters=iters, id_col="id", init="first")
+
+    books = [[list(mat[j, s * dsub : (s + 1) * dsub]) for j in range(ksub)] for s in range(m)]
+    for _ in range(iters):
+        new = []
+        for s in range(m):
+            sub = mat[:, s * dsub : (s + 1) * dsub]
+            cb = np.asarray(books[s])
+            d = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(2)
+            assign = d.argmin(1)
+            nb = []
+            for j in range(ksub):
+                rows = sub[assign == j]
+                if len(rows):
+                    # fixed-point mean, mirroring the engine's 1e-6 sums
+                    nb.append(list(np.round(rows * 1e6).sum(0) / 1e6 / len(rows)))
+                else:
+                    nb.append(list(cb[j]))
+            new.append(nb)
+        books = new
+    for s in range(m):
+        for j in range(ksub):
+            assert got[s][j] == pytest.approx(books[s][j], abs=2e-6)
+
+
+def test_pq_fit_reduces_quantization_error(emb):
+    """Trained codebooks must reconstruct better than first-KSUB
+    seeds: mean ADC-able squared error strictly drops after Lloyd."""
+    vecs = np.array([r.embedding for r in emb.select("embedding").collect()], dtype=np.float64)
+
+    def sse(books):
+        total = 0.0
+        for s in range(M):
+            sub = vecs[:, s * DSUB : (s + 1) * DSUB]
+            cb = np.asarray(books[s])
+            d = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(2)
+            total += d.min(1).sum()
+        return total
+
+    seed_df = emb
+    seeds = pq_codebooks_first(seed_df, "embedding", M, KSUB, DIM, id_col="vec_id")
+    trained = pq_fit(seed_df, "embedding", M, KSUB, DIM, iters=4, id_col="vec_id")
+    assert sse(trained) < 0.7 * sse(seeds)
+
+
+def test_pq_fit_kmeanspp_init(emb):
+    trained = pq_fit(
+        emb, "embedding", M, KSUB, DIM, iters=2, id_col="vec_id", init="kmeans++", seed=3
+    )
+    assert len(trained) == M and all(len(cb) == KSUB for cb in trained)
+
+
+def test_rerank_recall_exceeds_raw_adc(spark, emb, books):
+    """With TRAINED codebooks the two-stage rerank path returns exact
+    distances and top-k agreement with the exact scan at least as good
+    as raw ADC (seed codebooks are deliberately weak — they exist for
+    the SQL gate; quality comes from pq_fit)."""
+    q = [math.sin((i + 1) * 0.37) * 0.8 for i in range(DIM)]
+    k = 10
+    trained = pq_fit(emb, "embedding", M, KSUB, DIM, iters=3, id_col="vec_id")
+    exact = full_scan(
+        emb.select(F.col("vec_id").alias("id"), "embedding"), "embedding", q, k, "L2"
+    ).collect()
+    exact_ids = [r.id for r in exact]
+
+    rer = pq_rerank_scan(emb, "embedding", q, trained, k, 160, "L2", id_col="vec_id").collect()
+    rer_ids = [r.id for r in rer]
+    codes_df = pq_encode(emb, "embedding", trained, id_col="vec_id")
+    adc_ids = [r.id for r in pq_scan(codes_df, q, trained, k, "L2").collect()]
+
+    recall_rer = len(set(exact_ids) & set(rer_ids)) / k
+    recall_adc = len(set(exact_ids) & set(adc_ids)) / k
+    assert recall_rer >= recall_adc
+    assert recall_rer >= 0.8
+    # reranked distances are TRUE distances
+    exact_d = {r.id: r.distance for r in exact}
+    for r in rer:
+        if r.id in exact_d:
+            assert r.distance == exact_d[r.id]
+
+
+def test_ivf_pq_subset_of_probed(emb, books):
+    """IVF-PQ results only come from probed clusters and ranks follow
+    the ADC distance."""
+    cents = [list(r.embedding) for r in emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()]
+    q = [math.sin(i * 0.11) for i in range(DIM)]
+    got = ivf_pq_scan(emb, "embedding", q, cents, books, 12, nprobe=3, id_col="vec_id").collect()
+    assert 0 < len(got) <= 12
+    ds = [r.distance for r in got]
+    assert ds == sorted(ds)
+
+
+def test_pq_memory_accounting():
+    est = pq_memory_bytes(1_000_000, 768, 16, 256)
+    assert est["codes_bytes"] == 16_000_000
+    assert est["full_bytes"] == 768 * 4 * 1_000_000
+    assert est["compression"] > 150
+
+
+def test_validation_errors(emb, books):
+    with pytest.raises(ValueError, match="divisible"):
+        pq_codebooks_first(emb, "embedding", 7, KSUB, DIM, id_col="vec_id")
+    codes_df = pq_encode(emb, "embedding", books, id_col="vec_id")
+    with pytest.raises(ValueError, match="k must be"):
+        pq_scan(codes_df, [0.0] * DIM, books, -1)
+    with pytest.raises(ValueError, match="query dim"):
+        adc_lut([0.0] * (DIM + 1), books)
+    with pytest.raises(ValueError, match="ragged"):
+        pq_encode_col("vec", [[[0.0, 1.0]], [[0.0]]])
