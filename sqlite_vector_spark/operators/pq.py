@@ -238,49 +238,78 @@ def pq_fit(
         raise ValueError(f"init must be 'first' or 'kmeans++', got {init!r}")
 
     for _ in range(iters):
-        if _pq_backend(codebooks) == "arrow-numpy":
-            codes_col = pq_encode_arrow_udf(codebooks)(F.col("vec"))
-        else:
-            codes_col = pq_encode_col(F.col("vec"), codebooks)
-        parts = (
-            base.select(codes_col.alias("codes"), F.posexplode("vec").alias("pos", "x"))
-            .select(
-                (F.col("pos") / F.lit(dsub)).cast("int").alias("sub"),
-                (F.col("pos") % F.lit(dsub)).alias("spos"),
-                F.col("x"),
-                F.col("codes"),
-            )
-            .select(
-                "sub",
-                F.element_at(F.col("codes"), F.col("sub") + 1).alias("code"),
-                "spos",
-                "x",
-            )
-            .groupBy("sub", "code", "spos")
-            .agg(
-                F.sum(
-                    F.round(F.col("x").cast("double") * F.lit(1_000_000.0)).cast("decimal(38,0)")
-                ).alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()
-        )
-        sums: dict[tuple[int, int, int], float] = {}
-        nvals: dict[tuple[int, int], int] = {}
-        for r in parts:
-            if r.sub is None or int(r.sub) >= m or int(r.spos) >= dsub:
-                raise ValueError(
-                    f"pq_fit: row(s) in {vec_col!r} have dimension != {dim}; "
-                    f"vectors must be uniform-length for training"
-                )
-            sums[(int(r.sub), int(r.code), int(r.spos))] = float(r.s) / 1_000_000.0
-            nvals[(int(r.sub), int(r.code))] = int(r.n)
+        partials = base.select("vec").mapInPandas(
+            _pq_partial_sums_kernel(codebooks, m, ksub, dsub, dim),
+            schema="s array<long>, n array<long>",
+        ).collect()
+        import numpy as np
+
+        s_tot = np.zeros(m * ksub * dsub, dtype=np.int64)
+        n_tot = np.zeros(m * ksub, dtype=np.int64)
+        for r in partials:
+            s_tot += np.asarray(r.s, dtype=np.int64)
+            n_tot += np.asarray(r.n, dtype=np.int64)
+        s_tot = s_tot.reshape(m, ksub, dsub)
+        n_tot = n_tot.reshape(m, ksub)
         new = [list(cb) for cb in codebooks]
-        for (s, j), n in nvals.items():
-            if n > 0:
-                new[s][j] = [sums[(s, j, p)] / n for p in range(dsub)]
+        for s in range(m):
+            for j in range(ksub):
+                if n_tot[s, j] > 0:
+                    new[s][j] = [
+                        float(x) / 1_000_000.0 / int(n_tot[s, j]) for x in s_tot[s, j]
+                    ]
         codebooks = new
     return codebooks
+
+
+def _pq_partial_sums_kernel(codebooks: Codebooks, m: int, ksub: int, dsub: int, dim: int):
+    """mapInPandas kernel for one Lloyd iteration over ALL subspaces:
+    each partition assigns its rows (vectorized Gram argmin per
+    subspace) and scatter-adds FIXED-POINT per-(subspace, code, lane)
+    sums + counts, yielding ONE tiny partial row (m*ksub*dsub int64
+    sums ≈ a few hundred KB). No explode, no shuffle — the driver
+    reduces P partials with integer addition, so the result is
+    bit-independent of partitioning and row order (the same
+    order-independence the DECIMAL fixed-point recipe gives
+    kmeans_fit). Ragged rows surface as a ValueError here, not a
+    silent mis-shape."""
+
+    def _kernel(pdf_iter):
+        import numpy as np
+
+        cbs = [
+            np.asarray([[float(x) for x in e] for e in cb], dtype=np.float64)
+            for cb in codebooks
+        ]
+        s_acc = np.zeros((m, ksub, dsub), dtype=np.int64)
+        n_acc = np.zeros((m, ksub), dtype=np.int64)
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            try:
+                mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            except ValueError as exc:
+                raise ValueError(
+                    f"pq_fit: ragged vector batch (vectors must all have dimension {dim})"
+                ) from exc
+            if mat.ndim != 2 or mat.shape[1] != dim:
+                raise ValueError(
+                    f"pq_fit: vectors have dimension {mat.shape[1:]} != {dim}"
+                )
+            fx = np.round(mat * 1_000_000.0).astype(np.int64)
+            for s in range(m):
+                sub = mat[:, s * dsub : (s + 1) * dsub]
+                d = (
+                    (sub * sub).sum(1)[:, None]
+                    - 2.0 * (sub @ cbs[s].T)
+                    + (cbs[s] * cbs[s]).sum(1)[None, :]
+                )
+                a = d.argmin(axis=1)
+                np.add.at(n_acc[s], a, 1)
+                np.add.at(s_acc[s], a, fx[:, s * dsub : (s + 1) * dsub])
+        yield pd.DataFrame({"s": [s_acc.ravel().tolist()], "n": [n_acc.ravel().tolist()]})
+
+    return _kernel
 
 
 # ---------------------------------------------------------------- ADC scan
@@ -439,6 +468,55 @@ def ivf_pq_scan(
     pruned = assigned.where(F.col("cluster").isin([int(p) for p in probes]))
     codes = pq_encode(pruned, "vec", codebooks, id_col="id")
     return pq_scan(codes, query, codebooks, k, metric)
+
+
+def ivf_pq_store(
+    df: DataFrame,
+    vec_col: str,
+    centroids: Sequence[Sequence[float]],
+    codebooks: Codebooks,
+    dest: str,
+    id_col: str = "id",
+) -> None:
+    """Materialize the IVF-PQ index: one map-side pass computes the
+    coarse cluster AND the PQ codes per row, written
+    ``partitionBy("cluster")`` as (id, codes) — the persistent 100 TB
+    layout. A probe IN filter is planning-time partition pruning and
+    the pruned files hold ~M bytes/row: probe fraction x compression
+    ratio come off the scan cost together. Append-mode maintenance
+    works exactly like ivf_store_append (assignment and codes depend
+    only on frozen centroids/codebooks)."""
+    from sqlite_vector_spark.operators.ann import ivf_assign
+
+    assigned = ivf_assign(df, vec_col, centroids, id_col=id_col, metric="L2")
+    if _pq_backend(codebooks) == "arrow-numpy":
+        codes = pq_encode_arrow_udf(codebooks)(F.col("vec"))
+    else:
+        codes = pq_encode_col(F.col("vec"), codebooks)
+    assigned.select("id", codes.alias("codes"), "cluster").write.partitionBy(
+        "cluster"
+    ).mode("overwrite").parquet(dest)
+
+
+def ivf_pq_stored_scan(
+    spark,
+    dest: str,
+    query: Sequence[float],
+    centroids: Sequence[Sequence[float]],
+    codebooks: Codebooks,
+    k: int,
+    nprobe: int = 2,
+    metric: str | Metric = "L2",
+) -> DataFrame:
+    """ADC top-k over an ivf_pq_store directory: probe-cluster IN
+    filter (PartitionFilters — pinned in tests/test_pq.py), LUT fold
+    over the ~M-byte code rows within the probed clusters only."""
+    from sqlite_vector_spark.operators.ann import probe_clusters
+
+    probes = probe_clusters([float(x) for x in query], centroids, nprobe)
+    stored = spark.read.parquet(dest)
+    pruned = stored.where(F.col("cluster").isin([int(p) for p in probes]))
+    return pq_scan(pruned, query, codebooks, k, metric)
 
 
 def pq_memory_bytes(n_rows: int, dim: int, m: int, ksub: int, bytes_per_value: int = 4) -> dict:

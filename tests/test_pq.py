@@ -240,3 +240,58 @@ def test_validation_errors(emb, books):
         adc_lut([0.0] * (DIM + 1), books)
     with pytest.raises(ValueError, match="ragged"):
         pq_encode_col("vec", [[[0.0, 1.0]], [[0.0]]])
+
+
+def test_ivf_pq_store_prunes_and_matches_inplan(spark, emb, books, tmp_path):
+    """The persistent IVF-PQ store: probe IN filter must be
+    planning-time partition pruning over cluster=N directories, and
+    the stored scan must return exactly what the in-plan ivf_pq_scan
+    computes from the same centroids/codebooks."""
+    from sqlite_vector_spark.operators.pq import ivf_pq_store, ivf_pq_stored_scan
+
+    cents = [list(r.embedding) for r in emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()]
+    q = [math.sin(i * 0.11) for i in range(DIM)]
+    dest = str(tmp_path / "ivfpq")
+    ivf_pq_store(emb, "embedding", cents, books, dest, id_col="vec_id")
+
+    res = ivf_pq_stored_scan(spark, dest, q, cents, books, 12, nprobe=3)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters", 1)[1][:160]
+
+    stored = [(r.id, r.distance) for r in res.collect()]
+    inplan = [
+        (r.id, r.distance)
+        for r in ivf_pq_scan(
+            emb, "embedding", q, cents, books, 12, nprobe=3, id_col="vec_id"
+        ).collect()
+    ]
+    assert stored == inplan and len(stored) == 12
+
+
+def test_ivf_pq_store_append_equals_rebuild(spark, emb, books, tmp_path):
+    """Append-mode maintenance: appending a batch into an existing
+    store yields the same scan results as rebuilding over the union —
+    assignment and codes depend only on the frozen centroids and
+    codebooks."""
+    from sqlite_vector_spark.operators.ann import ivf_assign
+    from sqlite_vector_spark.operators.pq import ivf_pq_store, ivf_pq_stored_scan, pq_encode_col
+
+    cents = [list(r.embedding) for r in emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()]
+    q = [math.cos(i * 0.07) for i in range(DIM)]
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+
+    inc = str(tmp_path / "inc")
+    ivf_pq_store(old, "embedding", cents, books, inc, id_col="vec_id")
+    # append path: same map-side assign+encode, mode("append")
+    assigned = ivf_assign(new, "embedding", cents, id_col="vec_id", metric="L2")
+    assigned.select("id", pq_encode_col(F.col("vec"), books).alias("codes"), "cluster").write.partitionBy(
+        "cluster"
+    ).mode("append").parquet(inc)
+
+    full = str(tmp_path / "full")
+    ivf_pq_store(emb, "embedding", cents, books, full, id_col="vec_id")
+
+    a = [(r.id, r.distance) for r in ivf_pq_stored_scan(spark, inc, q, cents, books, 15, nprobe=3).collect()]
+    b = [(r.id, r.distance) for r in ivf_pq_stored_scan(spark, full, q, cents, books, 15, nprobe=3).collect()]
+    assert a == b and len(a) == 15

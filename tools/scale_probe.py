@@ -138,6 +138,56 @@ def main():
         lambda: ivf_stored_scan(spark, ivf_dir, q, cent, K, nprobe=nprobe).collect(),
     )
     out["ivf_recall_at_k"] = round(len(exact_ids & {r.id for r in ivf_hits}) / K, 4)
+
+    # PQ / IVF-PQ at the 100 TB geometry: M=16 subspaces, KSUB=256
+    # entries -> 16 bytes/row vs dim*4 (192x at dim=768). Codebooks
+    # are kmeans++-seeded and Lloyd-refined on a bounded sample-driven
+    # job; encode and ADC run through the Arrow kernels (auto
+    # dispatch: m*ksub = 4096 folds >> AUTO_PQ_FOLDS).
+    from sqlite_vector_spark.operators.pq import (
+        ivf_pq_store,
+        ivf_pq_stored_scan,
+        pq_encode,
+        pq_fit,
+        pq_memory_bytes,
+        pq_rerank_scan,
+        pq_scan,
+    )
+
+    pq_m = int(os.environ.get("SPARK_GRAFT_PQ_M", "16"))
+    pq_ksub = int(os.environ.get("SPARK_GRAFT_PQ_KSUB", "256"))
+    out["pq_m"], out["pq_ksub"] = pq_m, pq_ksub
+    t0 = time.time()
+    books = pq_fit(df, "embedding", pq_m, pq_ksub, DIM, iters=2, id_col="vec_id", init="kmeans++")
+    out["pq_fit_s"] = round(time.time() - t0, 2)
+    pq_dir = os.path.join(root, "pq_codes")
+    t0 = time.time()
+    pq_encode(df, "embedding", books, id_col="vec_id").write.mode("overwrite").parquet(pq_dir)
+    out["pq_encode_write_s"] = round(time.time() - t0, 2)
+    codes_df = spark.read.parquet(pq_dir)
+    pq_hits = timed("pq_scan_adc_s", lambda: pq_scan(codes_df, q, books, K, "L2").collect(), n=3)
+    out["pq_recall_at_k"] = round(len(exact_ids & {r.id for r in pq_hits}) / K, 4)
+    rr_hits = timed(
+        "pq_rerank_s",
+        lambda: pq_rerank_scan(df, "embedding", q, books, K, 10 * K, "L2", id_col="vec_id").collect(),
+        n=2,
+    )
+    out["pq_rerank_recall_at_k"] = round(len(exact_ids & {r.id for r in rr_hits}) / K, 4)
+    out["pq_adc_vs_exact_x"] = round(out["exact_knn_s"] / out["pq_scan_adc_s"], 2)
+    est = pq_memory_bytes(N, DIM, pq_m, pq_ksub)
+    out["pq_compression_x"] = round(est["compression"], 1)
+
+    ivfpq_dir = os.path.join(root, "ivfpq")
+    t0 = time.time()
+    ivf_pq_store(df, "embedding", cent, books, ivfpq_dir, id_col="vec_id")
+    out["ivf_pq_store_s"] = round(time.time() - t0, 2)
+    ipq_hits = timed(
+        "ivf_pq_scan_s",
+        lambda: ivf_pq_stored_scan(spark, ivfpq_dir, q, cent, books, K, nprobe=nprobe).collect(),
+        n=3,
+    )
+    out["ivf_pq_recall_at_k"] = round(len(exact_ids & {r.id for r in ipq_hits}) / K, 4)
+    out["ivf_pq_vs_exact_x"] = round(out["exact_knn_s"] / out["ivf_pq_scan_s"], 2)
     set_backend("codegen")
 
     print(json.dumps(out))
