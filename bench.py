@@ -215,7 +215,8 @@ def main():
         bench(
             "pq_rerank_scan",
             lambda: pq_rerank_scan(
-                emb, "embedding", w.Q64, books, 20, w.RERANK_M, "L2", id_col="vec_id"
+                emb, "embedding", w.Q64, books, 20, w.RERANK_M, "L2", id_col="vec_id",
+                codes_df=pq_codes_cached,
             ).collect(),
         )
         cent_pq = [list(r.embedding) for r in emb.orderBy("vec_id").limit(16).collect()]

@@ -419,17 +419,23 @@ def pq_rerank_scan(
     prefilter: int,
     metric: str | Metric = "L2",
     id_col: str = "id",
+    codes_df: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage PQ search: ADC prefilter to ``prefilter`` candidates
     in the compressed domain, exact rerank of only those rows in full
     precision (any metric). The compressed analog of rerank_scan_l2:
     stage 1 reads M-byte codes, stage 2 re-reads ``prefilter`` full
     vectors via a broadcast semi-join — recall ~1 at a fraction of the
-    exact-scan bytes."""
+    exact-scan bytes.
+
+    Pass ``codes_df`` (a persisted pq_encode table) in production:
+    without it every call re-encodes the corpus in-plan, which turns
+    the cheap stage 1 into a full vector scan (measured 29s vs ~1s at
+    1M x 768 — the stored-codes path is the whole point of PQ)."""
     from sqlite_vector_spark.functions.distance import distance
     from sqlite_vector_spark.operators.search import full_scan
 
-    codes = pq_encode(df, vec_col, codebooks, id_col=id_col)
+    codes = codes_df if codes_df is not None else pq_encode(df, vec_col, codebooks, id_col=id_col)
     cand = pq_scan(codes, query, codebooks, prefilter, "L2").select("id")
     full = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
@@ -470,6 +476,58 @@ def ivf_pq_scan(
     return pq_scan(codes, query, codebooks, k, metric)
 
 
+def _residual_arrow_udf(centroids: Sequence[Sequence[float]]):
+    """(vec, cluster) -> vec - centroid[cluster], Arrow-batched; the
+    centroid matrix rides in the closure (O(1) plan at any C)."""
+    from pyspark.sql.functions import pandas_udf
+
+    import numpy as np
+
+    cm = _centroid_matrix_np(centroids)
+
+    @pandas_udf("array<double>")
+    def _kernel(vec: pd.Series, cluster: pd.Series) -> pd.Series:
+        mat = np.array(vec.tolist(), dtype=np.float64)
+        res = mat - cm[cluster.to_numpy(dtype=np.int64)]
+        return pd.Series(list(res))
+
+    return _kernel
+
+
+def _centroid_matrix_np(centroids: Sequence[Sequence[float]]):
+    import numpy as np
+
+    return np.asarray([[float(x) for x in c] for c in centroids], dtype=np.float64)
+
+
+def _residual_col(vec: Column, cluster: Column, centroids: Sequence[Sequence[float]]) -> Column:
+    """Codegen residual: vec - centroid[cluster] via a literal
+    array-of-arrays lookup (small-C path; large C auto-routes to the
+    Arrow kernel through _pq_backend-style dispatch in callers)."""
+    cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    chosen = F.element_at(cent_arr, (cluster + 1).cast("int"))
+    return F.zip_with(vec, chosen, lambda x, y: x.cast("double") - y)
+
+
+def ivf_residuals(
+    df: DataFrame,
+    vec_col: str,
+    centroids: Sequence[Sequence[float]],
+    id_col: str = "id",
+) -> DataFrame:
+    """(id, cluster, vec = row - its coarse centroid) — the residual
+    table the IVFADC codebooks are TRAINED on (pq_fit over this
+    frame's ``vec``). Map-side only; backend-dispatched on C*dim."""
+    from sqlite_vector_spark.operators.ann import _assign_backend, ivf_assign
+
+    assigned = ivf_assign(df, vec_col, centroids, id_col=id_col, metric="L2")
+    if _assign_backend(centroids) == "arrow-numpy":
+        res = _residual_arrow_udf(centroids)(F.col("vec"), F.col("cluster"))
+    else:
+        res = _residual_col(F.col("vec"), F.col("cluster"), centroids)
+    return assigned.select("id", "cluster", res.alias("vec"))
+
+
 def ivf_pq_store(
     df: DataFrame,
     vec_col: str,
@@ -477,6 +535,7 @@ def ivf_pq_store(
     codebooks: Codebooks,
     dest: str,
     id_col: str = "id",
+    residual: bool = False,
 ) -> None:
     """Materialize the IVF-PQ index: one map-side pass computes the
     coarse cluster AND the PQ codes per row, written
@@ -485,10 +544,20 @@ def ivf_pq_store(
     the pruned files hold ~M bytes/row: probe fraction x compression
     ratio come off the scan cost together. Append-mode maintenance
     works exactly like ivf_store_append (assignment and codes depend
-    only on frozen centroids/codebooks)."""
+    only on frozen centroids/codebooks).
+
+    ``residual=True`` is the classic IVFADC refinement (Jegou et al.
+    2011 §IV): codes quantize ``vec - centroid[cluster]`` instead of
+    the raw vector. Residuals of a cluster are centered at the origin,
+    so a single shared codebook resolves much finer structure — train
+    the codebooks on ivf_residuals(...) and scan with the matching
+    ``residual=True``."""
     from sqlite_vector_spark.operators.ann import ivf_assign
 
-    assigned = ivf_assign(df, vec_col, centroids, id_col=id_col, metric="L2")
+    if residual:
+        assigned = ivf_residuals(df, vec_col, centroids, id_col=id_col)
+    else:
+        assigned = ivf_assign(df, vec_col, centroids, id_col=id_col, metric="L2")
     if _pq_backend(codebooks) == "arrow-numpy":
         codes = pq_encode_arrow_udf(codebooks)(F.col("vec"))
     else:
@@ -507,16 +576,45 @@ def ivf_pq_stored_scan(
     k: int,
     nprobe: int = 2,
     metric: str | Metric = "L2",
+    residual: bool = False,
 ) -> DataFrame:
     """ADC top-k over an ivf_pq_store directory: probe-cluster IN
     filter (PartitionFilters — pinned in tests/test_pq.py), LUT fold
-    over the ~M-byte code rows within the probed clusters only."""
+    over the ~M-byte code rows within the probed clusters only.
+
+    ``residual=True``: each probed cluster gets its OWN lookup table
+    computed on (query - centroid[p]) — nprobe partition-pruned
+    branches unioned, then one global top-k. LUT count is
+    nprobe*M*KSUB driver doubles (metadata math); the per-row work is
+    the same M-term fold either way."""
+    q = [float(x) for x in query]
     from sqlite_vector_spark.operators.ann import probe_clusters
 
-    probes = probe_clusters([float(x) for x in query], centroids, nprobe)
+    probes = probe_clusters(q, centroids, nprobe)
     stored = spark.read.parquet(dest)
-    pruned = stored.where(F.col("cluster").isin([int(p) for p in probes]))
-    return pq_scan(pruned, query, codebooks, k, metric)
+    if not residual:
+        pruned = stored.where(F.col("cluster").isin([int(p) for p in probes]))
+        return pq_scan(pruned, q, codebooks, k, metric)
+
+    m = parse_metric(metric) if isinstance(metric, str) else metric
+    branches = []
+    for p in probes:
+        q_res = [qq - cc for qq, cc in zip(q, [float(x) for x in centroids[p]])]
+        luts = adc_lut(q_res, codebooks)
+        branch = stored.where(F.col("cluster") == int(p))
+        if _pq_backend(codebooks) == "arrow-numpy":
+            dist = adc_distance_arrow_udf(luts, m)(F.col("codes"))
+        else:
+            dist = adc_distance_col("codes", luts, m)
+        branches.append(
+            branch.select(F.col("id").cast("bigint").alias("id"), dist.alias("distance"))
+        )
+    scored = branches[0]
+    for b in branches[1:]:
+        scored = scored.unionAll(b)
+    if k == 0:
+        return scored.limit(0)
+    return scored.orderBy(F.col("distance").asc(), F.col("id").asc()).limit(k)
 
 
 def pq_memory_bytes(n_rows: int, dim: int, m: int, ksub: int, bytes_per_value: int = 4) -> dict:

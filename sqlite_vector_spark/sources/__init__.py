@@ -67,6 +67,13 @@ def widen(df: DataFrame) -> DataFrame:
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
+    # fast path: inputFiles() is plan metadata (no RDD lineage). A
+    # scan over >= target files always yields >= target splits, so the
+    # widen is a no-op — the 100 TB case never touches df.rdd. Fewer
+    # files than cores can still mean many splits (big files), so fall
+    # back to the precise partition count before paying a shuffle.
+    if len(df.inputFiles()) >= target:
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -169,7 +169,7 @@ def main():
     out["pq_recall_at_k"] = round(len(exact_ids & {r.id for r in pq_hits}) / K, 4)
     rr_hits = timed(
         "pq_rerank_s",
-        lambda: pq_rerank_scan(df, "embedding", q, books, K, 10 * K, "L2", id_col="vec_id").collect(),
+        lambda: pq_rerank_scan(df, "embedding", q, books, K, 10 * K, "L2", id_col="vec_id", codes_df=codes_df).collect(),
         n=2,
     )
     out["pq_rerank_recall_at_k"] = round(len(exact_ids & {r.id for r in rr_hits}) / K, 4)
