@@ -52,6 +52,11 @@ class VectorContext:
     # centroids (C x dim — metadata-sized, rides in the catalog JSON)
     ivf_path: str | None = None
     ivf_centroids: list | None = None
+    # persisted after pq_encode / ivf_pq_store: code table + codebooks
+    # (m x ksub x dsub — metadata-sized) + whether codes are residual
+    pq_path: str | None = None
+    pq_codebooks: list | None = None
+    pq_residual: bool = False
     extra: dict = field(default_factory=dict)
 
 
@@ -125,7 +130,10 @@ class VectorCatalog:
         )
         persisted = self._unserialize(table, column)
         if persisted:  # reload quant params (sqlite_unserialize, 451-491)
-            for k in ("qscale", "qoffset", "resolved_qtype", "quantized_path", "ivf_path", "ivf_centroids"):
+            for k in (
+                "qscale", "qoffset", "resolved_qtype", "quantized_path",
+                "ivf_path", "ivf_centroids", "pq_path", "pq_codebooks", "pq_residual",
+            ):
                 setattr(ctx, k, persisted.get(k))
         self._contexts[key] = ctx
         self._serialize(ctx)
@@ -146,6 +154,13 @@ class VectorCatalog:
         ctx = self.get(table, column)
         ctx.ivf_path = path
         ctx.ivf_centroids = [[float(x) for x in c] for c in centroids]
+        self._serialize(ctx)
+
+    def set_pq_index(self, table: str, column: str, *, path: str, codebooks, residual: bool = False) -> None:
+        ctx = self.get(table, column)
+        ctx.pq_path = path
+        ctx.pq_codebooks = [[[float(x) for x in e] for e in cb] for cb in codebooks]
+        ctx.pq_residual = bool(residual)
         self._serialize(ctx)
 
     def drop(self, table: str, column: str) -> None:

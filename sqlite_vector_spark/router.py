@@ -44,26 +44,50 @@ def knn(
     reference's TVF cost asymmetry, sqlite-vector.c:1851 vs 2248).
     The IVF store is opt-in (``prefer="ivf"``), never auto: its probe
     limit silently drops recall below 1.0, and an engine must not
-    trade answer completeness for speed without being asked. "exact"
+    trade answer completeness for speed without being asked. The PQ
+    tiers (``prefer="pq"`` — flat ADC over the code table;
+    ``prefer="ivf_pq"`` — probe-pruned ADC, residual-aware) are
+    opt-in for the same reason plus their ADC distance domain. "exact"
     forces the base scan; "quantized"/"ivf" require that replica
     (error if absent). IVF results are true-domain distances over
     probed clusters (approximate by probe coverage); quantized results
     are quantized-unit distances (SURVEY §2.3).
     """
-    if prefer not in ("auto", "exact", "quantized", "ivf"):
-        raise ValueError(f"prefer must be auto|exact|quantized|ivf, got {prefer!r}")
+    if prefer not in ("auto", "exact", "quantized", "ivf", "pq", "ivf_pq"):
+        raise ValueError(f"prefer must be auto|exact|quantized|ivf|pq|ivf_pq, got {prefer!r}")
     ctx = catalog.get(table, column)
     m = metric or ctx.distance
     has_replica = ctx.quantized_path is not None and ctx.qscale is not None
     has_ivf = ctx.ivf_path is not None and ctx.ivf_centroids
+    has_pq = ctx.pq_path is not None and ctx.pq_codebooks
     if prefer == "quantized" and not has_replica:
         raise ValueError(f"{table}.{column} has no quantized replica — run vector_quantize first")
     if prefer == "ivf" and not has_ivf:
         raise ValueError(f"{table}.{column} has no IVF store — run ivf_store + set_ivf_index first")
+    if prefer == "pq" and not has_pq:
+        raise ValueError(f"{table}.{column} has no PQ code table — run pq_encode + set_pq_index first")
+    if prefer == "ivf_pq" and not (has_pq and ctx.ivf_centroids):
+        raise ValueError(
+            f"{table}.{column} has no IVF-PQ store — run ivf_pq_store + set_pq_index + set_ivf_index first"
+        )
     if prefer == "ivf":
         from sqlite_vector_spark.operators.ann import ivf_stored_scan
 
         return ivf_stored_scan(spark, ctx.ivf_path, query, ctx.ivf_centroids, k, nprobe=nprobe, metric=m)
+    if prefer == "pq":
+        # ADC distances (compressed domain, like the quantized tier's
+        # quantized-unit contract): opt-in only, never auto
+        from sqlite_vector_spark.operators.pq import pq_scan
+
+        codes = spark.read.parquet(ctx.pq_path)
+        return pq_scan(codes, query, ctx.pq_codebooks, k, m)
+    if prefer == "ivf_pq":
+        from sqlite_vector_spark.operators.pq import ivf_pq_stored_scan
+
+        return ivf_pq_stored_scan(
+            spark, ctx.pq_path, query, ctx.ivf_centroids, ctx.pq_codebooks, k,
+            nprobe=nprobe, metric=m, residual=ctx.pq_residual,
+        )
     if prefer != "exact" and has_replica:
         codes = spark.read.parquet(ctx.quantized_path)
         params = QuantParams(ctx.resolved_qtype, float(ctx.qscale), float(ctx.qoffset), 0)

@@ -176,3 +176,58 @@ def test_router_ivf_tier(spark, emb, tmp_path):
     cat2 = VectorCatalog(str(tmp_path / "cat"))
     ctx2 = cat2.vector_init(emb, "emb_ivf_router_t", "embedding", "type=FLOAT32,dimension=64,distance=L2")
     assert ctx2.ivf_path == dest and len(ctx2.ivf_centroids) == 8
+
+
+def test_router_pq_tiers(spark, emb, tmp_path):
+    """PQ tiers are OPT-IN like IVF: prefer='pq' reads the code table
+    with ADC distances; prefer='ivf_pq' probe-prunes the IVF-PQ store
+    (residual-aware via the catalog flag); auto never routes to
+    either. Catalog round-trips the codebooks as metadata."""
+    import pytest as _pytest
+
+    from sqlite_vector_spark.catalog import VectorCatalog
+    from sqlite_vector_spark.operators.pq import (
+        ivf_pq_store,
+        pq_codebooks_first,
+        pq_encode,
+        pq_scan,
+    )
+    from sqlite_vector_spark.router import knn
+
+    cat = VectorCatalog(str(tmp_path / "cat"))
+    emb.createOrReplaceTempView("emb_pq_router_t")
+    cat.vector_init(emb, "emb_pq_router_t", "embedding", "type=FLOAT32,dimension=64,distance=L2")
+    with _pytest.raises(ValueError, match="no PQ code table"):
+        knn(spark, cat, "emb_pq_router_t", "embedding", [0.1] * 64, 5, prefer="pq")
+    with _pytest.raises(ValueError, match="no IVF-PQ store"):
+        knn(spark, cat, "emb_pq_router_t", "embedding", [0.1] * 64, 5, prefer="ivf_pq")
+
+    books = pq_codebooks_first(emb, "embedding", 4, 8, 64, id_col="vec_id")
+    codes_dir = str(tmp_path / "pq_codes")
+    pq_encode(emb, "embedding", books, id_col="vec_id").write.parquet(codes_dir)
+    cat.set_pq_index("emb_pq_router_t", "embedding", path=codes_dir, codebooks=books)
+
+    routed = knn(spark, cat, "emb_pq_router_t", "embedding", [0.1] * 64, 5, prefer="pq")
+    direct = pq_scan(spark.read.parquet(codes_dir), [0.1] * 64, books, 5, "L2")
+    assert [(r.id, r.distance) for r in routed.collect()] == [
+        (r.id, r.distance) for r in direct.collect()
+    ]
+
+    # ivf_pq over the cluster-partitioned store, catalog-registered
+    cent = [list(r.embedding) for r in emb.orderBy("vec_id").limit(8).collect()]
+    ipq_dir = str(tmp_path / "ivfpq")
+    ivf_pq_store(emb, "embedding", cent, books, ipq_dir, id_col="vec_id")
+    cat.set_pq_index("emb_pq_router_t", "embedding", path=ipq_dir, codebooks=books)
+    cat.set_ivf_index("emb_pq_router_t", "embedding", path=ipq_dir, centroids=cent)
+    routed2 = knn(spark, cat, "emb_pq_router_t", "embedding", [0.1] * 64, 5, prefer="ivf_pq")
+    plan = routed2._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cluster" in plan
+    assert routed2.count() == 5
+
+    # catalog persistence round-trip: a fresh catalog instance reloads
+    # codebooks + residual flag from JSON
+    cat2 = VectorCatalog(str(tmp_path / "cat"))
+    cat2.vector_init(emb, "emb_pq_router_t", "embedding", "type=FLOAT32,dimension=64,distance=L2")
+    ctx = cat2.get("emb_pq_router_t", "embedding")
+    assert ctx.pq_codebooks == [[[float(x) for x in e] for e in cb] for cb in books]
+    assert ctx.pq_residual is False
