@@ -631,3 +631,120 @@ def pq_memory_bytes(n_rows: int, dim: int, m: int, ksub: int, bytes_per_value: i
         "codebook_bytes": books,
         "compression": full / max(1, codes + books),
     }
+
+
+def adc_pair_arrow_udf(
+    codebooks: Codebooks,
+    centroids: Sequence[Sequence[float]] | None = None,
+    metric: str | Metric = "L2",
+):
+    """(query_vec, cluster, codes) -> DOUBLE ADC distance, Arrow-
+    batched, for MULTI-QUERY scoring where a driver-side LUT per query
+    is impossible (the queries are rows, not literals).
+
+    Per batch, a LUT is built once per unique query (per unique
+    (query, cluster) pair in residual mode — ``centroids`` supplied):
+    dim*ksub flops per distinct query vs dim flops per row for the
+    naive reconstruction, so the LUT amortizes as soon as a query
+    scores more than ~ksub candidate rows — exactly the broadcast-
+    join-on-cluster regime this kernel serves."""
+    from pyspark.sql.functions import pandas_udf
+
+    import numpy as np
+
+    m_, ksub, dsub = _check_codebooks(codebooks)
+    met = parse_metric(metric) if isinstance(metric, str) else metric
+    if met not in (Metric.L2, Metric.SQUARED_L2):
+        raise ValueError(f"ADC supports L2/SQUARED_L2, got {met}")
+    cbs = np.stack(
+        [np.asarray([[float(x) for x in e] for e in cb], dtype=np.float64) for cb in codebooks]
+    )  # (m, ksub, dsub)
+    cm = _centroid_matrix_np(centroids) if centroids is not None else None
+    rng_m = np.arange(m_)
+
+    @pandas_udf("double")
+    def _kernel(qv: pd.Series, cluster: pd.Series, codes: pd.Series) -> pd.Series:
+        qmat = np.array(qv.tolist(), dtype=np.float64)  # (B, dim)
+        cl = cluster.to_numpy(dtype=np.int64)
+        cd = np.array(codes.tolist(), dtype=np.int64)  # (B, m)
+        if cm is not None:
+            qmat = qmat - cm[cl]
+            key = np.stack([_hash_rows(qmat), cl]).T
+            _, inv = np.unique(key, axis=0, return_inverse=True)
+        else:
+            _, inv = np.unique(_hash_rows(qmat), return_inverse=True)
+        d = np.empty(len(qmat), dtype=np.float64)
+        for u in np.unique(inv):
+            sel = inv == u
+            q = qmat[np.argmax(sel)]
+            qs = q.reshape(m_, dsub)  # (m, dsub)
+            lut = ((qs[:, None, :] - cbs) ** 2).sum(axis=2)  # (m, ksub)
+            d[sel] = lut[rng_m, cd[sel]].sum(axis=1)
+        if met is Metric.L2:
+            np.sqrt(d, out=d)
+        d = np.where(np.abs(d) <= EPS_SNAP, 0.0, d)
+        return pd.Series(d)
+
+    return _kernel
+
+
+def _hash_rows(mat):
+    """Stable per-row content hash for batch-local dedup of query
+    vectors (float64 rows viewed as bytes)."""
+    import numpy as np
+
+    v = np.ascontiguousarray(mat).view(np.uint8).reshape(mat.shape[0], -1)
+    # FNV-1a over bytes, vectorized across columns
+    h = np.full(mat.shape[0], np.uint64(1469598103934665603))
+    for col in range(v.shape[1]):
+        h = (h ^ v[:, col].astype(np.uint64)) * np.uint64(1099511628211)
+    return h
+
+
+def ivf_pq_knn_join(
+    queries: DataFrame,
+    codes_store: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    codebooks: Codebooks,
+    k: int,
+    nprobe: int = 2,
+    metric: str | Metric = "L2",
+    q_id: str = "qid",
+    q_vec: str = "qv",
+    residual: bool = False,
+) -> DataFrame:
+    """Multi-query ANN join in the COMPRESSED domain — the shape for
+    "score 10M queries against 1B embedded docs": ``codes_store`` is
+    the (id, codes, cluster) table from ivf_pq_store, read once at
+    ~M bytes/row; each query scores only its nprobe probed clusters.
+
+    Plan: queries pick probes in-plan (probe_clusters_col, backend-
+    dispatched) and explode to a small broadcast side; broadcast hash
+    join on ``cluster``; ADC scoring via the per-unique-query LUT
+    kernel; id-tiebroken rank window for top-k per query. Candidate
+    volume is sum over queries of probed-cluster sizes — independent
+    of total corpus size in the probe fraction, with per-candidate
+    bytes cut by the compression ratio on top."""
+    from pyspark.sql import Window
+
+    from sqlite_vector_spark.operators.ann import probe_clusters_col
+
+    qx = (
+        queries.select(
+            F.col(q_id).cast("bigint").alias("qid"),
+            F.col(q_vec).alias("_qv"),
+            probe_clusters_col(q_vec, centroids, nprobe).alias("_probes"),
+        )
+        .select("qid", "_qv", F.explode("_probes").alias("cluster"))
+    )
+    kernel = adc_pair_arrow_udf(codebooks, centroids if residual else None, metric)
+    scored = codes_store.join(F.broadcast(qx), "cluster").select(
+        "qid",
+        "id",
+        kernel(F.col("_qv"), F.col("cluster"), F.col("codes")).alias("distance"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("distance").asc(), F.col("id").asc())
+    return (
+        scored.select("qid", "id", "distance", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+    )

@@ -399,3 +399,75 @@ def test_ivf_residuals_roundtrip(emb):
         back = [x + c for x, c in zip(r.vec, cents[r.cluster])]
         for a, b in zip(back, orig[r.id]):
             assert a == pytest.approx(float(b), abs=1e-9)
+
+
+def test_ivf_pq_knn_join_matches_per_query_scan(spark, emb, books):
+    """The multi-query compressed join must return the same neighbor
+    ids per query as running ivf_pq_scan one query at a time with the
+    same geometry (distances equal to fp tolerance — the batch kernel
+    sums via NumPy, the single-query path via the ordered fold)."""
+    from sqlite_vector_spark.operators.ann import ivf_assign
+    from sqlite_vector_spark.operators.pq import ivf_pq_knn_join, ivf_pq_scan, pq_encode_col
+
+    cents = [list(r.embedding) for r in emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()]
+    k, nprobe, nq = 5, 3, 4
+    queries = emb.where(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    store = (
+        ivf_assign(emb, "embedding", cents, id_col="vec_id", metric="L2")
+        .select("id", pq_encode_col(F.col("vec"), books).alias("codes"), "cluster")
+    )
+    joined = ivf_pq_knn_join(queries, store, cents, books, k, nprobe=nprobe).collect()
+    by_q = {}
+    for r in joined:
+        by_q.setdefault(r.qid, []).append((r.rank, r.id, r.distance))
+    assert set(by_q) == set(range(nq))
+
+    qrows = {r.qid: list(r.qv) for r in queries.collect()}
+    for qid, got in by_q.items():
+        got.sort()
+        single = ivf_pq_scan(
+            emb, "embedding", qrows[qid], cents, books, k, nprobe=nprobe, id_col="vec_id"
+        ).collect()
+        assert [i for _, i, _ in got] == [r.id for r in single]
+        for (_, _, d), r in zip(got, single):
+            assert d == pytest.approx(r.distance, rel=1e-9)
+
+
+def test_ivf_pq_knn_join_residual_mode(spark, emb, books):
+    """Residual-mode join: distances equal explicit NumPy
+    reconstruction of Σ_s ||(q - centroid)_s - codebook[s][code]||²
+    over the probed clusters."""
+    from sqlite_vector_spark.operators.ann import ivf_assign, probe_clusters
+    from sqlite_vector_spark.operators.pq import ivf_pq_knn_join, ivf_residuals, pq_encode_col
+
+    cents = [list(r.embedding) for r in emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()]
+    k, nprobe = 5, 3
+    queries = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    res = ivf_residuals(emb, "embedding", cents, id_col="vec_id")
+    store = res.select("id", pq_encode_col(F.col("vec"), books).alias("codes"), "cluster")
+    got = ivf_pq_knn_join(queries, store, cents, books, k, nprobe=nprobe, residual=True).collect()
+
+    cm = np.asarray(cents)
+    codes = {r.id: (r.cluster, list(r.codes)) for r in store.collect()}
+    for qrow in queries.collect():
+        qv = np.asarray(qrow.qv, dtype=np.float64)
+        probes = set(probe_clusters([float(x) for x in qrow.qv], cents, nprobe))
+        cand = []
+        for i, (cl, cs) in codes.items():
+            if cl not in probes:
+                continue
+            qr = qv - cm[cl]
+            d2 = sum(
+                float(((qr[s * DSUB : (s + 1) * DSUB] - np.asarray(books[s][c])) ** 2).sum())
+                for s, c in enumerate(cs)
+            )
+            cand.append((math.sqrt(d2), i))
+        ref = sorted(cand)[:k]
+        mine = sorted((r.rank, r.id, r.distance) for r in got if r.qid == qrow.qid)
+        assert [i for _, i in ref] == [i for _, i, _ in mine]
+        for (d, _), (_, _, dg) in zip(ref, mine):
+            assert dg == pytest.approx(d, rel=1e-9)
