@@ -113,24 +113,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_rerank_scan_l2": w.pq_rerank_scan_l2,
         "ivf_pq_scan_l2": w.ivf_pq_scan_l2,
         "pq_recall_at_k": w.pq_recall_at_k_q,
+        # -- NEW r6: binary quantization (operators/bq.py)
+        "bq_codes": w.bq_codes_q,
+        "bq_scan_hamming": w.bq_scan_hamming,
+        "bq_rerank_scan_l2": w.bq_rerank_scan_l2,
         # -- spot-checks: subsystems touched this round
         #    (events loader LTZ routing by parquet footer flag)
         "asof_join_events": w.asof_join_events_q,
         "asof_null_carry_events": w.asof_null_carry_events_q,
         "events_hourly": w.events_hourly,
         "sessionize": w.sessionize,
-        "events_props_agg": w.events_props_agg,
         "value_quantiles": w.value_quantiles_q,
-        "purchase_session_join": w.purchase_session_join_q,
         #    (single-pass localCheckpointed quantize params)
         "quantize_scan_stream_l2": w.quantize_scan_stream_l2,
-        "quantize_scan_cosine": w.quantize_scan_cosine,
         "rerank_scan_l2": w.rerank_scan_l2,
         "quantize_update_codes": w.quantize_update_codes,
         #    (kmeans_fit init refactor / knn auto-salt)
         "ivf_kmeans_scan_l2": w.ivf_kmeans_scan_l2,  # hash-gated: fixed iters unroll to SQL
-        "knn_join_l2": w.knn_join_l2,
+        "knn_join_l2": w.knn_join_l2,  # auto-salt change: salted window path
         # ---- past the 50-entry gate horizon: green in CORRECTNESS_r05
+        "purchase_session_join": w.purchase_session_join_q,
+        "events_props_agg": w.events_props_agg,
+        "quantize_scan_cosine": w.quantize_scan_cosine,
         "asof_tolerance_events": w.asof_tolerance_events_q,
         "asof_forward_events": w.asof_forward_events_q,
         "events_rollup": w.events_rollup,
@@ -266,4 +270,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_rerank_scan_l2": o.pq_rerank_scan_l2_q(),
         "ivf_pq_scan_l2": o.ivf_pq_scan_l2_q(),
         "pq_recall_at_k": o.pq_recall_at_k_q(),
+        "bq_codes": o.bq_codes_q(),
+        "bq_scan_hamming": o.bq_scan_hamming_q(),
+        "bq_rerank_scan_l2": o.bq_rerank_scan_l2_q(),
     }

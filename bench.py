@@ -230,6 +230,24 @@ def main():
     except Exception as exc:  # noqa: BLE001
         errors["pq_family"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # round-6: binary quantization (1-bit Hamming prefilter)
+    try:
+        from sqlite_vector_spark.operators.bq import bq_encode, bq_rerank_scan, bq_scan
+
+        bq_codes_cached = bq_encode(emb, "embedding", w.DIM, id_col="vec_id").persist()
+        bq_codes_cached.count()
+        bench("bq_encode", lambda: bq_encode(emb, "embedding", w.DIM, id_col="vec_id").count())
+        bench("bq_scan_hamming", lambda: bq_scan(bq_codes_cached, w.Q64, 20).collect())
+        bench(
+            "bq_rerank_scan",
+            lambda: bq_rerank_scan(
+                emb, "embedding", w.Q64, 20, w.RERANK_M, id_col="vec_id", codes_df=bq_codes_cached
+            ).collect(),
+        )
+        bq_codes_cached.unpersist()
+    except Exception as exc:  # noqa: BLE001
+        errors["bq_family"] = f"{type(exc).__name__}: {exc}"[:500]
+
     # round-5 pipeline additions
     bench("doc_split_assign", lambda: w.doc_split_assign_q(spark, SF_DIR).count())
     bench("token_doc_freq", lambda: w.token_doc_freq_q(spark, SF_DIR).count())

@@ -1,0 +1,202 @@
+"""Binary quantization: 1-bit codes + Hamming-distance scans.
+
+The cheapest rung of the compression ladder (below the reference's
+scalar u8/s8 — README.md:110-121 — and this engine's PQ): each lane
+collapses to ONE bit (``v[j] > threshold[j]``), packed 64 lanes per
+BIGINT word. 32x smaller than f32 storage; candidate scoring is
+XOR + popcount — integer ops the JVM vectorizes inside whole-stage
+codegen, no floating point at all. The standard recipe (e.g. the
+sign-random-projection estimator behind SimHash, Charikar 2002) is:
+Hamming prefilter over the packed bits, exact rerank of the survivors
+— recall is governed by the prefilter width exactly like PQ rerank.
+
+Thresholds default to 0.0 per lane (sign bit); real pipelines pass
+per-dimension means — which `workload.embedding_dim_stats` already
+computes — so the bits split each dimension at its center.
+
+Physical story: encoding is a map-side projection (no shuffle at any
+scale); the scan reads dim/8 bytes per row; top-k is
+TakeOrderedAndProject. Everything is plain integer Catalyst
+expressions, so the DuckDB oracle replays it bit-for-bit
+(xor + bit_count exist on both engines — oracle.bq_* builders).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def _n_words(dim: int) -> int:
+    return (dim + 63) // 64
+
+
+def _check_thresholds(dim: int, thresholds: Sequence[float] | None) -> list[float]:
+    if thresholds is None:
+        return [0.0] * dim
+    t = [float(x) for x in thresholds]
+    if len(t) != dim:
+        raise ValueError(f"thresholds has {len(t)} entries, vector dim is {dim}")
+    return t
+
+
+def bq_encode_col(vec: str | Column, dim: int, thresholds: Sequence[float] | None = None) -> Column:
+    """ARRAY<BIGINT> of packed sign bits: bit i of word w is set iff
+    ``vec[w*64 + i] > thresholds[w*64 + i]``. Lane order matches the
+    oracle's bit build exactly; the 64th lane of a word lands in the
+    BIGINT sign bit (two's-complement addition of disjoint bits == OR,
+    so the packing is still exact)."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    t = _check_thresholds(dim, thresholds)
+    words = []
+    for w in range(_n_words(dim)):
+        lanes = min(64, dim - w * 64)
+        bits = [
+            F.when(
+                F.element_at(v, w * 64 + i + 1).cast("double") > F.lit(t[w * 64 + i]),
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(lanes)
+        ]
+        acc = bits[0]
+        for b in bits[1:]:
+            acc = acc + b
+        words.append(acc)
+    return F.array(*words)
+
+
+def bq_encode_arrow_udf(dim: int, thresholds: Sequence[float] | None = None):
+    """Arrow-batched encoder for large dims: ARRAY<numeric> ->
+    ARRAY<BIGINT> packed words via vectorized comparisons + bit
+    shifts; identical packing to the codegen column."""
+    from pyspark.sql.functions import pandas_udf
+
+    import numpy as np
+
+    t = np.asarray(_check_thresholds(dim, thresholds), dtype=np.float64)
+    nw = _n_words(dim)
+
+    @pandas_udf("array<bigint>")
+    def _kernel(col: pd.Series) -> pd.Series:
+        mat = np.array(col.tolist(), dtype=np.float64)  # (B, dim)
+        bits = mat > t  # (B, dim) bool
+        out = np.zeros((mat.shape[0], nw), dtype=np.uint64)
+        for j in range(dim):
+            w, i = divmod(j, 64)
+            out[:, w] |= bits[:, j].astype(np.uint64) << np.uint64(i)
+        return pd.Series(list(out.astype(np.int64)))
+
+    return _kernel
+
+
+def bq_encode(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    thresholds: Sequence[float] | None = None,
+    id_col: str = "id",
+    backend: str = "codegen",
+) -> DataFrame:
+    """(id, bits ARRAY<BIGINT>) — the 1-bit index table (dim/8 bytes
+    per row). Map-side only."""
+    base = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
+    )
+    if backend == "arrow-numpy":
+        enc = bq_encode_arrow_udf(dim, thresholds)(F.col("vec"))
+    else:
+        enc = bq_encode_col(F.col("vec"), dim, thresholds)
+    return base.select("id", enc.alias("bits"))
+
+
+def bq_query_words(query: Sequence[float], thresholds: Sequence[float] | None = None) -> list[int]:
+    """Driver-side packing of the query vector — same lane order and
+    comparison as bq_encode_col, so engine and oracle agree."""
+    dim = len(query)
+    t = _check_thresholds(dim, thresholds)
+    words = []
+    for w in range(_n_words(dim)):
+        acc = 0
+        for i in range(min(64, dim - w * 64)):
+            if float(query[w * 64 + i]) > t[w * 64 + i]:
+                acc |= 1 << i
+        # interpret as signed 64-bit (bit 63 set -> negative BIGINT)
+        if acc >= 1 << 63:
+            acc -= 1 << 64
+        words.append(acc)
+    return words
+
+
+def hamming_col(bits: str | Column, query_words: Sequence[int]) -> Column:
+    """BIGINT Hamming distance: Σ_w popcount(bits[w] XOR q[w]) in word
+    order — integer-exact, mirrored by the oracle's ordered fold."""
+    b = F.col(bits) if isinstance(bits, str) else bits
+    acc = None
+    for w, qw in enumerate(query_words):
+        term = F.bit_count(
+            F.element_at(b, w + 1).bitwiseXOR(F.lit(int(qw)).cast("long"))
+        ).cast("long")
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def bq_scan(
+    codes_df: DataFrame,
+    query: Sequence[float],
+    k: int,
+    thresholds: Sequence[float] | None = None,
+    bits_col: str = "bits",
+    id_col: str = "id",
+) -> DataFrame:
+    """Hamming top-k over a bq_encode table -> (id, hamming
+    ascending, id tiebreak). Reads dim/8 bytes per row; scoring is
+    XOR+popcount fused in codegen."""
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    qw = bq_query_words(query, thresholds)
+    scored = codes_df.where(F.col(bits_col).isNotNull()).select(
+        F.col(id_col).cast("bigint").alias("id"),
+        hamming_col(bits_col, qw).alias("hamming"),
+    )
+    if k == 0:
+        return scored.limit(0)
+    return scored.orderBy(F.col("hamming").asc(), F.col("id").asc()).limit(k)
+
+
+def bq_rerank_scan(
+    df: DataFrame,
+    vec_col: str,
+    query: Sequence[float],
+    k: int,
+    prefilter: int,
+    thresholds: Sequence[float] | None = None,
+    metric: str = "L2",
+    id_col: str = "id",
+    codes_df: DataFrame | None = None,
+) -> DataFrame:
+    """Two-stage binary search: Hamming prefilter to ``prefilter``
+    candidates over the 1-bit table, exact rerank in full precision —
+    true distances out, recall governed by the prefilter width. Pass
+    a persisted ``codes_df`` in production (same contract as
+    pq_rerank_scan)."""
+    from sqlite_vector_spark.functions.distance import distance
+
+    dim = len(query)
+    codes = (
+        codes_df
+        if codes_df is not None
+        else bq_encode(df, vec_col, dim, thresholds, id_col=id_col)
+    )
+    cand = bq_scan(codes, query, prefilter, thresholds).select("id")
+    full = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
+    )
+    return (
+        full.join(F.broadcast(cand), "id", "left_semi")
+        .select("id", distance(F.col("vec"), [float(x) for x in query], metric).alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("id").asc())
+        .limit(k)
+    )

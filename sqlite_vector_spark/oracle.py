@@ -1451,3 +1451,80 @@ FROM embeddings e, qq
 WHERE e.embedding IS NOT NULL AND e.vec_id IN (SELECT id FROM cand)
 ORDER BY distance ASC, id ASC
 LIMIT {K}"""
+
+
+# ---------------------------------------------------------------- binary quantization (operators/bq.py)
+
+
+def _bq_word_sql(vec: str, w: int, dim: int) -> str:
+    """Packed word w of the sign bits of ``vec``: Σ_i (CASE WHEN
+    vec[w*64+i+1] > 0 THEN signed_bit_i) in lane order — bit 63's
+    term is the NEGATIVE two's-complement value, so partial sums stay
+    in BIGINT range and the total equals the engine's shiftleft
+    packing exactly."""
+    terms = []
+    for i in range(min(64, dim - w * 64)):
+        bit = 1 << i
+        if bit >= 1 << 63:
+            bit -= 1 << 64
+        terms.append(
+            f"(CASE WHEN CAST({vec}[{w * 64 + i + 1}] AS DOUBLE) > 0.0 "
+            f"THEN CAST({bit} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _bq_codes_cte(dim: int = DIM) -> str:
+    nw = (dim + 63) // 64
+    words = ", ".join(f"{_bq_word_sql('embedding', w, dim)} AS w{w}" for w in range(nw))
+    lst = "[" + ", ".join(f"w{w}" for w in range(nw)) + "]"
+    return f"""bqc AS (
+  SELECT id, {lst} AS bits FROM (
+    SELECT vec_id AS id, {words} FROM embeddings WHERE embedding IS NOT NULL))"""
+
+
+def bq_codes_q() -> str:
+    return f"""WITH {_bq_codes_cte()}
+SELECT id,
+       array_to_string(list_transform(bits, x -> CAST(x AS VARCHAR)), ',') AS bits_csv,
+       CAST(len(bits) AS BIGINT) AS n_words
+FROM bqc
+ORDER BY id"""
+
+
+def bq_scan_hamming_q(k: int = K) -> str:
+    from sqlite_vector_spark.operators.bq import bq_query_words
+
+    qw = bq_query_words(Q64)
+    ham = " + ".join(
+        f"CAST(bit_count(xor(bits[{w + 1}], CAST({q} AS BIGINT))) AS BIGINT)"
+        for w, q in enumerate(qw)
+    )
+    return f"""WITH {_bq_codes_cte()}
+SELECT id, ({ham}) AS hamming
+FROM bqc
+ORDER BY hamming ASC, id ASC
+LIMIT {k}"""
+
+
+def bq_rerank_scan_l2_q() -> str:
+    from sqlite_vector_spark.operators.bq import bq_query_words
+    from sqlite_vector_spark.workload import RERANK_M
+
+    qw = bq_query_words(Q64)
+    ham = " + ".join(
+        f"CAST(bit_count(xor(bits[{w + 1}], CAST({q} AS BIGINT))) AS BIGINT)"
+        for w, q in enumerate(qw)
+    )
+    d_full = dist_sql("L2", "e.embedding", "q")
+    return f"""WITH qq AS (SELECT {qvec_literal(Q64)} AS q),
+{_bq_codes_cte()},
+cand AS (
+  SELECT id FROM (
+    SELECT id, row_number() OVER (ORDER BY ({ham}) ASC, id ASC) AS rn FROM bqc)
+  WHERE rn <= {RERANK_M})
+SELECT e.vec_id AS id, {d_full} AS distance
+FROM embeddings e, qq
+WHERE e.embedding IS NOT NULL AND e.vec_id IN (SELECT id FROM cand)
+ORDER BY distance ASC, id ASC
+LIMIT {K}"""

@@ -1855,3 +1855,43 @@ def ivf_recall_at_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("eqid").alias("qid"), "recall")
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------- binary quantization (operators/bq.py)
+
+
+def bq_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit index gate (operators.bq.bq_encode, zero thresholds =
+    sign bits): packed BIGINT words serialized to CSV for the scalar
+    canonicalizer. Integer-exact — the oracle rebuilds the identical
+    two's-complement words."""
+    from sqlite_vector_spark.operators.bq import bq_encode
+
+    emb = _emb(spark, sf_dir)
+    codes = bq_encode(emb, "embedding", DIM, id_col="vec_id")
+    return codes.select(
+        "id",
+        F.concat_ws(",", F.col("bits").cast("array<string>")).alias("bits_csv"),
+        F.size("bits").cast("bigint").alias("n_words"),
+    )
+
+
+def bq_scan_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming top-k over the 1-bit table (operators.bq.bq_scan):
+    XOR + popcount per word, ascending (hamming, id) — an integer
+    domain with zero floating-point surface."""
+    from sqlite_vector_spark.operators.bq import bq_encode, bq_scan
+
+    emb = _emb(spark, sf_dir)
+    codes = bq_encode(emb, "embedding", DIM, id_col="vec_id")
+    return bq_scan(codes, Q64, K)
+
+
+def bq_rerank_scan_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage binary search (operators.bq.bq_rerank_scan): Hamming
+    prefilter to RERANK_M candidates over dim/8-byte rows, exact L2
+    rerank of the survivors — true distances out."""
+    from sqlite_vector_spark.operators.bq import bq_rerank_scan
+
+    emb = _emb(spark, sf_dir)
+    return bq_rerank_scan(emb, "embedding", Q64, K, RERANK_M, id_col="vec_id")

@@ -1,0 +1,122 @@
+"""Binary quantization (operators/bq.py): packing parity across
+backends and engines, multi-word vectors, Hamming semantics, and the
+two-stage rerank contract. The oracle gate (bq_codes /
+bq_scan_hamming / bq_rerank_scan_l2) pins the SQL mirror."""
+
+import math
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from sqlite_vector_spark.operators.bq import (
+    bq_encode,
+    bq_encode_arrow_udf,
+    bq_encode_col,
+    bq_query_words,
+    bq_rerank_scan,
+    bq_scan,
+    hamming_col,
+)
+from sqlite_vector_spark.operators.search import full_scan
+
+DIM = 64
+
+
+def _ref_words(vec, thresholds=None):
+    t = thresholds or [0.0] * len(vec)
+    words = []
+    for w in range((len(vec) + 63) // 64):
+        acc = 0
+        for i in range(min(64, len(vec) - w * 64)):
+            if float(vec[w * 64 + i]) > t[w * 64 + i]:
+                acc |= 1 << i
+        if acc >= 1 << 63:
+            acc -= 1 << 64
+        words.append(acc)
+    return words
+
+
+def test_encode_matches_reference_packing(emb):
+    got = {r.id: list(r.bits) for r in bq_encode(emb, "embedding", DIM, id_col="vec_id").collect()}
+    for r in emb.collect():
+        assert got[r.vec_id] == _ref_words(list(r.embedding))
+
+
+def test_encode_arrow_equals_codegen(emb):
+    base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    a = {r.id: list(r.bits) for r in base.select("id", bq_encode_col("vec", DIM).alias("bits")).collect()}
+    b = {r.id: list(r.bits) for r in base.select("id", bq_encode_arrow_udf(DIM)(F.col("vec")).alias("bits")).collect()}
+    assert a == b
+
+
+def test_multiword_packing(spark):
+    """dim > 64 packs into multiple words; Hamming sums across them."""
+    dim = 150
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    codes = bq_encode(df, "vec", dim, id_col="id")
+    got = {r.id: list(r.bits) for r in codes.collect()}
+    assert all(len(v) == 3 for v in got.values())
+    for i, vec in rows:
+        assert got[i] == _ref_words(vec)
+
+    q = [float(x) for x in rng.normal(size=dim)]
+    qw = bq_query_words(q)
+    scan = {r.id: r.hamming for r in bq_scan(codes, q, 40).collect()}
+    for i, vec in rows:
+        ref = sum(
+            bin((a ^ b) & ((1 << 64) - 1)).count("1")
+            for a, b in zip(_ref_words(vec), qw)
+        )
+        assert scan[i] == ref
+
+
+def test_sign_bit_lane(spark):
+    """Lane 63 lands in the BIGINT sign bit and still packs/XORs
+    exactly (two's-complement addition of disjoint bits)."""
+    vec = [0.0] * 63 + [1.0]
+    df = spark.createDataFrame([(0, vec)], "id long, vec array<double>")
+    r = bq_encode(df, "vec", 64, id_col="id").collect()[0]
+    assert list(r.bits) == [-(1 << 63)]
+    assert bq_query_words(vec) == [-(1 << 63)]
+    h = df.select(hamming_col(bq_encode_col("vec", 64), bq_query_words(vec)).alias("h")).collect()
+    assert h[0].h == 0
+
+
+def test_custom_thresholds(spark, emb):
+    """Per-dimension thresholds shift the bit split; mean-centering
+    changes codes for biased dimensions."""
+    means = [0.5] * DIM
+    a = {r.id: list(r.bits) for r in bq_encode(emb, "embedding", DIM, id_col="vec_id").collect()}
+    b = {r.id: list(r.bits) for r in bq_encode(emb, "embedding", DIM, thresholds=means, id_col="vec_id").collect()}
+    assert a != b
+    with pytest.raises(ValueError, match="thresholds has"):
+        bq_encode(emb, "embedding", DIM, thresholds=[0.0] * (DIM - 1), id_col="vec_id")
+
+
+def test_rerank_returns_true_distances_and_recall(spark, emb):
+    q = [math.sin((i + 1) * 0.37) * 0.8 for i in range(DIM)]
+    k = 10
+    exact = full_scan(
+        emb.select(F.col("vec_id").alias("id"), "embedding"), "embedding", q, k, "L2"
+    ).collect()
+    rer = bq_rerank_scan(emb, "embedding", q, k, 160, id_col="vec_id").collect()
+    exact_d = {r.id: r.distance for r in exact}
+    hits = [r for r in rer if r.id in exact_d]
+    assert len(hits) / k >= 0.5  # 1-bit prefilter at 32% width
+    for r in hits:
+        assert r.distance == exact_d[r.id]
+
+
+def test_scan_edges(spark, emb):
+    codes = bq_encode(emb, "embedding", DIM, id_col="vec_id")
+    q = [0.1] * DIM
+    assert bq_scan(codes, q, 0).count() == 0
+    n = codes.count()
+    assert bq_scan(codes, q, n + 50).count() == n
+    with pytest.raises(ValueError, match="k must be"):
+        bq_scan(codes, q, -1)
+    hams = [r.hamming for r in bq_scan(codes, q, n).collect()]
+    assert hams == sorted(hams)
