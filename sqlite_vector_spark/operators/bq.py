@@ -200,3 +200,119 @@ def bq_rerank_scan(
         .orderBy(F.col("distance").asc(), F.col("id").asc())
         .limit(k)
     )
+
+
+def bq_random_planes(dim: int, p: int, seed: int = 0):
+    """Deterministic Gaussian hyperplanes for projected binary codes
+    (p planes -> p bits). Returns a (p, dim) float64 matrix."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(p, dim))
+
+
+def bq_project_encode_arrow_udf(planes, center: Sequence[float] | None = None):
+    """SimHash-style projected bits (Charikar 2002): bit j = 1 iff
+    plane_j · (v - center) > 0, packed 64 bits/word. Decorrelates
+    axis-aligned structure — the right binarization when raw lanes are
+    correlated or biased (axis-aligned sign bits collapse to massive
+    Hamming ties there; see SCALE.md). Arrow-only: the projection is a
+    dense (B, dim) x (dim, p) matmul, which belongs in NumPy."""
+    from pyspark.sql.functions import pandas_udf
+
+    import numpy as np
+
+    R = np.asarray(planes, dtype=np.float64)  # (p, dim)
+    mu = np.zeros(R.shape[1]) if center is None else np.asarray(center, dtype=np.float64)
+    p = R.shape[0]
+    nw = _n_words(p)
+
+    @pandas_udf("array<bigint>")
+    def _kernel(col: pd.Series) -> pd.Series:
+        mat = np.array(col.tolist(), dtype=np.float64)
+        bits = ((mat - mu) @ R.T) > 0.0  # (B, p)
+        out = np.zeros((mat.shape[0], nw), dtype=np.uint64)
+        for j in range(p):
+            w, i = divmod(j, 64)
+            out[:, w] |= bits[:, j].astype(np.uint64) << np.uint64(i)
+        return pd.Series(list(out.astype(np.int64)))
+
+    return _kernel
+
+
+def bq_project_encode(
+    df: DataFrame,
+    vec_col: str,
+    planes,
+    center: Sequence[float] | None = None,
+    id_col: str = "id",
+) -> DataFrame:
+    """(id, bits) over projected hyperplane signs — p/8 bytes per row
+    regardless of dim. Map-side only."""
+    base = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
+    )
+    return base.select(
+        "id", bq_project_encode_arrow_udf(planes, center)(F.col("vec")).alias("bits")
+    )
+
+
+def bq_project_query_words(query: Sequence[float], planes, center: Sequence[float] | None = None) -> list[int]:
+    """Driver-side projected packing of the query — same comparison
+    and lane order as the encode kernel."""
+    import numpy as np
+
+    R = np.asarray(planes, dtype=np.float64)
+    mu = np.zeros(R.shape[1]) if center is None else np.asarray(center, dtype=np.float64)
+    bits = (R @ (np.asarray([float(x) for x in query]) - mu)) > 0.0
+    p = R.shape[0]
+    words = []
+    for w in range(_n_words(p)):
+        acc = 0
+        for i in range(min(64, p - w * 64)):
+            if bits[w * 64 + i]:
+                acc |= 1 << i
+        if acc >= 1 << 63:
+            acc -= 1 << 64
+        words.append(acc)
+    return words
+
+
+def bq_project_rerank_scan(
+    df: DataFrame,
+    vec_col: str,
+    query: Sequence[float],
+    planes,
+    k: int,
+    prefilter: int,
+    center: Sequence[float] | None = None,
+    metric: str = "L2",
+    id_col: str = "id",
+    codes_df: DataFrame | None = None,
+) -> DataFrame:
+    """Projected-bit Hamming prefilter + exact rerank — the
+    production 1-bit recipe (recall governed by plane count p and
+    prefilter width; p is the quality lever, bytes stay p/8)."""
+    from sqlite_vector_spark.functions.distance import distance
+
+    codes = (
+        codes_df
+        if codes_df is not None
+        else bq_project_encode(df, vec_col, planes, center, id_col=id_col)
+    )
+    qw = bq_project_query_words(query, planes, center)
+    cand = (
+        codes.select("id", hamming_col("bits", qw).alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col("id").asc())
+        .limit(prefilter)
+        .select("id")
+    )
+    full = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
+    )
+    return (
+        full.join(F.broadcast(cand), "id", "left_semi")
+        .select("id", distance(F.col("vec"), [float(x) for x in query], metric).alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("id").asc())
+        .limit(k)
+    )

@@ -231,3 +231,57 @@ def test_pil_decoder_through_spark_plumbing(spark):
     assert feats[2] == pytest.approx([128 / 255.0] * 4)
     out = resize_media(df, 2, 1, resizer="pil").collect()
     assert all(r.width == 2 and r.height == 1 for r in out)
+
+
+def test_streaming_ivf_pq_index_ingestion(spark, emb, tmp_path):
+    """Continuous compressed-index maintenance: a vector stream is
+    coarse-assigned + PQ-encoded (stateless projections — the whole
+    point of keeping encode declarative) and appended into the
+    cluster-partitioned IVF-PQ store by writeStream. After the batches
+    drain, a stored scan must equal the batch-built store's scan over
+    the same rows — streaming append == rebuild."""
+    import pyspark.sql.functions as F
+
+    from sqlite_vector_spark.operators.ann import ivf_assign
+    from sqlite_vector_spark.operators.pq import (
+        ivf_pq_store,
+        ivf_pq_stored_scan,
+        pq_codebooks_first,
+        pq_encode_col,
+    )
+
+    cents = [list(r.embedding) for r in emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()]
+    books = pq_codebooks_first(emb, "embedding", 4, 8, 64, id_col="vec_id")
+    q = [0.3 * ((i % 7) - 3) for i in range(64)]
+
+    src = str(tmp_path / "vec_src")
+    emb.where(F.col("vec_id") % 2 == 0).write.parquet(src)
+    emb.where(F.col("vec_id") % 2 == 1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    assigned = ivf_assign(stream, "embedding", cents, id_col="vec_id", metric="L2")
+    encoded = assigned.select(
+        "id", pq_encode_col(F.col("vec"), books).alias("codes"), "cluster"
+    )
+    dest = str(tmp_path / "stream_store")
+    qy = (
+        encoded.writeStream.format("parquet")
+        .partitionBy("cluster")
+        .option("path", dest)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ivfpq"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qy.awaitTermination(120)
+
+    batch_dest = str(tmp_path / "batch_store")
+    ivf_pq_store(emb, "embedding", cents, books, batch_dest, id_col="vec_id")
+
+    a = [(r.id, r.distance) for r in ivf_pq_stored_scan(spark, dest, q, cents, books, 12, nprobe=3).collect()]
+    b = [(r.id, r.distance) for r in ivf_pq_stored_scan(spark, batch_dest, q, cents, books, 12, nprobe=3).collect()]
+    assert a == b and len(a) == 12
+    # the streamed store is really cluster-partitioned (pruning layout)
+    import os
+
+    assert any(d.startswith("cluster=") for d in os.listdir(dest))
