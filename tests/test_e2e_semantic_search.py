@@ -68,3 +68,35 @@ def test_semantic_search_flow(spark, corpus, tmp_path):
     exact = vector_full_scan(corpus, "embedding", query, 3, "COSINE", id_col="doc_id").collect()
     assert all(e.id % 4 == 0 for e in exact)
     assert all(h.id % 4 == 0 for h in hits)
+
+
+def test_semantic_search_compressed_tiers(spark, corpus, tmp_path):
+    """The same flow through the round-6 compressed tiers: PQ encode +
+    ADC-prefilter rerank and projected-bit Hamming rerank both return
+    TRUE cosine distances and land in the query's cluster, like the
+    quantized path — a user can swap tiers without changing the
+    surrounding pipeline."""
+    from sqlite_vector_spark.operators.bq import bq_project_rerank_scan, bq_random_planes
+    from sqlite_vector_spark.operators.pq import pq_fit, pq_rerank_scan
+
+    query = [1.0 if j % 4 == 0 else 0.05 for j in range(DIM)]
+    exact = vector_full_scan(corpus, "embedding", query, 3, "COSINE", id_col="doc_id").collect()
+    exact_d = {e.id: e.distance for e in exact}
+
+    books = pq_fit(corpus, "embedding", 2, 4, DIM, iters=2, id_col="doc_id")
+    pq_hits = pq_rerank_scan(
+        corpus, "embedding", query, books, 3, 10, metric="COSINE", id_col="doc_id"
+    ).collect()
+    assert len(pq_hits) == 3 and all(h.id % 4 == 0 for h in pq_hits)
+    for h in pq_hits:
+        if h.id in exact_d:
+            assert h.distance == exact_d[h.id]
+
+    planes = bq_random_planes(DIM, 64, seed=2)
+    bq_hits = bq_project_rerank_scan(
+        corpus, "embedding", query, planes, 3, 10, metric="COSINE", id_col="doc_id"
+    ).collect()
+    assert len(bq_hits) == 3
+    for h in bq_hits:
+        if h.id in exact_d:
+            assert h.distance == exact_d[h.id]

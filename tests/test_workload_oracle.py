@@ -20,6 +20,10 @@ SPOT = [
     "doc_split_assign",
     "embedding_dim_stats",
     "asof_null_carry_events",
+    # round-6 additions: the compressed-index families
+    "pq_scan_l2",
+    "ivf_pq_scan_l2",
+    "bq_scan_hamming",
 ]
 
 
