@@ -26,6 +26,7 @@ reproduces cluster ids bit-for-bit.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from dataclasses import dataclass
 
 import pandas as pd
 import pyspark.sql.functions as F
@@ -581,3 +582,106 @@ def ivf_knn_join(
         scored.select("qid", "id", "distance", F.row_number().over(w).alias("rank"))
         .where(F.col("rank") <= k)
     )
+
+
+def ivf_assignment_stats(
+    df: DataFrame,
+    vec_col: str,
+    centroids: Sequence[Sequence[float]],
+    id_col: str = "id",
+    metric: str | Metric = "L2",
+) -> DataFrame:
+    """Per-cluster assignment quality of a batch against FROZEN
+    centroids: (cluster, n, mean_dist, max_dist). One aggregation
+    over the map-side assignment — no extra pass.
+
+    The monitoring half of the append-maintenance contract
+    (ivf_store_append): cheap enough to run on every ingest batch."""
+    assigned = ivf_assign(df, vec_col, centroids, id_col=id_col, metric=metric)
+    d_arr = (
+        nearest_centroid_arrow_dist_udf(centroids, metric)(F.col("vec"))
+        if _assign_backend(centroids) == "arrow-numpy"
+        else F.array_min(centroid_distances(F.col("vec"), centroids, metric))
+    )
+    return (
+        assigned.select("cluster", d_arr.alias("d"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("d").alias("mean_dist"),
+            F.max("d").alias("max_dist"),
+        )
+    )
+
+
+def nearest_centroid_arrow_dist_udf(centroids: Sequence[Sequence[float]], metric: str | Metric = "L2"):
+    """Arrow kernel returning the DISTANCE to the nearest centroid
+    (companion to nearest_centroid_arrow_udf's index)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from sqlite_vector_spark.types import parse_metric
+
+    m = parse_metric(metric) if isinstance(metric, str) else metric
+    cm = _centroid_matrix(centroids)
+
+    @pandas_udf("double")
+    def _kernel(col: pd.Series) -> pd.Series:
+        import numpy as np
+
+        mat = np.array(col.tolist(), dtype=np.float64)
+        return pd.Series(_pairwise_dists(mat, cm, m).min(axis=1))
+
+    return _kernel
+
+
+@dataclass
+class IvfDriftReport:
+    """Result of ivf_append_with_drift: batch assignment quality vs a
+    baseline mean distance (e.g. recorded at ivf_store build time)."""
+
+    n_appended: int
+    batch_mean_dist: float
+    baseline_mean_dist: float | None
+    #: batch mean / baseline mean - 1 (0.0 = matches the build-time
+    #: geometry; large = the ingest moved away from every centroid)
+    drift: float
+    rebuild_recommended: bool
+
+
+def ivf_append_with_drift(
+    new_df: DataFrame,
+    vec_col: str,
+    centroids: Sequence[Sequence[float]],
+    dest: str,
+    baseline_mean_dist: float | None = None,
+    id_col: str = "id",
+    metric: str | Metric = "L2",
+    drift_threshold: float = 0.25,
+) -> IvfDriftReport:
+    """ivf_store_append + the drift check in one pass over the batch:
+    append the assigned rows, report how far the batch's mean
+    nearest-centroid distance sits above ``baseline_mean_dist``.
+    ``rebuild_recommended`` fires when the relative excess crosses
+    ``drift_threshold`` — the signal to retrain centroids
+    (kmeans_fit) and rebuild, mirroring vector_quantize_update's
+    drift contract."""
+    assigned = ivf_assign(new_df, vec_col, centroids, id_col=id_col, metric=metric)
+    d_arr = (
+        nearest_centroid_arrow_dist_udf(centroids, metric)(F.col("vec"))
+        if _assign_backend(centroids) == "arrow-numpy"
+        else F.array_min(centroid_distances(F.col("vec"), centroids, metric))
+    )
+    enriched = assigned.withColumn("_d", d_arr)
+    row = enriched.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("_d").alias("mean_d")
+    ).collect()[0]
+    n = int(row["n"])
+    if n == 0:
+        return IvfDriftReport(0, 0.0, baseline_mean_dist, 0.0, False)
+    enriched.drop("_d").write.partitionBy("cluster").mode("append").parquet(dest)
+    mean_d = float(row["mean_d"])
+    if baseline_mean_dist is None or baseline_mean_dist <= 0.0:
+        drift = 0.0
+    else:
+        drift = max(mean_d / baseline_mean_dist - 1.0, 0.0)
+    return IvfDriftReport(n, mean_d, baseline_mean_dist, drift, drift > drift_threshold)

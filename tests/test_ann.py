@@ -231,3 +231,43 @@ def test_ivf_store_append_equals_rebuild(spark, emb, tmp_path):
     pruned = spark.read.parquet(inc).where(F.col("cluster").isin([0, 1]))
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cluster" in plan
+
+
+def test_ivf_assignment_stats_and_drift(spark, emb, tmp_path):
+    """Drift monitoring for append maintenance: per-cluster stats on
+    the build batch, then a shifted batch must raise drift and the
+    rebuild flag while an in-distribution batch must not."""
+    import pyspark.sql.functions as F
+
+    from sqlite_vector_spark.operators.ann import (
+        ivf_append_with_drift,
+        ivf_assignment_stats,
+        ivf_store,
+    )
+
+    cent = [list(r.embedding) for r in emb.orderBy("vec_id").limit(8).collect()]
+    dest = str(tmp_path / "ivf_drift")
+    ivf_store(emb, "embedding", cent, dest, id_col="vec_id")
+    stats = ivf_assignment_stats(emb, "embedding", cent, id_col="vec_id").collect()
+    assert sum(r.n for r in stats) == emb.count()
+    assert all(r.mean_dist <= r.max_dist for r in stats)
+    baseline = sum(r.mean_dist * r.n for r in stats) / sum(r.n for r in stats)
+
+    same = emb.select((F.col("vec_id") + 100_000).alias("vec_id"), "embedding")
+    rep_ok = ivf_append_with_drift(
+        same, "embedding", cent, dest, baseline_mean_dist=baseline, id_col="vec_id"
+    )
+    assert rep_ok.n_appended == emb.count()
+    assert rep_ok.drift <= 0.01 and not rep_ok.rebuild_recommended
+
+    shifted = emb.select(
+        (F.col("vec_id") + 200_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") + F.lit(10.0)).alias("embedding"),
+    )
+    rep_bad = ivf_append_with_drift(
+        shifted, "embedding", cent, dest, baseline_mean_dist=baseline, id_col="vec_id"
+    )
+    assert rep_bad.drift > 0.25 and rep_bad.rebuild_recommended
+    # both batches really landed in the store
+    n = spark.read.parquet(dest).count()
+    assert n == 3 * emb.count()

@@ -124,3 +124,68 @@ def test_sessionize_single_user_shuffle(spark):
     # user_id -> exactly one hash exchange in the whole pipeline
     plan = physical_plan(w.sessionize(spark, SF))
     assert plan.count("hashpartitioning(user_id") <= 1, plan[:800]
+
+
+def test_pq_scan_is_take_ordered_over_codes(spark):
+    """PQ ADC scan: TakeOrderedAndProject over the code projection —
+    no global sort, no shuffle of the codes."""
+    df = w.pq_scan_l2(spark, SF)
+    assert_in_plan(df, "TakeOrderedAndProject")
+    assert_not_in_plan(df, "SortExec")
+    plan = physical_plan(df)
+    assert "hashpartitioning(id" not in plan
+
+
+def test_pq_encode_is_map_only(spark):
+    """Encoding is a pure projection: zero Exchange nodes at any
+    backend (the 100 TB no-shuffle contract)."""
+    from sqlite_vector_spark.operators.pq import pq_encode
+    from sqlite_vector_spark.workload import DIM, PQ_KSUB, PQ_M, _emb, _pq_codebooks
+
+    emb = _emb(spark, SF)
+    df = pq_encode(emb, "embedding", _pq_codebooks(emb), id_col="vec_id")
+    assert_not_in_plan(df, "Exchange")
+
+
+def test_bq_scan_is_integer_take_ordered(spark):
+    """1-bit Hamming scan: XOR+popcount projection + top-k, no
+    shuffle, no sort, and whole-stage codegen over the scan."""
+    df = w.bq_scan_hamming(spark, SF)
+    assert_in_plan(df, "TakeOrderedAndProject")
+    assert_not_in_plan(df, "SortExec")
+    assert_not_in_plan(df, "Exchange")
+    # the *(N) stage marker is how executedPlan().toString() shows a
+    # whole-stage-codegen'd projection
+    assert "*(" in physical_plan(df)
+
+
+def test_bq_encode_is_map_only(spark):
+    from sqlite_vector_spark.operators.bq import bq_encode
+    from sqlite_vector_spark.workload import DIM, _emb
+
+    df = bq_encode(_emb(spark, SF), "embedding", DIM, id_col="vec_id")
+    assert_not_in_plan(df, "Exchange")
+
+
+def test_ivf_pq_knn_join_broadcasts_query_side(spark):
+    """Multi-query compressed join: the query x probe side broadcasts;
+    the code store never hash-shuffles before the scoring join."""
+    from sqlite_vector_spark.operators.ann import ivf_assign
+    from sqlite_vector_spark.operators.pq import ivf_pq_knn_join, pq_encode_col
+    from sqlite_vector_spark.workload import _emb, _pq_codebooks
+
+    emb = _emb(spark, SF)
+    books = _pq_codebooks(emb)
+    cents = [list(r.embedding) for r in emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()]
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    store = ivf_assign(emb, "embedding", cents, id_col="vec_id", metric="L2").select(
+        "id", pq_encode_col(F.col("vec"), books).alias("codes"), "cluster"
+    )
+    df = ivf_pq_knn_join(queries, store, cents, books, 5, nprobe=2)
+    assert_in_plan(df, "BroadcastHashJoin")
+    plan = physical_plan(df)
+    # the only hash exchange is the per-qid rank window, never the corpus scan side
+    before_join = plan[: plan.index("BroadcastHashJoin")]
+    assert "hashpartitioning(id" not in before_join

@@ -57,3 +57,60 @@ def test_quantize_roundtrip_error_bounded(x, p):
     (c,) = quantize_query([x], p)
     back = c / p.scale + p.offset
     assert abs(back - x) <= 0.5 / p.scale + 1e-9
+
+
+# ---------------------------------------------------------------- round-6: 1-bit packing + ADC LUT invariants
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.floats(allow_nan=False, allow_infinity=False, width=32), min_size=1, max_size=200))
+def test_bq_query_words_roundtrip(vals):
+    """Packing is invertible: every sign decision is recoverable from
+    the packed words, and words stay in signed-64 range."""
+    from sqlite_vector_spark.operators.bq import bq_query_words
+
+    words = bq_query_words(vals)
+    assert len(words) == (len(vals) + 63) // 64
+    for w in words:
+        assert -(1 << 63) <= w < (1 << 63)
+    for j, x in enumerate(vals):
+        w, i = divmod(j, 64)
+        bit = (words[w] >> i) & 1 if words[w] >= 0 else ((words[w] + (1 << 64)) >> i) & 1
+        assert bit == (1 if float(x) > 0.0 else 0)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=4),   # m
+    st.integers(min_value=1, max_value=4),   # ksub
+    st.integers(min_value=1, max_value=4),   # dsub
+    st.data(),
+)
+def test_adc_lut_identity_and_bounds(m, ksub, dsub, data):
+    """LUT[s][j] is 0 exactly when the query subvector equals entry j,
+    and every entry is the (snapped) squared L2 — never negative."""
+    from sqlite_vector_spark.operators.pq import adc_lut
+
+    f = st.floats(min_value=-100.0, max_value=100.0, allow_nan=False)
+    books = [
+        [[data.draw(f) for _ in range(dsub)] for _ in range(ksub)] for _ in range(m)
+    ]
+    # query = concatenation of entry 0 of each subspace -> lut[s][0] == 0
+    q = [x for s in range(m) for x in books[s][0]]
+    luts = adc_lut(q, books)
+    assert len(luts) == m and all(len(l) == ksub for l in luts)
+    for s in range(m):
+        assert luts[s][0] == 0.0
+        for j in range(ksub):
+            assert luts[s][j] >= 0.0
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.floats(min_value=-50.0, max_value=50.0, allow_nan=False), min_size=4, max_size=4))
+def test_bq_hamming_symmetric_zero(vals):
+    """A vector has Hamming distance 0 to itself through the packed
+    representation, for any threshold vector."""
+    from sqlite_vector_spark.operators.bq import bq_query_words
+
+    t = [v / 2.0 for v in vals]
+    assert bq_query_words(vals, t) == bq_query_words(list(vals), list(t))
