@@ -117,11 +117,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bq_codes": w.bq_codes_q,
         "bq_scan_hamming": w.bq_scan_hamming,
         "bq_rerank_scan_l2": w.bq_rerank_scan_l2,
+        # -- NEW r6: n-gram LM quality scoring (functions/lm.py)
+        "lm_doc_scores": w.lm_doc_scores_q,
         # -- spot-checks: subsystems touched this round
         #    (events loader LTZ routing by parquet footer flag)
         "asof_join_events": w.asof_join_events_q,
         "asof_null_carry_events": w.asof_null_carry_events_q,
-        "events_hourly": w.events_hourly,
         "sessionize": w.sessionize,
         "value_quantiles": w.value_quantiles_q,
         #    (single-pass localCheckpointed quantize params)
@@ -132,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_kmeans_scan_l2": w.ivf_kmeans_scan_l2,  # hash-gated: fixed iters unroll to SQL
         "knn_join_l2": w.knn_join_l2,  # auto-salt change: salted window path
         # ---- past the 50-entry gate horizon: green in CORRECTNESS_r05
+        "events_hourly": w.events_hourly,
         "purchase_session_join": w.purchase_session_join_q,
         "events_props_agg": w.events_props_agg,
         "quantize_scan_cosine": w.quantize_scan_cosine,
@@ -273,4 +275,5 @@ def oracle_sql() -> dict[str, str]:
         "bq_codes": o.bq_codes_q(),
         "bq_scan_hamming": o.bq_scan_hamming_q(),
         "bq_rerank_scan_l2": o.bq_rerank_scan_l2_q(),
+        "lm_doc_scores": o.lm_doc_scores_q(),
     }

@@ -258,6 +258,9 @@ def main():
     bench("balanced_sample", lambda: w.balanced_sample_q(spark, SF_DIR).count())
     bench("value_winsorize", lambda: w.value_winsorize_q(spark, SF_DIR).count())
 
+    # round-6: LM quality scoring
+    bench("lm_doc_scores", lambda: w.lm_doc_scores_q(spark, SF_DIR).count())
+
     total = round(sum(times.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

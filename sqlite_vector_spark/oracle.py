@@ -1528,3 +1528,47 @@ FROM embeddings e, qq
 WHERE e.embedding IS NOT NULL AND e.vec_id IN (SELECT id FROM cand)
 ORDER BY distance ASC, id ASC
 LIMIT {K}"""
+
+
+# ---------------------------------------------------------------- n-gram LM quality scoring (functions/lm.py)
+
+
+def lm_doc_scores_q() -> str:
+    from sqlite_vector_spark.workload import LM_TRAIN_MOD
+
+    bigrams = (
+        "list_transform(range(1, len(ws)), i -> struct_pack(t1 := ws[i], t2 := ws[i+1]))"
+    )
+    return f"""WITH tokd AS (
+  SELECT doc_id, {WORDS} AS ws FROM documents),
+train_bg AS (
+  SELECT bg.t1 AS t1, bg.t2 AS t2, count(*) AS c12 FROM (
+    SELECT unnest({bigrams}) AS bg FROM tokd WHERE doc_id % {LM_TRAIN_MOD} = 0)
+  GROUP BY 1, 2),
+train_uni AS (
+  SELECT t, count(*) AS c1 FROM (
+    SELECT unnest(ws) AS t FROM tokd WHERE doc_id % {LM_TRAIN_MOD} = 0)
+  GROUP BY t),
+vsz AS (SELECT count(*) AS v FROM train_uni),
+score_bg AS (
+  SELECT doc_id, bg.t1 AS t1, bg.t2 AS t2 FROM (
+    SELECT doc_id, unnest({bigrams}) AS bg FROM tokd WHERE doc_id % {LM_TRAIN_MOD} <> 0)),
+probs AS (
+  SELECT s.doc_id,
+         (CAST(coalesce(b.c12, 0) + 1 AS DOUBLE))
+           / (CAST(coalesce(u.c1, 0) AS DOUBLE) + CAST(v AS DOUBLE)) AS p
+  FROM score_bg s
+  LEFT JOIN train_bg b ON b.t1 = s.t1 AND b.t2 = s.t2
+  LEFT JOIN train_uni u ON u.t = s.t1
+  CROSS JOIN vsz),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(CAST(round(p * 1000000.0, 0) AS HUGEINT)) AS DOUBLE) / 1000000.0 AS psum
+  FROM probs GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_bigrams, 0) AS n_bigrams,
+       coalesce(a.psum, 0.0) AS psum
+FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents WHERE doc_id % {LM_TRAIN_MOD} <> 0) d
+LEFT JOIN agg a ON a.doc_id = d.doc_id
+ORDER BY d.doc_id"""

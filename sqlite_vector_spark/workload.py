@@ -1895,3 +1895,24 @@ def bq_rerank_scan_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     return bq_rerank_scan(emb, "embedding", Q64, K, RERANK_M, id_col="vec_id")
+
+
+# ---------------------------------------------------------------- n-gram LM quality scoring (functions/lm.py)
+
+#: train the reference bigram LM on even doc_ids, score the odd ones
+LM_TRAIN_MOD = 2
+
+
+def lm_doc_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality gate (functions.lm): add-1 bigram model
+    trained on the even-doc_id half, each odd doc scored by its
+    fixed-point Σ P(t2|t1) — every gated column is rational (integer
+    counts, one exact IEEE division per term, fixed-point sum), so
+    the DuckDB mirror is bit-exact with no transcendentals."""
+    from sqlite_vector_spark.functions.lm import score_documents, train_bigram_lm
+
+    docs = _docs(spark, sf_dir)
+    train = docs.where(F.col("doc_id") % LM_TRAIN_MOD == 0)
+    score = docs.where(F.col("doc_id") % LM_TRAIN_MOD != 0)
+    uni, bi, v = train_bigram_lm(train)
+    return score_documents(score, uni, bi, v).orderBy("doc_id")
