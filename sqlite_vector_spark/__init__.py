@@ -41,6 +41,25 @@ from sqlite_vector_spark.operators.quantize import (
     vector_quantize_scan,
     vector_quantize_scan_stream,
 )
+from sqlite_vector_spark.operators.bq import (
+    bq_encode,
+    bq_project_encode,
+    bq_project_rerank_scan,
+    bq_random_planes,
+    bq_rerank_scan,
+    bq_scan,
+)
+from sqlite_vector_spark.operators.pq import (
+    ivf_pq_knn_join,
+    ivf_pq_scan,
+    ivf_pq_store,
+    ivf_pq_stored_scan,
+    ivf_residuals,
+    pq_encode,
+    pq_fit,
+    pq_rerank_scan,
+    pq_scan,
+)
 from sqlite_vector_spark.operators.search import full_scan, full_scan_stream
 from sqlite_vector_spark.router import knn
 from sqlite_vector_spark.version import __version__, set_backend, vector_backend, vector_version
@@ -76,4 +95,21 @@ __all__ = [
     "vector_quantize_memory",
     "vector_quantize_preload",
     "vector_quantize_cleanup",
+    # product quantization (operators/pq.py)
+    "pq_fit",
+    "pq_encode",
+    "pq_scan",
+    "pq_rerank_scan",
+    "ivf_pq_store",
+    "ivf_pq_stored_scan",
+    "ivf_pq_scan",
+    "ivf_pq_knn_join",
+    "ivf_residuals",
+    # binary quantization (operators/bq.py)
+    "bq_encode",
+    "bq_scan",
+    "bq_rerank_scan",
+    "bq_random_planes",
+    "bq_project_encode",
+    "bq_project_rerank_scan",
 ]
