@@ -119,20 +119,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bq_rerank_scan_l2": w.bq_rerank_scan_l2,
         # -- NEW r6: n-gram LM quality scoring (functions/lm.py)
         "lm_doc_scores": w.lm_doc_scores_q,
+        # -- NEW r6: chunking with overlap + temperature mixing
+        "doc_chunk_overlap": w.doc_chunk_overlap_q,
+        "temperature_mix": w.temperature_mix_q,
         # -- spot-checks: subsystems touched this round
         #    (events loader LTZ routing by parquet footer flag)
         "asof_join_events": w.asof_join_events_q,
         "asof_null_carry_events": w.asof_null_carry_events_q,
-        "sessionize": w.sessionize,
         "value_quantiles": w.value_quantiles_q,
         #    (single-pass localCheckpointed quantize params)
-        "quantize_scan_stream_l2": w.quantize_scan_stream_l2,
         "rerank_scan_l2": w.rerank_scan_l2,
         "quantize_update_codes": w.quantize_update_codes,
         #    (kmeans_fit init refactor / knn auto-salt)
         "ivf_kmeans_scan_l2": w.ivf_kmeans_scan_l2,  # hash-gated: fixed iters unroll to SQL
         "knn_join_l2": w.knn_join_l2,  # auto-salt change: salted window path
         # ---- past the 50-entry gate horizon: green in CORRECTNESS_r05
+        "sessionize": w.sessionize,
+        "quantize_scan_stream_l2": w.quantize_scan_stream_l2,
         "events_hourly": w.events_hourly,
         "purchase_session_join": w.purchase_session_join_q,
         "events_props_agg": w.events_props_agg,
@@ -276,4 +279,6 @@ def oracle_sql() -> dict[str, str]:
         "bq_scan_hamming": o.bq_scan_hamming_q(),
         "bq_rerank_scan_l2": o.bq_rerank_scan_l2_q(),
         "lm_doc_scores": o.lm_doc_scores_q(),
+        "doc_chunk_overlap": o.doc_chunk_overlap_q(),
+        "temperature_mix": o.temperature_mix_q(),
     }

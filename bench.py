@@ -260,6 +260,8 @@ def main():
 
     # round-6: LM quality scoring
     bench("lm_doc_scores", lambda: w.lm_doc_scores_q(spark, SF_DIR).count())
+    bench("doc_chunk_overlap", lambda: w.doc_chunk_overlap_q(spark, SF_DIR).count())
+    bench("temperature_mix", lambda: w.temperature_mix_q(spark, SF_DIR).count())
 
     total = round(sum(times.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -1572,3 +1572,46 @@ SELECT d.doc_id,
 FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents WHERE doc_id % {LM_TRAIN_MOD} <> 0) d
 LEFT JOIN agg a ON a.doc_id = d.doc_id
 ORDER BY d.doc_id"""
+
+
+# ---------------------------------------------------------------- chunking with overlap + temperature mixing (round 6)
+
+
+def doc_chunk_overlap_q() -> str:
+    from sqlite_vector_spark.workload import CHUNK_SIZE, CHUNK_STRIDE
+
+    starts = (
+        f"range(1, greatest(len(ws) - {CHUNK_SIZE} + {CHUNK_STRIDE}, 1) + 1, {CHUNK_STRIDE})"
+    )
+    return f"""WITH tokd AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {WORDS} AS ws FROM documents),
+ch AS (
+  SELECT doc_id,
+         CAST(i AS BIGINT) AS chunk_id,
+         ws[s : s + {CHUNK_SIZE} - 1] AS toks
+  FROM (
+    SELECT doc_id, ws, unnest({starts}) AS s,
+           generate_subscripts({starts}, 1) AS i
+    FROM tokd))
+SELECT doc_id, chunk_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       array_to_string(toks, ' ') AS chunk_text
+FROM ch
+WHERE len(toks) > 0
+ORDER BY doc_id, chunk_id"""
+
+
+def temperature_mix_q() -> str:
+    bucket = f"(({polyhash_sql('text')}) % 1000 + 1000) % 1000"
+    return f"""WITH counts AS (
+  SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+mn AS (SELECT min(n_lang) AS n_min FROM counts),
+rates AS (
+  SELECT lang,
+         CAST(floor(1000.0 * sqrt(CAST(n_min AS DOUBLE)) / sqrt(CAST(n_lang AS DOUBLE))) AS BIGINT) AS rate_pm
+  FROM counts, mn)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, r.rate_pm, {bucket} AS bucket
+FROM documents d
+JOIN rates r ON r.lang = d.lang
+WHERE {bucket} < r.rate_pm
+ORDER BY doc_id"""

@@ -1916,3 +1916,82 @@ def lm_doc_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = docs.where(F.col("doc_id") % LM_TRAIN_MOD != 0)
     uni, bi, v = train_bigram_lm(train)
     return score_documents(score, uni, bi, v).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------- chunking with overlap + temperature mixing (round 6)
+
+#: sliding-window chunking: 32 tokens per chunk, stride 24 (8 overlap)
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+#: temperature mixing exponent -- 0.5 = sqrt, IEEE-exact on every engine
+MIX_ALPHA_SQRT = 0.5
+
+
+def doc_chunk_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking for embedding/RAG pipelines: each doc
+    splits into CHUNK_SIZE-token windows every CHUNK_STRIDE tokens
+    (tail kept), -> (doc_id, chunk_id, n_tokens, chunk_text). Pure
+    map-side HOFs over one projected token array — no shuffle at any
+    corpus size, and chunk boundaries are token-exact so downstream
+    dedup/embedding sees reproducible text."""
+    from sqlite_vector_spark.functions.text import words
+
+    d = _docs(spark, sf_dir)
+    w = words(F.col("text"))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(w) - F.lit(CHUNK_SIZE) + F.lit(CHUNK_STRIDE), F.lit(1)),
+        F.lit(CHUNK_STRIDE),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            (i + 1).cast("bigint").alias("chunk_id"),  # 1-based like SQL generate_subscripts
+            F.slice(w, s, CHUNK_SIZE).alias("toks"),
+        ),
+    )
+    return (
+        d.select(F.col("doc_id").cast("bigint").alias("doc_id"), F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.size("c.toks").cast("bigint").alias("n_tokens"),
+            F.array_join(F.col("c.toks"), " ").alias("chunk_text"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+def temperature_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (multilingual-LM style,
+    alpha=0.5): per-language keep-rates proportional to
+    sqrt(count)/count — dominant languages downweighted, rare ones
+    kept whole — applied as the same deterministic content-hash
+    bucket filter as sample_mix. Rates derive IN-PLAN from the
+    per-language counts (one tiny agg, broadcast back); sqrt is
+    IEEE-correctly-rounded on both engines, and the rate comparison
+    uses a floor to integer per-mille so the bucket cut is exact."""
+    from sqlite_vector_spark.functions.text import fingerprint
+
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    # temperature law: sampling mass p_l proportional to n_l^alpha, so the
+    # KEEP-RATE relative to native mass is n_l^(alpha-1) = 1/sqrt(n_l)
+    # at alpha=0.5 -- dominant languages downweighted. Normalized so
+    # the SMALLEST language keeps 100%: rate_pm = 1000*sqrt(n_min/n_l).
+    mn = counts.agg(F.min("n_lang").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        F.floor(
+            F.lit(1000.0) * F.sqrt(F.col("n_min").cast("double")) / F.sqrt(F.col("n_lang").cast("double"))
+        ).cast("bigint").alias("rate_pm"),
+    )
+    bucket = F.pmod(fingerprint(F.col("text")), F.lit(1000))
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .withColumn("bucket", bucket)
+        .where(F.col("bucket") < F.col("rate_pm"))
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "lang", "rate_pm", "bucket")
+        .orderBy("doc_id")
+    )

@@ -575,3 +575,60 @@ def test_value_winsorize_clamps_to_exact_quantile_bounds(spark):
             assert r.was_clipped == (r.value_clipped != r.value)
         # the clip must actually fire somewhere (1% tails exist)
         assert any(r.was_clipped for r in rs)
+
+
+def test_doc_chunk_overlap_semantics(spark, docs):
+    """Sliding-window chunking: full token coverage, exact overlap of
+    size-stride tokens between consecutive chunks, tail preserved,
+    1-based chunk ids."""
+    from sqlite_vector_spark.functions.text import words
+    from sqlite_vector_spark.workload import CHUNK_SIZE, CHUNK_STRIDE, doc_chunk_overlap_q
+
+    chunks = doc_chunk_overlap_q(spark, "/root/testdata/sf0.001").collect()
+    toks = {r.doc_id: r.w for r in docs.selectExpr("CAST(doc_id AS LONG) doc_id").join(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), words(F.col("text")).alias("w")), "doc_id"
+    ).collect()}
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in list(by_doc.items())[:50]:
+        rows.sort(key=lambda r: r.chunk_id)
+        t = toks[doc_id]
+        assert rows[0].chunk_id == 1
+        covered = []
+        for i, r in enumerate(rows):
+            start = i * CHUNK_STRIDE
+            expect = t[start : start + CHUNK_SIZE]
+            assert r.chunk_text.split(" ") == expect
+            assert r.n_tokens == len(expect)
+            covered.extend(expect)
+        # every token of the doc appears in at least one chunk
+        assert set(covered) == set(t)
+        # consecutive chunks overlap by size - stride when both full
+        for a, b in zip(rows, rows[1:]):
+            if a.n_tokens == CHUNK_SIZE and b.n_tokens == CHUNK_SIZE:
+                assert a.chunk_text.split(" ")[CHUNK_STRIDE:] == b.chunk_text.split(" ")[: CHUNK_SIZE - CHUNK_STRIDE]
+
+
+def test_temperature_mix_downweights_dominant(spark):
+    """The alpha=0.5 law: the smallest language keeps ~100% of its
+    docs, a 4x larger language keeps ~sqrt(1/4)=50% -- and the kept
+    fraction decreases with language size."""
+    from sqlite_vector_spark.workload import temperature_mix_q
+
+    kept = temperature_mix_q(spark, "/root/testdata/sf0.01").collect()
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept_by_lang = {}
+    for r in kept:
+        kept_by_lang[r.lang] = kept_by_lang.get(r.lang, 0) + 1
+    fracs = {l: kept_by_lang.get(l, 0) / n for l, n in totals.items()}
+    n_min = min(totals.values())
+    for l, n in totals.items():
+        expect = (n_min / n) ** 0.5
+        # hash-bucket cut is exact in rate but stochastic-looking per
+        # lang at small n; allow generous slack
+        assert abs(fracs[l] - expect) < 0.25, (l, fracs[l], expect)
+    ordered = sorted(totals.items(), key=lambda kv: kv[1])
+    if len(ordered) >= 2 and ordered[-1][1] >= 3 * ordered[0][1]:
+        assert fracs[ordered[0][0]] > fracs[ordered[-1][0]]
