@@ -455,3 +455,70 @@ def chunk_dedup_stats(
             .alias("dup_ratio"),
         )
     )
+
+
+def lsh_band_store(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dest: str,
+    num_hashes: int = NUM_HASHES,
+    bands: int = LSH_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+    shingle_n: int = SHINGLE_N,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the (id, band, band_hash) table — the incremental-dedup
+    index. Written partitioned by band so a batch's bucket join prunes
+    to matching band directories; ``mode="append"`` is the daily-
+    ingest path (band keys depend only on the frozen hash family, so
+    append == rebuild exactly, like the IVF/quantize stores)."""
+    keys = lsh_band_keys(
+        minhash_signatures(df, id_col, text_col, num_hashes, shingle_n), bands, rows_per_band
+    )
+    keys.write.partitionBy("band").mode(mode).parquet(dest)
+
+
+def incremental_dedup_pairs(
+    spark,
+    new_df: DataFrame,
+    store: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = NUM_HASHES,
+    bands: int = LSH_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+    shingle_n: int = SHINGLE_N,
+) -> DataFrame:
+    """Cross-corpus incremental near-dup candidates: minhash/band ONLY
+    the new batch, join its band keys against the persisted band store
+    (batch vs corpus), and expand within-batch bucket pairs — without
+    ever re-shingling the existing corpus. Returns (a, b) with a < b
+    over the union id space.
+
+    The 100 TB daily-ingest shape: cost = O(batch shingles) + a join
+    whose corpus side reads only (id, band, band_hash) rows — the
+    ~24-byte index, not the text. Callers append the batch's keys to
+    the store afterwards (lsh_band_store mode="append") so tomorrow's
+    batch dedups against today's."""
+    # localCheckpoint (eager) materializes the batch's keys once:
+    # both consumers below (cross join + within-batch pairs) read the
+    # checkpointed rows instead of re-running the minhash pipeline,
+    # and no cache lifetime leaks past this call
+    new_keys = lsh_band_keys(
+        minhash_signatures(new_df, id_col, text_col, num_hashes, shingle_n),
+        bands,
+        rows_per_band,
+    ).localCheckpoint(eager=True)
+    stored = spark.read.parquet(store)
+    cross = (
+        stored.select(F.col("id").alias("a"), "band", "band_hash")
+        .join(
+            new_keys.select(F.col("id").alias("b"), "band", "band_hash"),
+            ["band", "band_hash"],
+        )
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+    )
+    within = _bucket_pairs(new_keys, "band", "band_hash")
+    return cross.unionByName(within).distinct()

@@ -132,3 +132,36 @@ def test_dedup_ops_stay_jvm_side(spark, docs):
 
     assert_not_in_plan(minhash_signatures(docs, "doc_id", "text"), "BatchEvalPython", "ArrowEvalPython")
     assert_not_in_plan(simhash(docs, "doc_id", "text"), "BatchEvalPython", "ArrowEvalPython")
+
+
+def test_incremental_dedup_equals_full_rebuild(spark, docs, tmp_path):
+    """The daily-ingest contract: banding only the new batch against
+    the persisted band store yields EXACTLY the candidate pairs a full
+    re-run over the union finds, minus pairs internal to the old
+    corpus (already adjudicated yesterday)."""
+    import pyspark.sql.functions as F
+
+    from sqlite_vector_spark.operators.dedup import (
+        incremental_dedup_pairs,
+        lsh_band_store,
+        lsh_candidate_pairs,
+    )
+
+    old = docs.where(F.col("doc_id") % 3 != 0)
+    new = docs.where(F.col("doc_id") % 3 == 0)
+    store = str(tmp_path / "bands")
+    lsh_band_store(old, "doc_id", "text", store)
+
+    got = {(r.a, r.b) for r in incremental_dedup_pairs(spark, new, store, "doc_id", "text").collect()}
+    full = {(r.a, r.b) for r in lsh_candidate_pairs(docs, "doc_id", "text").collect()}
+    old_only = {(r.a, r.b) for r in lsh_candidate_pairs(old, "doc_id", "text").collect()}
+    assert got == full - old_only
+    # every pair touches the new batch
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    assert all(a in new_ids or b in new_ids for a, b in got)
+
+    # append today's keys -> tomorrow's store covers the union
+    lsh_band_store(new, "doc_id", "text", store, mode="append")
+    empty = new.limit(0)
+    got2 = {(r.a, r.b) for r in incremental_dedup_pairs(spark, empty, store, "doc_id", "text").collect()}
+    assert got2 == set()
