@@ -226,9 +226,44 @@ def main():
                 emb, "embedding", w.Q64, cent_pq, books, 10, nprobe=2, id_col="vec_id"
             ).collect(),
         )
+        cent_pq2 = [list(r.embedding) for r in emb.orderBy("vec_id").limit(16).collect()]
+        from sqlite_vector_spark.operators.ann import ivf_assign
+        from sqlite_vector_spark.operators.pq import ivf_pq_knn_join, pq_encode_arrow_udf
+
+        store_pq = (
+            ivf_assign(emb, "embedding", cent_pq2, id_col="vec_id", metric="L2")
+            .select("id", pq_encode_arrow_udf(books)(F.col("vec")).alias("codes"), "cluster")
+            .persist()
+        )
+        store_pq.count()
+        queries_pq = emb.where(F.col("vec_id") < w.NQ).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+        bench(
+            "ivf_pq_knn_join",
+            lambda: ivf_pq_knn_join(queries_pq, store_pq, cent_pq2, books, w.KNN_K, nprobe=2).count(),
+        )
+        store_pq.unpersist()
         pq_codes_cached.unpersist()
     except Exception as exc:  # noqa: BLE001
         errors["pq_family"] = f"{type(exc).__name__}: {exc}"[:500]
+
+    # round-6: incremental cross-corpus dedup (band store join)
+    try:
+        import tempfile as _tf
+
+        from sqlite_vector_spark.operators.dedup import incremental_dedup_pairs, lsh_band_store
+
+        docs_b = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        band_dir = os.path.join(qdir, "bands")
+        lsh_band_store(docs_b.where(F.col("doc_id") % 3 != 0), "doc_id", "text", band_dir)
+        batch_docs = docs_b.where(F.col("doc_id") % 3 == 0)
+        bench(
+            "incremental_dedup",
+            lambda: incremental_dedup_pairs(spark, batch_docs, band_dir, "doc_id", "text").count(),
+        )
+    except Exception as exc:  # noqa: BLE001
+        errors["incremental_dedup"] = f"{type(exc).__name__}: {exc}"[:500]
 
     # round-6: binary quantization (1-bit Hamming prefilter)
     try:
