@@ -250,8 +250,6 @@ def main():
 
     # round-6: incremental cross-corpus dedup (band store join)
     try:
-        import tempfile as _tf
-
         from sqlite_vector_spark.operators.dedup import incremental_dedup_pairs, lsh_band_store
 
         docs_b = spark.read.parquet(f"{SF_DIR}/documents.parquet")
