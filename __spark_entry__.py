@@ -92,14 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": w.embedding_centroids_q,
         "text_normalize": w.text_normalize_q,
         "knn_join_blocked_l2": w.knn_join_blocked_l2,  # scale path, sequential fold
-        "shipping_priority": w.shipping_priority,
-        "region_volume": w.region_volume,
-        "promo_revenue_share": w.promo_revenue_share,
-        "quality_rejects": w.quality_rejects,
         "text_stats": w.text_stats,
-        "token_counts": w.token_counts_q,
-        "lang_id": w.lang_id_q,
-        "fingerprint": w.fingerprint_q,
         "dedup_exact": w.dedup_exact_q,
         "minhash_signatures": w.minhash_sig_q,
         "lsh_candidate_pairs": w.lsh_pairs_q,
@@ -122,6 +115,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW r6: chunking with overlap + temperature mixing
         "doc_chunk_overlap": w.doc_chunk_overlap_q,
         "temperature_mix": w.temperature_mix_q,
+        # -- NEW r6c: hybrid retrieval (operators/retrieval.py),
+        #    matryoshka tier, events analytics, semantic dedup
+        "bm25_topk": w.bm25_topk_q,
+        "hybrid_rrf": w.hybrid_rrf_q,
+        "matryoshka_rerank_l2": w.matryoshka_rerank_l2,
+        "approx_distinct_audit": w.approx_distinct_audit_q,  # HLL contract gate
+        "cohort_retention": w.cohort_retention_q,
+        "event_funnel": w.event_funnel_q,
+        "semantic_dedup": w.semantic_dedup_q,
         # -- spot-checks: subsystems touched this round
         #    (events loader LTZ routing by parquet footer flag)
         "asof_join_events": w.asof_join_events_q,
@@ -133,7 +135,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (kmeans_fit init refactor / knn auto-salt)
         "ivf_kmeans_scan_l2": w.ivf_kmeans_scan_l2,  # hash-gated: fixed iters unroll to SQL
         "knn_join_l2": w.knn_join_l2,  # auto-salt change: salted window path
-        # ---- past the 50-entry gate horizon: green in CORRECTNESS_r05
+        # ---- past the 50-entry gate horizon: green in CORRECTNESS_r05,
+        #      or (first block) green r4 relational/text entries rotated
+        #      out to make window room for the never-gated r6c cohort —
+        #      their subsystems are untouched this round and covered by
+        #      in-window cousins (text_stats, top_customers, events family)
+        "shipping_priority": w.shipping_priority,
+        "region_volume": w.region_volume,
+        "promo_revenue_share": w.promo_revenue_share,
+        "quality_rejects": w.quality_rejects,
+        "token_counts": w.token_counts_q,
+        "lang_id": w.lang_id_q,
+        "fingerprint": w.fingerprint_q,
         "sessionize": w.sessionize,
         "quantize_scan_stream_l2": w.quantize_scan_stream_l2,
         "events_hourly": w.events_hourly,
@@ -281,4 +294,11 @@ def oracle_sql() -> dict[str, str]:
         "lm_doc_scores": o.lm_doc_scores_q(),
         "doc_chunk_overlap": o.doc_chunk_overlap_q(),
         "temperature_mix": o.temperature_mix_q(),
+        "bm25_topk": o.bm25_topk_q(),
+        "hybrid_rrf": o.hybrid_rrf_q(),
+        "matryoshka_rerank_l2": o.matryoshka_rerank_l2_q(),
+        "approx_distinct_audit": o.approx_distinct_audit_q(),  # HLL contract gate
+        "cohort_retention": o.cohort_retention_q(w.WEEK_NS),
+        "event_funnel": o.event_funnel_q(w.FUNNEL_STEPS, w.FUNNEL_WINDOW_NS),
+        "semantic_dedup": o.semantic_dedup_q(),
     }

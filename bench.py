@@ -296,6 +296,16 @@ def main():
     bench("doc_chunk_overlap", lambda: w.doc_chunk_overlap_q(spark, SF_DIR).count())
     bench("temperature_mix", lambda: w.temperature_mix_q(spark, SF_DIR).count())
 
+    # round-6c: hybrid retrieval / matryoshka tier / events analytics /
+    # semantic dedup / HLL audit
+    bench("bm25_topk", lambda: w.bm25_topk_q(spark, SF_DIR).collect())
+    bench("hybrid_rrf", lambda: w.hybrid_rrf_q(spark, SF_DIR).collect())
+    bench("matryoshka_rerank", lambda: w.matryoshka_rerank_l2(spark, SF_DIR).collect())
+    bench("approx_distinct_audit", lambda: w.approx_distinct_audit_q(spark, SF_DIR).count())
+    bench("cohort_retention", lambda: w.cohort_retention_q(spark, SF_DIR).count())
+    bench("event_funnel", lambda: w.event_funnel_q(spark, SF_DIR).count())
+    bench("semantic_dedup", lambda: w.semantic_dedup_q(spark, SF_DIR).count())
+
     total = round(sum(times.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

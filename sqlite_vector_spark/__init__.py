@@ -60,7 +60,9 @@ from sqlite_vector_spark.operators.pq import (
     pq_rerank_scan,
     pq_scan,
 )
-from sqlite_vector_spark.operators.search import full_scan, full_scan_stream
+from sqlite_vector_spark.operators.dedup import semantic_dedup
+from sqlite_vector_spark.operators.retrieval import bm25_scores, bm25_topk, rrf_fuse
+from sqlite_vector_spark.operators.search import full_scan, full_scan_stream, matryoshka_scan
 from sqlite_vector_spark.router import knn
 from sqlite_vector_spark.version import __version__, set_backend, vector_backend, vector_version
 
@@ -112,4 +114,10 @@ __all__ = [
     "bq_random_planes",
     "bq_project_encode",
     "bq_project_rerank_scan",
+    # hybrid retrieval (operators/retrieval.py) + compressed tiers
+    "bm25_scores",
+    "bm25_topk",
+    "rrf_fuse",
+    "matryoshka_scan",
+    "semantic_dedup",
 ]

@@ -522,3 +522,55 @@ def incremental_dedup_pairs(
     )
     within = _bucket_pairs(new_keys, "band", "band_hash")
     return cross.unionByName(within).distinct()
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: Sequence[Sequence[float]],
+    threshold: float,
+    metric: str = "COSINE",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the embedding space, then call two documents duplicates
+    only if their cosine distance is under ``threshold`` AND they share
+    a cluster — the cluster is the candidate blocker that makes the
+    pair search tractable. Keep-rule: a row is dropped iff some
+    same-cluster row with a SMALLER id sits within the threshold
+    (deterministic one-pass approximation of the iterative
+    representative selection; same rule as neardup_representatives).
+
+    Returns (id, cluster, keep) for every non-NULL vector, ordered.
+
+    Scale shape: assignment is map-side (broadcast centroid literals /
+    Arrow kernel, operators/ann.ivf_assign); the pair join is an
+    equi-join ON CLUSTER — candidate volume Σ|c_i|², bounded by the
+    cluster granularity, never corpus². At 100 TB the assigned table
+    is written partitionBy(cluster) once and each cluster's pair scan
+    runs partition-local; the drop set then anti-joins back — all
+    shuffles carry (id, cluster) pairs, not vectors or text.
+    """
+    from sqlite_vector_spark.operators.ann import ivf_assign
+
+    assigned = ivf_assign(df, vec_col, centroids, id_col=id_col, metric="L2")
+    a = assigned.select(F.col("id").alias("a"), F.col("vec").alias("va"), "cluster")
+    b = assigned.select(F.col("id").alias("b"), F.col("vec").alias("vb"), "cluster")
+    dropped = (
+        a.join(b, "cluster")
+        .where(F.col("a") < F.col("b"))
+        .where(distance(F.col("va"), F.col("vb"), metric) < F.lit(threshold))
+        .select(F.col("b").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("_drop", F.lit(1)), "id", "left")
+        .select(
+            "id",
+            # both assignment backends normalize to INT here (codegen's
+            # array_position argmin yields BIGINT, the Arrow kernel int32)
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("_drop").isNull().alias("keep"),
+        )
+        .orderBy("id")
+    )

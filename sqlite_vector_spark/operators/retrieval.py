@@ -1,0 +1,169 @@
+"""Lexical retrieval (BM25) and hybrid lexical+vector fusion (RRF).
+
+The reference is a vector-search extension whose canonical deployment
+pairs it with SQLite's FTS5 for hybrid retrieval (README.md:25-33
+positions it as the vector half of that stack; the extension itself
+ships no lexical scorer). This module supplies the lexical half and
+the fusion step Spark-first, so the two retrieval arms the reference
+user runs today — `vector_full_scan` + an FTS5 MATCH — become two
+DataFrame plans fused by reciprocal-rank.
+
+Scale shapes:
+- ``bm25_topk`` is the quantize two-pass shape: pass 1 computes the
+  corpus statistics (N, Σdl, per-term document frequencies) as ONE
+  tiny aggregate (map-side partials, 1-row result), pass 2 scores
+  every document map-side against the broadcast stats and keeps top-k
+  via TakeOrderedAndProject — only P×k rows leave the executors. No
+  inverted index is materialized: with a literal term list the tf
+  projection is a per-row array_filter, so the "posting list lookup"
+  is a column prune + codegen'd map, which at 100 TB beats shuffling
+  an exploded token table by the token-count multiple.
+- ``rrf_fuse`` joins k-row arms — driver-scale inputs, any join
+  strategy is fine; the plan broadcasts both sides.
+
+Determinism contract (oracle.py mirrors bit-for-bit): the scorer is
+**rational-idf BM25** — idf(t) = (N − df + 0.5)/(df + 0.5), i.e. the
+Robertson odds ratio WITHOUT the log. ln() is not IEEE
+correctly-rounded and differs in the last ulp across libm
+implementations, so a log idf cannot be hash-gated across engines;
+the odds ratio uses only exact-IEEE ops (+ − * /) and is a monotone
+transform of the log form, so per-term ranking is identical (the
+cross-term weighting is slightly sharper — documented engine
+semantics, same trade as eps-snap). k1/b defaults are the classic
+Robertson values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+#: classic Robertson/Sparck-Jones constants
+BM25_K1 = 1.2
+BM25_B = 0.75
+#: reciprocal-rank-fusion damping (Cormack et al.: 60)
+RRF_K = 60
+
+
+def _term_tf(toks: Column, term: str) -> Column:
+    return F.size(F.filter(toks, lambda x: x == F.lit(term))).cast("double")
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Score every document against a literal term list -> (id, score).
+
+    Two passes over the corpus, both narrow: (1) one combined
+    aggregate for N / Σdl / df_t, (2) a map-side scoring projection
+    against the broadcast 1-row stats. The per-term sum folds in
+    fixed literal order, so the double result is partition-layout
+    independent.
+    """
+    from sqlite_vector_spark.functions.text import normalize_text, words
+
+    if not terms:
+        raise ValueError("bm25 needs at least one query term")
+    toks = words(normalize_text(F.col(text_col)))
+    base = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.size(toks).cast("double").alias("dl"),
+        *[_term_tf(toks, t).alias(f"tf_{i}") for i, t in enumerate(terms)],
+    )
+    # stats accumulate as BIGINT (dl and the df indicators are exact
+    # integers), so the partial-sum merge order can't perturb a double
+    # accumulator; the casts back to DOUBLE below are exact
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum(F.col("dl").cast("bigint")).cast("double").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > F.lit(0.0)).cast("bigint")).cast("double").alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    # avgdl = Σdl / N: both operands are integer-exact doubles, the
+    # division is a single correctly-rounded IEEE op -> identical in
+    # any engine. Same for every op below (no transcendentals).
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    one_b = F.lit(1.0) - F.lit(b)
+
+    def term_score(i: int) -> Column:
+        tf = F.col(f"tf_{i}")
+        idf = (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5)) / (F.col(f"df_{i}") + F.lit(0.5))
+        denom = tf + F.lit(k1) * (one_b + F.lit(b) * (F.col("dl") / avgdl))
+        return idf * ((tf * F.lit(k1 + 1.0)) / denom)
+
+    score = term_score(0)
+    for i in range(1, len(terms)):  # fixed left-to-right fold
+        score = score + term_score(i)
+    return base.crossJoin(F.broadcast(stats)).select("id", score.alias("score"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: Sequence[str],
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k lexical retrieval -> (id, score) descending, id-tiebroken.
+
+    Compiles to TakeOrderedAndProject over the map-side scoring
+    projection: per-partition k-heaps, P×k rows to the driver — the
+    same distributed k-slot shape as vector full_scan.
+    """
+    scored = bm25_scores(docs, terms, id_col=id_col, text_col=text_col, k1=k1, b=b)
+    return scored.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
+
+
+def rrf_fuse(
+    arms: Sequence[tuple[DataFrame, str, bool]],
+    k: int,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked retrieval arms.
+
+    Each arm is ``(df, order_col, ascending)`` where ``df`` has an
+    ``id`` column and ``order_col`` defines its ranking (ascending for
+    distances, descending for scores; ties broken by id everywhere).
+    Returns (id, rrf_score, rank_0, rank_1, ...) — top-k by fused
+    score, with each arm's 1-based rank (NULL when the arm missed the
+    id). Inputs are k-row results, so the fusion plan is driver-scale:
+    both sides broadcast, no shuffle of anything large.
+    """
+    fused: DataFrame | None = None
+    rank_cols: list[str] = []
+    for i, (df, order_col, asc) in enumerate(arms):
+        oc = F.col(order_col).asc() if asc else F.col(order_col).desc()
+        w = Window.orderBy(oc, F.col("id").asc())
+        ranked = df.select("id", F.row_number().over(w).alias(f"rank_{i}"))
+        rank_cols.append(f"rank_{i}")
+        fused = ranked if fused is None else fused.join(ranked, "id", "full_outer")
+    assert fused is not None, "rrf_fuse needs at least one arm"
+    contribs = [
+        F.coalesce(
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(c).cast("double")), F.lit(0.0)
+        )
+        for c in rank_cols
+    ]
+    score = contribs[0]
+    for c in contribs[1:]:  # fixed fold order, mirrored in the oracle
+        score = score + c
+    return (
+        fused.select(
+            "id",
+            score.alias("rrf_score"),
+            *[F.col(c).cast("int").alias(c) for c in rank_cols],
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("id").asc())
+        .limit(k)
+    )

@@ -73,3 +73,58 @@ def full_scan_stream(
             distance(F.col(column), query, metric).alias("distance"),
         )
     )
+
+
+def matryoshka_scan(
+    df: DataFrame,
+    column: str,
+    query: Sequence[float],
+    k: int,
+    coarse_dim: int,
+    coarse_m: int,
+    metric: str | Metric = Metric.L2,
+    id_col: str = "id",
+) -> DataFrame:
+    """Two-stage exact search over Matryoshka-style embeddings: a
+    coarse pass on the first ``coarse_dim`` dimensions keeps the best
+    ``coarse_m`` candidates, an exact full-dimension pass reranks them
+    to the final top-k (Kusupati et al., "Matryoshka Representation
+    Learning" — MRL-trained prefixes preserve neighborhoods, so the
+    truncated scan is a high-recall prefilter at coarse_dim/dim of the
+    distance FLOPs).
+
+    The compressed-tier shape WITHOUT a stored index: both passes are
+    the k-slot TakeOrderedAndProject, the coarse pass reads the same
+    parquet but folds only coarse_dim lanes, and the rerank pass
+    touches ``coarse_m`` rows via a broadcast id semi-join (no shuffle
+    of the corpus; survivors' ids — not vectors — are the only thing
+    collected-equivalent in the plan). Complements quantize/PQ/BQ
+    reranks: prefix truncation instead of codes.
+
+    Same result contract as every scan: ascending (distance, id),
+    NULL vectors skipped, ties by id.
+    """
+    if coarse_dim <= 0 or coarse_dim > len(query):
+        raise ValueError("coarse_dim must be in 1..len(query)")
+    if coarse_m < k:
+        raise ValueError("coarse_m must be >= k (rerank cannot widen)")
+    coarse = (
+        df.where(F.col(column).isNotNull())
+        .select(
+            F.col(id_col).cast("bigint").alias("id"),
+            distance(F.slice(F.col(column), 1, coarse_dim), list(query)[:coarse_dim], metric).alias("cd"),
+        )
+        .orderBy(F.col("cd").asc(), F.col("id").asc())
+        .limit(coarse_m)
+        .select("id")
+    )
+    return (
+        df.where(F.col(column).isNotNull())
+        .join(F.broadcast(coarse), F.col(id_col).cast("bigint") == coarse["id"], "left_semi")
+        .select(
+            F.col(id_col).cast("bigint").alias("id"),
+            distance(F.col(column), query, metric).alias("distance"),
+        )
+        .orderBy(F.col("distance").asc(), F.col("id").asc())
+        .limit(k)
+    )

@@ -1615,3 +1615,184 @@ FROM documents d
 JOIN rates r ON r.lang = d.lang
 WHERE {bucket} < r.rate_pm
 ORDER BY doc_id"""
+
+
+# ---------------------------------------------------------------- round-6c: hybrid retrieval / matryoshka / events analytics /
+# ---------------------------------------------------------------- semantic dedup / sketch audits
+
+#: normalized-token list (mirror of functions.text words(normalize_text(...)))
+_NORM_TOKS = ("list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), "
+              f"'{_PUNCT_RE}', ' ', 'g'), '  *', ' ', 'g')), ' '), w -> w <> '')")
+
+
+def _bm25_ctes(terms, k1: float, b: float) -> str:
+    """base/stats CTEs + the fixed-order score expression for
+    rational-idf BM25 (mirror of operators/retrieval.bm25_scores —
+    all constants are Python-computed doubles emitted via repr so
+    both engines parse the identical bit pattern; every op is exact
+    or singly-rounded IEEE, no transcendentals)."""
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0.0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
+        for i in range(len(terms))
+    )
+    one_b = repr(1.0 - b)
+    k1p1 = repr(k1 + 1.0)
+    terms_sql = []
+    for i in range(len(terms)):
+        idf = f"((n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        denom = f"(tf_{i} + {k1!r} * ({one_b} + {b!r} * (dl / (sum_dl / n_docs))))"
+        terms_sql.append(f"({idf} * ((tf_{i} * {k1p1}) / {denom}))")
+    score = terms_sql[0]
+    for t in terms_sql[1:]:
+        score = f"({score} + {t})"
+    return f"""tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, {_NORM_TOKS} AS toks
+  FROM documents WHERE text IS NOT NULL),
+base AS (
+  SELECT id, CAST(len(toks) AS DOUBLE) AS dl,
+         {tf_cols}
+  FROM tok),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE) AS sum_dl,
+         {df_cols}
+  FROM base),
+scored AS (
+  SELECT id, {score} AS score FROM base, stats)"""
+
+
+def bm25_topk_q() -> str:
+    from sqlite_vector_spark.operators.retrieval import BM25_B, BM25_K1
+    from sqlite_vector_spark.workload import BM25_TERMS, HYBRID_K
+
+    return f"""WITH {_bm25_ctes(BM25_TERMS, BM25_K1, BM25_B)}
+SELECT id, score FROM scored
+ORDER BY score DESC, id ASC
+LIMIT {HYBRID_K}"""
+
+
+def hybrid_rrf_q() -> str:
+    from sqlite_vector_spark.operators.retrieval import BM25_B, BM25_K1, RRF_K
+    from sqlite_vector_spark.workload import BM25_TERMS, HYBRID_K
+
+    d = dist_sql("COSINE", "embedding", "q")
+    rk = repr(float(RRF_K))
+    return f"""WITH {_bm25_ctes(BM25_TERMS, BM25_K1, BM25_B)},
+varm AS (
+  SELECT vec_id AS id, {d} AS distance
+  FROM embeddings, (SELECT {qvec_literal(Q64)} AS q)
+  WHERE embedding IS NOT NULL
+  ORDER BY distance ASC, id ASC LIMIT {HYBRID_K}),
+vr AS (
+  SELECT id, row_number() OVER (ORDER BY distance ASC, id ASC) AS rank_0 FROM varm),
+larm AS (
+  SELECT id, score FROM scored ORDER BY score DESC, id ASC LIMIT {HYBRID_K}),
+br AS (
+  SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rank_1 FROM larm),
+fused AS (
+  SELECT coalesce(vr.id, br.id) AS id, vr.rank_0 AS rank_0, br.rank_1 AS rank_1
+  FROM vr FULL OUTER JOIN br ON vr.id = br.id)
+SELECT id,
+       (coalesce(1.0 / ({rk} + CAST(rank_0 AS DOUBLE)), 0.0)
+        + coalesce(1.0 / ({rk} + CAST(rank_1 AS DOUBLE)), 0.0)) AS rrf_score,
+       CAST(rank_0 AS INTEGER) AS rank_0,
+       CAST(rank_1 AS INTEGER) AS rank_1
+FROM fused
+ORDER BY rrf_score DESC, id ASC
+LIMIT {HYBRID_K}"""
+
+
+def matryoshka_rerank_l2_q() -> str:
+    from sqlite_vector_spark.workload import MAT_DIM, MAT_M
+
+    # _pair_fold indexes a[i] for i in 1..dim, so the coarse pass is
+    # just dist_sql at dim=MAT_DIM over the untruncated column — the
+    # same lanes the Spark side folds over slice(embedding, 1, MAT_DIM)
+    cd = dist_sql("L2", "embedding", "q16", MAT_DIM)
+    d = dist_sql("L2", "embedding", "qf")
+    return f"""WITH q AS (
+  SELECT {qvec_literal(Q64[:MAT_DIM])} AS q16, {qvec_literal(Q64)} AS qf),
+cand AS (
+  SELECT vec_id AS id FROM embeddings, q
+  WHERE embedding IS NOT NULL
+  ORDER BY {cd} ASC, vec_id ASC LIMIT {MAT_M})
+SELECT vec_id AS id, {d} AS distance
+FROM embeddings, q
+WHERE embedding IS NOT NULL AND vec_id IN (SELECT id FROM cand)
+ORDER BY distance ASC, id ASC
+LIMIT {K}"""
+
+
+def approx_distinct_audit_q() -> str:
+    # Invariant gate (same pattern as approx_quantile_audit_q): the
+    # oracle can't reproduce Spark's HLL++ registers, but the exact
+    # distinct count and the literal-TRUE contract column are exact;
+    # a sketch/merge regression that breaks the 4-sigma bound
+    # hash-fails on within_bound.
+    return """SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_bound
+FROM events WHERE user_id IS NOT NULL
+GROUP BY event_type ORDER BY event_type"""
+
+
+def cohort_retention_q(week_ns: int) -> str:
+    return f"""WITH uw AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // {week_ns} AS week FROM events),
+cw AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id)
+SELECT cohort_week, week - cohort_week AS week_offset, count(*) AS n_users
+FROM uw JOIN cw USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2"""
+
+
+def event_funnel_q(steps, window_ns: int) -> str:
+    s1, s2, s3 = steps
+    return f"""WITH e AS (
+  SELECT user_id, event_type, epoch_ns(ts) AS ts_ns FROM events),
+f1 AS (
+  SELECT user_id, min(ts_ns) AS t1 FROM e WHERE event_type = '{s1}' GROUP BY user_id),
+f2 AS (
+  SELECT e.user_id, t1, min(ts_ns) AS t2
+  FROM e JOIN f1 USING (user_id)
+  WHERE event_type = '{s2}' AND ts_ns > t1 AND ts_ns - t1 <= {window_ns}
+  GROUP BY e.user_id, t1),
+f3 AS (
+  SELECT e.user_id, min(ts_ns) AS t3
+  FROM e JOIN f2 USING (user_id)
+  WHERE event_type = '{s3}' AND ts_ns > t2 AND ts_ns - t1 <= {window_ns}
+  GROUP BY e.user_id)
+SELECT CAST(1 AS INTEGER) AS step_idx, '{s1}' AS step, count(*) AS n_users FROM f1
+UNION ALL
+SELECT CAST(2 AS INTEGER), '{s2}', count(*) FROM f2
+UNION ALL
+SELECT CAST(3 AS INTEGER), '{s3}', count(*) FROM f3
+ORDER BY step_idx"""
+
+
+def semantic_dedup_q() -> str:
+    from sqlite_vector_spark.workload import SEM_C, SEM_T
+
+    d_assign = dist_sql("L2", "e.embedding", "c.cv")
+    d_pair = dist_sql("COSINE", "a.v", "b.v")
+    return f"""WITH cent AS (
+  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cv
+  FROM embeddings WHERE vec_id < {SEM_C}),
+assign AS (
+  SELECT id, v, cluster FROM (
+    SELECT e.vec_id AS id, e.embedding AS v, c.cid AS cluster,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d_assign} ASC, c.cid ASC) AS rn
+    FROM embeddings e, cent c WHERE e.embedding IS NOT NULL)
+  WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT b.id AS id
+  FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.id < b.id
+  WHERE {d_pair} < {SEM_T!r})
+SELECT s.id, CAST(s.cluster AS INTEGER) AS cluster,
+       (s.id NOT IN (SELECT id FROM dropped)) AS keep
+FROM assign s
+ORDER BY s.id"""

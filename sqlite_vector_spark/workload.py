@@ -1995,3 +1995,181 @@ def temperature_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").cast("bigint").alias("doc_id"), "lang", "rate_pm", "bucket")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------- round-6c: hybrid retrieval / matryoshka / events analytics /
+# ---------------------------------------------------------------- semantic dedup / sketch audits
+
+#: BM25 query terms (literal list — the lexical analog of Q64)
+BM25_TERMS = ("customer", "window", "stream")
+#: per-arm depth for hybrid fusion (same K as the vector scans)
+HYBRID_K = 20
+
+
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical top-k over the documents table: rational-idf BM25
+    against the literal BM25_TERMS (operators/retrieval.py — the FTS5
+    arm of the reference's canonical hybrid deployment, Spark-first).
+    Two narrow passes: one tiny stats agg, one map-side scoring
+    projection into TakeOrderedAndProject."""
+    from sqlite_vector_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), BM25_TERMS, HYBRID_K)
+
+
+def hybrid_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: vector cosine top-k + BM25 top-k fused by
+    reciprocal rank (RRF, damping 60). The two arms are independent
+    k-row results (documents/embeddings share the id space), so the
+    fusion join is driver-scale whatever the corpus size — the arms
+    do all the heavy lifting in their own optimal plans."""
+    from sqlite_vector_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+    vec = full_scan(_emb(spark, sf_dir), "embedding", Q64, HYBRID_K, "COSINE", id_col="vec_id")
+    lex = bm25_topk(_docs(spark, sf_dir), BM25_TERMS, HYBRID_K)
+    return rrf_fuse([(vec, "distance", True), (lex, "score", False)], HYBRID_K)
+
+
+#: Matryoshka prefix length + coarse candidate count. Half-dim prefix
+#: (the canonical MRL halving); the synthetic fixture is not
+#: MRL-trained, so shorter prefixes lose neighborhood fidelity —
+#: measured recall@10 vs exact at sf0.001: dim 16 -> 4/10, 24 -> 6/10,
+#: 32 -> 8/10 at MAT_M=60.
+MAT_DIM = 32
+MAT_M = 60
+
+
+def matryoshka_rerank_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-truncated two-stage search (operators/search.py
+    matryoshka_scan): coarse L2 on the first MAT_DIM dims keeps MAT_M
+    candidates, exact full-dim rerank emits top-K — the no-index
+    member of the compressed-tier family (quantize/PQ/BQ store codes;
+    this one just folds fewer lanes on pass 1)."""
+    from sqlite_vector_spark.operators.search import matryoshka_scan
+
+    return matryoshka_scan(
+        _emb(spark, sf_dir), "embedding", Q64, K, MAT_DIM, MAT_M, "L2", id_col="vec_id"
+    )
+
+
+#: HLL++ relative standard deviation for the distinct-count audit
+AD_RSD = 0.05
+
+
+def approx_distinct_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch audit for the 100 TB distinct-count path:
+    approx_count_distinct (HLL++) per event_type checked against the
+    exact distinct count, CONTRACT-gated like approx_quantile_audit —
+    the oracle can't reproduce Spark's register layout, but the error
+    bound holds however the partials merged (HLL merge is a register
+    max — commutative, partition-layout independent). within_bound
+    allows 4 sigma of the configured rsd (floor 5 absolute for tiny
+    groups); the oracle emits the exact count and literal TRUE."""
+    ev = load_events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    r = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", AD_RSD).alias("approx_u"),
+        F.countDistinct("user_id").alias("exact_u"),
+    )
+    bound = F.greatest(
+        F.ceil(F.lit(4.0 * AD_RSD) * F.col("exact_u").cast("double")).cast("bigint"),
+        F.lit(5).cast("bigint"),
+    )
+    within = F.abs(F.col("approx_u") - F.col("exact_u")) <= bound
+    return r.select(
+        "event_type",
+        F.col("exact_u").cast("bigint").alias("exact_users"),
+        within.alias("within_bound"),
+    ).orderBy("event_type")
+
+
+#: integer epoch-week bucket (timezone-free, mirrors events_hourly)
+WEEK_NS = 7 * 86_400 * 1_000_000_000
+
+
+def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by first-seen
+    epoch week, counted per (cohort_week, week_offset) of later
+    activity — the standard growth-analytics rollup, expressed so the
+    user-level reduction and the matrix aggregation are the only two
+    shuffles. (user, week) is de-duplicated FIRST, so the matrix agg
+    counts rows, not distincts, and the per-user min rides the same
+    shuffled layout."""
+    ev = load_events(spark, sf_dir)
+    uw = ev.select(
+        "user_id", F.expr(f"ts_ns div {WEEK_NS}").alias("week")
+    ).distinct()
+    cw = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(cw, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+#: ordered funnel steps + completion window
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_NS = 7 * 86_400 * 1_000_000_000
+
+
+def event_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel: per user, the earliest 'view', then the
+    earliest 'click' strictly after it, then the earliest 'purchase'
+    strictly after that — later steps must land within
+    FUNNEL_WINDOW_NS of the step-1 anchor. Emits users-per-step.
+
+    Scale shape: each stage is a groupBy(user) min over a
+    type-filtered slice joined to the previous stage's (user, ts)
+    table — every join and agg shuffles on user_id, so AQE co-locates
+    the chain on one partitioning; no windows over the raw stream, no
+    per-user event lists materialized."""
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts_ns")
+    s1 = (
+        ev.where(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .where((F.col("ts_ns") > F.col("t1")) & (F.col("ts_ns") - F.col("t1") <= FUNNEL_WINDOW_NS))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts_ns").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .where((F.col("ts_ns") > F.col("t2")) & (F.col("ts_ns") - F.col("t1") <= FUNNEL_WINDOW_NS))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t3"))
+    )
+
+    def _count(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(idx).alias("step_idx"), F.lit(name).alias("step"), "n_users"
+        )
+
+    return (
+        _count(s1, 1, FUNNEL_STEPS[0])
+        .unionByName(_count(s2, 2, FUNNEL_STEPS[1]))
+        .unionByName(_count(s3, 3, FUNNEL_STEPS[2]))
+        .orderBy("step_idx")
+    )
+
+
+#: semantic-dedup cluster count (first-C seed centroids) + threshold
+SEM_C = 8
+SEM_T = 0.72
+
+
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table (operators/dedup.py
+    semantic_dedup): cluster-blocked cosine near-dup detection, keep
+    the smallest id per duplicate neighborhood. Centroids are the
+    deterministic first-SEM_C rows (the oracle-friendly seeding; real
+    pipelines pass kmeans_fit(init='kmeans++') output instead)."""
+    from sqlite_vector_spark.operators.dedup import semantic_dedup
+
+    emb = _emb(spark, sf_dir)
+    cent = [list(r.embedding) for r in emb.where(F.col("vec_id") < SEM_C).orderBy("vec_id").collect()]
+    return semantic_dedup(emb, "vec_id", "embedding", cent, SEM_T, metric="COSINE")

@@ -189,3 +189,38 @@ def test_ivf_pq_knn_join_broadcasts_query_side(spark):
     # the only hash exchange is the per-qid rank window, never the corpus scan side
     before_join = plan[: plan.index("BroadcastHashJoin")]
     assert "hashpartitioning(id" not in before_join
+
+
+def test_bm25_scoring_is_map_side_no_token_explode(spark):
+    """BM25 without an inverted index: the tf projection is a per-row
+    array_filter, so the plan must contain NO Generate (token explode)
+    and keep the top-k as TakeOrderedAndProject — the only exchange is
+    the 1-row stats aggregate."""
+    df = w.bm25_topk_q(spark, SF)
+    assert_in_plan(df, "TakeOrderedAndProject", "BroadcastNestedLoopJoin")
+    assert_not_in_plan(df, "Generate", "SortExec")
+
+
+def test_matryoshka_rerank_semijoin_is_broadcast(spark):
+    """The coarse survivors rejoin the corpus as a broadcast left-semi
+    on id — the corpus itself must not shuffle between passes."""
+    df = w.matryoshka_rerank_l2(spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "hashpartitioning(vec_id" not in plan and "hashpartitioning(id" not in plan
+
+
+def test_semantic_dedup_pair_join_is_cluster_equijoin(spark):
+    """The SemDeDup pair search must stay blocked on cluster: an
+    equi-join keyed by the cluster id, never a nested-loop/cartesian
+    pair scan over the corpus."""
+    df = w.semantic_dedup_q(spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    # the id-inequality + distance threshold ride an EQUI join keyed on
+    # cluster (AQE may pick broadcast-hash at test scale; shuffled hash /
+    # sort-merge at real scale) — never a nested-loop downgrade
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan)

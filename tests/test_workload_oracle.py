@@ -24,6 +24,13 @@ SPOT = [
     "pq_scan_l2",
     "ivf_pq_scan_l2",
     "bq_scan_hamming",
+    # round-6c additions: hybrid retrieval / analytics / semantic dedup
+    "bm25_topk",
+    "hybrid_rrf",
+    "matryoshka_rerank_l2",
+    "cohort_retention",
+    "event_funnel",
+    "semantic_dedup",
 ]
 
 

@@ -77,6 +77,13 @@ def main():
         ("lm_doc_scores", "LM scoring: broadcast count joins, per-doc fixed-point aggregate", w.lm_doc_scores_q),
         ("doc_chunk_overlap", "sliding-window chunking: map-only HOF explode, no shuffle", w.doc_chunk_overlap_q),
         ("temperature_mix", "temperature mixing: tiny count agg broadcast back, map-side bucket cut", w.temperature_mix_q),
+        # round-6c additions
+        ("bm25_topk", "BM25: no token explode — per-row tf filters, 1-row stats broadcast, TakeOrdered", w.bm25_topk_q),
+        ("hybrid_rrf", "hybrid fusion: two k-row arms, driver-scale full-outer join", w.hybrid_rrf_q),
+        ("matryoshka_rerank_l2", "prefix-dim coarse scan + broadcast-semi-join exact rerank", w.matryoshka_rerank_l2),
+        ("cohort_retention", "cohort matrix: (user,week) dedup + user-min + matrix agg, two key shuffles", w.cohort_retention_q),
+        ("event_funnel", "ordered funnel: user-keyed agg/join chain, AQE co-located", w.event_funnel_q),
+        ("semantic_dedup", "SemDeDup: map-side assign, cluster-keyed equi pair join, anti drop-back", w.semantic_dedup_q),
     ]
 
     print("# PLANS — physical plans of headline operators (sf0.001, AQE on)")
