@@ -306,6 +306,13 @@ def main():
     bench("event_funnel", lambda: w.event_funnel_q(spark, SF_DIR).count())
     bench("semantic_dedup", lambda: w.semantic_dedup_q(spark, SF_DIR).count())
 
+    # ---- r6d: corpus cleaning / labeling / feature ops
+    bench("boilerplate_strip", lambda: w.boilerplate_strip_q(spark, SF_DIR).count())
+    bench("gopher_quality", lambda: w.gopher_quality_q(spark, SF_DIR).count())
+    bench("knn_classify", lambda: w.knn_classify_q(spark, SF_DIR).count())
+    bench("embedding_outliers", lambda: w.embedding_outliers_q(spark, SF_DIR).count())
+    bench("user_rolling", lambda: w.user_rolling_q(spark, SF_DIR).count())
+
     total = round(sum(times.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
