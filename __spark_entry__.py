@@ -81,7 +81,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_code_dedup": w.embedding_code_dedup_q,
         "quantize_scan_l2": w.quantize_scan_l2,
         "f16_scan_l2": w.f16_scan_l2,
-        "bf16_scan_l2": w.bf16_scan_l2,
         "i8_scan_l2": w.i8_scan_l2,
         "token_budget_pack": w.token_budget_pack_q,
         "corpus_prep": w.corpus_prep_q,
@@ -128,21 +127,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    user_rolling doubles as the events-loader spot-check and
         #    knn_classify as the auto-salt kNN spot-check, so five of
         #    the r5-green spot-checks rotate past the horizon below.
+        #    (spot-check: single-pass / frozen-params quantize path)
+        "quantize_update_codes": w.quantize_update_codes,
         "boilerplate_strip": w.boilerplate_strip_q,
         "gopher_quality": w.gopher_quality_q,
         "knn_classify": w.knn_classify_q,
         "embedding_outliers": w.embedding_outliers_q,
         "user_rolling": w.user_rolling_q,
-        # -- spot-checks: subsystems touched this round
-        #    (single-pass / frozen-params quantize path)
-        "quantize_update_codes": w.quantize_update_codes,
-        #    (kmeans_fit init refactor)
-        "ivf_kmeans_scan_l2": w.ivf_kmeans_scan_l2,  # hash-gated: fixed iters unroll to SQL
+        "user_decay": w.user_decay_q,
+        "mmr_rerank_l2": w.mmr_rerank_l2,
         # ---- past the 50-entry gate horizon: green in CORRECTNESS_r05,
         #      or (first block) green r4 relational/text entries rotated
         #      out to make window room for the never-gated r6c cohort —
         #      their subsystems are untouched this round and covered by
         #      in-window cousins (text_stats, top_customers, events family)
+        "ivf_kmeans_scan_l2": w.ivf_kmeans_scan_l2,  # hash-gated: fixed iters unroll to SQL
+        "bf16_scan_l2": w.bf16_scan_l2,  # halffloat family: f16_scan_l2 stays in-window
         "asof_join_events": w.asof_join_events_q,
         "asof_null_carry_events": w.asof_null_carry_events_q,
         "value_quantiles": w.value_quantiles_q,
@@ -314,4 +314,6 @@ def oracle_sql() -> dict[str, str]:
         "knn_classify": o.knn_classify_q(),
         "embedding_outliers": o.embedding_outliers_q(),
         "user_rolling": o.user_rolling_q(),
+        "user_decay": o.user_decay_q(),
+        "mmr_rerank_l2": o.mmr_rerank_l2_q(),
     }

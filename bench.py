@@ -312,6 +312,8 @@ def main():
     bench("knn_classify", lambda: w.knn_classify_q(spark, SF_DIR).count())
     bench("embedding_outliers", lambda: w.embedding_outliers_q(spark, SF_DIR).count())
     bench("user_rolling", lambda: w.user_rolling_q(spark, SF_DIR).count())
+    bench("user_decay", lambda: w.user_decay_q(spark, SF_DIR).count())
+    bench("mmr_rerank", lambda: w.mmr_rerank_l2(spark, SF_DIR).collect())
 
     total = round(sum(times.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -167,3 +167,70 @@ def rrf_fuse(
         .orderBy(F.col("rrf_score").desc(), F.col("id").asc())
         .limit(k)
     )
+
+
+def mmr_select(
+    corpus: DataFrame,
+    query: Sequence[float],
+    c: int,
+    k: int,
+    lam: float = 0.7,
+    metric: str = "L2",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998): retrieve the ``c`` most relevant candidates,
+    then greedily pick ``k`` of them maximizing
+    ``lam * relevance - (1 - lam) * redundancy`` — with distances,
+    each step takes argmin of ``lam * d(q, x) - (1 - lam) *
+    min_{s in S} d(x, s)``, ties to the smaller id. Step 1 is the
+    pure-relevance pick. Returns (mmr_rank, id, distance).
+
+    Scale shape: the candidate fetch is the distributed part — a
+    TakeOrderedAndProject top-c over the full corpus. The greedy loop
+    is O(k·c) on c collected rows (k, c are result-sized, like the
+    reference's k-row result sets), driver-side by design: MMR is
+    inherently sequential, and shipping c ~ tens of rows beats k
+    cluster round-trips. Pair distances replicate the engine's
+    sequential IEEE fold + eps-snap bitwise, so results hash-match
+    the recursive-CTE oracle.
+    """
+    import math
+
+    from sqlite_vector_spark.functions.distance import EPS_SNAP, distance, vector_literal
+
+    emb = corpus.where(F.col(vec_col).isNotNull())
+    scored = emb.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.col(vec_col).alias("v"),
+        distance(F.col(vec_col), vector_literal(query), metric).alias("dq"),
+    )
+    cand = scored.orderBy(F.col("dq").asc(), F.col("id").asc()).limit(c).collect()
+
+    def seq_l2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            d = float(x) - float(y)
+            acc += d * d
+        d = math.sqrt(acc)
+        return 0.0 if abs(d) <= EPS_SNAP else d
+
+    rows = {r.id: r for r in cand}
+    selected: list[int] = []
+    pair: dict[tuple[int, int], float] = {}
+    while len(selected) < min(k, len(rows)):
+        best = None
+        for cid, r in rows.items():
+            if cid in selected:
+                continue
+            if not selected:
+                score = r.dq  # argmin dq == argmin lam*dq at step 1
+            else:
+                red = min(pair.setdefault((cid, s), seq_l2(r.v, rows[s].v)) for s in selected)
+                score = lam * r.dq - (1.0 - lam) * red
+            if best is None or (score, cid) < best:
+                best = (score, cid)
+        selected.append(best[1])
+    out = [(i + 1, cid, rows[cid].dq) for i, cid in enumerate(selected)]
+    return corpus.sparkSession.createDataFrame(out, "mmr_rank int, id bigint, distance double")

@@ -1929,3 +1929,57 @@ SELECT event_id, user_id, us AS ts_us,
        CAST(sum(CAST(round(value * 10000.0) AS DECIMAL(38,0))) OVER ({frame}) AS DOUBLE) / 10000.0 AS sum_value_7d
 FROM e
 ORDER BY event_id"""
+
+
+def user_decay_q() -> str:
+    from sqlite_vector_spark.workload import _DECAY_DAY_US, DECAY_CAP_D
+
+    shift = (
+        f"(CAST(1 AS BIGINT) << CAST({DECAY_CAP_D} - "
+        f"least((tmax_us - us) // {_DECAY_DAY_US}, {DECAY_CAP_D}) AS INTEGER))"
+    )
+    return f"""WITH e AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS us, value FROM events),
+t AS (SELECT max(us) AS tmax_us FROM e),
+s AS (
+  SELECT user_id, CAST(round(value * 10000.0) AS BIGINT) * {shift} AS fx
+  FROM e, t)
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(fx AS DECIMAL(38,0))) AS DOUBLE) / {10_000.0 * float(1 << DECAY_CAP_D)!r} AS decay_score
+FROM s GROUP BY user_id ORDER BY user_id"""
+
+
+def mmr_rerank_l2_q() -> str:
+    from sqlite_vector_spark.workload import MMR_C, MMR_K, MMR_LAM, Q64
+
+    dq = dist_sql("L2", "embedding", "qv")
+    dpair = dist_sql("L2", "va", "vb")
+    return f"""WITH RECURSIVE
+q AS (SELECT {qvec_literal(Q64)} AS qv),
+cand AS (
+  SELECT id, v, dq FROM (
+    SELECT e.vec_id AS id, e.embedding AS v, {dq} AS dq,
+           row_number() OVER (ORDER BY {dq} ASC, e.vec_id ASC) AS rn
+    FROM embeddings e, q WHERE e.embedding IS NOT NULL)
+  WHERE rn <= {MMR_C}),
+pair AS (
+  SELECT a.id AS pa, b.id AS pb, {dpair} AS d
+  FROM (SELECT id, v AS va FROM cand) a, (SELECT id, v AS vb FROM cand) b
+  WHERE a.id <> b.id),
+sel AS (
+  SELECT 1 AS step,
+         [(SELECT id FROM cand ORDER BY dq ASC, id ASC LIMIT 1)] AS ids
+  UNION ALL
+  SELECT s.step + 1,
+         list_append(s.ids, (
+           SELECT c.id FROM cand c
+           WHERE NOT list_contains(s.ids, c.id)
+           ORDER BY {MMR_LAM!r} * c.dq - {1.0 - MMR_LAM!r} * (
+             SELECT min(p.d) FROM pair p WHERE p.pa = c.id AND list_contains(s.ids, p.pb)
+           ) ASC, c.id ASC LIMIT 1))
+  FROM sel s WHERE s.step < {MMR_K})
+SELECT CAST(u.ord AS INTEGER) AS mmr_rank, CAST(u.id AS BIGINT) AS id, c.dq AS distance
+FROM (SELECT unnest(ids) AS id, generate_subscripts(ids, 1) AS ord
+      FROM sel WHERE step = {MMR_K}) u
+JOIN cand c ON c.id = u.id
+ORDER BY mmr_rank"""

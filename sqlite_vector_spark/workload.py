@@ -2362,3 +2362,60 @@ def rolling_user_features(ev: DataFrame, win_us: int) -> DataFrame:
             / F.lit(10_000.0)
         ).alias("sum_value_7d"),
     )
+
+
+#: time-decay half-life parameters: weight halves per day of age,
+#: floored at DECAY_CAP_D days (older events contribute 2^-CAP).
+#: Power-of-2 weights keep the whole computation in exact integer
+#: arithmetic — no transcendentals, no float-sum order dependence.
+DECAY_CAP_D = 30
+_DECAY_DAY_US = 86_400_000_000
+
+
+def user_decay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed per-user engagement score (recency-weighted
+    features for ranking / retention models): score = Σ value ·
+    2^(-age_days), age measured back from the corpus max timestamp
+    and capped at DECAY_CAP_D days.
+
+    Determinism at scale: the weight 2^-k is applied as an integer
+    LEFT SHIFT of the fixed-point value (round(value·1e4) <<
+    (CAP - k)) summed in DECIMAL(38,0) — order-independent and
+    bit-identical across engines; one double division at the end
+    rescales. The max-timestamp is a 1-row agg broadcast back; the
+    score itself is one user_id shuffle with map-side partials."""
+    ev = load_events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    tmax = ev.agg(F.max("ts_us").alias("tmax_us"))
+    fx = F.round(F.col("value") * F.lit(10_000.0)).cast("bigint") * F.expr(
+        f"shiftleft(1L, cast({DECAY_CAP_D} - least((tmax_us - ts_us) div {_DECAY_DAY_US}, {DECAY_CAP_D}) as int))"
+    )
+    return (
+        ev.crossJoin(F.broadcast(tmax))
+        .select(F.col("user_id").cast("bigint").alias("user_id"), fx.alias("fx"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.col("fx").cast("decimal(38,0)")).cast("double")
+                / F.lit(10_000.0 * float(1 << DECAY_CAP_D))
+            ).alias("decay_score"),
+        )
+        .orderBy("user_id")
+    )
+
+
+#: MMR diversified retrieval: candidate pool, result size, trade-off
+MMR_C = 40
+MMR_K = 10
+MMR_LAM = 0.7
+
+
+def mmr_rerank_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-k (operators/retrieval.py mmr_select):
+    distributed top-MMR_C candidate fetch, then the inherently
+    sequential greedy diversification over the collected pool."""
+    from sqlite_vector_spark.operators.retrieval import mmr_select
+
+    return mmr_select(
+        _emb(spark, sf_dir), Q64, MMR_C, MMR_K, MMR_LAM, "L2"
+    ).orderBy("mmr_rank")

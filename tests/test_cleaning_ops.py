@@ -156,3 +156,73 @@ def test_rolling_frame_is_inclusive_of_boundary(spark):
     )
     out = {r.event_id: r for r in rolling_user_features(ev, 100).collect()}
     assert out[2].n_7d == 2 and out[2].sum_value_7d == 3.0
+
+
+# ---------------------------------------------------------------- time-decayed user scores
+
+
+def test_user_decay_exact_weights(spark, tmp_path):
+    from datetime import datetime
+
+    from sqlite_vector_spark import workload as w
+
+    base = datetime(2024, 3, 31, 12, 0, 0)  # becomes tmax
+    day = 86_400
+    rows = [
+        (1, base, 100, "click", 10.0, "{}"),
+        (2, datetime.fromtimestamp(base.timestamp() - day), 100, "click", 10.0, "{}"),
+        (3, datetime.fromtimestamp(base.timestamp() - 2 * day), 100, "click", 40.0, "{}"),
+        (4, datetime.fromtimestamp(base.timestamp() - 100 * day), 100, "click", 10.0, "{}"),  # capped
+        (5, base, 200, "view", 8.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    sf = str(tmp_path / "decay")
+    ev.write.parquet(f"{sf}/events.parquet")
+    out = {r.user_id: r for r in w.user_decay_q(spark, sf).collect()}
+    # user 100: 10*1 + 10*0.5 + 40*0.25 + 10*2^-30 (age capped at 30d)
+    expect = 10.0 + 5.0 + 10.0 + 10.0 * 2.0**-30
+    assert out[100].n_events == 4
+    assert math.isclose(out[100].decay_score, expect, rel_tol=1e-12)
+    assert out[200].n_events == 1 and out[200].decay_score == 8.0
+
+
+# ---------------------------------------------------------------- MMR diversified retrieval
+
+
+def test_mmr_reduces_to_topk_at_lambda_one(spark):
+    from sqlite_vector_spark.operators.retrieval import mmr_select
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(1, 8)], "vec_id long, embedding array<float>"
+    )
+    out = mmr_select(emb, [0.0, 0.0], c=7, k=3, lam=1.0).collect()
+    assert [(r.mmr_rank, r.id) for r in out] == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_mmr_diversifies_across_clusters(spark):
+    from sqlite_vector_spark.operators.retrieval import mmr_select
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.10, 0.0]),  # cluster A, most relevant
+            (2, [0.11, 0.0]),  # cluster A, redundant with 1
+            (3, [0.0, 1.0]),   # cluster B, less relevant but diverse
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pure = [r.id for r in mmr_select(emb, [0.0, 0.0], c=3, k=2, lam=1.0).collect()]
+    assert pure == [1, 2]  # relevance-only keeps the redundant pair
+    div = [r.id for r in mmr_select(emb, [0.0, 0.0], c=3, k=2, lam=0.5).collect()]
+    assert div == [1, 3]  # diversification swaps in cluster B
+
+
+def test_mmr_k_exceeding_pool_returns_pool(spark):
+    from sqlite_vector_spark.operators.retrieval import mmr_select
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [2.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    out = mmr_select(emb, [0.0, 0.0], c=5, k=10, lam=0.7).collect()
+    assert len(out) == 2
