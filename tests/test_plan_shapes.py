@@ -224,3 +224,52 @@ def test_semantic_dedup_pair_join_is_cluster_equijoin(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
             or "ShuffledHashJoin" in plan)
+
+
+def test_boilerplate_anti_join_is_broadcast(spark):
+    """The boilerplate set (df >= min_df) must broadcast back as an
+    ANTI join — a shuffled (sort-merge) anti join would re-shuffle
+    the chunk text corpus-wide."""
+    df = w.boilerplate_strip_q(spark, SF)
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan, plan[:1200]
+    assert_not_in_plan(df, "SortMergeJoin", "CartesianProduct")
+
+
+def test_gopher_quality_has_no_key_shuffle(spark):
+    """Quality rules are map-only HOF arithmetic: the only exchanges
+    allowed are the deliberate widen() round-robin and the final
+    presentation sort — never a hashpartitioning shuffle."""
+    plan = physical_plan(w.gopher_quality_q(spark, SF))
+    assert "hashpartitioning" not in plan, plan[:1200]
+
+
+def test_user_rolling_single_key_shuffle(spark):
+    """The RANGE-frame window needs exactly one user_id hash
+    exchange; a second would mean the frame re-partitions."""
+    plan = physical_plan(w.user_rolling_q(spark, SF))
+    assert plan.count("hashpartitioning(user_id") == 1, plan[:1500]
+
+
+def test_user_decay_broadcasts_max_timestamp(spark):
+    """The 1-row max-timestamp agg must ride in as a broadcast, and
+    the score agg is the only user_id shuffle."""
+    df = w.user_decay_q(spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan[:1200]
+    assert plan.count("hashpartitioning(user_id") >= 1
+    assert_not_in_plan(df, "SortMergeJoin")
+
+
+def test_mmr_candidate_fetch_is_take_ordered(spark):
+    """The distributed leg of MMR is the top-C candidate fetch — it
+    must plan as TakeOrderedAndProject, not a global sort."""
+    from sqlite_vector_spark.functions.distance import distance, vector_literal
+
+    emb = w._emb(spark, SF).where(F.col("embedding").isNotNull())
+    scored = emb.select(
+        F.col("vec_id").cast("bigint").alias("id"),
+        F.col("embedding").alias("v"),
+        distance(F.col("embedding"), vector_literal(w.Q64), "L2").alias("dq"),
+    ).orderBy(F.col("dq").asc(), F.col("id").asc()).limit(w.MMR_C)
+    assert_in_plan(scored, "TakeOrderedAndProject")

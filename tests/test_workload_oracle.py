@@ -31,6 +31,14 @@ SPOT = [
     "cohort_retention",
     "event_funnel",
     "semantic_dedup",
+    # round-6d additions: cleaning / labeling / feature ops
+    "boilerplate_strip",
+    "gopher_quality",
+    "knn_classify",
+    "embedding_outliers",
+    "user_rolling",
+    "user_decay",
+    "mmr_rerank_l2",
 ]
 
 

@@ -84,6 +84,12 @@ def main():
         ("cohort_retention", "cohort matrix: (user,week) dedup + user-min + matrix agg, two key shuffles", w.cohort_retention_q),
         ("event_funnel", "ordered funnel: user-keyed agg/join chain, AQE co-located", w.event_funnel_q),
         ("semantic_dedup", "SemDeDup: map-side assign, cluster-keyed equi pair join, anti drop-back", w.semantic_dedup_q),
+        # round-6d additions
+        ("boilerplate_strip", "boilerplate strip: hash-only df exchange, broadcast anti-join, one re-agg", w.boilerplate_strip_q),
+        ("gopher_quality", "Gopher rules: map-only HOF arithmetic, zero exchanges", w.gopher_quality_q),
+        ("user_rolling", "rolling features: single user_id exchange feeding the RANGE frame", w.user_rolling_q),
+        ("user_decay", "decay scores: 1-row max broadcast, integer-shift weights, one user agg", w.user_decay_q),
+        ("embedding_outliers", "outlier flag: posexplode 2-agg centroid, 1-row broadcast, rank window", w.embedding_outliers_q),
     ]
 
     print("# PLANS — physical plans of headline operators (sf0.001, AQE on)")
