@@ -283,12 +283,27 @@ def knn_label_propagation(
         query_vec=query_vec, corpus_vec=corpus_vec,
         query_id=query_id, corpus_id=corpus_id,
     )
+    return majority_vote(nn, corpus, corpus_id=corpus_id, label_col=label_col)
+
+
+def majority_vote(
+    nn: DataFrame,
+    corpus: DataFrame,
+    corpus_id: str = "id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Vote step over ANY neighbor result carrying (qid, id) — the
+    exact knn_join above, or operators/ann.py ivf_knn_join for the
+    100 TB route: exact |Q|x|corpus| scoring is quadratic when the
+    unlabeled fraction grows with the corpus, so large-scale label
+    propagation probes the IVF store and feeds its (qid, id) rows
+    here unchanged."""
     labels = corpus.select(
         F.col(corpus_id).cast("bigint").alias("id"),
         F.col(label_col).cast("int").alias("__lbl"),
     )
     votes = (
-        nn.join(labels, "id")
+        nn.select("qid", "id").join(labels, "id")
         .groupBy("qid", "__lbl")
         .agg(F.count(F.lit(1)).alias("votes"))
     )

@@ -2264,7 +2264,13 @@ def knn_classify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest labeled neighbors (L2), ties broken by the smaller label.
     Composition: the salted window kNN join (queries broadcast,
     corpus never shuffled) -> vote count -> one rank window over k
-    rows per query."""
+    rows per query.
+
+    Scale note: the exact join scores |Q|x|corpus| pairs, quadratic
+    when the unlabeled fraction tracks corpus size — at production
+    scale feed operators/ann.py ivf_knn_join's (qid, id) rows into
+    the same majority_vote step instead (tested equivalent in
+    test_cleaning_ops)."""
     from sqlite_vector_spark.operators.knn_join import knn_label_propagation
 
     emb = _emb(spark, sf_dir).where(F.col("embedding").isNotNull())

@@ -226,3 +226,45 @@ def test_mmr_k_exceeding_pool_returns_pool(spark):
     )
     out = mmr_select(emb, [0.0, 0.0], c=5, k=10, lam=0.7).collect()
     assert len(out) == 2
+
+
+def test_majority_vote_composes_with_any_neighbor_source(spark):
+    """The 100 TB route: an ANN (qid, id) result feeds the same vote
+    step — here a hand neighbor table stands in for ivf_knn_join."""
+    from sqlite_vector_spark.operators.knn_join import majority_vote
+
+    corpus = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 9), (4, 9), (5, 9)], "id long, label int"
+    )
+    nn = spark.createDataFrame(
+        [(100, 1), (100, 2), (100, 3), (200, 3), (200, 4), (200, 5)],
+        "qid long, id long",
+    )
+    got = {r.qid: r for r in majority_vote(nn, corpus).collect()}
+    assert got[100].pred_label == 5 and got[100].votes == 2
+    assert got[200].pred_label == 9 and got[200].votes == 3
+
+
+def test_label_propagation_via_ivf_join_matches_exact(spark):
+    """End-to-end ANN propagation: ivf_knn_join neighbors + majority
+    vote equals the exact path when probes cover the true clusters."""
+    from sqlite_vector_spark.operators.ann import ivf_knn_join
+    from sqlite_vector_spark.operators.knn_join import knn_label_propagation, majority_vote
+
+    pts = [(i, [0.0 + i * 0.01, 0.0], 3) for i in range(1, 6)] + [
+        (i, [10.0 + i * 0.01, 0.0], 8) for i in range(6, 11)
+    ]
+    corpus = spark.createDataFrame(pts, "id long, embedding array<float>, label int")
+    queries = spark.createDataFrame(
+        [(1, [0.02, 0.0]), (2, [10.07, 0.0])], "qid long, qv array<float>"
+    )
+    cents = [[0.0, 0.0], [10.0, 0.0]]
+    nn = ivf_knn_join(queries, corpus, cents, k=3, nprobe=1, id_col="id", vec_col="embedding")
+    via_ivf = {r.qid: r.pred_label for r in majority_vote(nn, corpus).collect()}
+    exact = {
+        r.qid: r.pred_label
+        for r in knn_label_propagation(
+            queries.withColumnRenamed("qv", "qvec"), corpus, 3, corpus_id="id"
+        ).collect()
+    }
+    assert via_ivf == exact == {1: 3, 2: 8}
