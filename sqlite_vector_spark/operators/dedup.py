@@ -582,6 +582,7 @@ def boilerplate_strip(
     text_col: str = "text",
     size: int = 8,
     min_df: int = 3,
+    hash_fn=None,
 ) -> DataFrame:
     """Boilerplate removal (C4/CCNet line-dedup style, word chunks
     standing in for lines): a chunk whose fingerprint occurs in
@@ -600,12 +601,20 @@ def boilerplate_strip(
     is explode -> broadcast ANTI join -> one re-agg on doc id. Kept
     chunk text crosses the wire exactly once, on its way to
     reassembly, which any reconstruction requires.
+
+    ``hash_fn``: chunk -> fingerprint Column. The default polyhash is
+    the cross-engine (oracle-parity) fold but hashes per CHARACTER —
+    at production scale pass ``F.xxhash64`` (JVM-intrinsic, ~20x
+    faster, same dedup semantics; measured in
+    tools/cleaning_scale_probe.py / SCALE.md).
     """
     from sqlite_vector_spark.functions.text import word_chunks
 
+    if hash_fn is None:
+        hash_fn = polyhash
     base = docs.select(F.col(id_col).cast("bigint").alias("id"), words(text_col).alias("w"))
     ch = base.select("id", F.posexplode(word_chunks(F.col("w"), size)).alias("pos", "chunk"))
-    hashed = ch.select("id", "pos", "chunk", polyhash(F.col("chunk")).alias("h"))
+    hashed = ch.select("id", "pos", "chunk", hash_fn(F.col("chunk")).alias("h"))
     boiler = (
         hashed.groupBy("h")
         .agg(F.countDistinct("id").alias("df"))
