@@ -81,14 +81,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_code_dedup": w.embedding_code_dedup_q,
         "quantize_scan_l2": w.quantize_scan_l2,
         "f16_scan_l2": w.f16_scan_l2,
-        "i8_scan_l2": w.i8_scan_l2,
         "token_budget_pack": w.token_budget_pack_q,
         "corpus_prep": w.corpus_prep_q,
         "chunk_dedup": w.chunk_dedup_q,
         "random_projection": w.random_projection_q,
         "contamination_check": w.contamination_check_q,
         "repetition_scores": w.repetition_scores_q,
-        "embedding_centroids": w.embedding_centroids_q,
         "text_normalize": w.text_normalize_q,
         "knn_join_blocked_l2": w.knn_join_blocked_l2,  # scale path, sequential fold
         "text_stats": w.text_stats,
@@ -136,6 +134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_rolling": w.user_rolling_q,
         "user_decay": w.user_decay_q,
         "mmr_rerank_l2": w.mmr_rerank_l2,
+        "source_overlap": w.source_overlap_q,
+        "corpus_report": w.corpus_report_q,
         # ---- past the 50-entry gate horizon: green in CORRECTNESS_r05,
         #      or (first block) green r4 relational/text entries rotated
         #      out to make window room for the never-gated r6c cohort —
@@ -143,6 +143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      in-window cousins (text_stats, top_customers, events family)
         "ivf_kmeans_scan_l2": w.ivf_kmeans_scan_l2,  # hash-gated: fixed iters unroll to SQL
         "bf16_scan_l2": w.bf16_scan_l2,  # halffloat family: f16_scan_l2 stays in-window
+        "i8_scan_l2": w.i8_scan_l2,  # typed-scan family: f16 in-window, u8 green r5
+        "embedding_centroids": w.embedding_centroids_q,  # posexplode 2-agg: embedding_outliers in-window
         "asof_join_events": w.asof_join_events_q,
         "asof_null_carry_events": w.asof_null_carry_events_q,
         "value_quantiles": w.value_quantiles_q,
@@ -316,4 +318,6 @@ def oracle_sql() -> dict[str, str]:
         "user_rolling": o.user_rolling_q(),
         "user_decay": o.user_decay_q(),
         "mmr_rerank_l2": o.mmr_rerank_l2_q(),
+        "source_overlap": o.source_overlap_q(),
+        "corpus_report": o.corpus_report_q(),
     }

@@ -314,6 +314,8 @@ def main():
     bench("user_rolling", lambda: w.user_rolling_q(spark, SF_DIR).count())
     bench("user_decay", lambda: w.user_decay_q(spark, SF_DIR).count())
     bench("mmr_rerank", lambda: w.mmr_rerank_l2(spark, SF_DIR).collect())
+    bench("source_overlap", lambda: w.source_overlap_q(spark, SF_DIR).count())
+    bench("corpus_report", lambda: w.corpus_report_q(spark, SF_DIR).collect())
 
     total = round(sum(times.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

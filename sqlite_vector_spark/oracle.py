@@ -1983,3 +1983,65 @@ FROM (SELECT unnest(ids) AS id, generate_subscripts(ids, 1) AS ord
       FROM sel WHERE step = {MMR_K}) u
 JOIN cand c ON c.id = u.id
 ORDER BY mmr_rank"""
+
+
+def source_overlap_q() -> str:
+    return f"""WITH w AS (SELECT source, {WORDS} AS ws FROM documents),
+sh AS (SELECT source, unnest({_SH3}) AS s FROM w),
+d AS (SELECT DISTINCT source, {polyhash_sql('s')} AS h FROM sh),
+tot AS (SELECT source, count(*) AS n FROM d GROUP BY source),
+pair AS (
+  SELECT a.source AS sa, b.source AS sb, count(*) AS n_shared
+  FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT p.sa, p.sb, p.n_shared, ta.n AS na, tb.n AS nb,
+       CAST(p.n_shared AS DOUBLE) / CAST(ta.n + tb.n - p.n_shared AS DOUBLE) AS jaccard
+FROM pair p JOIN tot ta ON ta.source = p.sa JOIN tot tb ON tb.source = p.sb
+ORDER BY sa, sb"""
+
+
+def corpus_report_q() -> str:
+    from sqlite_vector_spark.workload import (
+        GOPHER_MIN_STOPS,
+        GOPHER_MIN_TTR,
+        GOPHER_MIN_WORDS,
+        GOPHER_MWL_HI,
+        GOPHER_MWL_LO,
+    )
+
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""WITH w AS (SELECT source, lang, text, {WORDS} AS ws FROM documents),
+m AS (
+  SELECT source, lang,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(ws, x -> CAST(length(x) AS BIGINT))), (a, x) -> a + x) AS char_sum,
+         CAST(len(list_filter(ws, x -> x IN ({stop_list}))) AS BIGINT) AS stop_hits,
+         CAST(len(list_distinct(ws)) AS BIGINT) AS n_types,
+         CAST(length(text) AS BIGINT) AS chars,
+         {polyhash_sql('text')} AS fp
+  FROM w),
+r AS (
+  SELECT source, lang, n_words, chars, fp,
+         CASE WHEN n_words >= {GOPHER_MIN_WORDS}
+               AND (CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(char_sum AS DOUBLE) / CAST(n_words AS DOUBLE) END) >= {GOPHER_MWL_LO!r}
+               AND (CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(char_sum AS DOUBLE) / CAST(n_words AS DOUBLE) END) <= {GOPHER_MWL_HI!r}
+               AND stop_hits >= {GOPHER_MIN_STOPS}
+               AND (CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_types AS DOUBLE) / CAST(n_words AS DOUBLE) END) > {GOPHER_MIN_TTR!r}
+              THEN 1 ELSE 0 END AS keep
+  FROM m),
+g AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_words) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+         CAST(sum(chars) AS BIGINT) AS chars,
+         CAST(sum(keep) AS BIGINT) AS n_keep
+  FROM r GROUP BY source)
+SELECT source, n_docs, n_tokens, n_langs,
+       CAST(chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars,
+       CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_ratio,
+       CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE) AS keep_rate
+FROM g
+ORDER BY source"""

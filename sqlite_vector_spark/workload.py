@@ -2425,3 +2425,122 @@ def mmr_rerank_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_select(
         _emb(spark, sf_dir), Q64, MMR_C, MMR_K, MMR_LAM, "L2"
     ).orderBy("mmr_rank")
+
+
+def _gopher_metrics(w):
+    """(n_words, char_sum, stop_hits, n_types) Columns over a words
+    array — shared by gopher_quality_q and corpus_report_q."""
+    from sqlite_vector_spark.functions.text import STOPWORDS
+
+    n_words = F.size(w).cast("bigint")
+    char_sum = F.aggregate(
+        F.transform(w, lambda x: F.length(x).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    stop_hits = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).cast("bigint")
+    n_types = F.size(F.array_distinct(w)).cast("bigint")
+    return n_words, char_sum, stop_hits, n_types
+
+
+def _gopher_keep(n_words, char_sum, stop_hits, n_types):
+    mwl = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        char_sum.cast("double") / n_words.cast("double")
+    )
+    ttr = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        n_types.cast("double") / n_words.cast("double")
+    )
+    return (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (mwl >= GOPHER_MWL_LO)
+        & (mwl <= GOPHER_MWL_HI)
+        & (stop_hits >= GOPHER_MIN_STOPS)
+        & (ttr > GOPHER_MIN_TTR)
+    )
+
+
+def source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, the
+    number of shared distinct 3-word shingles and their Jaccard —
+    the audit that catches one crawl replicated under two names (or
+    an eval set leaked into a training source).
+
+    Scale shape: distinct (source, shingle-hash) pairs are ONE
+    map-side-combined shuffle; the pair join co-partitions on the
+    8-byte hash (sources per shingle are few, so the join fan-out is
+    bounded); totals are a tiny per-source agg broadcast back. Text
+    never shuffles."""
+    from sqlite_vector_spark.functions.text import polyhash, shingles
+
+    docs = _docs(spark, sf_dir)
+    d = (
+        docs.select("source", F.explode(shingles("text")).alias("s"))
+        .select("source", polyhash(F.col("s")).alias("h"))
+        .distinct()
+    )
+    tot = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = d.select(F.col("source").alias("sa"), "h")
+    b = d.select(F.col("source").alias("sb"), "h")
+    pair = (
+        a.join(b, "h")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = F.broadcast(tot.select(F.col("source").alias("sa"), F.col("n").alias("na")))
+    tb = F.broadcast(tot.select(F.col("source").alias("sb"), F.col("n").alias("nb")))
+    return (
+        pair.join(ta, "sa")
+        .join(tb, "sb")
+        .select(
+            "sa",
+            "sb",
+            "n_shared",
+            "na",
+            "nb",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy("sa", "sb")
+    )
+
+
+def corpus_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card (the one-glance corpus audit): document
+    and token counts, language spread, mean length, exact-dup ratio
+    (by full-text fingerprint) and Gopher keep-rate — every column
+    from ONE groupBy(source) over map-side per-row metrics."""
+    from sqlite_vector_spark.functions.text import fingerprint, words
+
+    docs = _docs(spark, sf_dir)
+    w = words("text")
+    n_words, char_sum, stop_hits, n_types = _gopher_metrics(w)
+    row = docs.select(
+        "source",
+        "lang",
+        n_words.alias("toks"),
+        F.length("text").cast("bigint").alias("chars"),
+        fingerprint(F.col("text")).alias("fp"),
+        _gopher_keep(n_words, char_sum, stop_hits, n_types).cast("int").alias("keep"),
+    )
+    g = row.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("n_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("fp").alias("n_unique"),
+        F.sum("chars").cast("bigint").alias("chars"),
+        F.sum("keep").cast("bigint").alias("n_keep"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_langs",
+        (F.col("chars").cast("double") / F.col("n_docs").cast("double")).alias("mean_chars"),
+        (
+            (F.col("n_docs") - F.col("n_unique")).cast("double") / F.col("n_docs").cast("double")
+        ).alias("dup_ratio"),
+        (F.col("n_keep").cast("double") / F.col("n_docs").cast("double")).alias("keep_rate"),
+    ).orderBy("source")

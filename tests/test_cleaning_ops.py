@@ -268,3 +268,56 @@ def test_label_propagation_via_ivf_join_matches_exact(spark):
         ).collect()
     }
     assert via_ivf == exact == {1: 3, 2: 8}
+
+
+# ---------------------------------------------------------------- source overlap matrix
+
+
+def test_source_overlap_counts_shared_shingles(spark, tmp_path):
+    from sqlite_vector_spark import workload as w
+
+    shared = "alpha beta gamma delta"  # shingles: {alpha beta gamma, beta gamma delta}
+    rows = [
+        (1, f"{shared} one two three", "s1", "en"),
+        (2, f"{shared} four five six", "s2", "en"),
+        (3, "seven eight nine ten eleven", "s3", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string, lang string").withColumn(
+        "n_chars", F.length("text")
+    )
+    sf = str(tmp_path / "overlap")
+    docs.write.parquet(f"{sf}/documents.parquet")
+    out = {(r.sa, r.sb): r for r in w.source_overlap_q(spark, sf).collect()}
+    # only the s1/s2 pair shares shingles: the two inside `shared`
+    assert set(out) == {("s1", "s2")}
+    r = out[("s1", "s2")]
+    assert r.n_shared == 2 and r.na == 5 and r.nb == 5
+    assert math.isclose(r.jaccard, 2.0 / 8.0, rel_tol=1e-12)
+
+
+# ---------------------------------------------------------------- corpus data card
+
+
+def test_corpus_report_dup_and_keep_rates(spark, tmp_path):
+    from sqlite_vector_spark import workload as w
+
+    good = ("the quick brown fox jumps over a lazy dog and then runs far away to find more food " * 2).strip()
+    rows = [
+        (1, good, "src_a", "en"),
+        (2, good, "src_a", "de"),           # exact dup of doc 1
+        (3, "tiny the a doc", "src_a", "en"),  # fails word-count rule
+        (4, good, "src_b", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string, lang string").withColumn(
+        "n_chars", F.length("text")
+    )
+    sf = str(tmp_path / "report")
+    docs.write.parquet(f"{sf}/documents.parquet")
+    out = {r.source: r for r in w.corpus_report_q(spark, sf).collect()}
+    a = out["src_a"]
+    assert a.n_docs == 3 and a.n_langs == 2
+    assert math.isclose(a.dup_ratio, 1.0 / 3.0, rel_tol=1e-12)  # 3 docs, 2 unique
+    assert math.isclose(a.keep_rate, 2.0 / 3.0, rel_tol=1e-12)
+    b = out["src_b"]
+    assert b.n_docs == 1 and b.dup_ratio == 0.0 and b.keep_rate == 1.0
+    assert a.n_tokens == 36 + 36 + 4

@@ -39,6 +39,8 @@ SPOT = [
     "user_rolling",
     "user_decay",
     "mmr_rerank_l2",
+    "source_overlap",
+    "corpus_report",
 ]
 
 
