@@ -2270,17 +2270,27 @@ def knn_classify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     when the unlabeled fraction tracks corpus size — at production
     scale feed operators/ann.py ivf_knn_join's (qid, id) rows into
     the same majority_vote step instead (tested equivalent in
-    test_cleaning_ops)."""
-    from sqlite_vector_spark.operators.knn_join import knn_label_propagation
+    test_cleaning_ops).
+
+    This entry routes the neighbor search through the BLOCKED kNN
+    join (mapInPandas NumPy local top-k, sequential-fold mode): with
+    ~N/17 queries the per-pair codegen fold of the window path is the
+    bottleneck, and the blocked kernel scores the same pairs
+    vectorized while staying bit-exact against the oracle (the same
+    equivalence the knn_join_blocked_l2 gate entry pins)."""
+    from sqlite_vector_spark.operators.knn_join import knn_join_blocked, majority_vote
 
     emb = _emb(spark, sf_dir).where(F.col("embedding").isNotNull())
-    queries = emb.where(F.col("vec_id") % CLS_MOD == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-    )
+    queries_local = [
+        (int(r.vec_id), list(r.embedding))
+        for r in emb.where(F.col("vec_id") % CLS_MOD == 0).orderBy("vec_id").collect()
+    ]
     corpus = emb.where(F.col("vec_id") % CLS_MOD != 0)
-    return knn_label_propagation(
-        queries, corpus, KNN_K, "L2", corpus_vec="embedding", corpus_id="vec_id"
-    ).orderBy("qid")
+    nn = knn_join_blocked(
+        queries_local, corpus, KNN_K, "L2",
+        corpus_vec="embedding", corpus_id="vec_id", accumulate="sequential",
+    )
+    return majority_vote(nn, corpus, corpus_id="vec_id").orderBy("qid")
 
 
 #: how many top-distance rows the outlier report flags
