@@ -81,13 +81,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_code_dedup": w.embedding_code_dedup_q,
         "quantize_scan_l2": w.quantize_scan_l2,
         "f16_scan_l2": w.f16_scan_l2,
-        "token_budget_pack": w.token_budget_pack_q,
         "corpus_prep": w.corpus_prep_q,
         "chunk_dedup": w.chunk_dedup_q,
         "random_projection": w.random_projection_q,
         "contamination_check": w.contamination_check_q,
         "repetition_scores": w.repetition_scores_q,
-        "text_normalize": w.text_normalize_q,
         "knn_join_blocked_l2": w.knn_join_blocked_l2,  # scale path, sequential fold
         "text_stats": w.text_stats,
         "dedup_exact": w.dedup_exact_q,
@@ -136,12 +134,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank_l2": w.mmr_rerank_l2,
         "source_overlap": w.source_overlap_q,
         "corpus_report": w.corpus_report_q,
+        "pack_sequences": w.pack_sequences_q,
+        "negative_samples": w.negative_samples_q,
         # ---- past the 50-entry gate horizon: green in CORRECTNESS_r05,
         #      or (first block) green r4 relational/text entries rotated
         #      out to make window room for the never-gated r6c cohort —
         #      their subsystems are untouched this round and covered by
         #      in-window cousins (text_stats, top_customers, events family)
         "ivf_kmeans_scan_l2": w.ivf_kmeans_scan_l2,  # hash-gated: fixed iters unroll to SQL
+        "token_budget_pack": w.token_budget_pack_q,  # packing family: pack_sequences in-window
+        "text_normalize": w.text_normalize_q,  # text HOFs: boilerplate/gopher in-window
         "bf16_scan_l2": w.bf16_scan_l2,  # halffloat family: f16_scan_l2 stays in-window
         "i8_scan_l2": w.i8_scan_l2,  # typed-scan family: f16 in-window, u8 green r5
         "embedding_centroids": w.embedding_centroids_q,  # posexplode 2-agg: embedding_outliers in-window
@@ -320,4 +322,6 @@ def oracle_sql() -> dict[str, str]:
         "mmr_rerank_l2": o.mmr_rerank_l2_q(),
         "source_overlap": o.source_overlap_q(),
         "corpus_report": o.corpus_report_q(),
+        "pack_sequences": o.pack_sequences_q(),
+        "negative_samples": o.negative_samples_q(),
     }

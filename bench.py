@@ -316,6 +316,8 @@ def main():
     bench("mmr_rerank", lambda: w.mmr_rerank_l2(spark, SF_DIR).collect())
     bench("source_overlap", lambda: w.source_overlap_q(spark, SF_DIR).count())
     bench("corpus_report", lambda: w.corpus_report_q(spark, SF_DIR).collect())
+    bench("pack_sequences", lambda: w.pack_sequences_q(spark, SF_DIR).count())
+    bench("negative_samples", lambda: w.negative_samples_q(spark, SF_DIR).count())
 
     total = round(sum(times.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

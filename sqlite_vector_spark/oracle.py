@@ -2045,3 +2045,45 @@ SELECT source, n_docs, n_tokens, n_langs,
        CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE) AS keep_rate
 FROM g
 ORDER BY source"""
+
+
+def pack_sequences_q() -> str:
+    from sqlite_vector_spark.workload import PACK_SEQ_LEN, PACK_SHARDS
+
+    return f"""WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len({WORDS}) AS BIGINT) AS toks,
+         {polyhash_sql('text')} AS h
+  FROM documents),
+s AS (
+  SELECT doc_id, toks, h,
+         CAST(h % {PACK_SHARDS} AS INTEGER) AS shard
+  FROM base),
+r AS (
+  SELECT doc_id, shard, toks,
+         CAST(sum(toks) OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks AS BIGINT) AS "offset"
+  FROM s)
+SELECT doc_id, shard, toks, "offset", CAST("offset" // {PACK_SEQ_LEN} AS BIGINT) AS bin
+FROM r
+ORDER BY doc_id"""
+
+
+def negative_samples_q() -> str:
+    from sqlite_vector_spark.workload import NEG_ANCHORS, NEG_K
+
+    return f"""WITH n1 AS (SELECT count(*) AS n FROM embeddings WHERE embedding IS NOT NULL),
+anchors AS (
+  SELECT CAST(vec_id AS BIGINT) AS anchor, n FROM embeddings, n1
+  WHERE vec_id < {NEG_ANCHORS} AND embedding IS NOT NULL),
+cand AS (
+  SELECT anchor, CAST(t.j AS INTEGER) AS j,
+         (anchor * 2654435761 + t.j * 40503) % n AS raw, n
+  FROM anchors, range(0, {NEG_K}) t(j)),
+neg AS (
+  SELECT anchor, j,
+         CAST(CASE WHEN raw = anchor THEN (raw + 1) % n ELSE raw END AS BIGINT) AS neg_id
+  FROM cand)
+SELECT neg.anchor, neg.j, neg.neg_id, CAST(e.label AS INTEGER) AS neg_label
+FROM neg JOIN embeddings e ON e.vec_id = neg.neg_id
+ORDER BY anchor, j"""

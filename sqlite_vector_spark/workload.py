@@ -2554,3 +2554,94 @@ def corpus_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_ratio"),
         (F.col("n_keep").cast("double") / F.col("n_docs").cast("double")).alias("keep_rate"),
     ).orderBy("source")
+
+
+#: sequence packing: tokens per training row, parallel pack shards
+PACK_SEQ_LEN = 256
+PACK_SHARDS = 8
+
+
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (the GPT-style pretraining
+    layout): docs are hashed into PACK_SHARDS independent streams,
+    deterministically ordered within each stream, and laid head-to-
+    tail; each doc's byte in the stream is its running-token offset,
+    and its training row is ``offset div PACK_SEQ_LEN`` (docs may
+    straddle row boundaries — concat-then-chunk semantics).
+
+    Scale shape: one shard shuffle; the running sum is a prefix
+    window per shard, so shards pack in parallel and the layout is
+    reproducible from content alone (no global sequence)."""
+    from sqlite_vector_spark.functions.text import fingerprint, token_count
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        token_count("text").alias("toks"),
+        fingerprint(F.col("text")).alias("h"),
+    ).withColumn("shard", F.pmod(F.col("h"), F.lit(PACK_SHARDS)).cast("int"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum("toks").over(w)
+    return (
+        base.select(
+            "doc_id",
+            "shard",
+            "toks",
+            (running - F.col("toks")).cast("bigint").alias("offset"),
+        )
+        .withColumn("bin", F.expr(f"offset div {PACK_SEQ_LEN}").cast("bigint"))
+        .orderBy("doc_id")
+    )
+
+
+#: contrastive negative sampling: anchors + negatives per anchor
+NEG_ANCHORS = 32
+NEG_K = 4
+
+
+def negative_samples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training:
+    each anchor (vec_id < NEG_ANCHORS) draws NEG_K pseudo-random
+    negatives from a hash ring over the id space (Knuth
+    multiplicative step), self-collisions bumped by one. The join to
+    fetch the negative's payload is an equi-join on the computed id —
+    map-side candidate generation, one hash join, no sampling state.
+
+    Reproducible across runs/partitionings by construction: the draw
+    depends only on (anchor, j, corpus size)."""
+    emb = _emb(spark, sf_dir).where(F.col("embedding").isNotNull())
+    n1 = emb.agg(F.count(F.lit(1)).alias("n"))
+    anchors = (
+        emb.where(F.col("vec_id") < NEG_ANCHORS)
+        .select(F.col("vec_id").cast("bigint").alias("anchor"))
+        .crossJoin(F.broadcast(n1))
+    )
+    cand = anchors.select(
+        "anchor",
+        F.explode(F.array(*[F.lit(j) for j in range(NEG_K)])).alias("j"),
+        "n",
+    ).select(
+        "anchor",
+        F.col("j").cast("int").alias("j"),
+        F.pmod(
+            F.col("anchor") * F.lit(2_654_435_761) + F.col("j").cast("bigint") * F.lit(40_503),
+            F.col("n"),
+        ).alias("raw"),
+        "n",
+    )
+    neg = cand.select(
+        "anchor",
+        "j",
+        F.when(F.col("raw") == F.col("anchor"), F.pmod(F.col("raw") + 1, F.col("n")))
+        .otherwise(F.col("raw"))
+        .cast("bigint")
+        .alias("neg_id"),
+    )
+    labels = emb.select(
+        F.col("vec_id").cast("bigint").alias("neg_id"), F.col("label").cast("int").alias("neg_label")
+    )
+    return neg.join(labels, "neg_id").select("anchor", "j", "neg_id", "neg_label").orderBy("anchor", "j")

@@ -321,3 +321,55 @@ def test_corpus_report_dup_and_keep_rates(spark, tmp_path):
     b = out["src_b"]
     assert b.n_docs == 1 and b.dup_ratio == 0.0 and b.keep_rate == 1.0
     assert a.n_tokens == 36 + 36 + 4
+
+
+# ---------------------------------------------------------------- sequence packing
+
+
+def test_pack_sequences_contiguous_per_shard(spark, tmp_path):
+    from sqlite_vector_spark import workload as w
+
+    rows = [(i, " ".join(f"tok{i}w{j}" for j in range(5 + i)), "s", "en") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string, lang string").withColumn(
+        "n_chars", F.length("text")
+    )
+    sf = str(tmp_path / "pack")
+    docs.write.parquet(f"{sf}/documents.parquet")
+    out = w.pack_sequences_q(spark, sf).collect()
+    assert len(out) == 12
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.offset)
+        # head-to-tail layout: each doc starts where the previous ended
+        assert rs[0].offset == 0
+        for prev, cur in zip(rs, rs[1:]):
+            assert cur.offset == prev.offset + prev.toks
+        for r in rs:
+            assert r.bin == r.offset // w.PACK_SEQ_LEN
+    # reproducible from content alone
+    again = w.pack_sequences_q(spark, sf).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+# ---------------------------------------------------------------- negative sampling
+
+
+def test_negative_samples_deterministic_ring(spark, tmp_path):
+    from sqlite_vector_spark import workload as w
+
+    rows = [(i, [float(i), 0.0], i % 3) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    sf = str(tmp_path / "neg")
+    emb.write.parquet(f"{sf}/embeddings.parquet")
+    out = w.negative_samples_q(spark, sf).collect()
+    # 10 anchors (all ids < NEG_ANCHORS) x NEG_K draws, every join hit
+    assert len(out) == 10 * w.NEG_K
+    for r in out:
+        assert r.neg_id != r.anchor          # self-collision bumped
+        assert 0 <= r.neg_id < 10
+        assert r.neg_label == r.neg_id % 3   # payload joined correctly
+    # draw depends only on (anchor, j, n): bit-stable across runs
+    again = w.negative_samples_q(spark, sf).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

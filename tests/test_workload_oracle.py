@@ -41,6 +41,8 @@ SPOT = [
     "mmr_rerank_l2",
     "source_overlap",
     "corpus_report",
+    "pack_sequences",
+    "negative_samples",
 ]
 
 
