@@ -2476,10 +2476,12 @@ def source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     an eval set leaked into a training source).
 
     Scale shape: distinct (source, shingle-hash) pairs are ONE
-    map-side-combined shuffle; the pair join co-partitions on the
-    8-byte hash (sources per shingle are few, so the join fan-out is
-    bounded); totals are a tiny per-source agg broadcast back. Text
-    never shuffles."""
+    map-side-combined shuffle; pair expansion is a per-hash HOF over
+    the collected source set (bounded by #sources) instead of a
+    hash self-join — half the shuffle volume, no join fan-out
+    (measured 1 GB -> ~0.5 GB at 1M docs, cleaning_scale_probe);
+    totals are a tiny per-source agg broadcast back. Text never
+    shuffles."""
     from sqlite_vector_spark.functions.text import polyhash, shingles
 
     docs = _docs(spark, sf_dir)
@@ -2489,11 +2491,23 @@ def source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     tot = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    a = d.select(F.col("source").alias("sa"), "h")
-    b = d.select(F.col("source").alias("sb"), "h")
+    ss = (
+        d.groupBy("h")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .where(F.size("ss") > 1)
+    )
+    pairs_col = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ss"), i + F.lit(2), F.size("ss")),
+                lambda y: F.struct(x.alias("sa"), y.alias("sb")),
+            ),
+        )
+    )
     pair = (
-        a.join(b, "h")
-        .where(F.col("sa") < F.col("sb"))
+        ss.select(F.explode(pairs_col).alias("p"))
+        .select(F.col("p.sa").alias("sa"), F.col("p.sb").alias("sb"))
         .groupBy("sa", "sb")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )

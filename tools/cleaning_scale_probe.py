@@ -123,7 +123,44 @@ def main():
     )
     staged("gopher_quality", lambda: quality.agg(F.sum("n_words"), F.sum("n_types")).collect())
 
-    out["total_s"] = round(out["boilerplate_strip_s"] + out["gopher_quality_s"], 2)
+    # ---- cross-source overlap matrix (20 sources; shared shingles
+    # exist only inside the planted boilerplate header). xxhash64
+    # stands in for the oracle-parity polyhash — the heavy stages
+    # (distinct + pair join) are hash-agnostic. ----
+    from sqlite_vector_spark.functions.text import shingles
+
+    srcd = docs.withColumn("source", F.pmod(F.col("doc_id"), F.lit(20)).cast("int"))
+    d = (
+        srcd.select("source", F.explode(shingles("content")).alias("s"))
+        .select("source", F.xxhash64("s").alias("h"))
+        .distinct()
+    )
+    ss = (
+        d.groupBy("h")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .where(F.size("ss") > 1)
+    )
+    pairs_col = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ss"), i + F.lit(2), F.size("ss")),
+                lambda y: F.struct(x.alias("sa"), y.alias("sb")),
+            ),
+        )
+    )
+    pair = (
+        ss.select(F.explode(pairs_col).alias("p"))
+        .select(F.col("p.sa").alias("sa"), F.col("p.sb").alias("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    res = staged("source_overlap", lambda: pair.localCheckpoint(eager=True))
+    out["overlap_pairs"] = res.count()
+
+    out["total_s"] = round(
+        out["boilerplate_strip_s"] + out["gopher_quality_s"] + out["source_overlap_s"], 2
+    )
     print(json.dumps(out))
     spark.stop()
 
