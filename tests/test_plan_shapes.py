@@ -273,3 +273,22 @@ def test_mmr_candidate_fetch_is_take_ordered(spark):
         distance(F.col("embedding"), vector_literal(w.Q64), "L2").alias("dq"),
     ).orderBy(F.col("dq").asc(), F.col("id").asc()).limit(w.MMR_C)
     assert_in_plan(scored, "TakeOrderedAndProject")
+
+
+def test_source_overlap_has_no_pair_self_join(spark):
+    """Pair expansion is an in-row HOF over the collected source set —
+    the plan must contain no join at all below the totals broadcast
+    (the self-join form shuffled the distinct table twice; measured
+    45% more shuffle at 1M docs, SCALE.md)."""
+    df = w.source_overlap_q(spark, SF)
+    plan = physical_plan(df)
+    assert_not_in_plan(df, "SortMergeJoin", "CartesianProduct")
+    # the only joins are the two broadcast totals ride-alongs
+    assert plan.count("BroadcastHashJoin") == 2, plan[:1500]
+
+
+def test_pack_sequences_single_shard_shuffle(spark):
+    """The prefix-sum layout needs exactly one hash exchange on the
+    shard key; the final orderBy is presentation-only."""
+    plan = physical_plan(w.pack_sequences_q(spark, SF))
+    assert plan.count("hashpartitioning(shard") == 1, plan[:1500]

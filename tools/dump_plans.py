@@ -90,6 +90,8 @@ def main():
         ("user_rolling", "rolling features: single user_id exchange feeding the RANGE frame", w.user_rolling_q),
         ("user_decay", "decay scores: 1-row max broadcast, integer-shift weights, one user agg", w.user_decay_q),
         ("embedding_outliers", "outlier flag: posexplode 2-agg centroid, 1-row broadcast, rank window", w.embedding_outliers_q),
+        ("source_overlap", "overlap matrix: one distinct shuffle, in-row HOF pair expansion, no self-join", w.source_overlap_q),
+        ("pack_sequences", "sequence packing: single shard exchange feeding the prefix-sum window", w.pack_sequences_q),
     ]
 
     print("# PLANS — physical plans of headline operators (sf0.001, AQE on)")
