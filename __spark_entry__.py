@@ -85,7 +85,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": w.chunk_dedup_q,
         "random_projection": w.random_projection_q,
         "contamination_check": w.contamination_check_q,
-        "repetition_scores": w.repetition_scores_q,
         "knn_join_blocked_l2": w.knn_join_blocked_l2,  # scale path, sequential fold
         "text_stats": w.text_stats,
         "dedup_exact": w.dedup_exact_q,
@@ -136,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": w.corpus_report_q,
         "pack_sequences": w.pack_sequences_q,
         "negative_samples": w.negative_samples_q,
+        "edit_distance_pairs": w.edit_distance_pairs_q,
         # ---- past the 50-entry gate horizon: green in CORRECTNESS_r05,
         #      or (first block) green r4 relational/text entries rotated
         #      out to make window room for the never-gated r6c cohort —
@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_kmeans_scan_l2": w.ivf_kmeans_scan_l2,  # hash-gated: fixed iters unroll to SQL
         "token_budget_pack": w.token_budget_pack_q,  # packing family: pack_sequences in-window
         "text_normalize": w.text_normalize_q,  # text HOFs: boilerplate/gopher in-window
+        "repetition_scores": w.repetition_scores_q,  # map-only HOFs: gopher in-window
         "bf16_scan_l2": w.bf16_scan_l2,  # halffloat family: f16_scan_l2 stays in-window
         "i8_scan_l2": w.i8_scan_l2,  # typed-scan family: f16 in-window, u8 green r5
         "embedding_centroids": w.embedding_centroids_q,  # posexplode 2-agg: embedding_outliers in-window
@@ -324,4 +325,5 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report": o.corpus_report_q(),
         "pack_sequences": o.pack_sequences_q(),
         "negative_samples": o.negative_samples_q(),
+        "edit_distance_pairs": o.edit_distance_pairs_q(),
     }

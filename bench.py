@@ -318,6 +318,7 @@ def main():
     bench("corpus_report", lambda: w.corpus_report_q(spark, SF_DIR).collect())
     bench("pack_sequences", lambda: w.pack_sequences_q(spark, SF_DIR).count())
     bench("negative_samples", lambda: w.negative_samples_q(spark, SF_DIR).count())
+    bench("edit_distance_pairs", lambda: w.edit_distance_pairs_q(spark, SF_DIR).count())
 
     total = round(sum(times.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

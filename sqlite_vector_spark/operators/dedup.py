@@ -646,3 +646,42 @@ def boilerplate_strip(
             F.length(F.coalesce("clean_text", F.lit(""))).cast("bigint").alias("clean_len"),
         )
     )
+
+
+def edit_distance_pairs(
+    cand: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fuzzy-dup verification by character edit distance on CANDIDATE
+    pairs only (the Levenshtein stage of a C4-style fuzzy dedup):
+    returns (a, b, lev, max_len, sim) with sim = 1 - lev/max(len) —
+    1.0 for identical texts.
+
+    Scale shape: the O(len^2)-per-pair kernel is gated behind the LSH
+    candidate generator, so pair volume is the LSH bucket-collision
+    count, never corpus^2. The candidate table broadcasts; each text
+    rides into the pair exactly once through two broadcast joins —
+    the corpus is scanned, never shuffled."""
+    t = docs.select(F.col(id_col).cast("bigint").alias("id"), F.col(text_col).alias("t"))
+    out = (
+        t.select(F.col("id").alias("a"), F.col("t").alias("ta"))
+        .join(F.broadcast(cand), "a")
+        .join(t.select(F.col("id").alias("b"), F.col("t").alias("tb")), "b")
+        .select(
+            "a",
+            "b",
+            F.levenshtein("ta", "tb").cast("bigint").alias("lev"),
+            F.greatest(F.length("ta"), F.length("tb")).cast("bigint").alias("max_len"),
+        )
+    )
+    return out.select(
+        "a",
+        "b",
+        "lev",
+        "max_len",
+        F.when(F.col("max_len") == 0, F.lit(1.0))
+        .otherwise(F.lit(1.0) - F.col("lev").cast("double") / F.col("max_len").cast("double"))
+        .alias("sim"),
+    )

@@ -2087,3 +2087,17 @@ neg AS (
 SELECT neg.anchor, neg.j, neg.neg_id, CAST(e.label AS INTEGER) AS neg_label
 FROM neg JOIN embeddings e ON e.vec_id = neg.neg_id
 ORDER BY anchor, j"""
+
+
+def edit_distance_pairs_q() -> str:
+    return _SHINGLES + """
+SELECT c.a, c.b,
+       CAST(levenshtein(x.text, y.text) AS BIGINT) AS lev,
+       CAST(greatest(length(x.text), length(y.text)) AS BIGINT) AS max_len,
+       CASE WHEN greatest(length(x.text), length(y.text)) = 0 THEN 1.0
+            ELSE 1.0 - CAST(levenshtein(x.text, y.text) AS DOUBLE)
+                 / CAST(greatest(length(x.text), length(y.text)) AS DOUBLE) END AS sim
+FROM cand c
+JOIN documents x ON x.doc_id = c.a
+JOIN documents y ON y.doc_id = c.b
+ORDER BY a, b"""

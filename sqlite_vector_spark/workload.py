@@ -2659,3 +2659,16 @@ def negative_samples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("bigint").alias("neg_id"), F.col("label").cast("int").alias("neg_label")
     )
     return neg.join(labels, "neg_id").select("anchor", "j", "neg_id", "neg_label").orderBy("anchor", "j")
+
+
+def edit_distance_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dup verify: character Levenshtein similarity on the LSH
+    candidate pairs (operators/dedup.py edit_distance_pairs) — the
+    edit-distance complement to the word-set Jaccard verify, catching
+    near-identical texts whose word MULTISET differs (reorderings
+    score high Jaccard; character edits do not)."""
+    from sqlite_vector_spark.operators.dedup import edit_distance_pairs, lsh_candidate_pairs
+
+    docs = _docs(spark, sf_dir)
+    cand = lsh_candidate_pairs(docs, "doc_id", "text")
+    return edit_distance_pairs(cand, docs, "doc_id", "text").orderBy("a", "b")

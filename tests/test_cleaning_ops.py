@@ -373,3 +373,34 @@ def test_negative_samples_deterministic_ring(spark, tmp_path):
     # draw depends only on (anchor, j, n): bit-stable across runs
     again = w.negative_samples_q(spark, sf).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+# ---------------------------------------------------------------- edit-distance fuzzy verify
+
+
+def test_edit_distance_pairs_on_candidates(spark):
+    from sqlite_vector_spark.operators.dedup import edit_distance_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),  # 3-char edit
+            (3, "the quick brown fox jumps over the lazy dog"),  # identical to 1
+        ],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame([(1, 2), (1, 3)], "a long, b long")
+    out = {(r.a, r.b): r for r in edit_distance_pairs(cand, docs).collect()}
+    assert out[(1, 3)].lev == 0 and out[(1, 3)].sim == 1.0
+    r = out[(1, 2)]
+    assert r.lev == 3 and r.max_len == 43
+    assert math.isclose(r.sim, 1.0 - 3.0 / 43.0, rel_tol=1e-12)
+
+
+def test_edit_distance_empty_texts(spark):
+    from sqlite_vector_spark.operators.dedup import edit_distance_pairs
+
+    docs = spark.createDataFrame([(1, ""), (2, "")], "doc_id long, text string")
+    cand = spark.createDataFrame([(1, 2)], "a long, b long")
+    r = edit_distance_pairs(cand, docs).collect()[0]
+    assert r.lev == 0 and r.max_len == 0 and r.sim == 1.0

@@ -43,6 +43,7 @@ SPOT = [
     "corpus_report",
     "pack_sequences",
     "negative_samples",
+    "edit_distance_pairs",
 ]
 
 
