@@ -685,3 +685,53 @@ def edit_distance_pairs(
         .otherwise(F.lit(1.0) - F.col("lev").cast("double") / F.col("max_len").cast("double"))
         .alias("sim"),
     )
+
+
+def boilerplate_hashes(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 8,
+    min_df: int = 3,
+    hash_fn=None,
+) -> DataFrame:
+    """Just the boilerplate fingerprint set (h) of ``boilerplate_strip``
+    — materialize it from a reference corpus once, then apply it
+    map-side to any batch or STREAM with ``strip_chunks_col`` (the
+    streaming-ingestion pattern: new docs cleaned against yesterday's
+    boilerplate index without re-scanning the corpus)."""
+    from sqlite_vector_spark.functions.text import word_chunks
+
+    if hash_fn is None:
+        hash_fn = polyhash
+    base = docs.select(F.col(id_col).cast("bigint").alias("id"), words(text_col).alias("w"))
+    hashed = base.select(
+        "id", F.explode(word_chunks(F.col("w"), size)).alias("chunk")
+    ).select("id", hash_fn(F.col("chunk")).alias("h"))
+    return (
+        hashed.groupBy("h")
+        .agg(F.countDistinct("id").alias("df"))
+        .where(F.col("df") >= F.lit(min_df))
+        .select("h")
+    )
+
+
+def strip_chunks_col(
+    text_col: str | Column,
+    boiler: Sequence[int],
+    size: int = 8,
+    hash_fn=None,
+) -> Column:
+    """Map-only boilerplate strip: rebuild the text without the chunks
+    whose fingerprint is in ``boiler`` (a collected, bounded hash
+    set — boilerplate sets are few TYPES by construction). Pure HOF
+    column, so it applies to Structured Streaming ingestion unchanged
+    (no agg, no join, no state)."""
+    from sqlite_vector_spark.functions.text import word_chunks
+
+    if hash_fn is None:
+        hash_fn = polyhash
+    lit_set = F.array(*[F.lit(int(h)).cast("bigint") for h in boiler])
+    chunks = word_chunks(words(text_col), size)
+    kept = F.filter(chunks, lambda c: ~F.array_contains(lit_set, hash_fn(c)))
+    return F.concat_ws(" ", kept)

@@ -404,3 +404,51 @@ def test_edit_distance_empty_texts(spark):
     cand = spark.createDataFrame([(1, 2)], "a long, b long")
     r = edit_distance_pairs(cand, docs).collect()[0]
     assert r.lev == 0 and r.max_len == 0 and r.sim == 1.0
+
+
+# ---------------------------------------------------------------- streaming-form equivalence + randomized invariants
+
+
+def test_strip_chunks_col_equals_full_operator(spark, boiler_docs):
+    """The map-only strip (collected hash set, streaming form) must
+    reproduce boilerplate_strip's clean_text exactly."""
+    from sqlite_vector_spark.operators.dedup import boilerplate_hashes, strip_chunks_col
+
+    hashes = [r.h for r in boilerplate_hashes(boiler_docs, min_df=3).collect()]
+    mapped = {
+        r.doc_id: r.ct
+        for r in boiler_docs.select(
+            "doc_id", strip_chunks_col("text", hashes).alias("ct")
+        ).collect()
+    }
+    full = {r.doc_id: r.clean_text for r in boilerplate_strip(boiler_docs, size=8, min_df=3).collect()}
+    assert mapped == full
+
+
+def test_boilerplate_randomized_invariants(spark):
+    """Seeded random corpus: counts reconcile and reconstruction only
+    ever deletes whole chunks (clean tokens are a subsequence)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = boilerplate_strip(docs, size=4, min_df=2).collect()
+    texts = dict(rows)
+
+    def is_subsequence(sub, full):
+        it = iter(full)
+        return all(any(tok == x for x in it) for tok in sub)
+
+    for r in out:
+        assert r.n_kept + r.n_removed == r.n_chunks
+        assert r.clean_len == len(r.clean_text)
+        orig = [t for t in texts[r.doc_id].split(" ") if t]
+        clean = [t for t in r.clean_text.split(" ") if t]
+        assert is_subsequence(clean, orig)
+        if r.n_removed == 0:
+            assert r.clean_text == " ".join(orig)

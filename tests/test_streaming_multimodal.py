@@ -285,3 +285,55 @@ def test_streaming_ivf_pq_index_ingestion(spark, emb, tmp_path):
     import os
 
     assert any(d.startswith("cluster=") for d in os.listdir(dest))
+
+
+def test_streaming_cleaning_with_static_boiler_index(spark, tmp_path):
+    """Streaming-ingestion cleaning: the boilerplate index is derived
+    once from a static reference corpus; new documents stream through
+    a MAP-ONLY strip + Gopher quality projection (no agg, no join, no
+    state) and match the batch result row for row."""
+    from sqlite_vector_spark.functions.text import words
+    from sqlite_vector_spark.operators.dedup import boilerplate_hashes, strip_chunks_col
+    from sqlite_vector_spark.workload import _gopher_keep, _gopher_metrics
+
+    header = "all rights reserved click here to read more"
+    ref = spark.createDataFrame(
+        [(i, f"{header} unique reference body number {i} with extra words") for i in range(5)],
+        "doc_id long, text string",
+    )
+    boiler = [r.h for r in boilerplate_hashes(ref, min_df=3).collect()]
+    assert len(boiler) == 1  # exactly the planted header fingerprint
+
+    src = str(tmp_path / "docs_stream")
+    incoming = spark.createDataFrame(
+        [
+            (100, f"{header} the quick brown fox jumps over a lazy dog and then runs far away "
+                  f"to find more food while the sun sets over a quiet hill and a cold wind "
+                  f"moves the dry leaves around the old stone wall tonight"),
+            (101, f"{header} junk doc"),
+        ],
+        "doc_id long, text string",
+    )
+    incoming.write.parquet(src)
+
+    def clean(df):
+        cleaned = df.select(
+            "doc_id", strip_chunks_col("text", boiler).alias("text")
+        )
+        return cleaned.select(
+            "doc_id", "text", _gopher_keep(*_gopher_metrics(words("text"))).alias("keep")
+        )
+
+    stream = spark.readStream.schema(incoming.schema).parquet(src)
+    out = clean(stream)
+    assert out.isStreaming
+    q = out.writeStream.format("memory").queryName("cleaned_t").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        got = {r.doc_id: (r.text, r.keep) for r in spark.sql("SELECT * FROM cleaned_t").collect()}
+    finally:
+        q.stop()
+    want = {r.doc_id: (r.text, r.keep) for r in clean(incoming).collect()}
+    assert got == want
+    assert not got[100][0].startswith(header) and got[100][1] is True
+    assert got[101][1] is False
