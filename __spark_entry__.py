@@ -83,8 +83,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f16_scan_l2": w.f16_scan_l2,
         "corpus_prep": w.corpus_prep_q,
         "chunk_dedup": w.chunk_dedup_q,
-        "random_projection": w.random_projection_q,
-        "contamination_check": w.contamination_check_q,
         "knn_join_blocked_l2": w.knn_join_blocked_l2,  # scale path, sequential fold
         "text_stats": w.text_stats,
         "dedup_exact": w.dedup_exact_q,
@@ -136,6 +134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": w.pack_sequences_q,
         "negative_samples": w.negative_samples_q,
         "edit_distance_pairs": w.edit_distance_pairs_q,
+        "value_zscore": w.value_zscore_q,
+        "source_overlap_sketch": w.source_overlap_sketch_q,
         # ---- past the 50-entry gate horizon: green in CORRECTNESS_r05,
         #      or (first block) green r4 relational/text entries rotated
         #      out to make window room for the never-gated r6c cohort —
@@ -145,6 +145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_pack": w.token_budget_pack_q,  # packing family: pack_sequences in-window
         "text_normalize": w.text_normalize_q,  # text HOFs: boilerplate/gopher in-window
         "repetition_scores": w.repetition_scores_q,  # map-only HOFs: gopher in-window
+        "random_projection": w.random_projection_q,  # map-only folds: outlier/gopher in-window
+        "contamination_check": w.contamination_check_q,  # shingle overlap: source_overlap in-window
         "bf16_scan_l2": w.bf16_scan_l2,  # halffloat family: f16_scan_l2 stays in-window
         "i8_scan_l2": w.i8_scan_l2,  # typed-scan family: f16 in-window, u8 green r5
         "embedding_centroids": w.embedding_centroids_q,  # posexplode 2-agg: embedding_outliers in-window
@@ -326,4 +328,6 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": o.pack_sequences_q(),
         "negative_samples": o.negative_samples_q(),
         "edit_distance_pairs": o.edit_distance_pairs_q(),
+        "value_zscore": o.value_zscore_q(),
+        "source_overlap_sketch": o.source_overlap_sketch_q(),
     }

@@ -319,6 +319,8 @@ def main():
     bench("pack_sequences", lambda: w.pack_sequences_q(spark, SF_DIR).count())
     bench("negative_samples", lambda: w.negative_samples_q(spark, SF_DIR).count())
     bench("edit_distance_pairs", lambda: w.edit_distance_pairs_q(spark, SF_DIR).count())
+    bench("value_zscore", lambda: w.value_zscore_q(spark, SF_DIR).count())
+    bench("source_overlap_sketch", lambda: w.source_overlap_sketch_q(spark, SF_DIR).count())
 
     total = round(sum(times.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

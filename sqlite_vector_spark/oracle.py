@@ -2101,3 +2101,41 @@ FROM cand c
 JOIN documents x ON x.doc_id = c.a
 JOIN documents y ON y.doc_id = c.b
 ORDER BY a, b"""
+
+
+def value_zscore_q() -> str:
+    mean = "(CAST(s1 AS DOUBLE) / 10000.0 / n)"
+    var = f"(CAST(s2 AS DOUBLE) / 100000000.0 / n - {mean} * {mean})"
+    return f"""WITH stats AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(round(value * 10000.0) AS DECIMAL(18,0))) AS s1,
+         sum(CAST(round(value * 10000.0) AS DECIMAL(18,0)) * CAST(round(value * 10000.0) AS DECIMAL(18,0))) AS s2
+  FROM events GROUP BY event_type),
+m AS (SELECT event_type, {mean} AS mean, {var} AS var FROM stats)
+SELECT CAST(e.event_id AS BIGINT) AS event_id, e.event_type,
+       CAST(e.value AS DOUBLE) AS value,
+       CASE WHEN m.var <= 0.0 THEN 0.0
+            ELSE (e.value - m.mean) / sqrt(m.var) END AS z
+FROM events e JOIN m USING (event_type)
+ORDER BY event_id"""
+
+
+def source_overlap_sketch_q() -> str:
+    # Contract gate (approx_quantile_audit pattern): the oracle
+    # recomputes the EXACT pair matrix and pins within_bound TRUE —
+    # a sketch/merge bug that drifts past the error bound hash-fails.
+    return f"""WITH w AS (SELECT source, {WORDS} AS ws FROM documents),
+sh AS (SELECT source, unnest({_SH3}) AS s FROM w),
+d AS (SELECT DISTINCT source, {polyhash_sql('s')} AS h FROM sh),
+tot AS (SELECT source, count(*) AS n FROM d GROUP BY source),
+shared AS (
+  SELECT a.source AS sa, b.source AS sb, count(*) AS n_shared
+  FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT ta.source AS sa, tb.source AS sb,
+       CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(ta.n + tb.n - coalesce(s.n_shared, 0) AS BIGINT) AS union_sz,
+       TRUE AS within_bound
+FROM tot ta JOIN tot tb ON ta.source < tb.source
+LEFT JOIN shared s ON s.sa = ta.source AND s.sb = tb.source
+ORDER BY sa, sb"""

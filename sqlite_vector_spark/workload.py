@@ -2672,3 +2672,125 @@ def edit_distance_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     cand = lsh_candidate_pairs(docs, "doc_id", "text")
     return edit_distance_pairs(cand, docs, "doc_id", "text").orderBy("a", "b")
+
+
+def value_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score standardization (feature scaling for
+    behavioral models): mean and variance from exact fixed-point
+    moment sums (Σx, Σx² as DECIMAL over round(x·1e4) integers —
+    order-independent), broadcast back, then a map-side normalize.
+    Two shuffles total: the 1-row-per-type moments agg and the final
+    presentation sort; the z computation itself never reshuffles.
+    Every float step is a single IEEE op in a fixed order, so the
+    scores hash-match bitwise."""
+    ev = load_events(spark, sf_dir)
+    # DECIMAL(18,0) per row: the square then fits both engines' 38-digit
+    # product limit; group sums still widen to DECIMAL(38,0)
+    fx = F.round(F.col("value") * F.lit(10_000.0)).cast("decimal(18,0)")
+    stats = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(fx).alias("s1"),
+            F.sum(fx * fx).alias("s2"),
+        )
+        .select(
+            "event_type",
+            (F.col("s1").cast("double") / F.lit(10_000.0) / F.col("n")).alias("mean"),
+            (
+                F.col("s2").cast("double") / F.lit(100_000_000.0) / F.col("n")
+                - (F.col("s1").cast("double") / F.lit(10_000.0) / F.col("n"))
+                * (F.col("s1").cast("double") / F.lit(10_000.0) / F.col("n"))
+            ).alias("var"),
+        )
+    )
+    z = F.when(F.col("var") <= 0.0, F.lit(0.0)).otherwise(
+        (F.col("value") - F.col("mean")) / F.sqrt(F.col("var"))
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            F.col("event_id").cast("bigint").alias("event_id"),
+            "event_type",
+            F.col("value").cast("double").alias("value"),
+            z.alias("z"),
+        )
+        .orderBy("event_id")
+    )
+
+
+#: sketch-audit tolerance: DataSketches HLL at default lgK=12 has
+#: ~1.6% relative standard error; 4 sigma + slack across the union
+SKETCH_REL_TOL = 0.08
+
+
+def source_overlap_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch audit for the overlap matrix — the 100 TB form: ONE
+    DataSketches-HLL sketch per source (a few KB each) replaces the
+    corpus-wide pair join; |A∪B| comes from a driver-scale union of
+    20 sketches and |A∩B| by inclusion-exclusion. This entry runs
+    BOTH forms at gate scale and emits the sketch-vs-exact contract
+    (|est_union - union| <= SKETCH_REL_TOL · union) as a boolean the
+    oracle pins TRUE — the approx_quantile_audit pattern: the oracle
+    can't reproduce sketch internals, but it CAN falsify the
+    estimate's error bound."""
+    from sqlite_vector_spark.functions.text import polyhash, shingles
+
+    docs = _docs(spark, sf_dir)
+    d = (
+        docs.select("source", F.explode(shingles("text")).alias("s"))
+        .select("source", polyhash(F.col("s")).alias("h"))
+        .distinct()
+    )
+    tot = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    ss = (
+        d.groupBy("h")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .where(F.size("ss") > 1)
+    )
+    pairs_col = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ss"), i + F.lit(2), F.size("ss")),
+                lambda y: F.struct(x.alias("sa"), y.alias("sb")),
+            ),
+        )
+    )
+    shared = (
+        ss.select(F.explode(pairs_col).alias("p"))
+        .select(F.col("p.sa").alias("sa"), F.col("p.sb").alias("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sk = d.groupBy("source").agg(F.hll_sketch_agg("h").alias("sk"))
+    a = sk.select(F.col("source").alias("sa"), F.col("sk").alias("ska")).join(
+        F.broadcast(tot.select(F.col("source").alias("sa"), F.col("n").alias("na"))), "sa"
+    )
+    b = sk.select(F.col("source").alias("sb"), F.col("sk").alias("skb")).join(
+        F.broadcast(tot.select(F.col("source").alias("sb"), F.col("n").alias("nb"))), "sb"
+    )
+    cross = a.crossJoin(b).where(F.col("sa") < F.col("sb"))
+    est_union = F.hll_sketch_estimate(F.hll_union("ska", "skb"))
+    out = (
+        cross.join(F.broadcast(shared), ["sa", "sb"], "left")
+        .select(
+            "sa",
+            "sb",
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+            (F.col("na") + F.col("nb") - F.coalesce("n_shared", F.lit(0))).cast("bigint").alias("union_sz"),
+            est_union.alias("_est"),
+        )
+        .select(
+            "sa",
+            "sb",
+            "n_shared",
+            "union_sz",
+            (
+                F.abs(F.col("_est") - F.col("union_sz").cast("double"))
+                <= F.lit(SKETCH_REL_TOL) * F.col("union_sz").cast("double") + F.lit(1.0)
+            ).alias("within_bound"),
+        )
+        .orderBy("sa", "sb")
+    )
+    return out

@@ -452,3 +452,48 @@ def test_boilerplate_randomized_invariants(spark):
         assert is_subsequence(clean, orig)
         if r.n_removed == 0:
             assert r.clean_text == " ".join(orig)
+
+
+# ---------------------------------------------------------------- z-score + sketch audit
+
+
+def test_value_zscore_moments(spark, tmp_path):
+    from datetime import datetime
+
+    from sqlite_vector_spark import workload as w
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(i, t0, 1, "click", v, "{}") for i, v in enumerate([2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0])]
+    rows.append((99, t0, 1, "view", 3.0, "{}"))  # single-row group: var 0 -> z 0
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    sf = str(tmp_path / "z")
+    ev.write.parquet(f"{sf}/events.parquet")
+    out = {r.event_id: r for r in w.value_zscore_q(spark, sf).collect()}
+    # classic fixture: mean 5, stddev 2
+    assert math.isclose(out[0].z, (2.0 - 5.0) / 2.0, rel_tol=1e-9)
+    assert math.isclose(out[7].z, (9.0 - 5.0) / 2.0, rel_tol=1e-9)
+    assert out[99].z == 0.0
+
+
+def test_source_overlap_sketch_contract(spark, tmp_path):
+    from sqlite_vector_spark import workload as w
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"{shared} one two three four", "s1", "en"),
+        (2, f"{shared} five six seven eight", "s2", "en"),
+        (3, "nine ten eleven twelve thirteen", "s3", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string, lang string").withColumn(
+        "n_chars", F.length("text")
+    )
+    sf = str(tmp_path / "sk")
+    docs.write.parquet(f"{sf}/documents.parquet")
+    out = {(r.sa, r.sb): r for r in w.source_overlap_sketch_q(spark, sf).collect()}
+    assert len(out) == 3  # full pair matrix, shared or not
+    assert all(r.within_bound for r in out.values())
+    # the s1/s2 pair shares the 4 shingles inside `shared`
+    assert out[("s1", "s2")].n_shared == 4
+    assert out[("s1", "s3")].n_shared == 0

@@ -44,6 +44,8 @@ SPOT = [
     "pack_sequences",
     "negative_samples",
     "edit_distance_pairs",
+    "value_zscore",
+    "source_overlap_sketch",
 ]
 
 
