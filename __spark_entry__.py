@@ -67,13 +67,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return _q({
         # ---- ORDER MATTERS: the driver adjudicates the FIRST 50
-        # entries. Round-6 rotation: the r4-green cohort (stale after
-        # two rounds) rotates back inside the window, the new PQ
-        # family gets its first gate pass, and spot-checks cover every
-        # subsystem touched this round (events loader LTZ routing,
-        # single-pass quantize params, kmeans_fit init refactor, knn
-        # auto-salt). Entries green in CORRECTNESS_r05 rotate past the
-        # horizon.
+        # entries. Round-6 rotation priority: (1) every never-gated
+        # entry (the r6 PQ/BQ/LM/retrieval cohorts and the r6d
+        # cleaning/labeling/feature cohort), (2) spot-checks of
+        # subsystems CHANGED this round (frozen-params quantize
+        # append, kmeans_fit init, the auto-salted window kNN join),
+        # (3) as much of the stale r4-green cohort as fits. Entries
+        # green in CORRECTNESS_r05, plus r4-green entries whose
+        # subsystem is untouched and covered by an in-window cousin
+        # (noted per entry below), sit past the horizon; the local
+        # tools/check_oracle.py sweep covers ALL entries every round.
         # -- stale cohort: latest green r4, unverified since
         "recall_at_k": w.recall_at_k,
         "pricing_summary": w.pricing_summary,
@@ -81,7 +84,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_code_dedup": w.embedding_code_dedup_q,
         "quantize_scan_l2": w.quantize_scan_l2,
         "f16_scan_l2": w.f16_scan_l2,
-        "corpus_prep": w.corpus_prep_q,
         "chunk_dedup": w.chunk_dedup_q,
         "knn_join_blocked_l2": w.knn_join_blocked_l2,  # scale path, sequential fold
         "text_stats": w.text_stats,
@@ -136,6 +138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs": w.edit_distance_pairs_q,
         "value_zscore": w.value_zscore_q,
         "source_overlap_sketch": w.source_overlap_sketch_q,
+        # spot-check: the auto-salt window kNN path changed this round
+        "knn_join_l2": w.knn_join_l2,
         # ---- past the 50-entry gate horizon: green in CORRECTNESS_r05,
         #      or (first block) green r4 relational/text entries rotated
         #      out to make window room for the never-gated r6c cohort —
@@ -147,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": w.repetition_scores_q,  # map-only HOFs: gopher in-window
         "random_projection": w.random_projection_q,  # map-only folds: outlier/gopher in-window
         "contamination_check": w.contamination_check_q,  # shingle overlap: source_overlap in-window
+        "corpus_prep": w.corpus_prep_q,  # composite of in-window filter/dedup/budget pieces
         "bf16_scan_l2": w.bf16_scan_l2,  # halffloat family: f16_scan_l2 stays in-window
         "i8_scan_l2": w.i8_scan_l2,  # typed-scan family: f16 in-window, u8 green r5
         "embedding_centroids": w.embedding_centroids_q,  # posexplode 2-agg: embedding_outliers in-window
@@ -154,7 +159,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_null_carry_events": w.asof_null_carry_events_q,
         "value_quantiles": w.value_quantiles_q,
         "rerank_scan_l2": w.rerank_scan_l2,
-        "knn_join_l2": w.knn_join_l2,
         "shipping_priority": w.shipping_priority,
         "region_volume": w.region_volume,
         "promo_revenue_share": w.promo_revenue_share,
