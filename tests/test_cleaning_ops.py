@@ -497,3 +497,40 @@ def test_source_overlap_sketch_contract(spark, tmp_path):
     # the s1/s2 pair shares the 4 shingles inside `shared`
     assert out[("s1", "s2")].n_shared == 4
     assert out[("s1", "s3")].n_shared == 0
+
+
+# ---------------------------------------------------------------- incremental stats store
+
+
+def test_stats_store_append_equals_rebuild(spark, tmp_path):
+    from sqlite_vector_spark.operators.stats_store import stats_append, stats_report, stats_store
+
+    good = ("the quick brown fox jumps over a lazy dog and then runs far away to find more food " * 2).strip()
+    batch_a = spark.createDataFrame(
+        [(1, good, "web", "en"), (2, good, "web", "de"), (3, "tiny the a doc", "web", "en")],
+        "doc_id long, text string, source string, lang string",
+    )
+    batch_b = spark.createDataFrame(
+        [(4, good, "web", "fr"), (5, good + " extra", "books", "en")],
+        "doc_id long, text string, source string, lang string",
+    )
+    inc = str(tmp_path / "inc")
+    stats_store(batch_a, inc)
+    stats_append(batch_b, inc)
+    got = {r.source: r for r in stats_report(spark, inc).collect()}
+
+    full = str(tmp_path / "full")
+    stats_store(batch_a.unionByName(batch_b), full)
+    want = {r.source: r for r in stats_report(spark, full).collect()}
+
+    assert set(got) == set(want) == {"web", "books"}
+    for src in got:
+        g, x = got[src], want[src]
+        # additive columns and the bounded language set merge EXACTLY
+        assert (g.n_docs, g.n_tokens, g.n_langs, g.keep_rate) == (x.n_docs, x.n_tokens, x.n_langs, x.keep_rate)
+        assert math.isclose(g.mean_chars, x.mean_chars, rel_tol=1e-12)
+        # sketch union is register-max: append must equal rebuild too
+        assert math.isclose(g.dup_ratio_est, x.dup_ratio_est, rel_tol=1e-9)
+    # web: docs 1,2,4 share a fingerprint -> 2 unique of 4 (HLL exact at this cardinality)
+    assert got["web"].n_docs == 4 and math.isclose(got["web"].dup_ratio_est, 0.5, rel_tol=0.05)
+    assert got["web"].n_langs == 3
