@@ -337,3 +337,38 @@ def test_streaming_cleaning_with_static_boiler_index(spark, tmp_path):
     assert got == want
     assert not got[100][0].startswith(header) and got[100][1] is True
     assert got[101][1] is False
+
+
+def test_streaming_stats_store_foreachbatch(spark, tmp_path):
+    """Streaming maintenance of the incremental data card: each
+    micro-batch folds into the store via foreachBatch/stats_append,
+    and the final card equals a one-shot rebuild over all rows."""
+    from sqlite_vector_spark.operators.stats_store import stats_append, stats_report, stats_store
+
+    rows = [
+        (i, f"streamed document number {i} with a few more words here", "web" if i % 2 else "books", "en")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string, lang string")
+    src = str(tmp_path / "stats_src")
+    df.write.parquet(src)
+
+    store = str(tmp_path / "stats_inc")
+    stats_store(df.limit(0), store)  # empty seed
+
+    def fold(batch_df, _bid):
+        if batch_df.count():
+            stats_append(batch_df, store)
+
+    stream = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", "1").parquet(src)
+    q = stream.writeStream.foreachBatch(fold).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    full = str(tmp_path / "stats_full")
+    stats_store(df, full)
+    got = {r.source: tuple(r)[1:] for r in stats_report(spark, store).collect()}
+    want = {r.source: tuple(r)[1:] for r in stats_report(spark, full).collect()}
+    assert got == want and set(got) == {"web", "books"}
