@@ -87,7 +87,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": w.chunk_dedup_q,
         "knn_join_blocked_l2": w.knn_join_blocked_l2,  # scale path, sequential fold
         "text_stats": w.text_stats,
-        "dedup_exact": w.dedup_exact_q,
         "minhash_signatures": w.minhash_sig_q,
         "lsh_candidate_pairs": w.lsh_pairs_q,
         "simhash": w.simhash_q,
@@ -138,6 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs": w.edit_distance_pairs_q,
         "value_zscore": w.value_zscore_q,
         "source_overlap_sketch": w.source_overlap_sketch_q,
+        "bm25_batch_topk": w.bm25_batch_topk_q,
         # spot-check: the auto-salt window kNN path changed this round
         "knn_join_l2": w.knn_join_l2,
         # ---- past the 50-entry gate horizon: green in CORRECTNESS_r05,
@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection": w.random_projection_q,  # map-only folds: outlier/gopher in-window
         "contamination_check": w.contamination_check_q,  # shingle overlap: source_overlap in-window
         "corpus_prep": w.corpus_prep_q,  # composite of in-window filter/dedup/budget pieces
+        "dedup_exact": w.dedup_exact_q,  # exact-dup: corpus_report fingerprints in-window
         "bf16_scan_l2": w.bf16_scan_l2,  # halffloat family: f16_scan_l2 stays in-window
         "i8_scan_l2": w.i8_scan_l2,  # typed-scan family: f16 in-window, u8 green r5
         "embedding_centroids": w.embedding_centroids_q,  # posexplode 2-agg: embedding_outliers in-window
@@ -334,4 +335,5 @@ def oracle_sql() -> dict[str, str]:
         "edit_distance_pairs": o.edit_distance_pairs_q(),
         "value_zscore": o.value_zscore_q(),
         "source_overlap_sketch": o.source_overlap_sketch_q(),
+        "bm25_batch_topk": o.bm25_batch_topk_q(),
     }

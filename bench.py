@@ -321,6 +321,7 @@ def main():
     bench("edit_distance_pairs", lambda: w.edit_distance_pairs_q(spark, SF_DIR).count())
     bench("value_zscore", lambda: w.value_zscore_q(spark, SF_DIR).count())
     bench("source_overlap_sketch", lambda: w.source_overlap_sketch_q(spark, SF_DIR).count())
+    bench("bm25_batch_topk", lambda: w.bm25_batch_topk_q(spark, SF_DIR).count())
 
     total = round(sum(times.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -234,3 +234,79 @@ def mmr_select(
         selected.append(best[1])
     out = [(i + 1, cid, rows[cid].dq) for i, cid in enumerate(selected)]
     return corpus.sparkSession.createDataFrame(out, "mmr_rank int, id bigint, distance double")
+
+
+def bm25_batch_topk(
+    docs: DataFrame,
+    queries: Sequence[tuple[int, Sequence[str]]],
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Multi-query lexical retrieval — the BM25 analog of the kNN
+    join: top-k per query for a BATCH of (qid, terms) queries in ONE
+    corpus pass. Returns (qid, id, score, rank).
+
+    Shape: tf columns are computed once for the UNION of all query
+    terms (map-side HOFs), the stats aggregate covers every term in
+    the same 1-row pass, and each query's score is a fixed-order fold
+    over its own term subset — Q extra PROJECTION columns, zero extra
+    scans. The per-(id, qid) rows explode map-side and one rank
+    window per qid keeps k; corpus passes stay at two regardless of
+    batch size."""
+    from sqlite_vector_spark.functions.text import normalize_text, words
+
+    if not queries:
+        raise ValueError("bm25_batch_topk needs at least one query")
+    all_terms = sorted({t for _, ts in queries for t in ts})
+    if not all_terms:
+        raise ValueError("bm25_batch_topk needs at least one term")
+    tix = {t: i for i, t in enumerate(all_terms)}
+    toks = words(normalize_text(F.col(text_col)))
+    base = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.size(toks).cast("double").alias("dl"),
+        *[_term_tf(toks, t).alias(f"tf_{i}") for i, t in enumerate(all_terms)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum(F.col("dl").cast("bigint")).cast("double").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > F.lit(0.0)).cast("bigint")).cast("double").alias(f"df_{i}")
+            for i in range(len(all_terms))
+        ],
+    )
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    one_b = F.lit(1.0) - F.lit(b)
+
+    def term_score(i: int) -> Column:
+        tf = F.col(f"tf_{i}")
+        idf = (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5)) / (F.col(f"df_{i}") + F.lit(0.5))
+        denom = tf + F.lit(k1) * (one_b + F.lit(b) * (F.col("dl") / avgdl))
+        return idf * ((tf * F.lit(k1 + 1.0)) / denom)
+
+    def query_score(terms: Sequence[str]) -> Column:
+        score = term_score(tix[terms[0]])
+        for t in terms[1:]:  # fixed left-to-right fold per query
+            score = score + term_score(tix[t])
+        return score
+
+    arr = F.array(
+        *[
+            F.struct(F.lit(int(qid)).cast("bigint").alias("qid"), query_score(ts).alias("score"))
+            for qid, ts in queries
+        ]
+    )
+    exploded = (
+        base.crossJoin(F.broadcast(stats))
+        .select("id", F.explode(arr).alias("x"))
+        .select(F.col("x.qid").alias("qid"), "id", F.col("x.score").alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("id").asc())
+    return (
+        exploded.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "id", "score", F.col("rank").cast("int").alias("rank"))
+    )

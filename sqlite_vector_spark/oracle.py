@@ -2139,3 +2139,40 @@ SELECT ta.source AS sa, tb.source AS sb,
 FROM tot ta JOIN tot tb ON ta.source < tb.source
 LEFT JOIN shared s ON s.sa = ta.source AND s.sb = tb.source
 ORDER BY sa, sb"""
+
+
+def bm25_batch_topk_q() -> str:
+    from sqlite_vector_spark.operators.retrieval import BM25_B, BM25_K1
+    from sqlite_vector_spark.workload import BM25_BATCH, HYBRID_K
+
+    all_terms = sorted({t for _, ts in BM25_BATCH for t in ts})
+    tix = {t: i for i, t in enumerate(all_terms)}
+    k1, b = BM25_K1, BM25_B
+    one_b = repr(1.0 - b)
+    k1p1 = repr(k1 + 1.0)
+
+    def term_score(i: int) -> str:
+        idf = f"((n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        denom = f"(tf_{i} + {k1!r} * ({one_b} + {b!r} * (dl / (sum_dl / n_docs))))"
+        return f"({idf} * ((tf_{i} * {k1p1}) / {denom}))"
+
+    def query_score(ts) -> str:
+        s = term_score(tix[ts[0]])
+        for t in ts[1:]:
+            s = f"({s} + {term_score(tix[t])})"
+        return s
+
+    arms = "\nUNION ALL\n".join(
+        f"SELECT CAST({qid} AS BIGINT) AS qid, id, {query_score(ts)} AS score FROM base, stats"
+        for qid, ts in BM25_BATCH
+    )
+    return f"""WITH {_bm25_ctes(all_terms, k1, b)},
+sel AS (
+{arms}),
+ranked AS (
+  SELECT qid, id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rank
+  FROM sel)
+SELECT qid, id, score, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {HYBRID_K}
+ORDER BY qid, rank"""

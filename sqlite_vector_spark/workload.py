@@ -2794,3 +2794,22 @@ def source_overlap_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("sa", "sb")
     )
     return out
+
+
+#: multi-query BM25 batch (qid, terms); terms drawn from the corpus vocab
+BM25_BATCH = (
+    (0, ("customer", "window")),
+    (1, ("stream", "fast")),
+    (2, ("table", "scan", "sort")),
+    (3, ("vector", "batch")),
+)
+
+
+def bm25_batch_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched lexical retrieval (operators/retrieval.py
+    bm25_batch_topk): top-HYBRID_K per query for BM25_BATCH in one
+    corpus pass — tf columns for the term UNION, one stats row, Q
+    projection-only score columns, one rank window."""
+    from sqlite_vector_spark.operators.retrieval import bm25_batch_topk
+
+    return bm25_batch_topk(_docs(spark, sf_dir), BM25_BATCH, HYBRID_K).orderBy("qid", "rank")

@@ -534,3 +534,43 @@ def test_stats_store_append_equals_rebuild(spark, tmp_path):
     # web: docs 1,2,4 share a fingerprint -> 2 unique of 4 (HLL exact at this cardinality)
     assert got["web"].n_docs == 4 and math.isclose(got["web"].dup_ratio_est, 0.5, rel_tol=0.05)
     assert got["web"].n_langs == 3
+
+
+# ---------------------------------------------------------------- batched BM25
+
+
+def test_bm25_batch_matches_single_query(spark):
+    """Each query's top-k from the batched one-pass form must equal
+    the single-query bm25_topk run in isolation — the df/idf stats
+    are corpus-global, so batching cannot perturb them."""
+    from sqlite_vector_spark.operators.retrieval import bm25_batch_topk, bm25_topk
+
+    rows = [
+        (1, "spark window stream window window fast"),
+        (2, "stream stream fast table"),
+        (3, "table scan sort table scan"),
+        (4, "window table spark fast stream sort"),
+        (5, "completely unrelated words only here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = [(10, ("window", "stream")), (11, ("table", "scan"))]
+    batch = bm25_batch_topk(docs, queries, k=3)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.qid, []).append((r.rank, r.id, r.score))
+    for qid, terms in queries:
+        single = [
+            (i + 1, r.id, r.score)
+            for i, r in enumerate(bm25_topk(docs, terms, 3).collect())
+        ]
+        assert sorted(got[qid]) == single, qid
+
+
+def test_bm25_batch_rejects_empty(spark):
+    from sqlite_vector_spark.operators.retrieval import bm25_batch_topk
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        bm25_batch_topk(docs, [], 3)

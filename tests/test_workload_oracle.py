@@ -46,6 +46,7 @@ SPOT = [
     "edit_distance_pairs",
     "value_zscore",
     "source_overlap_sketch",
+    "bm25_batch_topk",
 ]
 
 
