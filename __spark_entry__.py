@@ -87,9 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": w.chunk_dedup_q,
         "knn_join_blocked_l2": w.knn_join_blocked_l2,  # scale path, sequential fold
         "text_stats": w.text_stats,
-        "minhash_signatures": w.minhash_sig_q,
         "lsh_candidate_pairs": w.lsh_pairs_q,
-        "simhash": w.simhash_q,
         "ngram_jaccard_pairs": w.jaccard_pairs_q,
         "embedding_neardup": w.embedding_neardup_q,
         "neardup_representatives": w.neardup_representatives_q,
@@ -138,6 +136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_zscore": w.value_zscore_q,
         "source_overlap_sketch": w.source_overlap_sketch_q,
         "bm25_batch_topk": w.bm25_batch_topk_q,
+        "events_resample": w.events_resample_q,
+        "user_type_pivot": w.user_type_pivot_q,
         # spot-check: the auto-salt window kNN path changed this round
         "knn_join_l2": w.knn_join_l2,
         # ---- past the 50-entry gate horizon: green in CORRECTNESS_r05,
@@ -153,6 +153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": w.contamination_check_q,  # shingle overlap: source_overlap in-window
         "corpus_prep": w.corpus_prep_q,  # composite of in-window filter/dedup/budget pieces
         "dedup_exact": w.dedup_exact_q,  # exact-dup: corpus_report fingerprints in-window
+        "minhash_signatures": w.minhash_sig_q,  # LSH family: lsh_candidate_pairs in-window
+        "simhash": w.simhash_q,  # banded fingerprints: simhash_neardup green r5
         "bf16_scan_l2": w.bf16_scan_l2,  # halffloat family: f16_scan_l2 stays in-window
         "i8_scan_l2": w.i8_scan_l2,  # typed-scan family: f16 in-window, u8 green r5
         "embedding_centroids": w.embedding_centroids_q,  # posexplode 2-agg: embedding_outliers in-window
@@ -336,4 +338,6 @@ def oracle_sql() -> dict[str, str]:
         "value_zscore": o.value_zscore_q(),
         "source_overlap_sketch": o.source_overlap_sketch_q(),
         "bm25_batch_topk": o.bm25_batch_topk_q(),
+        "events_resample": o.events_resample_q(),
+        "user_type_pivot": o.user_type_pivot_q(),
     }

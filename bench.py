@@ -322,6 +322,8 @@ def main():
     bench("value_zscore", lambda: w.value_zscore_q(spark, SF_DIR).count())
     bench("source_overlap_sketch", lambda: w.source_overlap_sketch_q(spark, SF_DIR).count())
     bench("bm25_batch_topk", lambda: w.bm25_batch_topk_q(spark, SF_DIR).count())
+    bench("events_resample", lambda: w.events_resample_q(spark, SF_DIR).count())
+    bench("user_type_pivot", lambda: w.user_type_pivot_q(spark, SF_DIR).count())
 
     total = round(sum(times.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -2176,3 +2176,36 @@ ranked AS (
 SELECT qid, id, score, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {HYBRID_K}
 ORDER BY qid, rank"""
+
+
+def events_resample_q() -> str:
+    return f"""WITH e AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h, value FROM events),
+agg AS (
+  SELECT event_type, h, count(*) AS n_events,
+         {_fixed_sum('value', 10000.0)} AS sum_value
+  FROM e GROUP BY event_type, h),
+span AS (SELECT min(h) AS h_lo, max(h) AS h_hi FROM e),
+grid AS (
+  SELECT t.event_type, unnest(generate_series(span.h_lo, span.h_hi)) AS h
+  FROM (SELECT DISTINCT event_type FROM e) t, span)
+SELECT grid.event_type,
+       CAST(grid.h * 3600 AS BIGINT) AS hour_epoch,
+       CAST(coalesce(agg.n_events, 0) AS BIGINT) AS n_events,
+       coalesce(agg.sum_value, 0.0) AS sum_value
+FROM grid LEFT JOIN agg ON agg.event_type = grid.event_type AND agg.h = grid.h
+ORDER BY grid.event_type, hour_epoch"""
+
+
+def user_type_pivot_q() -> str:
+    kinds = ("click", "view", "purchase", "signup", "error")
+    cols = ",\n       ".join(
+        f"CAST(sum(CASE WHEN event_type = '{k}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{k}"
+        for k in kinds
+    )
+    return f"""SELECT CAST(user_id AS BIGINT) AS user_id,
+       {cols},
+       CAST(count(*) AS BIGINT) AS n_total
+FROM events
+GROUP BY user_id
+ORDER BY user_id"""

@@ -2813,3 +2813,55 @@ def bm25_batch_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sqlite_vector_spark.operators.retrieval import bm25_batch_topk
 
     return bm25_batch_topk(_docs(spark, sf_dir), BM25_BATCH, HYBRID_K).orderBy("qid", "rank")
+
+
+def events_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly resample with gap filling (the time-grid prep for
+    forecasting / anomaly models): one row per (event_type, hour)
+    over the corpus' full [min, max] hour span, zero-filled where no
+    events landed. The grid is generated in-plan (sequence over the
+    1-row min/max agg, exploded per type) and LEFT-joined to the
+    hourly aggregate — grid size is types x hours regardless of event
+    count, and the only event shuffle is the hourly rollup."""
+    ev = load_events(spark, sf_dir)
+    hour = F.expr("ts_ns div 3600000000000").cast("bigint")
+    agg = ev.groupBy(hour.alias("h"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _fixed_sum(F.col("value"), 10_000.0).alias("sum_value"),
+    )
+    span = ev.agg(
+        F.min(hour).alias("h_lo"), F.max(hour).alias("h_hi")
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(span))
+        .select("event_type", F.explode(F.sequence("h_lo", "h_hi")).alias("h"))
+    )
+    return (
+        grid.join(agg, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            (F.col("h") * F.lit(3600)).cast("bigint").alias("hour_epoch"),
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+        .orderBy("event_type", "hour_epoch")
+    )
+
+
+def user_type_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type pivot (the wide feature row for user
+    models): one count column per event type from a single groupBy —
+    conditional aggregation, not Spark's dynamic pivot, so the output
+    schema is static and the oracle mirrors it column for column."""
+    ev = load_events(spark, sf_dir)
+    kinds = ("click", "view", "purchase", "signup", "error")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == k, 1).otherwise(0)).cast("bigint").alias(f"n_{k}")
+        for k in kinds
+    ]
+    return (
+        ev.groupBy(F.col("user_id").cast("bigint").alias("user_id"))
+        .agg(*aggs, F.count(F.lit(1)).cast("bigint").alias("n_total"))
+        .orderBy("user_id")
+    )

@@ -574,3 +574,55 @@ def test_bm25_batch_rejects_empty(spark):
 
     with _pt.raises(ValueError):
         bm25_batch_topk(docs, [], 3)
+
+
+# ---------------------------------------------------------------- resample + pivot
+
+
+def test_events_resample_gap_filling(spark, tmp_path):
+    from datetime import datetime
+
+    from sqlite_vector_spark import workload as w
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 30), 1, "click", 2.0, "{}"),
+        (2, datetime(2024, 1, 1, 3, 10), 1, "click", 4.0, "{}"),  # hours 1,2 are gaps
+        (3, datetime(2024, 1, 1, 1, 5), 2, "view", 8.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    sf = str(tmp_path / "rs")
+    ev.write.parquet(f"{sf}/events.parquet")
+    out = w.events_resample_q(spark, sf).collect()
+    # full grid: 2 types x 4 hours (span 00:00-03:00)
+    assert len(out) == 8
+    by = {(r.event_type, r.hour_epoch): r for r in out}
+    h0 = datetime(2024, 1, 1).timestamp()
+    assert by[("click", int(h0))].n_events == 1
+    assert by[("click", int(h0) + 3600)].n_events == 0  # gap zero-filled
+    assert by[("click", int(h0) + 3 * 3600)].sum_value == 4.0
+    assert by[("view", int(h0) + 3600)].n_events == 1
+    assert by[("view", int(h0))].n_events == 0
+
+
+def test_user_type_pivot_counts(spark, tmp_path):
+    from datetime import datetime
+
+    from sqlite_vector_spark import workload as w
+
+    t = datetime(2024, 1, 1)
+    rows = [
+        (1, t, 7, "click", 1.0, "{}"),
+        (2, t, 7, "click", 1.0, "{}"),
+        (3, t, 7, "purchase", 1.0, "{}"),
+        (4, t, 8, "error", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    sf = str(tmp_path / "pv")
+    ev.write.parquet(f"{sf}/events.parquet")
+    out = {r.user_id: r for r in w.user_type_pivot_q(spark, sf).collect()}
+    assert (out[7].n_click, out[7].n_purchase, out[7].n_view, out[7].n_total) == (2, 1, 0, 3)
+    assert (out[8].n_error, out[8].n_total) == (1, 1)

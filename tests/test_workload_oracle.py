@@ -47,6 +47,8 @@ SPOT = [
     "value_zscore",
     "source_overlap_sketch",
     "bm25_batch_topk",
+    "events_resample",
+    "user_type_pivot",
 ]
 
 
