@@ -81,10 +81,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall_at_k": w.recall_at_k,
         "pricing_summary": w.pricing_summary,
         "quantize_params": w.quantize_params,
-        "embedding_code_dedup": w.embedding_code_dedup_q,
         "quantize_scan_l2": w.quantize_scan_l2,
         "f16_scan_l2": w.f16_scan_l2,
-        "chunk_dedup": w.chunk_dedup_q,
         "knn_join_blocked_l2": w.knn_join_blocked_l2,  # scale path, sequential fold
         "text_stats": w.text_stats,
         "lsh_candidate_pairs": w.lsh_pairs_q,
@@ -138,6 +136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_batch_topk": w.bm25_batch_topk_q,
         "events_resample": w.events_resample_q,
         "user_type_pivot": w.user_type_pivot_q,
+        "error_incidents": w.error_incidents_q,
+        "session_incident_overlap": w.session_incident_overlap_q,
         # spot-check: the auto-salt window kNN path changed this round
         "knn_join_l2": w.knn_join_l2,
         # ---- past the 50-entry gate horizon: green in CORRECTNESS_r05,
@@ -155,6 +155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": w.dedup_exact_q,  # exact-dup: corpus_report fingerprints in-window
         "minhash_signatures": w.minhash_sig_q,  # LSH family: lsh_candidate_pairs in-window
         "simhash": w.simhash_q,  # banded fingerprints: simhash_neardup green r5
+        "chunk_dedup": w.chunk_dedup_q,  # chunk fingerprints: boilerplate_strip in-window
+        "embedding_code_dedup": w.embedding_code_dedup_q,  # code grouping: quantize_codes in-window
         "bf16_scan_l2": w.bf16_scan_l2,  # halffloat family: f16_scan_l2 stays in-window
         "i8_scan_l2": w.i8_scan_l2,  # typed-scan family: f16 in-window, u8 green r5
         "embedding_centroids": w.embedding_centroids_q,  # posexplode 2-agg: embedding_outliers in-window
@@ -340,4 +342,6 @@ def oracle_sql() -> dict[str, str]:
         "bm25_batch_topk": o.bm25_batch_topk_q(),
         "events_resample": o.events_resample_q(),
         "user_type_pivot": o.user_type_pivot_q(),
+        "error_incidents": o.error_incidents_q(),
+        "session_incident_overlap": o.session_incident_overlap_q(w.SESSION_GAP_US),
     }

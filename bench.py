@@ -324,6 +324,8 @@ def main():
     bench("bm25_batch_topk", lambda: w.bm25_batch_topk_q(spark, SF_DIR).count())
     bench("events_resample", lambda: w.events_resample_q(spark, SF_DIR).count())
     bench("user_type_pivot", lambda: w.user_type_pivot_q(spark, SF_DIR).count())
+    bench("error_incidents", lambda: w.error_incidents_q(spark, SF_DIR).count())
+    bench("session_incident_overlap", lambda: w.session_incident_overlap_q(spark, SF_DIR).count())
 
     total = round(sum(times.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -2209,3 +2209,48 @@ def user_type_pivot_q() -> str:
 FROM events
 GROUP BY user_id
 ORDER BY user_id"""
+
+
+_ERR_INCIDENTS = """hrs AS (
+  SELECT DISTINCT epoch_us(ts) // 3600000000 AS h FROM events WHERE event_type = 'error'),
+isl AS (SELECT h, h - row_number() OVER (ORDER BY h) AS island FROM hrs),
+inc AS (
+  SELECT min(h) AS start_h, max(h) AS end_h, CAST(count(*) AS BIGINT) AS n_hours
+  FROM isl GROUP BY island)"""
+
+
+def error_incidents_q() -> str:
+    return f"""WITH {_ERR_INCIDENTS}
+SELECT start_h, end_h, n_hours FROM inc ORDER BY start_h"""
+
+
+def session_incident_overlap_q(gap_us: int) -> str:
+    hour_us = 3_600_000_000
+    ordered = "PARTITION BY user_id ORDER BY us, event_id"
+    return f"""WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+b AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN (us - lag(us) OVER ({ordered})) IS NULL
+                   OR (us - lag(us) OVER ({ordered})) > {gap_us}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e),
+s AS (
+  SELECT user_id, us,
+         sum(new_sess) OVER ({ordered.replace('event_id', 'event_id')} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM b),
+sess AS (
+  SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+         min(us) AS start_us, max(us) AS end_us
+  FROM s GROUP BY user_id, session_seq),
+{_ERR_INCIDENTS}
+SELECT sess.user_id, sess.session_seq,
+       CAST(inc.start_h * 3600 AS BIGINT) AS incident_epoch,
+       CAST(least(sess.end_us, (inc.end_h + 1) * {hour_us} - 1)
+            - greatest(sess.start_us, inc.start_h * {hour_us}) + 1 AS BIGINT) AS overlap_us
+FROM sess JOIN inc
+  ON sess.start_us <= (inc.end_h + 1) * {hour_us} - 1
+ AND inc.start_h * {hour_us} <= sess.end_us
+WHERE least(sess.end_us, (inc.end_h + 1) * {hour_us} - 1)
+      - greatest(sess.start_us, inc.start_h * {hour_us}) + 1 > 0
+ORDER BY user_id, session_seq, incident_epoch"""

@@ -2865,3 +2865,94 @@ def user_type_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(*aggs, F.count(F.lit(1)).cast("bigint").alias("n_total"))
         .orderBy("user_id")
     )
+
+
+HOUR_US = 3_600_000_000
+
+
+def _error_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal runs of consecutive error hours (gaps-and-islands):
+    distinct error hours -> island id = hour - dense rank (constant
+    within a consecutive run) -> per-island envelope."""
+    ev = load_events(spark, sf_dir)
+    hours = (
+        ev.where(F.col("event_type") == "error")
+        .select(F.expr("ts_ns div 3600000000000").cast("bigint").alias("h"))
+        .distinct()
+    )
+    w = Window.orderBy("h")
+    isl = hours.withColumn("island", F.col("h") - F.row_number().over(w))
+    return isl.groupBy("island").agg(
+        F.min("h").alias("start_h"),
+        F.max("h").alias("end_h"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+    )
+
+
+def error_incidents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands coalescing: merge consecutive error hours into
+    maximal incident intervals (the alerting/monitoring primitive).
+    The hour - row_number trick is constant within a run; distinct
+    hours are tiny (bounded by the time span), so the global window is
+    driver-scale regardless of event count."""
+    return (
+        _error_incidents(spark, sf_dir)
+        .select("start_h", "end_h", "n_hours")
+        .orderBy("start_h")
+    )
+
+
+def session_incident_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL x INTERVAL overlap join: user sessions (gap windows)
+    against global error incidents (islands above) — which sessions
+    ran while something was on fire, and for how long.
+
+    Spark plans raw interval predicates as a nested loop; instead both
+    sides explode into covered hour buckets and equi-join on the
+    bucket, with the first-shared-bucket rule (bucket ==
+    max(first_a, first_b)) making each overlapping pair match EXACTLY
+    once — no distinct pass. Pair volume is bounded by bucket
+    co-occupancy, never |sessions| x |incidents|. Overlap length is
+    exact integer micros."""
+    sess = sessionize(spark, sf_dir).select(
+        "user_id", "session_seq", "start_us", "end_us"
+    )
+    inc = _error_incidents(spark, sf_dir).select(
+        (F.col("start_h") * F.lit(HOUR_US)).alias("inc_start_us"),
+        ((F.col("end_h") + 1) * F.lit(HOUR_US) - 1).alias("inc_end_us"),
+        F.col("start_h").alias("inc_first_h"),
+    )
+    s = sess.select(
+        "user_id",
+        "session_seq",
+        "start_us",
+        "end_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_us div {HOUR_US}"), F.expr(f"end_us div {HOUR_US}")
+            )
+        ).alias("h"),
+        F.expr(f"start_us div {HOUR_US}").alias("sess_first_h"),
+    )
+    i = inc.select(
+        "inc_start_us",
+        "inc_end_us",
+        "inc_first_h",
+        F.explode(
+            F.sequence("inc_first_h", F.expr(f"inc_end_us div {HOUR_US}"))
+        ).alias("h"),
+    )
+    joined = s.join(F.broadcast(i), "h").where(
+        F.col("h") == F.greatest("sess_first_h", "inc_first_h")
+    )
+    overlap = F.least("end_us", "inc_end_us") - F.greatest("start_us", "inc_start_us") + 1
+    return (
+        joined.where(overlap > 0)
+        .select(
+            "user_id",
+            F.col("session_seq").cast("bigint").alias("session_seq"),
+            (F.col("inc_first_h") * F.lit(3600)).cast("bigint").alias("incident_epoch"),
+            overlap.cast("bigint").alias("overlap_us"),
+        )
+        .orderBy("user_id", "session_seq", "incident_epoch")
+    )

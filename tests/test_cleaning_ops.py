@@ -626,3 +626,61 @@ def test_user_type_pivot_counts(spark, tmp_path):
     out = {r.user_id: r for r in w.user_type_pivot_q(spark, sf).collect()}
     assert (out[7].n_click, out[7].n_purchase, out[7].n_view, out[7].n_total) == (2, 1, 0, 3)
     assert (out[8].n_error, out[8].n_total) == (1, 1)
+
+
+# ---------------------------------------------------------------- incidents + interval overlap
+
+
+def test_error_incidents_islands(spark, tmp_path):
+    from datetime import datetime
+
+    from sqlite_vector_spark import workload as w
+
+    def ev(i, hour, kind):
+        return (i, datetime(2024, 1, 1, hour), 1, kind, 1.0, "{}")
+
+    rows = [ev(1, 0, "error"), ev(2, 1, "error"), ev(3, 1, "error"),  # island hours 0-1
+            ev(4, 5, "error"),                                        # island hour 5
+            ev(5, 3, "click")]                                        # non-error ignored
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    sf = str(tmp_path / "inc")
+    df.write.parquet(f"{sf}/events.parquet")
+    spans = [(r.end_h - r.start_h + 1, r.n_hours) for r in w.error_incidents_q(spark, sf).collect()]
+    assert spans == [(2, 2), (1, 1)]
+
+
+def test_session_incident_overlap_exact_once(spark, tmp_path):
+    from datetime import datetime
+
+    from sqlite_vector_spark import workload as w
+
+    rows = [
+        # user 1: one long session spanning hours 0-3 (events 30min apart
+        # stay inside the 8h gap); overlaps BOTH incident islands below
+        (1, datetime(2024, 1, 1, 0, 10), 1, "click", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 3, 50), 1, "click", 1.0, "{}"),
+        # user 2: session entirely inside hour 9 -> overlaps nothing
+        (3, datetime(2024, 1, 1, 9, 5), 2, "view", 1.0, "{}"),
+        # error events defining incidents: hours 1-2 (one island), hour 6
+        (4, datetime(2024, 1, 1, 1, 30), 99, "error", 1.0, "{}"),
+        (5, datetime(2024, 1, 1, 2, 15), 99, "error", 1.0, "{}"),
+        (6, datetime(2024, 1, 1, 6, 45), 99, "error", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    sf = str(tmp_path / "ov")
+    df.write.parquet(f"{sf}/events.parquet")
+    out = w.session_incident_overlap_q(spark, sf).collect()
+    pairs = [(r.user_id, r.session_seq, r.incident_epoch) for r in out]
+    h = lambda n: int(datetime(2024, 1, 1, n).timestamp())
+    # the multi-hour session matches the 2-hour island EXACTLY ONCE
+    assert pairs.count((1, 1, h(1))) == 1
+    # user 99's own error session also overlaps the incidents
+    assert (1, 1, h(6)) not in pairs  # session 0:10-3:50 misses hour-6 island
+    assert all(r.user_id != 2 for r in out)
+    # overlap length: session [0:10, 3:50] x incident [1:00, 3:00) -> 2h exactly
+    r = next(r for r in out if (r.user_id, r.incident_epoch) == (1, h(1)))
+    assert r.overlap_us == 2 * 3600 * 1_000_000

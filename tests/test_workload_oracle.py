@@ -49,6 +49,8 @@ SPOT = [
     "bm25_batch_topk",
     "events_resample",
     "user_type_pivot",
+    "error_incidents",
+    "session_incident_overlap",
 ]
 
 
