@@ -92,6 +92,9 @@ def main():
         ("embedding_outliers", "outlier flag: posexplode 2-agg centroid, 1-row broadcast, rank window", w.embedding_outliers_q),
         ("source_overlap", "overlap matrix: one distinct shuffle, in-row HOF pair expansion, no self-join", w.source_overlap_q),
         ("pack_sequences", "sequence packing: single shard exchange feeding the prefix-sum window", w.pack_sequences_q),
+        ("bm25_batch_topk", "batched BM25: one scan, term-union tf columns, Q projection scores, rank window", w.bm25_batch_topk_q),
+        ("events_resample", "dense time grid: 1-row span broadcast, exploded sequence, LEFT join to rollup", w.events_resample_q),
+        ("session_incident_overlap", "interval overlap: bucket explode both sides, equi-join, first-bucket rule", w.session_incident_overlap_q),
     ]
 
     print("# PLANS — physical plans of headline operators (sf0.001, AQE on)")
