@@ -292,3 +292,33 @@ def test_pack_sequences_single_shard_shuffle(spark):
     shard key; the final orderBy is presentation-only."""
     plan = physical_plan(w.pack_sequences_q(spark, SF))
     assert plan.count("hashpartitioning(shard") == 1, plan[:1500]
+
+
+def test_bm25_batch_single_scan_window_limited(spark):
+    """Batched BM25 must stay at two corpus scans (base + stats) with
+    the per-query top-k bounded by WindowGroupLimit, and never plan a
+    per-query re-scan."""
+    df = w.bm25_batch_topk_q(spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("FileScan") == 2, plan[:1500]
+    assert "WindowGroupLimit" in plan
+    assert_not_in_plan(df, "SortMergeJoin", "CartesianProduct")
+
+
+def test_events_resample_grid_is_broadcast_left_join(spark):
+    """The dense grid joins the rollup as a broadcast LEFT join; a
+    shuffled join would re-exchange the grid per type x hour."""
+    df = w.events_resample_q(spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan, plan[:1500]
+    assert_not_in_plan(df, "SortMergeJoin")
+
+
+def test_session_incident_overlap_is_bucket_equijoin(spark):
+    """The interval x interval join must be the bucket equi-join with
+    the small incident side broadcast — never a nested-loop over the
+    raw inequality predicate."""
+    df = w.session_incident_overlap_q(spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan and "Inner" in plan, plan[:1500]
+    assert_not_in_plan(df, "BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin")
