@@ -158,8 +158,46 @@ def main():
     res = staged("source_overlap", lambda: pair.localCheckpoint(eager=True))
     out["overlap_pairs"] = res.count()
 
+    # ---- sequence packing: shard shuffle + prefix-sum window at 1M
+    # (xxhash64 shard key; the workload entry's polyhash exists for
+    # oracle parity) ----
+    from pyspark.sql import Window
+
+    base = docs.select(
+        "doc_id",
+        F.size(F.split("content", " ")).cast("bigint").alias("toks"),
+        F.xxhash64("content").alias("h"),
+    ).withColumn("shard", F.pmod(F.col("h"), F.lit(32)).cast("int"))
+    wq = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = base.select(
+        "doc_id", "shard", "toks", (F.sum("toks").over(wq) - F.col("toks")).alias("off")
+    )
+    staged("pack_sequences", lambda: packed.localCheckpoint(eager=True))
+
+    # ---- batched BM25: 4 queries over the full corpus in one pass ----
+    from sqlite_vector_spark.operators.retrieval import bm25_batch_topk
+
+    queries = [
+        (0, ("boiler0", "boiler1")),
+        (1, ("boiler2", "boiler5")),
+        (2, ("boiler3", "boiler6", "boiler7")),
+        (3, ("boiler4",)),
+    ]
+    bm = bm25_batch_topk(docs, queries, k=20, id_col="doc_id", text_col="content")
+    res = staged("bm25_batch", lambda: bm.localCheckpoint(eager=True))
+    out["bm25_rows"] = res.count()
+
     out["total_s"] = round(
-        out["boilerplate_strip_s"] + out["gopher_quality_s"] + out["source_overlap_s"], 2
+        out["boilerplate_strip_s"]
+        + out["gopher_quality_s"]
+        + out["source_overlap_s"]
+        + out["pack_sequences_s"]
+        + out["bm25_batch_s"],
+        2,
     )
     print(json.dumps(out))
     spark.stop()
