@@ -57,6 +57,10 @@ class VectorContext:
     pq_path: str | None = None
     pq_codebooks: list | None = None
     pq_residual: bool = False
+    # persisted after bq_encode: 1-bit packed code table (+ per-dim
+    # thresholds when not sign-bit encoding)
+    bq_path: str | None = None
+    bq_thresholds: list | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -133,6 +137,7 @@ class VectorCatalog:
             for k in (
                 "qscale", "qoffset", "resolved_qtype", "quantized_path",
                 "ivf_path", "ivf_centroids", "pq_path", "pq_codebooks", "pq_residual",
+                "bq_path", "bq_thresholds",
             ):
                 setattr(ctx, k, persisted.get(k))
         self._contexts[key] = ctx
@@ -161,6 +166,12 @@ class VectorCatalog:
         ctx.pq_path = path
         ctx.pq_codebooks = [[[float(x) for x in e] for e in cb] for cb in codebooks]
         ctx.pq_residual = bool(residual)
+        self._serialize(ctx)
+
+    def set_bq_index(self, table: str, column: str, *, path: str, thresholds=None) -> None:
+        ctx = self.get(table, column)
+        ctx.bq_path = path
+        ctx.bq_thresholds = [float(x) for x in thresholds] if thresholds is not None else None
         self._serialize(ctx)
 
     def drop(self, table: str, column: str) -> None:

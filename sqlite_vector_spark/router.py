@@ -36,6 +36,7 @@ def knn(
     prefer: str = "auto",
     id_col: str = "id",
     nprobe: int = 2,
+    prefilter: int | None = None,
 ) -> DataFrame:
     """Top-k over a registered vector column.
 
@@ -47,14 +48,17 @@ def knn(
     trade answer completeness for speed without being asked. The PQ
     tiers (``prefer="pq"`` — flat ADC over the code table;
     ``prefer="ivf_pq"`` — probe-pruned ADC, residual-aware) are
-    opt-in for the same reason plus their ADC distance domain. "exact"
-    forces the base scan; "quantized"/"ivf" require that replica
-    (error if absent). IVF results are true-domain distances over
+    opt-in for the same reason plus their ADC distance domain. The
+    1-bit tier (``prefer="bq"`` — Hamming prefilter of ``prefilter``
+    candidates, default 10k, then exact rerank) returns TRUE
+    distances but is opt-in because recall is governed by the
+    prefilter width. "exact" forces the base scan; "quantized"/"ivf"
+    require that replica (error if absent). IVF results are true-domain distances over
     probed clusters (approximate by probe coverage); quantized results
     are quantized-unit distances (SURVEY §2.3).
     """
-    if prefer not in ("auto", "exact", "quantized", "ivf", "pq", "ivf_pq"):
-        raise ValueError(f"prefer must be auto|exact|quantized|ivf|pq|ivf_pq, got {prefer!r}")
+    if prefer not in ("auto", "exact", "quantized", "ivf", "pq", "ivf_pq", "bq"):
+        raise ValueError(f"prefer must be auto|exact|quantized|ivf|pq|ivf_pq|bq, got {prefer!r}")
     ctx = catalog.get(table, column)
     m = metric or ctx.distance
     has_replica = ctx.quantized_path is not None and ctx.qscale is not None
@@ -66,6 +70,8 @@ def knn(
         raise ValueError(f"{table}.{column} has no IVF store — run ivf_store + set_ivf_index first")
     if prefer == "pq" and not has_pq:
         raise ValueError(f"{table}.{column} has no PQ code table — run pq_encode + set_pq_index first")
+    if prefer == "bq" and ctx.bq_path is None:
+        raise ValueError(f"{table}.{column} has no BQ code table — run bq_encode + set_bq_index first")
     if prefer == "ivf_pq" and not (has_pq and ctx.ivf_centroids):
         raise ValueError(
             f"{table}.{column} has no IVF-PQ store — run ivf_pq_store + set_pq_index + set_ivf_index first"
@@ -81,6 +87,14 @@ def knn(
 
         codes = spark.read.parquet(ctx.pq_path)
         return pq_scan(codes, query, ctx.pq_codebooks, k, m)
+    if prefer == "bq":
+        from sqlite_vector_spark.operators.bq import bq_rerank_scan
+
+        codes = spark.read.parquet(ctx.bq_path)
+        return bq_rerank_scan(
+            spark.table(table), column, query, k, prefilter or 10 * k,
+            ctx.bq_thresholds, m, id_col=id_col, codes_df=codes,
+        )
     if prefer == "ivf_pq":
         from sqlite_vector_spark.operators.pq import ivf_pq_stored_scan
 

@@ -231,3 +231,48 @@ def test_router_pq_tiers(spark, emb, tmp_path):
     ctx = cat2.get("emb_pq_router_t", "embedding")
     assert ctx.pq_codebooks == [[[float(x) for x in e] for e in cb] for cb in books]
     assert ctx.pq_residual is False
+
+
+def test_router_bq_tier(spark, emb, tmp_path):
+    """The 1-bit tier is OPT-IN (prefer='bq'): error without a
+    registered code table; with one, the Hamming prefilter + exact
+    rerank returns true distances, and a corpus-wide prefilter equals
+    the exact scan exactly. The table + thresholds persist through a
+    catalog reload."""
+    import pytest as _pytest
+
+    from sqlite_vector_spark.catalog import VectorCatalog
+    from sqlite_vector_spark.operators.bq import bq_encode
+    from sqlite_vector_spark.operators.search import full_scan
+    from sqlite_vector_spark.router import knn
+
+    cat = VectorCatalog(str(tmp_path / "cat"))
+    emb.createOrReplaceTempView("emb_bq_router_t")
+    cat.vector_init(emb, "emb_bq_router_t", "embedding", "type=FLOAT32,dimension=64,distance=L2")
+    with _pytest.raises(ValueError, match="no BQ code table"):
+        knn(spark, cat, "emb_bq_router_t", "embedding", [0.1] * 64, 5, prefer="bq")
+
+    dest = str(tmp_path / "bqcodes")
+    bq_encode(emb, "embedding", 64, id_col="vec_id").write.parquet(dest)
+    cat.set_bq_index("emb_bq_router_t", "embedding", path=dest)
+
+    q = [0.1] * 64
+    exact = [(r.id, r.distance) for r in full_scan(emb, "embedding", q, 5, "L2", id_col="vec_id").collect()]
+    # prefilter >= corpus -> the rerank sees every row: equals exact
+    wide = [
+        (r.id, r.distance)
+        for r in knn(
+            spark, cat, "emb_bq_router_t", "embedding", q, 5,
+            prefer="bq", prefilter=10_000, id_col="vec_id",
+        ).collect()
+    ]
+    assert wide == exact
+    # default prefilter (10k) returns k true-distance rows ascending
+    routed = knn(spark, cat, "emb_bq_router_t", "embedding", q, 5, prefer="bq", id_col="vec_id").collect()
+    assert len(routed) == 5
+    assert [r.distance for r in routed] == sorted(r.distance for r in routed)
+
+    # persistence: a fresh catalog instance reloads the bq metadata
+    cat2 = VectorCatalog(str(tmp_path / "cat"))
+    cat2.vector_init(emb, "emb_bq_router_t", "embedding", "type=FLOAT32,dimension=64,distance=L2")
+    assert cat2.get("emb_bq_router_t", "embedding").bq_path == dest
