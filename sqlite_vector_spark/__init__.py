@@ -25,6 +25,7 @@ Design stance (SURVEY.md §0/§4):
 """
 
 from sqlite_vector_spark.catalog import VectorCatalog
+from sqlite_vector_spark.session import make_session
 from sqlite_vector_spark.codec import (
     vector_as_bf16,
     vector_as_f16,
