@@ -26,6 +26,11 @@ CASES = [
     ("embedding_outliers", w.embedding_outliers_q),
     ("pricing_summary", w.pricing_summary),
     ("user_rolling", w.user_rolling_q),
+    ("events_resample", w.events_resample_q),
+    ("corpus_report", w.corpus_report_q),
+    ("source_overlap", w.source_overlap_q),
+    ("session_incident_overlap", w.session_incident_overlap_q),
+    ("pack_sequences", w.pack_sequences_q),
 ]
 
 
