@@ -31,6 +31,9 @@ CASES = [
     ("source_overlap", w.source_overlap_q),
     ("session_incident_overlap", w.session_incident_overlap_q),
     ("pack_sequences", w.pack_sequences_q),
+    # HLL union is register-max: the sketch AUDIT columns must also be
+    # layout-independent, not merely within-tolerance
+    ("source_overlap_sketch", w.source_overlap_sketch_q),
 ]
 
 
