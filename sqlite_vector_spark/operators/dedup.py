@@ -583,6 +583,7 @@ def boilerplate_strip(
     size: int = 8,
     min_df: int = 3,
     hash_fn=None,
+    boiler_broadcast: bool = True,
 ) -> DataFrame:
     """Boilerplate removal (C4/CCNet line-dedup style, word chunks
     standing in for lines): a chunk whose fingerprint occurs in
@@ -607,6 +608,13 @@ def boilerplate_strip(
     at production scale pass ``F.xxhash64`` (JVM-intrinsic, ~20x
     faster, same dedup semantics; measured in
     tools/cleaning_scale_probe.py / SCALE.md).
+
+    ``boiler_broadcast``: the default forces the anti-join's build
+    side broadcast, correct when boilerplate means headers/footers
+    (few TYPES). A C4-style sweep over a web corpus with a low
+    ``min_df`` can produce MILLIONS of qualifying fingerprints — set
+    False there so Catalyst/AQE picks a shuffled anti-join on the
+    8-byte hash instead of shipping the set to every executor.
     """
     from sqlite_vector_spark.functions.text import word_chunks
 
@@ -621,7 +629,8 @@ def boilerplate_strip(
         .where(F.col("df") >= F.lit(min_df))
         .select("h")
     )
-    kept = hashed.join(F.broadcast(boiler), "h", "left_anti")
+    boiler_side = F.broadcast(boiler) if boiler_broadcast else boiler
+    kept = hashed.join(boiler_side, "h", "left_anti")
     per_doc = kept.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.concat_ws(

@@ -684,3 +684,16 @@ def test_session_incident_overlap_exact_once(spark, tmp_path):
     # overlap length: session [0:10, 3:50] x incident [1:00, 3:00) -> 2h exactly
     r = next(r for r in out if (r.user_id, r.incident_epoch) == (1, h(1)))
     assert r.overlap_us == 2 * 3600 * 1_000_000
+
+
+def test_boilerplate_shuffled_anti_join_same_result(spark, boiler_docs):
+    """boiler_broadcast=False (the web-scale huge-set mode) must be a
+    pure plan change: identical rows out."""
+    a = sorted(map(tuple, boilerplate_strip(boiler_docs, size=8, min_df=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            boilerplate_strip(boiler_docs, size=8, min_df=3, boiler_broadcast=False).collect(),
+        )
+    )
+    assert a == b
