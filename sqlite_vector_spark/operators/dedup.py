@@ -618,6 +618,10 @@ def boilerplate_strip(
     """
     from sqlite_vector_spark.functions.text import word_chunks
 
+    if size < 1:
+        raise ValueError(f"chunk size must be >= 1, got {size}")
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2 (df 1 would strip every chunk), got {min_df}")
     if hash_fn is None:
         hash_fn = polyhash
     base = docs.select(F.col(id_col).cast("bigint").alias("id"), words(text_col).alias("w"))

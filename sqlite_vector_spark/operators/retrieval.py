@@ -200,6 +200,10 @@ def mmr_select(
 
     from sqlite_vector_spark.functions.distance import EPS_SNAP, distance, vector_literal
 
+    if k < 1 or c < 1:
+        raise ValueError(f"mmr_select needs k >= 1 and c >= 1, got k={k}, c={c}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
     emb = corpus.where(F.col(vec_col).isNotNull())
     scored = emb.select(
         F.col(id_col).cast("bigint").alias("id"),

@@ -2367,6 +2367,8 @@ def rolling_user_features(ev: DataFrame, win_us: int) -> DataFrame:
     """RANGE-frame rolling (count, fixed-point value sum) per user
     over the trailing ``win_us`` microseconds, current row inclusive.
     ``ev`` needs (event_id, user_id, ts_us, value)."""
+    if win_us <= 0:
+        raise ValueError(f"rolling window must be positive micros, got {win_us}")
     w = Window.partitionBy("user_id").orderBy(F.col("ts_us")).rangeBetween(-win_us, 0)
     return ev.select(
         F.col("event_id").cast("bigint").alias("event_id"),

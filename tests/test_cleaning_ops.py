@@ -697,3 +697,25 @@ def test_boilerplate_shuffled_anti_join_same_result(spark, boiler_docs):
         )
     )
     assert a == b
+
+
+# ---------------------------------------------------------------- argument validation
+
+
+def test_new_operator_arg_validation(spark):
+    from sqlite_vector_spark.operators.retrieval import mmr_select
+    from sqlite_vector_spark.workload import rolling_user_features
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    emb = spark.createDataFrame([(1, [0.0, 0.0])], "vec_id long, embedding array<float>")
+    ev = spark.createDataFrame([(1, 1, 0, 1.0)], "event_id long, user_id long, ts_us long, value double")
+    with pytest.raises(ValueError, match="min_df"):
+        boilerplate_strip(docs, min_df=1)
+    with pytest.raises(ValueError, match="chunk size"):
+        boilerplate_strip(docs, size=0)
+    with pytest.raises(ValueError, match="lam"):
+        mmr_select(emb, [0.0, 0.0], c=5, k=2, lam=1.5)
+    with pytest.raises(ValueError, match="k >= 1"):
+        mmr_select(emb, [0.0, 0.0], c=2, k=0)
+    with pytest.raises(ValueError, match="positive"):
+        rolling_user_features(ev, 0)
