@@ -2958,3 +2958,33 @@ def session_incident_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_seq", "incident_epoch")
     )
+
+
+def e2e_corpus_prep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole prep chain as one plan — normalize -> exact dedup
+    (keep min id per fingerprint) -> boilerplate strip -> Gopher
+    quality filter -> content-hash split — the headline 'docs in,
+    training rows out' pipeline (bench-only composition; each stage
+    is individually oracle-gated)."""
+    from sqlite_vector_spark.functions.text import fingerprint, normalize_text, words
+    from sqlite_vector_spark.operators.dedup import boilerplate_strip
+
+    docs = _docs(spark, sf_dir)
+    norm = docs.select("doc_id", "source", normalize_text(F.col("text")).alias("text"))
+    deduped = (
+        norm.withColumn("fp", fingerprint(F.col("text")))
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn", "fp")
+    )
+    stripped = boilerplate_strip(deduped, size=CHUNK_W, min_df=BOILER_DF).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    kept = stripped.where(_gopher_keep(*_gopher_metrics(words("text"))))
+    return kept.select(
+        "doc_id",
+        F.col("text"),
+        (F.pmod(fingerprint(F.col("text")), F.lit(100)) < SPLIT_TRAIN_PCT).alias("is_train"),
+    )
