@@ -2365,59 +2365,20 @@ def user_rolling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def rolling_user_features(ev: DataFrame, win_us: int) -> DataFrame:
     """Trailing-window rolling (count, fixed-point value sum) per
-    user over ``win_us`` microseconds, current row inclusive.
-    ``ev`` needs (event_id, user_id, ts_us, value).
+    user over ``win_us`` microseconds, current row inclusive — the
+    prefix-difference operator (operators/features.py trailing_agg),
+    NOT a bounded RANGE frame, which Spark re-aggregates per row
+    (139 s -> 2.2 s for a 200k-row power user, SCALE.md).
+    ``ev`` needs (event_id, user_id, ts_us, value)."""
+    from sqlite_vector_spark.operators.features import trailing_agg
 
-    NOT a RANGE window frame: Spark re-aggregates a bounded RANGE
-    frame from scratch for every row, so a power user with F rows in
-    frame costs O(rows x F) — measured 139 s for one 200k-row user at
-    a 10k-row frame (tools/window_skew_probe.py). Instead the trailing
-    sum is a PREFIX difference: union each event row (kind 0) with a
-    boundary-probe row at ts - win - 1 (kind 1), one per-user sorted
-    pass computes running count/fixed-sum over data rows only, and the
-    per-event answer is cum(event) - cum(its probe) — two linear
-    shuffles, cost independent of frame width, bit-identical values
-    (differences of exact integer cumulatives; the sort key
-    (ts, kind, event_id) puts a probe at tie-ts AFTER the data rows it
-    must include)."""
-    if win_us <= 0:
-        raise ValueError(f"rolling window must be positive micros, got {win_us}")
-    base = ev.select(
-        F.col("event_id").cast("bigint").alias("event_id"),
-        F.col("user_id").cast("bigint").alias("user_id"),
-        F.col("ts_us").cast("bigint").alias("ts_us"),
-        F.round(F.col("value") * F.lit(10_000.0)).cast("decimal(38,0)").alias("fx"),
+    return trailing_agg(ev, "user_id", "ts_us", "value", win_us, id_col="event_id").select(
+        F.col("id").alias("event_id"),
+        F.col("key").alias("user_id"),
+        F.col("ts").alias("ts_us"),
+        F.col("n_win").alias("n_7d"),
+        F.col("sum_win").alias("sum_value_7d"),
     )
-    data = base.select(
-        "event_id", "user_id", F.col("ts_us").alias("t"), F.lit(0).alias("kind"),
-        F.lit(1).cast("bigint").alias("one"), "fx", "ts_us",
-    )
-    probe = base.select(
-        "event_id", "user_id", (F.col("ts_us") - F.lit(win_us) - F.lit(1)).alias("t"),
-        F.lit(1).alias("kind"), F.lit(0).cast("bigint").alias("one"),
-        F.lit(0).cast("decimal(38,0)").alias("fx"), "ts_us",
-    )
-    u = data.unionByName(probe)
-    wcum = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("t").asc(), F.col("kind").asc(), F.col("event_id").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = u.select(
-        "event_id", "user_id", "ts_us", "kind",
-        F.sum("one").over(wcum).alias("cn"),
-        F.sum("fx").over(wcum).alias("cf"),
-    )
-    per = cum.groupBy("event_id", "user_id", "ts_us").agg(
-        (F.max(F.when(F.col("kind") == 0, F.col("cn"))) -
-         F.coalesce(F.max(F.when(F.col("kind") == 1, F.col("cn"))), F.lit(0))).cast("bigint").alias("n_7d"),
-        (
-            (F.max(F.when(F.col("kind") == 0, F.col("cf"))) -
-             F.coalesce(F.max(F.when(F.col("kind") == 1, F.col("cf"))), F.lit(0).cast("decimal(38,0)"))
-            ).cast("double") / F.lit(10_000.0)
-        ).alias("sum_value_7d"),
-    )
-    return per.select("event_id", "user_id", "ts_us", "n_7d", "sum_value_7d")
 
 
 #: time-decay half-life parameters: weight halves per day of age,

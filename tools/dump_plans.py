@@ -87,7 +87,7 @@ def main():
         # round-6d additions
         ("boilerplate_strip", "boilerplate strip: hash-only df exchange, broadcast anti-join, one re-agg", w.boilerplate_strip_q),
         ("gopher_quality", "Gopher rules: map-only HOF arithmetic, zero exchanges", w.gopher_quality_q),
-        ("user_rolling", "rolling features: single user_id exchange feeding the RANGE frame", w.user_rolling_q),
+        ("user_rolling", "rolling features: prefix-difference union, one user_id exchange, no RANGE frame", w.user_rolling_q),
         ("user_decay", "decay scores: 1-row max broadcast, integer-shift weights, one user agg", w.user_decay_q),
         ("embedding_outliers", "outlier flag: posexplode 2-agg centroid, 1-row broadcast, rank window", w.embedding_outliers_q),
         ("source_overlap", "overlap matrix: one distinct shuffle, in-row HOF pair expansion, no self-join", w.source_overlap_q),
