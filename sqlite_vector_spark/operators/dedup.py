@@ -61,6 +61,7 @@ def minhash_signatures(
     text_col: str,
     num_hashes: int = NUM_HASHES,
     shingle_n: int = SHINGLE_N,
+    hash_fn=None,
 ) -> DataFrame:
     """Long-form MinHash signature: (id, j, minhash) for j in [0,H).
 
@@ -69,10 +70,14 @@ def minhash_signatures(
     rows. Docs with < shingle_n words produce no shingles and are
     absent (they can't be near-dup candidates).
     """
+    # hash_fn: the polyhash default is the oracle-parity per-character
+    # fold; pass F.xxhash64 at production scale (JVM intrinsic) — the
+    # permutation math needs h in [0, P), so custom hashes are pmod'd
+    h = polyhash("s") if hash_fn is None else F.pmod(hash_fn(F.col("s")), F.lit(HASH_P))
     sh = (
         df.select(F.col(id_col).cast("bigint").alias("id"), words(text_col).alias("_ws"))
         .select("id", F.explode(shingles_from_words(F.col("_ws"), shingle_n)).alias("s"))
-        .select("id", polyhash("s").alias("h"))
+        .select("id", h.alias("h"))
     )
     # one groupBy(id) with H min-aggregates (NOT explode x H then
     # groupBy(id, j)): the shuffle carries #shingles rows instead of
@@ -122,6 +127,7 @@ def lsh_candidate_pairs(
     bands: int = LSH_BANDS,
     rows_per_band: int = ROWS_PER_BAND,
     shingle_n: int = SHINGLE_N,
+    hash_fn=None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (a < b) sharing >= 1 LSH band.
 
@@ -133,7 +139,10 @@ def lsh_candidate_pairs(
     doubling the dominant cost; bucket sizes, not corpus size, still
     bound the pair blow-up.
     """
-    keys = lsh_band_keys(minhash_signatures(df, id_col, text_col, num_hashes, shingle_n), bands, rows_per_band)
+    keys = lsh_band_keys(
+        minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, hash_fn=hash_fn),
+        bands, rows_per_band,
+    )
     return _bucket_pairs(keys, "band", "band_hash")
 
 
@@ -414,6 +423,7 @@ def chunk_dedup_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     size: int = 8,
+    hash_fn=None,
 ) -> DataFrame:
     """Sub-document dedup (CCNet line-level style, word chunks standing
     in for lines): fingerprint every non-overlapping ``size``-word
@@ -430,10 +440,12 @@ def chunk_dedup_stats(
     """
     from sqlite_vector_spark.functions.text import polyhash, word_chunks, words
 
+    if hash_fn is None:
+        hash_fn = polyhash  # oracle parity; pass F.xxhash64 at scale
     base = docs.select(F.col(id_col).cast("bigint").alias("id"), words(text_col).alias("w"))
     hashed = base.select(
         "id", F.explode(word_chunks(F.col("w"), size)).alias("chunk")
-    ).select("id", polyhash(F.col("chunk")).alias("h"))
+    ).select("id", hash_fn(F.col("chunk")).alias("h"))
     counts = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
     per_doc = (
         hashed.join(counts, "h")

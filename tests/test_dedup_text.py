@@ -165,3 +165,23 @@ def test_incremental_dedup_equals_full_rebuild(spark, docs, tmp_path):
     empty = new.limit(0)
     got2 = {(r.a, r.b) for r in incremental_dedup_pairs(spark, empty, store, "doc_id", "text").collect()}
     assert got2 == set()
+
+
+def test_lsh_pipeline_with_jvm_hash_finds_planted_dups(spark):
+    """hash_fn=F.xxhash64 (the production backend) must still surface
+    planted near-duplicates through the full minhash -> LSH path;
+    candidate SETS can differ from polyhash (different permutation
+    inputs), but a 0.95-Jaccard pair may not be missed."""
+    import pyspark.sql.functions as F
+
+    from sqlite_vector_spark.operators.dedup import lsh_candidate_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = [(1, base.strip()), (2, (base + "extra").strip())] + [
+        (i, " ".join(f"w{i}x{j}" for j in range(40))) for i in range(3, 40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.a, r.b) for r in lsh_candidate_pairs(docs, "doc_id", "text", hash_fn=F.xxhash64).collect()}
+    assert (1, 2) in pairs
+    # unrelated random-vocabulary docs don't flood the candidate set
+    assert len(pairs) < 20

@@ -117,7 +117,10 @@ def main():
         return res
 
     # ---- stage 1: minhash + LSH banding -> candidate pairs ----
-    cand = lsh_candidate_pairs(docs, "doc_id", "content")
+    hash_backend = os.environ.get("SPARK_GRAFT_DEDUP_HASH", "polyhash")
+    out["hash_backend"] = hash_backend
+    hf = F.xxhash64 if hash_backend == "xxhash64" else None
+    cand = lsh_candidate_pairs(docs, "doc_id", "content", hash_fn=hf)
     cand = staged("lsh_candidates", lambda: cand.localCheckpoint(eager=True))
     out["candidate_pairs"] = cand.count()
 
