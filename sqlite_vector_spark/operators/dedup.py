@@ -479,6 +479,7 @@ def lsh_band_store(
     rows_per_band: int = ROWS_PER_BAND,
     shingle_n: int = SHINGLE_N,
     mode: str = "overwrite",
+    hash_fn=None,
 ) -> None:
     """Persist the (id, band, band_hash) table — the incremental-dedup
     index. Written partitioned by band so a batch's bucket join prunes
@@ -486,7 +487,8 @@ def lsh_band_store(
     ingest path (band keys depend only on the frozen hash family, so
     append == rebuild exactly, like the IVF/quantize stores)."""
     keys = lsh_band_keys(
-        minhash_signatures(df, id_col, text_col, num_hashes, shingle_n), bands, rows_per_band
+        minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, hash_fn=hash_fn),
+        bands, rows_per_band,
     )
     keys.write.partitionBy("band").mode(mode).parquet(dest)
 
@@ -501,6 +503,7 @@ def incremental_dedup_pairs(
     bands: int = LSH_BANDS,
     rows_per_band: int = ROWS_PER_BAND,
     shingle_n: int = SHINGLE_N,
+    hash_fn=None,
 ) -> DataFrame:
     """Cross-corpus incremental near-dup candidates: minhash/band ONLY
     the new batch, join its band keys against the persisted band store
@@ -518,7 +521,7 @@ def incremental_dedup_pairs(
     # checkpointed rows instead of re-running the minhash pipeline,
     # and no cache lifetime leaks past this call
     new_keys = lsh_band_keys(
-        minhash_signatures(new_df, id_col, text_col, num_hashes, shingle_n),
+        minhash_signatures(new_df, id_col, text_col, num_hashes, shingle_n, hash_fn=hash_fn),
         bands,
         rows_per_band,
     ).localCheckpoint(eager=True)
