@@ -104,3 +104,82 @@ def streaming_topk(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_trailing_counts(
+    stream: DataFrame,
+    win_us: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key trailing-window (count, sum) maintained ACROSS
+    micro-batches — the ingest-time form of
+    operators/features.trailing_agg (rate limiting, abuse counters,
+    live feature serving). For every arriving event, emits the count
+    and value sum of that key's events in ``(ts - win_us, ts]``,
+    including events from earlier batches.
+
+    State per key = only the events still inside the window (older
+    entries are pruned on every batch), so state is bounded by
+    win x peak-rate per key, not by stream length. Within a batch,
+    events process in (ts, natural) order. Late-arrival semantics are
+    watermark-style: state older than (max seen ts - win) is pruned,
+    so an event arriving later than that horizon counts only the
+    unpruned history — the standard streaming completeness trade."""
+    if win_us <= 0:
+        raise ValueError(f"trailing window must be positive micros, got {win_us}")
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ts_hist, v_hist = state.get
+            ts_hist, v_hist = list(ts_hist), list(v_hist)
+        else:
+            ts_hist, v_hist = [], []
+        chunks = list(pdfs)
+        if not chunks:
+            return iter(())
+        rows = pd.concat(chunks)
+        if rows.empty:
+            return iter(())
+        rows = rows.sort_values(ts_col, kind="mergesort")
+        out_ts, out_n, out_s = [], [], []
+        for t, v in zip(rows[ts_col].astype("int64"), rows[value_col].astype("float64")):
+            ts_hist.append(int(t))
+            v_hist.append(float(v))
+            lo = t - win_us
+            n = s = 0
+            keep_ts, keep_v = [], []
+            for ht, hv in zip(ts_hist, v_hist):
+                if ht > t:  # a late event's view stops at its own ts
+                    keep_ts.append(ht), keep_v.append(hv)
+                    continue
+                if ht > lo:
+                    n += 1
+                    s += hv
+                    keep_ts.append(ht), keep_v.append(hv)
+                # ht <= lo: expired for this (and every later) event -> prune
+            ts_hist, v_hist = keep_ts, keep_v
+            out_ts.append(int(t)), out_n.append(n), out_s.append(s)
+        state.update((ts_hist, v_hist))
+        out = pd.DataFrame(
+            {
+                key_col: [key[0]] * len(out_ts),
+                ts_col: out_ts,
+                "n_win": out_n,
+                "sum_win": out_s,
+            }
+        )
+        return iter([out])
+
+    return (
+        stream.select(key_col, ts_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=f"{key_col} bigint, {ts_col} bigint, n_win bigint, sum_win double",
+            stateStructType="ts array<bigint>, vals array<double>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -158,3 +158,48 @@ def test_topk_state_survives_restart(spark, tmp_path):
     # rank 1 = id 11 (3.0) carried over from before the restart
     assert latest[(1, 1)] == (11, 3.0)
     assert latest[(1, 2)] == (12, 4.0)
+
+
+def test_streaming_trailing_counts_across_batches(spark, tmp_path):
+    """Trailing per-key counters must span micro-batches: batch 2's
+    events count batch 1's rows still inside the window, and expired
+    rows fall out."""
+    import pyspark.sql.functions as F
+
+    from sqlite_vector_spark.streaming.stateful import streaming_trailing_counts
+
+    src = str(tmp_path / "trail_src")
+    win = 1_000_000  # 1s window
+    b1 = spark.createDataFrame(
+        [(1, 100, 1.0), (1, 600_000, 2.0), (2, 100, 8.0)],
+        "user_id long, ts_us long, value double",
+    )
+    b2 = spark.createDataFrame(
+        [(1, 1_400_000, 4.0),   # window (0.4s, 1.4s]: includes 0.6s row, excludes 0.1s
+         (1, 5_000_000, 16.0)], # far future: alone
+        "user_id long, ts_us long, value double",
+    )
+    b1.coalesce(1).write.parquet(f"{src}/batch=1")
+    b2.coalesce(1).write.parquet(f"{src}/batch=2")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = streaming_trailing_counts(stream, win)
+    q = (
+        out.writeStream.format("memory").queryName("trail_t").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {(r.user_id, r.ts_us): (r.n_win, r.sum_win) for r in spark.sql("SELECT * FROM trail_t").collect()}
+    finally:
+        q.stop()
+    assert rows[(1, 100)] == (1, 1.0)
+    assert rows[(1, 600_000)] == (2, 3.0)
+    assert rows[(2, 100)] == (1, 8.0)
+    # cross-batch: 1.4s sees the 0.6s event from the earlier batch
+    assert rows[(1, 1_400_000)] == (2, 6.0)
+    assert rows[(1, 5_000_000)] == (1, 16.0)
