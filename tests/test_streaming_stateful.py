@@ -203,3 +203,49 @@ def test_streaming_trailing_counts_across_batches(spark, tmp_path):
     # cross-batch: 1.4s sees the 0.6s event from the earlier batch
     assert rows[(1, 1_400_000)] == (2, 6.0)
     assert rows[(1, 5_000_000)] == (1, 16.0)
+
+
+def test_streaming_trailing_equals_batch_trailing_agg(spark, tmp_path):
+    """On in-order data the streaming counters must equal the batch
+    prefix-difference operator row for row — the two forms implement
+    one contract."""
+    import random
+
+    from sqlite_vector_spark.operators.features import trailing_agg
+    from sqlite_vector_spark.streaming.stateful import streaming_trailing_counts
+
+    rng = random.Random(11)
+    rows = []
+    eid = 0
+    for user in (1, 2, 3):
+        t = 0
+        for _ in range(30):
+            t += rng.randint(1, 900_000)
+            rows.append((eid, user, t, float(rng.randint(1, 50))))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts_us long, value double")
+    win = 2_000_000
+
+    batch = {
+        (r.key, r.ts): (r.n_win, r.sum_win)
+        for r in trailing_agg(ev, "user_id", "ts_us", "value", win, id_col="event_id").collect()
+    }
+
+    src = str(tmp_path / "eq_src")
+    ev.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = streaming_trailing_counts(stream, win)
+    q = (
+        out.writeStream.format("memory").queryName("trail_eq").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_eq"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r.user_id, r.ts_us): (r.n_win, r.sum_win)
+            for r in spark.sql("SELECT * FROM trail_eq").collect()
+        }
+    finally:
+        q.stop()
+    assert streamed == batch
