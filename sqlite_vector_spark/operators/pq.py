@@ -660,7 +660,6 @@ def adc_pair_arrow_udf(
         [np.asarray([[float(x) for x in e] for e in cb], dtype=np.float64) for cb in codebooks]
     )  # (m, ksub, dsub)
     cm = _centroid_matrix_np(centroids) if centroids is not None else None
-    rng_m = np.arange(m_)
 
     @pandas_udf("double")
     def _kernel(qv: pd.Series, cluster: pd.Series, codes: pd.Series) -> pd.Series:
@@ -678,8 +677,19 @@ def adc_pair_arrow_udf(
             sel = inv == u
             q = qmat[np.argmax(sel)]
             qs = q.reshape(m_, dsub)  # (m, dsub)
-            lut = ((qs[:, None, :] - cbs) ** 2).sum(axis=2)  # (m, ksub)
-            d[sel] = lut[rng_m, cd[sel]].sum(axis=1)
+            # SEQUENTIAL lane fold + per-entry eps-snap: bit-identical
+            # to the scalar LUT (adc_lut / the oracle's per-subspace
+            # snapped fold), so gate hashes match the codegen path
+            lut = np.zeros((m_, ksub))
+            for i in range(dsub):
+                diff = qs[:, None, i] - cbs[:, :, i]
+                lut += diff * diff
+            lut = np.where(np.abs(lut) <= EPS_SNAP, 0.0, lut)
+            acc = np.zeros(int(sel.sum()))
+            sub_codes = cd[sel]
+            for s in range(m_):  # sequential subspace fold (ADC order)
+                acc += lut[s, sub_codes[:, s]]
+            d[sel] = acc
         if met is Metric.L2:
             np.sqrt(d, out=d)
         d = np.where(np.abs(d) <= EPS_SNAP, 0.0, d)

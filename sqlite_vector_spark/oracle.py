@@ -2254,3 +2254,47 @@ FROM sess JOIN inc
 WHERE least(sess.end_us, (inc.end_h + 1) * {hour_us} - 1)
       - greatest(sess.start_us, inc.start_h * {hour_us}) + 1 > 0
 ORDER BY user_id, session_seq, incident_epoch"""
+
+
+def ivf_pq_knn_join_l2_q() -> str:
+    from sqlite_vector_spark.workload import IVF_C, IVF_NPROBE, KNN_K, NQ
+
+    d_assign = dist_sql("L2", "e.embedding", "cn.cnv")
+    d_probe = dist_sql("L2", "cn.cnv", "q.qv")
+    d_lut = _pq_sub_sq("q.qv", "c.cv", "s.sub")
+    terms = f"list_transform(range(0, {PQ_M}), s -> lf[s*{PQ_KSUB} + cl[s+1] + 1])"
+    adc = snap(f"sqrt({_fold(terms)})")
+    return f"""WITH q AS (
+  SELECT CAST(vec_id AS BIGINT) AS qid, embedding AS qv FROM embeddings
+  WHERE vec_id < {NQ} AND embedding IS NOT NULL),
+cent AS (SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS cnv FROM embeddings WHERE vec_id < {IVF_C}),
+assign AS (
+  SELECT id, cid AS cluster FROM (
+    SELECT e.vec_id AS id, cn.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d_assign} ASC, cn.cid ASC) AS rn
+    FROM embeddings e, cent cn WHERE e.embedding IS NOT NULL)
+  WHERE rn = 1),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, cn.cid,
+           row_number() OVER (PARTITION BY q.qid ORDER BY {d_probe} ASC, cn.cid ASC) AS rn
+    FROM cent cn, q)
+  WHERE rn <= {IVF_NPROBE}),
+{_pq_codes_ctes()},
+lutq AS (
+  SELECT qid, list(d ORDER BY sub, j) AS lf FROM (
+    SELECT q.qid, s.sub, c.j, {d_lut} AS d FROM subs s, cb c, q)
+  GROUP BY qid),
+scored AS (
+  SELECT lutq.qid, c2.id, {adc} AS distance
+  FROM codes c2
+  JOIN assign a ON a.id = c2.id
+  JOIN probes p ON p.cid = a.cluster
+  JOIN lutq ON lutq.qid = p.qid),
+ranked AS (
+  SELECT qid, id, distance,
+         row_number() OVER (PARTITION BY qid ORDER BY distance ASC, id ASC) AS rank
+  FROM scored)
+SELECT qid, id, distance, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {KNN_K}
+ORDER BY qid, rank"""

@@ -2987,3 +2987,28 @@ def e2e_corpus_prep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
         (F.pmod(fingerprint(F.col("text")), F.lit(100)) < SPLIT_TRAIN_PCT).alias("is_train"),
     )
+
+
+def ivf_pq_knn_join_l2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query ANN join in the COMPRESSED domain
+    (operators/pq.ivf_pq_knn_join): the first NQ vectors as queries
+    over an in-plan (id, codes, cluster) store — each query ADC-scores
+    only its IVF_NPROBE probed clusters via its own LUT. The last
+    engine-only ANN family member, now oracle-gated: the SQL mirror
+    unrolls the per-query LUT + probe selection + rank window."""
+    from sqlite_vector_spark.operators.ann import ivf_assign
+    from sqlite_vector_spark.operators.pq import ivf_pq_knn_join, pq_encode_col
+
+    emb = _emb(spark, sf_dir)
+    cent_rows = emb.where(F.col("vec_id") < IVF_C).orderBy("vec_id").collect()
+    centroids = [list(r.embedding) for r in cent_rows]
+    books = _pq_codebooks(emb)
+    store = ivf_assign(emb, "embedding", centroids, id_col="vec_id", metric="L2").select(
+        "id", pq_encode_col(F.col("vec"), books).alias("codes"), "cluster"
+    )
+    queries = emb.where((F.col("vec_id") < NQ) & F.col("embedding").isNotNull()).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return ivf_pq_knn_join(
+        queries, store, centroids, books, KNN_K, nprobe=IVF_NPROBE, metric="L2"
+    ).orderBy("qid", "rank")

@@ -51,6 +51,7 @@ SPOT = [
     "user_type_pivot",
     "error_incidents",
     "session_incident_overlap",
+    "ivf_pq_knn_join_l2",
 ]
 
 
