@@ -78,7 +78,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (noted per entry below), sit past the horizon; the local
         # tools/check_oracle.py sweep covers ALL entries every round.
         # -- stale cohort: latest green r4, unverified since
-        "pricing_summary": w.pricing_summary,
         "quantize_params": w.quantize_params,
         "quantize_scan_l2": w.quantize_scan_l2,
         "f16_scan_l2": w.f16_scan_l2,
@@ -95,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_scan_l2": w.ivf_pq_scan_l2,
         "pq_recall_at_k": w.pq_recall_at_k_q,
         "ivf_pq_knn_join_l2": w.ivf_pq_knn_join_l2_q,
+        "incremental_dedup": w.incremental_dedup_q,
         # -- NEW r6: binary quantization (operators/bq.py)
         "bq_codes": w.bq_codes_q,
         "bq_scan_hamming": w.bq_scan_hamming,
@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      in-window cousins (text_stats, top_customers, events family)
         "ivf_kmeans_scan_l2": w.ivf_kmeans_scan_l2,  # hash-gated: fixed iters unroll to SQL
         "recall_at_k": w.recall_at_k,  # recall harness: pq_recall_at_k + ivf_recall cousins in/past window
+        "pricing_summary": w.pricing_summary,  # relational aggs: top_customers/order_priority green r5
         "token_budget_pack": w.token_budget_pack_q,  # packing family: pack_sequences in-window
         "text_normalize": w.text_normalize_q,  # text HOFs: boilerplate/gopher in-window
         "repetition_scores": w.repetition_scores_q,  # map-only HOFs: gopher in-window
@@ -314,6 +315,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_pq_scan_l2": o.ivf_pq_scan_l2_q(),
         "pq_recall_at_k": o.pq_recall_at_k_q(),
         "ivf_pq_knn_join_l2": o.ivf_pq_knn_join_l2_q(),
+        "incremental_dedup": o.incremental_dedup_q(),
         "bq_codes": o.bq_codes_q(),
         "bq_scan_hamming": o.bq_scan_hamming_q(),
         "bq_rerank_scan_l2": o.bq_rerank_scan_l2_q(),

@@ -2298,3 +2298,13 @@ ranked AS (
 SELECT qid, id, distance, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {KNN_K}
 ORDER BY qid, rank"""
+
+
+def incremental_dedup_q() -> str:
+    # Full-rebuild LSH candidates over the WHOLE corpus, restricted to
+    # pairs touching the batch (doc_id % 5 == 0) — what the Spark
+    # side's incremental store query must equal exactly.
+    return _SHINGLES + """
+SELECT a, b FROM cand
+WHERE a % 5 = 0 OR b % 5 = 0
+ORDER BY a, b"""

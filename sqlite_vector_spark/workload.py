@@ -3012,3 +3012,25 @@ def ivf_pq_knn_join_l2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_knn_join(
         queries, store, centroids, books, KNN_K, nprobe=IVF_NPROBE, metric="L2"
     ).orderBy("qid", "rank")
+
+
+def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-corpus dedup GATE: docs with doc_id % 5 != 0
+    play yesterday's corpus (banded into a persisted store), the rest
+    arrive as today's batch. Spark runs the INCREMENTAL path — batch
+    keys joined against the stored ~24-byte band index, corpus text
+    never re-read — while the oracle computes the FULL-rebuild
+    candidate set restricted to batch-touching pairs, so the hash
+    match IS the append == rebuild proof, adjudicated by the driver
+    (per-doc band keys are independent of which subset was hashed,
+    which is why the two derivations must agree exactly)."""
+    import tempfile
+
+    from sqlite_vector_spark.operators.dedup import incremental_dedup_pairs, lsh_band_store
+
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    store = tempfile.mkdtemp(prefix="svspark_bandstore_") + "/bands"
+    lsh_band_store(old, "doc_id", "text", store)
+    return incremental_dedup_pairs(spark, batch, store, "doc_id", "text").orderBy("a", "b")

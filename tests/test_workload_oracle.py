@@ -52,6 +52,7 @@ SPOT = [
     "error_incidents",
     "session_incident_overlap",
     "ivf_pq_knn_join_l2",
+    "incremental_dedup",
 ]
 
 
