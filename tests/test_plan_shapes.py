@@ -245,12 +245,12 @@ def test_gopher_quality_has_no_key_shuffle(spark):
 
 
 def test_user_rolling_single_key_shuffle(spark):
-    """The prefix-difference rolling needs exactly one user_id hash
-    exchange (the union's cumulative window); the per-event reduce
-    keys on event_id. A second user_id exchange would mean the
-    cumulative pass re-partitions."""
+    """The prefix-difference rolling needs exactly one key hash
+    exchange (the union's cumulative window over trailing_agg's
+    `key` column); the per-event reduce keys on the id. A second
+    key exchange would mean the cumulative pass re-partitions."""
     plan = physical_plan(w.user_rolling_q(spark, SF))
-    assert plan.count("hashpartitioning(user_id") == 1, plan[:1500]
+    assert plan.count("hashpartitioning(key") == 1, plan[:1500]
 
 
 def test_user_decay_broadcasts_max_timestamp(spark):
