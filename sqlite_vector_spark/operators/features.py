@@ -62,10 +62,21 @@ def trailing_agg(
         .orderBy(F.col("t").asc(), F.col("kind").asc(), F.col("id").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = u.select(
+    raw = u.select(
+        "id", "key", "ts", "kind", "t",
+        F.sum("one").over(wcum).alias("cn0"),
+        F.sum("fx").over(wcum).alias("cf0"),
+    )
+    # RANGE-contract tie handling: an event at a tied (key, ts) must
+    # count ALL its timestamp peers, not just lower-id ones — lift each
+    # row's cumulative to the max over its (key, t, kind) peer group.
+    # key-partitioning already satisfies the peer clustering, so this
+    # window adds a sort but NO extra exchange.
+    wpeer = Window.partitionBy("key", "t", "kind")
+    cum = raw.select(
         "id", "key", "ts", "kind",
-        F.sum("one").over(wcum).alias("cn"),
-        F.sum("fx").over(wcum).alias("cf"),
+        F.max("cn0").over(wpeer).alias("cn"),
+        F.max("cf0").over(wpeer).alias("cf"),
     )
     return cum.groupBy("id", "key", "ts").agg(
         (

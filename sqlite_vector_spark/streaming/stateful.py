@@ -144,9 +144,19 @@ def streaming_trailing_counts(
             return iter(())
         rows = rows.sort_values(ts_col, kind="mergesort")
         out_ts, out_n, out_s = [], [], []
-        for t, v in zip(rows[ts_col].astype("int64"), rows[value_col].astype("float64")):
-            ts_hist.append(int(t))
-            v_hist.append(float(v))
+        ts_arr = rows[ts_col].astype("int64").tolist()
+        v_arr = rows[value_col].astype("float64").tolist()
+        i = 0
+        while i < len(ts_arr):
+            # RANGE-contract ties: append ALL rows at this timestamp
+            # BEFORE emitting any of their counts, so tied peers see
+            # each other (same semantics as the batch trailing_agg)
+            j = i
+            while j < len(ts_arr) and ts_arr[j] == ts_arr[i]:
+                ts_hist.append(int(ts_arr[j]))
+                v_hist.append(float(v_arr[j]))
+                j += 1
+            t = int(ts_arr[i])
             lo = t - win_us
             n = s = 0
             keep_ts, keep_v = [], []
@@ -160,7 +170,9 @@ def streaming_trailing_counts(
                     keep_ts.append(ht), keep_v.append(hv)
                 # ht <= lo: expired for this (and every later) event -> prune
             ts_hist, v_hist = keep_ts, keep_v
-            out_ts.append(int(t)), out_n.append(n), out_s.append(s)
+            for _ in range(i, j):
+                out_ts.append(t), out_n.append(n), out_s.append(s)
+            i = j
         state.update((ts_hist, v_hist))
         out = pd.DataFrame(
             {

@@ -719,3 +719,41 @@ def test_new_operator_arg_validation(spark):
         mmr_select(emb, [0.0, 0.0], c=2, k=0)
     with pytest.raises(ValueError, match="positive"):
         rolling_user_features(ev, 0)
+
+
+def test_trailing_agg_matches_bruteforce_on_random_data(spark):
+    """Seeded random events (duplicate timestamps included) against an
+    O(n^2) Python reference of the trailing-window contract."""
+    import random
+
+    from sqlite_vector_spark.operators.features import trailing_agg
+
+    rng = random.Random(23)
+    rows = []
+    for eid in range(120):
+        rows.append((eid, rng.randint(1, 4), rng.randint(0, 500), float(rng.randint(1, 9))))
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts_us long, value double")
+    win = 100
+    got = {
+        r.id: (r.n_win, r.sum_win)
+        for r in trailing_agg(ev, "user_id", "ts_us", "value", win, id_col="event_id").collect()
+    }
+    for eid, key, ts, _v in rows:
+        inside = [(e, v) for e, k, t, v in rows if k == key and ts - win <= t <= ts]
+        n = len(inside)
+        s = sum(v for _, v in inside)
+        assert got[eid] == (n, s), (eid, got[eid], (n, s))
+
+
+def test_trailing_agg_tied_timestamps_count_peers(spark):
+    """RANGE-contract ties: events sharing (key, ts) must count each
+    other — the case the cumulative formulation initially missed."""
+    from sqlite_vector_spark.operators.features import trailing_agg
+
+    ev = spark.createDataFrame(
+        [(1, 9, 100, 2.0), (2, 9, 100, 3.0), (3, 9, 100, 5.0), (4, 9, 250, 1.0)],
+        "event_id long, user_id long, ts_us long, value double",
+    )
+    got = {r.id: (r.n_win, r.sum_win) for r in trailing_agg(ev, "user_id", "ts_us", "value", 100, id_col="event_id").collect()}
+    assert got[1] == got[2] == got[3] == (3, 10.0)
+    assert got[4] == (1, 1.0)  # 250 - 100 = 150 > win: tied trio expired

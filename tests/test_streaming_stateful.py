@@ -220,7 +220,7 @@ def test_streaming_trailing_equals_batch_trailing_agg(spark, tmp_path):
     for user in (1, 2, 3):
         t = 0
         for _ in range(30):
-            t += rng.randint(1, 900_000)
+            t += rng.choice([0, 0, rng.randint(1, 900_000)])  # ~2/3 tied timestamps
             rows.append((eid, user, t, float(rng.randint(1, 50))))
             eid += 1
     ev = spark.createDataFrame(rows, "event_id long, user_id long, ts_us long, value double")
