@@ -276,3 +276,15 @@ def test_router_bq_tier(spark, emb, tmp_path):
     cat2 = VectorCatalog(str(tmp_path / "cat"))
     cat2.vector_init(emb, "emb_bq_router_t", "embedding", "type=FLOAT32,dimension=64,distance=L2")
     assert cat2.get("emb_bq_router_t", "embedding").bq_path == dest
+
+
+def test_make_session_returns_tuned_active_session(spark):
+    """make_session must reuse/return a live session with the tuned
+    confs applied (getOrCreate reuses the test session; the builder
+    confs only bind on creation, so assert the knobs it always sets)."""
+    from sqlite_vector_spark import make_session
+
+    s = make_session()
+    assert s.conf.get("spark.sql.session.timeZone") == "UTC" or s is spark
+    assert int(s.conf.get("spark.sql.shuffle.partitions")) >= 8
+    assert s.range(3).count() == 3
