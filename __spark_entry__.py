@@ -85,7 +85,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": w.text_stats,
         "lsh_candidate_pairs": w.lsh_pairs_q,
         "ngram_jaccard_pairs": w.jaccard_pairs_q,
-        "embedding_neardup": w.embedding_neardup_q,
         "neardup_representatives": w.neardup_representatives_q,
         # -- NEW r6: product quantization / IVF-PQ (operators/pq.py)
         "pq_codes": w.pq_codes_q,
@@ -95,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall_at_k": w.pq_recall_at_k_q,
         "ivf_pq_knn_join_l2": w.ivf_pq_knn_join_l2_q,
         "incremental_dedup": w.incremental_dedup_q,
+        "ivf_cluster_stats": w.ivf_cluster_stats_q,
         # -- NEW r6: binary quantization (operators/bq.py)
         "bq_codes": w.bq_codes_q,
         "bq_scan_hamming": w.bq_scan_hamming,
@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_kmeans_scan_l2": w.ivf_kmeans_scan_l2,  # hash-gated: fixed iters unroll to SQL
         "recall_at_k": w.recall_at_k,  # recall harness: pq_recall_at_k + ivf_recall cousins in/past window
         "pricing_summary": w.pricing_summary,  # relational aggs: top_customers/order_priority green r5
+        "embedding_neardup": w.embedding_neardup_q,  # hyperplane LSH: semantic_dedup in-window, lsh_scan green r5
         "token_budget_pack": w.token_budget_pack_q,  # packing family: pack_sequences in-window
         "text_normalize": w.text_normalize_q,  # text HOFs: boilerplate/gopher in-window
         "repetition_scores": w.repetition_scores_q,  # map-only HOFs: gopher in-window
@@ -316,6 +317,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_recall_at_k": o.pq_recall_at_k_q(),
         "ivf_pq_knn_join_l2": o.ivf_pq_knn_join_l2_q(),
         "incremental_dedup": o.incremental_dedup_q(),
+        "ivf_cluster_stats": o.ivf_cluster_stats_q(),
         "bq_codes": o.bq_codes_q(),
         "bq_scan_hamming": o.bq_scan_hamming_q(),
         "bq_rerank_scan_l2": o.bq_rerank_scan_l2_q(),

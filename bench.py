@@ -326,6 +326,7 @@ def main():
     bench("user_type_pivot", lambda: w.user_type_pivot_q(spark, SF_DIR).count())
     bench("error_incidents", lambda: w.error_incidents_q(spark, SF_DIR).count())
     bench("session_incident_overlap", lambda: w.session_incident_overlap_q(spark, SF_DIR).count())
+    bench("ivf_cluster_stats", lambda: w.ivf_cluster_stats_q(spark, SF_DIR).count())
     # headline composition: docs in -> training rows out, one plan
     bench("e2e_corpus_prep", lambda: w.e2e_corpus_prep_q(spark, SF_DIR).count())
 

@@ -2308,3 +2308,23 @@ def incremental_dedup_q() -> str:
 SELECT a, b FROM cand
 WHERE a % 5 = 0 OR b % 5 = 0
 ORDER BY a, b"""
+
+
+def ivf_cluster_stats_q() -> str:
+    from sqlite_vector_spark.workload import IVF_C
+
+    d_assign = dist_sql("L2", "e.embedding", "cn.cnv")
+    return f"""WITH cent AS (
+  SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS cnv FROM embeddings WHERE vec_id < {IVF_C}),
+assign AS (
+  SELECT id, cid AS cluster FROM (
+    SELECT e.vec_id AS id, cn.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d_assign} ASC, cn.cid ASC) AS rn
+    FROM embeddings e, cent cn WHERE e.embedding IS NOT NULL)
+  WHERE rn = 1),
+tot AS (SELECT count(*) AS n_total FROM assign)
+SELECT CAST(cluster AS INTEGER) AS cluster, count(*) AS n,
+       CAST(count(*) AS DOUBLE) / CAST(tot.n_total AS DOUBLE) AS share
+FROM assign, tot
+GROUP BY cluster, tot.n_total
+ORDER BY cluster"""

@@ -3034,3 +3034,30 @@ def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = tempfile.mkdtemp(prefix="svspark_bandstore_") + "/bands"
     lsh_band_store(old, "doc_id", "text", store)
     return incremental_dedup_pairs(spark, batch, store, "doc_id", "text").orderBy("a", "b")
+
+
+def ivf_cluster_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health introspection (the partition-balance analog of
+    the reference's vector_quantize_memory estimate): per-cluster row
+    counts and share of corpus under the first-IVF_C centroids — the
+    numbers that tell an operator when probe skew warrants re-training
+    (SCALE.md's kmeans++ balance study productized as a query). One
+    map-side assignment + one tiny groupBy."""
+    from sqlite_vector_spark.operators.ann import ivf_assign
+
+    emb = _emb(spark, sf_dir)
+    cent_rows = emb.where(F.col("vec_id") < IVF_C).orderBy("vec_id").collect()
+    centroids = [list(r.embedding) for r in cent_rows]
+    assigned = ivf_assign(emb, "embedding", centroids, id_col="vec_id", metric="L2")
+    tot = assigned.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        assigned.groupBy(F.col("cluster").cast("int").alias("cluster"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cluster",
+            "n",
+            (F.col("n").cast("double") / F.col("n_total").cast("double")).alias("share"),
+        )
+        .orderBy("cluster")
+    )

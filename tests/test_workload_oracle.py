@@ -53,6 +53,7 @@ SPOT = [
     "session_incident_overlap",
     "ivf_pq_knn_join_l2",
     "incremental_dedup",
+    "ivf_cluster_stats",
 ]
 
 
