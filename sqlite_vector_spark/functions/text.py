@@ -233,5 +233,5 @@ def normalize_text(text: str | Column) -> Column:
     to spaces, runs of spaces collapsed, ends trimmed. ASCII-safe
     operations only, so any SQL engine mirrors it exactly."""
     t = F.lower(_col(text))
-    t = F.regexp_replace(t, "[\\.\\,\\!\\?\;\\:]", " ")
+    t = F.regexp_replace(t, "[\\.\\,\\!\\?\\;\\:]", " ")
     return F.trim(F.regexp_replace(t, "  *", " "))

@@ -26,7 +26,9 @@ def trailing_agg(
     scale: float = 10_000.0,
 ) -> DataFrame:
     """Per-``key_col`` trailing-window count and fixed-point sum of
-    ``value_col`` over ``(ts - win, ts]`` (current row inclusive),
+    ``value_col`` over the CLOSED window ``[ts - win, ts]`` (probe at
+    ``ts - win - 1``, so an event exactly ``win`` old still counts —
+    the RANGE-frame contract the oracle and the brute-force test pin),
     one output row per input row.
 
     Returns (id, key, ts, n_win, sum_win).

@@ -264,9 +264,10 @@ def bm25_batch_topk(
 
     if not queries:
         raise ValueError("bm25_batch_topk needs at least one query")
+    for qid, ts in queries:
+        if not ts:
+            raise ValueError(f"bm25_batch_topk: query qid={qid} has no terms")
     all_terms = sorted({t for _, ts in queries for t in ts})
-    if not all_terms:
-        raise ValueError("bm25_batch_topk needs at least one term")
     tix = {t: i for i, t in enumerate(all_terms)}
     toks = words(normalize_text(F.col(text_col)))
     base = docs.where(F.col(text_col).isNotNull()).select(

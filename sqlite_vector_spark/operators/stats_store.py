@@ -17,12 +17,75 @@ new partition only. Everything in the card is chosen to be mergeable:
 plus a merge of #sources store rows — never a corpus rescan — and
 ``append == rebuild`` holds exactly for the additive columns and
 within the sketch bound for the distinct estimate (tested).
+
+Durability: the store is a directory of immutable versioned snapshots
+(``v000000``, ``v000001``, ...). Writers never touch the live
+snapshot — each (re)build or append writes a NEW ``vN`` directory and
+the snapshot only becomes visible once Spark's output committer drops
+its ``_SUCCESS`` marker (the atomic commit point on HDFS; on object
+stores the committer's final copy/rename plays the same role).
+Readers resolve the HIGHEST version with a ``_SUCCESS`` marker, so a
+failed or in-flight write is simply invisible and the previous
+snapshot keeps serving. Superseded snapshots are pruned only AFTER
+the new one is fully committed.
 """
 
 from __future__ import annotations
 
+import re
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+_VERSION_RE = re.compile(r"^v(\d{6})$")
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """Hadoop FileSystem for ``path``'s scheme (local, HDFS, s3a...)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath, jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _committed_versions(spark: SparkSession, path: str) -> list[int]:
+    """Version numbers under ``path`` whose snapshot is fully
+    committed (has the ``_SUCCESS`` marker), ascending."""
+    jpath, fs = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        m = _VERSION_RE.match(st.getPath().getName())
+        if m and st.isDirectory():
+            ok = st.getPath().suffix("/_SUCCESS")
+            if fs.exists(ok):
+                out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _resolve(spark: SparkSession, path: str) -> str:
+    """Path of the newest committed snapshot (the live store)."""
+    vs = _committed_versions(spark, path)
+    if not vs:
+        raise FileNotFoundError(f"no committed stats-store snapshot under {path}")
+    return f"{path}/v{vs[-1]:06d}"
+
+
+def _publish(partials: DataFrame, path: str) -> None:
+    """Write ``partials`` as the next snapshot version, then prune
+    superseded snapshots. The write lands in a fresh ``vN`` dir, so
+    the previous snapshot stays intact (and keeps serving readers)
+    until the new one's ``_SUCCESS`` marker exists."""
+    spark = partials.sparkSession
+    vs = _committed_versions(spark, path)
+    new_v = (vs[-1] + 1) if vs else 0
+    partials.write.mode("overwrite").parquet(f"{path}/v{new_v:06d}")
+    # commit happened (Spark write returned) -> now safe to prune
+    jpath, fs = _hadoop_fs(spark, path)
+    jvm = spark._jvm
+    for v in _committed_versions(spark, path):
+        if v < new_v:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/v{v:06d}"), True)
 
 
 def _partials(docs: DataFrame) -> DataFrame:
@@ -51,17 +114,20 @@ def _partials(docs: DataFrame) -> DataFrame:
 
 
 def stats_store(docs: DataFrame, path: str) -> None:
-    """(Re)build the store from scratch — one corpus pass."""
-    _partials(docs).write.mode("overwrite").parquet(path)
+    """(Re)build the store from scratch — one corpus pass, published
+    as a new committed snapshot."""
+    _publish(_partials(docs), path)
 
 
 def stats_append(new_docs: DataFrame, path: str) -> None:
     """Fold a new batch into the store: one pass over the BATCH, then
     a #sources-row merge (sum / sketch-union / set-union). The store
     is bounded (rows = sources), so the read-merge-rewrite is
-    driver-cheap at any corpus size."""
+    driver-cheap at any corpus size. The merge reads the live
+    snapshot and writes a NEW one — a failure mid-append leaves the
+    previous snapshot untouched and still resolvable."""
     spark = new_docs.sparkSession
-    old = spark.read.parquet(path)
+    old = spark.read.parquet(_resolve(spark, path))
     merged = (
         old.unionByName(_partials(new_docs))
         .groupBy("source")
@@ -73,15 +139,14 @@ def stats_append(new_docs: DataFrame, path: str) -> None:
             F.hll_union_agg("fp_sk").alias("fp_sk"),
             F.sort_array(F.array_distinct(F.flatten(F.collect_list("langs")))).alias("langs"),
         )
-        .localCheckpoint(eager=True)  # sever lineage from `path` before overwrite
     )
-    merged.write.mode("overwrite").parquet(path)
+    _publish(merged, path)
 
 
 def stats_report(spark: SparkSession, path: str) -> DataFrame:
     """The data card from the store: same columns as the one-shot
     corpus_report, with dup_ratio estimate-based (HLL)."""
-    s = spark.read.parquet(path)
+    s = spark.read.parquet(_resolve(spark, path))
     est_unique = F.least(F.hll_sketch_estimate("fp_sk"), F.col("n_docs").cast("double"))
     return s.select(
         "source",

@@ -117,8 +117,10 @@ def streaming_trailing_counts(
     micro-batches — the ingest-time form of
     operators/features.trailing_agg (rate limiting, abuse counters,
     live feature serving). For every arriving event, emits the count
-    and value sum of that key's events in ``(ts - win_us, ts]``,
-    including events from earlier batches.
+    and value sum of that key's events in the CLOSED window
+    ``[ts - win_us, ts]`` — the same RANGE-frame contract as the batch
+    trailing_agg and its oracle — including events from earlier
+    batches.
 
     State per key = only the events still inside the window (older
     entries are pruned on every batch), so state is bounded by
@@ -158,20 +160,23 @@ def streaming_trailing_counts(
                 j += 1
             t = int(ts_arr[i])
             lo = t - win_us
-            n = s = 0
+            n = s4 = 0
             keep_ts, keep_v = [], []
             for ht, hv in zip(ts_hist, v_hist):
                 if ht > t:  # a late event's view stops at its own ts
                     keep_ts.append(ht), keep_v.append(hv)
                     continue
-                if ht > lo:
+                if ht >= lo:  # closed window: ht == t - win_us counts
                     n += 1
-                    s += hv
+                    # fixed-point fold at scale 1e4, matching the batch
+                    # trailing_agg's decimal(38,0) accumulation so the
+                    # streaming==batch row equality holds to the bit
+                    s4 += round(hv * 1e4)
                     keep_ts.append(ht), keep_v.append(hv)
-                # ht <= lo: expired for this (and every later) event -> prune
+                # ht < lo: expired for this (and every later) event -> prune
             ts_hist, v_hist = keep_ts, keep_v
             for _ in range(i, j):
-                out_ts.append(t), out_n.append(n), out_s.append(s)
+                out_ts.append(t), out_n.append(n), out_s.append(s4 / 1e4)
             i = j
         state.update((ts_hist, v_hist))
         out = pd.DataFrame(

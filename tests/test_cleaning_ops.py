@@ -574,6 +574,37 @@ def test_bm25_batch_rejects_empty(spark):
 
     with _pt.raises(ValueError):
         bm25_batch_topk(docs, [], 3)
+    # a query with no terms must fail loudly, naming the qid
+    with _pt.raises(ValueError, match="qid=42"):
+        bm25_batch_topk(docs, [(41, ("x",)), (42, ())], 3)
+
+
+def test_stats_store_failed_append_preserves_snapshot(spark, tmp_path):
+    """Durability contract: a failed append must leave the previous
+    committed snapshot resolvable and intact — writers publish NEW
+    versioned dirs and never touch the live one."""
+    import pytest as _pt
+
+    from sqlite_vector_spark.operators.stats_store import stats_append, stats_report, stats_store
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again", "web", "en")],
+        "doc_id long, text string, source string, lang string",
+    )
+    store = str(tmp_path / "store")
+    stats_store(docs, store)
+    before = [tuple(r) for r in stats_report(spark, store).collect()]
+
+    # a batch whose evaluation fails mid-write (missing text column)
+    bad = spark.createDataFrame([(2, "web", "en")], "doc_id long, source string, lang string")
+    with _pt.raises(Exception):
+        stats_append(bad, store)
+
+    # the pre-append snapshot still serves
+    assert [tuple(r) for r in stats_report(spark, store).collect()] == before
+    # and a subsequent good append still works and prunes to one version
+    stats_append(docs, store)
+    assert stats_report(spark, store).collect()[0].n_docs == 2
 
 
 # ---------------------------------------------------------------- resample + pivot

@@ -175,7 +175,9 @@ def test_streaming_trailing_counts_across_batches(spark, tmp_path):
         "user_id long, ts_us long, value double",
     )
     b2 = spark.createDataFrame(
-        [(1, 1_400_000, 4.0),   # window (0.4s, 1.4s]: includes 0.6s row, excludes 0.1s
+        [(1, 1_000_100, 32.0),  # closed window [100, 1000100]: the ts=100
+                                # event is EXACTLY win old and still counts
+         (1, 1_400_000, 4.0),   # window [0.4s, 1.4s]: includes 0.6s and 1.0001s rows, excludes 0.1s
          (1, 5_000_000, 16.0)], # far future: alone
         "user_id long, ts_us long, value double",
     )
@@ -200,8 +202,10 @@ def test_streaming_trailing_counts_across_batches(spark, tmp_path):
     assert rows[(1, 100)] == (1, 1.0)
     assert rows[(1, 600_000)] == (2, 3.0)
     assert rows[(2, 100)] == (1, 8.0)
-    # cross-batch: 1.4s sees the 0.6s event from the earlier batch
-    assert rows[(1, 1_400_000)] == (2, 6.0)
+    # exact boundary: the ts=100 event is exactly win old -> included
+    assert rows[(1, 1_000_100)] == (3, 35.0)
+    # cross-batch: 1.4s sees the 0.6s and 1.0001s events, 0.1s expired
+    assert rows[(1, 1_400_000)] == (3, 38.0)
     assert rows[(1, 5_000_000)] == (1, 16.0)
 
 
@@ -214,17 +218,22 @@ def test_streaming_trailing_equals_batch_trailing_agg(spark, tmp_path):
     from sqlite_vector_spark.operators.features import trailing_agg
     from sqlite_vector_spark.streaming.stateful import streaming_trailing_counts
 
+    win = 2_000_000
     rng = random.Random(11)
     rows = []
     eid = 0
     for user in (1, 2, 3):
         t = 0
         for _ in range(30):
-            t += rng.choice([0, 0, rng.randint(1, 900_000)])  # ~2/3 tied timestamps
-            rows.append((eid, user, t, float(rng.randint(1, 50))))
+            # mix: ties, random gaps, and steps of EXACTLY win — the
+            # closed-window boundary (an event exactly win old counts)
+            t += rng.choice([0, 0, rng.randint(1, 900_000), win])
+            # 0.1-grain values: not exactly representable in binary,
+            # so a raw-float streaming fold would drift off the batch
+            # fixed-point decimal fold by an ulp
+            rows.append((eid, user, t, rng.randint(1, 500) / 10.0))
             eid += 1
     ev = spark.createDataFrame(rows, "event_id long, user_id long, ts_us long, value double")
-    win = 2_000_000
 
     batch = {
         (r.key, r.ts): (r.n_win, r.sum_win)
