@@ -671,7 +671,9 @@ def ivf_append_with_drift(
         if _assign_backend(centroids) == "arrow-numpy"
         else F.array_min(centroid_distances(F.col("vec"), centroids, metric))
     )
-    enriched = assigned.withColumn("_d", d_arr)
+    # one assignment pass per append: the drift agg and the store write
+    # both read the checkpointed batch instead of re-running ivf_assign
+    enriched = assigned.withColumn("_d", d_arr).localCheckpoint(eager=True)
     row = enriched.agg(
         F.count(F.lit(1)).alias("n"), F.avg("_d").alias("mean_d")
     ).collect()[0]

@@ -271,3 +271,28 @@ def test_ivf_assignment_stats_and_drift(spark, emb, tmp_path):
     # both batches really landed in the store
     n = spark.read.parquet(dest).count()
     assert n == 3 * emb.count()
+
+
+def test_ivf_append_with_drift_single_batch_pass(spark, emb, tmp_path):
+    """The drift agg and the store write must share ONE evaluation of
+    the batch assignment (localCheckpoint), not recompute it — proven
+    by an accumulator on the input: rows are read exactly once."""
+    from sqlite_vector_spark.operators.ann import ivf_append_with_drift, ivf_store
+
+    cent = [list(r.embedding) for r in emb.orderBy("vec_id").limit(8).collect()]
+    dest = str(tmp_path / "ivf_once")
+    ivf_store(emb, "embedding", cent, dest, id_col="vec_id")
+
+    acc = spark.sparkContext.accumulator(0)
+    base = emb.select("vec_id", "embedding")
+
+    def count_rows(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    instrumented = base.mapInPandas(count_rows, base.schema)
+    rep = ivf_append_with_drift(instrumented, "embedding", cent, dest, id_col="vec_id")
+    n = emb.count()
+    assert rep.n_appended == n
+    assert acc.value == n, f"batch evaluated {acc.value / n:.1f}x, expected once"

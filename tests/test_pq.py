@@ -435,6 +435,28 @@ def test_ivf_pq_knn_join_matches_per_query_scan(spark, emb, books):
             assert d == pytest.approx(r.distance, rel=1e-9)
 
 
+def test_ivf_pq_knn_join_window_group_limit(spark, emb, books):
+    """The final per-qid top-k must plan as WindowGroupLimit so each
+    candidate partition forwards only k rows per query into the rank
+    shuffle — the bound that keeps the multi-query path k-limited when
+    one query's probed clusters are huge (100 TB skew case)."""
+    from sqlite_vector_spark.operators.ann import ivf_assign
+    from sqlite_vector_spark.operators.pq import ivf_pq_knn_join, pq_encode_col
+
+    cents = [list(r.embedding) for r in emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()]
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    store = (
+        ivf_assign(emb, "embedding", cents, id_col="vec_id", metric="L2")
+        .select("id", pq_encode_col(F.col("vec"), books).alias("codes"), "cluster")
+    )
+    df = ivf_pq_knn_join(queries, store, cents, books, 5, nprobe=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
 def test_ivf_pq_knn_join_residual_mode(spark, emb, books):
     """Residual-mode join: distances equal explicit NumPy
     reconstruction of Σ_s ||(q - centroid)_s - codebook[s][code]||²
