@@ -24,6 +24,7 @@ expressions, so the DuckDB oracle replays it bit-for-bit
 from __future__ import annotations
 
 from collections.abc import Sequence
+from dataclasses import dataclass
 
 import pandas as pd
 import pyspark.sql.functions as F
@@ -200,6 +201,123 @@ def bq_rerank_scan(
         .orderBy(F.col("distance").asc(), F.col("id").asc())
         .limit(k)
     )
+
+
+@dataclass
+class BqAppendReport:
+    """Result of bq_store_append: bit balance of the appended batch
+    under the FROZEN thresholds. ``mean_bit_bias`` is the mean over
+    dimensions of |P(bit_j = 1) - 0.5| — 0.0 means every threshold
+    still splits its dimension at the center (maximum Hamming
+    resolution), 0.5 means some bits went constant (the axis-aligned
+    failure mode measured in SCALE.md). Rising bias under a
+    distribution shift is the re-threshold (per-dim means) + rebuild
+    signal — the 1-bit analog of PQ's reconstruction-error drift."""
+
+    n_appended: int
+    mean_bit_bias: float
+    baseline_bit_bias: float | None
+    #: absolute excess of batch bias over the baseline (0 = batch
+    #: bits as balanced as at build time)
+    drift: float
+    rebuild_recommended: bool
+
+
+def _bit_balance_kernel(dim: int):
+    """mapInPandas kernel: per-partition per-dimension set-bit counts
+    + row count from the PACKED words — one tiny partial row per
+    partition (dim int64s), reduced driver-side. Same
+    shuffle-independent partial-aggregation recipe as pq_fit."""
+
+    def _kernel(pdf_iter):
+        import numpy as np
+
+        ones = np.zeros(dim, dtype=np.int64)
+        n = 0
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            words = np.array(pdf["bits"].tolist(), dtype=np.uint64)  # (B, nw)
+            n += words.shape[0]
+            for j in range(dim):
+                w, i = divmod(j, 64)
+                ones[j] += int(((words[:, w] >> np.uint64(i)) & np.uint64(1)).sum())
+        yield pd.DataFrame({"ones": [ones.tolist()], "n": [n]})
+
+    return _kernel
+
+
+def bq_bit_bias(codes_df: DataFrame, dim: int, bits_col: str = "bits") -> float:
+    """Mean per-dimension |P(bit=1) - 0.5| of a packed code table —
+    record at build time as the baseline for bq_store_append."""
+    import numpy as np
+
+    partials = (
+        codes_df.select(F.col(bits_col).alias("bits"))
+        .mapInPandas(_bit_balance_kernel(dim), schema="ones array<long>, n long")
+        .collect()
+    )
+    ones = np.zeros(dim, dtype=np.int64)
+    n = 0
+    for r in partials:
+        ones += np.asarray(r.ones, dtype=np.int64)
+        n += int(r.n)
+    if n == 0:
+        return 0.0
+    return float(np.abs(ones / n - 0.5).mean())
+
+
+def bq_store(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    dest: str,
+    thresholds: Sequence[float] | None = None,
+    id_col: str = "id",
+    backend: str = "codegen",
+) -> None:
+    """Materialize the 1-bit index (id, bits) — the persisted table
+    bq_scan / bq_rerank_scan read in production (dim/8 bytes per
+    row). Map-side only; one pass."""
+    bq_encode(df, vec_col, dim, thresholds, id_col=id_col, backend=backend).write.mode(
+        "overwrite"
+    ).parquet(dest)
+
+
+def bq_store_append(
+    new_df: DataFrame,
+    vec_col: str,
+    dim: int,
+    dest: str,
+    thresholds: Sequence[float] | None = None,
+    id_col: str = "id",
+    backend: str = "codegen",
+    baseline_bit_bias: float | None = None,
+    drift_threshold: float = 0.15,
+) -> BqAppendReport:
+    """Append-mode 1-bit maintenance: encode ONLY the new rows against
+    the FROZEN thresholds and append. Bits depend only on the
+    thresholds, so append == rebuild exactly (tests prove it) — the
+    same frozen-parameter contract as ivf_store_append /
+    vector_quantize_update / pq_store_append.
+
+    One pass over the batch (localCheckpoint shared by the bit-bias
+    agg and the append write). ``drift`` is the batch's mean bit bias
+    in excess of ``baseline_bit_bias`` (record it at build time via
+    bq_bit_bias); crossing ``drift_threshold`` means the frozen
+    per-dim thresholds no longer center the ingest distribution —
+    recompute thresholds (embedding_dim_stats means) and rebuild."""
+    enriched = bq_encode(
+        new_df, vec_col, dim, thresholds, id_col=id_col, backend=backend
+    ).localCheckpoint(eager=True)
+    row = enriched.agg(F.count(F.lit(1)).alias("n")).collect()[0]
+    n = int(row["n"])
+    if n == 0:
+        return BqAppendReport(0, 0.0, baseline_bit_bias, 0.0, False)
+    bias = bq_bit_bias(enriched, dim)
+    enriched.write.mode("append").parquet(dest)
+    drift = max(bias - (baseline_bit_bias or 0.0), 0.0)
+    return BqAppendReport(n, bias, baseline_bit_bias, drift, drift > drift_threshold)
 
 
 def bq_random_planes(dim: int, p: int, seed: int = 0):

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import math
 from collections.abc import Sequence
+from dataclasses import dataclass
 
 import pandas as pd
 import pyspark.sql.functions as F
@@ -542,9 +543,10 @@ def ivf_pq_store(
     ``partitionBy("cluster")`` as (id, codes) — the persistent 100 TB
     layout. A probe IN filter is planning-time partition pruning and
     the pruned files hold ~M bytes/row: probe fraction x compression
-    ratio come off the scan cost together. Append-mode maintenance
-    works exactly like ivf_store_append (assignment and codes depend
-    only on frozen centroids/codebooks).
+    ratio come off the scan cost together. Append-mode maintenance is
+    ivf_pq_store_append (assignment and codes depend only on frozen
+    centroids/codebooks, so append == rebuild; it also reports
+    reconstruction-error drift as the retrain signal).
 
     ``residual=True`` is the classic IVFADC refinement (Jegou et al.
     2011 §IV): codes quantize ``vec - centroid[cluster]`` instead of
@@ -565,6 +567,192 @@ def ivf_pq_store(
     assigned.select("id", codes.alias("codes"), "cluster").write.partitionBy(
         "cluster"
     ).mode("overwrite").parquet(dest)
+
+
+def pq_recon_err_arrow_udf(codebooks: Codebooks):
+    """(vec, codes) -> DOUBLE squared reconstruction error
+    ||vec - concat_s codebook[s][code_s]||² — the quantization-quality
+    signal for a batch against FROZEN codebooks. Arrow-batched; the
+    codebooks ride in the closure (O(1) plan at any M*KSUB). In
+    residual mode pass the RESIDUAL as vec (ivf_residuals output) —
+    the codes quantize exactly that frame, so the same kernel
+    measures the same error."""
+    from pyspark.sql.functions import pandas_udf
+
+    import numpy as np
+
+    m, ksub, dsub = _check_codebooks(codebooks)
+    cbs = np.stack(
+        [np.asarray([[float(x) for x in e] for e in cb], dtype=np.float64) for cb in codebooks]
+    )  # (m, ksub, dsub)
+
+    @pandas_udf("double")
+    def _kernel(vec: pd.Series, codes: pd.Series) -> pd.Series:
+        mat = np.array(vec.tolist(), dtype=np.float64)  # (B, dim)
+        cd = np.array(codes.tolist(), dtype=np.int64)  # (B, m)
+        err = np.zeros(len(mat), dtype=np.float64)
+        for s in range(m):
+            diff = mat[:, s * dsub : (s + 1) * dsub] - cbs[s][cd[:, s]]
+            err += (diff * diff).sum(axis=1)
+        return pd.Series(err)
+
+    return _kernel
+
+
+@dataclass
+class PqAppendReport:
+    """Result of pq_store_append / ivf_pq_store_append: batch
+    quantization quality vs a baseline reconstruction error (e.g.
+    recorded at store build time) — the PQ analog of IvfDriftReport /
+    QuantUpdateReport. Reconstruction error rising means the frozen
+    codebooks no longer resolve the ingest distribution: the retrain
+    (pq_fit) + rebuild signal."""
+
+    n_appended: int
+    batch_mean_recon_err: float
+    baseline_recon_err: float | None
+    #: batch mean / baseline mean - 1 (0.0 = matches build-time
+    #: quality; large = new data the codebooks can't represent)
+    drift: float
+    rebuild_recommended: bool
+
+
+def _pq_append_report(
+    n: int,
+    mean_err: float,
+    baseline: float | None,
+    threshold: float,
+) -> PqAppendReport:
+    if baseline is None or baseline <= 0.0:
+        drift = 0.0
+    else:
+        drift = max(mean_err / baseline - 1.0, 0.0)
+    return PqAppendReport(n, mean_err, baseline, drift, drift > threshold)
+
+
+def pq_store(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: Codebooks,
+    dest: str,
+    id_col: str = "id",
+) -> None:
+    """Materialize the flat PQ code table (id, codes) — the persisted
+    form of pq_encode that pq_scan / pq_rerank_scan read in
+    production. Map-side only; one pass."""
+    pq_encode(df, vec_col, codebooks, id_col=id_col).write.mode("overwrite").parquet(dest)
+
+
+def pq_store_append(
+    new_df: DataFrame,
+    vec_col: str,
+    codebooks: Codebooks,
+    dest: str,
+    id_col: str = "id",
+    baseline_recon_err: float | None = None,
+    drift_threshold: float = 0.25,
+) -> PqAppendReport:
+    """Append-mode PQ maintenance: encode ONLY the new rows against
+    the FROZEN codebooks and append to the flat code table. Codes
+    depend only on the codebooks, so append == rebuild exactly
+    (tests prove it) — same maintenance contract as ivf_store_append /
+    vector_quantize_update, completing the ladder's compressed tier.
+
+    One pass over the batch: the encoded frame is localCheckpointed,
+    the reconstruction-error agg and the append write both read the
+    checkpoint. ``drift`` compares the batch's mean squared
+    reconstruction error against ``baseline_recon_err`` (record it at
+    build time via pq_reconstruction_error); crossing
+    ``drift_threshold`` is the retrain-and-rebuild signal."""
+    base = new_df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
+    )
+    if _pq_backend(codebooks) == "arrow-numpy":
+        codes = pq_encode_arrow_udf(codebooks)(F.col("vec"))
+    else:
+        codes = pq_encode_col(F.col("vec"), codebooks)
+    enriched = (
+        base.select("id", codes.alias("codes"), "vec")
+        .withColumn("_err", pq_recon_err_arrow_udf(codebooks)(F.col("vec"), F.col("codes")))
+        .localCheckpoint(eager=True)
+    )
+    row = enriched.agg(F.count(F.lit(1)).alias("n"), F.avg("_err").alias("e")).collect()[0]
+    n = int(row["n"])
+    if n == 0:
+        return PqAppendReport(0, 0.0, baseline_recon_err, 0.0, False)
+    enriched.select("id", "codes").write.mode("append").parquet(dest)
+    return _pq_append_report(n, float(row["e"]), baseline_recon_err, drift_threshold)
+
+
+def ivf_pq_store_append(
+    new_df: DataFrame,
+    vec_col: str,
+    centroids: Sequence[Sequence[float]],
+    codebooks: Codebooks,
+    dest: str,
+    id_col: str = "id",
+    residual: bool = False,
+    baseline_recon_err: float | None = None,
+    drift_threshold: float = 0.25,
+) -> PqAppendReport:
+    """Append-mode IVF-PQ maintenance: coarse-assign + PQ-encode ONLY
+    the new rows against the FROZEN centroids and codebooks, appended
+    into the existing cluster=N directories — existing files are never
+    read or rewritten, probe-time partition pruning is unchanged, and
+    append == rebuild exactly (both assignment and codes depend only
+    on frozen parameters; tests prove it). The 100 TB daily-append
+    path for the compressed tier: cost scales with the delta.
+
+    ``residual=True`` must match the store's build mode — codes then
+    quantize (vec - centroid[cluster]) and the reconstruction error is
+    measured on that same residual frame. One batch pass via
+    localCheckpoint, like ivf_append_with_drift."""
+    if residual:
+        assigned = ivf_residuals(new_df, vec_col, centroids, id_col=id_col)
+    else:
+        from sqlite_vector_spark.operators.ann import ivf_assign
+
+        assigned = ivf_assign(new_df, vec_col, centroids, id_col=id_col, metric="L2")
+    if _pq_backend(codebooks) == "arrow-numpy":
+        codes = pq_encode_arrow_udf(codebooks)(F.col("vec"))
+    else:
+        codes = pq_encode_col(F.col("vec"), codebooks)
+    enriched = (
+        assigned.select("id", codes.alias("codes"), "cluster", "vec")
+        .withColumn("_err", pq_recon_err_arrow_udf(codebooks)(F.col("vec"), F.col("codes")))
+        .localCheckpoint(eager=True)
+    )
+    row = enriched.agg(F.count(F.lit(1)).alias("n"), F.avg("_err").alias("e")).collect()[0]
+    n = int(row["n"])
+    if n == 0:
+        return PqAppendReport(0, 0.0, baseline_recon_err, 0.0, False)
+    enriched.select("id", "codes", "cluster").write.partitionBy("cluster").mode(
+        "append"
+    ).parquet(dest)
+    return _pq_append_report(n, float(row["e"]), baseline_recon_err, drift_threshold)
+
+
+def pq_reconstruction_error(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: Codebooks,
+    id_col: str = "id",
+) -> float:
+    """Corpus mean squared reconstruction error under ``codebooks`` —
+    record at build time as the ``baseline_recon_err`` for the append
+    drift checks. One map-side pass + a 1-row agg."""
+    base = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
+    )
+    if _pq_backend(codebooks) == "arrow-numpy":
+        codes = pq_encode_arrow_udf(codebooks)(F.col("vec"))
+    else:
+        codes = pq_encode_col(F.col("vec"), codebooks)
+    scored = base.select(
+        pq_recon_err_arrow_udf(codebooks)(F.col("vec"), codes).alias("_err")
+    )
+    row = scored.agg(F.avg("_err").alias("e")).collect()[0]
+    return float(row["e"]) if row["e"] is not None else 0.0
 
 
 def ivf_pq_stored_scan(

@@ -168,3 +168,42 @@ def test_projected_rerank_beats_axis_aligned_on_correlated_data(spark):
     assert r_proj >= r_axis
     assert r_proj >= 0.5
     df.unpersist()
+
+
+def test_bq_store_append_equals_rebuild(spark, emb, tmp_path):
+    """Frozen-threshold 1-bit append == rebuild; bit-bias drift stays
+    quiet in-distribution and fires when a shifted batch saturates
+    the thresholds (bits go constant)."""
+    import pyspark.sql.functions as F
+
+    from sqlite_vector_spark.operators.bq import bq_bit_bias, bq_encode, bq_store, bq_store_append
+
+    dim = 64
+    half_a = emb.where(F.col("vec_id") % 2 == 0)
+    half_b = emb.where(F.col("vec_id") % 2 == 1)
+    inc = str(tmp_path / "bq_inc")
+    bq_store(half_a, "embedding", dim, inc, id_col="vec_id")
+    baseline = bq_bit_bias(bq_encode(half_a, "embedding", dim, id_col="vec_id"), dim)
+    rep = bq_store_append(
+        half_b, "embedding", dim, inc, id_col="vec_id", baseline_bit_bias=baseline
+    )
+    assert rep.n_appended == half_b.count()
+    assert not rep.rebuild_recommended
+
+    full = str(tmp_path / "bq_full")
+    bq_store(emb, "embedding", dim, full, id_col="vec_id")
+    got = {r.id: list(r.bits) for r in spark.read.parquet(inc).collect()}
+    want = {r.id: list(r.bits) for r in spark.read.parquet(full).collect()}
+    assert got == want
+
+    # every lane shifted far positive -> every bit 1 -> bias 0.5
+    shifted = emb.select(
+        (F.col("vec_id") + 500_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") + F.lit(100.0)).alias("embedding"),
+    )
+    rep_bad = bq_store_append(
+        shifted, "embedding", dim, str(tmp_path / "bq_drift"), id_col="vec_id",
+        baseline_bit_bias=baseline,
+    )
+    assert rep_bad.mean_bit_bias > 0.45
+    assert rep_bad.drift > 0.15 and rep_bad.rebuild_recommended

@@ -493,3 +493,70 @@ def test_ivf_pq_knn_join_residual_mode(spark, emb, books):
         assert [i for _, i in ref] == [i for _, i, _ in mine]
         for (d, _), (_, _, dg) in zip(ref, mine):
             assert dg == pytest.approx(d, rel=1e-9)
+
+
+def test_pq_store_append_equals_rebuild(spark, emb, books, tmp_path):
+    """Frozen-codebook append maintenance: build-on-half + append-half
+    must equal build-on-all row for row, and the drift report must
+    stay quiet in-distribution and fire on a shifted batch."""
+    from sqlite_vector_spark.operators.pq import (
+        pq_reconstruction_error,
+        pq_store,
+        pq_store_append,
+    )
+
+    half_a = emb.where(F.col("vec_id") % 2 == 0)
+    half_b = emb.where(F.col("vec_id") % 2 == 1)
+    inc = str(tmp_path / "pq_inc")
+    pq_store(half_a, "embedding", books, inc, id_col="vec_id")
+    baseline = pq_reconstruction_error(half_a, "embedding", books, id_col="vec_id")
+    rep = pq_store_append(
+        half_b, "embedding", books, inc, id_col="vec_id", baseline_recon_err=baseline
+    )
+    assert rep.n_appended == half_b.count()
+    assert not rep.rebuild_recommended  # same distribution
+
+    full = str(tmp_path / "pq_full")
+    pq_store(emb, "embedding", books, full, id_col="vec_id")
+    got = {r.id: list(r.codes) for r in spark.read.parquet(inc).collect()}
+    want = {r.id: list(r.codes) for r in spark.read.parquet(full).collect()}
+    assert got == want
+
+    shifted = emb.select(
+        (F.col("vec_id") + 500_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") + F.lit(25.0)).alias("embedding"),
+    )
+    rep_bad = pq_store_append(
+        shifted, "embedding", books, str(tmp_path / "pq_drift"), id_col="vec_id",
+        baseline_recon_err=baseline,
+    )
+    assert rep_bad.drift > 0.25 and rep_bad.rebuild_recommended
+
+
+@pytest.mark.parametrize("residual", [False, True])
+def test_ivf_pq_store_append_equals_rebuild(spark, emb, books, tmp_path, residual):
+    """IVF-PQ append (frozen centroids + codebooks) == rebuild for
+    both the raw and the residual (IVFADC) store layouts; partition
+    pruning still holds on the appended store."""
+    from sqlite_vector_spark.operators.pq import ivf_pq_store, ivf_pq_store_append
+
+    cents = [list(r.embedding) for r in emb.orderBy("vec_id").limit(8).collect()]
+    half_a = emb.where(F.col("vec_id") % 2 == 0)
+    half_b = emb.where(F.col("vec_id") % 2 == 1)
+    inc = str(tmp_path / f"ivfpq_inc_{residual}")
+    ivf_pq_store(half_a, "embedding", cents, books, inc, id_col="vec_id", residual=residual)
+    rep = ivf_pq_store_append(
+        half_b, "embedding", cents, books, inc, id_col="vec_id", residual=residual
+    )
+    assert rep.n_appended == half_b.count()
+    assert rep.batch_mean_recon_err >= 0.0
+
+    full = str(tmp_path / f"ivfpq_full_{residual}")
+    ivf_pq_store(emb, "embedding", cents, books, full, id_col="vec_id", residual=residual)
+    got = {r.id: (int(r.cluster), list(r.codes)) for r in spark.read.parquet(inc).collect()}
+    want = {r.id: (int(r.cluster), list(r.codes)) for r in spark.read.parquet(full).collect()}
+    assert got == want
+
+    pruned = spark.read.parquet(inc).where(F.col("cluster").isin([0, 1]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
