@@ -784,12 +784,36 @@ def ivf_pq_stored_scan(
         pruned = stored.where(F.col("cluster").isin([int(p) for p in probes]))
         return pq_scan(pruned, q, codebooks, k, metric)
 
+    return ivf_pq_residual_adc_scan(stored, q, centroids, codebooks, k, nprobe, metric)
+
+
+def ivf_pq_residual_adc_scan(
+    codes_df: DataFrame,
+    query: Sequence[float],
+    centroids: Sequence[Sequence[float]],
+    codebooks: Codebooks,
+    k: int,
+    nprobe: int = 2,
+    metric: str | Metric = "L2",
+) -> DataFrame:
+    """Residual-IVFADC top-k over any (id, codes, cluster) code table
+    whose codes quantize ``vec - centroid[cluster]`` (Jegou et al.
+    2011 §IV). Each probed cluster gets its OWN lookup table computed
+    on (query - centroid[p]) — nprobe filtered branches unioned, one
+    global top-k. LUT count is nprobe*M*KSUB driver doubles (metadata
+    math); per-row work stays the M-term fold. Works identically over
+    an ivf_pq_store read (partition-pruned branches) or an in-plan
+    residual encode (oracle-gated: workload.ivf_pq_residual_scan_l2)."""
+    from sqlite_vector_spark.operators.ann import probe_clusters
+
+    q = [float(x) for x in query]
     m = parse_metric(metric) if isinstance(metric, str) else metric
+    probes = probe_clusters(q, centroids, nprobe)
     branches = []
     for p in probes:
         q_res = [qq - cc for qq, cc in zip(q, [float(x) for x in centroids[p]])]
         luts = adc_lut(q_res, codebooks)
-        branch = stored.where(F.col("cluster") == int(p))
+        branch = codes_df.where(F.col("cluster") == int(p))
         if _pq_backend(codebooks) == "arrow-numpy":
             dist = adc_distance_arrow_udf(luts, m)(F.col("codes"))
         else:

@@ -1415,6 +1415,72 @@ ORDER BY distance ASC, c2.id ASC
 LIMIT {IVF_K}"""
 
 
+def ivf_pq_residual_scan_l2_q() -> str:
+    """Residual IVFADC mirror (workload.ivf_pq_residual_scan_l2):
+    residual table rv = embedding - coarse centroid (exact IEEE
+    double subtraction of the same f32-cast values the engine
+    subtracts), codebooks = rv of the first PQ_KSUB ids, codes = per-
+    (row, subspace) snapped argmin over them, and ONE LUT PER PROBED
+    CLUSTER built on (q - centroid[p]) — the same doubles
+    pq.adc_lut computes on the driver. Final distance joins each
+    row's cluster to its probe LUT: only probed clusters survive the
+    inner join, mirroring the engine's branch filters."""
+    from sqlite_vector_spark.workload import DIM
+
+    d_assign = dist_sql("L2", "e.embedding", "cn.cnv")
+    d_probe = dist_sql("L2", "cnv", "q")
+    d_code = _pq_sub_sq("r.rv", "c.cv", "s.sub")
+    d_lut = _pq_sub_sq("qr.qr", "c.cv", "s.sub")
+    rv = (
+        f"list_transform(range(1, {DIM + 1}), "
+        f"i -> CAST(e.embedding[i] AS DOUBLE) - CAST(cn.cnv[i] AS DOUBLE))"
+    )
+    qr = (
+        f"list_transform(range(1, {DIM + 1}), "
+        f"i -> q[i] - CAST(cn.cnv[i] AS DOUBLE))"
+    )
+    return f"""WITH qq AS (SELECT {qvec_literal(Q64)} AS q),
+cent AS (SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS cnv FROM embeddings WHERE vec_id < {IVF_C}),
+assign AS (
+  SELECT id, cid AS cluster FROM (
+    SELECT e.vec_id AS id, cn.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d_assign} ASC, cn.cid ASC) AS rn
+    FROM embeddings e, cent cn WHERE e.embedding IS NOT NULL)
+  WHERE rn = 1),
+resid AS (
+  SELECT e.vec_id AS id, a.cluster, {rv} AS rv
+  FROM embeddings e
+  JOIN assign a ON a.id = e.vec_id
+  JOIN cent cn ON cn.cid = a.cluster
+  WHERE e.embedding IS NOT NULL),
+cb AS (SELECT id AS j, rv AS cv FROM resid WHERE id < {PQ_KSUB}),
+subs AS ({PQ_SUBS}),
+asgn AS (
+  SELECT r.id, s.sub, c.j,
+         row_number() OVER (PARTITION BY r.id, s.sub ORDER BY {d_code} ASC, c.j ASC) AS rn
+  FROM resid r, subs s, cb c),
+codes AS (SELECT id, list(j ORDER BY sub) AS cl FROM asgn WHERE rn = 1 GROUP BY id),
+probes AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (ORDER BY {d_probe} ASC, cid ASC) AS rn
+    FROM cent, qq)
+  WHERE rn <= {IVF_NPROBE}),
+qres AS (
+  SELECT p.cid, {qr} AS qr
+  FROM probes p JOIN cent cn ON cn.cid = p.cid, qq),
+lutp AS (
+  SELECT cid, list(d ORDER BY sub, j) AS lf FROM (
+    SELECT qr.cid, s.sub, c.j, {d_lut} AS d
+    FROM qres qr, subs s, cb c)
+  GROUP BY cid)
+SELECT c2.id AS id, {_pq_adc_dist()} AS distance
+FROM codes c2
+JOIN resid r2 ON r2.id = c2.id
+JOIN lutp l ON l.cid = r2.cluster
+ORDER BY distance ASC, id ASC
+LIMIT {IVF_K}"""
+
+
 def pq_recall_at_k_q() -> str:
     d_full = dist_sql("L2", "embedding", "q")
     return f"""WITH qq AS (SELECT {qvec_literal(Q64)} AS q),

@@ -1181,6 +1181,43 @@ def ivf_pq_scan_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_pq_residual_scan_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVFADC (operators.pq.ivf_pq_residual_adc_scan —
+    Jegou et al. 2011 §IV): codes quantize (vec - centroid[cluster])
+    and every probed cluster gets its own LUT on (query - centroid).
+    Gate geometry mirrors the raw-PQ gate: coarse centroids = first
+    IVF_C rows, codebooks = the RESIDUALS of the first PQ_KSUB rows —
+    both SQL-derivable, so the per-probe-LUT code path is hash-gated
+    end to end (oracle.ivf_pq_residual_scan_l2_q)."""
+    from sqlite_vector_spark.operators.pq import (
+        _pq_backend,
+        ivf_pq_residual_adc_scan,
+        ivf_residuals,
+        pq_encode_arrow_udf,
+        pq_encode_col,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cent_rows = emb.where(F.col("vec_id") < IVF_C).orderBy("vec_id").collect()
+    centroids = [list(r.embedding) for r in cent_rows]
+    res = ivf_residuals(emb, "embedding", centroids, id_col="vec_id")
+    book_rows = res.where(F.col("id") < PQ_KSUB).orderBy("id").collect()
+    if len(book_rows) < PQ_KSUB:
+        raise ValueError(f"need {PQ_KSUB} seed rows, found {len(book_rows)}")
+    books = [
+        [list(r.vec[s * PQ_DSUB : (s + 1) * PQ_DSUB]) for r in book_rows]
+        for s in range(PQ_M)
+    ]
+    if _pq_backend(books) == "arrow-numpy":
+        codes_col = pq_encode_arrow_udf(books)(F.col("vec"))
+    else:
+        codes_col = pq_encode_col(F.col("vec"), books)
+    table = res.select("id", codes_col.alias("codes"), "cluster")
+    return ivf_pq_residual_adc_scan(
+        table, Q64, centroids, books, IVF_K, nprobe=IVF_NPROBE, metric="L2"
+    )
+
+
 def pq_rerank_scan_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage PQ search (operators.pq.pq_rerank_scan): ADC
     prefilter to RERANK_M candidates in the compressed domain, exact
