@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_rerank_scan_l2": w.pq_rerank_scan_l2,
         "ivf_pq_scan_l2": w.ivf_pq_scan_l2,
         "ivf_pq_residual_scan_l2": w.ivf_pq_residual_scan_l2,
+        "opq_scan_l2": w.opq_scan_l2,
         "pq_recall_at_k": w.pq_recall_at_k_q,
         "ivf_pq_knn_join_l2": w.ivf_pq_knn_join_l2_q,
         "incremental_dedup": w.incremental_dedup_q,
@@ -316,6 +317,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_rerank_scan_l2": o.pq_rerank_scan_l2_q(),
         "ivf_pq_scan_l2": o.ivf_pq_scan_l2_q(),
         "ivf_pq_residual_scan_l2": o.ivf_pq_residual_scan_l2_q(),
+        "opq_scan_l2": o.opq_scan_l2_q(),
         "pq_recall_at_k": o.pq_recall_at_k_q(),
         "ivf_pq_knn_join_l2": o.ivf_pq_knn_join_l2_q(),
         "incremental_dedup": o.incremental_dedup_q(),

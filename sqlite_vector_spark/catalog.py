@@ -54,9 +54,12 @@ class VectorContext:
     ivf_centroids: list | None = None
     # persisted after pq_encode / ivf_pq_store: code table + codebooks
     # (m x ksub x dsub — metadata-sized) + whether codes are residual
+    # + the OPQ rotation (dim x dim) when the codes live in a learned
+    # rotated basis (opq_fit / opq_encode)
     pq_path: str | None = None
     pq_codebooks: list | None = None
     pq_residual: bool = False
+    pq_rotation: list | None = None
     # persisted after bq_encode: 1-bit packed code table (+ per-dim
     # thresholds when not sign-bit encoding)
     bq_path: str | None = None
@@ -137,7 +140,7 @@ class VectorCatalog:
             for k in (
                 "qscale", "qoffset", "resolved_qtype", "quantized_path",
                 "ivf_path", "ivf_centroids", "pq_path", "pq_codebooks", "pq_residual",
-                "bq_path", "bq_thresholds",
+                "pq_rotation", "bq_path", "bq_thresholds",
             ):
                 setattr(ctx, k, persisted.get(k))
         self._contexts[key] = ctx
@@ -161,11 +164,14 @@ class VectorCatalog:
         ctx.ivf_centroids = [[float(x) for x in c] for c in centroids]
         self._serialize(ctx)
 
-    def set_pq_index(self, table: str, column: str, *, path: str, codebooks, residual: bool = False) -> None:
+    def set_pq_index(self, table: str, column: str, *, path: str, codebooks, residual: bool = False, rotation=None) -> None:
         ctx = self.get(table, column)
         ctx.pq_path = path
         ctx.pq_codebooks = [[[float(x) for x in e] for e in cb] for cb in codebooks]
         ctx.pq_residual = bool(residual)
+        ctx.pq_rotation = (
+            [[float(x) for x in row] for row in rotation] if rotation is not None else None
+        )
         self._serialize(ctx)
 
     def set_bq_index(self, table: str, column: str, *, path: str, thresholds=None) -> None:

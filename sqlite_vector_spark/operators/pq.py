@@ -569,6 +569,229 @@ def ivf_pq_store(
     ).mode("overwrite").parquet(dest)
 
 
+# ---------------------------------------------------------------- OPQ (learned rotation)
+
+
+def random_rotation(dim: int, seed: int = 0):
+    """Deterministic random orthogonal matrix (seeded Gaussian + QR,
+    diagonal-sign-fixed so the factorization is unique): the
+    structure-agnostic rotation baseline, and the SQL-embeddable
+    geometry the opq_scan gate entry pins (the matrix is a literal on
+    both engines — like Q64/HYPERPLANES). Returns (dim, dim) float64;
+    rows are orthonormal, applied as out = R @ v."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    q, r = np.linalg.qr(rng.normal(size=(dim, dim)))
+    return q * np.sign(np.diag(r))
+
+
+def rotate_col(vec: str | Column, rotation) -> Column:
+    """JVM-exact rotated vector via higher-order functions: the
+    matrix rides as ONE array-of-arrays literal and
+    out[i] = aggregate(zip_with(v, R[i], *), 0.0, +) — a 0.0-init
+    sequential fold per lane, the exact IEEE order the oracle's
+    list_transform/list_reduce mirror replays and _rotate_py folds
+    driver-side. HOFs keep the generated code O(1) in dim (a dim²
+    expression tree overflows janino); large dims still route to
+    rotate_arrow_udf for throughput."""
+    import numpy as np
+
+    v = F.col(vec) if isinstance(vec, str) else vec
+    R = np.asarray(rotation, dtype=np.float64)
+    rm = F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in R])
+    return F.transform(
+        rm,
+        lambda row: F.aggregate(
+            F.zip_with(v, row, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+    )
+
+
+def rotate_arrow_udf(rotation):
+    """Arrow-batched rotation: one (B, dim) x (dim, dim) matmul per
+    batch; the matrix rides in the closure (O(1) plan at any dim).
+    Throughput backend (NumPy sum order) — not the oracle path."""
+    from pyspark.sql.functions import pandas_udf
+
+    import numpy as np
+
+    R = np.asarray(rotation, dtype=np.float64)
+
+    @pandas_udf("array<double>")
+    def _kernel(col: pd.Series) -> pd.Series:
+        mat = np.array(col.tolist(), dtype=np.float64)
+        return pd.Series(list(mat @ R.T))
+
+    return _kernel
+
+
+def _rotate_py(v: Sequence[float], rotation) -> list[float]:
+    """Driver-side rotation with the exact fold order of rotate_col
+    (0.0-init sequential) — used to rotate the QUERY so gate hashes
+    match."""
+    import numpy as np
+
+    R = np.asarray(rotation, dtype=np.float64)
+    out = []
+    for i in range(R.shape[0]):
+        acc = 0.0
+        for j in range(R.shape[1]):
+            acc = acc + float(v[j]) * float(R[i, j])
+        out.append(acc)
+    return out
+
+
+def opq_rotate(
+    df: DataFrame,
+    vec_col: str,
+    rotation,
+    id_col: str = "id",
+    backend: str | None = None,
+) -> DataFrame:
+    """(id, vec = R @ row) — the rotated frame every OPQ stage
+    (pq_fit training, pq_encode, stores) runs on. Map-side only.
+    Backend: honour an explicit/pinned choice, else route on the
+    dim² literal footprint like _pq_backend."""
+    import numpy as np
+
+    from sqlite_vector_spark.version import AUTO_PQ_FOLDS, vector_backend
+
+    R = np.asarray(rotation, dtype=np.float64)
+    base = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
+    )
+    if backend is None:
+        backend = vector_backend()
+    if backend == "auto":
+        backend = "arrow-numpy" if R.shape[0] * R.shape[1] >= AUTO_PQ_FOLDS else "codegen"
+    if backend == "arrow-numpy":
+        return base.select("id", rotate_arrow_udf(R)(F.col("vec")).alias("vec"))
+    return base.select("id", rotate_col(F.col("vec"), R).alias("vec"))
+
+
+def opq_fit(
+    df: DataFrame,
+    vec_col: str,
+    m: int,
+    ksub: int,
+    dim: int,
+    iters: int = 10,
+    id_col: str = "id",
+    seed: int = 0,
+    sample_size: int = 8192,
+    refine_iters: int = 0,
+):
+    """Optimized Product Quantization, non-parametric form (Ge,
+    He, Ke, Sun, "Optimized Product Quantization for Approximate
+    Nearest Neighbor Search", CVPR 2013 — public): learn an
+    orthogonal rotation R that balances variance across subspaces,
+    then quantize R @ x. Fixes raw PQ's axis-aligned blind spot —
+    when energy concentrates in a few leading dimensions, some
+    subspaces carry all the error (measured in SCALE.md: raw-ADC
+    recall lift at equal M/KSUB).
+
+    Alternating minimization on a deterministic hash-ordered sample
+    (same TakeOrdered sample job as pq_fit's kmeans++ init — training
+    is sample-based by design, like every k-means in this engine):
+    (1) one Lloyd step of per-subspace k-means on X @ R,
+    (2) reconstruction Y from the codes, then the orthogonal
+    Procrustes solve R = U @ Vᵀ from SVD(Xᵀ Y) — driver math on a
+    dim × dim matrix.
+
+    Returns (R, codebooks). ``refine_iters > 0`` additionally runs
+    the DISTRIBUTED pq_fit over the rotated full corpus to polish the
+    codebooks under the frozen learned R (the corpus-scale path).
+    Persist R via catalog.set_pq_index(..., rotation=R)."""
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    base = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
+    )
+    samp = (
+        base.orderBy(F.xxhash64(F.col("id"), F.lit(int(seed))).asc(), F.col("id").asc())
+        .limit(int(sample_size))
+        .collect()
+    )
+    if len(samp) < ksub:
+        raise ValueError(f"opq_fit: sample of {len(samp)} cannot seed ksub={ksub}")
+    X = np.array([list(r.vec) for r in samp], dtype=np.float64)  # (n, dim)
+    rng = np.random.default_rng(seed)
+    R = np.eye(dim)
+    # init codebooks: ksub sample rows per subspace (deterministic draw)
+    idx = rng.choice(len(X), size=ksub, replace=False)
+    cbs = [X[idx, s * dsub : (s + 1) * dsub].copy() for s in range(m)]
+    for _ in range(max(1, iters)):
+        # rotation convention matches opq_rotate/rotate_col: out = R @ v,
+        # i.e. row-vector form Xr = X @ Rᵀ
+        Xr = X @ R.T  # (n, dim)
+        Y = np.empty_like(Xr)
+        for s in range(m):
+            sub = Xr[:, s * dsub : (s + 1) * dsub]
+            d = (
+                (sub * sub).sum(1)[:, None]
+                - 2.0 * (sub @ cbs[s].T)
+                + (cbs[s] * cbs[s]).sum(1)[None, :]
+            )
+            a = d.argmin(axis=1)
+            # Lloyd update: empty codes keep their previous entry
+            for j in range(ksub):
+                sel = a == j
+                if sel.any():
+                    cbs[s][j] = sub[sel].mean(axis=0)
+            Y[:, s * dsub : (s + 1) * dsub] = cbs[s][a]
+        # Procrustes: min_S ||X S - Y||_F s.t. SᵀS = I gives S = U Vᵀ
+        # from SVD(Xᵀ Y); our column-convention R is Sᵀ = V Uᵀ
+        u, _sv, vt = np.linalg.svd(X.T @ Y)
+        R = (u @ vt).T
+    codebooks = [[[float(x) for x in e] for e in cb] for cb in cbs]
+    if refine_iters > 0:
+        rotated = opq_rotate(df, vec_col, R, id_col=id_col)
+        codebooks = pq_fit(
+            rotated, "vec", m, ksub, dim, iters=refine_iters, id_col="id",
+            init="kmeans++", seed=seed, sample_size=sample_size,
+        )
+    return R, codebooks
+
+
+def opq_encode(
+    df: DataFrame,
+    vec_col: str,
+    rotation,
+    codebooks: Codebooks,
+    id_col: str = "id",
+) -> DataFrame:
+    """(id, codes) over the rotated frame — one fused map-side pass
+    (rotate projection feeding the encode kernel; no shuffle)."""
+    return pq_encode(opq_rotate(df, vec_col, rotation, id_col=id_col), "vec", codebooks, id_col="id")
+
+
+def opq_scan(
+    codes_df: DataFrame,
+    query: Sequence[float],
+    rotation,
+    codebooks: Codebooks,
+    k: int,
+    metric: str | Metric = "L2",
+    codes_col: str = "codes",
+    id_col: str = "id",
+) -> DataFrame:
+    """ADC top-k in the ROTATED domain: the query rotates driver-side
+    (exact fold — gate-reproducible), then the scan is plain pq_scan
+    over the opq_encode table. Rotation is orthogonal, so rotated-
+    domain L2 == true L2 and recall improves purely through better
+    subspace balance."""
+    return pq_scan(
+        codes_df, _rotate_py([float(x) for x in query], rotation), codebooks, k,
+        metric, codes_col=codes_col, id_col=id_col,
+    )
+
+
 def pq_recon_err_arrow_udf(codebooks: Codebooks):
     """(vec, codes) -> DOUBLE squared reconstruction error
     ||vec - concat_s codebook[s][code_s]||² — the quantization-quality

@@ -63,7 +63,11 @@ def dist_sql(metric: str, a: str, b: str, dim: int = DIM) -> str:
 
 
 def qvec_literal(values, cast: str = "DOUBLE[]") -> str:
-    return "[" + ",".join(repr(float(v)) for v in values) + "]::" + cast
+    # each element goes through a VARCHAR cast: DuckDB parses bare
+    # numeric literals with long reprs via DECIMAL (double rounding —
+    # measured 527/4096 off by 1 ulp on QR-matrix values), while the
+    # string->DOUBLE cast is correctly-rounded strtod
+    return "[" + ",".join(f"'{float(v)!r}'::DOUBLE" for v in values) + "]::" + cast
 
 
 def q_round(r: str, lo: str, hi: str) -> str:
@@ -717,7 +721,7 @@ ORDER BY doc_id"""
 
 
 def _plane_dot(vec: str, plane: list[float]) -> str:
-    lit = "[" + ",".join(repr(float(x)) for x in plane) + "]::DOUBLE[]"
+    lit = qvec_literal(plane)
     return _fold(f"list_transform(range(1, {DIM + 1}), i -> CAST({vec}[i] AS DOUBLE) * ({lit})[i])")
 
 
@@ -1413,6 +1417,52 @@ FROM codes c2, lut, assign a
 WHERE a.id = c2.id AND a.cluster IN (SELECT cid FROM probes)
 ORDER BY distance ASC, c2.id ASC
 LIMIT {IVF_K}"""
+
+
+def _mat_literal(rm) -> str:
+    """DOUBLE[][] literal with exact float round-trip, the matrix
+    analog of qvec_literal (same string-cast rule — see there)."""
+    rows = ",".join(
+        "[" + ",".join(f"'{float(v)!r}'::DOUBLE" for v in row) + "]" for row in rm
+    )
+    return f"[{rows}]::DOUBLE[][]"
+
+
+def opq_scan_l2_q() -> str:
+    """OPQ gate mirror (workload.opq_scan_l2): the seeded rotation
+    rides in as a DOUBLE[][] literal; rotated lane i is the same
+    0.0-init sequential fold of v[j] * R[i][j] as pq.rotate_col;
+    codebooks = rotated first PQ_KSUB ids; the query arrives
+    PRE-ROTATED with pq._rotate_py's identical fold, so the LUT/ADC
+    chain is byte-for-byte the raw-PQ oracle over the rotated frame."""
+    from sqlite_vector_spark.operators.pq import _rotate_py
+    from sqlite_vector_spark.workload import _opq_rotation
+
+    R = _opq_rotation()
+    qrot = _rotate_py([float(x) for x in Q64], R)
+    d_code = _pq_sub_sq("r.rv", "c.cv", "s.sub")
+    lane = _fold(
+        f"list_transform(range(1, {DIM + 1}), j -> CAST(e.embedding[j] AS DOUBLE) * rm[i][j])"
+    )
+    return f"""WITH rmat AS (SELECT {_mat_literal(R)} AS rm),
+qq AS (SELECT {qvec_literal(qrot)} AS q),
+rot AS (
+  SELECT e.vec_id AS id,
+         list_transform(range(1, {DIM + 1}), i -> {lane}) AS rv
+  FROM embeddings e, rmat
+  WHERE e.embedding IS NOT NULL),
+cb AS (SELECT id AS j, rv AS cv FROM rot WHERE id < {PQ_KSUB}),
+subs AS ({PQ_SUBS}),
+asgn AS (
+  SELECT r.id, s.sub, c.j,
+         row_number() OVER (PARTITION BY r.id, s.sub ORDER BY {d_code} ASC, c.j ASC) AS rn
+  FROM rot r, subs s, cb c),
+codes AS (SELECT id, list(j ORDER BY sub) AS cl FROM asgn WHERE rn = 1 GROUP BY id),
+{_pq_lut_cte()}
+SELECT id, {_pq_adc_dist()} AS distance
+FROM codes, lut
+ORDER BY distance ASC, id ASC
+LIMIT {K}"""
 
 
 def ivf_pq_residual_scan_l2_q() -> str:

@@ -1181,6 +1181,46 @@ def ivf_pq_scan_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OPQ_SEED = 7
+_OPQ_R = None
+
+
+def _opq_rotation():
+    """Deterministic seeded orthogonal rotation shared by the Spark
+    entry and the oracle literal (pq.random_rotation; cached — QR of
+    a DIM x DIM Gaussian)."""
+    global _OPQ_R
+    if _OPQ_R is None:
+        from sqlite_vector_spark.operators.pq import random_rotation
+
+        _OPQ_R = random_rotation(DIM, seed=OPQ_SEED)
+    return _OPQ_R
+
+
+def opq_scan_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ pipeline gate (operators.pq.opq_*): rotate the corpus by a
+    DETERMINISTIC seeded orthogonal matrix (embedded as literals in
+    the oracle, like HYPERPLANES), build codebooks from the rotated
+    first PQ_KSUB rows, ADC-scan with the rotated query. Pins the
+    rotate -> encode -> LUT -> fold math end to end; the LEARNED
+    rotation (opq_fit, Ge et al. 2013) deliberately stays a
+    test/SCALE.md contract, exactly like kmeans++ init."""
+    from sqlite_vector_spark.operators.pq import opq_rotate, opq_scan, pq_encode
+
+    emb = _emb(spark, sf_dir)
+    R = _opq_rotation()
+    rotated = opq_rotate(emb, "embedding", R, id_col="vec_id")
+    book_rows = rotated.where(F.col("id") < PQ_KSUB).orderBy("id").collect()
+    if len(book_rows) < PQ_KSUB:
+        raise ValueError(f"need {PQ_KSUB} seed rows, found {len(book_rows)}")
+    books = [
+        [list(r.vec[s * PQ_DSUB : (s + 1) * PQ_DSUB]) for r in book_rows]
+        for s in range(PQ_M)
+    ]
+    codes = pq_encode(rotated, "vec", books, id_col="id")
+    return opq_scan(codes, Q64, R, books, K, "L2")
+
+
 def ivf_pq_residual_scan_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual IVFADC (operators.pq.ivf_pq_residual_adc_scan —
     Jegou et al. 2011 §IV): codes quantize (vec - centroid[cluster])

@@ -560,3 +560,105 @@ def test_ivf_pq_store_append_equals_rebuild(spark, emb, books, tmp_path, residua
     pruned = spark.read.parquet(inc).where(F.col("cluster").isin([0, 1]))
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cluster" in plan
+
+
+# ---------------------------------------------------------------- OPQ
+
+
+def test_random_rotation_orthogonal_and_deterministic():
+    from sqlite_vector_spark.operators.pq import random_rotation
+
+    R1 = random_rotation(16, seed=3)
+    R2 = random_rotation(16, seed=3)
+    assert (R1 == R2).all()
+    assert np.allclose(R1 @ R1.T, np.eye(16), atol=1e-12)
+    assert not np.allclose(random_rotation(16, seed=4), R1)
+
+
+def test_rotate_backends_agree_and_preserve_l2(spark, emb):
+    """HOF codegen rotation vs Arrow matmul: same values to fp
+    tolerance; orthogonality preserves pairwise L2 exactly (to fp)."""
+    from sqlite_vector_spark.operators.pq import opq_rotate, random_rotation
+
+    R = random_rotation(DIM, seed=1)
+    a = {r.id: list(r.vec) for r in opq_rotate(emb.limit(50), "embedding", R, id_col="vec_id", backend="codegen").collect()}
+    b = {r.id: list(r.vec) for r in opq_rotate(emb.limit(50), "embedding", R, id_col="vec_id", backend="arrow-numpy").collect()}
+    assert set(a) == set(b)
+    for i in a:
+        assert np.allclose(a[i], b[i], rtol=1e-12, atol=1e-12)
+    ids = sorted(a)[:10]
+    orig = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb.where(F.col("vec_id").isin(ids)).collect()}
+    for x in ids[:5]:
+        for y in ids[5:]:
+            d_orig = np.linalg.norm(orig[x] - orig[y])
+            d_rot = np.linalg.norm(np.asarray(a[x]) - np.asarray(a[y]))
+            assert d_rot == pytest.approx(d_orig, rel=1e-9)
+
+
+def _aniso_frame(spark, n=600, dim=32, seed=5):
+    """Synthetic anisotropic corpus: per-dimension variance decays
+    geometrically, so the leading subspace holds almost all the
+    energy while the trailing ones hold none — the regime where raw
+    axis-aligned PQ wastes codebook entropy on dead subspaces and
+    OPQ's variance-balancing rotation recovers it (Ge et al. 2013
+    §4's setup)."""
+    rng = np.random.default_rng(seed)
+    scales = np.array([4.0 ** (-(i / 4.0)) for i in range(dim)])
+    X = rng.normal(size=(n, dim)) * scales
+    rows = [(i, [float(x) for x in X[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "id long, vec array<double>"), X
+
+
+def test_opq_fit_beats_raw_pq_reconstruction(spark):
+    """On anisotropic data, the learned rotation must cut the mean
+    squared reconstruction error vs raw PQ at equal M/KSUB (Ge et al.
+    2013's headline effect)."""
+    from sqlite_vector_spark.operators.pq import opq_fit, opq_rotate, pq_fit, pq_reconstruction_error
+
+    dim, m, ksub = 32, 4, 16
+    df, _X = _aniso_frame(spark, dim=dim)
+    raw_books = pq_fit(df, "vec", m, ksub, dim, iters=5, init="kmeans++", seed=0)
+    raw_err = pq_reconstruction_error(df, "vec", raw_books)
+
+    R, opq_books = opq_fit(df, "vec", m, ksub, dim, iters=10, seed=0)
+    rotated = opq_rotate(df, "vec", R, id_col="id")
+    opq_err = pq_reconstruction_error(rotated, "vec", opq_books)
+    assert opq_err < raw_err * 0.9, (opq_err, raw_err)
+
+
+def test_opq_scan_equals_pq_scan_on_rotated_frame(spark):
+    """opq_scan == pq_scan over the rotated corpus with the rotated
+    query — the composition contract the gate entry also pins."""
+    from sqlite_vector_spark.operators.pq import (
+        _rotate_py,
+        opq_encode,
+        opq_fit,
+        opq_rotate,
+        opq_scan,
+        pq_scan,
+    )
+
+    dim, m, ksub = 32, 4, 16
+    df, X = _aniso_frame(spark, dim=dim)
+    R, books = opq_fit(df, "vec", m, ksub, dim, iters=4, seed=0)
+    codes = opq_encode(df, "vec", R, books, id_col="id")
+    q = [float(x) for x in X[0]]
+    a = opq_scan(codes, q, R, books, 10).collect()
+    b = pq_scan(codes, _rotate_py(q, R), books, 10).collect()
+    assert [(r.id, r.distance) for r in a] == [(r.id, r.distance) for r in b]
+
+
+def test_opq_rotation_persists_in_catalog(spark, emb, tmp_path):
+    from sqlite_vector_spark.catalog import VectorCatalog
+    from sqlite_vector_spark.operators.pq import random_rotation
+
+    R = random_rotation(DIM, seed=2)
+    books = [[[0.0] * DSUB] * KSUB] * M
+    cat = VectorCatalog(root=str(tmp_path / "cat"))
+    cat.vector_init(emb, "embeddings", "embedding")
+    cat.set_pq_index("embeddings", "embedding", path="/x", codebooks=books, rotation=R)
+    # a fresh catalog on the same root reloads the rotation
+    cat2 = VectorCatalog(root=str(tmp_path / "cat"))
+    ctx = cat2.vector_init(emb, "embeddings", "embedding")
+    assert ctx.pq_rotation is not None
+    assert np.allclose(np.asarray(ctx.pq_rotation), R)
