@@ -45,6 +45,59 @@ def score_stream(
     )
 
 
+def score_stream_ivf_pq(
+    query_stream: DataFrame,
+    codes_store_path: str,
+    dest: str,
+    checkpoint: str,
+    centroids: Sequence[Sequence[float]],
+    codebooks,
+    k: int,
+    nprobe: int = 2,
+    metric: str | Metric = "L2",
+    q_id: str = "qid",
+    q_vec: str = "qv",
+    residual: bool = False,
+    trigger_once: bool = False,
+):
+    """Continuous ANN scoring of a QUERY stream against the static
+    IVF-PQ store at compressed cost — the streaming form of
+    ivf_pq_knn_join: every micro-batch of queries probes its nprobe
+    clusters and ADC-scores only those rows of the (id, codes,
+    cluster) store, so per-trigger cost is probe fraction x
+    compression ratio of the corpus, not a full scan.
+
+    Runs in ``foreachBatch`` (the pattern for stream-static joins
+    that need the full batch plan): each batch's top-k lands in
+    ``dest/batch=<epoch_id>`` with mode("overwrite") — Spark replays
+    an unacknowledged epoch after a crash with the SAME epoch id, so
+    the overwrite makes the sink exactly-once (idempotent replay), and
+    the checkpoint makes the source offsets restart-proof. Returns
+    the started StreamingQuery."""
+    from sqlite_vector_spark.operators.pq import ivf_pq_knn_join
+
+    cents = [[float(x) for x in c] for c in centroids]
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store = batch_df.sparkSession.read.parquet(codes_store_path)
+        res = ivf_pq_knn_join(
+            batch_df, store, cents, codebooks, k, nprobe=nprobe, metric=metric,
+            q_id=q_id, q_vec=q_vec, residual=residual,
+        )
+        res.write.mode("overwrite").parquet(f"{dest}/batch={epoch_id}")
+
+    writer = (
+        query_stream.writeStream.foreachBatch(handle)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts(
     stream: DataFrame,
     ts_col: str = "ts",

@@ -258,3 +258,63 @@ def test_streaming_trailing_equals_batch_trailing_agg(spark, tmp_path):
     finally:
         q.stop()
     assert streamed == batch
+
+
+def test_score_stream_ivf_pq_restart_proof(spark, emb, tmp_path):
+    """Stream-static scoring over the IVF-PQ store: results equal the
+    batch ivf_pq_knn_join for every query, across a checkpoint
+    kill/restore — the replayed epoch overwrites its own batch dir,
+    so the sink holds exactly one result set per query."""
+    import pyspark.sql.functions as F
+
+    from sqlite_vector_spark.operators.ann import ivf_assign
+    from sqlite_vector_spark.operators.pq import (
+        ivf_pq_knn_join,
+        ivf_pq_store,
+        pq_codebooks_first,
+    )
+    from sqlite_vector_spark.streaming.scoring import score_stream_ivf_pq
+
+    cents = [list(r.embedding) for r in emb.orderBy("vec_id").limit(8).collect()]
+    books = pq_codebooks_first(emb, "embedding", 4, 8, 64, id_col="vec_id")
+    store_dir = str(tmp_path / "pq_store")
+    ivf_pq_store(emb, "embedding", cents, books, store_dir, id_col="vec_id")
+
+    k, nprobe = 5, 3
+    q1 = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    q2 = emb.where((F.col("vec_id") >= 2) & (F.col("vec_id") < 4)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    src = str(tmp_path / "qsrc")
+    dest = str(tmp_path / "scored")
+    ckpt = str(tmp_path / "ckpt_pqscore")
+
+    def run_once(batch_df):
+        batch_df.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(q1.schema).parquet(src)
+        sq = score_stream_ivf_pq(
+            stream, store_dir, dest, ckpt, cents, books, k, nprobe=nprobe,
+        )
+        try:
+            sq.processAllAvailable()
+        finally:
+            sq.stop()  # kill between batches: offsets live in ckpt
+
+    run_once(q1)
+    run_once(q2)  # restart: must score ONLY the new file, not re-emit q1
+
+    got = {}
+    for r in spark.read.parquet(dest).collect():
+        got.setdefault(r.qid, []).append((r.rank, r.id, r.distance))
+    assert set(got) == {0, 1, 2, 3}
+
+    static = ivf_pq_knn_join(
+        q1.unionByName(q2), spark.read.parquet(store_dir), cents, books, k, nprobe=nprobe
+    )
+    want = {}
+    for r in static.collect():
+        want.setdefault(r.qid, []).append((r.rank, r.id, r.distance))
+    for qid in want:
+        assert sorted(got[qid]) == sorted(want[qid]), qid
