@@ -316,13 +316,11 @@ def kmeans_fit(
         centroids = [[float(x) for x in r.vec] for r in seed_rows]
     elif init == "kmeans++":
         # deterministic hash-ordered sample: xxhash64(id, seed) is a
-        # uniform shuffle of ids, TakeOrderedAndProject keeps the job
-        # one pass with bounded driver memory (sample_size rows)
-        samp = (
-            base.orderBy(F.xxhash64(F.col("id"), F.lit(int(seed))).asc(), F.col("id").asc())
-            .limit(int(sample_size))
-            .collect()
-        )
+        # uniform shuffle of ids; the two-step fetch keeps per-task
+        # driver results KB-sized (see pq._hash_sample)
+        from sqlite_vector_spark.operators.pq import _hash_sample
+
+        samp = _hash_sample(base, int(sample_size), int(seed))
         centroids = kmeanspp_seeds([r.vec for r in samp], c, seed=seed)
     else:
         raise ValueError(f"init must be 'first' or 'kmeans++', got {init!r}")

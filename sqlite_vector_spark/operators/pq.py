@@ -161,6 +161,29 @@ def pq_encode(
 # ---------------------------------------------------------------- training
 
 
+def _hash_sample(base: DataFrame, n: int, seed: int) -> list:
+    """Deterministic hash-ordered sample of (id, vec) rows, collected
+    driver-side in TWO bounded steps: a TakeOrdered over (hash, id)
+    PAIRS (16-byte rows — per-task results stay KB-sized at any
+    corpus size), then a broadcast semi-join fetch of exactly the n
+    winning vectors. A single TakeOrdered over the full rows ships up
+    to n FULL vectors per task to the driver, which breaks
+    spark.driver.maxResultSize at 1M x 768 (measured)."""
+    ids = (
+        base.select("id", F.xxhash64(F.col("id"), F.lit(int(seed))).alias("_h"))
+        .orderBy(F.col("_h").asc(), F.col("id").asc())
+        .limit(int(n))
+        .select("id")
+    )
+    return (
+        base.join(F.broadcast(ids), "id", "left_semi")
+        .withColumn("_h", F.xxhash64(F.col("id"), F.lit(int(seed))))
+        .orderBy(F.col("_h").asc(), F.col("id").asc())
+        .drop("_h")
+        .collect()
+    )
+
+
 def pq_codebooks_first(
     df: DataFrame, vec_col: str, m: int, ksub: int, dim: int, id_col: str = "id"
 ) -> Codebooks:
@@ -226,11 +249,7 @@ def pq_fit(
     elif init == "kmeans++":
         from sqlite_vector_spark.operators.ann import kmeanspp_seeds
 
-        samp = (
-            base.orderBy(F.xxhash64(F.col("id"), F.lit(int(seed))).asc(), F.col("id").asc())
-            .limit(int(sample_size))
-            .collect()
-        )
+        samp = _hash_sample(base, int(sample_size), int(seed))
         codebooks = [
             kmeanspp_seeds([r.vec[s * dsub : (s + 1) * dsub] for r in samp], ksub, seed=seed + s)
             for s in range(m)
@@ -713,11 +732,7 @@ def opq_fit(
     base = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
     )
-    samp = (
-        base.orderBy(F.xxhash64(F.col("id"), F.lit(int(seed))).asc(), F.col("id").asc())
-        .limit(int(sample_size))
-        .collect()
-    )
+    samp = _hash_sample(base, int(sample_size), int(seed))
     if len(samp) < ksub:
         raise ValueError(f"opq_fit: sample of {len(samp)} cannot seed ksub={ksub}")
     X = np.array([list(r.vec) for r in samp], dtype=np.float64)  # (n, dim)
