@@ -67,59 +67,100 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return _q({
         # ---- ORDER MATTERS: the driver adjudicates the FIRST 50
-        # entries. Round-6 rotation priority: (1) every never-gated
-        # entry (the r6 PQ/BQ/LM/retrieval cohorts and the r6d
-        # cleaning/labeling/feature cohort), (2) spot-checks of
-        # subsystems CHANGED this round (frozen-params quantize
-        # append, kmeans_fit init, the auto-salted window kNN join),
-        # (3) as much of the stale r4-green cohort as fits. Entries
-        # green in CORRECTNESS_r05, plus r4-green entries whose
-        # subsystem is untouched and covered by an in-window cousin
-        # (noted per entry below), sit past the horizon; the local
-        # tools/check_oracle.py sweep covers ALL entries every round.
-        # -- stale cohort: latest green r4, unverified since
+        # entries. Round-7 rotation (VERDICT r6 #1): (1) the ENTIRE
+        # 24-entry r4-stale cohort returns through the driver gate,
+        # (2) the two new r7 entries (residual IVFADC, OPQ), (3) the
+        # 24 r5-green vector/ANN entries whose ORACLE SQL text
+        # changed this round (qvec_literal now string-casts every
+        # element after the DuckDB bare-literal double-rounding find)
+        # — scan/knn/ivf family representatives. Everything past the
+        # horizon is r6-green or an unchanged-subsystem r5-green
+        # entry; the local tools/check_oracle.py sweep covers ALL
+        # entries every round.
+        # -- (1) the r4-stale cohort, all 24
+        "bf16_scan_l2": w.bf16_scan_l2,
+        "chunk_dedup": w.chunk_dedup_q,
+        "contamination_check": w.contamination_check_q,
+        "corpus_prep": w.corpus_prep_q,
+        "dedup_exact": w.dedup_exact_q,
+        "embedding_centroids": w.embedding_centroids_q,
+        "embedding_code_dedup": w.embedding_code_dedup_q,
+        "embedding_neardup": w.embedding_neardup_q,
+        "fingerprint": w.fingerprint_q,
+        "i8_scan_l2": w.i8_scan_l2,
+        "lang_id": w.lang_id_q,
+        "minhash_signatures": w.minhash_sig_q,
+        "pricing_summary": w.pricing_summary,
+        "promo_revenue_share": w.promo_revenue_share,
+        "quality_rejects": w.quality_rejects,
+        "random_projection": w.random_projection_q,
+        "recall_at_k": w.recall_at_k,
+        "region_volume": w.region_volume,
+        "repetition_scores": w.repetition_scores_q,
+        "shipping_priority": w.shipping_priority,
+        "simhash": w.simhash_q,
+        "text_normalize": w.text_normalize_q,
+        "token_budget_pack": w.token_budget_pack_q,
+        "token_counts": w.token_counts_q,
+        # -- (2) new this round
+        "ivf_pq_residual_scan_l2": w.ivf_pq_residual_scan_l2,
+        "opq_scan_l2": w.opq_scan_l2,
+        # -- (3) oracle-text-changed r5-green vector/ANN entries
+        "full_scan_l2": w.full_scan_l2,
+        "full_scan_cosine": w.full_scan_cosine,
+        "full_scan_dot": w.full_scan_dot,
+        "full_scan_l1": w.full_scan_l1,
+        "full_scan_squared_l2": w.full_scan_squared_l2,
+        "full_scan_k_gt_n": w.full_scan_k_gt_n,
+        "full_scan_stream_l2": w.full_scan_stream_l2,
+        "quantize_scan_cosine": w.quantize_scan_cosine,
+        "quantize_scan_dot": w.quantize_scan_dot,
+        "quantize_scan_l1": w.quantize_scan_l1,
+        "quantize_scan_squared_l2": w.quantize_scan_squared_l2,
+        "quantize_scan_stream_l2": w.quantize_scan_stream_l2,
+        "rerank_scan_l2": w.rerank_scan_l2,
+        "u8_scan_cosine": w.u8_scan_cosine,
+        "knn_join_cosine": w.knn_join_cosine,
+        "knn_join_back": w.knn_join_back,
+        "ivf_scan_l2": w.ivf_scan_l2,
+        "ivf_scan_cosine": w.ivf_scan_cosine,
+        "ivf_knn_join_l2": w.ivf_knn_join_l2_q,
+        "ivf_recall_at_k": w.ivf_recall_at_k_q,
+        "ivf_kmeans_scan_l2": w.ivf_kmeans_scan_l2,
+        "lsh_scan_cosine": w.lsh_scan_cosine,
+        "simhash_neardup": w.simhash_neardup_q,
+        "codec_json_roundtrip": w.codec_json_roundtrip,
+        # ---- past the 50-entry gate horizon: green r6 (first block)
+        #      or green r5 with unchanged subsystem + oracle text
         "quantize_params": w.quantize_params,
         "quantize_scan_l2": w.quantize_scan_l2,
         "f16_scan_l2": w.f16_scan_l2,
-        "knn_join_blocked_l2": w.knn_join_blocked_l2,  # scale path, sequential fold
+        "knn_join_blocked_l2": w.knn_join_blocked_l2,
         "text_stats": w.text_stats,
         "lsh_candidate_pairs": w.lsh_pairs_q,
         "ngram_jaccard_pairs": w.jaccard_pairs_q,
         "neardup_representatives": w.neardup_representatives_q,
-        # -- NEW r6: product quantization / IVF-PQ (operators/pq.py)
         "pq_codes": w.pq_codes_q,
         "pq_scan_l2": w.pq_scan_l2,
         "pq_rerank_scan_l2": w.pq_rerank_scan_l2,
         "ivf_pq_scan_l2": w.ivf_pq_scan_l2,
-        "ivf_pq_residual_scan_l2": w.ivf_pq_residual_scan_l2,
-        "opq_scan_l2": w.opq_scan_l2,
         "pq_recall_at_k": w.pq_recall_at_k_q,
         "ivf_pq_knn_join_l2": w.ivf_pq_knn_join_l2_q,
         "incremental_dedup": w.incremental_dedup_q,
         "ivf_cluster_stats": w.ivf_cluster_stats_q,
-        # -- NEW r6: binary quantization (operators/bq.py)
         "bq_codes": w.bq_codes_q,
         "bq_scan_hamming": w.bq_scan_hamming,
         "bq_rerank_scan_l2": w.bq_rerank_scan_l2,
-        # -- NEW r6: n-gram LM quality scoring (functions/lm.py)
         "lm_doc_scores": w.lm_doc_scores_q,
-        # -- NEW r6: chunking with overlap + temperature mixing
         "doc_chunk_overlap": w.doc_chunk_overlap_q,
         "temperature_mix": w.temperature_mix_q,
-        # -- NEW r6c: hybrid retrieval (operators/retrieval.py),
-        #    matryoshka tier, events analytics, semantic dedup
         "bm25_topk": w.bm25_topk_q,
         "hybrid_rrf": w.hybrid_rrf_q,
         "matryoshka_rerank_l2": w.matryoshka_rerank_l2,
-        "approx_distinct_audit": w.approx_distinct_audit_q,  # HLL contract gate
+        "approx_distinct_audit": w.approx_distinct_audit_q,
         "cohort_retention": w.cohort_retention_q,
         "event_funnel": w.event_funnel_q,
         "semantic_dedup": w.semantic_dedup_q,
-        # -- NEW r6d: corpus cleaning / labeling / feature ops.
-        #    user_rolling doubles as the events-loader spot-check and
-        #    knn_classify as the auto-salt kNN spot-check, so five of
-        #    the r5-green spot-checks rotate past the horizon below.
-        #    (spot-check: single-pass / frozen-params quantize path)
         "quantize_update_codes": w.quantize_update_codes,
         "boilerplate_strip": w.boilerplate_strip_q,
         "gopher_quality": w.gopher_quality_q,
@@ -140,86 +181,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_type_pivot": w.user_type_pivot_q,
         "error_incidents": w.error_incidents_q,
         "session_incident_overlap": w.session_incident_overlap_q,
-        # spot-check: the auto-salt window kNN path changed this round
         "knn_join_l2": w.knn_join_l2,
-        # ---- past the 50-entry gate horizon: green in CORRECTNESS_r05,
-        #      or (first block) green r4 relational/text entries rotated
-        #      out to make window room for the never-gated r6c cohort —
-        #      their subsystems are untouched this round and covered by
-        #      in-window cousins (text_stats, top_customers, events family)
-        "ivf_kmeans_scan_l2": w.ivf_kmeans_scan_l2,  # hash-gated: fixed iters unroll to SQL
-        "recall_at_k": w.recall_at_k,  # recall harness: pq_recall_at_k + ivf_recall cousins in/past window
-        "pricing_summary": w.pricing_summary,  # relational aggs: top_customers/order_priority green r5
-        "embedding_neardup": w.embedding_neardup_q,  # hyperplane LSH: semantic_dedup in-window, lsh_scan green r5
-        "token_budget_pack": w.token_budget_pack_q,  # packing family: pack_sequences in-window
-        "text_normalize": w.text_normalize_q,  # text HOFs: boilerplate/gopher in-window
-        "repetition_scores": w.repetition_scores_q,  # map-only HOFs: gopher in-window
-        "random_projection": w.random_projection_q,  # map-only folds: outlier/gopher in-window
-        "contamination_check": w.contamination_check_q,  # shingle overlap: source_overlap in-window
-        "corpus_prep": w.corpus_prep_q,  # composite of in-window filter/dedup/budget pieces
-        "dedup_exact": w.dedup_exact_q,  # exact-dup: corpus_report fingerprints in-window
-        "minhash_signatures": w.minhash_sig_q,  # LSH family: lsh_candidate_pairs in-window
-        "simhash": w.simhash_q,  # banded fingerprints: simhash_neardup green r5
-        "chunk_dedup": w.chunk_dedup_q,  # chunk fingerprints: boilerplate_strip in-window
-        "embedding_code_dedup": w.embedding_code_dedup_q,  # code grouping: quantize_codes in-window
-        "bf16_scan_l2": w.bf16_scan_l2,  # halffloat family: f16_scan_l2 stays in-window
-        "i8_scan_l2": w.i8_scan_l2,  # typed-scan family: f16 in-window, u8 green r5
-        "embedding_centroids": w.embedding_centroids_q,  # posexplode 2-agg: embedding_outliers in-window
+        "approx_quantile_audit": w.approx_quantile_audit_q,
+        "asof_forward_events": w.asof_forward_events_q,
         "asof_join_events": w.asof_join_events_q,
         "asof_null_carry_events": w.asof_null_carry_events_q,
-        "value_quantiles": w.value_quantiles_q,
-        "rerank_scan_l2": w.rerank_scan_l2,
-        "shipping_priority": w.shipping_priority,
-        "region_volume": w.region_volume,
-        "promo_revenue_share": w.promo_revenue_share,
-        "quality_rejects": w.quality_rejects,
-        "token_counts": w.token_counts_q,
-        "lang_id": w.lang_id_q,
-        "fingerprint": w.fingerprint_q,
-        "sessionize": w.sessionize,
-        "quantize_scan_stream_l2": w.quantize_scan_stream_l2,
-        "events_hourly": w.events_hourly,
-        "purchase_session_join": w.purchase_session_join_q,
-        "events_props_agg": w.events_props_agg,
-        "quantize_scan_cosine": w.quantize_scan_cosine,
         "asof_tolerance_events": w.asof_tolerance_events_q,
-        "asof_forward_events": w.asof_forward_events_q,
-        "events_rollup": w.events_rollup,
-        "source_stats": w.source_stats_q,
-        "normalize": w.normalize_q,
-        "bpe_token_counts": w.bpe_token_counts_q,  # invariant-gated (merge loop not SQL-expressible)
-        "sample_mix": w.sample_mix_q,
-        "full_scan_k_gt_n": w.full_scan_k_gt_n,
-        "codec_json_roundtrip": w.codec_json_roundtrip,
-        "u8_scan_cosine": w.u8_scan_cosine,
-        "simhash_neardup": w.simhash_neardup_q,
-        "quantize_memory": w.quantize_memory,
-        "quantize_codes": w.quantize_codes,
-        "top_customers": w.top_customers,
-        "full_scan_cosine": w.full_scan_cosine,
-        "full_scan_stream_l2": w.full_scan_stream_l2,
-        "order_priority_counts": w.order_priority_counts,
-        "full_scan_squared_l2": w.full_scan_squared_l2,
-        "full_scan_dot": w.full_scan_dot,
-        "full_scan_l1": w.full_scan_l1,
-        "quantize_scan_dot": w.quantize_scan_dot,
-        "quantize_scan_l1": w.quantize_scan_l1,
-        "quantize_scan_squared_l2": w.quantize_scan_squared_l2,
-        "knn_join_cosine": w.knn_join_cosine,
-        "pii_scrub": w.pii_scrub_q,
-        "ivf_scan_l2": w.ivf_scan_l2,
-        "ivf_scan_cosine": w.ivf_scan_cosine,
-        "lsh_scan_cosine": w.lsh_scan_cosine,
-        "ivf_knn_join_l2": w.ivf_knn_join_l2_q,
-        "ivf_recall_at_k": w.ivf_recall_at_k_q,
-        "full_scan_l2": w.full_scan_l2,
-        "knn_join_back": w.knn_join_back,
+        "balanced_sample": w.balanced_sample_q,
+        "bpe_token_counts": w.bpe_token_counts_q,
         "doc_split_assign": w.doc_split_assign_q,
-        "token_doc_freq": w.token_doc_freq_q,
         "embedding_dim_stats": w.embedding_dim_stats_q,
-        "approx_quantile_audit": w.approx_quantile_audit_q,  # sketch-contract gate
-        "balanced_sample": w.balanced_sample_q,  # exact-quota per-group draw
-        "value_winsorize": w.value_winsorize_q,  # exact p01/p99 outlier clamp
+        "events_hourly": w.events_hourly,
+        "events_props_agg": w.events_props_agg,
+        "events_rollup": w.events_rollup,
+        "normalize": w.normalize_q,
+        "order_priority_counts": w.order_priority_counts,
+        "pii_scrub": w.pii_scrub_q,
+        "purchase_session_join": w.purchase_session_join_q,
+        "quantize_codes": w.quantize_codes,
+        "quantize_memory": w.quantize_memory,
+        "sample_mix": w.sample_mix_q,
+        "sessionize": w.sessionize,
+        "source_stats": w.source_stats_q,
+        "token_doc_freq": w.token_doc_freq_q,
+        "top_customers": w.top_customers,
+        "value_quantiles": w.value_quantiles_q,
+        "value_winsorize": w.value_winsorize_q,
     })
 
 
