@@ -243,10 +243,47 @@ def main():
             "ivf_pq_knn_join",
             lambda: ivf_pq_knn_join(queries_pq, store_pq, cent_pq2, books, w.KNN_K, nprobe=2).count(),
         )
+
+        # round-7: OPQ (learned rotation) + frozen-codebook append
+        from sqlite_vector_spark.operators.pq import (
+            opq_encode,
+            opq_fit,
+            opq_scan,
+            pq_store_append,
+        )
+
+        def fit_opq():
+            nonlocal R_opq, books_opq
+            R_opq, books_opq = opq_fit(
+                emb, "embedding", w.PQ_M, w.PQ_KSUB, w.DIM, iters=6, id_col="vec_id"
+            )
+
+        R_opq = books_opq = None
+        bench("opq_fit", fit_opq, n=1)
+        if R_opq is not None:
+            opq_codes_cached = opq_encode(emb, "embedding", R_opq, books_opq, id_col="vec_id").persist()
+            opq_codes_cached.count()
+            bench("opq_encode", lambda: opq_encode(emb, "embedding", R_opq, books_opq, id_col="vec_id").count())
+            bench("opq_scan_adc", lambda: opq_scan(opq_codes_cached, w.Q64, R_opq, books_opq, 20, "L2").collect())
+            opq_codes_cached.unpersist()
+
+        pq_append_dir = os.path.join(qdir, "pq_store")
+        pq_codes_cached.write.mode("overwrite").parquet(pq_append_dir)
+        batch_pq = emb.where(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + F.lit(20_000_000)).alias("vec_id"), "embedding"
+        )
+        bench(
+            "pq_store_append",
+            lambda: pq_store_append(batch_pq, "embedding", books, pq_append_dir, id_col="vec_id"),
+            n=1,  # append mutates the store; one timed run
+        )
         store_pq.unpersist()
         pq_codes_cached.unpersist()
     except Exception as exc:  # noqa: BLE001
         errors["pq_family"] = f"{type(exc).__name__}: {exc}"[:500]
+
+    # round-7: residual IVFADC (per-probe LUTs, oracle-gated path)
+    bench("ivf_pq_residual_scan", lambda: w.ivf_pq_residual_scan_l2(spark, SF_DIR).collect())
 
     # round-6: incremental cross-corpus dedup (band store join)
     try:
@@ -276,6 +313,19 @@ def main():
             lambda: bq_rerank_scan(
                 emb, "embedding", w.Q64, 20, w.RERANK_M, id_col="vec_id", codes_df=bq_codes_cached
             ).collect(),
+        )
+        # round-7: frozen-threshold append with bit-bias drift
+        from sqlite_vector_spark.operators.bq import bq_store_append
+
+        bq_append_dir = os.path.join(qdir, "bq_store")
+        bq_codes_cached.write.mode("overwrite").parquet(bq_append_dir)
+        batch_bq = emb.where(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + F.lit(20_000_000)).alias("vec_id"), "embedding"
+        )
+        bench(
+            "bq_store_append",
+            lambda: bq_store_append(batch_bq, "embedding", w.DIM, bq_append_dir, id_col="vec_id"),
+            n=1,
         )
         bq_codes_cached.unpersist()
     except Exception as exc:  # noqa: BLE001
