@@ -98,6 +98,71 @@ def score_stream_ivf_pq(
     return writer.start()
 
 
+def ingest_stream_ivf(
+    vec_stream: DataFrame,
+    dest: str,
+    checkpoint: str,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str = "vec",
+    id_col: str = "id",
+    baseline_mean_dist: float | None = None,
+    drift_threshold: float = 0.25,
+):
+    """Continuous IVF index maintenance: every micro-batch of vectors
+    is assigned against the FROZEN centroids (map-side, one pass via
+    localCheckpoint like ivf_append_with_drift) and appended into the
+    store as ``dest/epoch=<id>/cluster=<n>`` — per-epoch overwrite, so
+    a crash-replayed epoch lands exactly once, and probe scans over
+    ``dest`` still partition-prune on ``cluster`` (epoch is just an
+    extra partition column the probe filter ignores).
+
+    Each epoch also writes a 1-row drift report to
+    ``dest/_drift/epoch=<id>`` — (n, mean_dist, drift,
+    rebuild_recommended) vs ``baseline_mean_dist`` — so the retrain
+    signal accumulates next to the index it monitors. Returns the
+    started StreamingQuery."""
+    from sqlite_vector_spark.operators.ann import (
+        _assign_backend,
+        centroid_distances,
+        ivf_assign,
+        nearest_centroid_arrow_dist_udf,
+    )
+
+    cents = [[float(x) for x in c] for c in centroids]
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        assigned = ivf_assign(batch_df, vec_col, cents, id_col=id_col)
+        d_arr = (
+            nearest_centroid_arrow_dist_udf(cents)(F.col("vec"))
+            if _assign_backend(cents) == "arrow-numpy"
+            else F.array_min(centroid_distances(F.col("vec"), cents))
+        )
+        enriched = assigned.withColumn("_d", d_arr).localCheckpoint(eager=True)
+        row = enriched.agg(F.count(F.lit(1)).alias("n"), F.avg("_d").alias("m")).collect()[0]
+        enriched.drop("_d").write.partitionBy("cluster").mode("overwrite").parquet(
+            f"{dest}/epoch={epoch_id}"
+        )
+        mean_d = float(row["m"])
+        if baseline_mean_dist is None or baseline_mean_dist <= 0.0:
+            drift = 0.0
+        else:
+            drift = max(mean_d / baseline_mean_dist - 1.0, 0.0)
+        spark.createDataFrame(
+            [(int(row["n"]), mean_d, drift, drift > drift_threshold)],
+            "n bigint, mean_dist double, drift double, rebuild_recommended boolean",
+        ).write.mode("overwrite").parquet(f"{dest}/_drift/epoch={epoch_id}")
+
+    return (
+        vec_stream.writeStream.foreachBatch(handle)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def windowed_event_counts(
     stream: DataFrame,
     ts_col: str = "ts",

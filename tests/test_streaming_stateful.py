@@ -318,3 +318,46 @@ def test_score_stream_ivf_pq_restart_proof(spark, emb, tmp_path):
         want.setdefault(r.qid, []).append((r.rank, r.id, r.distance))
     for qid in want:
         assert sorted(got[qid]) == sorted(want[qid]), qid
+
+
+def test_ingest_stream_ivf_appends_and_prunes(spark, emb, tmp_path):
+    """Streaming IVF maintenance: two micro-batches land as
+    epoch/cluster partitions across a kill/restart, the assembled
+    store equals the batch ivf_assign of the union, probe filters
+    still prune on cluster, and every epoch leaves a drift report."""
+    import pyspark.sql.functions as F
+
+    from sqlite_vector_spark.operators.ann import ivf_assign
+    from sqlite_vector_spark.streaming.scoring import ingest_stream_ivf
+
+    cents = [list(r.embedding) for r in emb.orderBy("vec_id").limit(8).collect()]
+    b1 = emb.where(F.col("vec_id") % 2 == 0).select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    b2 = emb.where(F.col("vec_id") % 2 == 1).select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    src = str(tmp_path / "ivf_src")
+    dest = str(tmp_path / "ivf_stream_store")
+    ckpt = str(tmp_path / "ivf_ckpt")
+
+    for batch in (b1, b2):  # stop between batches = kill/restart
+        batch.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(b1.schema).parquet(src)
+        sq = ingest_stream_ivf(stream, dest, ckpt, cents, baseline_mean_dist=1.0)
+        try:
+            sq.processAllAvailable()
+        finally:
+            sq.stop()
+
+    store = spark.read.option("basePath", dest).parquet(f"{dest}/epoch=*")
+    got = {(r.id, int(r.cluster)) for r in store.collect()}
+    want = {
+        (r.id, int(r.cluster))
+        for r in ivf_assign(b1.unionByName(b2), "vec", cents, id_col="id").collect()
+    }
+    assert got == want  # exactly once, correct assignment
+
+    pruned = store.where(F.col("cluster").isin([0, 1]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+
+    drift = spark.read.parquet(f"{dest}/_drift")
+    assert drift.count() == 2
+    assert {c for c in drift.columns} >= {"n", "mean_dist", "drift", "rebuild_recommended"}

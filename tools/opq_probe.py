@@ -5,12 +5,19 @@ compressed-domain (no-rerank) recall gap it closes — at the
 reference's headline geometry (M=16, KSUB=256, dim=768), on two
 deterministic manifolds:
 
-- "sin":   v[j] = sin(id*(j+1)*1e-5) — the scale_probe corpus
-           (near-isotropic subspace energy; OPQ's null case)
-- "aniso": v[j] = 4^(-j/96) * sin(id*(j+1)*1e-5 + j) — geometrically
-           decaying per-dim energy, the realistic embedding-spectrum
-           regime where axis-aligned PQ wastes codebook entropy on
-           dead subspaces
+- "sin":   v[j] = sin(id*(j+1)*1e-5) — the scale_probe corpus. A
+           quasi-1-D curve: consecutive ids are near-identical, so
+           axis-aligned codes vary smoothly along the curve and
+           ranking survives even though absolute reconstruction
+           error dwarfs the (off-manifold) query distance. The
+           degenerate case — measured for honesty, not the OPQ
+           regime.
+- "gauss": per-dim-scaled Gaussian with the geometric eigenspectrum
+           4^(-j/96) (the realistic embedding-spectrum shape; Ge et
+           al. 2013 §4's setup), query drawn FROM the data — the
+           standard OPQ evaluation, where axis-aligned PQ wastes
+           codebook entropy on dead subspaces and the rotation
+           recovers it.
 
 Reports recall@K and mean squared reconstruction error for both
 quantizers, plus fit/encode timings. Rotation applies through the
@@ -72,15 +79,15 @@ def main():
     out = {"n": N, "dim": DIM, "k": K, "m": PQ_M, "ksub": PQ_KSUB, "cpus": int(CPUS)}
 
     def lane(manifold, j):
-        x = F.col("id").cast("double") * j.cast("double") * F.lit(1e-5)
-        if manifold == "aniso":
+        if manifold == "gauss":
             scale = F.pow(F.lit(4.0), -(j.cast("double") - F.lit(1.0)) / F.lit(96.0))
-            return (scale * F.sin(x + j.cast("double"))).cast("float")
+            return (scale * F.randn(41)).cast("float")
+        x = F.col("id").cast("double") * j.cast("double") * F.lit(1e-5)
         return F.sin(x).cast("float")
 
-    q = [0.5 * (1 if j % 2 == 0 else -1) * ((j % 97) / 97.0) for j in range(DIM)]
+    q_sin = [0.5 * (1 if j % 2 == 0 else -1) * ((j % 97) / 97.0) for j in range(DIM)]
 
-    for manifold in ("sin", "aniso"):
+    for manifold in ("sin", "gauss"):
         base = os.path.join(root, manifold)
         gen = spark.range(N).select(
             F.col("id").alias("vec_id"),
@@ -90,11 +97,12 @@ def main():
         )
         gen.write.mode("overwrite").parquet(base)
         df = spark.read.parquet(base)
-        qm = (
-            [v * (4.0 ** (-(j) / 96.0)) for j, v in enumerate(q)]
-            if manifold == "aniso"
-            else q
-        )
+        if manifold == "gauss":
+            # query FROM the data distribution (standard ANN eval):
+            # row 777's vector — its true neighbors are resolvable
+            qm = [float(x) for x in df.where(F.col("vec_id") == 777).collect()[0].embedding]
+        else:
+            qm = q_sin
         exact_ids = {
             r.id for r in full_scan(df, "embedding", qm, K, "L2", id_col="vec_id").collect()
         }
