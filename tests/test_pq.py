@@ -662,3 +662,59 @@ def test_opq_rotation_persists_in_catalog(spark, emb, tmp_path):
     ctx = cat2.vector_init(emb, "embeddings", "embedding")
     assert ctx.pq_rotation is not None
     assert np.allclose(np.asarray(ctx.pq_rotation), R)
+
+
+def test_opq_composes_with_ivf_pq_store(spark, emb, tmp_path):
+    """OPQ is a frame transform, so the IVF-PQ store tier works
+    unchanged in the rotated basis. The preserved contract is EXACT
+    distances (the rotation is orthogonal) — ADC cells deliberately
+    differ, that is the point of OPQ — so the invariant is on the
+    reranked result: rotated-store ADC prefilter covering the corpus
+    + exact rerank in the rotated basis == the unrotated exact scan,
+    id for id, distances to fp tolerance. Partition pruning must
+    still hold on the rotated store."""
+    from sqlite_vector_spark.functions.distance import distance
+    from sqlite_vector_spark.operators.pq import (
+        _rotate_py,
+        ivf_pq_store,
+        ivf_pq_stored_scan,
+        opq_rotate,
+        random_rotation,
+    )
+
+    R = random_rotation(DIM, seed=11)
+    q = [0.1 * ((j % 7) - 3) for j in range(DIM)]
+    n = emb.count()
+    exact = full_scan(emb, "embedding", q, 10, "L2", id_col="vec_id").collect()
+
+    rot = opq_rotate(emb, "embedding", R, id_col="vec_id").localCheckpoint(eager=True)
+    cents_r = [
+        list(r.vec) for r in rot.where(F.col("id") < 8).orderBy("id").collect()
+    ]
+    book_rows = rot.where(F.col("id") < KSUB).orderBy("id").collect()
+    books_r = [
+        [list(r.vec[s * DSUB : (s + 1) * DSUB]) for r in book_rows] for s in range(M)
+    ]
+    rot_dir = str(tmp_path / "rot")
+    ivf_pq_store(rot, "vec", cents_r, books_r, rot_dir, id_col="id")
+    qrot = _rotate_py(q, R)
+
+    # ADC prefilter covering the corpus (all clusters probed), then
+    # exact rerank in the rotated basis = true distances
+    cand = ivf_pq_stored_scan(
+        spark, rot_dir, qrot, cents_r, books_r, n, nprobe=len(cents_r)
+    ).select("id")
+    rr = (
+        rot.join(F.broadcast(cand), "id", "left_semi")
+        .select("id", distance(F.col("vec"), qrot, "L2").alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("id").asc())
+        .limit(10)
+        .collect()
+    )
+    assert [r.id for r in rr] == [r.id for r in exact]
+    for a, b in zip(exact, rr):
+        assert b.distance == pytest.approx(a.distance, rel=1e-9)
+
+    pruned = spark.read.parquet(rot_dir).where(F.col("cluster").isin([0, 1]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
