@@ -95,6 +95,9 @@ def main():
         ("bm25_batch_topk", "batched BM25: one scan, term-union tf columns, Q projection scores, rank window", w.bm25_batch_topk_q),
         ("events_resample", "dense time grid: 1-row span broadcast, exploded sequence, LEFT join to rollup", w.events_resample_q),
         ("session_incident_overlap", "interval overlap: bucket explode both sides, equi-join, first-bucket rule", w.session_incident_overlap_q),
+        # round-7 additions
+        ("opq_scan_l2", "OPQ: HOF rotation fused into the scan projection, ADC fold over rotated codes", w.opq_scan_l2),
+        ("ivf_pq_residual_scan_l2", "residual IVFADC: per-probe cluster filters + per-probe LUT branches, one union top-k", w.ivf_pq_residual_scan_l2),
     ]
 
     print("# PLANS — physical plans of headline operators (sf0.001, AQE on)")
