@@ -128,10 +128,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall_at_k": w.ivf_recall_at_k_q,
         "ivf_kmeans_scan_l2": w.ivf_kmeans_scan_l2,
         "lsh_scan_cosine": w.lsh_scan_cosine,
-        "simhash_neardup": w.simhash_neardup_q,
         "codec_json_roundtrip": w.codec_json_roundtrip,
+        # -- (4) new r7 pipeline operator (passage-level dedup);
+        #    simhash_neardup moved past the horizon to make the slot
+        #    (r5-green, oracle text unchanged, simhash stays in-window)
+        "passage_dedup": w.passage_dedup_q,
         # ---- past the 50-entry gate horizon: green r6 (first block)
         #      or green r5 with unchanged subsystem + oracle text
+        "simhash_neardup": w.simhash_neardup_q,
         "quantize_params": w.quantize_params,
         "quantize_scan_l2": w.quantize_scan_l2,
         "f16_scan_l2": w.f16_scan_l2,
@@ -304,6 +308,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_rerank_scan_l2": o.pq_rerank_scan_l2_q(),
         "ivf_pq_scan_l2": o.ivf_pq_scan_l2_q(),
         "ivf_pq_residual_scan_l2": o.ivf_pq_residual_scan_l2_q(),
+        "passage_dedup": o.passage_dedup_q(),
         "opq_scan_l2": o.opq_scan_l2_q(),
         "pq_recall_at_k": o.pq_recall_at_k_q(),
         "ivf_pq_knn_join_l2": o.ivf_pq_knn_join_l2_q(),

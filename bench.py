@@ -191,6 +191,7 @@ def main():
     bench("asof_join_events", lambda: w.asof_join_events_q(spark, SF_DIR).count())
     bench("value_quantiles", lambda: w.value_quantiles_q(spark, SF_DIR).collect())
     bench("chunk_dedup", lambda: w.chunk_dedup_q(spark, SF_DIR).count())
+    bench("passage_dedup", lambda: w.passage_dedup_q(spark, SF_DIR).count())
     bench("random_projection", lambda: w.random_projection_q(spark, SF_DIR).count())
     bench("pii_scrub", lambda: w.pii_scrub_q(spark, SF_DIR).count())
     bench("text_normalize", lambda: w.text_normalize_q(spark, SF_DIR).count())

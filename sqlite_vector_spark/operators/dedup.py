@@ -763,3 +763,103 @@ def strip_chunks_col(
     chunks = word_chunks(words(text_col), size)
     kept = F.filter(chunks, lambda c: ~F.array_contains(lit_set, hash_fn(c)))
     return F.concat_ws(" ", kept)
+
+
+def word_windows(w: Column, width: int) -> Column:
+    """OVERLAPPING ``width``-word windows of a words array, each
+    joined to a string — the rolling unit for passage-level dedup
+    (vs word_chunks' disjoint chunks). A doc shorter than ``width``
+    has no windows."""
+    n = F.size(w)
+    return F.when(n < width, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(width) + F.lit(1)),
+            lambda p: F.concat_ws(" ", F.slice(w, p, width)),
+        )
+    )
+
+
+def repeated_passage_strip(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 12,
+    min_df: int = 2,
+    hash_fn=None,
+) -> DataFrame:
+    """Passage-level dedup (Lee, Ippolito et al., "Deduplicating
+    Training Data Makes Language Models Better", 2021 — the
+    repeated-substring pass, approximated at word granularity):
+    every ``width``-word ROLLING window whose fingerprint occurs
+    >= ``min_df`` times in the corpus (across OR within documents —
+    within-doc repetition is training-data poison too) marks its
+    tokens; overlapping marked windows merge into maximal spans,
+    which are cut from the text. The complement of boilerplate_strip:
+    that one removes frequent DISJOINT chunks (headers), this one
+    removes long VERBATIM passages at any alignment.
+
+    Returns (doc_id, n_tokens, n_removed, n_spans, clean_text) —
+    n_spans counts the maximal merged spans.
+
+    Scale shape: the window explode is map-side (n windows per doc);
+    the occurrence count shuffles only (hash) pairs with map-side
+    partials; flagged (id, position) rows join back hash-keyed
+    (the flagged set is unbounded — a C4-scale sweep can flag
+    millions of passages — so NO broadcast here, unlike the
+    boilerplate set); the strip itself is a per-doc HOF filter, no
+    further shuffle. Text never shuffles except in the final
+    reassembly, which any reconstruction requires.
+
+    ``hash_fn``: window string -> fingerprint Column; the default
+    polyhash is the oracle-parity fold, pass ``F.xxhash64`` at
+    production scale (same contract as boilerplate_strip)."""
+    if width < 2:
+        raise ValueError(f"window width must be >= 2, got {width}")
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2 (df 1 would strip everything), got {min_df}")
+    if hash_fn is None:
+        hash_fn = polyhash
+    base = docs.select(F.col(id_col).cast("bigint").alias("id"), words(text_col).alias("w"))
+    win = base.select(
+        "id", F.posexplode(word_windows(F.col("w"), width)).alias("p0", "win")
+    ).select("id", (F.col("p0") + 1).alias("p"), hash_fn(F.col("win")).alias("h"))
+    repeated = (
+        win.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") >= F.lit(min_df))
+        .select("h")
+    )
+    flagged = (
+        win.join(repeated, "h", "left_semi")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("p")).alias("fl"))
+    )
+    joined = base.join(flagged, "id", "left").select(
+        "id", "w", F.coalesce("fl", F.array().cast("array<int>")).alias("fl")
+    )
+
+    def covered(i):  # token at 1-based index i lies inside a flagged window
+        return F.exists(
+            F.col("fl"), lambda p: (p <= i) & (p > i - F.lit(width))
+        )
+
+    # guard size == 0: sequence(1, 0) generates DESCENDING [1, 0]
+    kept_idx = F.when(F.size("w") == 0, F.array().cast("array<int>")).otherwise(
+        F.filter(F.sequence(F.lit(1), F.size("w")), lambda i: ~covered(i))
+    )
+    # a maximal span starts at flagged p iff token p-1 is NOT covered
+    span_starts = F.filter(
+        F.col("fl"),
+        lambda p: ~F.exists(
+            F.col("fl"), lambda q: (q < p) & (q > p - F.lit(width))
+        ),
+    )
+    return joined.select(
+        F.col("id").alias("doc_id"),
+        F.size("w").cast("bigint").alias("n_tokens"),
+        (F.size("w") - F.size(kept_idx)).cast("bigint").alias("n_removed"),
+        F.size(span_starts).cast("bigint").alias("n_spans"),
+        F.concat_ws(
+            " ", F.transform(kept_idx, lambda i: F.element_at(F.col("w"), i))
+        ).alias("clean_text"),
+    )

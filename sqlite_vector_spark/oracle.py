@@ -2444,3 +2444,40 @@ SELECT CAST(cluster AS INTEGER) AS cluster, count(*) AS n,
 FROM assign, tot
 GROUP BY cluster, tot.n_total
 ORDER BY cluster"""
+
+
+def passage_dedup_q(width: int | None = None, min_df: int = 2) -> str:
+    """Mirror of workload.passage_dedup_q: rolling window hashes via
+    the same polyhash fold, occurrence count >= min_df, covered-token
+    filter and maximal-span count via nested list lambdas — the same
+    [p, p+W-1] coverage arithmetic as repeated_passage_strip."""
+    from sqlite_vector_spark.workload import PASSAGE_W
+
+    W = int(width or PASSAGE_W)
+    winstr = f"array_to_string(w[p:p + {W - 1}], ' ')"
+    covered = f"len(list_filter(fl, p -> p <= i AND p > i - {W})) > 0"
+    return f"""WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, {WORDS} AS w FROM documents),
+win AS (
+  SELECT id, CAST(u.p AS BIGINT) AS p, {polyhash_sql(winstr)} AS h
+  FROM toks, UNNEST(range(1, len(w) - {W} + 2)) AS u(p)
+  WHERE len(w) >= {W}),
+repeated AS (SELECT h FROM win GROUP BY h HAVING count(*) >= {min_df}),
+flagged AS (
+  SELECT id, list_sort(list(p)) AS fl
+  FROM win WHERE h IN (SELECT h FROM repeated) GROUP BY id),
+j AS (
+  SELECT t.id, t.w, coalesce(f.fl, CAST([] AS BIGINT[])) AS fl
+  FROM toks t LEFT JOIN flagged f ON f.id = t.id),
+stripped AS (
+  SELECT id, w, fl,
+         list_filter(range(1, len(w) + 1), i -> NOT ({covered})) AS kept,
+         list_filter(fl, p -> len(list_filter(fl, q -> q < p AND q > p - {W})) = 0) AS starts
+  FROM j)
+SELECT id AS doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
+       CAST(len(starts) AS BIGINT) AS n_spans,
+       coalesce(array_to_string(list_transform(kept, i -> w[i]), ' '), '') AS clean_text
+FROM stripped
+ORDER BY doc_id"""

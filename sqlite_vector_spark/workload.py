@@ -3138,3 +3138,20 @@ def ivf_cluster_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+PASSAGE_W = 8
+
+
+def passage_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level repeated-substring strip (operators/dedup.
+    repeated_passage_strip — Lee et al. 2021's repeated-substring
+    pass at word granularity): rolling PASSAGE_W-word window hashes,
+    occurrences >= 2 anywhere in the corpus flag their tokens,
+    overlapping flags merge to maximal spans and are cut. Returns
+    per-doc (n_tokens, n_removed, n_spans, clean_text) — all
+    hash-gated against the SQL mirror's identical fold."""
+    from sqlite_vector_spark.operators.dedup import repeated_passage_strip
+
+    docs = _docs(spark, sf_dir)
+    return repeated_passage_strip(docs, width=PASSAGE_W, min_df=2).orderBy("doc_id")

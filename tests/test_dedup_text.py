@@ -185,3 +185,85 @@ def test_lsh_pipeline_with_jvm_hash_finds_planted_dups(spark):
     assert (1, 2) in pairs
     # unrelated random-vocabulary docs don't flood the candidate set
     assert len(pairs) < 20
+
+
+# ---------------------------------------------------------------- passage-level dedup
+
+
+def test_repeated_passage_strip_cross_doc(spark):
+    """A verbatim passage shared by two docs at DIFFERENT alignments
+    is cut from both; unique text survives untouched."""
+    from sqlite_vector_spark.operators.dedup import repeated_passage_strip
+
+    passage = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one two {passage} outro eight nine"),
+            (2, f"{passage} completely different tail words here"),
+            (3, "totally unrelated document with its own words only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repeated_passage_strip(docs, width=6, min_df=2).collect()}
+    assert out[1].clean_text == "intro one two outro eight nine"
+    assert out[2].clean_text == "completely different tail words here"
+    assert out[3].clean_text == "totally unrelated document with its own words only"
+    assert out[1].n_removed == 6 and out[1].n_spans == 1
+    assert out[3].n_removed == 0 and out[3].n_spans == 0
+
+
+def test_repeated_passage_strip_within_doc(spark):
+    """Within-doc repetition counts toward min_df: a doc that repeats
+    its own passage loses BOTH copies (training-data repetition)."""
+    from sqlite_vector_spark.operators.dedup import repeated_passage_strip
+
+    p = "one two three four"
+    docs = spark.createDataFrame(
+        [(1, f"{p} middle filler words {p} tail"), (2, "unrelated other doc entirely")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repeated_passage_strip(docs, width=4, min_df=2).collect()}
+    assert out[1].clean_text == "middle filler words tail"
+    assert out[1].n_removed == 8 and out[1].n_spans == 2
+
+
+def test_repeated_passage_strip_overlapping_windows_merge(spark):
+    """A shared passage LONGER than the window flags overlapping
+    windows that must merge into ONE maximal span (span count 1, the
+    whole passage removed, nothing else)."""
+    from sqlite_vector_spark.operators.dedup import repeated_passage_strip
+
+    passage = "p1 p2 p3 p4 p5 p6 p7 p8"  # 8 tokens, window 4 -> 5 flagged windows
+    docs = spark.createDataFrame(
+        [(1, f"head {passage} tail"), (2, f"{passage} other unique stuff")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repeated_passage_strip(docs, width=4, min_df=2).collect()}
+    assert out[1].clean_text == "head tail"
+    assert out[1].n_removed == 8 and out[1].n_spans == 1
+
+
+def test_repeated_passage_strip_short_and_empty_docs(spark):
+    from sqlite_vector_spark.operators.dedup import repeated_passage_strip
+
+    docs = spark.createDataFrame(
+        [(1, "short doc"), (2, "short doc"), (3, "")],
+        "doc_id long, text string",
+    )
+    # width 5 > doc length: no windows anywhere, everything untouched
+    out = {r.doc_id: r for r in repeated_passage_strip(docs, width=5, min_df=2).collect()}
+    assert out[1].clean_text == "short doc" and out[1].n_removed == 0
+    assert out[3].clean_text == "" and out[3].n_tokens == 0
+
+
+def test_repeated_passage_strip_no_broadcast_on_flag_join(spark):
+    """The flagged-hash join must NOT broadcast (the repeated-passage
+    set is unbounded at corpus scale, unlike the boilerplate set)."""
+    from sqlite_vector_spark.operators.dedup import repeated_passage_strip
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f x y")], "doc_id long, text string"
+    )
+    df = repeated_passage_strip(docs, width=4, min_df=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan.split("LeftSemi")[0] or "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
