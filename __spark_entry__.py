@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bq_codes": w.bq_codes_q,
         "bq_scan_hamming": w.bq_scan_hamming,
         "bq_rerank_scan_l2": w.bq_rerank_scan_l2,
+        "bq_knn_join_hamming": w.bq_knn_join_hamming_q,
         "lm_doc_scores": w.lm_doc_scores_q,
         "doc_chunk_overlap": w.doc_chunk_overlap_q,
         "temperature_mix": w.temperature_mix_q,
@@ -317,6 +318,7 @@ def oracle_sql() -> dict[str, str]:
         "bq_codes": o.bq_codes_q(),
         "bq_scan_hamming": o.bq_scan_hamming_q(),
         "bq_rerank_scan_l2": o.bq_rerank_scan_l2_q(),
+        "bq_knn_join_hamming": o.bq_knn_join_hamming_q(),
         "lm_doc_scores": o.lm_doc_scores_q(),
         "doc_chunk_overlap": o.doc_chunk_overlap_q(),
         "temperature_mix": o.temperature_mix_q(),

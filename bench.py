@@ -309,6 +309,16 @@ def main():
         bq_codes_cached.count()
         bench("bq_encode", lambda: bq_encode(emb, "embedding", w.DIM, id_col="vec_id").count())
         bench("bq_scan_hamming", lambda: bq_scan(bq_codes_cached, w.Q64, 20).collect())
+        # round-7: multi-index-hashing Hamming join (batch 1-bit tier)
+        from sqlite_vector_spark.operators.bq import bq_knn_join
+
+        queries_bq = emb.where(F.col("vec_id") < w.NQ).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+        bench(
+            "bq_knn_join",
+            lambda: bq_knn_join(queries_bq, bq_codes_cached, w.DIM, w.KNN_K, band_bits=8).count(),
+        )
         bench(
             "bq_rerank_scan",
             lambda: bq_rerank_scan(

@@ -434,3 +434,108 @@ def bq_project_rerank_scan(
         .orderBy(F.col("distance").asc(), F.col("id").asc())
         .limit(k)
     )
+
+
+def hamming_pair_col(a: str | Column, b: str | Column) -> Column:
+    """BIGINT Hamming distance between two PACKED-WORD columns:
+    ordered fold of popcount(a[w] XOR b[w]) — the column-column form
+    of hamming_col (whose query side is literal words)."""
+    aa = F.col(a) if isinstance(a, str) else a
+    bb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(aa, bb, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+
+
+def band_value_col(word: Column, band_in_word: int, band_bits: int) -> Column:
+    """Band ``band_in_word`` of a packed 64-bit word: (w >> s) & mask.
+    The mask keeps bits s..s+band_bits-1 of the original word, so the
+    result is identical under arithmetic or logical shift — portable
+    to the SQL mirror."""
+    mask = (1 << band_bits) - 1
+    return F.shiftright(word, band_in_word * band_bits).bitwiseAND(F.lit(mask)).cast("bigint")
+
+
+def bq_knn_join(
+    queries: DataFrame,
+    codes_df: DataFrame,
+    dim: int,
+    k: int,
+    band_bits: int = 16,
+    thresholds: Sequence[float] | None = None,
+    q_id: str = "qid",
+    q_vec: str = "qv",
+    bits_col: str = "bits",
+    id_col: str = "id",
+) -> DataFrame:
+    """Multi-query Hamming top-k over the 1-bit index via MULTI-INDEX
+    HASHING (Norouzi, Punjani, Fleet, "Fast Exact Search in Hamming
+    Space with Multi-Index Hashing", CVPR 2012 — public): split every
+    packed code into m = ceil(dim/band_bits) disjoint bands; by
+    pigeonhole, any code within Hamming distance r < m of the query
+    matches it EXACTLY in at least one band, so an equi-join on
+    (band, band_value) yields all close candidates without scanning
+    the corpus per query. Returns (qid, id, hamming, rank) — rank by
+    (hamming asc, id asc), k per query.
+
+    Exactness contract: complete for neighbors within Hamming
+    distance m-1 (dim=64 / band_bits=16 -> within 3); farther ties
+    into the top-k are best-effort, exactly the LSH-bucket trade.
+    Smaller ``band_bits`` = more bands = wider exact radius but
+    larger buckets (at 16 bits a uniform corpus spreads each band
+    over 65,536 values).
+
+    Shape: queries encode map-side and explode to m (band, value)
+    rows each — a small broadcast side; the corpus side explodes to
+    m band rows in-plan (the persisted analog is an exploded table
+    partitionBy(band)); candidates = band collisions only; one
+    Hamming fold per collision, min-agg collapses multi-band hits,
+    rank window (WindowGroupLimit) keeps k per query."""
+    if dim < 1 or 64 % band_bits:
+        raise ValueError(f"need dim >= 1 and band_bits dividing 64, got dim={dim}, band_bits={band_bits}")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    nw = _n_words(dim)
+    per_word = 64 // band_bits
+    bands = []
+    for w in range(nw):
+        for i in range(per_word):
+            if w * 64 + i * band_bits < dim:
+                bands.append((w, i))
+
+    def explode_bands(df, bits, keep):
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(w * per_word + i).alias("b"),
+                    band_value_col(F.element_at(bits, w + 1), i, band_bits).alias("bv"),
+                )
+                for w, i in bands
+            ]
+        )
+        return df.select(*keep, F.explode(arr).alias("x")).select(
+            *keep, F.col("x.b").alias("b"), F.col("x.bv").alias("bv")
+        )
+
+    qenc = queries.where(F.col(q_vec).isNotNull()).select(
+        F.col(q_id).cast("bigint").alias("qid"),
+        bq_encode_col(F.col(q_vec), dim, thresholds).alias("qbits"),
+    )
+    qx = explode_bands(qenc, F.col("qbits"), ["qid", "qbits"])
+    base = codes_df.where(F.col(bits_col).isNotNull()).select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(bits_col).alias("bits")
+    )
+    cx = explode_bands(base, F.col("bits"), ["id", "bits"])
+    cand = cx.join(F.broadcast(qx), ["b", "bv"]).select(
+        "qid", "id", hamming_pair_col("bits", "qbits").alias("ham")
+    )
+    scored = cand.groupBy("qid", "id").agg(F.min("ham").alias("hamming"))
+    w_rank = Window.partitionBy("qid").orderBy(F.col("hamming").asc(), F.col("id").asc())
+    return (
+        scored.select("qid", "id", "hamming", F.row_number().over(w_rank).alias("rank"))
+        .where(F.col("rank") <= k)
+    )

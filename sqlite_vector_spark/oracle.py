@@ -2481,3 +2481,38 @@ SELECT id AS doc_id,
        coalesce(array_to_string(list_transform(kept, i -> w[i]), ' '), '') AS clean_text
 FROM stripped
 ORDER BY doc_id"""
+
+
+def bq_knn_join_hamming_q(band_bits: int = 8) -> str:
+    """Mirror of workload.bq_knn_join_hamming_q: same packed words
+    (bqc), band values via (w >> s) & mask (mask-after-shift is
+    portable across arithmetic/logical shift), DISTINCT band-collision
+    candidates, exact popcount score, (hamming, id) rank window."""
+    nw = (DIM + 63) // 64
+    per_word = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    n_bands = sum(
+        1 for w in range(nw) for i in range(per_word) if w * 64 + i * band_bits < DIM
+    )
+    ham = " + ".join(
+        f"CAST(bit_count(xor(k.bits[{w + 1}], q2.bits[{w + 1}])) AS BIGINT)"
+        for w in range(nw)
+    )
+    bv = f"(bits[CAST(b // {per_word} AS INTEGER) + 1] >> ((b % {per_word}) * {band_bits})) & {mask}"
+    return f"""WITH {_bq_codes_cte()},
+q AS (SELECT id AS qid, bits FROM bqc WHERE id < {NQ}),
+bands AS (SELECT CAST(unnest(range(0, {n_bands})) AS BIGINT) AS b),
+cb AS (SELECT id, b, {bv} AS bv FROM bqc, bands),
+qb AS (SELECT qid, b, {bv} AS bv FROM q, bands),
+cand AS (SELECT DISTINCT qb.qid, cb.id FROM cb JOIN qb ON cb.b = qb.b AND cb.bv = qb.bv),
+scored AS (
+  SELECT c.qid, c.id, ({ham}) AS hamming
+  FROM cand c JOIN bqc k ON k.id = c.id JOIN q q2 ON q2.qid = c.qid),
+ranked AS (
+  SELECT qid, id, hamming,
+         row_number() OVER (PARTITION BY qid ORDER BY hamming ASC, id ASC) AS rank
+  FROM scored)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(id AS BIGINT) AS id, hamming,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {KNN_K}
+ORDER BY qid, rank"""

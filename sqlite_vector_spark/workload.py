@@ -3155,3 +3155,21 @@ def passage_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     return repeated_passage_strip(docs, width=PASSAGE_W, min_df=2).orderBy("doc_id")
+
+
+def bq_knn_join_hamming_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query Hamming kNN join via multi-index hashing
+    (operators/bq.bq_knn_join — Norouzi et al. 2012): the first NQ
+    vectors as queries over the 1-bit code table, candidates = band
+    collisions only (16-bit bands; complete within Hamming m-1 by
+    pigeonhole), exact popcount rank. The batch form of the 1-bit
+    tier — hash-gated including the CANDIDATE GENERATION (the SQL
+    mirror builds the same band tables and collision join)."""
+    from sqlite_vector_spark.operators.bq import bq_encode, bq_knn_join
+
+    emb = _emb(spark, sf_dir)
+    codes = bq_encode(emb, "embedding", DIM, id_col="vec_id")
+    queries = emb.where((F.col("vec_id") < NQ) & F.col("embedding").isNotNull()).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return bq_knn_join(queries, codes, DIM, KNN_K, band_bits=8).orderBy("qid", "rank")

@@ -207,3 +207,87 @@ def test_bq_store_append_equals_rebuild(spark, emb, tmp_path):
     )
     assert rep_bad.mean_bit_bias > 0.45
     assert rep_bad.drift > 0.15 and rep_bad.rebuild_recommended
+
+
+# ---------------------------------------------------------------- multi-index Hamming join
+
+
+def _vec_from_bits(bits64):
+    """dim-64 vector whose sign bits reproduce ``bits64``."""
+    return [1.0 if (bits64 >> i) & 1 else -1.0 for i in range(64)]
+
+
+def test_bq_knn_join_pigeonhole_completeness(spark):
+    """MIH contract (Norouzi et al. 2012): with m=4 bands of 16 bits,
+    every code within Hamming distance 3 of a query MUST be found
+    (pigeonhole: 3 flips cannot touch all 4 bands). Plant neighbors
+    at distances 0..3 plus far decoys; all planted ones must appear
+    with exact Hamming values."""
+    import random
+
+    from sqlite_vector_spark.operators.bq import bq_encode, bq_knn_join
+
+    rng = random.Random(5)
+    rows, queries, expect = [], [], {}
+    rid = 0
+    for qid in range(4):
+        base = rng.getrandbits(64)
+        queries.append((qid, _vec_from_bits(base)))
+        expect[qid] = {}
+        for d in range(4):  # neighbors at Hamming 0, 1, 2, 3
+            code = base
+            for bit in rng.sample(range(64), d):
+                code ^= 1 << bit
+            d_true = bin(base ^ code).count("1")
+            rows.append((rid, _vec_from_bits(code)))
+            expect[qid][rid] = d_true
+            rid += 1
+        # far decoy: flip ~half the bits
+        far = base ^ 0x5555555555555555
+        rows.append((rid, _vec_from_bits(far)))
+        rid += 1
+    corpus = spark.createDataFrame(rows, "id long, vec array<double>")
+    codes = bq_encode(corpus, "vec", 64)
+    qdf = spark.createDataFrame(queries, "qid long, qv array<double>")
+    got = bq_knn_join(qdf, codes, 64, k=10)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r.qid, {})[r.id] = r.hamming
+    for qid, exp in expect.items():
+        for rid_, d_true in exp.items():
+            assert by_q[qid].get(rid_) == d_true, (qid, rid_, d_true, by_q.get(qid))
+
+
+def test_bq_knn_join_ranking_and_plan(spark, emb):
+    """Returned rows rank by (hamming asc, id asc) with exact popcount
+    values; the plan keeps the per-qid top-k WindowGroupLimit-bounded
+    and the query side broadcast."""
+    from sqlite_vector_spark.operators.bq import bq_encode, bq_knn_join, bq_query_words
+
+    codes = bq_encode(emb, "embedding", 64, id_col="vec_id")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    df = bq_knn_join(queries, codes, 64, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+
+    rows = df.collect()
+    packed = {r.id: list(r.bits) for r in codes.collect()}
+    qpacked = {
+        r.qid: bq_query_words(list(r.qv)) for r in queries.collect()
+    }
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        seq = [(r.hamming, r.id) for r in rs]
+        assert seq == sorted(seq)  # rank order == (hamming, id) order
+        for r in rs:
+            want = sum(
+                bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+                for a, b in zip(packed[r.id], qpacked[qid])
+            )
+            assert r.hamming == want
