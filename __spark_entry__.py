@@ -111,8 +111,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_scan_dot": w.full_scan_dot,
         "full_scan_l1": w.full_scan_l1,
         "full_scan_squared_l2": w.full_scan_squared_l2,
-        "full_scan_k_gt_n": w.full_scan_k_gt_n,
         "full_scan_stream_l2": w.full_scan_stream_l2,
+        # -- (4b) new r7: MIH Hamming join (full_scan_k_gt_n past the
+        #    horizon: 6 full_scan family cousins stay in-window)
+        "bq_knn_join_hamming": w.bq_knn_join_hamming_q,
         "quantize_scan_cosine": w.quantize_scan_cosine,
         "quantize_scan_dot": w.quantize_scan_dot,
         "quantize_scan_l1": w.quantize_scan_l1,
@@ -136,6 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- past the 50-entry gate horizon: green r6 (first block)
         #      or green r5 with unchanged subsystem + oracle text
         "simhash_neardup": w.simhash_neardup_q,
+        "full_scan_k_gt_n": w.full_scan_k_gt_n,
         "quantize_params": w.quantize_params,
         "quantize_scan_l2": w.quantize_scan_l2,
         "f16_scan_l2": w.f16_scan_l2,
@@ -155,7 +158,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bq_codes": w.bq_codes_q,
         "bq_scan_hamming": w.bq_scan_hamming,
         "bq_rerank_scan_l2": w.bq_rerank_scan_l2,
-        "bq_knn_join_hamming": w.bq_knn_join_hamming_q,
         "lm_doc_scores": w.lm_doc_scores_q,
         "doc_chunk_overlap": w.doc_chunk_overlap_q,
         "temperature_mix": w.temperature_mix_q,
