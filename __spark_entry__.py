@@ -163,6 +163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": w.temperature_mix_q,
         "bm25_topk": w.bm25_topk_q,
         "hybrid_rrf": w.hybrid_rrf_q,
+        "hybrid_rrf_batch": w.hybrid_rrf_batch_q,
+        "ivf_recall_curve": w.ivf_recall_curve_q,
         "matryoshka_rerank_l2": w.matryoshka_rerank_l2,
         "approx_distinct_audit": w.approx_distinct_audit_q,
         "cohort_retention": w.cohort_retention_q,
@@ -326,6 +328,8 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mix": o.temperature_mix_q(),
         "bm25_topk": o.bm25_topk_q(),
         "hybrid_rrf": o.hybrid_rrf_q(),
+        "hybrid_rrf_batch": o.hybrid_rrf_batch_q(),
+        "ivf_recall_curve": o.ivf_recall_curve_q(),
         "matryoshka_rerank_l2": o.matryoshka_rerank_l2_q(),
         "approx_distinct_audit": o.approx_distinct_audit_q(),  # HLL contract gate
         "cohort_retention": o.cohort_retention_q(w.WEEK_NS),

@@ -315,3 +315,52 @@ def bm25_batch_topk(
         .where(F.col("rank") <= k)
         .select("qid", "id", "score", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def rrf_fuse_batch(
+    arms: Sequence[tuple[DataFrame, str, bool]],
+    k: int,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Per-query reciprocal-rank fusion of BATCHED retrieval arms —
+    the multi-query form of rrf_fuse: each arm is ``(df, order_col,
+    ascending)`` with (qid, id, order_col) rows; ranks are per-qid
+    windows, the fusion join keys on (qid, id), and the result keeps
+    the top-k fused rows per query. Returns (qid, id, rrf_score,
+    rank_0, rank_1, ..., hybrid_rank).
+
+    Scale shape: arm inputs are k-rows-per-query results (each arm's
+    own plan did the corpus work), so every window and the full-outer
+    join run on Q x k rows — WindowGroupLimit bounds the final top-k
+    per qid."""
+    fused: DataFrame | None = None
+    rank_cols: list[str] = []
+    for i, (df, order_col, asc) in enumerate(arms):
+        oc = F.col(order_col).asc() if asc else F.col(order_col).desc()
+        w = Window.partitionBy("qid").orderBy(oc, F.col("id").asc())
+        ranked = df.select(
+            F.col("qid").cast("bigint").alias("qid"),
+            F.col("id").cast("bigint").alias("id"),
+            F.row_number().over(w).alias(f"rank_{i}"),
+        )
+        rank_cols.append(f"rank_{i}")
+        fused = ranked if fused is None else fused.join(ranked, ["qid", "id"], "full_outer")
+    assert fused is not None, "rrf_fuse_batch needs at least one arm"
+    contribs = [
+        F.coalesce(
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(c).cast("double")), F.lit(0.0)
+        )
+        for c in rank_cols
+    ]
+    score = contribs[0]
+    for c in contribs[1:]:  # fixed fold order, mirrored in the oracle
+        score = score + c
+    w_final = Window.partitionBy("qid").orderBy(F.col("rrf_score").desc(), F.col("id").asc())
+    return (
+        fused.select(
+            "qid", "id", score.alias("rrf_score"),
+            *[F.col(c).cast("int").alias(c) for c in rank_cols],
+        )
+        .withColumn("hybrid_rank", F.row_number().over(w_final))
+        .where(F.col("hybrid_rank") <= k)
+    )

@@ -1246,10 +1246,11 @@ def text_normalize_q() -> str:
 FROM documents"""
 
 
-def ivf_knn_join_l2_q() -> str:
+def ivf_knn_join_l2_q(nprobe: int | None = None) -> str:
     d_assign = dist_sql("L2", "e.embedding", "c.cv")
     d_probe = dist_sql("L2", "c.cv", "q.qv")
     d_final = dist_sql("L2", "a.v", "qp.qv")
+    np_ = int(nprobe or IVF_NPROBE)
     return f"""WITH cent AS (
   SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_C}),
 assign AS (
@@ -1265,7 +1266,7 @@ qp AS (
     SELECT q.qid, q.qv, c.cid,
            row_number() OVER (PARTITION BY q.qid ORDER BY {d_probe} ASC, c.cid ASC) AS rn
     FROM q, cent c)
-  WHERE rn <= {IVF_NPROBE}),
+  WHERE rn <= {np_}),
 scored AS (
   SELECT qp.qid, a.id, {d_final} AS distance
   FROM assign a JOIN qp ON a.cluster = qp.cluster),
@@ -2516,3 +2517,62 @@ SELECT CAST(qid AS BIGINT) AS qid, CAST(id AS BIGINT) AS id, hamming,
        CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {KNN_K}
 ORDER BY qid, rank"""
+
+
+def hybrid_rrf_batch_q() -> str:
+    """Mirror of workload.hybrid_rrf_batch_q: the vec arm is the
+    knn_join SQL at HYBRID_K for the BM25_BATCH qids, the lex arm the
+    batched BM25 SQL, per-qid rank windows, (qid, id) full-outer
+    fusion, the same fixed-order rational RRF fold, per-qid top-k."""
+    from sqlite_vector_spark.operators.retrieval import RRF_K
+    from sqlite_vector_spark.workload import BM25_BATCH, HYBRID_K
+
+    nq = len(BM25_BATCH)
+    rk = repr(float(RRF_K))
+    return f"""WITH vec AS ({knn_join("L2", HYBRID_K, nq)}),
+lex AS ({bm25_batch_topk_q()}),
+r0 AS (SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY distance ASC, id ASC) AS rank_0 FROM vec),
+r1 AS (SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rank_1 FROM lex),
+fused AS (
+  SELECT coalesce(r0.qid, r1.qid) AS qid, coalesce(r0.id, r1.id) AS id,
+         r0.rank_0 AS rank_0, r1.rank_1 AS rank_1
+  FROM r0 FULL OUTER JOIN r1 ON r0.qid = r1.qid AND r0.id = r1.id),
+s AS (
+  SELECT qid, id,
+         (coalesce(1.0 / ({rk} + CAST(rank_0 AS DOUBLE)), 0.0)
+          + coalesce(1.0 / ({rk} + CAST(rank_1 AS DOUBLE)), 0.0)) AS rrf_score,
+         rank_0, rank_1
+  FROM fused),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf_score DESC, id ASC) AS hr FROM s)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(id AS BIGINT) AS id, rrf_score,
+       CAST(rank_0 AS INTEGER) AS rank_0, CAST(rank_1 AS INTEGER) AS rank_1,
+       CAST(hr AS INTEGER) AS hybrid_rank
+FROM ranked WHERE hr <= {HYBRID_K}
+ORDER BY qid, hybrid_rank"""
+
+
+def ivf_recall_curve_q() -> str:
+    """Mirror of workload.ivf_recall_curve_q: one UNION ALL branch per
+    nprobe in IVF_CURVE, each counting exact-top-k hits inside the
+    nprobe-parameterized IVF join SQL; recall = hits / (NQ*K)."""
+    from sqlite_vector_spark.workload import IVF_CURVE
+
+    d = dist_sql("L2", "cv", "qv")
+    exact = f"""SELECT qid, id FROM (
+    SELECT q.qid, c.id,
+           row_number() OVER (PARTITION BY q.qid ORDER BY {d} ASC, c.id ASC) AS rn
+    FROM (SELECT vec_id AS id, embedding AS cv FROM embeddings WHERE embedding IS NOT NULL) c,
+         (SELECT CAST(vec_id AS BIGINT) AS qid, embedding AS qv
+          FROM embeddings WHERE vec_id < {NQ} AND embedding IS NOT NULL) q)
+  WHERE rn <= {KNN_K}"""
+    branches = []
+    for p in IVF_CURVE:
+        branches.append(
+            f"""SELECT CAST({int(p)} AS BIGINT) AS nprobe,
+       CAST(count(*) AS DOUBLE) / (SELECT CAST(count(*) AS DOUBLE) * {float(KNN_K)!r} FROM
+            (SELECT 1 FROM embeddings WHERE vec_id < {NQ} AND embedding IS NOT NULL)) AS recall
+FROM ({exact}) e
+WHERE EXISTS (SELECT 1 FROM ({ivf_knn_join_l2_q(p)}) i WHERE i.qid = e.qid AND i.id = e.id)"""
+        )
+    return "\nUNION ALL\n".join(branches) + "\nORDER BY nprobe"

@@ -3173,3 +3173,66 @@ def bq_knn_join_hamming_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
     return bq_knn_join(queries, codes, DIM, KNN_K, band_bits=8).orderBy("qid", "rank")
+
+
+def hybrid_rrf_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched hybrid retrieval (operators/retrieval.rrf_fuse_batch):
+    the vector arm is the exact kNN join for the BM25_BATCH qids, the
+    lexical arm the one-pass batched BM25 — both already-gated batch
+    operators — fused per query by reciprocal rank. The multi-query
+    form of hybrid_rrf: all windows and the fusion join run on
+    Q x HYBRID_K rows."""
+    from sqlite_vector_spark.operators.knn_join import knn_join
+    from sqlite_vector_spark.operators.retrieval import bm25_batch_topk, rrf_fuse_batch
+
+    emb = _emb(spark, sf_dir)
+    nq = len(BM25_BATCH)
+    queries = emb.where(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    vec = knn_join(queries, emb, HYBRID_K, "L2", corpus_vec="embedding", corpus_id="vec_id")
+    lex = bm25_batch_topk(_docs(spark, sf_dir), BM25_BATCH, HYBRID_K)
+    return rrf_fuse_batch(
+        [(vec, "distance", True), (lex, "score", False)], HYBRID_K
+    ).orderBy("qid", "hybrid_rank")
+
+
+IVF_CURVE = (1, 2, 4, 8)
+
+
+def ivf_recall_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-nprobe curve in ONE result — the tuning table an
+    operator reads before setting the probe dial (the multi-point
+    form of ivf_recall_at_k): for each nprobe in IVF_CURVE, corpus
+    recall@KNN_K of the IVF join vs the exact join over the NQ query
+    batch, computed as total-hits / (NQ*K) so the double division is
+    a single exact op (no order-dependent float accumulation)."""
+    from functools import reduce
+
+    from sqlite_vector_spark.operators.ann import ivf_knn_join
+    from sqlite_vector_spark.operators.knn_join import knn_join
+
+    emb = _emb(spark, sf_dir)
+    cent_rows = emb.where(F.col("vec_id") < IVF_C).orderBy("vec_id").collect()
+    centroids = [list(r.embedding) for r in cent_rows]
+    queries = emb.where((F.col("vec_id") < NQ) & F.col("embedding").isNotNull()).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    exact = knn_join(
+        queries, emb, KNN_K, "L2", query_vec="qv", corpus_vec="embedding", corpus_id="vec_id"
+    ).select("qid", "id")
+    n_q = queries.count()
+    parts = []
+    for p in IVF_CURVE:
+        approx = ivf_knn_join(
+            queries, emb, centroids, KNN_K, nprobe=p, metric="L2",
+            id_col="vec_id", vec_col="embedding",
+        ).select("qid", "id")
+        hits = exact.join(approx, ["qid", "id"], "left_semi")
+        parts.append(
+            hits.agg(
+                F.lit(int(p)).cast("bigint").alias("nprobe"),
+                (F.count(F.lit(1)).cast("double") / F.lit(float(n_q * KNN_K))).alias("recall"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts).orderBy("nprobe")
