@@ -127,3 +127,51 @@ def test_cohort_retention_offsets_nonnegative(spark):
     cohorts = {r.cohort_week for r in rows}
     zero = {r.cohort_week for r in rows if r.week_offset == 0}
     assert cohorts == zero
+
+
+def test_rrf_fuse_batch_per_query_isolation(spark):
+    """Batch fusion must rank each query independently: an id's rank
+    in one query's arms cannot leak into another's, and a doc present
+    in both arms outscores single-arm docs at equal ranks."""
+    from sqlite_vector_spark.operators.retrieval import rrf_fuse, rrf_fuse_batch
+
+    vec = spark.createDataFrame(
+        [(1, 10, 0.1), (1, 11, 0.2), (2, 20, 0.05), (2, 10, 0.3)],
+        "qid long, id long, distance double",
+    )
+    lex = spark.createDataFrame(
+        [(1, 10, 9.0), (1, 12, 8.0), (2, 21, 7.0), (2, 10, 6.5)],
+        "qid long, id long, score double",
+    )
+    out = rrf_fuse_batch([(vec, "distance", True), (lex, "score", False)], 10)
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r.qid, {})[r.id] = (r.rrf_score, r.rank_0, r.rank_1, r.hybrid_rank)
+    # id 10 is rank-1 in both arms of qid 1 -> top fused
+    assert by_q[1][10][3] == 1 and by_q[1][10][1] == 1 and by_q[1][10][2] == 1
+    # per-query isolation: each qid fuses only its own rows, and the
+    # batch result equals the single-query rrf_fuse run per qid
+    for qid in (1, 2):
+        single = rrf_fuse(
+            [
+                (vec.where(F.col("qid") == qid).select("id", "distance"), "distance", True),
+                (lex.where(F.col("qid") == qid).select("id", "score"), "score", False),
+            ],
+            10,
+        ).collect()
+        want = {r.id: (r.rrf_score, r.rank_0, r.rank_1) for r in single}
+        got = {i: v[:3] for i, v in by_q[qid].items()}
+        assert got == want, qid
+
+
+def test_ivf_recall_curve_monotone(spark):
+    """Recall must be non-decreasing in nprobe (each probe set is a
+    superset of the previous) and reach 1.0 when every cluster is
+    probed."""
+    from sqlite_vector_spark import workload as w
+
+    rows = w.ivf_recall_curve_q(spark, "/root/testdata/sf0.001").collect()
+    assert [r.nprobe for r in rows] == sorted(r.nprobe for r in rows)
+    recalls = [r.recall for r in rows]
+    assert all(b >= a for a, b in zip(recalls, recalls[1:])), recalls
+    assert 0.0 <= recalls[0] <= 1.0
