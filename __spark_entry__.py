@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": w.hybrid_rrf_q,
         "hybrid_rrf_batch": w.hybrid_rrf_batch_q,
         "ivf_recall_curve": w.ivf_recall_curve_q,
+        "source_snapshot_drift": w.source_snapshot_drift_q,
         "matryoshka_rerank_l2": w.matryoshka_rerank_l2,
         "approx_distinct_audit": w.approx_distinct_audit_q,
         "cohort_retention": w.cohort_retention_q,
@@ -330,6 +331,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf": o.hybrid_rrf_q(),
         "hybrid_rrf_batch": o.hybrid_rrf_batch_q(),
         "ivf_recall_curve": o.ivf_recall_curve_q(),
+        "source_snapshot_drift": o.source_snapshot_drift_q(),
         "matryoshka_rerank_l2": o.matryoshka_rerank_l2_q(),
         "approx_distinct_audit": o.approx_distinct_audit_q(),  # HLL contract gate
         "cohort_retention": o.cohort_retention_q(w.WEEK_NS),

@@ -363,6 +363,7 @@ def main():
     bench("hybrid_rrf", lambda: w.hybrid_rrf_q(spark, SF_DIR).collect())
     bench("hybrid_rrf_batch", lambda: w.hybrid_rrf_batch_q(spark, SF_DIR).count())
     bench("ivf_recall_curve", lambda: w.ivf_recall_curve_q(spark, SF_DIR).collect())
+    bench("source_snapshot_drift", lambda: w.source_snapshot_drift_q(spark, SF_DIR).collect())
     bench("matryoshka_rerank", lambda: w.matryoshka_rerank_l2(spark, SF_DIR).collect())
     bench("approx_distinct_audit", lambda: w.approx_distinct_audit_q(spark, SF_DIR).count())
     bench("cohort_retention", lambda: w.cohort_retention_q(spark, SF_DIR).count())

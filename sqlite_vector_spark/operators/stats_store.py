@@ -157,3 +157,72 @@ def stats_report(spark: SparkSession, path: str) -> DataFrame:
         ((F.col("n_docs").cast("double") - est_unique) / F.col("n_docs").cast("double")).alias("dup_ratio_est"),
         (F.col("n_keep").cast("double") / F.col("n_docs").cast("double")).alias("keep_rate"),
     ).orderBy("source")
+
+
+def snapshot_drift(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    edges: "Sequence[int]" = (20, 40, 60, 80, 100, 150),
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source TOTAL-VARIATION DISTANCE between two corpus
+    snapshots' document-length distributions — the drift monitor that
+    says "today's crawl changed shape" before a model does: docs
+    bucket by token count against fixed ``edges`` (bucket = #edges <=
+    n, so b in 0..len(edges)), and per source
+    TVD = 1/2 * Σ_b |p_b - q_b|. KL/PSI need ln(), which is not
+    IEEE-bit-specified across engines; TVD is the standard rational
+    alternative (bounded [0, 1], symmetric, metric).
+
+    Exactness: with counts n_ob, n_nb and totals N_o, N_n,
+    |p - q| = |n_ob*N_n - n_nb*N_o| / (N_o*N_n) — the numerators are
+    exact integers summed in DECIMAL(38,0) (order-independent), and
+    ONE double division at the end makes the result bit-stable under
+    any partitioning, so it hash-gates.
+
+    Returns (source, n_old, n_new, tvd). Shape: two single-shuffle
+    (source, bucket) count aggs, a bucket-grid full join, one
+    per-source agg — no text shuffles, no windows."""
+    from sqlite_vector_spark.functions.text import words
+
+    def bucket_counts(docs: DataFrame, out: str) -> DataFrame:
+        n_tok = F.size(words(text_col)).cast("int")
+        b = F.size(F.filter(F.array(*[F.lit(int(e)) for e in edges]), lambda e: e <= n_tok))
+        return (
+            docs.where(F.col(text_col).isNotNull())
+            .select(F.col(source_col).alias("source"), b.alias("b"))
+            .groupBy("source", "b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(out))
+        )
+
+    o = bucket_counts(old_docs, "n_o")
+    n = bucket_counts(new_docs, "n_n")
+    j = (
+        o.join(n, ["source", "b"], "full_outer")
+        .select(
+            "source",
+            F.coalesce("n_o", F.lit(0)).cast("bigint").alias("n_o"),
+            F.coalesce("n_n", F.lit(0)).cast("bigint").alias("n_n"),
+        )
+    )
+    per_src = j.groupBy("source").agg(
+        F.sum("n_o").cast("bigint").alias("n_old"),
+        F.sum("n_n").cast("bigint").alias("n_new"),
+        F.collect_list(F.struct("n_o", "n_n")).alias("cells"),
+    )
+    num = F.aggregate(
+        F.col("cells"),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, c: acc
+        + F.abs(
+            c["n_o"].cast("decimal(38,0)") * F.col("n_new").cast("decimal(38,0)")
+            - c["n_n"].cast("decimal(38,0)") * F.col("n_old").cast("decimal(38,0)")
+        ),
+    )
+    tvd = F.when(
+        (F.col("n_old") > 0) & (F.col("n_new") > 0),
+        num.cast("double")
+        / (F.lit(2.0) * F.col("n_old").cast("double") * F.col("n_new").cast("double")),
+    ).otherwise(F.lit(1.0))  # a source present in only one snapshot: max drift
+    return per_src.select("source", "n_old", "n_new", tvd.alias("tvd")).orderBy("source")

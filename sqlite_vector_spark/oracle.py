@@ -2576,3 +2576,33 @@ FROM ({exact}) e
 WHERE EXISTS (SELECT 1 FROM ({ivf_knn_join_l2_q(p)}) i WHERE i.qid = e.qid AND i.id = e.id)"""
         )
     return "\nUNION ALL\n".join(branches) + "\nORDER BY nprobe"
+
+
+def source_snapshot_drift_q(edges=(20, 40, 60, 80, 100, 150)) -> str:
+    """Mirror of workload.source_snapshot_drift_q: same bucket rule
+    (#edges <= token count), bucket-grid full join, integer TVD
+    numerators |n_o*N_n - n_n*N_o| (BIGINT-exact at gate scale,
+    matching Spark's DECIMAL(38,0) values), one double division."""
+    lit_edges = "[" + ",".join(str(int(e)) for e in edges) + "]"
+    return f"""WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, source,
+         len({WORDS}) AS n
+  FROM documents WHERE text IS NOT NULL),
+bk AS (SELECT id, source, len(list_filter({lit_edges}, e -> e <= n)) AS b FROM toks),
+o AS (SELECT source, b, CAST(count(*) AS BIGINT) AS n_o FROM bk WHERE id % 2 = 0 GROUP BY source, b),
+nn AS (SELECT source, b, CAST(count(*) AS BIGINT) AS n_n FROM bk WHERE id % 2 = 1 GROUP BY source, b),
+j AS (
+  SELECT coalesce(o.source, nn.source) AS source, coalesce(o.b, nn.b) AS b,
+         coalesce(o.n_o, 0) AS n_o, coalesce(nn.n_n, 0) AS n_n
+  FROM o FULL OUTER JOIN nn ON o.source = nn.source AND o.b = nn.b),
+tot AS (SELECT source, CAST(sum(n_o) AS BIGINT) AS n_old, CAST(sum(n_n) AS BIGINT) AS n_new
+        FROM j GROUP BY source),
+s AS (
+  SELECT j.source, CAST(sum(abs(j.n_o * t.n_new - j.n_n * t.n_old)) AS BIGINT) AS num
+  FROM j JOIN tot t ON t.source = j.source GROUP BY j.source)
+SELECT t.source AS source, t.n_old, t.n_new,
+       CASE WHEN t.n_old > 0 AND t.n_new > 0
+            THEN CAST(s.num AS DOUBLE) / (2.0 * CAST(t.n_old AS DOUBLE) * CAST(t.n_new AS DOUBLE))
+            ELSE 1.0 END AS tvd
+FROM tot t JOIN s ON s.source = t.source
+ORDER BY t.source"""

@@ -3236,3 +3236,17 @@ def ivf_recall_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(lambda a, b: a.unionByName(b), parts).orderBy("nprobe")
+
+
+def source_snapshot_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source snapshot drift (operators/stats_store.snapshot_drift):
+    even doc_ids play yesterday's snapshot, odd doc_ids today's; the
+    gate hash-checks the full rational-TVD pipeline (bucketized
+    doc-length distributions, integer cross-product numerators, one
+    double division)."""
+    from sqlite_vector_spark.operators.stats_store import snapshot_drift
+
+    docs = _docs(spark, sf_dir)
+    return snapshot_drift(
+        docs.where(F.col("doc_id") % 2 == 0), docs.where(F.col("doc_id") % 2 == 1)
+    )

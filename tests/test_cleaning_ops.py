@@ -788,3 +788,36 @@ def test_trailing_agg_tied_timestamps_count_peers(spark):
     got = {r.id: (r.n_win, r.sum_win) for r in trailing_agg(ev, "user_id", "ts_us", "value", 100, id_col="event_id").collect()}
     assert got[1] == got[2] == got[3] == (3, 10.0)
     assert got[4] == (1, 1.0)  # 250 - 100 = 150 > win: tied trio expired
+
+
+def test_snapshot_drift_semantics(spark):
+    """TVD contract: identical snapshots -> 0; disjoint length
+    distributions -> 1; a one-sided source -> max drift 1.0; value
+    equals the hand-computed TVD for a known split."""
+    from sqlite_vector_spark.operators.stats_store import snapshot_drift
+
+    short = "a b c"                      # 3 tokens  -> bucket 0
+    long = " ".join(["w"] * 50)          # 50 tokens -> bucket 2 (edges 20, 40)
+    rows = [
+        # source "same": identical distributions in both snapshots
+        (0, short, "same"), (1, short, "same"), (2, long, "same"), (3, long, "same"),
+        # source "flip": old all short, new all long
+        (10, short, "flip"), (12, short, "flip"), (11, long, "flip"), (13, long, "flip"),
+        # source "only_old": present in the even (old) snapshot only
+        (20, short, "only_old"),
+        # source "half": old 2 short, new 1 short 1 long -> TVD 0.5
+        (30, short, "half"), (32, short, "half"), (31, short, "half"), (33, long, "half"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r.source: r
+        for r in snapshot_drift(
+            docs.where(F.col("doc_id") % 2 == 0),
+            docs.where(F.col("doc_id") % 2 == 1),
+            edges=(20, 40),
+        ).collect()
+    }
+    assert out["same"].tvd == 0.0
+    assert out["flip"].tvd == 1.0
+    assert out["only_old"].tvd == 1.0 and out["only_old"].n_new == 0
+    assert out["half"].tvd == 0.5
