@@ -98,6 +98,9 @@ def main():
         # round-7 additions
         ("opq_scan_l2", "OPQ: HOF rotation fused into the scan projection, ADC fold over rotated codes", w.opq_scan_l2),
         ("ivf_pq_residual_scan_l2", "residual IVFADC: per-probe cluster filters + per-probe LUT branches, one union top-k", w.ivf_pq_residual_scan_l2),
+        ("passage_dedup", "passage dedup: hash-only df shuffle, hash-keyed flag join (no broadcast), per-doc HOF strip", w.passage_dedup_q),
+        ("bq_knn_join_hamming", "MIH Hamming join: band-collision broadcast equi-join, WindowGroupLimit top-k", w.bq_knn_join_hamming_q),
+        ("hybrid_rrf_batch", "batched hybrid fusion: two Qxk arms, per-qid windows, (qid,id) full-outer join", w.hybrid_rrf_batch_q),
     ]
 
     print("# PLANS — physical plans of headline operators (sf0.001, AQE on)")
