@@ -80,13 +80,27 @@ def knn(
         from sqlite_vector_spark.operators.ann import ivf_stored_scan
 
         return ivf_stored_scan(spark, ctx.ivf_path, query, ctx.ivf_centroids, k, nprobe=nprobe, metric=m)
+    # OPQ-aware: when the catalog holds a learned rotation
+    # (set_pq_index rotation=), the PQ code tables live in the rotated
+    # basis — the router rotates the QUERY with the exact driver fold
+    # (orthogonal, so rotated-domain L2 == true L2) and everything
+    # downstream is unchanged. Registered centroids for a rotated
+    # ivf_pq store are already rotated (they were built on the
+    # rotated frame).
+    def _pq_query():
+        if ctx.pq_rotation is not None:
+            from sqlite_vector_spark.operators.pq import _rotate_py
+
+            return _rotate_py([float(x) for x in query], ctx.pq_rotation)
+        return query
+
     if prefer == "pq":
         # ADC distances (compressed domain, like the quantized tier's
         # quantized-unit contract): opt-in only, never auto
         from sqlite_vector_spark.operators.pq import pq_scan
 
         codes = spark.read.parquet(ctx.pq_path)
-        return pq_scan(codes, query, ctx.pq_codebooks, k, m)
+        return pq_scan(codes, _pq_query(), ctx.pq_codebooks, k, m)
     if prefer == "bq":
         from sqlite_vector_spark.operators.bq import bq_rerank_scan
 
@@ -99,7 +113,7 @@ def knn(
         from sqlite_vector_spark.operators.pq import ivf_pq_stored_scan
 
         return ivf_pq_stored_scan(
-            spark, ctx.pq_path, query, ctx.ivf_centroids, ctx.pq_codebooks, k,
+            spark, ctx.pq_path, _pq_query(), ctx.ivf_centroids, ctx.pq_codebooks, k,
             nprobe=nprobe, metric=m, residual=ctx.pq_residual,
         )
     if prefer != "exact" and has_replica:

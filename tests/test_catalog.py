@@ -288,3 +288,45 @@ def test_make_session_returns_tuned_active_session(spark):
     assert s.conf.get("spark.sql.session.timeZone") == "UTC" or s is spark
     assert int(s.conf.get("spark.sql.shuffle.partitions")) >= 8
     assert s.range(3).count() == 3
+
+
+def test_router_opq_rotation_applied(spark, emb, tmp_path):
+    """When the catalog holds an OPQ rotation, prefer='pq' must
+    rotate the query with the exact driver fold and scan the rotated
+    code table — equal to calling opq_scan directly; without the
+    rotation set, the same store would score garbage."""
+    from sqlite_vector_spark.catalog import VectorCatalog
+    from sqlite_vector_spark.operators.pq import (
+        opq_encode,
+        opq_scan,
+        pq_codebooks_first,
+        random_rotation,
+    )
+    from sqlite_vector_spark.operators.pq import _rotate_py, opq_rotate
+    from sqlite_vector_spark.router import knn
+
+    R = random_rotation(64, seed=9)
+    rotated = opq_rotate(emb, "embedding", R, id_col="vec_id")
+    book_rows = rotated.where(rotated.id < 8).orderBy("id").collect()
+    books = [[list(r.vec[s * 16 : (s + 1) * 16]) for r in book_rows] for s in range(4)]
+    codes_dir = str(tmp_path / "opq_codes")
+    opq_encode(emb, "embedding", R, books, id_col="vec_id").write.parquet(codes_dir)
+
+    cat = VectorCatalog(str(tmp_path / "cat_opq"))
+    emb.createOrReplaceTempView("emb_opq_router_t")
+    cat.vector_init(emb, "emb_opq_router_t", "embedding", "type=FLOAT32,dimension=64,distance=L2")
+    cat.set_pq_index("emb_opq_router_t", "embedding", path=codes_dir, codebooks=books, rotation=R)
+
+    q = [0.1 * ((j % 5) - 2) for j in range(64)]
+    routed = knn(spark, cat, "emb_opq_router_t", "embedding", q, 5, prefer="pq")
+    direct = opq_scan(spark.read.parquet(codes_dir), q, R, books, 5, "L2")
+    assert [(r.id, r.distance) for r in routed.collect()] == [
+        (r.id, r.distance) for r in direct.collect()
+    ]
+    # the rotation survives a catalog reload and still routes
+    cat2 = VectorCatalog(str(tmp_path / "cat_opq"))
+    cat2.vector_init(emb, "emb_opq_router_t", "embedding", "type=FLOAT32,dimension=64,distance=L2")
+    routed2 = knn(spark, cat2, "emb_opq_router_t", "embedding", q, 5, prefer="pq")
+    assert [(r.id, r.distance) for r in routed2.collect()] == [
+        (r.id, r.distance) for r in direct.collect()
+    ]
