@@ -458,6 +458,38 @@ def band_value_col(word: Column, band_in_word: int, band_bits: int) -> Column:
     return F.shiftright(word, band_in_word * band_bits).bitwiseAND(F.lit(mask)).cast("bigint")
 
 
+def _band_layout(dim: int, band_bits: int) -> list[tuple[int, int]]:
+    if dim < 1 or 64 % band_bits:
+        raise ValueError(f"need dim >= 1 and band_bits dividing 64, got dim={dim}, band_bits={band_bits}")
+    nw = _n_words(dim)
+    per_word = 64 // band_bits
+    return [
+        (w, i)
+        for w in range(nw)
+        for i in range(per_word)
+        if w * 64 + i * band_bits < dim
+    ]
+
+
+def explode_bands(df: DataFrame, bits: Column, keep: list[str], dim: int, band_bits: int) -> DataFrame:
+    """One row per (band index b, band value bv) of the packed code —
+    the MIH band expansion shared by the in-plan join and the
+    persisted band store."""
+    per_word = 64 // band_bits
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(w * per_word + i).alias("b"),
+                band_value_col(F.element_at(bits, w + 1), i, band_bits).alias("bv"),
+            )
+            for w, i in _band_layout(dim, band_bits)
+        ]
+    )
+    return df.select(*keep, F.explode(arr).alias("x")).select(
+        *keep, F.col("x.b").alias("b"), F.col("x.bv").alias("bv")
+    )
+
+
 def bq_knn_join(
     queries: DataFrame,
     codes_df: DataFrame,
@@ -493,43 +525,20 @@ def bq_knn_join(
     partitionBy(band)); candidates = band collisions only; one
     Hamming fold per collision, min-agg collapses multi-band hits,
     rank window (WindowGroupLimit) keeps k per query."""
-    if dim < 1 or 64 % band_bits:
-        raise ValueError(f"need dim >= 1 and band_bits dividing 64, got dim={dim}, band_bits={band_bits}")
+    _band_layout(dim, band_bits)  # validates dim/band_bits
     if k < 1:
         raise ValueError("k must be >= 1")
     from pyspark.sql import Window
-
-    nw = _n_words(dim)
-    per_word = 64 // band_bits
-    bands = []
-    for w in range(nw):
-        for i in range(per_word):
-            if w * 64 + i * band_bits < dim:
-                bands.append((w, i))
-
-    def explode_bands(df, bits, keep):
-        arr = F.array(
-            *[
-                F.struct(
-                    F.lit(w * per_word + i).alias("b"),
-                    band_value_col(F.element_at(bits, w + 1), i, band_bits).alias("bv"),
-                )
-                for w, i in bands
-            ]
-        )
-        return df.select(*keep, F.explode(arr).alias("x")).select(
-            *keep, F.col("x.b").alias("b"), F.col("x.bv").alias("bv")
-        )
 
     qenc = queries.where(F.col(q_vec).isNotNull()).select(
         F.col(q_id).cast("bigint").alias("qid"),
         bq_encode_col(F.col(q_vec), dim, thresholds).alias("qbits"),
     )
-    qx = explode_bands(qenc, F.col("qbits"), ["qid", "qbits"])
+    qx = explode_bands(qenc, F.col("qbits"), ["qid", "qbits"], dim, band_bits)
     base = codes_df.where(F.col(bits_col).isNotNull()).select(
         F.col(id_col).cast("bigint").alias("id"), F.col(bits_col).alias("bits")
     )
-    cx = explode_bands(base, F.col("bits"), ["id", "bits"])
+    cx = explode_bands(base, F.col("bits"), ["id", "bits"], dim, band_bits)
     cand = cx.join(F.broadcast(qx), ["b", "bv"]).select(
         "qid", "id", hamming_pair_col("bits", "qbits").alias("ham")
     )
@@ -539,3 +548,65 @@ def bq_knn_join(
         scored.select("qid", "id", "hamming", F.row_number().over(w_rank).alias("rank"))
         .where(F.col("rank") <= k)
     )
+
+
+def bq_band_store(
+    codes_df: DataFrame,
+    dim: int,
+    dest: str,
+    band_bits: int = 16,
+    bits_col: str = "bits",
+    id_col: str = "id",
+) -> None:
+    """Materialize the MIH layout: the band expansion written
+    ``partitionBy("b")`` with rows SORTED by band value inside each
+    band directory. A probe for (b, bv) then costs planning-time
+    partition pruning on ``b`` plus parquet min/max row-group
+    skipping on the sorted ``bv`` (PushedFilters) — the persisted
+    form of bq_knn_join's in-plan corpus expansion, m x the code
+    bytes on disk (16-64 B/row extra at dim 768)."""
+    base = codes_df.where(F.col(bits_col).isNotNull()).select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(bits_col).alias("bits")
+    )
+    (
+        explode_bands(base, F.col("bits"), ["id", "bits"], dim, band_bits)
+        .repartition("b")
+        .sortWithinPartitions("bv")
+        .write.partitionBy("b")
+        .mode("overwrite")
+        .parquet(dest)
+    )
+
+
+def bq_band_scan(
+    spark,
+    dest: str,
+    query: Sequence[float],
+    dim: int,
+    k: int,
+    band_bits: int = 16,
+    thresholds: Sequence[float] | None = None,
+) -> DataFrame:
+    """Single-query Hamming top-k over a bq_band_store directory: the
+    query's m (band, value) probes become a pruned disjunction —
+    partition pruning on ``b``, row-group skipping on ``bv`` — then
+    exact popcount over the collided candidates and an (hamming, id)
+    top-k. Same result contract as bq_knn_join restricted to one
+    query (complete within Hamming m-1)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    qw = bq_query_words(query, thresholds)
+    per_word = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    stored = spark.read.parquet(dest)
+    cond = None
+    for w, i in _band_layout(dim, band_bits):
+        b = w * per_word + i
+        bv = (qw[w] >> (i * band_bits)) & mask
+        term = (F.col("b") == F.lit(b)) & (F.col("bv") == F.lit(int(bv)))
+        cond = term if cond is None else (cond | term)
+    cand = stored.where(cond).select("id", "bits").groupBy("id").agg(
+        F.first("bits").alias("bits")
+    )
+    scored = cand.select("id", hamming_col("bits", qw).alias("hamming"))
+    return scored.orderBy(F.col("hamming").asc(), F.col("id").asc()).limit(k)

@@ -291,3 +291,34 @@ def test_bq_knn_join_ranking_and_plan(spark, emb):
                 for a, b in zip(packed[r.id], qpacked[qid])
             )
             assert r.hamming == want
+
+
+def test_bq_band_store_scan_matches_join_and_prunes(spark, emb, tmp_path):
+    """The persisted MIH store must return the same top-k as the
+    in-plan bq_knn_join for the same query, with partition pruning
+    on b and a pushed bv filter in the scan plan."""
+    from sqlite_vector_spark.operators.bq import (
+        bq_band_scan,
+        bq_band_store,
+        bq_encode,
+        bq_knn_join,
+    )
+
+    codes = bq_encode(emb, "embedding", 64, id_col="vec_id")
+    dest = str(tmp_path / "bands")
+    bq_band_store(codes, 64, dest, band_bits=8)
+
+    qrow = emb.where(F.col("vec_id") == 3).collect()[0]
+    q = list(qrow.embedding)
+    got = bq_band_scan(spark, dest, q, 64, 5, band_bits=8)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "b#" in plan or "PartitionFilters: [" in plan
+    assert "PushedFilters" in plan
+
+    rows = got.collect()
+    qdf = spark.createDataFrame([(0, q)], "qid long, qv array<double>")
+    want = [
+        (r.id, r.hamming)
+        for r in bq_knn_join(qdf, codes, 64, 5, band_bits=8).orderBy("rank").collect()
+    ]
+    assert [(r.id, r.hamming) for r in rows] == want
