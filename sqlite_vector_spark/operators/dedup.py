@@ -779,6 +779,29 @@ def word_windows(w: Column, width: int) -> Column:
     )
 
 
+def _passage_windows(base: DataFrame, width: int, hash_fn) -> DataFrame:
+    """(id, p, h) rows: 1-based window start positions + window-string
+    fingerprints — the shared expansion for corpus-derived and
+    frozen-index passage strips."""
+    return base.select(
+        "id", F.posexplode(word_windows(F.col("w"), width)).alias("p0", "win")
+    ).select("id", (F.col("p0") + 1).alias("p"), hash_fn(F.col("win")).alias("h"))
+
+
+def _flag_join(base: DataFrame, win: DataFrame, repeated: DataFrame) -> DataFrame:
+    """(id, w, fl): per-doc sorted flagged window positions via a
+    hash-keyed semi-join (never broadcast — the repeated set is
+    unbounded at corpus scale)."""
+    flagged = (
+        win.join(repeated, "h", "left_semi")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("p")).alias("fl"))
+    )
+    return base.join(flagged, "id", "left").select(
+        "id", "w", F.coalesce("fl", F.array().cast("array<int>")).alias("fl")
+    )
+
+
 def repeated_passage_strip(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -820,23 +843,22 @@ def repeated_passage_strip(
     if hash_fn is None:
         hash_fn = polyhash
     base = docs.select(F.col(id_col).cast("bigint").alias("id"), words(text_col).alias("w"))
-    win = base.select(
-        "id", F.posexplode(word_windows(F.col("w"), width)).alias("p0", "win")
-    ).select("id", (F.col("p0") + 1).alias("p"), hash_fn(F.col("win")).alias("h"))
+    win = _passage_windows(base, width, hash_fn)
     repeated = (
         win.groupBy("h")
         .agg(F.count(F.lit(1)).alias("occ"))
         .where(F.col("occ") >= F.lit(min_df))
         .select("h")
     )
-    flagged = (
-        win.join(repeated, "h", "left_semi")
-        .groupBy("id")
-        .agg(F.sort_array(F.collect_list("p")).alias("fl"))
-    )
-    joined = base.join(flagged, "id", "left").select(
-        "id", "w", F.coalesce("fl", F.array().cast("array<int>")).alias("fl")
-    )
+    joined = _flag_join(base, win, repeated)
+    return _strip_flagged(joined, width)
+
+
+def _strip_flagged(joined: DataFrame, width: int) -> DataFrame:
+    """Span-merge strip of a (id, w, fl) frame: tokens covered by any
+    flagged window [p, p+width-1] are cut, overlapping flags merge to
+    maximal spans — the shared tail of the corpus-derived and
+    frozen-index passage strips."""
 
     def covered(i):  # token at 1-based index i lies inside a flagged window
         return F.exists(
@@ -863,3 +885,63 @@ def repeated_passage_strip(
             " ", F.transform(kept_idx, lambda i: F.element_at(F.col("w"), i))
         ).alias("clean_text"),
     )
+
+
+def repeated_passage_hashes(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 12,
+    min_df: int = 2,
+    hash_fn=None,
+) -> DataFrame:
+    """(h) — the repeated-passage fingerprint index over a corpus:
+    persist it (parquet) and strip INGEST batches against it with
+    repeated_passage_strip_frozen, so daily arrivals pay one window
+    pass + a hash join instead of re-deriving the df count over the
+    whole corpus — the passage analog of boilerplate_hashes, except
+    the set is UNBOUNDED so it stays a DataFrame (never a collected
+    literal)."""
+    if width < 2:
+        raise ValueError(f"window width must be >= 2, got {width}")
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2, got {min_df}")
+    if hash_fn is None:
+        hash_fn = polyhash
+    base = docs.select(F.col(id_col).cast("bigint").alias("id"), words(text_col).alias("w"))
+    return (
+        _passage_windows(base, width, hash_fn)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") >= F.lit(min_df))
+        .select("h")
+    )
+
+
+def repeated_passage_strip_frozen(
+    docs: DataFrame,
+    flagged_hashes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 12,
+    hash_fn=None,
+) -> DataFrame:
+    """Ingest-time passage strip against a FROZEN hash index (from
+    repeated_passage_hashes over yesterday's corpus): one window pass
+    over the BATCH, hash-keyed semi-join against the index, the same
+    span-merge strip — no corpus rescan, no occurrence counting, so
+    it drops straight into foreachBatch. Same ``width`` and hash as
+    the index build, or nothing matches.
+
+    Contract: strips passages already known to repeat in the indexed
+    corpus; repeats that first appear WITHIN the new batch are by
+    design not stripped (they join the index at the next rebuild /
+    append) — identical to incremental LSH dedup's horizon trade."""
+    if width < 2:
+        raise ValueError(f"window width must be >= 2, got {width}")
+    if hash_fn is None:
+        hash_fn = polyhash
+    base = docs.select(F.col(id_col).cast("bigint").alias("id"), words(text_col).alias("w"))
+    win = _passage_windows(base, width, hash_fn)
+    joined = _flag_join(base, win, flagged_hashes.select("h"))
+    return _strip_flagged(joined, width)

@@ -267,3 +267,52 @@ def test_repeated_passage_strip_no_broadcast_on_flag_join(spark):
     df = repeated_passage_strip(docs, width=4, min_df=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan.split("LeftSemi")[0] or "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_repeated_passage_frozen_index_equals_batch_on_indexed_corpus(spark, tmp_path):
+    """Strip against a persisted hash index == the self-derived batch
+    strip when the index was built on the same corpus; a passage that
+    repeats only WITHIN the new batch is NOT stripped by the frozen
+    index (the incremental horizon contract)."""
+    from sqlite_vector_spark.operators.dedup import (
+        repeated_passage_hashes,
+        repeated_passage_strip,
+        repeated_passage_strip_frozen,
+    )
+
+    passage = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one two {passage} outro eight nine"),
+            (2, f"{passage} completely different tail words here"),
+            (3, "totally unrelated document with its own words only"),
+        ],
+        "doc_id long, text string",
+    )
+    idx_dir = str(tmp_path / "passage_idx")
+    repeated_passage_hashes(docs, width=6, min_df=2).write.parquet(idx_dir)
+    idx = spark.read.parquet(idx_dir)
+
+    frozen = {
+        r.doc_id: (r.n_removed, r.n_spans, r.clean_text)
+        for r in repeated_passage_strip_frozen(docs, idx, width=6).collect()
+    }
+    batch = {
+        r.doc_id: (r.n_removed, r.n_spans, r.clean_text)
+        for r in repeated_passage_strip(docs, width=6, min_df=2).collect()
+    }
+    assert frozen == batch
+
+    # new-batch-only repeats are invisible to the frozen index
+    newp = "eta theta iota kappa lam mu"
+    new_batch = spark.createDataFrame(
+        [(10, f"{newp} fresh tail one"), (11, f"{newp} fresh tail two"),
+         (12, f"start bit {passage} known end")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_removed, r.clean_text)
+        for r in repeated_passage_strip_frozen(new_batch, idx, width=6).collect()
+    }
+    assert got[10] == (0, f"{newp} fresh tail one")      # batch-local repeat kept
+    assert got[12] == (6, "start bit known end")          # indexed passage stripped
