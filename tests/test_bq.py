@@ -322,3 +322,40 @@ def test_bq_band_store_scan_matches_join_and_prunes(spark, emb, tmp_path):
         for r in bq_knn_join(qdf, codes, 64, 5, band_bits=8).orderBy("rank").collect()
     ]
     assert [(r.id, r.hamming) for r in rows] == want
+
+
+def test_bq_knn_join_multiword_codes(spark):
+    """dim > 64: bands index into the RIGHT word (the band layout
+    spans words); planted flips in different words are all found with
+    exact distances."""
+    import random
+
+    from sqlite_vector_spark.operators.bq import bq_encode, bq_knn_join
+
+    dim = 192  # 3 words, 12 bands at 16 bits
+    rng = random.Random(3)
+
+    def vec_from_bits(bits):
+        return [1.0 if (bits >> i) & 1 else -1.0 for i in range(dim)]
+
+    base_bits = rng.getrandbits(dim)
+    rows = [(0, vec_from_bits(base_bits))]
+    expect = {}
+    rid = 1
+    for d, positions in [(1, [5]), (2, [70, 130]), (3, [63, 64, 191])]:
+        code = base_bits
+        for p in positions:  # flips across word boundaries
+            code ^= 1 << p
+        rows.append((rid, vec_from_bits(code)))
+        expect[rid] = d
+        rid += 1
+    for _ in range(50):  # noise far away
+        rows.append((rid, vec_from_bits(rng.getrandbits(dim))))
+        rid += 1
+    corpus = spark.createDataFrame(rows, "id long, vec array<double>")
+    codes = bq_encode(corpus, "vec", dim)
+    qdf = spark.createDataFrame([(9, vec_from_bits(base_bits))], "qid long, qv array<double>")
+    got = {r.id: r.hamming for r in bq_knn_join(qdf, codes, dim, k=10).collect()}
+    assert got[0] == 0
+    for rid_, d in expect.items():
+        assert got.get(rid_) == d, (rid_, d, got)
