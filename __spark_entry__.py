@@ -136,7 +136,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (r5-green, oracle text unchanged, simhash stays in-window)
         "passage_dedup": w.passage_dedup_q,
         # ---- past the 50-entry gate horizon: green r6 (first block)
-        #      or green r5 with unchanged subsystem + oracle text
+        #      or green r5 with unchanged subsystem + oracle text.
+        #      ROUND-8 ROTATION PRIORITY: (1) the five never-gated r7
+        #      entries (hybrid_rrf_batch, ivf_recall_curve,
+        #      source_snapshot_drift — added late, sweep-green at
+        #      sf0.01+sf0.1 — plus any r8 additions), (2) the ~25
+        #      entries whose latest driver green is r5 (the asof /
+        #      events / sketch-audit cohort below), (3) spot-checks of
+        #      r8-changed subsystems. All fit in 50 with room.
         "simhash_neardup": w.simhash_neardup_q,
         "full_scan_k_gt_n": w.full_scan_k_gt_n,
         "quantize_params": w.quantize_params,
