@@ -192,6 +192,28 @@ def main():
     bench("value_quantiles", lambda: w.value_quantiles_q(spark, SF_DIR).collect())
     bench("chunk_dedup", lambda: w.chunk_dedup_q(spark, SF_DIR).count())
     bench("passage_dedup", lambda: w.passage_dedup_q(spark, SF_DIR).count())
+    # round-7: ingest-time strip against the frozen passage index
+    try:
+        from sqlite_vector_spark.operators.dedup import (
+            repeated_passage_hashes,
+            repeated_passage_strip_frozen,
+        )
+
+        docs_p = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        pidx_dir = os.path.join(qdir, "passage_idx")
+        repeated_passage_hashes(
+            docs_p.where(F.col("doc_id") % 3 != 0), width=w.PASSAGE_W, min_df=2, hash_fn=F.xxhash64
+        ).write.mode("overwrite").parquet(pidx_dir)
+        pidx = spark.read.parquet(pidx_dir)
+        batch_p = docs_p.where(F.col("doc_id") % 3 == 0)
+        bench(
+            "passage_strip_frozen",
+            lambda: repeated_passage_strip_frozen(
+                batch_p, pidx, width=w.PASSAGE_W, hash_fn=F.xxhash64
+            ).count(),
+        )
+    except Exception as exc:  # noqa: BLE001
+        errors["passage_strip_frozen"] = f"{type(exc).__name__}: {exc}"[:500]
     bench("random_projection", lambda: w.random_projection_q(spark, SF_DIR).count())
     bench("pii_scrub", lambda: w.pii_scrub_q(spark, SF_DIR).count())
     bench("text_normalize", lambda: w.text_normalize_q(spark, SF_DIR).count())
@@ -338,6 +360,12 @@ def main():
             lambda: bq_store_append(batch_bq, "embedding", w.DIM, bq_append_dir, id_col="vec_id"),
             n=1,
         )
+        # round-7: persisted MIH band store + pruned single-query scan
+        from sqlite_vector_spark.operators.bq import bq_band_scan, bq_band_store
+
+        band_dir = os.path.join(qdir, "bq_bands")
+        bq_band_store(bq_codes_cached, w.DIM, band_dir, band_bits=8)
+        bench("bq_band_scan", lambda: bq_band_scan(spark, band_dir, w.Q64, w.DIM, 20, band_bits=8).collect())
         bq_codes_cached.unpersist()
     except Exception as exc:  # noqa: BLE001
         errors["bq_family"] = f"{type(exc).__name__}: {exc}"[:500]
