@@ -316,3 +316,38 @@ def test_repeated_passage_frozen_index_equals_batch_on_indexed_corpus(spark, tmp
     }
     assert got[10] == (0, f"{newp} fresh tail one")      # batch-local repeat kept
     assert got[12] == (6, "start bit known end")          # indexed passage stripped
+
+
+def test_repeated_passage_strip_randomized_invariants(spark):
+    """Seeded randomized invariants over a tiny vocabulary (which
+    forces genuine repeats): token accounting balances, every maximal
+    span removes at least width tokens, kept text is a subsequence of
+    the original, and an unreachable min_df is the identity."""
+    import random
+
+    from sqlite_vector_spark.operators.dedup import repeated_passage_strip
+
+    rng = random.Random(17)
+    W = 4
+    vocab = [f"t{i}" for i in range(6)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repeated_passage_strip(docs, width=W, min_df=2).collect()}
+    orig = {i: t.split() for i, t in rows if t}
+    orig.update({i: [] for i, t in rows if not t})
+    for i, r in out.items():
+        kept = r.clean_text.split() if r.clean_text else []
+        assert r.n_tokens == len(orig[i])
+        assert r.n_removed + len(kept) == r.n_tokens, i
+        assert (r.n_spans > 0) == (r.n_removed > 0), i
+        assert r.n_removed >= r.n_spans * W, i  # every span >= width tokens
+        # kept tokens form a subsequence of the original
+        it = iter(orig[i])
+        assert all(any(tok == o for o in it) for tok in kept), i
+
+    # min_df beyond any possible occurrence count -> identity
+    out2 = repeated_passage_strip(docs, width=W, min_df=10_000_000).collect()
+    assert all(r.n_removed == 0 and r.n_spans == 0 for r in out2)
