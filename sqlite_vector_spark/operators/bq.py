@@ -316,8 +316,12 @@ def bq_store_append(
         return BqAppendReport(0, 0.0, baseline_bit_bias, 0.0, False)
     bias = bq_bit_bias(enriched, dim)
     enriched.write.mode("append").parquet(dest)
-    drift = max(bias - (baseline_bit_bias or 0.0), 0.0)
-    return BqAppendReport(n, bias, baseline_bit_bias, drift, drift > drift_threshold)
+    # no recorded baseline -> no drift claim (mirrors _pq_append_report:
+    # drift is "excess over baseline", and with baseline None the bias
+    # itself is still surfaced via mean_bit_bias)
+    drift = 0.0 if baseline_bit_bias is None else max(bias - baseline_bit_bias, 0.0)
+    rebuild = baseline_bit_bias is not None and drift > drift_threshold
+    return BqAppendReport(n, bias, baseline_bit_bias, drift, rebuild)
 
 
 def bq_random_planes(dim: int, p: int, seed: int = 0):
@@ -571,7 +575,12 @@ def bq_band_store(
     (
         explode_bands(base, F.col("bits"), ["id", "bits"], dim, band_bits)
         .repartition("b")
-        .sortWithinPartitions("bv")
+        # sort key must PREFIX with the dynamic-partition column "b":
+        # partitionBy(b) requires ordering on b, and if the requirement
+        # is unmet Spark inserts its own sort on b alone, silently
+        # discarding a bare bv sort (and with it the min/max row-group
+        # skipping bq_band_scan relies on)
+        .sortWithinPartitions("b", "bv")
         .write.partitionBy("b")
         .mode("overwrite")
         .parquet(dest)

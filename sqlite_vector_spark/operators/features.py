@@ -71,14 +71,21 @@ def trailing_agg(
     )
     # RANGE-contract tie handling: an event at a tied (key, ts) must
     # count ALL its timestamp peers, not just lower-id ones — lift each
-    # row's cumulative to the max over its (key, t, kind) peer group.
-    # key-partitioning already satisfies the peer clustering, so this
-    # window adds a sort but NO extra exchange.
-    wpeer = Window.partitionBy("key", "t", "kind")
+    # row's cumulative to the LAST cumulative in its (key, t, kind)
+    # peer group (id order). last, not max: the cumulative sum is not
+    # monotone once a tied peer carries a NEGATIVE value, so max(cf0)
+    # would stop before it. key-partitioning already satisfies the
+    # peer clustering, so this window adds a sort but NO extra
+    # exchange.
+    wpeer = (
+        Window.partitionBy("key", "t", "kind")
+        .orderBy(F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     cum = raw.select(
         "id", "key", "ts", "kind",
-        F.max("cn0").over(wpeer).alias("cn"),
-        F.max("cf0").over(wpeer).alias("cf"),
+        F.last("cn0").over(wpeer).alias("cn"),
+        F.last("cf0").over(wpeer).alias("cf"),
     )
     return cum.groupBy("id", "key", "ts").agg(
         (

@@ -764,6 +764,23 @@ def opq_fit(
         # from SVD(Xᵀ Y); our column-convention R is Sᵀ = V Uᵀ
         u, _sv, vt = np.linalg.svd(X.T @ Y)
         R = (u @ vt).T
+    # the loop updates R AFTER the codebook step, so the codebooks are
+    # trained in the PREVIOUS iteration's rotated basis — one final
+    # Lloyd pass under the final R makes the returned (R, codebooks)
+    # pair self-consistent without requiring refine_iters
+    Xr = X @ R.T
+    for s in range(m):
+        sub = Xr[:, s * dsub : (s + 1) * dsub]
+        d = (
+            (sub * sub).sum(1)[:, None]
+            - 2.0 * (sub @ cbs[s].T)
+            + (cbs[s] * cbs[s]).sum(1)[None, :]
+        )
+        a = d.argmin(axis=1)
+        for j in range(ksub):
+            sel = a == j
+            if sel.any():
+                cbs[s][j] = sub[sel].mean(axis=0)
     codebooks = [[[float(x) for x in e] for e in cb] for cb in cbs]
     if refine_iters > 0:
         rotated = opq_rotate(df, vec_col, R, id_col=id_col)

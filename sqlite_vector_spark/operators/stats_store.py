@@ -27,7 +27,9 @@ stores the committer's final copy/rename plays the same role).
 Readers resolve the HIGHEST version with a ``_SUCCESS`` marker, so a
 failed or in-flight write is simply invisible and the previous
 snapshot keeps serving. Superseded snapshots are pruned only AFTER
-the new one is fully committed.
+the new one is fully committed, and the most recent superseded
+snapshot is retained one extra publish cycle so in-flight readers of
+the prior version finish cleanly.
 """
 
 from __future__ import annotations
@@ -80,11 +82,15 @@ def _publish(partials: DataFrame, path: str) -> None:
     vs = _committed_versions(spark, path)
     new_v = (vs[-1] + 1) if vs else 0
     partials.write.mode("overwrite").parquet(f"{path}/v{new_v:06d}")
-    # commit happened (Spark write returned) -> now safe to prune
+    # commit happened (Spark write returned) -> prune, but RETAIN the
+    # immediately superseded snapshot as a grace window: a reader that
+    # resolved v(new-1) before this commit may still be scanning it,
+    # and deleting files under an in-flight scan fails the read. Only
+    # versions older than new_v - 1 (already two commits stale) go.
     jpath, fs = _hadoop_fs(spark, path)
     jvm = spark._jvm
     for v in _committed_versions(spark, path):
-        if v < new_v:
+        if v < new_v - 1:
             fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/v{v:06d}"), True)
 
 

@@ -26,6 +26,7 @@ Both operators keep O(keys)/O(k·queries) state — no unbounded growth.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -170,8 +171,13 @@ def streaming_trailing_counts(
                     n += 1
                     # fixed-point fold at scale 1e4, matching the batch
                     # trailing_agg's decimal(38,0) accumulation so the
-                    # streaming==batch row equality holds to the bit
-                    s4 += round(hv * 1e4)
+                    # streaming==batch row equality holds to the bit.
+                    # Rounding must be HALF_UP (away from zero on ties)
+                    # like Spark's F.round on doubles — Python round()
+                    # is banker's and diverges when hv*1e4 lands on .5
+                    s4 += int(
+                        Decimal(hv * 1e4).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+                    )
                     keep_ts.append(ht), keep_v.append(hv)
                 # ht < lo: expired for this (and every later) event -> prune
             ts_hist, v_hist = keep_ts, keep_v

@@ -359,3 +359,48 @@ def test_bq_knn_join_multiword_codes(spark):
     assert got[0] == 0
     for rid_, d in expect.items():
         assert got.get(rid_) == d, (rid_, d, got)
+
+
+def test_bq_band_store_files_sorted_by_bv(spark, emb, tmp_path):
+    """The row-group-skipping claim of bq_band_scan rests on bv being
+    sorted WITHIN each written file. partitionBy("b") requires the
+    sort key to prefix with b — a bare bv sort would be silently
+    replaced by Spark's own b-only sort, leaving files unsorted."""
+    import glob
+
+    import pyarrow.parquet as pq_
+
+    from sqlite_vector_spark.operators.bq import bq_band_store, bq_encode
+
+    codes = bq_encode(emb, "embedding", 64, id_col="vec_id")
+    dest = str(tmp_path / "bands_sorted")
+    bq_band_store(codes, 64, dest, band_bits=8)
+
+    files = glob.glob(f"{dest}/b=*/*.parquet")
+    assert files, "no band files written"
+    checked = 0
+    for f in files:
+        bv = pq_.read_table(f, columns=["bv"]).column("bv").to_pylist()
+        if len(bv) > 1:
+            assert bv == sorted(bv), f"bv not sorted within {f}"
+            checked += 1
+    assert checked > 0, "every band file had <2 rows; fixture too small"
+
+
+def test_bq_store_append_without_baseline_reports_no_drift(spark, emb, tmp_path):
+    """baseline_bit_bias=None means no drift claim is possible: the
+    report mirrors _pq_append_report (drift 0.0, rebuild False), with
+    the batch bias still surfaced via mean_bit_bias."""
+    from sqlite_vector_spark.operators.bq import bq_store_append
+
+    shifted = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") + F.lit(100.0)).alias("embedding"),
+    )
+    rep = bq_store_append(
+        shifted, "embedding", 64, str(tmp_path / "bq_nobase"), id_col="vec_id",
+        baseline_bit_bias=None,
+    )
+    assert rep.mean_bit_bias > 0.45  # bias itself is still reported
+    assert rep.drift == 0.0
+    assert not rep.rebuild_recommended

@@ -602,9 +602,29 @@ def test_stats_store_failed_append_preserves_snapshot(spark, tmp_path):
 
     # the pre-append snapshot still serves
     assert [tuple(r) for r in stats_report(spark, store).collect()] == before
-    # and a subsequent good append still works and prunes to one version
+    # and a subsequent good append still works
     stats_append(docs, store)
     assert stats_report(spark, store).collect()[0].n_docs == 2
+
+
+def test_stats_store_retains_grace_snapshot(spark, tmp_path):
+    """Prune retention: the immediately superseded snapshot survives
+    one publish cycle (an in-flight reader of the prior version must
+    finish cleanly); older versions are pruned."""
+    import os
+
+    from sqlite_vector_spark.operators.stats_store import stats_append, stats_store
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again", "web", "en")],
+        "doc_id long, text string, source string, lang string",
+    )
+    store = str(tmp_path / "store")
+    stats_store(docs, store)                      # v0
+    stats_append(docs, store)                     # v1 published, v0 retained
+    assert sorted(os.listdir(store)) == ["v000000", "v000001"]
+    stats_append(docs, store)                     # v2 published, v0 pruned
+    assert sorted(os.listdir(store)) == ["v000001", "v000002"]
 
 
 # ---------------------------------------------------------------- resample + pivot
@@ -762,7 +782,10 @@ def test_trailing_agg_matches_bruteforce_on_random_data(spark):
     rng = random.Random(23)
     rows = []
     for eid in range(120):
-        rows.append((eid, rng.randint(1, 4), rng.randint(0, 500), float(rng.randint(1, 9))))
+        # signed values: negative fx at a TIED timestamp makes the
+        # cumulative non-monotone, which the peer-group lift must
+        # survive (last-in-id-order, not max — a real regression)
+        rows.append((eid, rng.randint(1, 4), rng.randint(0, 500), float(rng.randint(-9, 9))))
     ev = spark.createDataFrame(rows, "event_id long, user_id long, ts_us long, value double")
     win = 100
     got = {
@@ -782,11 +805,12 @@ def test_trailing_agg_tied_timestamps_count_peers(spark):
     from sqlite_vector_spark.operators.features import trailing_agg
 
     ev = spark.createDataFrame(
-        [(1, 9, 100, 2.0), (2, 9, 100, 3.0), (3, 9, 100, 5.0), (4, 9, 250, 1.0)],
+        [(1, 9, 100, 2.0), (2, 9, 100, 3.0), (3, 9, 100, -5.0), (4, 9, 250, 1.0)],
         "event_id long, user_id long, ts_us long, value double",
     )
     got = {r.id: (r.n_win, r.sum_win) for r in trailing_agg(ev, "user_id", "ts_us", "value", 100, id_col="event_id").collect()}
-    assert got[1] == got[2] == got[3] == (3, 10.0)
+    # the LAST tied peer is negative: max-over-peers would drop it
+    assert got[1] == got[2] == got[3] == (3, 0.0)
     assert got[4] == (1, 1.0)  # 250 - 100 = 150 > win: tied trio expired
 
 

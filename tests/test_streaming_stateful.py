@@ -233,6 +233,14 @@ def test_streaming_trailing_equals_batch_trailing_agg(spark, tmp_path):
             # fixed-point decimal fold by an ulp
             rows.append((eid, user, t, rng.randint(1, 500) / 10.0))
             eid += 1
+        # rounding-tie values: v*1e4 lands EXACTLY on .5 (x.00005 is
+        # dyadic-unrepresentable but 0.00005*1e4 evaluates to exactly
+        # 0.5 in binary) — Spark F.round goes HALF_UP while Python
+        # round() is banker's, so these rows pin the streaming
+        # kernel's rounding mode to the batch's
+        for half in (0.00005, 3.00005, -1.00005):
+            rows.append((eid, user, t, half))
+            eid += 1
     ev = spark.createDataFrame(rows, "event_id long, user_id long, ts_us long, value double")
 
     batch = {
