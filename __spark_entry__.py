@@ -67,17 +67,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return _q({
         # ---- ORDER MATTERS: the driver adjudicates the FIRST 50
-        # entries. Round-7 rotation (VERDICT r6 #1): (1) the ENTIRE
-        # 24-entry r4-stale cohort returns through the driver gate,
-        # (2) the two new r7 entries (residual IVFADC, OPQ), (3) the
-        # 24 r5-green vector/ANN entries whose ORACLE SQL text
-        # changed this round (qvec_literal now string-casts every
-        # element after the DuckDB bare-literal double-rounding find)
-        # — scan/knn/ivf family representatives. Everything past the
-        # horizon is r6-green or an unchanged-subsystem r5-green
-        # entry; the local tools/check_oracle.py sweep covers ALL
-        # entries every round.
-        # -- (1) the r4-stale cohort, all 24
+        # entries. Round-8 rotation (VERDICT r7 #1/#2): (1) the two
+        # NEW r8 entries (persisted-MIH band scan, frozen-index
+        # passage strip), (2) the three r7 entries never driver-gated
+        # (hybrid_rrf_batch, ivf_recall_curve, source_snapshot_drift),
+        # (3) the ENTIRE 27-entry cohort whose latest driver green is
+        # r5 (asof/events/sketch-audit), (4) spot-checks of every
+        # subsystem r8 touched (features.py trailing_agg tie-lift fix
+        # -> user_rolling/user_decay; bq.py append+band-store fixes ->
+        # the bq family; pq.py opq_fit refresh -> opq_scan_l2), and
+        # (5) an oldest-r6 refresh fill. After this window no entry's
+        # latest driver green is older than r6.
+        # -- (1) new r8
+        "bq_band_scan": w.bq_band_scan_q,
+        "passage_strip_frozen": w.passage_strip_frozen_q,
+        # -- (2) never driver-gated r7 entries
+        "hybrid_rrf_batch": w.hybrid_rrf_batch_q,
+        "ivf_recall_curve": w.ivf_recall_curve_q,
+        "source_snapshot_drift": w.source_snapshot_drift_q,
+        # -- (3) the r5-stale cohort, all 27
+        "approx_quantile_audit": w.approx_quantile_audit_q,
+        "asof_forward_events": w.asof_forward_events_q,
+        "asof_join_events": w.asof_join_events_q,
+        "asof_null_carry_events": w.asof_null_carry_events_q,
+        "asof_tolerance_events": w.asof_tolerance_events_q,
+        "balanced_sample": w.balanced_sample_q,
+        "bpe_token_counts": w.bpe_token_counts_q,
+        "doc_split_assign": w.doc_split_assign_q,
+        "embedding_dim_stats": w.embedding_dim_stats_q,
+        "events_hourly": w.events_hourly,
+        "events_props_agg": w.events_props_agg,
+        "events_rollup": w.events_rollup,
+        "full_scan_k_gt_n": w.full_scan_k_gt_n,
+        "normalize": w.normalize_q,
+        "order_priority_counts": w.order_priority_counts,
+        "pii_scrub": w.pii_scrub_q,
+        "purchase_session_join": w.purchase_session_join_q,
+        "quantize_codes": w.quantize_codes,
+        "quantize_memory": w.quantize_memory,
+        "sample_mix": w.sample_mix_q,
+        "sessionize": w.sessionize,
+        "simhash_neardup": w.simhash_neardup_q,
+        "source_stats": w.source_stats_q,
+        "token_doc_freq": w.token_doc_freq_q,
+        "top_customers": w.top_customers,
+        "value_quantiles": w.value_quantiles_q,
+        "value_winsorize": w.value_winsorize_q,
+        # -- (4) r8-changed-subsystem spot-checks
+        "user_rolling": w.user_rolling_q,
+        "user_decay": w.user_decay_q,
+        "bq_codes": w.bq_codes_q,
+        "bq_scan_hamming": w.bq_scan_hamming,
+        "bq_rerank_scan_l2": w.bq_rerank_scan_l2,
+        "bq_knn_join_hamming": w.bq_knn_join_hamming_q,
+        "opq_scan_l2": w.opq_scan_l2,
+        # -- (5) oldest-r6 refresh fill
+        "bm25_topk": w.bm25_topk_q,
+        "hybrid_rrf": w.hybrid_rrf_q,
+        "lm_doc_scores": w.lm_doc_scores_q,
+        "incremental_dedup": w.incremental_dedup_q,
+        "pq_scan_l2": w.pq_scan_l2,
+        "pq_rerank_scan_l2": w.pq_rerank_scan_l2,
+        "ivf_pq_scan_l2": w.ivf_pq_scan_l2,
+        "ivf_pq_knn_join_l2": w.ivf_pq_knn_join_l2_q,
+        "knn_join_l2": w.knn_join_l2,
+        "semantic_dedup": w.semantic_dedup_q,
+        "boilerplate_strip": w.boilerplate_strip_q,
+        # ---- past the 50-entry gate horizon: every entry below is
+        # r6/r7-green with its subsystem and oracle text unchanged in
+        # r8. ROUND-9 ROTATION PRIORITY: the r6-green entries below
+        # (they become 3 rounds stale in r9), then spot-checks of any
+        # r9-changed subsystems; the local tools/check_oracle.py sweep
+        # covers ALL entries every round.
         "bf16_scan_l2": w.bf16_scan_l2,
         "chunk_dedup": w.chunk_dedup_q,
         "contamination_check": w.contamination_check_q,
@@ -102,19 +163,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": w.text_normalize_q,
         "token_budget_pack": w.token_budget_pack_q,
         "token_counts": w.token_counts_q,
-        # -- (2) new this round
         "ivf_pq_residual_scan_l2": w.ivf_pq_residual_scan_l2,
-        "opq_scan_l2": w.opq_scan_l2,
-        # -- (3) oracle-text-changed r5-green vector/ANN entries
         "full_scan_l2": w.full_scan_l2,
         "full_scan_cosine": w.full_scan_cosine,
         "full_scan_dot": w.full_scan_dot,
         "full_scan_l1": w.full_scan_l1,
         "full_scan_squared_l2": w.full_scan_squared_l2,
         "full_scan_stream_l2": w.full_scan_stream_l2,
-        # -- (4b) new r7: MIH Hamming join (full_scan_k_gt_n past the
-        #    horizon: 6 full_scan family cousins stay in-window)
-        "bq_knn_join_hamming": w.bq_knn_join_hamming_q,
         "quantize_scan_cosine": w.quantize_scan_cosine,
         "quantize_scan_dot": w.quantize_scan_dot,
         "quantize_scan_l1": w.quantize_scan_l1,
@@ -131,21 +186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_kmeans_scan_l2": w.ivf_kmeans_scan_l2,
         "lsh_scan_cosine": w.lsh_scan_cosine,
         "codec_json_roundtrip": w.codec_json_roundtrip,
-        # -- (4) new r7 pipeline operator (passage-level dedup);
-        #    simhash_neardup moved past the horizon to make the slot
-        #    (r5-green, oracle text unchanged, simhash stays in-window)
         "passage_dedup": w.passage_dedup_q,
-        # ---- past the 50-entry gate horizon: green r6 (first block)
-        #      or green r5 with unchanged subsystem + oracle text.
-        #      ROUND-8 ROTATION PRIORITY: (1) the five never-gated r7
-        #      entries (hybrid_rrf_batch, ivf_recall_curve,
-        #      source_snapshot_drift — added late, sweep-green at
-        #      sf0.01+sf0.1 — plus any r8 additions), (2) the ~25
-        #      entries whose latest driver green is r5 (the asof /
-        #      events / sketch-audit cohort below), (3) spot-checks of
-        #      r8-changed subsystems. All fit in 50 with room.
-        "simhash_neardup": w.simhash_neardup_q,
-        "full_scan_k_gt_n": w.full_scan_k_gt_n,
         "quantize_params": w.quantize_params,
         "quantize_scan_l2": w.quantize_scan_l2,
         "f16_scan_l2": w.f16_scan_l2,
@@ -155,36 +196,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": w.jaccard_pairs_q,
         "neardup_representatives": w.neardup_representatives_q,
         "pq_codes": w.pq_codes_q,
-        "pq_scan_l2": w.pq_scan_l2,
-        "pq_rerank_scan_l2": w.pq_rerank_scan_l2,
-        "ivf_pq_scan_l2": w.ivf_pq_scan_l2,
         "pq_recall_at_k": w.pq_recall_at_k_q,
-        "ivf_pq_knn_join_l2": w.ivf_pq_knn_join_l2_q,
-        "incremental_dedup": w.incremental_dedup_q,
         "ivf_cluster_stats": w.ivf_cluster_stats_q,
-        "bq_codes": w.bq_codes_q,
-        "bq_scan_hamming": w.bq_scan_hamming,
-        "bq_rerank_scan_l2": w.bq_rerank_scan_l2,
-        "lm_doc_scores": w.lm_doc_scores_q,
         "doc_chunk_overlap": w.doc_chunk_overlap_q,
         "temperature_mix": w.temperature_mix_q,
-        "bm25_topk": w.bm25_topk_q,
-        "hybrid_rrf": w.hybrid_rrf_q,
-        "hybrid_rrf_batch": w.hybrid_rrf_batch_q,
-        "ivf_recall_curve": w.ivf_recall_curve_q,
-        "source_snapshot_drift": w.source_snapshot_drift_q,
         "matryoshka_rerank_l2": w.matryoshka_rerank_l2,
         "approx_distinct_audit": w.approx_distinct_audit_q,
         "cohort_retention": w.cohort_retention_q,
         "event_funnel": w.event_funnel_q,
-        "semantic_dedup": w.semantic_dedup_q,
         "quantize_update_codes": w.quantize_update_codes,
-        "boilerplate_strip": w.boilerplate_strip_q,
         "gopher_quality": w.gopher_quality_q,
         "knn_classify": w.knn_classify_q,
         "embedding_outliers": w.embedding_outliers_q,
-        "user_rolling": w.user_rolling_q,
-        "user_decay": w.user_decay_q,
         "mmr_rerank_l2": w.mmr_rerank_l2,
         "source_overlap": w.source_overlap_q,
         "corpus_report": w.corpus_report_q,
@@ -198,32 +221,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_type_pivot": w.user_type_pivot_q,
         "error_incidents": w.error_incidents_q,
         "session_incident_overlap": w.session_incident_overlap_q,
-        "knn_join_l2": w.knn_join_l2,
-        "approx_quantile_audit": w.approx_quantile_audit_q,
-        "asof_forward_events": w.asof_forward_events_q,
-        "asof_join_events": w.asof_join_events_q,
-        "asof_null_carry_events": w.asof_null_carry_events_q,
-        "asof_tolerance_events": w.asof_tolerance_events_q,
-        "balanced_sample": w.balanced_sample_q,
-        "bpe_token_counts": w.bpe_token_counts_q,
-        "doc_split_assign": w.doc_split_assign_q,
-        "embedding_dim_stats": w.embedding_dim_stats_q,
-        "events_hourly": w.events_hourly,
-        "events_props_agg": w.events_props_agg,
-        "events_rollup": w.events_rollup,
-        "normalize": w.normalize_q,
-        "order_priority_counts": w.order_priority_counts,
-        "pii_scrub": w.pii_scrub_q,
-        "purchase_session_join": w.purchase_session_join_q,
-        "quantize_codes": w.quantize_codes,
-        "quantize_memory": w.quantize_memory,
-        "sample_mix": w.sample_mix_q,
-        "sessionize": w.sessionize,
-        "source_stats": w.source_stats_q,
-        "token_doc_freq": w.token_doc_freq_q,
-        "top_customers": w.top_customers,
-        "value_quantiles": w.value_quantiles_q,
-        "value_winsorize": w.value_winsorize_q,
     })
 
 
@@ -331,6 +328,8 @@ def oracle_sql() -> dict[str, str]:
         "bq_scan_hamming": o.bq_scan_hamming_q(),
         "bq_rerank_scan_l2": o.bq_rerank_scan_l2_q(),
         "bq_knn_join_hamming": o.bq_knn_join_hamming_q(),
+        "bq_band_scan": o.bq_band_scan_q(),
+        "passage_strip_frozen": o.passage_strip_frozen_q(),
         "lm_doc_scores": o.lm_doc_scores_q(),
         "doc_chunk_overlap": o.doc_chunk_overlap_q(),
         "temperature_mix": o.temperature_mix_q(),

@@ -362,41 +362,95 @@ def bq_project_encode_arrow_udf(planes, center: Sequence[float] | None = None):
     return _kernel
 
 
+def bq_project_encode_col(vec: str | Column, planes, center: Sequence[float] | None = None) -> Column:
+    """ARRAY<BIGINT> of packed PROJECTED sign bits via the IEEE
+    sequential fold — the oracle-reproducible codegen twin of
+    bq_project_encode_arrow_udf: bit j = 1 iff the 0.0-init
+    left-fold of (v[i] - center[i]) * plane_j[i] is > 0 (the same
+    fold order hyperplane_bucket and the DuckDB mirror replay).
+    O(p * dim) expression tree — the Arrow kernel is the throughput
+    path at large p * dim; this one exists so projected codes can be
+    hash-gated."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    planes = [[float(x) for x in row] for row in planes]
+    p = len(planes)
+    if center is not None:
+        c_lit = F.array(*[F.lit(float(x)) for x in center])
+        v = F.zip_with(v, c_lit, lambda x, c: x.cast("double") - c)
+    else:
+        v = F.transform(v, lambda x: x.cast("double"))
+    dots = []
+    for row in planes:
+        lit = F.array(*[F.lit(x) for x in row])
+        dots.append(
+            F.aggregate(
+                F.zip_with(v, lit, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+        )
+    words = []
+    for w in range(_n_words(p)):
+        lanes = min(64, p - w * 64)
+        bits = [
+            F.when(
+                dots[w * 64 + i] > F.lit(0.0),
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(lanes)
+        ]
+        acc = bits[0]
+        for b in bits[1:]:
+            acc = acc + b
+        words.append(acc)
+    return F.array(*words)
+
+
 def bq_project_encode(
     df: DataFrame,
     vec_col: str,
     planes,
     center: Sequence[float] | None = None,
     id_col: str = "id",
+    backend: str = "arrow-numpy",
 ) -> DataFrame:
     """(id, bits) over projected hyperplane signs — p/8 bytes per row
-    regardless of dim. Map-side only."""
+    regardless of dim. Map-side only. ``backend="codegen"`` uses the
+    sequential-fold column (oracle-gateable; O(p*dim) codegen), the
+    default Arrow kernel is the corpus throughput path (one matmul
+    per batch)."""
     base = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
     )
-    return base.select(
-        "id", bq_project_encode_arrow_udf(planes, center)(F.col("vec")).alias("bits")
-    )
+    if backend == "codegen":
+        enc = bq_project_encode_col(F.col("vec"), planes, center)
+    else:
+        enc = bq_project_encode_arrow_udf(planes, center)(F.col("vec"))
+    return base.select("id", enc.alias("bits"))
 
 
 def bq_project_query_words(query: Sequence[float], planes, center: Sequence[float] | None = None) -> list[int]:
-    """Driver-side projected packing of the query — same comparison
-    and lane order as the encode kernel."""
-    import numpy as np
-
-    R = np.asarray(planes, dtype=np.float64)
-    mu = np.zeros(R.shape[1]) if center is None else np.asarray(center, dtype=np.float64)
-    bits = (R @ (np.asarray([float(x) for x in query]) - mu)) > 0.0
-    p = R.shape[0]
+    """Driver-side projected packing of the query — the SEQUENTIAL
+    0.0-init fold, bit-identical to bq_project_encode_col (and hence
+    the oracle), and agreeing with the Arrow kernel everywhere a dot
+    is not within an ulp of zero."""
+    p = len(planes)
+    dim = len(planes[0])
+    q = [float(x) for x in query]
+    mu = [0.0] * dim if center is None else [float(x) for x in center]
     words = []
     for w in range(_n_words(p)):
-        acc = 0
+        acc_w = 0
         for i in range(min(64, p - w * 64)):
-            if bits[w * 64 + i]:
-                acc |= 1 << i
-        if acc >= 1 << 63:
-            acc -= 1 << 64
-        words.append(acc)
+            row = planes[w * 64 + i]
+            acc = 0.0
+            for j in range(dim):
+                acc = acc + (q[j] - mu[j]) * float(row[j])
+            if acc > 0.0:
+                acc_w |= 1 << i
+        if acc_w >= 1 << 63:
+            acc_w -= 1 << 64
+        words.append(acc_w)
     return words
 
 
@@ -505,6 +559,8 @@ def bq_knn_join(
     q_vec: str = "qv",
     bits_col: str = "bits",
     id_col: str = "id",
+    planes=None,
+    center: Sequence[float] | None = None,
 ) -> DataFrame:
     """Multi-query Hamming top-k over the 1-bit index via MULTI-INDEX
     HASHING (Norouzi, Punjani, Fleet, "Fast Exact Search in Hamming
@@ -528,15 +584,34 @@ def bq_knn_join(
     m band rows in-plan (the persisted analog is an exploded table
     partitionBy(band)); candidates = band collisions only; one
     Hamming fold per collision, min-agg collapses multi-band hits,
-    rank window (WindowGroupLimit) keeps k per query."""
+    rank window (WindowGroupLimit) keeps k per query.
+
+    ``planes``: SimHash-plane projected codes instead of raw
+    axis-aligned sign bits — the fix for correlated/biased lanes,
+    where threshold codes collapse into massive band ties and a band
+    bucket approaches the whole corpus (measured on the sin manifold:
+    ~50% band selectivity axis-aligned vs restored bucket spread
+    projected — SCALE.md §MIH). When set, ``dim`` is the CODE length
+    in bits (= len(planes)), ``codes_df`` must hold
+    bq_project_encode codes built with the SAME planes/center, and
+    ``thresholds`` is ignored."""
     _band_layout(dim, band_bits)  # validates dim/band_bits
     if k < 1:
         raise ValueError("k must be >= 1")
+    if planes is not None and len(planes) != dim:
+        raise ValueError(
+            f"projected join: dim must equal the plane count, got dim={dim}, p={len(planes)}"
+        )
     from pyspark.sql import Window
 
+    q_code = (
+        bq_project_encode_col(F.col(q_vec), planes, center)
+        if planes is not None
+        else bq_encode_col(F.col(q_vec), dim, thresholds)
+    )
     qenc = queries.where(F.col(q_vec).isNotNull()).select(
         F.col(q_id).cast("bigint").alias("qid"),
-        bq_encode_col(F.col(q_vec), dim, thresholds).alias("qbits"),
+        q_code.alias("qbits"),
     )
     qx = explode_bands(qenc, F.col("qbits"), ["qid", "qbits"], dim, band_bits)
     base = codes_df.where(F.col(bits_col).isNotNull()).select(

@@ -2484,6 +2484,76 @@ FROM stripped
 ORDER BY doc_id"""
 
 
+def passage_strip_frozen_q(width: int | None = None, min_df: int = 2) -> str:
+    """Mirror of workload.passage_strip_frozen_q: identical window
+    hashing and span-merge strip as passage_dedup_q, but the repeated
+    CTE counts occurrences over the INDEXED half (doc_id % 3 != 0)
+    only, and the strip runs over the batch half — pinning the frozen
+    index's horizon contract (within-batch repeats stay)."""
+    from sqlite_vector_spark.workload import PASSAGE_W
+
+    W = int(width or PASSAGE_W)
+    winstr = f"array_to_string(w[p:p + {W - 1}], ' ')"
+    covered = f"len(list_filter(fl, p -> p <= i AND p > i - {W})) > 0"
+    return f"""WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, {WORDS} AS w FROM documents),
+win AS (
+  SELECT id, CAST(u.p AS BIGINT) AS p, {polyhash_sql(winstr)} AS h
+  FROM toks, UNNEST(range(1, len(w) - {W} + 2)) AS u(p)
+  WHERE len(w) >= {W}),
+repeated AS (
+  SELECT h FROM win WHERE id % 3 != 0 GROUP BY h HAVING count(*) >= {min_df}),
+batch AS (SELECT id, w FROM toks WHERE id % 3 = 0),
+flagged AS (
+  SELECT id, list_sort(list(p)) AS fl
+  FROM win WHERE id % 3 = 0 AND h IN (SELECT h FROM repeated) GROUP BY id),
+j AS (
+  SELECT t.id, t.w, coalesce(f.fl, CAST([] AS BIGINT[])) AS fl
+  FROM batch t LEFT JOIN flagged f ON f.id = t.id),
+stripped AS (
+  SELECT id, w, fl,
+         list_filter(range(1, len(w) + 1), i -> NOT ({covered})) AS kept,
+         list_filter(fl, p -> len(list_filter(fl, q -> q < p AND q > p - {W})) = 0) AS starts
+  FROM j)
+SELECT id AS doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
+       CAST(len(starts) AS BIGINT) AS n_spans,
+       coalesce(array_to_string(list_transform(kept, i -> w[i]), ' '), '') AS clean_text
+FROM stripped
+ORDER BY doc_id"""
+
+
+def bq_band_scan_q(band_bits: int = 8, k: int = K) -> str:
+    """Mirror of workload.bq_band_scan_q: same packed words (bqc),
+    candidates restricted to rows sharing at least one (band, value)
+    with the query — the literal band values computed driver-side
+    from the same packed query words the Spark plan prunes on — then
+    exact popcount and the (hamming, id) top-k."""
+    from sqlite_vector_spark.operators.bq import bq_query_words
+
+    qw = bq_query_words(Q64)
+    nw = (DIM + 63) // 64
+    per_word = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    terms = []
+    for w in range(nw):
+        for i in range(per_word):
+            if w * 64 + i * band_bits < DIM:
+                qbv = (qw[w] >> (i * band_bits)) & mask
+                terms.append(f"(((bits[{w + 1}] >> {i * band_bits}) & {mask}) = {qbv})")
+    ham = " + ".join(
+        f"CAST(bit_count(xor(bits[{w + 1}], CAST({q} AS BIGINT))) AS BIGINT)"
+        for w, q in enumerate(qw)
+    )
+    return f"""WITH {_bq_codes_cte()},
+cand AS (SELECT id, bits FROM bqc WHERE {" OR ".join(terms)})
+SELECT id, ({ham}) AS hamming
+FROM cand
+ORDER BY hamming ASC, id ASC
+LIMIT {k}"""
+
+
 def bq_knn_join_hamming_q(band_bits: int = 8) -> str:
     """Mirror of workload.bq_knn_join_hamming_q: same packed words
     (bqc), band values via (w >> s) & mask (mask-after-shift is

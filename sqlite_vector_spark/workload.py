@@ -3157,6 +3157,54 @@ def passage_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_passage_strip(docs, width=PASSAGE_W, min_df=2).orderBy("doc_id")
 
 
+def passage_strip_frozen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time passage strip against a FROZEN hash index
+    (operators/dedup.repeated_passage_strip_frozen): docs with
+    doc_id % 3 != 0 play the indexed corpus (their repeated-window
+    fingerprints persisted to parquet via repeated_passage_hashes),
+    the rest arrive as today's batch and strip against the index —
+    one window pass over the BATCH plus a hash semi-join, no corpus
+    rescan. Contract under gate: repeats known to the INDEX are cut;
+    repeats first appearing within the batch are by design kept (the
+    oracle builds its repeated CTE from the indexed half only, so the
+    hash match pins exactly that horizon trade)."""
+    import tempfile
+
+    from sqlite_vector_spark.operators.dedup import (
+        repeated_passage_hashes,
+        repeated_passage_strip_frozen,
+    )
+
+    docs = _docs(spark, sf_dir)
+    indexed = docs.where(F.col("doc_id") % 3 != 0)
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    store = tempfile.mkdtemp(prefix="svspark_passidx_") + "/hashes"
+    repeated_passage_hashes(indexed, width=PASSAGE_W, min_df=2).write.parquet(store)
+    frozen = spark.read.parquet(store)
+    return repeated_passage_strip_frozen(batch, frozen, width=PASSAGE_W).orderBy("doc_id")
+
+
+def bq_band_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-query Hamming top-k over the PERSISTED MIH band store
+    (operators/bq.bq_band_store + bq_band_scan): codes explode to
+    (band, value) rows partitioned by band on disk, the query's 8
+    band probes prune to 8 partitions (+ row-group skipping on the
+    bv sort), exact popcount over the collided candidates. Result
+    contract = bq_knn_join restricted to one query: top-K by
+    (hamming, id) among band-collision candidates, complete within
+    Hamming m-1 — the oracle mirrors the candidate restriction, so
+    the hash pins candidate generation too."""
+    import tempfile
+
+    from sqlite_vector_spark.operators.bq import bq_band_scan, bq_band_store, bq_encode
+
+    emb = _emb(spark, sf_dir)
+    codes = bq_encode(emb, "embedding", DIM, id_col="vec_id")
+    store = tempfile.mkdtemp(prefix="svspark_mihstore_") + "/bands"
+    bq_band_store(codes, DIM, store, band_bits=8)
+    return bq_band_scan(spark, store, Q64, DIM, K, band_bits=8)
+
+
 def bq_knn_join_hamming_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-query Hamming kNN join via multi-index hashing
     (operators/bq.bq_knn_join — Norouzi et al. 2012): the first NQ
@@ -3218,9 +3266,19 @@ def ivf_recall_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where((F.col("vec_id") < NQ) & F.col("embedding").isNotNull()).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
+    # the exact arm and the query frame feed all len(IVF_CURVE)
+    # branches of the union below. Measured (SCALE.md §recall curve):
+    # AQE's ReusedExchange ALREADY dedups the exact join's shuffle
+    # across the branches (3 ReusedExchange nodes in the executed
+    # plan), so wall-clock is flat either way at sf0.1 — the
+    # localCheckpoint is kept to make single-evaluation a CONTRACT
+    # rather than an exchange-reuse heuristic (reuse keys on exchange
+    # canonical equality, which a refactor of one branch can silently
+    # break), and to stop the count() re-scanning the parquet.
+    queries = queries.localCheckpoint(eager=True)
     exact = knn_join(
         queries, emb, KNN_K, "L2", query_vec="qv", corpus_vec="embedding", corpus_id="vec_id"
-    ).select("qid", "id")
+    ).select("qid", "id").localCheckpoint(eager=True)
     n_q = queries.count()
     parts = []
     for p in IVF_CURVE:

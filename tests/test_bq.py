@@ -404,3 +404,79 @@ def test_bq_store_append_without_baseline_reports_no_drift(spark, emb, tmp_path)
     assert rep.mean_bit_bias > 0.45  # bias itself is still reported
     assert rep.drift == 0.0
     assert not rep.rebuild_recommended
+
+
+def test_bq_project_encode_codegen_equals_arrow(spark, emb):
+    """The sequential-fold codegen projected encoder must pack the
+    same bits as the Arrow matmul kernel (real data: no dot lands
+    within an ulp of zero), and both must match the driver-side
+    query-word packing."""
+    from sqlite_vector_spark.operators.bq import (
+        bq_project_encode,
+        bq_project_query_words,
+        bq_random_planes,
+    )
+
+    planes = bq_random_planes(DIM, 96, seed=4)
+    cg = {r.id: list(r.bits) for r in bq_project_encode(
+        emb, "embedding", planes, id_col="vec_id", backend="codegen").collect()}
+    ar = {r.id: list(r.bits) for r in bq_project_encode(
+        emb, "embedding", planes, id_col="vec_id").collect()}
+    assert cg == ar
+    some = list(cg)[:20]
+    vecs = {r.vec_id: list(r.embedding) for r in emb.where(F.col("vec_id").isin(some)).collect()}
+    for i in some:
+        assert cg[i] == bq_project_query_words(vecs[i], planes)
+
+
+def test_bq_knn_join_projected_restores_selectivity(spark):
+    """The measured MIH failure mode (SCALE.md §MIH): on a smooth
+    correlated manifold, axis-aligned sign codes collapse into a few
+    band values and the band join degenerates toward a cross product;
+    SimHash-plane projected codes decorrelate the lanes, restoring
+    band selectivity while still finding each query's own row at
+    Hamming 0."""
+    from sqlite_vector_spark.operators.bq import (
+        bq_encode,
+        bq_knn_join,
+        bq_project_encode,
+        bq_random_planes,
+        explode_bands,
+    )
+
+    n, dim = 4000, 64
+    df = spark.range(n).select(
+        F.col("id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda j: F.sin(F.col("id").cast("double") * j.cast("double") * F.lit(1e-4)),
+        ).alias("vec"),
+    ).cache()
+    queries = df.where(F.col("id") < 4).select(F.col("id").alias("qid"), F.col("vec").alias("qv"))
+
+    def cand_count(codes):
+        cx = explode_bands(codes, F.col("bits"), ["id"], dim, 8)
+        return cx.groupBy("b", "bv").agg(F.count(F.lit(1)).alias("c")).agg(
+            F.sum(F.col("c") * F.col("c")).alias("pairs")).collect()[0].pairs
+
+    axis_codes = bq_encode(df, "vec", dim)
+    mu = [float(x) for x in
+          np.array([r.vec for r in df.limit(500).collect()]).mean(0)]
+    planes = bq_random_planes(dim, dim, seed=1)
+    proj_codes = bq_project_encode(df, "vec", planes, mu)
+
+    # bucket mass: sum of squared band-bucket sizes ~ expected
+    # collisions. The manifold's rows are GENUINELY near-identical in
+    # stretches, so projected buckets legitimately keep those
+    # collisions (locality is the point) — the claim is the axis
+    # codes' pathological EXTRA mass is gone (measured 4.5x here,
+    # 675x band selectivity at 1M — SCALE.md §MIH)
+    axis_pairs = cand_count(axis_codes)
+    proj_pairs = cand_count(proj_codes)
+    assert proj_pairs < axis_pairs / 3, (axis_pairs, proj_pairs)
+
+    got = bq_knn_join(queries, proj_codes, dim, 5, band_bits=8, planes=planes, center=mu)
+    rows = {(r.qid, r.id): r.hamming for r in got.collect()}
+    for q in range(4):  # each query's own row at Hamming 0, rank within k
+        assert rows.get((q, q)) == 0
+    df.unpersist()
