@@ -78,9 +78,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the bq family; pq.py opq_fit refresh -> opq_scan_l2), and
         # (5) an oldest-r6 refresh fill. After this window no entry's
         # latest driver green is older than r6.
-        # -- (1) new r8
+        # -- (1) new r8 (projected MIH joined the window; the
+        #    boilerplate_strip r6 fill moved past the horizon to
+        #    keep the window at 50)
         "bq_band_scan": w.bq_band_scan_q,
         "passage_strip_frozen": w.passage_strip_frozen_q,
+        "bq_knn_join_projected": w.bq_knn_join_projected_q,
         # -- (2) never driver-gated r7 entries
         "hybrid_rrf_batch": w.hybrid_rrf_batch_q,
         "ivf_recall_curve": w.ivf_recall_curve_q,
@@ -132,13 +135,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_knn_join_l2": w.ivf_pq_knn_join_l2_q,
         "knn_join_l2": w.knn_join_l2,
         "semantic_dedup": w.semantic_dedup_q,
-        "boilerplate_strip": w.boilerplate_strip_q,
         # ---- past the 50-entry gate horizon: every entry below is
         # r6/r7-green with its subsystem and oracle text unchanged in
         # r8. ROUND-9 ROTATION PRIORITY: the r6-green entries below
         # (they become 3 rounds stale in r9), then spot-checks of any
         # r9-changed subsystems; the local tools/check_oracle.py sweep
         # covers ALL entries every round.
+        "boilerplate_strip": w.boilerplate_strip_q,
         "bf16_scan_l2": w.bf16_scan_l2,
         "chunk_dedup": w.chunk_dedup_q,
         "contamination_check": w.contamination_check_q,
@@ -329,6 +332,7 @@ def oracle_sql() -> dict[str, str]:
         "bq_rerank_scan_l2": o.bq_rerank_scan_l2_q(),
         "bq_knn_join_hamming": o.bq_knn_join_hamming_q(),
         "bq_band_scan": o.bq_band_scan_q(),
+        "bq_knn_join_projected": o.bq_knn_join_projected_q(),
         "passage_strip_frozen": o.passage_strip_frozen_q(),
         "lm_doc_scores": o.lm_doc_scores_q(),
         "doc_chunk_overlap": o.doc_chunk_overlap_q(),

@@ -412,21 +412,36 @@ def bq_project_encode(
     planes,
     center: Sequence[float] | None = None,
     id_col: str = "id",
-    backend: str = "arrow-numpy",
+    backend: str | None = "arrow-numpy",
 ) -> DataFrame:
     """(id, bits) over projected hyperplane signs — p/8 bytes per row
     regardless of dim. Map-side only. ``backend="codegen"`` uses the
-    sequential-fold column (oracle-gateable; O(p*dim) codegen), the
-    default Arrow kernel is the corpus throughput path (one matmul
-    per batch)."""
+    sequential-fold column (oracle-gateable; O(p*dim) codegen — only
+    viable at small p*dim), the default Arrow kernel is the corpus
+    throughput path (one matmul per batch); ``None`` routes on the
+    session backend + fold count like opq_rotate."""
     base = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
     )
-    if backend == "codegen":
-        enc = bq_project_encode_col(F.col("vec"), planes, center)
-    else:
-        enc = bq_project_encode_arrow_udf(planes, center)(F.col("vec"))
+    enc = _project_code_col(F.col("vec"), planes, center, backend)
     return base.select("id", enc.alias("bits"))
+
+
+def _project_code_col(v: Column, planes, center, backend: str | None) -> Column:
+    """Route the projected encoder: honour an explicit/pinned choice,
+    else split on the p*dim fold footprint (a 256x768 plane matrix is
+    a ~200k-term codegen tree — janino poison; the Arrow matmul is
+    the throughput path, codegen the oracle-parity path)."""
+    from sqlite_vector_spark.version import AUTO_PQ_FOLDS, vector_backend
+
+    if backend is None:
+        backend = vector_backend()
+    if backend == "auto":
+        folds = len(planes) * len(planes[0])
+        backend = "arrow-numpy" if folds >= AUTO_PQ_FOLDS else "codegen"
+    if backend == "codegen":
+        return bq_project_encode_col(v, planes, center)
+    return bq_project_encode_arrow_udf(planes, center)(v)
 
 
 def bq_project_query_words(query: Sequence[float], planes, center: Sequence[float] | None = None) -> list[int]:
@@ -605,7 +620,7 @@ def bq_knn_join(
     from pyspark.sql import Window
 
     q_code = (
-        bq_project_encode_col(F.col(q_vec), planes, center)
+        _project_code_col(F.col(q_vec), planes, center, None)
         if planes is not None
         else bq_encode_col(F.col(q_vec), dim, thresholds)
     )

@@ -2554,6 +2554,44 @@ ORDER BY hamming ASC, id ASC
 LIMIT {k}"""
 
 
+def bq_knn_join_projected_q(band_bits: int = 8) -> str:
+    """Mirror of workload.bq_knn_join_projected_q: packed projected
+    sign bits via the same sequential plane-dot fold (_plane_dot ==
+    the codegen encoder's 0.0-init zip_with/aggregate order), then
+    the bq_knn_join_hamming candidate join restricted to the
+    PROJ_P-bit code layout."""
+    from sqlite_vector_spark.workload import PROJ_P, PROJ_PLANES
+
+    word = " + ".join(
+        f"(CASE WHEN {_plane_dot('embedding', plane)} > 0.0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i, plane in enumerate(PROJ_PLANES)
+    )
+    per_word = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    n_bands = sum(1 for i in range(per_word) if i * band_bits < PROJ_P)
+    ham = f"CAST(bit_count(xor(k.bits[1], q2.bits[1])) AS BIGINT)"
+    bv = f"(bits[CAST(b // {per_word} AS INTEGER) + 1] >> ((b % {per_word}) * {band_bits})) & {mask}"
+    return f"""WITH pbc AS (
+  SELECT CAST(vec_id AS BIGINT) AS id, [CAST(({word}) AS BIGINT)] AS bits
+  FROM embeddings WHERE embedding IS NOT NULL),
+q AS (SELECT id AS qid, bits FROM pbc WHERE id < {NQ}),
+bands AS (SELECT CAST(unnest(range(0, {n_bands})) AS BIGINT) AS b),
+cb AS (SELECT id, b, {bv} AS bv FROM pbc, bands),
+qb AS (SELECT qid, b, {bv} AS bv FROM q, bands),
+cand AS (SELECT DISTINCT qb.qid, cb.id FROM cb JOIN qb ON cb.b = qb.b AND cb.bv = qb.bv),
+scored AS (
+  SELECT c.qid, c.id, ({ham}) AS hamming
+  FROM cand c JOIN pbc k ON k.id = c.id JOIN q q2 ON q2.qid = c.qid),
+ranked AS (
+  SELECT qid, id, hamming,
+         row_number() OVER (PARTITION BY qid ORDER BY hamming ASC, id ASC) AS rank
+  FROM scored)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(id AS BIGINT) AS id, hamming,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {KNN_K}
+ORDER BY qid, rank"""
+
+
 def bq_knn_join_hamming_q(band_bits: int = 8) -> str:
     """Mirror of workload.bq_knn_join_hamming_q: same packed words
     (bqc), band values via (w >> s) & mask (mask-after-shift is

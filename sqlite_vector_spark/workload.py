@@ -3223,6 +3223,37 @@ def bq_knn_join_hamming_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bq_knn_join(queries, codes, DIM, KNN_K, band_bits=8).orderBy("qid", "rank")
 
 
+#: deterministic rational SimHash planes for the projected MIH gate
+#: (same literal-matrix convention as HYPERPLANES/Q64 — both engines
+#: fold the identical decimal literals)
+PROJ_P = 32
+PROJ_PLANES = [
+    [((p * DIM + j) * 53 % 97) / 97.0 - 0.5 for j in range(DIM)] for p in range(PROJ_P)
+]
+
+
+def bq_knn_join_projected_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projected-code MIH join (operators/bq.bq_knn_join with
+    planes=): corpus and queries encode to PROJ_P SimHash-plane sign
+    bits via the sequential-fold codegen encoder, then the same
+    band-collision equi-join + popcount rank as the axis-aligned
+    entry. This is the production composition for correlated/biased
+    lanes (SCALE.md §MIH: axis codes collapse to ~50% band
+    selectivity on a smooth manifold; planes restore it) — hash-gated
+    including candidate generation AND the projection itself (the
+    plane matrix is a literal on both engines)."""
+    from sqlite_vector_spark.operators.bq import bq_knn_join, bq_project_encode
+
+    emb = _emb(spark, sf_dir)
+    codes = bq_project_encode(emb, "embedding", PROJ_PLANES, id_col="vec_id", backend="codegen")
+    queries = emb.where((F.col("vec_id") < NQ) & F.col("embedding").isNotNull()).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return bq_knn_join(
+        queries, codes, PROJ_P, KNN_K, band_bits=8, planes=PROJ_PLANES
+    ).orderBy("qid", "rank")
+
+
 def hybrid_rrf_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched hybrid retrieval (operators/retrieval.rrf_fuse_batch):
     the vector arm is the exact kNN join for the BM25_BATCH qids, the

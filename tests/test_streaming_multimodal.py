@@ -372,3 +372,79 @@ def test_streaming_stats_store_foreachbatch(spark, tmp_path):
     got = {r.source: tuple(r)[1:] for r in stats_report(spark, store).collect()}
     want = {r.source: tuple(r)[1:] for r in stats_report(spark, full).collect()}
     assert got == want and set(got) == {"web", "books"}
+
+
+def _make_wav(freq=440.0, rate=8000, ms=250, amp_first=0.05, amp_second=0.8):
+    """16-bit mono PCM WAV: quiet first half, loud second half."""
+    import io
+    import math
+    import struct
+    import wave
+
+    n = rate * ms // 1000
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        frames = bytearray()
+        for i in range(n):
+            amp = amp_first if i < n // 2 else amp_second
+            v = int(amp * 32767 * math.sin(2 * math.pi * freq * i / rate))
+            frames += struct.pack("<h", v)
+        wf.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def test_wav_decoder_real_audio_features(spark):
+    """decoder='wav' is a REAL stdlib decode (no stub): RMS envelope
+    over time slices reflects the signal's loudness profile, and the
+    header duration backfills duration_ms."""
+    from sqlite_vector_spark.operators.multimodal import extract_features, wav_duration_ms
+
+    wav = _make_wav()
+    silent = _make_wav(amp_first=0.0, amp_second=0.0)
+    df = spark.createDataFrame([(1, bytearray(wav)), (2, bytearray(silent))],
+                               "id long, payload binary")
+    got = {r.id: list(r.feature) for r in extract_features(df, dim=8, decoder="wav").collect()}
+    assert set(got) == {1, 2} and all(len(v) == 8 for v in got.values())
+    loud = got[1]
+    # quiet first half, loud second half -> envelope steps up
+    assert max(loud[:4]) < min(loud[4:]) and min(loud[4:]) > 0.3
+    assert all(v == 0.0 for v in got[2])
+    assert wav_duration_ms(wav) == 250
+
+
+def test_wav_decoder_multichannel_and_8bit(spark):
+    """First-channel extraction and 8-bit PCM path."""
+    import io
+    import struct
+    import wave
+
+    from sqlite_vector_spark.operators.multimodal import extract_features
+
+    # stereo 16-bit: loud left channel, silent right
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        frames = bytearray()
+        for i in range(800):
+            frames += struct.pack("<hh", 20000 if i % 2 else -20000, 0)
+        wf.writeframes(bytes(frames))
+    stereo = buf.getvalue()
+    # 8-bit mono: constant mid-loud
+    buf2 = io.BytesIO()
+    with wave.open(buf2, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(1)
+        wf.setframerate(8000)
+        wf.writeframes(bytes([228, 28] * 400))  # +/-100 around 128
+    mono8 = buf2.getvalue()
+    df = spark.createDataFrame(
+        [(1, bytearray(stereo)), (2, bytearray(mono8))], "id long, payload binary"
+    )
+    got = {r.id: list(r.feature) for r in extract_features(df, dim=4, decoder="wav").collect()}
+    assert all(v > 0.55 for v in got[1])  # left channel loud, right ignored
+    assert all(0.6 < v < 0.9 for v in got[2])  # |100|/127 ~ 0.79

@@ -9,7 +9,16 @@ pairs examined (the MIH selectivity vs the Q x N brute force), and
 planted-neighbor recall (must be 1.0).
 
 Usage: python tools/mih_scale_probe.py [n_rows] [dim]
+       python tools/mih_scale_probe.py corr [n_rows] [dim]
 Prints one JSON line; paste into SCALE.md.
+
+``corr`` mode measures the adversarial CORRELATED manifold (smooth
+sin lanes — sign patterns repeat corpus-wide): band-bucket collision
+mass for axis-aligned sign codes vs SimHash-plane projected codes
+(bq_knn_join's planes= path), plus projected-join sanity (each query
+finds its own row at Hamming 0). The axis numbers quantify the
+documented failure mode; the projected numbers show the fix restores
+selectivity.
 """
 
 from __future__ import annotations
@@ -23,8 +32,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-DIM = int(sys.argv[2]) if len(sys.argv) > 2 else 768
+CORR_MODE = len(sys.argv) > 1 and sys.argv[1] == "corr"
+_args = sys.argv[2:] if CORR_MODE else sys.argv[1:]
+N = int(_args[0]) if len(_args) > 0 else (200_000 if CORR_MODE else 1_000_000)
+DIM = int(_args[1]) if len(_args) > 1 else 768
 NQ = 16
 K = 20
 BAND_BITS = 16
@@ -55,6 +66,12 @@ def main():
 
     root = tempfile.mkdtemp(prefix="svspark_mih_")
     out = {"n": N, "dim": DIM, "nq": NQ, "k": K, "band_bits": BAND_BITS}
+
+    if CORR_MODE:
+        corr_probe(spark, root, out)
+        shutil.rmtree(root, ignore_errors=True)
+        print(json.dumps(out))
+        return
 
     # corpus: deterministic HIGH-ENTROPY sign vectors (xxhash64 per
     # (id, lane) -> ±1) — random 16-bit band values, so collisions
@@ -135,6 +152,84 @@ def main():
 
     shutil.rmtree(root, ignore_errors=True)
     print(json.dumps(out))
+
+
+def corr_probe(spark, root, out):
+    """Correlated-manifold arm: axis vs projected band selectivity."""
+    import pyspark.sql.functions as F
+
+    from sqlite_vector_spark.operators.bq import (
+        bq_encode,
+        bq_knn_join,
+        bq_project_encode,
+        bq_random_planes,
+        explode_bands,
+    )
+
+    P = 256  # projected code bits; band_bits=16 -> m=16 bands
+    out["mode"] = "correlated"
+    out["proj_bits"] = P
+    gen = spark.range(N).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(DIM)),
+            lambda j: F.sin(F.col("id").cast("double") * j.cast("double") * F.lit(1e-4)).cast("float"),
+        ).alias("embedding"),
+    )
+    base = os.path.join(root, "corr")
+    gen.write.mode("overwrite").parquet(base)
+    df = spark.read.parquet(base)
+
+    def bucket_mass(codes, bits_len):
+        cx = explode_bands(codes, F.col("bits"), ["id"], bits_len, BAND_BITS)
+        row = (
+            cx.groupBy("b", "bv").agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum(F.col("c") * F.col("c")).alias("mass"), F.count(F.lit(1)).alias("buckets"))
+            .collect()[0]
+        )
+        m_bands = bits_len // BAND_BITS
+        # mass / (m * n^2) = probability a random (row, row) pair
+        # collides in a given band — the per-band selectivity
+        return int(row.mass), int(row.buckets), row.mass / (m_bands * N * N)
+
+    t0 = time.time()
+    axis_codes = bq_encode(df, "embedding", DIM, id_col="vec_id", backend="arrow-numpy")
+    axis_codes.write.mode("overwrite").parquet(os.path.join(root, "axis_codes"))
+    axis_codes = spark.read.parquet(os.path.join(root, "axis_codes"))
+    out["axis_encode_s"] = round(time.time() - t0, 2)
+    mass, buckets, sel = bucket_mass(axis_codes, DIM)
+    out["axis_bucket_mass"] = mass
+    out["axis_buckets"] = buckets
+    out["axis_band_selectivity"] = round(sel, 6)
+
+    planes = bq_random_planes(DIM, P, seed=1)
+    t0 = time.time()
+    proj_codes = bq_project_encode(df, "embedding", planes, id_col="vec_id")
+    proj_codes.write.mode("overwrite").parquet(os.path.join(root, "proj_codes"))
+    proj_codes = spark.read.parquet(os.path.join(root, "proj_codes"))
+    out["proj_encode_s"] = round(time.time() - t0, 2)
+    mass, buckets, sel = bucket_mass(proj_codes, P)
+    out["proj_bucket_mass"] = mass
+    out["proj_buckets"] = buckets
+    out["proj_band_selectivity"] = round(sel, 9)
+    out["selectivity_ratio"] = round(out["axis_band_selectivity"] / max(out["proj_band_selectivity"], 1e-12), 1)
+
+    # projected join sanity: corpus-drawn queries find their own row
+    # at Hamming 0 (and the join completes in bounded time, which the
+    # axis codes on this manifold would not)
+    qrows = df.where((F.col("vec_id") % (N // NQ) == 0)).limit(NQ).collect()
+    qdf = spark.createDataFrame(
+        [(int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows],
+        "qid long, qv array<double>",
+    )
+    t0 = time.time()
+    res = bq_knn_join(qdf, proj_codes, P, K, band_bits=BAND_BITS, planes=planes).collect()
+    out["proj_join_s"] = round(time.time() - t0, 2)
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.qid, {})[r.id] = r.hamming
+    out["self_at_zero"] = sum(1 for r in qrows if by_q.get(r.vec_id, {}).get(r.vec_id) == 0)
+    out["self_expected"] = len(qrows)
 
 
 if __name__ == "__main__":
