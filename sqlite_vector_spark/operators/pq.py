@@ -220,6 +220,7 @@ def pq_fit(
     init: str = "first",
     seed: int = 0,
     sample_size: int = 8192,
+    init_codebooks: Codebooks | None = None,
 ) -> Codebooks:
     """Per-subspace Lloyd over ALL M subspaces in one distributed
     aggregation per iteration — not M separate k-means jobs.
@@ -236,7 +237,10 @@ def pq_fit(
     init="first" seeds from the KSUB lowest-id rows (deterministic,
     SQL-expressible at iters=0); init="kmeans++" D²-seeds EVERY
     subspace from one shared hash-ordered sample (ann.kmeanspp_seeds
-    per subspace slice — one TakeOrdered job total, not per subspace).
+    per subspace slice — one TakeOrdered job total, not per subspace);
+    ``init_codebooks`` WARM-STARTS from given codebooks (skips the
+    sample/seed jobs entirely — the opq_fit refine path, whose
+    sample-phase codebooks are already a good start).
     """
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
@@ -244,7 +248,14 @@ def pq_fit(
     base = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
     )
-    if init == "first":
+    if init_codebooks is not None:
+        if len(init_codebooks) != m or any(len(cb) != ksub for cb in init_codebooks):
+            raise ValueError(
+                f"init_codebooks shape mismatch: want {m} x {ksub}, got "
+                f"{len(init_codebooks)} x {[len(cb) for cb in init_codebooks]}"
+            )
+        codebooks = [[[float(x) for x in e] for e in cb] for cb in init_codebooks]
+    elif init == "first":
         codebooks = pq_codebooks_first(df, vec_col, m, ksub, dim, id_col=id_col)
     elif init == "kmeans++":
         from sqlite_vector_spark.operators.ann import kmeanspp_seeds
@@ -741,6 +752,25 @@ def opq_fit(
     # init codebooks: ksub sample rows per subspace (deterministic draw)
     idx = rng.choice(len(X), size=ksub, replace=False)
     cbs = [X[idx, s * dsub : (s + 1) * dsub].copy() for s in range(m)]
+    def _lloyd_update(sub, cb):
+        """One vectorized Lloyd step on a subspace: assignment by Gram
+        argmin, codebook update by scatter-add + bincount (the
+        per-code masked-mean loop was the measured hot spot — 4096
+        boolean masks per iteration ~ half the 1M fit cost). Empty
+        codes keep their previous entry."""
+        d = (
+            (sub * sub).sum(1)[:, None]
+            - 2.0 * (sub @ cb.T)
+            + (cb * cb).sum(1)[None, :]
+        )
+        a = d.argmin(axis=1)
+        sums = np.zeros_like(cb)
+        np.add.at(sums, a, sub)
+        counts = np.bincount(a, minlength=cb.shape[0])
+        nz = counts > 0
+        cb[nz] = sums[nz] / counts[nz, None]
+        return a
+
     for _ in range(max(1, iters)):
         # rotation convention matches opq_rotate/rotate_col: out = R @ v,
         # i.e. row-vector form Xr = X @ Rᵀ
@@ -748,17 +778,7 @@ def opq_fit(
         Y = np.empty_like(Xr)
         for s in range(m):
             sub = Xr[:, s * dsub : (s + 1) * dsub]
-            d = (
-                (sub * sub).sum(1)[:, None]
-                - 2.0 * (sub @ cbs[s].T)
-                + (cbs[s] * cbs[s]).sum(1)[None, :]
-            )
-            a = d.argmin(axis=1)
-            # Lloyd update: empty codes keep their previous entry
-            for j in range(ksub):
-                sel = a == j
-                if sel.any():
-                    cbs[s][j] = sub[sel].mean(axis=0)
+            a = _lloyd_update(sub, cbs[s])
             Y[:, s * dsub : (s + 1) * dsub] = cbs[s][a]
         # Procrustes: min_S ||X S - Y||_F s.t. SᵀS = I gives S = U Vᵀ
         # from SVD(Xᵀ Y); our column-convention R is Sᵀ = V Uᵀ
@@ -770,23 +790,21 @@ def opq_fit(
     # pair self-consistent without requiring refine_iters
     Xr = X @ R.T
     for s in range(m):
-        sub = Xr[:, s * dsub : (s + 1) * dsub]
-        d = (
-            (sub * sub).sum(1)[:, None]
-            - 2.0 * (sub @ cbs[s].T)
-            + (cbs[s] * cbs[s]).sum(1)[None, :]
-        )
-        a = d.argmin(axis=1)
-        for j in range(ksub):
-            sel = a == j
-            if sel.any():
-                cbs[s][j] = sub[sel].mean(axis=0)
+        _lloyd_update(Xr[:, s * dsub : (s + 1) * dsub], cbs[s])
     codebooks = [[[float(x) for x in e] for e in cb] for cb in cbs]
     if refine_iters > 0:
+        # WARM-START the distributed polish from the sample-phase
+        # codebooks (they are already near the optimum for the learned
+        # R) instead of re-deriving a kmeans++ init — that init alone
+        # cost a corpus sample job + D² seeding, ~1/3 of the measured
+        # refine time at 1M (SCALE.md §OPQ cost revisit). The rotation
+        # stays in-plan (Arrow matmul fused into each Lloyd pass): at
+        # 1M x 768 re-rotating per iteration is cheaper than
+        # materializing 6 GB of rotated doubles.
         rotated = opq_rotate(df, vec_col, R, id_col=id_col)
         codebooks = pq_fit(
             rotated, "vec", m, ksub, dim, iters=refine_iters, id_col="id",
-            init="kmeans++", seed=seed, sample_size=sample_size,
+            init_codebooks=codebooks,
         )
     return R, codebooks
 

@@ -98,9 +98,13 @@ def main():
         # round-7 additions
         ("opq_scan_l2", "OPQ: HOF rotation fused into the scan projection, ADC fold over rotated codes", w.opq_scan_l2),
         ("ivf_pq_residual_scan_l2", "residual IVFADC: per-probe cluster filters + per-probe LUT branches, one union top-k", w.ivf_pq_residual_scan_l2),
-        ("passage_dedup", "passage dedup: hash-only df shuffle, hash-keyed flag join (no broadcast), per-doc HOF strip", w.passage_dedup_q),
+        ("passage_dedup", "passage dedup: hash-only df shuffle, hash-keyed flag join (no COLLECTED broadcast — repeated set stays a DataFrame; AQE may broadcast it at this toy sf, degrading to SMJ at scale), per-doc HOF strip", w.passage_dedup_q),
         ("bq_knn_join_hamming", "MIH Hamming join: band-collision broadcast equi-join, WindowGroupLimit top-k", w.bq_knn_join_hamming_q),
         ("hybrid_rrf_batch", "batched hybrid fusion: two Qxk arms, per-qid windows, (qid,id) full-outer join", w.hybrid_rrf_batch_q),
+        # round-8 additions
+        ("bq_band_scan", "persisted MIH scan: partition pruning on b, pushed bv filter, popcount top-k", w.bq_band_scan_q),
+        ("passage_strip_frozen", "frozen passage strip: batch window pass + hash semi-join against the stored index, no corpus rescan", w.passage_strip_frozen_q),
+        ("bq_knn_join_projected", "projected MIH join: plane-fold encode map-side, same band-collision join", w.bq_knn_join_projected_q),
     ]
 
     print("# PLANS — physical plans of headline operators (sf0.001, AQE on)")
