@@ -366,6 +366,13 @@ def main():
         band_dir = os.path.join(qdir, "bq_bands")
         bq_band_store(bq_codes_cached, w.DIM, band_dir, band_bits=8)
         bench("bq_band_scan", lambda: bq_band_scan(spark, band_dir, w.Q64, w.DIM, 20, band_bits=8).collect())
+        # round-8: multi-query join against the persisted store (DPP)
+        from sqlite_vector_spark.operators.bq import bq_band_join
+
+        bench(
+            "bq_band_join",
+            lambda: bq_band_join(spark, band_dir, queries_bq, w.DIM, w.KNN_K, band_bits=8).count(),
+        )
         bq_codes_cached.unpersist()
     except Exception as exc:  # noqa: BLE001
         errors["bq_family"] = f"{type(exc).__name__}: {exc}"[:500]

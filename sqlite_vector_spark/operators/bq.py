@@ -677,6 +677,95 @@ def bq_band_store(
     )
 
 
+def bq_band_store_append(
+    new_codes: DataFrame,
+    dim: int,
+    dest: str,
+    band_bits: int = 16,
+    bits_col: str = "bits",
+    id_col: str = "id",
+) -> int:
+    """Append NEW code rows to a bq_band_store directory under the
+    FROZEN band layout: the band expansion depends only on
+    (dim, band_bits), so appended rows land in their existing ``b=``
+    partition directories as new (bv-sorted) files and
+    append == rebuild holds exactly — the MIH analog of
+    bq_store_append's frozen-threshold contract (bit drift is the
+    CODE store's concern; this store derives from codes). One pass
+    over the batch; the corpus is never re-read. Returns the number
+    of appended code rows."""
+    base = new_codes.where(F.col(bits_col).isNotNull()).select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(bits_col).alias("bits")
+    ).localCheckpoint(eager=True)
+    n = base.count()
+    if n == 0:
+        return 0
+    (
+        explode_bands(base, F.col("bits"), ["id", "bits"], dim, band_bits)
+        .repartition("b")
+        .sortWithinPartitions("b", "bv")
+        .write.partitionBy("b")
+        .mode("append")
+        .parquet(dest)
+    )
+    return n
+
+
+def bq_band_join(
+    spark,
+    dest: str,
+    queries: DataFrame,
+    dim: int,
+    k: int,
+    band_bits: int = 16,
+    thresholds: Sequence[float] | None = None,
+    q_id: str = "qid",
+    q_vec: str = "qv",
+    planes=None,
+    center: Sequence[float] | None = None,
+) -> DataFrame:
+    """Multi-query Hamming top-k against the PERSISTED band store —
+    bq_knn_join with the corpus-side band expansion read from disk
+    instead of recomputed: the query batch encodes and explodes to
+    Q x m (b, bv) probe rows (broadcast side), the store side is an
+    equi-join on (b, bv) whose ``b`` key enables DYNAMIC partition
+    pruning against the ``b=`` directories (plan-pinned in test_bq),
+    then the same min-agg + popcount + rank-window tail. Same result
+    contract as bq_knn_join (complete within Hamming m-1); ``planes``
+    selects projected-code probes for a store built from
+    bq_project_encode codes."""
+    _band_layout(dim, band_bits)
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if planes is not None and len(planes) != dim:
+        raise ValueError(
+            f"projected join: dim must equal the plane count, got dim={dim}, p={len(planes)}"
+        )
+    from pyspark.sql import Window
+
+    q_code = (
+        _project_code_col(F.col(q_vec), planes, center, None)
+        if planes is not None
+        else bq_encode_col(F.col(q_vec), dim, thresholds)
+    )
+    qenc = queries.where(F.col(q_vec).isNotNull()).select(
+        F.col(q_id).cast("bigint").alias("qid"), q_code.alias("qbits")
+    )
+    qx = explode_bands(qenc, F.col("qbits"), ["qid", "qbits"], dim, band_bits)
+    stored = spark.read.parquet(dest).select(
+        "id", "bits", F.col("b").cast("int").alias("b"), "bv"
+    )
+    cand = stored.join(F.broadcast(qx.withColumn("b", F.col("b").cast("int"))), ["b", "bv"]).select(
+        "qid", "id", hamming_pair_col("bits", "qbits").alias("ham")
+    )
+    scored = cand.groupBy("qid", "id").agg(F.min("ham").alias("hamming"))
+    w_rank = Window.partitionBy("qid").orderBy(F.col("hamming").asc(), F.col("id").asc())
+    return (
+        scored.select("qid", "id", "hamming", F.row_number().over(w_rank).alias("rank"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def bq_band_scan(
     spark,
     dest: str,

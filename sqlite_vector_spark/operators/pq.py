@@ -796,12 +796,14 @@ def opq_fit(
         # WARM-START the distributed polish from the sample-phase
         # codebooks (they are already near the optimum for the learned
         # R) instead of re-deriving a kmeans++ init — that init alone
-        # cost a corpus sample job + D² seeding, ~1/3 of the measured
-        # refine time at 1M (SCALE.md §OPQ cost revisit). The rotation
-        # stays in-plan (Arrow matmul fused into each Lloyd pass): at
-        # 1M x 768 re-rotating per iteration is cheaper than
-        # materializing 6 GB of rotated doubles.
-        rotated = opq_rotate(df, vec_col, R, id_col=id_col)
+        # cost a corpus sample job + D² seeding. The rotated frame is
+        # MATERIALIZED once (localCheckpoint): re-running the rotation
+        # matmul inside every Lloyd pass measured 2.2x slower at
+        # 1M x 768 than paying ~15 s to write the 6 GB rotated frame
+        # and reading it back per iteration (SCALE.md §OPQ cost
+        # revisit; identical codebooks out — the rotation values are
+        # the same either way).
+        rotated = opq_rotate(df, vec_col, R, id_col=id_col).localCheckpoint(eager=True)
         codebooks = pq_fit(
             rotated, "vec", m, ksub, dim, iters=refine_iters, id_col="id",
             init_codebooks=codebooks,

@@ -480,3 +480,57 @@ def test_bq_knn_join_projected_restores_selectivity(spark):
     for q in range(4):  # each query's own row at Hamming 0, rank within k
         assert rows.get((q, q)) == 0
     df.unpersist()
+
+
+def test_bq_band_join_matches_in_plan_join_with_dpp(spark, emb, tmp_path):
+    """Multi-query join against the PERSISTED band store must equal
+    the in-plan bq_knn_join, with DYNAMIC partition pruning on the
+    b= directories (the broadcast query probes prune the store scan
+    at runtime)."""
+    from sqlite_vector_spark.operators.bq import (
+        bq_band_join,
+        bq_band_store,
+        bq_encode,
+        bq_knn_join,
+    )
+
+    codes = bq_encode(emb, "embedding", 64, id_col="vec_id")
+    dest = str(tmp_path / "bands_join")
+    bq_band_store(codes, 64, dest, band_bits=8)
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    got = bq_band_join(spark, dest, queries, 64, 5, band_bits=8)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    ra = sorted(tuple(r) for r in got.collect())
+    rb = sorted(tuple(r) for r in bq_knn_join(queries, codes, 64, 5, band_bits=8).collect())
+    assert ra == rb and len(ra) == 40
+
+
+def test_bq_band_store_append_equals_rebuild(spark, emb, tmp_path):
+    """Frozen band layout: appending new code rows to the store ==
+    rebuilding from the full code set — bq_band_scan and bq_band_join
+    see identical results either way."""
+    from sqlite_vector_spark.operators.bq import (
+        bq_band_scan,
+        bq_band_store,
+        bq_band_store_append,
+        bq_encode,
+    )
+
+    codes = bq_encode(emb, "embedding", 64, id_col="vec_id")
+    half_a = codes.where(F.col("id") % 2 == 0)
+    half_b = codes.where(F.col("id") % 2 == 1)
+    inc = str(tmp_path / "bands_inc")
+    bq_band_store(half_a, 64, inc, band_bits=8)
+    n = bq_band_store_append(half_b, 64, inc, band_bits=8)
+    assert n == half_b.count()
+    assert bq_band_store_append(half_b.limit(0), 64, inc, band_bits=8) == 0
+
+    full = str(tmp_path / "bands_full")
+    bq_band_store(codes, 64, full, band_bits=8)
+    q = list(emb.where(F.col("vec_id") == 7).collect()[0].embedding)
+    got = [tuple(r) for r in bq_band_scan(spark, inc, q, 64, 10, band_bits=8).collect()]
+    want = [tuple(r) for r in bq_band_scan(spark, full, q, 64, 10, band_bits=8).collect()]
+    assert got == want and len(got) > 0
