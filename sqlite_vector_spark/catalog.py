@@ -64,6 +64,11 @@ class VectorContext:
     # thresholds when not sign-bit encoding)
     bq_path: str | None = None
     bq_thresholds: list | None = None
+    # persisted after bq_band_store: exploded multi-index-hashing band
+    # layout (partitionBy(b), bv-sorted) — the pruned-probe replica of
+    # the BQ code table
+    mih_path: str | None = None
+    mih_band_bits: int | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -141,6 +146,7 @@ class VectorCatalog:
                 "qscale", "qoffset", "resolved_qtype", "quantized_path",
                 "ivf_path", "ivf_centroids", "pq_path", "pq_codebooks", "pq_residual",
                 "pq_rotation", "bq_path", "bq_thresholds",
+                "mih_path", "mih_band_bits",
             ):
                 setattr(ctx, k, persisted.get(k))
         self._contexts[key] = ctx
@@ -178,6 +184,14 @@ class VectorCatalog:
         ctx = self.get(table, column)
         ctx.bq_path = path
         ctx.bq_thresholds = [float(x) for x in thresholds] if thresholds is not None else None
+        self._serialize(ctx)
+
+    def set_mih_index(self, table: str, column: str, *, path: str, band_bits: int = 16) -> None:
+        """Register a bq_band_store directory (shares the BQ tier's
+        thresholds — set_bq_index them if non-sign encoding)."""
+        ctx = self.get(table, column)
+        ctx.mih_path = path
+        ctx.mih_band_bits = int(band_bits)
         self._serialize(ctx)
 
     def drop(self, table: str, column: str) -> None:

@@ -57,8 +57,8 @@ def knn(
     probed clusters (approximate by probe coverage); quantized results
     are quantized-unit distances (SURVEY §2.3).
     """
-    if prefer not in ("auto", "exact", "quantized", "ivf", "pq", "ivf_pq", "bq"):
-        raise ValueError(f"prefer must be auto|exact|quantized|ivf|pq|ivf_pq|bq, got {prefer!r}")
+    if prefer not in ("auto", "exact", "quantized", "ivf", "pq", "ivf_pq", "bq", "mih"):
+        raise ValueError(f"prefer must be auto|exact|quantized|ivf|pq|ivf_pq|bq|mih, got {prefer!r}")
     ctx = catalog.get(table, column)
     m = metric or ctx.distance
     has_replica = ctx.quantized_path is not None and ctx.qscale is not None
@@ -75,6 +75,11 @@ def knn(
     if prefer == "ivf_pq" and not (has_pq and ctx.ivf_centroids):
         raise ValueError(
             f"{table}.{column} has no IVF-PQ store — run ivf_pq_store + set_pq_index + set_ivf_index first"
+        )
+    if prefer == "mih" and (ctx.mih_path is None or not ctx.dimension):
+        raise ValueError(
+            f"{table}.{column} has no MIH band store — run bq_band_store + set_mih_index first "
+            "(and vector_init with an explicit dimension)"
         )
     if prefer == "ivf":
         from sqlite_vector_spark.operators.ann import ivf_stored_scan
@@ -108,6 +113,30 @@ def knn(
         return bq_rerank_scan(
             spark.table(table), column, query, k, prefilter or 10 * k,
             ctx.bq_thresholds, m, id_col=id_col, codes_df=codes,
+        )
+    if prefer == "mih":
+        # pruned-probe Hamming prefilter from the PERSISTED band store
+        # (partition pruning on the query's bands — the 1-bit tier
+        # without a full code scan), exact rerank to TRUE distances
+        # like prefer="bq"; same opt-in rationale (prefilter width
+        # governs recall)
+        import pyspark.sql.functions as F
+
+        from sqlite_vector_spark.functions.distance import distance
+        from sqlite_vector_spark.operators.bq import bq_band_scan
+
+        cand = bq_band_scan(
+            spark, ctx.mih_path, query, int(ctx.dimension), prefilter or 10 * k,
+            band_bits=ctx.mih_band_bits or 16, thresholds=ctx.bq_thresholds,
+        ).select("id")
+        base = spark.table(table).where(F.col(column).isNotNull()).select(
+            F.col(id_col).cast("bigint").alias("id"), F.col(column).alias("vec")
+        )
+        return (
+            base.join(F.broadcast(cand), "id", "left_semi")
+            .select("id", distance(F.col("vec"), [float(x) for x in query], m).alias("distance"))
+            .orderBy(F.col("distance").asc(), F.col("id").asc())
+            .limit(k)
         )
     if prefer == "ivf_pq":
         from sqlite_vector_spark.operators.pq import ivf_pq_stored_scan

@@ -330,3 +330,51 @@ def test_router_opq_rotation_applied(spark, emb, tmp_path):
     assert [(r.id, r.distance) for r in routed2.collect()] == [
         (r.id, r.distance) for r in direct.collect()
     ]
+
+
+def test_router_mih_tier(spark, emb, tmp_path):
+    """The persisted-MIH tier is OPT-IN (prefer='mih'): error without
+    a registered band store; with one, the pruned-probe Hamming
+    prefilter + exact rerank returns true distances. Candidates are
+    band collisions only, so a wide prefilter equals the BQ tier at
+    the same width restricted to collision candidates; the query's
+    own row always survives (its bands collide with themselves). The
+    path + band_bits persist through a catalog reload."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from sqlite_vector_spark.catalog import VectorCatalog
+    from sqlite_vector_spark.operators.bq import bq_band_store, bq_encode
+    from sqlite_vector_spark.router import knn
+
+    cat = VectorCatalog(str(tmp_path / "cat"))
+    emb.createOrReplaceTempView("emb_mih_router_t")
+    cat.vector_init(emb, "emb_mih_router_t", "embedding", "type=FLOAT32,dimension=64,distance=L2")
+    with _pytest.raises(ValueError, match="no MIH band store"):
+        knn(spark, cat, "emb_mih_router_t", "embedding", [0.1] * 64, 5, prefer="mih")
+
+    dest = str(tmp_path / "mih_bands")
+    codes = bq_encode(emb, "embedding", 64, id_col="vec_id")
+    bq_band_store(codes, 64, dest, band_bits=8)
+    cat.set_mih_index("emb_mih_router_t", "embedding", path=dest, band_bits=8)
+
+    qrow = emb.where(F.col("vec_id") == 11).collect()[0]
+    q = [float(x) for x in qrow.embedding]
+    got = knn(
+        spark, cat, "emb_mih_router_t", "embedding", q, 5,
+        prefer="mih", prefilter=200, id_col="vec_id",
+    ).collect()
+    assert len(got) == 5
+    assert got[0].id == 11 and got[0].distance == 0.0  # own row: Hamming 0, L2 0
+    ds = [r.distance for r in got]
+    assert ds == sorted(ds)
+
+    # reload: a fresh catalog on the same root restores the tier
+    cat2 = VectorCatalog(str(tmp_path / "cat"))
+    ctx = cat2.vector_init(emb, "emb_mih_router_t", "embedding", "type=FLOAT32,dimension=64,distance=L2")
+    assert ctx.mih_path == dest and ctx.mih_band_bits == 8
+    again = knn(
+        spark, cat2, "emb_mih_router_t", "embedding", q, 5,
+        prefer="mih", prefilter=200, id_col="vec_id",
+    ).collect()
+    assert [(r.id, r.distance) for r in again] == [(r.id, r.distance) for r in got]
