@@ -534,3 +534,73 @@ def test_bq_band_store_append_equals_rebuild(spark, emb, tmp_path):
     got = [tuple(r) for r in bq_band_scan(spark, inc, q, 64, 10, band_bits=8).collect()]
     want = [tuple(r) for r in bq_band_scan(spark, full, q, 64, 10, band_bits=8).collect()]
     assert got == want and len(got) > 0
+
+
+def test_bq_band_join_randomized_pigeonhole_invariant(spark):
+    """Randomized invariant (seeded): for random +/-1 corpora, every
+    brute-force neighbor within Hamming m-1 of a query MUST appear in
+    bq_band_join's result with its exact distance (pigeonhole over
+    the persisted layout), and every returned hamming must equal the
+    brute-force popcount."""
+    import random
+
+    from sqlite_vector_spark.operators.bq import (
+        bq_band_join,
+        bq_band_store,
+        bq_encode,
+        bq_query_words,
+    )
+
+    dim, band_bits = 128, 32  # m = 4 bands -> complete within 3
+    m_bands = dim // band_bits
+    rng = random.Random(77)
+
+    def vec_from_bits(bits):
+        return [1.0 if (bits >> i) & 1 else -1.0 for i in range(dim)]
+
+    # corpus: random codes + planted near codes for the first 3 queries
+    rows = []
+    codes_int = {}
+    rid = 0
+    for _ in range(300):
+        c = rng.getrandbits(dim)
+        codes_int[rid] = c
+        rows.append((rid, vec_from_bits(c)))
+        rid += 1
+    qids = [0, 1, 2]
+    for qi in qids:
+        base = codes_int[qi]
+        for d in (1, 2, 3):  # within m-1 = 3: MUST be found
+            c = base
+            for b in range(d):
+                c ^= 1 << rng.randrange(dim)
+            codes_int[rid] = c
+            rows.append((rid, vec_from_bits(c)))
+            rid += 1
+    corpus = spark.createDataFrame(rows, "id long, vec array<double>")
+    codes = bq_encode(corpus, "vec", dim)
+    import tempfile
+
+    dest = tempfile.mkdtemp(prefix="svspark_mih_rand_") + "/bands"
+    bq_band_store(codes, dim, dest, band_bits=band_bits)
+
+    k = 12
+    queries = spark.createDataFrame(
+        [(qi, vec_from_bits(codes_int[qi])) for qi in qids], "qid long, qv array<double>"
+    )
+    got = {}
+    for r in bq_band_join(spark, dest, queries, dim, k, band_bits=band_bits).collect():
+        got.setdefault(r.qid, {})[r.id] = (r.hamming, r.rank)
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    for qi in qids:
+        brute = sorted(
+            ((ham(codes_int[qi], c), i) for i, c in codes_int.items()), key=lambda t: (t[0], t[1])
+        )
+        # every in-radius neighbor that ranks within the brute top-k
+        # must be present with the exact distance
+        for rank0, (h, i) in enumerate(brute[:k]):
+            if h < m_bands:
+                assert got[qi].get(i) == (h, rank0 + 1), (qi, i, h, got[qi].get(i))
