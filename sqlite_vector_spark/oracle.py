@@ -2559,16 +2559,16 @@ def bq_knn_join_projected_q(band_bits: int = 8) -> str:
     sign bits via the same sequential plane-dot fold (_plane_dot ==
     the codegen encoder's 0.0-init zip_with/aggregate order), then
     the bq_knn_join_hamming candidate join restricted to the
-    PROJ_P-bit code layout."""
-    from sqlite_vector_spark.workload import PROJ_P, PROJ_PLANES
+    MIH_P-bit code layout."""
+    from sqlite_vector_spark.workload import MIH_P, MIH_PLANES
 
     word = " + ".join(
         f"(CASE WHEN {_plane_dot('embedding', plane)} > 0.0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        for i, plane in enumerate(PROJ_PLANES)
+        for i, plane in enumerate(MIH_PLANES)
     )
     per_word = 64 // band_bits
     mask = (1 << band_bits) - 1
-    n_bands = sum(1 for i in range(per_word) if i * band_bits < PROJ_P)
+    n_bands = sum(1 for i in range(per_word) if i * band_bits < MIH_P)
     ham = f"CAST(bit_count(xor(k.bits[1], q2.bits[1])) AS BIGINT)"
     bv = f"(bits[CAST(b // {per_word} AS INTEGER) + 1] >> ((b % {per_word}) * {band_bits})) & {mask}"
     return f"""WITH pbc AS (

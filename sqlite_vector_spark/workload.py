@@ -3225,16 +3225,20 @@ def bq_knn_join_hamming_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: deterministic rational SimHash planes for the projected MIH gate
 #: (same literal-matrix convention as HYPERPLANES/Q64 — both engines
-#: fold the identical decimal literals)
-PROJ_P = 32
-PROJ_PLANES = [
-    [((p * DIM + j) * 53 % 97) / 97.0 - 0.5 for j in range(DIM)] for p in range(PROJ_P)
+#: fold the identical decimal literals; 6-decimal rounding like
+#: PROJ_PLANES so DuckDB's DECIMAL literal parse stays ulp-exact).
+#: NOT named PROJ_PLANES: that is random_projection_q's 8-plane
+#: matrix, and shadowing it silently quadrupled that operator's work
+#: (caught by the r8 bench delta).
+MIH_P = 32
+MIH_PLANES = [
+    [round(((p * DIM + j) * 59 % 101) / 101.0 - 0.5, 6) for j in range(DIM)] for p in range(MIH_P)
 ]
 
 
 def bq_knn_join_projected_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projected-code MIH join (operators/bq.bq_knn_join with
-    planes=): corpus and queries encode to PROJ_P SimHash-plane sign
+    planes=): corpus and queries encode to MIH_P SimHash-plane sign
     bits via the sequential-fold codegen encoder, then the same
     band-collision equi-join + popcount rank as the axis-aligned
     entry. This is the production composition for correlated/biased
@@ -3245,12 +3249,12 @@ def bq_knn_join_projected_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sqlite_vector_spark.operators.bq import bq_knn_join, bq_project_encode
 
     emb = _emb(spark, sf_dir)
-    codes = bq_project_encode(emb, "embedding", PROJ_PLANES, id_col="vec_id", backend="codegen")
+    codes = bq_project_encode(emb, "embedding", MIH_PLANES, id_col="vec_id", backend="codegen")
     queries = emb.where((F.col("vec_id") < NQ) & F.col("embedding").isNotNull()).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
     return bq_knn_join(
-        queries, codes, PROJ_P, KNN_K, band_bits=8, planes=PROJ_PLANES
+        queries, codes, MIH_P, KNN_K, band_bits=8, planes=MIH_PLANES
     ).orderBy("qid", "rank")
 
 
