@@ -98,6 +98,54 @@ def score_stream_ivf_pq(
     return writer.start()
 
 
+def score_stream_mih(
+    query_stream: DataFrame,
+    band_store_path: str,
+    dest: str,
+    checkpoint: str,
+    dim: int,
+    k: int,
+    band_bits: int = 16,
+    thresholds: Sequence[float] | None = None,
+    q_id: str = "qid",
+    q_vec: str = "qv",
+    planes=None,
+    center: Sequence[float] | None = None,
+    trigger_once: bool = False,
+):
+    """Continuous Hamming top-k of a QUERY stream against the static
+    MIH band store — the streaming form of bq_band_join: every
+    micro-batch of queries encodes to packed bits, explodes to band
+    probes, and equi-joins the persisted ``b=`` layout (dynamic
+    partition pruning bounds the read to the batch's collision
+    bands), so per-trigger cost scales with band collisions, never a
+    corpus scan. Same idempotent-epoch sink contract as
+    score_stream_ivf_pq (``dest/batch=<epoch_id>`` overwrite +
+    checkpointed offsets = exactly-once under crash replay).
+    ``planes`` selects projected-code probes for a store built from
+    bq_project_encode codes. Returns the started StreamingQuery."""
+    from sqlite_vector_spark.operators.bq import bq_band_join
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = bq_band_join(
+            batch_df.sparkSession, band_store_path, batch_df, dim, k,
+            band_bits=band_bits, thresholds=thresholds, q_id=q_id, q_vec=q_vec,
+            planes=planes, center=center,
+        )
+        res.write.mode("overwrite").parquet(f"{dest}/batch={epoch_id}")
+
+    writer = (
+        query_stream.writeStream.foreachBatch(handle)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def ingest_stream_ivf(
     vec_stream: DataFrame,
     dest: str,

@@ -369,3 +369,53 @@ def test_ingest_stream_ivf_appends_and_prunes(spark, emb, tmp_path):
     drift = spark.read.parquet(f"{dest}/_drift")
     assert drift.count() == 2
     assert {c for c in drift.columns} >= {"n", "mean_dist", "drift", "rebuild_recommended"}
+
+
+def test_score_stream_mih_restart_proof(spark, emb, tmp_path):
+    """Stream-static Hamming scoring over the persisted MIH band
+    store: per-query results equal the batch bq_band_join across a
+    checkpoint kill/restore (replayed epochs overwrite their own
+    batch dir — exactly-once sink)."""
+    import pyspark.sql.functions as F
+
+    from sqlite_vector_spark.operators.bq import bq_band_join, bq_band_store, bq_encode
+    from sqlite_vector_spark.streaming.scoring import score_stream_mih
+
+    codes = bq_encode(emb, "embedding", 64, id_col="vec_id")
+    store_dir = str(tmp_path / "mih_store")
+    bq_band_store(codes, 64, store_dir, band_bits=8)
+
+    k = 5
+    q1 = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    q2 = emb.where((F.col("vec_id") >= 2) & (F.col("vec_id") < 4)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    src = str(tmp_path / "mih_qsrc")
+    dest = str(tmp_path / "mih_scored")
+    ckpt = str(tmp_path / "mih_ckpt")
+
+    def run_once(batch_df):
+        batch_df.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(q1.schema).parquet(src)
+        sq = score_stream_mih(stream, store_dir, dest, ckpt, 64, k, band_bits=8)
+        try:
+            sq.processAllAvailable()
+        finally:
+            sq.stop()  # kill between batches: offsets live in ckpt
+
+    run_once(q1)
+    run_once(q2)  # restart: must score ONLY the new file, not re-emit q1
+
+    got = {}
+    for r in spark.read.parquet(dest).collect():
+        got.setdefault(r.qid, []).append((r.rank, r.id, r.hamming))
+    assert set(got) == {0, 1, 2, 3}
+
+    static = bq_band_join(spark, store_dir, q1.unionByName(q2), 64, k, band_bits=8)
+    want = {}
+    for r in static.collect():
+        want.setdefault(r.qid, []).append((r.rank, r.id, r.hamming))
+    for qid in want:
+        assert sorted(got[qid]) == sorted(want[qid]), qid
