@@ -448,3 +448,72 @@ def test_wav_decoder_multichannel_and_8bit(spark):
     got = {r.id: list(r.feature) for r in extract_features(df, dim=4, decoder="wav").collect()}
     assert all(v > 0.55 for v in got[1])  # left channel loud, right ignored
     assert all(0.6 < v < 0.9 for v in got[2])  # |100|/127 ~ 0.79
+
+
+def _make_gif(frame_lums, duration_ms=40, size=4):
+    """Animated GIF: one solid-luminance size x 1 frame per entry."""
+    import io
+
+    from PIL import Image
+
+    frames = []
+    for lum in frame_lums:
+        img = Image.new("L", (size, 1))
+        img.putdata([lum] * size)
+        frames.append(img)
+    buf = io.BytesIO()
+    frames[0].save(
+        buf, format="GIF", save_all=True, append_images=frames[1:], duration=duration_ms
+    )
+    return buf.getvalue()
+
+
+def test_gif_frame_decode_golden():
+    """Real video decode (Pillow animated GIF): every frame comes back
+    with its duration-derived timestamp and its own pixel features."""
+    pytest.importorskip("PIL")
+    from sqlite_vector_spark.operators.multimodal import _gif_frames, _strip_features
+
+    payload = _make_gif([0, 128, 255], duration_ms=40)
+    frames = _gif_frames(payload)
+    assert [ts for ts, _ in frames] == [0, 40, 80]
+    # GIF palettes are exact for solid frames -> exact luminance back
+    lums = [_strip_features(img, 4) for _, img in frames]
+    assert lums[0] == [0.0] * 4
+    assert lums[2] == [1.0] * 4
+    assert all(abs(v - 128 / 255.0) < 0.02 for v in lums[1])
+
+
+def test_gif_frame_decode_through_spark_plumbing(spark):
+    """frame_decode end-to-end: per-frame rows through mapInPandas,
+    every_ms grid subsampling, NULL payload skip."""
+    pytest.importorskip("PIL")
+    from sqlite_vector_spark.operators.multimodal import frame_decode
+
+    clip = _make_gif([0, 64, 128, 192, 255], duration_ms=40)  # 0..160ms
+    df = spark.createDataFrame(
+        [(1, bytearray(clip)), (2, None)], "id long, payload binary"
+    )
+    rows = frame_decode(df, dim=4, decoder="gif").collect()
+    assert sorted((r.id, r.frame_ts_ms) for r in rows) == [
+        (1, 0), (1, 40), (1, 80), (1, 120), (1, 160)
+    ]
+    # grid subsample at 100ms: first frame at t>=0, then first at t>=100
+    sub = frame_decode(df, dim=4, decoder="gif", every_ms=100).collect()
+    assert sorted((r.id, r.frame_ts_ms) for r in sub) == [(1, 0), (1, 120)]
+    by_ts = {r.frame_ts_ms: list(r.feature) for r in rows}
+    assert by_ts[0] == [0.0] * 4 and by_ts[160] == [1.0] * 4
+
+
+def test_frame_decode_fake_and_stub(spark):
+    """The plumbing runs without Pillow via decoder='fake'; None keeps
+    the documented stub error."""
+    from sqlite_vector_spark.operators.multimodal import frame_decode
+
+    df = spark.createDataFrame([(7, bytearray(b"abc"))], "id long, payload binary")
+    with pytest.raises(NotImplementedError, match="video decode"):
+        frame_decode(df).collect()
+    rows = frame_decode(df, dim=3, decoder="fake").collect()
+    assert [r.frame_ts_ms for r in rows] == [0, 100, 200, 300]
+    feats = [tuple(r.feature) for r in rows]
+    assert len(set(feats)) == 4  # per-frame features differ
