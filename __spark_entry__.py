@@ -80,7 +80,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # latest driver green is older than r6.
         # -- (1) new r8 (projected MIH joined the window; the
         #    boilerplate_strip r6 fill moved past the horizon to
-        #    keep the window at 50)
+        #    keep the window at 50; the SQL-surface pair
+        #    auto_route_scan/sql_macro_scan joined late-r8, displacing
+        #    knn_join_l2+semantic_dedup from the (5) fill to r9)
+        "auto_route_scan": w.auto_route_scan_q,
+        "sql_macro_scan": w.sql_macro_scan_q,
+        "token_cooccurrence": w.token_cooccurrence_q,
         "bq_band_scan": w.bq_band_scan_q,
         "passage_strip_frozen": w.passage_strip_frozen_q,
         "bq_knn_join_projected": w.bq_knn_join_projected_q,
@@ -244,6 +249,10 @@ def oracle_sql() -> dict[str, str]:
         "quantize_codes": o.quantize_codes(),
         "quantize_update_codes": o.quantize_update_codes(),
         "quantize_scan_l2": o.quantize_scan("L2"),
+        # auto-route lands on the quantized replica -> same result
+        # contract (and therefore the same oracle) as quantize_scan
+        "auto_route_scan": o.quantize_scan("L2"),
+        "sql_macro_scan": o.sql_macro_scan(),
         "quantize_scan_cosine": o.quantize_scan("COSINE"),
         "quantize_scan_dot": o.quantize_scan("DOT"),
         "quantize_scan_l1": o.quantize_scan("L1"),
@@ -306,6 +315,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_null_carry_events": o.asof_null_carry_events_q(),
         "doc_split_assign": o.doc_split_assign_q(w.SPLIT_TRAIN_PCT, w.SPLIT_VAL_PCT),
         "token_doc_freq": o.token_doc_freq_q(w.MIN_DF),
+        "token_cooccurrence": o.token_cooccurrence_q(w.COOC_TOP),
         "embedding_dim_stats": o.embedding_dim_stats_q(),
         "purchase_session_join": o.purchase_session_join_q(w.SESSION_GAP_US),
         "approx_quantile_audit": o.approx_quantile_audit_q(len(w.APPROX_QS)),

@@ -85,6 +85,10 @@ def main():
     bench("full_scan_l2", lambda: w.full_scan_l2(spark, SF_DIR).collect())
     bench("full_scan_cosine", lambda: w.full_scan_cosine(spark, SF_DIR).collect())
     bench("full_scan_stream_l2", lambda: w.full_scan_stream_l2(spark, SF_DIR).count())
+    # SQL surface: canonical text routed onto the quantized replica
+    # (includes the replica build on first run) + macro passthrough
+    bench("auto_route_scan", lambda: w.auto_route_scan_q(spark, SF_DIR).collect())
+    bench("sql_macro_scan", lambda: w.sql_macro_scan_q(spark, SF_DIR).collect())
 
     # quantize build (the EP2 two-pass index build) + approximate scan
     import tempfile
@@ -380,6 +384,7 @@ def main():
     # round-5 pipeline additions
     bench("doc_split_assign", lambda: w.doc_split_assign_q(spark, SF_DIR).count())
     bench("token_doc_freq", lambda: w.token_doc_freq_q(spark, SF_DIR).count())
+    bench("token_cooccurrence", lambda: w.token_cooccurrence_q(spark, SF_DIR).count())
     bench("asof_null_carry", lambda: w.asof_null_carry_events_q(spark, SF_DIR).count())
     bench("embedding_dim_stats", lambda: w.embedding_dim_stats_q(spark, SF_DIR).count())
     bench("purchase_session_join", lambda: w.purchase_session_join_q(spark, SF_DIR).count())

@@ -206,6 +206,20 @@ ORDER BY distance ASC, id ASC
 LIMIT {k}"""
 
 
+def sql_macro_scan() -> str:
+    """Mirror of workload.sql_macro_scan_q: the macro-expanded Spark
+    SQL (WHERE + composite sort over a cosine distance) — the Spark
+    side's HOF fold and this list_reduce fold are the same sequential
+    DOUBLE accumulation."""
+    d = dist_sql("COSINE", "embedding", "q")
+    return f"""WITH qq AS (SELECT {qvec_literal(Q64)} AS q)
+SELECT vec_id AS id, {d} AS distance
+FROM embeddings, qq
+WHERE embedding IS NOT NULL AND vec_id % 7 = 0
+ORDER BY distance ASC, id ASC
+LIMIT {K}"""
+
+
 def rerank_scan_l2() -> str:
     from sqlite_vector_spark.workload import RERANK_M
 
@@ -530,6 +544,30 @@ SELECT token, count(*) AS df
 FROM t GROUP BY token
 HAVING count(*) >= {min_df}
 ORDER BY df DESC, token ASC"""
+
+
+def token_cooccurrence_q(top: int) -> str:
+    # Mirror of workload.token_cooccurrence_q: relative df gates
+    # (5%-50%), relative pair floor (2%), lift = one exact-integer
+    # double division (IEEE-correctly-rounded on both engines).
+    norm = ("trim(regexp_replace(regexp_replace(lower(text), "
+            f"'{_PUNCT_RE}', ' ', 'g'), '  *', ' ', 'g'))")
+    toks = f"list_distinct(list_filter(string_split({norm}, ' '), w -> w <> ''))"
+    return f"""WITH t AS (SELECT doc_id, unnest({toks}) AS token FROM documents),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+dfc AS (SELECT token, count(*) AS df FROM t GROUP BY token),
+vocab AS (SELECT token, df FROM dfc, nd WHERE df * 20 >= n_docs AND df * 20 <= 19 * n_docs),
+vt AS (SELECT t.doc_id, t.token, v.df FROM t JOIN vocab v USING (token)),
+p AS (SELECT a.token AS t1, b.token AS t2, a.df AS df1, b.df AS df2
+      FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.token < b.token),
+pc AS (SELECT t1, t2, df1, df2, count(*) AS n_xy
+       FROM p GROUP BY t1, t2, df1, df2)
+SELECT t1, t2, n_xy, df1, df2,
+       CAST(n_xy * n_docs AS DOUBLE) / CAST(df1 * df2 AS DOUBLE) AS lift
+FROM pc, nd
+WHERE n_xy * 50 >= n_docs
+ORDER BY lift DESC, t1 ASC, t2 ASC
+LIMIT {top}"""
 
 
 def dedup_exact_q() -> str:

@@ -1,0 +1,305 @@
+"""SQL text surface + auto-route (SURVEY §4's optional optimizer item).
+
+The reference's users type SQL — ``SELECT rowid, distance FROM
+vector_full_scan(...)`` TVFs (sqlite-vector.c:1792-1880) — and its
+cost model steers the planner between the exact and quantized TVFs
+(estimatedCost 1851-1852 vs 2248-2249). This module is the Spark
+analog, built WITHOUT a custom Catalyst rule (SURVEY §4's conclusion:
+none is required):
+
+1. ``expand_vector_sql(sql)`` — a textual macro: every
+   ``vector_distance(a, b[, 'metric'])`` call is expanded into the
+   equivalent Spark SQL higher-order-function expression
+   (``aggregate(zip_with(...))`` — the same sequential DOUBLE fold as
+   functions/distance.py, bit-identical results). The expanded text is
+   plain Spark SQL: whole-stage-codegen'd, filter-pushdown-friendly,
+   no UDF, works in ANY query shape (WHERE/JOIN/GROUP BY).
+
+2. ``route_sql(spark, catalog, sql)`` — recognizes the canonical
+   top-k shape
+
+       SELECT <id> [AS <a>], vector_distance(<col>, array(...)
+              [, '<metric>']) AS <d>
+       FROM <table> ORDER BY <d> [ASC] LIMIT <k>
+
+   and, when ``<table>.<col>`` is registered in the VectorCatalog,
+   reroutes it onto the best registered tier via router.knn (the
+   metadata-level rewrite of "ORDER BY distance LIMIT k onto the
+   quantized replica" that the reference's cost steering performs).
+   Any other text falls through to ``spark.sql`` after macro
+   expansion — same results, no routing.
+
+Distance-domain contract (SURVEY §2.3, same as the reference): a
+query routed onto the quantized replica returns quantized-unit
+distances — never rescaled. ``prefer="exact"`` forces true-domain
+results through the same API.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sqlite_vector_spark.functions.distance import EPS_SNAP
+from sqlite_vector_spark.types import Metric, parse_metric
+
+# ---------------------------------------------------------------- macro templates
+# Each mirrors functions/distance.py exactly: sequential left fold in
+# DOUBLE (aggregate), per-pair IEEE ops via zip_with, the single-eval
+# let-binding (transform(array(x), v -> body)[0]) for cosine's denom
+# and the zero-snap — so macro-expanded SQL is bit-identical to the
+# Column-built codegen path AND to the DuckDB oracle's list_reduce
+# fold (oracle.py dist_sql).
+
+_D0 = "CAST(0.0 AS DOUBLE)"
+_D1 = "CAST(1.0 AS DOUBLE)"
+
+
+def _fold(pairs: str) -> str:
+    return f"aggregate({pairs}, {_D0}, (acc, x) -> acc + x)"
+
+
+def _sq(a: str, b: str) -> str:
+    return _fold(
+        f"zip_with({a}, {b}, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))"
+    )
+
+
+def _dotp(a: str, b: str) -> str:
+    return _fold(f"zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))")
+
+
+def _snap(d: str) -> str:
+    eps = f"CAST('{EPS_SNAP!r}' AS DOUBLE)"
+    return f"transform(array({d}), v -> CASE WHEN abs(v) <= {eps} THEN {_D0} ELSE v END)[0]"
+
+
+def distance_sql(a: str, b: str, metric: str | Metric = Metric.L2) -> str:
+    """The Spark SQL text of ``distance(a, b, metric)`` — reference
+    kernel semantics (distance-cpu.c:39-159 + eps-snap 994-996)."""
+    m = parse_metric(metric) if isinstance(metric, str) else metric
+    if m is Metric.SQUARED_L2:
+        d = _sq(a, b)
+    elif m is Metric.L2:
+        d = f"sqrt({_sq(a, b)})"
+    elif m is Metric.L1:
+        d = _fold(f"zip_with({a}, {b}, (x, y) -> abs(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))")
+    elif m is Metric.DOT:
+        d = f"(- {_dotp(a, b)})"
+    elif m is Metric.COSINE:
+        num = _dotp(a, b)
+        denom = f"sqrt({_dotp(a, a)}) * sqrt({_dotp(b, b)})"
+        d = (
+            f"transform(array({denom}), dn -> CASE WHEN dn = {_D0} THEN {_D1}"
+            f" ELSE {_D1} - ({num}) / dn END)[0]"
+        )
+    else:  # pragma: no cover
+        raise ValueError(m)
+    return _snap(d)
+
+
+# ---------------------------------------------------------------- call-site scanner
+
+_CALL_RE = re.compile(r"\bvector_distance\s*\(", re.IGNORECASE)
+
+
+def _scan_args(sql: str, open_paren: int) -> tuple[list[str], int]:
+    """Split the balanced-paren argument list starting at ``sql[open_paren]``
+    into top-level comma-separated arg texts; returns (args, index past
+    the closing paren). Quote-aware (single/double)."""
+    depth = 0
+    args: list[str] = []
+    buf: list[str] = []
+    i = open_paren
+    n = len(sql)
+    quote: str | None = None
+    while i < n:
+        ch = sql[i]
+        if quote is not None:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            if depth > 1:
+                buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                args.append("".join(buf).strip())
+                return args, i + 1
+            buf.append(ch)
+        elif ch == "," and depth == 1:
+            args.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    raise ValueError("unbalanced parentheses in vector_distance(...) call")
+
+
+def _metric_from_arg(arg: str) -> Metric:
+    m = re.fullmatch("'([A-Za-z0-9_]+)'|\"([A-Za-z0-9_]+)\"", arg.strip())
+    if not m:
+        raise ValueError(
+            f"vector_distance metric argument must be a quoted literal like 'l2', got: {arg!r}"
+        )
+    return parse_metric(m.group(1) or m.group(2))
+
+
+def _in_string(sql: str, pos: int) -> bool:
+    """True when ``sql[pos]`` sits inside a quoted literal."""
+    quote: str | None = None
+    for ch in sql[:pos]:
+        if quote is not None:
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+    return quote is not None
+
+
+def expand_vector_sql(sql: str) -> str:
+    """Expand every ``vector_distance(a, b[, 'metric'])`` call in ``sql``
+    into the HOF distance expression. Innermost-first, quote-aware, so
+    nested calls and string literals containing the token are safe."""
+    out = sql
+    for _ in range(64):  # bounded: each pass expands one call site
+        m = None
+        for cand in _CALL_RE.finditer(out):
+            if not _in_string(out, cand.start()):
+                m = cand
+                break
+        if not m:
+            return out
+        args, end = _scan_args(out, out.index("(", m.start()))
+        if len(args) not in (2, 3):
+            raise ValueError(f"vector_distance takes 2 or 3 arguments, got {len(args)}")
+        a, b = expand_vector_sql(args[0]), expand_vector_sql(args[1])
+        metric = _metric_from_arg(args[2]) if len(args) == 3 else Metric.L2
+        out = out[: m.start()] + "(" + distance_sql(a, b, metric) + ")" + out[end:]
+    raise ValueError("too many nested vector_distance expansions")  # pragma: no cover
+
+
+# ---------------------------------------------------------------- canonical top-k recognizer
+
+_NUM = r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?"
+_TOPK_RE = re.compile(
+    r"^\s*SELECT\s+(?P<id>\w+)(?:\s+AS\s+(?P<id_alias>\w+))?\s*,\s*"
+    r"vector_distance\s*\(\s*(?P<col>\w+)\s*,\s*array\s*\((?P<vec>[^)]*)\)\s*"
+    r"(?:,\s*'(?P<metric>\w+)')?\s*\)\s+AS\s+(?P<alias>\w+)\s+"
+    r"FROM\s+(?P<table>\w+)\s+"
+    r"ORDER\s+BY\s+(?P<ob>\w+)(?:\s+ASC)?\s*"
+    r"LIMIT\s+(?P<k>\d+)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+@dataclass(frozen=True)
+class TopKQuery:
+    """A recognized canonical top-k over a vector column."""
+
+    table: str
+    column: str
+    query: tuple[float, ...]
+    k: int
+    metric: str | None  # None -> the registered table's init metric
+    id_col: str
+    id_out: str  # output name for the id column (AS alias or id_col)
+    dist_out: str  # output name for the distance column
+
+
+def parse_topk(sql: str) -> TopKQuery | None:
+    """Recognize the canonical ``ORDER BY vector_distance LIMIT k``
+    shape; None when the text isn't exactly that shape (conservative:
+    anything else falls through to full SQL execution)."""
+    m = _TOPK_RE.match(sql)
+    if not m:
+        return None
+    if m.group("ob").lower() != (m.group("alias") or "").lower():
+        return None  # ordered by something other than the distance alias
+    try:
+        vec = tuple(float(tok) for tok in m.group("vec").split(",") if tok.strip())
+    except ValueError:
+        return None  # non-literal array elements -> not canonical
+    if not vec:
+        return None
+    return TopKQuery(
+        table=m.group("table"),
+        column=m.group("col"),
+        query=vec,
+        k=int(m.group("k")),
+        metric=m.group("metric"),
+        id_col=m.group("id"),
+        id_out=m.group("id_alias") or m.group("id"),
+        dist_out=m.group("alias"),
+    )
+
+
+@dataclass(frozen=True)
+class RouteDecision:
+    """What route_sql decided, for explain/testing."""
+
+    tier: str  # "routed" (router.knn picks the registered tier) | "sql"
+    topk: TopKQuery | None
+
+
+def plan_route(catalog, sql: str) -> RouteDecision:
+    """Decide without executing: canonical shape + registered column
+    -> "routed"; anything else -> "sql" (macro-expanded passthrough)."""
+    p = parse_topk(sql)
+    if p is not None and catalog is not None:
+        try:
+            catalog.get(p.table, p.column)
+        except (KeyError, ValueError):
+            p = None
+        else:
+            return RouteDecision("routed", p)
+    return RouteDecision("sql", None)
+
+
+def route_sql(
+    spark: SparkSession,
+    catalog,
+    sql: str,
+    prefer: str = "auto",
+    nprobe: int = 2,
+    prefilter: int | None = None,
+) -> DataFrame:
+    """Run vector SQL with index auto-routing.
+
+    Canonical top-k text over a catalog-registered column goes through
+    router.knn (``prefer`` / ``nprobe`` / ``prefilter`` as there —
+    "auto" picks the cheapest FULL-COVERAGE tier: quantized replica if
+    registered, else exact; probe-limited tiers stay opt-in). The
+    routed result is renamed to the SQL text's output columns. All
+    other text executes as plain Spark SQL after macro expansion —
+    identical semantics, no routing.
+    """
+    import pyspark.sql.functions as F
+
+    decision = plan_route(catalog, sql)
+    if decision.tier == "routed":
+        from sqlite_vector_spark.router import knn
+
+        p = decision.topk
+        df = knn(
+            spark,
+            catalog,
+            p.table,
+            p.column,
+            list(p.query),
+            p.k,
+            metric=p.metric,
+            prefer=prefer,
+            id_col=p.id_col,
+            nprobe=nprobe,
+            prefilter=prefilter,
+        )
+        return df.select(F.col("id").alias(p.id_out), F.col("distance").alias(p.dist_out))
+    return spark.sql(expand_vector_sql(sql))

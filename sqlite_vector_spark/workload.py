@@ -199,6 +199,56 @@ quantize_scan_squared_l2 = _quantize_scan("SQUARED_L2", K)
 quantize_scan_stream_l2 = _quantize_scan("L2", None)
 
 
+# ---------------------------------------------------------------- SQL surface (sql.py)
+
+
+def auto_route_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL auto-route (sqlite_vector_spark.sql.route_sql — SURVEY §4):
+    the canonical ``ORDER BY vector_distance(...) LIMIT k`` text over
+    a catalog-registered column is rewritten onto the quantized
+    replica — the metadata-level analog of the reference's TVF cost
+    steering (sqlite-vector.c:1851-1852 vs 2248-2249). Result contract
+    == vector_quantize_scan (quantized-unit distances, (distance, id)
+    ascending), so it hash-gates against the SAME oracle SQL as
+    quantize_scan_l2."""
+    import tempfile
+
+    from sqlite_vector_spark.catalog import VectorCatalog
+    from sqlite_vector_spark.operators.quantize import vector_quantize
+    from sqlite_vector_spark.sql import route_sql
+
+    emb = _emb(spark, sf_dir)
+    emb.createOrReplaceTempView("emb_route_v")
+    root = tempfile.mkdtemp(prefix="svspark_route_")
+    cat = VectorCatalog(root + "/cat")
+    cat.vector_init(emb, "emb_route_v", "embedding", f"type=FLOAT32,dimension={DIM},distance=L2")
+    vector_quantize(emb, "embedding", root + "/shadow", id_col="vec_id", catalog=cat, table="emb_route_v")
+    arr = "array(" + ", ".join(repr(float(v)) for v in Q64) + ")"
+    sql = (
+        f"SELECT vec_id AS id, vector_distance(embedding, {arr}, 'l2') AS distance "
+        f"FROM emb_route_v ORDER BY distance ASC LIMIT {K}"
+    )
+    return route_sql(spark, cat, sql)
+
+
+def sql_macro_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic vector SQL via macro expansion (sql.expand_vector_sql):
+    a shape the canonical recognizer rejects (WHERE + composite sort)
+    runs as plain Spark SQL with every ``vector_distance`` call
+    expanded to the HOF fold — whole-stage codegen, pushed filters,
+    no UDF, bit-identical to the Column-built plan."""
+    from sqlite_vector_spark.sql import route_sql
+
+    _emb(spark, sf_dir).createOrReplaceTempView("emb_sqlmacro_v")
+    arr = "array(" + ", ".join(repr(float(v)) for v in Q64) + ")"
+    sql = (
+        f"SELECT vec_id AS id, vector_distance(embedding, {arr}, 'cosine') AS distance "
+        "FROM emb_sqlmacro_v WHERE embedding IS NOT NULL AND vec_id % 7 = 0 "
+        f"ORDER BY distance ASC, id ASC LIMIT {K}"
+    )
+    return route_sql(spark, None, sql)
+
+
 RERANK_M = 60  # prefilter candidate count (3x K)
 
 
@@ -1706,6 +1756,69 @@ def token_doc_freq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") >= MIN_DF)
         .orderBy(F.col("df").desc(), F.col("token").asc())
+    )
+
+
+#: co-occurrence vocab gate: 5% <= df/n_docs <= 50% (scale-free), pair
+#: floor n_xy/n_docs >= 2%, top pairs by lift
+COOC_TOP = 100
+
+
+def token_cooccurrence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence lift — the rational form of PMI (lift =
+    p(xy)/(p(x)p(y)); PMI is its log, monotone, so the ranking is
+    identical and the gate stays transcendental-free): which
+    medium-frequency token pairs appear in the same document far more
+    often than independence predicts. The corpus-analysis staple for
+    collocation mining / topic seeds.
+
+    Scale shape (market-basket): per-doc DISTINCT tokens explode once
+    (bounded by types-per-doc); the vocabulary is df-gated to the
+    5%-50% band and BROADCAST; the within-doc pair join co-partitions
+    both sides on doc_id (one shuffle each, text never shuffles);
+    pair counts collapse with map-side partials; the relative pair
+    floor (2% of docs) kills the tail before the final top-k. All
+    gates are RELATIVE to n_docs, so the same plan holds at any SF.
+    Lift is one double division of exact sub-2^53 integers — IEEE-
+    correctly-rounded on both engines, hashable."""
+    from sqlite_vector_spark.functions.text import normalize_text, words
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(words(normalize_text(F.col("text"))))).alias("token"),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs")).localCheckpoint(eager=True)
+    dfc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    vocab = (
+        dfc.crossJoin(F.broadcast(n_docs))
+        .where((F.col("df") * 20 >= F.col("n_docs")) & (F.col("df") * 20 <= 19 * F.col("n_docs")))
+        .select("token", "df")
+    )
+    vt = toks.join(F.broadcast(vocab), "token")
+    a = vt.select("doc_id", F.col("token").alias("t1"), F.col("df").alias("df1"))
+    b = vt.select("doc_id", F.col("token").alias("t2"), F.col("df").alias("df2"))
+    pairs = a.join(b, "doc_id").where(F.col("t1") < F.col("t2"))
+    pc = (
+        pairs.groupBy("t1", "t2", "df1", "df2")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("n_xy") * 50 >= F.col("n_docs"))
+    )
+    return (
+        pc.select(
+            "t1",
+            "t2",
+            "n_xy",
+            "df1",
+            "df2",
+            (
+                (F.col("n_xy") * F.col("n_docs")).cast("double")
+                / (F.col("df1") * F.col("df2")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("t1").asc(), F.col("t2").asc())
+        .limit(COOC_TOP)
     )
 
 

@@ -632,3 +632,45 @@ def test_temperature_mix_downweights_dominant(spark):
     ordered = sorted(totals.items(), key=lambda kv: kv[1])
     if len(ordered) >= 2 and ordered[-1][1] >= 3 * ordered[0][1]:
         assert fracs[ordered[0][0]] > fracs[ordered[-1][0]]
+
+
+def test_token_cooccurrence_planted_lift(spark):
+    """Planted collocation: 'alpha beta' always co-occur, 'alpha gamma'
+    never do; filler tokens appear everywhere. Lift ranks the planted
+    pair first with the exact rational value n_xy*N/(df1*df2), and the
+    mutually-exclusive pair never surfaces."""
+    import tempfile
+
+    from sqlite_vector_spark import workload as w
+
+    rows = []
+    # 40 docs: even docs get alpha+beta, odd docs get gamma; 'fill'
+    # appears in every doc (df=100% -> excluded by the 95% ceiling),
+    # 'mid' in half of them (in-band).
+    for i in range(40):
+        toks = ["fill", "common", "word"]
+        if i % 2 == 0:
+            toks += ["alpha", "beta"]
+        else:
+            toks += ["gamma"]
+        if i % 2 == 0:
+            toks += ["mid"]
+        rows.append((i, " ".join(toks)))
+    sf_dir = tempfile.mkdtemp(prefix="svspark_cooc_")
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode("overwrite").parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    out = w.token_cooccurrence_q(spark, sf_dir).collect()
+    assert out, "planted corpus must produce pairs"
+    got = {(r.t1, r.t2): r for r in out}
+    assert ("alpha", "beta") in got
+    r = got[("alpha", "beta")]
+    # exact rational: 20 co-occurrences * 40 docs / (20 * 20)
+    assert (r.n_xy, r.df1, r.df2) == (20, 20, 20)
+    assert r.lift == 20 * 40 / (20 * 20)
+    assert ("alpha", "gamma") not in got  # never co-occur
+    assert not any("fill" in p for p in got)  # ubiquitous token gated out
+    # perfect collocations outrank independent ones
+    assert out[0].lift == 2.0
+    lifts = [x.lift for x in out]
+    assert lifts == sorted(lifts, reverse=True)

@@ -1,0 +1,194 @@
+"""SQL text surface: vector_distance macro expansion + auto-route.
+
+Parity target: the reference's SQL-first UX (TVF queries,
+sqlite-vector.c:1792-1880) and its cost steering between the exact
+and quantized paths (estimatedCost 1851-1852 vs 2248-2249), realized
+here as text-level macro expansion + a metadata-level rewrite of the
+canonical "ORDER BY vector_distance LIMIT k" onto the registered
+tier (SURVEY §4 — no custom Catalyst rule needed)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from sqlite_vector_spark.functions.distance import distance
+from sqlite_vector_spark.sql import (
+    distance_sql,
+    expand_vector_sql,
+    parse_topk,
+    plan_route,
+    route_sql,
+)
+from sqlite_vector_spark.workload import Q64
+
+
+def _arr(vals):
+    return "array(" + ", ".join(repr(float(v)) for v in vals) + ")"
+
+
+METRICS = ["l2", "squared_l2", "cosine", "dot", "l1"]
+
+
+@pytest.mark.parametrize("metric", METRICS)
+def test_macro_bit_exact_vs_codegen(spark, emb, metric):
+    """The SQL template is the SAME sequential DOUBLE fold as the
+    Column-built codegen expression — bit-identical distances, every
+    row, every metric (this is what makes macro-expanded SQL safe to
+    hash-gate against the DuckDB oracle)."""
+    from sqlite_vector_spark.version import set_backend, vector_backend
+
+    prev = vector_backend()
+    set_backend("codegen")
+    try:
+        macro = F.expr(distance_sql("embedding", _arr(Q64), metric))
+        col = distance("embedding", Q64, metric)
+        mism = (
+            emb.where(F.col("embedding").isNotNull())
+            .select((macro != col).cast("int").alias("m"))
+            .agg(F.sum("m").alias("n"))
+            .collect()[0]["n"]
+        )
+        assert mism == 0
+    finally:
+        set_backend(prev)
+
+
+def test_expand_defaults_and_metric():
+    out = expand_vector_sql("SELECT vector_distance(a, b) AS d FROM t")
+    assert "aggregate(zip_with(a, b" in out and "sqrt(" in out  # default l2
+    out3 = expand_vector_sql("SELECT vector_distance(a, b, 'cosine') AS d FROM t")
+    assert "CASE WHEN dn" in out3 and "vector_distance" not in out3.lower()
+
+
+def test_expand_multiple_and_quoted_token():
+    sql = (
+        "SELECT vector_distance(a, b, 'l1') AS d1, "
+        "vector_distance(c, array(1.0, 2.0)) AS d2, "
+        "'vector_distance(not a call' AS s FROM t"
+    )
+    out = expand_vector_sql(sql)
+    assert "'vector_distance(not a call'" in out  # literal untouched
+    assert out.lower().count("vector_distance") == 1  # only inside the string
+
+
+def test_expand_rejects_bad_arity_and_metric():
+    with pytest.raises(ValueError, match="2 or 3 arguments"):
+        expand_vector_sql("SELECT vector_distance(a) FROM t")
+    with pytest.raises(ValueError, match="quoted literal"):
+        expand_vector_sql("SELECT vector_distance(a, b, metric_col) FROM t")
+    with pytest.raises(ValueError, match="unknown distance metric"):
+        expand_vector_sql("SELECT vector_distance(a, b, 'chebyshev') FROM t")
+
+
+def test_parse_topk_canonical():
+    sql = (
+        "SELECT vec_id AS id, vector_distance(embedding, array(0.1, -0.2, 3e-1), 'cosine') "
+        "AS distance FROM embeddings ORDER BY distance ASC LIMIT 7"
+    )
+    p = parse_topk(sql)
+    assert p is not None
+    assert (p.table, p.column, p.k, p.metric) == ("embeddings", "embedding", 7, "cosine")
+    assert p.query == (0.1, -0.2, 0.3)
+    assert (p.id_col, p.id_out, p.dist_out) == ("vec_id", "id", "distance")
+    # no alias, no metric, no ASC
+    p2 = parse_topk(
+        "SELECT vec_id, vector_distance(embedding, array(1.0)) AS d FROM embeddings ORDER BY d LIMIT 5"
+    )
+    assert p2 is not None and p2.metric is None and p2.id_out == "vec_id"
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # WHERE clause -> not the canonical shape
+        "SELECT vec_id, vector_distance(embedding, array(1.0)) AS d FROM t WHERE vec_id > 3 ORDER BY d LIMIT 5",
+        # ordered by a different column
+        "SELECT vec_id, vector_distance(embedding, array(1.0)) AS d FROM t ORDER BY vec_id LIMIT 5",
+        # no LIMIT
+        "SELECT vec_id, vector_distance(embedding, array(1.0)) AS d FROM t ORDER BY d",
+        # non-literal array element
+        "SELECT vec_id, vector_distance(embedding, array(other_col)) AS d FROM t ORDER BY d LIMIT 5",
+    ],
+)
+def test_parse_topk_rejects_non_canonical(sql):
+    assert parse_topk(sql) is None
+
+
+def test_route_sql_tiers(spark, emb, tmp_path):
+    """Canonical text + registered replica -> replica scan (the shadow
+    parquet is what's read); prefer='exact' -> base scan; unregistered
+    table -> plain SQL passthrough with identical neighbor ids."""
+    from sqlite_vector_spark.catalog import VectorCatalog
+    from sqlite_vector_spark.operators.quantize import vector_quantize
+
+    cat = VectorCatalog(str(tmp_path / "cat"))
+    emb.createOrReplaceTempView("emb_sql_t")
+    cat.vector_init(emb, "emb_sql_t", "embedding", "type=FLOAT32,dimension=64,distance=L2")
+    shadow = str(tmp_path / "shadow")
+    vector_quantize(emb, "embedding", shadow, id_col="vec_id", catalog=cat, table="emb_sql_t")
+
+    sql = (
+        f"SELECT vec_id AS id, vector_distance(embedding, {_arr(Q64)}, 'l2') AS distance "
+        "FROM emb_sql_t ORDER BY distance ASC LIMIT 5"
+    )
+    assert plan_route(cat, sql).tier == "routed"
+    routed = route_sql(spark, cat, sql)
+    assert routed.columns == ["id", "distance"]
+    assert any("shadow" in f for f in routed.inputFiles())
+    assert routed.count() == 5
+
+    exact = route_sql(spark, cat, sql, prefer="exact")
+    assert not any("shadow" in f for f in exact.inputFiles())
+    # quantized-domain ranks can swap near the k boundary; the routed
+    # top-5 must still live inside the exact top-20 (recall contract)
+    exact20 = route_sql(spark, cat, sql.replace("LIMIT 5", "LIMIT 20"), prefer="exact")
+    assert {r.id for r in routed.collect()} <= {r.id for r in exact20.collect()}
+
+    # unregistered table -> macro passthrough, same ids as the exact route
+    sql2 = sql.replace("emb_sql_t", "emb_sql_unreg")
+    emb.createOrReplaceTempView("emb_sql_unreg")
+    assert plan_route(cat, sql2).tier == "sql"
+    passthrough = route_sql(spark, cat, sql2)
+    assert [r.id for r in passthrough.collect()] == [r.id for r in exact.collect()]
+
+
+def test_route_sql_passthrough_general_shape(spark, emb):
+    """Non-canonical SQL (WHERE + extra sort key) executes JVM-side via
+    macro expansion and matches the DataFrame-built plan bitwise."""
+    emb.createOrReplaceTempView("emb_sql_g")
+    sql = (
+        f"SELECT vec_id, vector_distance(embedding, {_arr(Q64)}, 'cosine') AS d "
+        "FROM emb_sql_g WHERE embedding IS NOT NULL AND vec_id % 7 = 0 "
+        "ORDER BY d ASC, vec_id ASC LIMIT 10"
+    )
+    got = route_sql(spark, None, sql).collect()
+    from sqlite_vector_spark.version import set_backend, vector_backend
+
+    prev = vector_backend()
+    set_backend("codegen")
+    try:
+        want = (
+            emb.where(F.col("embedding").isNotNull() & (F.col("vec_id") % 7 == 0))
+            .select("vec_id", distance("embedding", Q64, "cosine").alias("d"))
+            .orderBy(F.col("d").asc(), F.col("vec_id").asc())
+            .limit(10)
+            .collect()
+        )
+    finally:
+        set_backend(prev)
+    assert [(r.vec_id, r.d) for r in got] == [(r.vec_id, r.d) for r in want]
+
+
+def test_route_sql_pushdown_plan(spark, emb):
+    """Macro-expanded SQL keeps Catalyst's scan-level optimizations:
+    the literal filter reaches the parquet scan as a pushed filter and
+    the top-k compiles to TakeOrderedAndProject (no global sort)."""
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").createOrReplaceTempView(
+        "emb_sql_plan"
+    )
+    sql = (
+        f"SELECT vec_id, vector_distance(embedding, {_arr(Q64)}) AS d "
+        "FROM emb_sql_plan WHERE vec_id < 100 ORDER BY d LIMIT 5"
+    )
+    plan = route_sql(spark, None, sql)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "LessThan(vec_id,100)" in plan
+    assert "TakeOrderedAndProject" in plan
