@@ -32,7 +32,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from sqlite_vector_spark.functions.distance import EPS_SNAP, distance
+from sqlite_vector_spark.functions.distance import EPS_SNAP, batch_matrix, distance
 from sqlite_vector_spark.operators.search import full_scan
 from sqlite_vector_spark.types import Metric
 
@@ -115,7 +115,7 @@ def nearest_centroid_arrow_udf(centroids: Sequence[Sequence[float]], metric: str
     def _kernel(col: pd.Series) -> pd.Series:
         import numpy as np
 
-        mat = np.array(col.tolist(), dtype=np.float64)
+        mat = batch_matrix(col)
         return pd.Series(_pairwise_dists(mat, cm, m).argmin(axis=1).astype("int64"))
 
     return _kernel
@@ -133,7 +133,7 @@ def probe_clusters_arrow_udf(centroids: Sequence[Sequence[float]], nprobe: int):
     def _kernel(col: pd.Series) -> pd.Series:
         import numpy as np
 
-        mat = np.array(col.tolist(), dtype=np.float64)
+        mat = batch_matrix(col)
         d = _pairwise_dists(mat, cm, Metric.L2)
         idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe].astype("int64")
         return pd.Series(list(idx))
@@ -626,7 +626,7 @@ def nearest_centroid_arrow_dist_udf(centroids: Sequence[Sequence[float]], metric
     def _kernel(col: pd.Series) -> pd.Series:
         import numpy as np
 
-        mat = np.array(col.tolist(), dtype=np.float64)
+        mat = batch_matrix(col)
         return pd.Series(_pairwise_dists(mat, cm, m).min(axis=1))
 
     return _kernel

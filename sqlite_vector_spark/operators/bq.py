@@ -30,6 +30,8 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from sqlite_vector_spark.functions.distance import batch_matrix
+
 
 def _n_words(dim: int) -> int:
     return (dim + 63) // 64
@@ -82,7 +84,7 @@ def bq_encode_arrow_udf(dim: int, thresholds: Sequence[float] | None = None):
 
     @pandas_udf("array<bigint>")
     def _kernel(col: pd.Series) -> pd.Series:
-        mat = np.array(col.tolist(), dtype=np.float64)  # (B, dim)
+        mat = batch_matrix(col)  # (B, dim)
         bits = mat > t  # (B, dim) bool
         out = np.zeros((mat.shape[0], nw), dtype=np.uint64)
         for j in range(dim):
@@ -237,7 +239,7 @@ def _bit_balance_kernel(dim: int):
         for pdf in pdf_iter:
             if not len(pdf):
                 continue
-            words = np.array(pdf["bits"].tolist(), dtype=np.uint64)  # (B, nw)
+            words = batch_matrix(pdf["bits"], "uint64")  # (B, nw)
             n += words.shape[0]
             for j in range(dim):
                 w, i = divmod(j, 64)
@@ -351,7 +353,7 @@ def bq_project_encode_arrow_udf(planes, center: Sequence[float] | None = None):
 
     @pandas_udf("array<bigint>")
     def _kernel(col: pd.Series) -> pd.Series:
-        mat = np.array(col.tolist(), dtype=np.float64)
+        mat = batch_matrix(col)
         bits = ((mat - mu) @ R.T) > 0.0  # (B, p)
         out = np.zeros((mat.shape[0], nw), dtype=np.uint64)
         for j in range(p):

@@ -37,7 +37,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 from pyspark.sql.functions import broadcast
 
-from sqlite_vector_spark.functions.distance import EPS_SNAP, distance
+from sqlite_vector_spark.functions.distance import EPS_SNAP, batch_matrix, distance
 from sqlite_vector_spark.types import Metric, parse_metric
 
 
@@ -205,7 +205,7 @@ def knn_join_blocked(
             if pdf.empty:
                 continue
             ids = pdf["id"].to_numpy(dtype=np.int64)
-            mat = np.array(pdf["vec"].tolist(), dtype=np.float64)  # (B, dim)
+            mat = batch_matrix(pdf["vec"])  # (B, dim)
             if seq:
                 d = _seq_block_distances(np, mat, qmat, m)
             elif m is Metric.SQUARED_L2:

@@ -48,6 +48,7 @@ from pyspark.sql import Column, DataFrame
 
 from sqlite_vector_spark.functions.distance import (
     EPS_SNAP,
+    batch_matrix,
     snap_zero,
     squared_l2,
     vector_literal,
@@ -125,7 +126,7 @@ def pq_encode_arrow_udf(codebooks: Codebooks):
 
     @pandas_udf("array<bigint>")
     def _kernel(col: pd.Series) -> pd.Series:
-        mat = np.array(col.tolist(), dtype=np.float64)  # (B, dim)
+        mat = batch_matrix(col)  # (B, dim)
         out = np.empty((mat.shape[0], m), dtype=np.int64)
         for s in range(m):
             sub = mat[:, s * dsub : (s + 1) * dsub]
@@ -318,7 +319,7 @@ def _pq_partial_sums_kernel(codebooks: Codebooks, m: int, ksub: int, dsub: int, 
             if not len(pdf):
                 continue
             try:
-                mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
+                mat = batch_matrix(pdf["vec"])
             except ValueError as exc:
                 raise ValueError(
                     f"pq_fit: ragged vector batch (vectors must all have dimension {dim})"
@@ -404,7 +405,7 @@ def adc_distance_arrow_udf(luts: Sequence[Sequence[float]], metric: str | Metric
 
     @pandas_udf("double")
     def _kernel(col: pd.Series) -> pd.Series:
-        codes = np.array(col.tolist(), dtype=np.int64)  # (B, M)
+        codes = batch_matrix(col, "int64")  # (B, M)
         d = lut[subs, codes].sum(axis=1)
         if m is Metric.L2:
             np.sqrt(d, out=d)
@@ -518,7 +519,7 @@ def _residual_arrow_udf(centroids: Sequence[Sequence[float]]):
 
     @pandas_udf("array<double>")
     def _kernel(vec: pd.Series, cluster: pd.Series) -> pd.Series:
-        mat = np.array(vec.tolist(), dtype=np.float64)
+        mat = batch_matrix(vec)
         res = mat - cm[cluster.to_numpy(dtype=np.int64)]
         return pd.Series(list(res))
 
@@ -652,7 +653,7 @@ def rotate_arrow_udf(rotation):
 
     @pandas_udf("array<double>")
     def _kernel(col: pd.Series) -> pd.Series:
-        mat = np.array(col.tolist(), dtype=np.float64)
+        mat = batch_matrix(col)
         return pd.Series(list(mat @ R.T))
 
     return _kernel
@@ -863,8 +864,8 @@ def pq_recon_err_arrow_udf(codebooks: Codebooks):
 
     @pandas_udf("double")
     def _kernel(vec: pd.Series, codes: pd.Series) -> pd.Series:
-        mat = np.array(vec.tolist(), dtype=np.float64)  # (B, dim)
-        cd = np.array(codes.tolist(), dtype=np.int64)  # (B, m)
+        mat = batch_matrix(vec)  # (B, dim)
+        cd = batch_matrix(codes, "int64")  # (B, m)
         err = np.zeros(len(mat), dtype=np.float64)
         for s in range(m):
             diff = mat[:, s * dsub : (s + 1) * dsub] - cbs[s][cd[:, s]]
@@ -1150,9 +1151,9 @@ def adc_pair_arrow_udf(
 
     @pandas_udf("double")
     def _kernel(qv: pd.Series, cluster: pd.Series, codes: pd.Series) -> pd.Series:
-        qmat = np.array(qv.tolist(), dtype=np.float64)  # (B, dim)
+        qmat = batch_matrix(qv)  # (B, dim)
         cl = cluster.to_numpy(dtype=np.int64)
-        cd = np.array(codes.tolist(), dtype=np.int64)  # (B, m)
+        cd = batch_matrix(codes, "int64")  # (B, m)
         if cm is not None:
             qmat = qmat - cm[cl]
             key = np.stack([_hash_rows(qmat), cl]).T

@@ -54,7 +54,8 @@ def test_macro_bit_exact_vs_codegen(spark, emb, metric):
 
 def test_expand_defaults_and_metric():
     out = expand_vector_sql("SELECT vector_distance(a, b) AS d FROM t")
-    assert "aggregate(zip_with(a, b" in out and "sqrt(" in out  # default l2
+    assert "aggregate(zip_with(CAST(a AS ARRAY<DOUBLE>), CAST(b AS ARRAY<DOUBLE>)" in out
+    assert "sqrt(" in out  # default l2
     out3 = expand_vector_sql("SELECT vector_distance(a, b, 'cosine') AS d FROM t")
     assert "CASE WHEN dn" in out3 and "vector_distance" not in out3.lower()
 
