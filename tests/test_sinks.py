@@ -38,3 +38,55 @@ def test_partitioned_write_prunes(spark, emb, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert back.count() == emb.where(F.col("vec_id") % 4 == 2).count()
+
+
+def test_compact_store_partitioned(spark, emb, tmp_path):
+    """Post-append maintenance: 1 build + 3 appends leave many small
+    files; compaction shrinks the file count, preserves every row and
+    the partition layout (pruning still plans), and retains the
+    superseded layout for in-flight readers."""
+    import os
+
+    from sqlite_vector_spark.sinks import compact_store
+
+    dest = str(tmp_path / "store")
+    base = emb.withColumn("part", F.col("vec_id") % 4)
+    base.write.partitionBy("part").parquet(dest)
+    for i in range(3):  # appends accumulate extra files per partition
+        base.withColumn("vec_id", F.col("vec_id") + (i + 1) * 1_000_000).write.mode(
+            "append"
+        ).partitionBy("part").parquet(dest)
+    before = spark.read.parquet(dest)
+    n_before_files = len(before.inputFiles())
+    want = sorted((r.vec_id, r.part) for r in before.select("vec_id", "part").collect())
+
+    report = compact_store(spark, dest, partition_col="part")
+    assert report["files_before"] == n_before_files
+    assert report["files_after"] < n_before_files
+    assert report["rows"] == len(want)
+
+    after = spark.read.parquet(dest)
+    got = sorted((r.vec_id, r.part) for r in after.select("vec_id", "part").collect())
+    assert got == want
+    plan = after.where(F.col("part") == 2)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan  # pruning survives compaction
+    assert os.path.exists(dest + "__pre_compact")  # reader grace copy
+
+
+def test_compact_store_flat_with_sort(spark, emb, tmp_path):
+    """Un-partitioned store: compaction to few files with a restored
+    within-file sort (row-group min/max skipping depends on it)."""
+    from sqlite_vector_spark.sinks import compact_store
+
+    dest = str(tmp_path / "flat")
+    emb.select("vec_id", "label").repartition(16).write.parquet(dest)
+    report = compact_store(spark, dest, sort_within=["vec_id"])
+    assert report["files_after"] < report["files_before"]
+    after = spark.read.parquet(dest)
+    assert after.count() == report["rows"]
+    # each output file is internally sorted on vec_id
+    import pyarrow.parquet as pq
+
+    for f in after.inputFiles():
+        ids = pq.read_table(f.removeprefix("file:"), columns=["vec_id"])["vec_id"].to_pylist()
+        assert ids == sorted(ids)
