@@ -80,9 +80,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # latest driver green is older than r6.
         # -- (1) new r8 (projected MIH joined the window; the
         #    boilerplate_strip r6 fill moved past the horizon to
-        #    keep the window at 50; the SQL-surface pair
-        #    auto_route_scan/sql_macro_scan joined late-r8, displacing
-        #    knn_join_l2+semantic_dedup from the (5) fill to r9)
+        #    keep the window at 50; the late-r8 trio
+        #    auto_route_scan/sql_macro_scan/token_cooccurrence joined,
+        #    displacing knn_join_l2+semantic_dedup from the (5) fill
+        #    to the r9 rotation)
         "auto_route_scan": w.auto_route_scan_q,
         "sql_macro_scan": w.sql_macro_scan_q,
         "token_cooccurrence": w.token_cooccurrence_q,

@@ -1787,7 +1787,10 @@ def token_cooccurrence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         F.explode(F.array_distinct(words(normalize_text(F.col("text"))))).alias("token"),
-    )
+    ).localCheckpoint(eager=True)  # three consumers (df pass + both
+    # pair-join sides): materialize the (doc_id, token) table once so
+    # the text is scanned/exploded once, not three times (at cluster
+    # scale: .persist() on the token table, same shape)
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs")).localCheckpoint(eager=True)
     dfc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     vocab = (

@@ -105,6 +105,10 @@ def main():
         ("bq_band_scan", "persisted MIH scan: partition pruning on b, pushed bv filter, popcount top-k", w.bq_band_scan_q),
         ("passage_strip_frozen", "frozen passage strip: batch window pass + hash semi-join against the stored index, no corpus rescan", w.passage_strip_frozen_q),
         ("bq_knn_join_projected", "projected MIH join: plane-fold encode map-side, same band-collision join", w.bq_knn_join_projected_q),
+        # round-8b additions (SQL surface)
+        ("sql_macro_scan", "macro-expanded SQL: HOF fold codegen'd at the scan, pushed filters, TakeOrdered — identical plan class to the Column build", w.sql_macro_scan_q),
+        ("auto_route_scan", "auto-routed SQL: canonical text rewritten onto the quantized replica scan (Arrow kernel under backend=auto; the oracle gate pins codegen)", w.auto_route_scan_q),
+        ("token_cooccurrence", "co-occurrence lift: broadcast df-banded vocab, doc_id co-partitioned pair join, partial-agg counts", w.token_cooccurrence_q),
     ]
 
     print("# PLANS — physical plans of headline operators (sf0.001, AQE on)")
