@@ -114,3 +114,51 @@ def test_bq_hamming_symmetric_zero(vals):
 
     t = [v / 2.0 for v in vals]
     assert bq_query_words(vals, t) == bq_query_words(list(vals), list(t))
+
+
+# ---------------------------------------------------------------- SQL macro expander (sql.py)
+
+_IDENT = st.from_regex(r"[a-zA-Z_][a-zA-Z0-9_]{0,10}", fullmatch=True)
+_METRIC = st.sampled_from(["l2", "L2", "cosine", "DOT", "squared_l2", "L1"])
+
+
+@given(
+    a=_IDENT,
+    b=_IDENT,
+    metric=st.one_of(st.none(), _METRIC),
+    ws=st.sampled_from(["", " ", "  ", "\n"]),
+    decoy=st.text(alphabet="abcdef vector_distance(),'", min_size=0, max_size=30),
+    n_calls=st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=200, deadline=None)
+def test_expand_vector_sql_properties(a, b, metric, ws, decoy, n_calls):
+    """For any identifiers/whitespace/metric case and any decoy string
+    literal (which may itself contain the token), expansion (1) always
+    terminates, (2) leaves no un-expanded call outside quotes, (3)
+    preserves the decoy literal byte-for-byte, (4) is idempotent."""
+    from sqlite_vector_spark.sql import _in_string, expand_vector_sql
+
+    marg = f", '{metric}'" if metric else ""
+    call = f"vector_distance{ws}({ws}{a}, {b}{marg})"
+    lit = "'" + decoy.replace("'", "") + "'"
+    sql = "SELECT " + ", ".join(f"{call} AS d{i}" for i in range(n_calls)) + f", {lit} AS s FROM t"
+    out = expand_vector_sql(sql)
+    # every remaining token sits inside a string literal
+    import re as _re
+
+    for m in _re.finditer(r"vector_distance", out, _re.IGNORECASE):
+        assert _in_string(out, m.start()), out
+    assert lit in out  # decoy literal untouched
+    assert expand_vector_sql(out) == out  # idempotent
+
+
+@given(vals=st.lists(st.floats(-10, 10, allow_nan=False), min_size=1, max_size=8))
+@settings(max_examples=50, deadline=None)
+def test_distance_sql_text_is_deterministic(vals):
+    """Same inputs -> same SQL text (the macro is a pure function, so
+    plans and oracle hashes can never drift run to run)."""
+    from sqlite_vector_spark.sql import distance_sql
+
+    arr = "array(" + ",".join(repr(v) for v in vals) + ")"
+    assert distance_sql("c", arr, "cosine") == distance_sql("c", arr, "cosine")
+    assert distance_sql("c", arr, "l2") != distance_sql("c", arr, "l1")
