@@ -517,3 +517,49 @@ def test_frame_decode_fake_and_stub(spark):
     assert [r.frame_ts_ms for r in rows] == [0, 100, 200, 300]
     feats = [tuple(r.feature) for r in rows]
     assert len(set(feats)) == 4  # per-frame features differ
+
+
+def test_streaming_ingest_then_compaction(spark, emb, tmp_path):
+    """The maintenance loop closed: micro-batch appends leave one file
+    per batch per cluster; compact_store afterwards shrinks the file
+    count while the stored scan stays IDENTICAL and the cluster
+    partitioning (pruning layout) survives."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from sqlite_vector_spark.operators.ann import ivf_assign
+    from sqlite_vector_spark.sinks import compact_store
+
+    cents = [list(r.embedding) for r in emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()]
+    src = str(tmp_path / "vsrc")
+    # 4 arrival batches -> >= 4 files per touched cluster
+    for i in range(4):
+        emb.where(F.col("vec_id") % 4 == i).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    assigned = ivf_assign(stream, "embedding", cents, id_col="vec_id", metric="L2")
+    dest = str(tmp_path / "store")
+    q = (
+        assigned.writeStream.format("parquet")
+        .partitionBy("cluster")
+        .option("path", dest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option("maxFilesPerTrigger", "1")  # one arrival batch per micro-batch
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    before = spark.read.parquet(dest)
+    want = sorted((r.id, r.cluster) for r in before.select("id", "cluster").collect())
+    n_files_before = len(before.inputFiles())
+    assert n_files_before > len(cents)  # appends really fragmented it
+
+    report = compact_store(spark, dest, partition_col="cluster")
+    assert report["files_after"] < n_files_before
+    after = spark.read.parquet(dest)
+    assert sorted((r.id, r.cluster) for r in after.select("id", "cluster").collect()) == want
+    plan = after.where(F.col("cluster") == 1)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert os.path.isdir(dest + "__pre_compact")
