@@ -65,6 +65,8 @@ from sqlite_vector_spark.operators.dedup import semantic_dedup
 from sqlite_vector_spark.operators.retrieval import bm25_scores, bm25_topk, rrf_fuse
 from sqlite_vector_spark.operators.search import full_scan, full_scan_stream, matryoshka_scan
 from sqlite_vector_spark.router import knn
+from sqlite_vector_spark.sinks import compact_store
+from sqlite_vector_spark.sql import expand_vector_sql, route_sql
 from sqlite_vector_spark.version import __version__, set_backend, vector_backend, vector_version
 
 #: reference TVF names (sqlite-vector.c:2377-2459) — aliases so every
@@ -81,6 +83,9 @@ __all__ = [
     "set_backend",
     "VectorCatalog",
     "knn",
+    "route_sql",
+    "expand_vector_sql",
+    "compact_store",
     "distance",
     "vector_literal",
     "vector_as_f32",
