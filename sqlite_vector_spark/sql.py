@@ -255,19 +255,24 @@ class RouteDecision:
 
     tier: str  # "routed" (router.knn picks the registered tier) | "sql"
     topk: TopKQuery | None
+    #: the concrete tier prefer="auto" would land on ("quantized" when
+    #: a replica is registered, else "exact"); None for tier="sql"
+    auto_target: str | None = None
 
 
 def plan_route(catalog, sql: str) -> RouteDecision:
     """Decide without executing: canonical shape + registered column
-    -> "routed"; anything else -> "sql" (macro-expanded passthrough)."""
+    -> "routed" (with the auto target named); anything else -> "sql"
+    (macro-expanded passthrough)."""
     p = parse_topk(sql)
     if p is not None and catalog is not None:
         try:
-            catalog.get(p.table, p.column)
+            ctx = catalog.get(p.table, p.column)
         except (KeyError, ValueError):
             p = None
         else:
-            return RouteDecision("routed", p)
+            has_replica = ctx.quantized_path is not None and ctx.qscale is not None
+            return RouteDecision("routed", p, "quantized" if has_replica else "exact")
     return RouteDecision("sql", None)
 
 

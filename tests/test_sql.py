@@ -12,6 +12,7 @@ import pytest
 
 from sqlite_vector_spark.functions.distance import distance
 from sqlite_vector_spark.sql import (
+    RouteDecision,
     distance_sql,
     expand_vector_sql,
     parse_topk,
@@ -131,7 +132,8 @@ def test_route_sql_tiers(spark, emb, tmp_path):
         f"SELECT vec_id AS id, vector_distance(embedding, {_arr(Q64)}, 'l2') AS distance "
         "FROM emb_sql_t ORDER BY distance ASC LIMIT 5"
     )
-    assert plan_route(cat, sql).tier == "routed"
+    decision = plan_route(cat, sql)
+    assert decision.tier == "routed" and decision.auto_target == "quantized"
     routed = route_sql(spark, cat, sql)
     assert routed.columns == ["id", "distance"]
     assert any("shadow" in f for f in routed.inputFiles())
@@ -147,7 +149,7 @@ def test_route_sql_tiers(spark, emb, tmp_path):
     # unregistered table -> macro passthrough, same ids as the exact route
     sql2 = sql.replace("emb_sql_t", "emb_sql_unreg")
     emb.createOrReplaceTempView("emb_sql_unreg")
-    assert plan_route(cat, sql2).tier == "sql"
+    assert plan_route(cat, sql2) == RouteDecision("sql", None)
     passthrough = route_sql(spark, cat, sql2)
     assert [r.id for r in passthrough.collect()] == [r.id for r in exact.collect()]
 
