@@ -80,12 +80,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # latest driver green is older than r6.
         # -- (1) new r8 (projected MIH joined the window; the
         #    boilerplate_strip r6 fill moved past the horizon to
-        #    keep the window at 50; the late-r8 trio
-        #    auto_route_scan/sql_macro_scan/token_cooccurrence joined,
-        #    displacing knn_join_l2+semantic_dedup from the (5) fill
-        #    to the r9 rotation)
+        #    keep the window at 50; the late-r8 SQL-surface cohort
+        #    (auto_route_scan, sql_macro_scan, tvf_full_scan,
+        #    tvf_quantize_scan) + token_cooccurrence joined, displacing
+        #    the tail of the (5) fill — knn_join_l2, semantic_dedup,
+        #    ivf_pq_knn_join_l2, ivf_pq_scan_l2 — to the r9 rotation)
         "auto_route_scan": w.auto_route_scan_q,
         "sql_macro_scan": w.sql_macro_scan_q,
+        "tvf_full_scan": w.tvf_full_scan_q,
+        "tvf_quantize_scan": w.tvf_quantize_scan_q,
         "token_cooccurrence": w.token_cooccurrence_q,
         "bq_band_scan": w.bq_band_scan_q,
         "passage_strip_frozen": w.passage_strip_frozen_q,
@@ -254,6 +257,9 @@ def oracle_sql() -> dict[str, str]:
         # contract (and therefore the same oracle) as quantize_scan
         "auto_route_scan": o.quantize_scan("L2"),
         "sql_macro_scan": o.sql_macro_scan(),
+        # reference TVF text -> same result contracts as the scans
+        "tvf_full_scan": o.full_scan("L2"),
+        "tvf_quantize_scan": o.quantize_scan("L2"),
         "quantize_scan_cosine": o.quantize_scan("COSINE"),
         "quantize_scan_dot": o.quantize_scan("DOT"),
         "quantize_scan_l1": o.quantize_scan("L1"),

@@ -89,6 +89,8 @@ def main():
     # (includes the replica build on first run) + macro passthrough
     bench("auto_route_scan", lambda: w.auto_route_scan_q(spark, SF_DIR).collect())
     bench("sql_macro_scan", lambda: w.sql_macro_scan_q(spark, SF_DIR).collect())
+    bench("tvf_full_scan", lambda: w.tvf_full_scan_q(spark, SF_DIR).collect())
+    bench("tvf_quantize_scan", lambda: w.tvf_quantize_scan_q(spark, SF_DIR).collect())
 
     # quantize build (the EP2 two-pass index build) + approximate scan
     import tempfile

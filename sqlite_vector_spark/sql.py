@@ -29,6 +29,13 @@ none is required):
    Any other text falls through to ``spark.sql`` after macro
    expansion — same results, no routing.
 
+3. the reference's own TVF spelling runs VERBATIM: ``SELECT rowid,
+   distance FROM vector_full_scan('t','col', vector_as_f32('[...]'),
+   k)`` plus the quantize/stream variants (API.md:212-260) are parsed
+   by ``parse_tvf`` and executed with reference semantics (metric
+   from vector_init, quantize tiers require their replica) — a
+   reference user's existing queries run unchanged.
+
 Distance-domain contract (SURVEY §2.3, same as the reference): a
 query routed onto the quantized replica returns quantized-unit
 distances — never rescaled. ``prefer="exact"`` forces true-domain
@@ -283,19 +290,29 @@ def route_sql(
     prefer: str = "auto",
     nprobe: int = 2,
     prefilter: int | None = None,
+    id_col: str = "id",
 ) -> DataFrame:
     """Run vector SQL with index auto-routing.
 
-    Canonical top-k text over a catalog-registered column goes through
-    router.knn (``prefer`` / ``nprobe`` / ``prefilter`` as there —
-    "auto" picks the cheapest FULL-COVERAGE tier: quantized replica if
-    registered, else exact; probe-limited tiers stay opt-in). The
-    routed result is renamed to the SQL text's output columns. All
-    other text executes as plain Spark SQL after macro expansion —
-    identical semantics, no routing.
+    Three recognized spellings, in order:
+    1. the reference's own TVF text (``SELECT rowid, distance FROM
+       vector_full_scan('t','col', vector_as_f32('[...]'), k)`` and
+       the quantize/stream variants, API.md:229/260) — executed with
+       reference semantics via run_tvf (``id_col`` names the table's
+       id column standing in for SQLite's implicit rowid);
+    2. canonical top-k text over a catalog-registered column — routed
+       through router.knn (``prefer`` / ``nprobe`` / ``prefilter`` as
+       there; "auto" picks the cheapest FULL-COVERAGE tier: quantized
+       replica if registered, else exact; probe-limited tiers stay
+       opt-in), result renamed to the SQL text's output columns;
+    3. anything else — plain Spark SQL after macro expansion,
+       identical semantics, no routing.
     """
     import pyspark.sql.functions as F
 
+    tvf = parse_tvf(sql)
+    if tvf is not None:
+        return run_tvf(spark, catalog, tvf, id_col=id_col)
     decision = plan_route(catalog, sql)
     if decision.tier == "routed":
         from sqlite_vector_spark.router import knn
@@ -316,3 +333,121 @@ def route_sql(
         )
         return df.select(F.col("id").alias(p.id_out), F.col("distance").alias(p.dist_out))
     return spark.sql(expand_vector_sql(sql))
+
+
+# ---------------------------------------------------------------- reference TVF spelling
+
+#: the reference's own query text (API.md:229-230, 260-261):
+#:   SELECT rowid, distance
+#:   FROM vector_full_scan('documents','embedding', vector_as_f32('[...]'), 5)
+#: Supported verbatim so reference users can run their existing SQL.
+_TVF_NAMES = "vector_full_scan_stream|vector_quantize_scan_stream|vector_full_scan|vector_quantize_scan"
+_TVF_RE = re.compile(
+    r"^\s*SELECT\s+(?:\*|rowid(?:\s+AS\s+(?P<id_alias>\w+))?\s*,\s*distance(?:\s+AS\s+(?P<d_alias>\w+))?)\s+"
+    rf"FROM\s+(?P<fn>{_TVF_NAMES})\s*\(\s*"
+    r"'(?P<table>[^']+)'\s*,\s*'(?P<column>[^']+)'\s*,\s*(?P<vec>[^;]*?)"
+    r"(?:,\s*(?P<k>\d+)\s*)?\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_VEC_JSON_RE = re.compile(
+    r"^(?:vector_as_f32\s*\(\s*)?'(?P<json>\[[^']*\])'\s*\)?$", re.IGNORECASE
+)
+_VEC_ARRAY_RE = re.compile(r"^array\s*\((?P<elems>[^)]*)\)$", re.IGNORECASE)
+
+
+@dataclass(frozen=True)
+class TvfQuery:
+    """A recognized reference-TVF query."""
+
+    fn: str  # full_scan | quantize_scan | full_scan_stream | quantize_scan_stream
+    table: str
+    column: str
+    query: tuple[float, ...]
+    k: int | None
+    id_out: str
+    dist_out: str
+
+
+def parse_tvf(sql: str) -> TvfQuery | None:
+    """Recognize the reference's TVF query text; None when the text is
+    not that shape (callers fall through to the canonical recognizer /
+    macro passthrough)."""
+    m = _TVF_RE.match(sql)
+    if not m:
+        return None
+    vec_txt = m.group("vec").strip()
+    jm = _VEC_JSON_RE.match(vec_txt)
+    if jm:
+        import json as _json
+
+        try:
+            vec = tuple(float(v) for v in _json.loads(jm.group("json")))
+        except (ValueError, TypeError):
+            return None
+    else:
+        am = _VEC_ARRAY_RE.match(vec_txt)
+        if not am:
+            return None
+        try:
+            vec = tuple(float(tok) for tok in am.group("elems").split(",") if tok.strip())
+        except ValueError:
+            return None
+    if not vec:
+        return None
+    fn = m.group("fn").lower().removeprefix("vector_")
+    k = m.group("k")
+    if fn.endswith("_stream"):
+        if k is not None:
+            return None  # stream TVFs take no k (API: 3 args)
+    elif k is None:
+        return None  # scan TVFs require k (API: 4 args)
+    return TvfQuery(
+        fn=fn,
+        table=m.group("table"),
+        column=m.group("column"),
+        query=vec,
+        k=int(k) if k is not None else None,
+        id_out=m.group("id_alias") or "rowid",
+        dist_out=m.group("d_alias") or "distance",
+    )
+
+
+def run_tvf(spark: SparkSession, catalog, tvf: TvfQuery, id_col: str = "id") -> DataFrame:
+    """Execute a parsed reference-TVF query with reference semantics:
+    the metric comes from vector_init (fixed per column, like the
+    reference's per-connection context); vector_quantize_scan requires
+    the replica built by vector_quantize (errors otherwise, mirroring
+    the reference's 'must run vector_quantize first' contract);
+    quantized results stay in quantized units (§2.3)."""
+    import pyspark.sql.functions as F
+
+    if catalog is None:
+        raise ValueError("reference TVF queries need a VectorCatalog (run vector_init first)")
+    ctx = catalog.get(tvf.table, tvf.column)  # KeyError -> not initialized
+    q = list(tvf.query)
+    if tvf.fn == "full_scan":
+        from sqlite_vector_spark.router import knn
+
+        df = knn(spark, catalog, tvf.table, tvf.column, q, tvf.k, prefer="exact", id_col=id_col)
+    elif tvf.fn == "quantize_scan":
+        from sqlite_vector_spark.router import knn
+
+        df = knn(spark, catalog, tvf.table, tvf.column, q, tvf.k, prefer="quantized", id_col=id_col)
+    elif tvf.fn == "full_scan_stream":
+        from sqlite_vector_spark.operators.search import full_scan_stream
+
+        df = full_scan_stream(spark.table(tvf.table), tvf.column, q, ctx.distance, id_col=id_col)
+    else:  # quantize_scan_stream
+        from sqlite_vector_spark.operators.quantize import (
+            QuantParams,
+            vector_quantize_scan_stream,
+        )
+
+        if ctx.quantized_path is None or ctx.qscale is None:
+            raise ValueError(
+                f"{tvf.table}.{tvf.column} has no quantized replica — run vector_quantize first"
+            )
+        codes = spark.read.parquet(ctx.quantized_path)
+        params = QuantParams(ctx.resolved_qtype, float(ctx.qscale), float(ctx.qoffset), 0)
+        df = vector_quantize_scan_stream(codes, q, params, ctx.distance)
+    return df.select(F.col("id").alias(tvf.id_out), F.col("distance").alias(tvf.dist_out))

@@ -231,6 +231,54 @@ def auto_route_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return route_sql(spark, cat, sql)
 
 
+def tvf_full_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's OWN query text executed verbatim (API.md:229:
+    ``SELECT rowid, distance FROM vector_full_scan('t','col',
+    vector_as_f32('[...]'), k)``) — sql.parse_tvf/run_tvf with the
+    metric taken from vector_init, exact tier. Result contract ==
+    vector_full_scan, so it gates against the full_scan oracle."""
+    import json
+    import tempfile
+
+    from sqlite_vector_spark.catalog import VectorCatalog
+    from sqlite_vector_spark.sql import route_sql
+
+    emb = _emb(spark, sf_dir)
+    emb.createOrReplaceTempView("emb_tvf_v")
+    cat = VectorCatalog(tempfile.mkdtemp(prefix="svspark_tvf_") + "/cat")
+    cat.vector_init(emb, "emb_tvf_v", "embedding", f"type=FLOAT32,dimension={DIM},distance=L2")
+    sql = (
+        "SELECT rowid AS id, distance "
+        f"FROM vector_full_scan('emb_tvf_v', 'embedding', vector_as_f32('{json.dumps(Q64)}'), {K})"
+    )
+    return route_sql(spark, cat, sql, id_col="vec_id")
+
+
+def tvf_quantize_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API.md:260's quantize TVF text verbatim: requires the replica
+    built by vector_quantize (reference contract), returns
+    quantized-unit distances — gates against the quantize_scan
+    oracle."""
+    import json
+    import tempfile
+
+    from sqlite_vector_spark.catalog import VectorCatalog
+    from sqlite_vector_spark.operators.quantize import vector_quantize
+    from sqlite_vector_spark.sql import route_sql
+
+    emb = _emb(spark, sf_dir)
+    emb.createOrReplaceTempView("emb_tvfq_v")
+    root = tempfile.mkdtemp(prefix="svspark_tvfq_")
+    cat = VectorCatalog(root + "/cat")
+    cat.vector_init(emb, "emb_tvfq_v", "embedding", f"type=FLOAT32,dimension={DIM},distance=L2")
+    vector_quantize(emb, "embedding", root + "/shadow", id_col="vec_id", catalog=cat, table="emb_tvfq_v")
+    sql = (
+        "SELECT rowid AS id, distance "
+        f"FROM vector_quantize_scan('emb_tvfq_v', 'embedding', '{json.dumps(Q64)}', {K})"
+    )
+    return route_sql(spark, cat, sql, id_col="vec_id")
+
+
 def sql_macro_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic vector SQL via macro expansion (sql.expand_vector_sql):
     a shape the canonical recognizer rejects (WHERE + composite sort)

@@ -195,3 +195,92 @@ def test_route_sql_pushdown_plan(spark, emb):
     plan = route_sql(spark, None, sql)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "LessThan(vec_id,100)" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_reference_tvf_text_runs_verbatim(spark, emb, tmp_path):
+    """The reference's own API.md query text (rowid/distance from
+    vector_full_scan / vector_quantize_scan, vector_as_f32 spelling)
+    executes unchanged: exact TVF == full_scan; quantize TVF reads the
+    replica and returns quantized-unit distances; stream TVFs score
+    every row; the 'must run vector_quantize first' contract errors."""
+    import json
+
+    from sqlite_vector_spark.catalog import VectorCatalog
+    from sqlite_vector_spark.operators.quantize import vector_quantize
+    from sqlite_vector_spark.operators.search import full_scan
+
+    cat = VectorCatalog(str(tmp_path / "cat"))
+    emb.createOrReplaceTempView("tvf_docs")
+    cat.vector_init(emb, "tvf_docs", "embedding", "type=FLOAT32,dimension=64,distance=L2")
+    qjson = json.dumps(Q64)
+
+    # API.md:229-230 spelling, vector_as_f32 wrapper
+    sql = (
+        "SELECT rowid, distance "
+        f"FROM vector_full_scan('tvf_docs', 'embedding', vector_as_f32('{qjson}'), 5)"
+    )
+    got = route_sql(spark, cat, sql, id_col="vec_id")
+    assert got.columns == ["rowid", "distance"]
+    want = full_scan(emb, "embedding", Q64, 5, "L2", id_col="vec_id").collect()
+    assert [(r.rowid, r.distance) for r in got.collect()] == [(r.id, r.distance) for r in want]
+
+    # bare JSON literal + aliases also accepted
+    sql_alias = (
+        "SELECT rowid AS id, distance AS d "
+        f"FROM vector_full_scan('tvf_docs', 'embedding', '{qjson}', 5)"
+    )
+    aliased = route_sql(spark, cat, sql_alias, id_col="vec_id")
+    assert aliased.columns == ["id", "d"]
+
+    # quantize TVF before vector_quantize -> the reference's contract error
+    qsql = (
+        "SELECT rowid, distance "
+        f"FROM vector_quantize_scan('tvf_docs', 'embedding', '{qjson}', 5)"
+    )
+    with pytest.raises(ValueError, match="no quantized replica"):
+        route_sql(spark, cat, qsql, id_col="vec_id")
+
+    vector_quantize(emb, "embedding", str(tmp_path / "shadow"), id_col="vec_id", catalog=cat, table="tvf_docs")
+    qgot = route_sql(spark, cat, qsql, id_col="vec_id")
+    assert any("shadow" in f for f in qgot.inputFiles())
+    assert qgot.count() == 5
+
+    # stream TVFs: every non-null row, no k
+    n = emb.where(F.col("embedding").isNotNull()).count()
+    s1 = route_sql(
+        spark, cat,
+        f"SELECT rowid, distance FROM vector_full_scan_stream('tvf_docs', 'embedding', '{qjson}')",
+        id_col="vec_id",
+    )
+    assert s1.count() == n
+    s2 = route_sql(
+        spark, cat,
+        f"SELECT rowid, distance FROM vector_quantize_scan_stream('tvf_docs', 'embedding', '{qjson}')",
+        id_col="vec_id",
+    )
+    assert s2.count() == n
+
+    # k > N trims (sqlite-vector.c:1816-1817), k=0 -> empty
+    big = route_sql(
+        spark, cat,
+        f"SELECT rowid, distance FROM vector_full_scan('tvf_docs', 'embedding', '{qjson}', 1000000)",
+        id_col="vec_id",
+    )
+    assert big.count() == n
+    empty = route_sql(
+        spark, cat,
+        f"SELECT rowid, distance FROM vector_full_scan('tvf_docs', 'embedding', '{qjson}', 0)",
+        id_col="vec_id",
+    )
+    assert empty.count() == 0
+
+
+def test_parse_tvf_rejects_malformed():
+    from sqlite_vector_spark.sql import parse_tvf
+
+    # scan form without k (reference signature requires it)
+    assert parse_tvf("SELECT rowid, distance FROM vector_full_scan('t', 'c', '[1.0]')") is None
+    # stream form WITH k
+    assert parse_tvf("SELECT rowid, distance FROM vector_full_scan_stream('t', 'c', '[1.0]', 5)") is None
+    # non-vector payload
+    assert parse_tvf("SELECT rowid, distance FROM vector_full_scan('t', 'c', other_col, 5)") is None
