@@ -29,12 +29,15 @@ none is required):
    Any other text falls through to ``spark.sql`` after macro
    expansion — same results, no routing.
 
-3. the reference's own TVF spelling runs VERBATIM: ``SELECT rowid,
-   distance FROM vector_full_scan('t','col', vector_as_f32('[...]'),
-   k)`` plus the quantize/stream variants (API.md:212-260) are parsed
-   by ``parse_tvf`` and executed with reference semantics (metric
-   from vector_init, quantize tiers require their replica) — a
-   reference user's existing queries run unchanged.
+3. the reference's own SQL runs VERBATIM: the TVF queries ``SELECT
+   rowid, distance FROM vector_full_scan('t','col',
+   vector_as_f32('[...]'), k)`` plus the quantize/stream variants
+   (API.md:212-260, parse_tvf/run_tvf), AND the management
+   statements ``SELECT vector_version() / vector_backend() /
+   vector_init(...) / vector_quantize(...) / vector_quantize_memory
+   / _preload / _cleanup`` (API.md:24-168, parse_scalar/run_scalar,
+   reference return types TEXT/INTEGER/NULL) — a reference user's
+   existing scripts run unchanged, lifecycle included.
 
 Distance-domain contract (SURVEY §2.3, same as the reference): a
 query routed onto the quantized replica returns quantized-unit
@@ -310,6 +313,9 @@ def route_sql(
     """
     import pyspark.sql.functions as F
 
+    scalar = parse_scalar(sql)
+    if scalar is not None:
+        return run_scalar(spark, catalog, scalar[0], scalar[1], id_col=id_col)
     tvf = parse_tvf(sql)
     if tvf is not None:
         return run_tvf(spark, catalog, tvf, id_col=id_col)
@@ -451,3 +457,111 @@ def run_tvf(spark: SparkSession, catalog, tvf: TvfQuery, id_col: str = "id") -> 
         params = QuantParams(ctx.resolved_qtype, float(ctx.qscale), float(ctx.qoffset), 0)
         df = vector_quantize_scan_stream(codes, q, params, ctx.distance)
     return df.select(F.col("id").alias(tvf.id_out), F.col("distance").alias(tvf.dist_out))
+
+
+# ---------------------------------------------------------------- reference scalar statements
+
+#: the reference's management statements (API.md:24-168) — each a
+#: 1-row SELECT of an extension function. Supported verbatim with the
+#: reference's return types (TEXT / INTEGER / NULL).
+_SCALAR_RE = re.compile(
+    r"^\s*SELECT\s+(?P<fn>vector_version|vector_backend|vector_init|"
+    r"vector_quantize_memory|vector_quantize_preload|vector_quantize_cleanup|vector_quantize)"
+    r"\s*\(",
+    re.IGNORECASE,
+)
+
+
+def parse_scalar(sql: str) -> tuple[str, list[str]] | None:
+    """Recognize ``SELECT vector_*('t','c'[,'opts'])`` management
+    statements; returns (fn_lower, [unquoted args]) or None. Argument
+    splitting is quote-aware (the options literal itself contains
+    commas, e.g. 'dimension=384,type=FLOAT32,distance=cosine')."""
+    m = _SCALAR_RE.match(sql)
+    if not m:
+        return None
+    fn = m.group("fn").lower()
+    args_raw, end = _scan_args(sql, sql.index("(", m.start("fn")))
+    if not re.fullmatch(r"\s*;?\s*", sql[end:]):
+        return None  # more select items / clauses -> not a management statement
+    args = []
+    for part in args_raw:
+        if not part:
+            continue
+        qm = re.fullmatch(r"'([^']*)'", part)
+        if not qm:
+            return None  # non-literal argument -> not the management spelling
+        args.append(qm.group(1))
+    return fn, args
+
+
+def run_scalar(spark: SparkSession, catalog, fn: str, args: list[str], id_col: str = "id") -> DataFrame:
+    """Execute a reference management statement with reference return
+    types (API.md): version/backend -> 1-row TEXT; init/preload/
+    cleanup -> 1-row NULL; quantize -> rows quantized (INTEGER);
+    quantize_memory -> preload bytes (INTEGER).
+
+    The quantized replica parquet lands under the catalog root
+    (``<root>/shadow__<table>__<column>``), so vector_quantize /
+    _memory / _preload / _cleanup compose across statements exactly
+    like the reference's connection-shared quantization."""
+    import os as _os
+
+    import pyspark.sql.functions as F
+
+    def one(value, typ):
+        return spark.range(1).select(F.lit(value).cast(typ).alias(fn))
+
+    if fn == "vector_version":
+        from sqlite_vector_spark.version import vector_version
+
+        return one(vector_version(), "string")
+    if fn == "vector_backend":
+        from sqlite_vector_spark.version import vector_backend
+
+        return one(vector_backend(), "string")
+    if catalog is None:
+        raise ValueError(f"{fn} needs a VectorCatalog")
+    if fn == "vector_init":
+        if len(args) != 3:
+            raise ValueError("vector_init('table','column','options') takes 3 arguments")
+        catalog.vector_init(spark.table(args[0]), args[0], args[1], args[2])
+        return one(None, "string")
+    table, column = args[0], args[1]
+    ctx = catalog.get(table, column)
+    if fn == "vector_quantize":
+        from sqlite_vector_spark.operators.quantize import vector_quantize
+        from sqlite_vector_spark.types import parse_memory
+
+        max_memory = None
+        if len(args) >= 3 and args[2]:
+            for kv in args[2].split(","):
+                k, _, v = kv.partition("=")
+                if k.strip().lower() == "max_memory":
+                    max_memory = parse_memory(v.strip())
+        if not catalog.root:
+            raise ValueError("vector_quantize-by-statement needs a catalog with a root directory")
+        dest = _os.path.join(catalog.root, re.sub(r"[^A-Za-z0-9_.-]", "_", f"shadow__{table}__{column}"))
+        params = vector_quantize(
+            spark.table(table), column, dest, id_col=id_col,
+            catalog=catalog, table=table,
+            max_memory=max_memory, dim=ctx.dimension if max_memory is not None else None,
+        )
+        return one(params.count, "bigint")
+    if ctx.quantized_path is None:
+        raise ValueError(f"{table}.{column} has no quantized replica — run vector_quantize first")
+    codes = spark.read.parquet(ctx.quantized_path)
+    if fn == "vector_quantize_memory":
+        from sqlite_vector_spark.operators.quantize import vector_quantize_memory
+
+        return one(vector_quantize_memory(codes), "bigint")
+    if fn == "vector_quantize_preload":
+        from sqlite_vector_spark.operators.quantize import vector_quantize_preload
+
+        vector_quantize_preload(codes)
+        return one(None, "string")
+    # vector_quantize_cleanup
+    from sqlite_vector_spark.operators.quantize import vector_quantize_cleanup
+
+    vector_quantize_cleanup(codes, dest_path=ctx.quantized_path, catalog=catalog, table=table, column=column)
+    return one(None, "string")

@@ -284,3 +284,61 @@ def test_parse_tvf_rejects_malformed():
     assert parse_tvf("SELECT rowid, distance FROM vector_full_scan_stream('t', 'c', '[1.0]', 5)") is None
     # non-vector payload
     assert parse_tvf("SELECT rowid, distance FROM vector_full_scan('t', 'c', other_col, 5)") is None
+
+
+def test_reference_management_statements_verbatim(spark, emb, tmp_path):
+    """The reference's full management lifecycle (API.md:24-168) runs
+    as SQL text: version/backend return TEXT; init returns NULL and
+    registers the context; quantize returns the quantized row count
+    and builds the replica under the catalog root; quantize_memory
+    returns the preload bytes; preload/cleanup return NULL and
+    cleanup drops the replica registration."""
+    from sqlite_vector_spark.catalog import VectorCatalog
+
+    cat = VectorCatalog(str(tmp_path / "cat"))
+    emb.createOrReplaceTempView("mgmt_docs")
+
+    v = route_sql(spark, None, "SELECT vector_version();").collect()
+    assert len(v) == 1 and isinstance(v[0][0], str) and v[0][0]
+    b = route_sql(spark, None, "SELECT vector_backend()").collect()
+    assert b[0][0] in ("auto", "codegen", "arrow-numpy")
+
+    r = route_sql(
+        spark, cat,
+        "SELECT vector_init('mgmt_docs', 'embedding', 'dimension=64,type=FLOAT32,distance=L2');",
+    ).collect()
+    assert len(r) == 1 and r[0][0] is None  # reference: NULL
+    assert cat.get("mgmt_docs", "embedding").dimension == 64
+
+    # quantize before replica-dependent calls; API.md max_memory option
+    n_valid = emb.where(F.col("embedding").isNotNull()).count()
+    qn = route_sql(
+        spark, cat,
+        "SELECT vector_quantize('mgmt_docs', 'embedding', 'max_memory=50MB')",
+        id_col="vec_id",
+    ).collect()
+    assert qn[0][0] == n_valid  # INTEGER: rows quantized
+    ctx = cat.get("mgmt_docs", "embedding")
+    assert ctx.quantized_path and "shadow__" in ctx.quantized_path
+
+    mem = route_sql(spark, cat, "SELECT vector_quantize_memory('mgmt_docs', 'embedding')").collect()
+    assert mem[0][0] == n_valid * (8 + 64)  # Σ(8 + dim) bytes
+
+    p = route_sql(spark, cat, "SELECT vector_quantize_preload('mgmt_docs', 'embedding')").collect()
+    assert p[0][0] is None
+
+    c = route_sql(spark, cat, "SELECT vector_quantize_cleanup('mgmt_docs', 'embedding')").collect()
+    assert c[0][0] is None
+    assert cat.get("mgmt_docs", "embedding").quantized_path is None
+
+    # after cleanup, the quantize TVF errors with the reference contract
+    with pytest.raises(ValueError, match="vector_quantize first"):
+        route_sql(spark, cat, "SELECT vector_quantize_memory('mgmt_docs', 'embedding')")
+
+
+def test_parse_scalar_rejects_non_management():
+    from sqlite_vector_spark.sql import parse_scalar
+
+    assert parse_scalar("SELECT vector_version(), 1") is None  # extra select items
+    assert parse_scalar("SELECT vector_init(tbl, 'c', 'o')") is None  # non-literal arg
+    assert parse_scalar("SELECT vector_distance(a, b)") is None  # not a management fn
