@@ -338,7 +338,10 @@ def route_sql(
             prefilter=prefilter,
         )
         return df.select(F.col("id").alias(p.id_out), F.col("distance").alias(p.dist_out))
-    return spark.sql(expand_vector_sql(sql))
+    # passthrough: embedded TVF calls become temp-view subqueries
+    # (SURVEY §3 EP1's JOIN composition), then the distance macro
+    # expands, then plain Spark SQL runs the rest
+    return spark.sql(expand_vector_sql(_expand_tvf_subqueries(spark, catalog, sql, id_col=id_col)))
 
 
 # ---------------------------------------------------------------- reference TVF spelling
@@ -565,3 +568,39 @@ def run_scalar(spark: SparkSession, catalog, fn: str, args: list[str], id_col: s
 
     vector_quantize_cleanup(codes, dest_path=ctx.quantized_path, catalog=catalog, table=table, column=column)
     return one(None, "string")
+
+
+# ---------------------------------------------------------------- embedded TVF composition
+
+_TVF_CALL_RE = re.compile(rf"\b(?:{_TVF_NAMES})\s*\(", re.IGNORECASE)
+_TVF_VIEW_SEQ = [0]
+
+
+def _expand_tvf_subqueries(spark: SparkSession, catalog, sql: str, id_col: str = "id") -> str:
+    """Replace every embedded TVF call in ``sql`` with a temp view of
+    its result — the reference's flagship composition (SURVEY §3 EP1:
+    ``... JOIN vector_quantize_scan('t','c', ?, 20) v ON e.id =
+    v.rowid``) in one SQL string. Each call is executed via run_tvf
+    (columns rowid, distance) and registered as a generated view; the
+    surrounding text then runs as plain Spark SQL, so aliases, join
+    conditions, CTEs, and WHERE clauses all compose. Quote-aware:
+    tokens inside string literals are untouched."""
+    out = sql
+    for _ in range(16):
+        m = None
+        for cand in _TVF_CALL_RE.finditer(out):
+            if not _in_string(out, cand.start()):
+                m = cand
+                break
+        if not m:
+            return out
+        args, end = _scan_args(out, out.index("(", m.start()))
+        call_txt = out[m.start():end]
+        tvf = parse_tvf(f"SELECT rowid, distance FROM {call_txt}")
+        if tvf is None:
+            raise ValueError(f"unsupported TVF call shape: {call_txt[:120]}")
+        _TVF_VIEW_SEQ[0] += 1
+        view = f"_svspark_tvf_{_TVF_VIEW_SEQ[0]}"
+        run_tvf(spark, catalog, tvf, id_col=id_col).createOrReplaceTempView(view)
+        out = out[: m.start()] + view + out[end:]
+    raise ValueError("too many embedded TVF calls")  # pragma: no cover

@@ -342,3 +342,39 @@ def test_parse_scalar_rejects_non_management():
     assert parse_scalar("SELECT vector_version(), 1") is None  # extra select items
     assert parse_scalar("SELECT vector_init(tbl, 'c', 'o')") is None  # non-literal arg
     assert parse_scalar("SELECT vector_distance(a, b)") is None  # not a management fn
+
+
+def test_reference_ep1_join_composition(spark, emb, tmp_path):
+    """SURVEY §3 EP1 — the reference's flagship SQL shape, one string:
+    JOIN vector_quantize_scan('t','c', <vec>, 20) v ON e.id = v.rowid.
+    The embedded TVF becomes a temp-view subquery; the join-back runs
+    as plain Spark SQL; ids match the DataFrame-built knn_join_back
+    contract (replica prefilter -> payload join)."""
+    import json
+
+    from sqlite_vector_spark.catalog import VectorCatalog
+    from sqlite_vector_spark.operators.quantize import vector_quantize
+
+    cat = VectorCatalog(str(tmp_path / "cat"))
+    emb.createOrReplaceTempView("ep1_images")
+    cat.vector_init(emb, "ep1_images", "embedding", "type=FLOAT32,dimension=64,distance=L2")
+    vector_quantize(emb, "embedding", str(tmp_path / "shadow"), id_col="vec_id", catalog=cat, table="ep1_images")
+
+    qjson = json.dumps(Q64)
+    sql = (
+        "SELECT e.vec_id, e.label, v.distance FROM ep1_images e "
+        f"JOIN vector_quantize_scan('ep1_images','embedding', vector_as_f32('{qjson}'), 20) v "
+        "ON e.vec_id = v.rowid ORDER BY v.distance ASC, e.vec_id ASC"
+    )
+    rows = route_sql(spark, cat, sql, id_col="vec_id").collect()
+    assert len(rows) == 20
+    assert [c for c in rows[0].asDict()] == ["vec_id", "label", "distance"]
+    # same neighbor ids as the standalone quantize TVF
+    alone = route_sql(
+        spark, cat,
+        f"SELECT rowid, distance FROM vector_quantize_scan('ep1_images','embedding','{qjson}', 20)",
+        id_col="vec_id",
+    ).collect()
+    assert {r.vec_id for r in rows} == {r.rowid for r in alone}
+    # distances ride through the join unchanged (quantized units)
+    assert sorted(r.distance for r in rows) == sorted(r.distance for r in alone)
