@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_macro_scan": w.sql_macro_scan_q,
         "tvf_full_scan": w.tvf_full_scan_q,
         "tvf_quantize_scan": w.tvf_quantize_scan_q,
+        "tvf_ep1_join_back": w.tvf_ep1_join_back_q,
         "token_cooccurrence": w.token_cooccurrence_q,
         "bq_band_scan": w.bq_band_scan_q,
         "passage_strip_frozen": w.passage_strip_frozen_q,
@@ -260,6 +261,7 @@ def oracle_sql() -> dict[str, str]:
         # reference TVF text -> same result contracts as the scans
         "tvf_full_scan": o.full_scan("L2"),
         "tvf_quantize_scan": o.quantize_scan("L2"),
+        "tvf_ep1_join_back": o.tvf_ep1_join_back(),
         "quantize_scan_cosine": o.quantize_scan("COSINE"),
         "quantize_scan_dot": o.quantize_scan("DOT"),
         "quantize_scan_l1": o.quantize_scan("L1"),

@@ -91,6 +91,7 @@ def main():
     bench("sql_macro_scan", lambda: w.sql_macro_scan_q(spark, SF_DIR).collect())
     bench("tvf_full_scan", lambda: w.tvf_full_scan_q(spark, SF_DIR).collect())
     bench("tvf_quantize_scan", lambda: w.tvf_quantize_scan_q(spark, SF_DIR).collect())
+    bench("tvf_ep1_join_back", lambda: w.tvf_ep1_join_back_q(spark, SF_DIR).collect())
 
     # quantize build (the EP2 two-pass index build) + approximate scan
     import tempfile

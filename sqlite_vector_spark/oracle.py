@@ -206,6 +206,21 @@ ORDER BY distance ASC, id ASC
 LIMIT {k}"""
 
 
+def tvf_ep1_join_back() -> str:
+    """Mirror of workload.tvf_ep1_join_back_q: the quantize-scan CTE
+    (same arithmetic as quantize_scan) joined back to the payload."""
+    d = dist_sql("L2", "qvec", "q")
+    return f"""WITH codes AS ({CODES}),
+qq AS (SELECT {QQUERY} AS q FROM {PARAMS} prm),
+res AS (SELECT id, {d} AS distance
+        FROM codes, qq
+        ORDER BY distance ASC, id ASC
+        LIMIT {K})
+SELECT r.id, r.distance, CAST(e.label AS INTEGER) AS label
+FROM res r JOIN embeddings e ON r.id = e.vec_id
+ORDER BY r.distance ASC, r.id ASC"""
+
+
 def sql_macro_scan() -> str:
     """Mirror of workload.sql_macro_scan_q: the macro-expanded Spark
     SQL (WHERE + composite sort over a cosine distance) — the Spark

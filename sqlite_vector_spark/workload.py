@@ -279,6 +279,34 @@ def tvf_quantize_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return route_sql(spark, cat, sql, id_col="vec_id")
 
 
+def tvf_ep1_join_back_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §3 EP1 as ONE SQL string — the reference's flagship
+    composition: embedded quantize-scan TVF + payload join-back
+    (``JOIN vector_quantize_scan(...) v ON e.id = v.rowid``). The TVF
+    becomes a temp-view subquery (sql._expand_tvf_subqueries); the
+    join and ordering run as plain Spark SQL."""
+    import json
+    import tempfile
+
+    from sqlite_vector_spark.catalog import VectorCatalog
+    from sqlite_vector_spark.operators.quantize import vector_quantize
+    from sqlite_vector_spark.sql import route_sql
+
+    emb = _emb(spark, sf_dir)
+    emb.createOrReplaceTempView("emb_ep1_v")
+    root = tempfile.mkdtemp(prefix="svspark_ep1_")
+    cat = VectorCatalog(root + "/cat")
+    cat.vector_init(emb, "emb_ep1_v", "embedding", f"type=FLOAT32,dimension={DIM},distance=L2")
+    vector_quantize(emb, "embedding", root + "/shadow", id_col="vec_id", catalog=cat, table="emb_ep1_v")
+    sql = (
+        "SELECT v.rowid AS id, v.distance, CAST(e.label AS INT) AS label "
+        f"FROM vector_quantize_scan('emb_ep1_v','embedding','{json.dumps(Q64)}', {K}) v "
+        "JOIN emb_ep1_v e ON e.vec_id = v.rowid "
+        "ORDER BY v.distance ASC, id ASC"
+    )
+    return route_sql(spark, cat, sql, id_col="vec_id")
+
+
 def sql_macro_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic vector SQL via macro expansion (sql.expand_vector_sql):
     a shape the canonical recognizer rejects (WHERE + composite sort)
