@@ -109,6 +109,7 @@ def main():
         ("sql_macro_scan", "macro-expanded SQL: HOF fold codegen'd at the scan, pushed filters, TakeOrdered — identical plan class to the Column build", w.sql_macro_scan_q),
         ("auto_route_scan", "auto-routed SQL: canonical text rewritten onto the quantized replica scan (Arrow kernel under backend=auto; the oracle gate pins codegen)", w.auto_route_scan_q),
         ("token_cooccurrence", "co-occurrence lift: broadcast df-banded vocab, doc_id co-partitioned pair join, partial-agg counts", w.token_cooccurrence_q),
+        ("tvf_ep1_join_back", "EP1 composed SQL: embedded quantize-scan TVF as temp-view subquery, broadcast join-back", w.tvf_ep1_join_back_q),
     ]
 
     print("# PLANS — physical plans of headline operators (sf0.001, AQE on)")
