@@ -82,9 +82,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    boilerplate_strip r6 fill moved past the horizon to
         #    keep the window at 50; the late-r8 SQL-surface cohort
         #    (auto_route_scan, sql_macro_scan, tvf_full_scan,
-        #    tvf_quantize_scan) + token_cooccurrence joined, displacing
-        #    the tail of the (5) fill — knn_join_l2, semantic_dedup,
-        #    ivf_pq_knn_join_l2, ivf_pq_scan_l2 — to the r9 rotation)
+        #    tvf_quantize_scan, tvf_ep1_join_back) + token_cooccurrence
+        #    joined — SIX inserts, so the (5) fill keeps only its first
+        #    four entries and the displaced six (pq_scan_l2,
+        #    pq_rerank_scan_l2, ivf_pq_scan_l2, ivf_pq_knn_join_l2,
+        #    knn_join_l2, semantic_dedup) moved past the horizon as the
+        #    TOP r9 rotation priority)
         "auto_route_scan": w.auto_route_scan_q,
         "sql_macro_scan": w.sql_macro_scan_q,
         "tvf_full_scan": w.tvf_full_scan_q,
@@ -134,23 +137,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bq_rerank_scan_l2": w.bq_rerank_scan_l2,
         "bq_knn_join_hamming": w.bq_knn_join_hamming_q,
         "opq_scan_l2": w.opq_scan_l2,
-        # -- (5) oldest-r6 refresh fill
+        # -- (5) oldest-r6 refresh fill (positions 47-50)
         "bm25_topk": w.bm25_topk_q,
         "hybrid_rrf": w.hybrid_rrf_q,
         "lm_doc_scores": w.lm_doc_scores_q,
         "incremental_dedup": w.incremental_dedup_q,
+        # ---- past the 50-entry gate horizon: every entry below is
+        # r6/r7-green with its subsystem and oracle text unchanged in
+        # r8 (the batch_matrix kernel refactor is value-exact and the
+        # full local sweep re-verified every entry after it). ROUND-9
+        # ROTATION PRIORITY: first the six displaced by the late-r8
+        # SQL-surface inserts (pq_scan_l2, pq_rerank_scan_l2,
+        # ivf_pq_scan_l2, ivf_pq_knn_join_l2, knn_join_l2,
+        # semantic_dedup), then the r6-green entries (3 rounds stale
+        # in r9), then spot-checks of any r9-changed subsystems; the
+        # local tools/check_oracle.py sweep covers ALL entries every
+        # round.
         "pq_scan_l2": w.pq_scan_l2,
         "pq_rerank_scan_l2": w.pq_rerank_scan_l2,
         "ivf_pq_scan_l2": w.ivf_pq_scan_l2,
         "ivf_pq_knn_join_l2": w.ivf_pq_knn_join_l2_q,
         "knn_join_l2": w.knn_join_l2,
         "semantic_dedup": w.semantic_dedup_q,
-        # ---- past the 50-entry gate horizon: every entry below is
-        # r6/r7-green with its subsystem and oracle text unchanged in
-        # r8. ROUND-9 ROTATION PRIORITY: the r6-green entries below
-        # (they become 3 rounds stale in r9), then spot-checks of any
-        # r9-changed subsystems; the local tools/check_oracle.py sweep
-        # covers ALL entries every round.
         "boilerplate_strip": w.boilerplate_strip_q,
         "bf16_scan_l2": w.bf16_scan_l2,
         "chunk_dedup": w.chunk_dedup_q,

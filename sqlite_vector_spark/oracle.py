@@ -563,7 +563,7 @@ ORDER BY df DESC, token ASC"""
 
 def token_cooccurrence_q(top: int) -> str:
     # Mirror of workload.token_cooccurrence_q: relative df gates
-    # (5%-50%), relative pair floor (2%), lift = one exact-integer
+    # (5%-95%), relative pair floor (2%), lift = one exact-integer
     # double division (IEEE-correctly-rounded on both engines).
     norm = ("trim(regexp_replace(regexp_replace(lower(text), "
             f"'{_PUNCT_RE}', ' ', 'g'), '  *', ' ', 'g'))")

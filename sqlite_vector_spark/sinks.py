@@ -61,41 +61,64 @@ def compact_store(
     the within-file sort (pass ``sort_within`` to restore row-group
     min/max skipping, e.g. ['bv'] for the MIH band store).
 
-    Atomic on a rename-capable filesystem: the compacted copy is
-    written beside the store and swapped in via two renames, so a
-    concurrent reader sees either the old or the new layout, never a
-    partial one (same swap discipline as stats_store._publish). The
-    superseded layout is kept at ``<path>__pre_compact`` for in-flight
-    readers; drop it once they drain.
+    Concurrency contract (local filesystem only — the swap uses
+    os.rename, so remote schemes are rejected up front):
+    - Run from the single maintenance writer, between ingest triggers
+      (e.g. after an availableNow stream drains). Files a concurrent
+      writer commits AFTER the snapshot listing are still SALVAGED:
+      post-swap, anything in the superseded layout that was not in
+      the snapshot is moved into the new layout before returning.
+      NB: salvage cannot distinguish a late COMMIT from a file an
+      aborted write left behind — for a streaming file-sink store
+      (whose _spark_metadata manifest is what excludes aborted
+      files, and which compaction supersedes), compact only after a
+      clean drain.
+    - A reader racing the swap itself can observe a brief missing
+      path between the two renames (directory swaps cannot be made
+      single-rename-atomic without a versioned-path indirection like
+      stats_store's vN scheme) — retry on AnalysisException. A reader
+      that already resolved the old file list keeps working: the
+      superseded layout is retained at ``<path>__pre_compact`` until
+      the NEXT compaction; drop it once readers drain.
 
-    Returns {"files_before", "files_after", "rows"}.
+    Returns {"files_before", "files_after", "rows", "salvaged_files"}.
     """
     import os
 
     df = spark.read.parquet(path)
-    files_before = len(df.inputFiles())
+    snapshot = df.inputFiles()
+    if not all(f.startswith("file:") or f.startswith("/") for f in snapshot):
+        raise ValueError(
+            "compact_store supports local-filesystem stores only (os.rename swap); "
+            "for object stores, rewrite to a new prefix and flip the pointer instead"
+        )
+    files_before = len(snapshot)
     rows = df.count()
     # size from the CURRENT files (bytes on disk ~ post-compression)
     total_bytes = 0
-    for f in df.inputFiles():
+    for f in snapshot:
         p = f.removeprefix("file:")
         try:
             total_bytes += os.path.getsize(p)
         except OSError:
             pass
+    if total_bytes == 0:
+        # stat failed (e.g. URL-encoded names): keep parallelism
+        # rather than collapsing a possibly huge store into one file
+        target_files = max(1, files_before // 8)
+    else:
+        target_files = max(1, int(total_bytes // target_file_bytes) + 1)
     tmp = path.rstrip("/") + "__compacting"
     old = path.rstrip("/") + "__pre_compact"
     if partition_col is not None:
         # one write job; files-per-partition bounded by repartitioning
         # on the partition key (rows of one key land in one task)
-        n_part = max(1, int(total_bytes // target_file_bytes) + 1)
-        w = df.repartition(n_part, partition_col)
+        w = df.repartition(target_files, partition_col)
         if sort_within:
             w = w.sortWithinPartitions(partition_col, *sort_within)
         w.write.partitionBy(partition_col).mode("overwrite").parquet(tmp)
     else:
-        n_files = max(1, int(total_bytes // target_file_bytes) + 1)
-        w = df.repartition(n_files)
+        w = df.repartition(target_files)
         if sort_within:
             w = w.sortWithinPartitions(*sort_within)
         w.write.mode("overwrite").parquet(tmp)
@@ -107,6 +130,47 @@ def compact_store(
         import shutil
 
         shutil.rmtree(old)  # previous compaction's retained layout
-    os.rename(path.rstrip("/"), old)
-    os.rename(tmp, path.rstrip("/"))
-    return {"files_before": files_before, "files_after": files_after, "rows": rows}
+    root = path.rstrip("/")
+    os.rename(root, old)
+    os.rename(tmp, root)
+    root_abs = os.path.abspath(root)
+    snap_rel = {os.path.relpath(f.removeprefix("file:"), root_abs) for f in snapshot}
+    salvaged = _salvage_late_files(root, old, snap_rel)
+    # drop this session's cached file listings for the swapped path —
+    # Spark's shared FileStatusCache otherwise serves the PRE-swap
+    # listing to the next read and it fails on the vanished files
+    spark.catalog.refreshByPath(path)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows": rows,
+        "salvaged_files": salvaged,
+    }
+
+
+def _salvage_late_files(root: str, old: str, snap_rel: set) -> int:
+    """Move data files a concurrent writer added AFTER the compaction
+    snapshot (present in the superseded layout ``old`` but not in the
+    snapshot listing) into the new layout at ``root``. Spark part-
+    file names are UUID-unique, so no collisions. Marker files
+    (_SUCCESS, CRC) AND metadata directories (a streaming file-sink's
+    ``_spark_metadata`` log — its manifest lists the pre-compaction
+    files, so copying it over would point reads at vanished paths;
+    the compacted store intentionally reads as a plain parquet
+    directory) are skipped. Returns the number salvaged."""
+    import os
+
+    salvaged = 0
+    for dirpath, dirs, files in os.walk(old):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for fname in files:
+            if fname.startswith(("_", ".")):
+                continue
+            full = os.path.join(dirpath, fname)
+            rel = os.path.relpath(full, old)
+            if rel not in snap_rel:
+                dest = os.path.join(root, rel)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                os.rename(full, dest)
+                salvaged += 1
+    return salvaged

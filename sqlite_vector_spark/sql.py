@@ -133,11 +133,16 @@ def _scan_args(sql: str, open_paren: int) -> tuple[list[str], int]:
     i = open_paren
     n = len(sql)
     quote: str | None = None
+    esc = False
     while i < n:
         ch = sql[i]
         if quote is not None:
             buf.append(ch)
-            if ch == quote:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == quote:
                 quote = None
         elif ch in ("'", '"'):
             quote = ch
@@ -171,11 +176,19 @@ def _metric_from_arg(arg: str) -> Metric:
 
 
 def _in_string(sql: str, pos: int) -> bool:
-    """True when ``sql[pos]`` sits inside a quoted literal."""
+    """True when ``sql[pos]`` sits inside a quoted literal.
+    Backslash-escape aware: Spark's default parser treats ``\\'`` as an
+    escaped quote inside a literal (escapedStringLiterals=false), so a
+    backslashed quote must NOT close the string."""
     quote: str | None = None
+    esc = False
     for ch in sql[:pos]:
         if quote is not None:
-            if ch == quote:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == quote:
                 quote = None
         elif ch in ("'", '"'):
             quote = ch
@@ -187,7 +200,7 @@ def expand_vector_sql(sql: str) -> str:
     into the HOF distance expression. Innermost-first, quote-aware, so
     nested calls and string literals containing the token are safe."""
     out = sql
-    for _ in range(64):  # bounded: each pass expands one call site
+    for _ in range(4096):  # bounded: each pass expands one call site
         m = None
         for cand in _CALL_RE.finditer(out):
             if not _in_string(out, cand.start()):
@@ -201,7 +214,7 @@ def expand_vector_sql(sql: str) -> str:
         a, b = expand_vector_sql(args[0]), expand_vector_sql(args[1])
         metric = _metric_from_arg(args[2]) if len(args) == 3 else Metric.L2
         out = out[: m.start()] + "(" + distance_sql(a, b, metric) + ")" + out[end:]
-    raise ValueError("too many nested vector_distance expansions")  # pragma: no cover
+    raise ValueError("more than 4096 vector_distance call sites in one statement")  # pragma: no cover
 
 
 # ---------------------------------------------------------------- canonical top-k recognizer
@@ -324,6 +337,11 @@ def route_sql(
         from sqlite_vector_spark.router import knn
 
         p = decision.topk
+        # a missing metric in vector_distance(...) means L2 on EVERY
+        # path (the macro's documented default) — not the table's init
+        # metric, which would make the same text return different
+        # results depending on catalog registration. The reference's
+        # init-metric behavior belongs to its TVF spelling (run_tvf).
         df = knn(
             spark,
             catalog,
@@ -331,7 +349,7 @@ def route_sql(
             p.column,
             list(p.query),
             p.k,
-            metric=p.metric,
+            metric=p.metric or "L2",
             prefer=prefer,
             id_col=p.id_col,
             nprobe=nprobe,
@@ -573,7 +591,6 @@ def run_scalar(spark: SparkSession, catalog, fn: str, args: list[str], id_col: s
 # ---------------------------------------------------------------- embedded TVF composition
 
 _TVF_CALL_RE = re.compile(rf"\b(?:{_TVF_NAMES})\s*\(", re.IGNORECASE)
-_TVF_VIEW_SEQ = [0]
 
 
 def _expand_tvf_subqueries(spark: SparkSession, catalog, sql: str, id_col: str = "id") -> str:
@@ -599,8 +616,11 @@ def _expand_tvf_subqueries(spark: SparkSession, catalog, sql: str, id_col: str =
         tvf = parse_tvf(f"SELECT rowid, distance FROM {call_txt}")
         if tvf is None:
             raise ValueError(f"unsupported TVF call shape: {call_txt[:120]}")
-        _TVF_VIEW_SEQ[0] += 1
-        view = f"_svspark_tvf_{_TVF_VIEW_SEQ[0]}"
+        # uuid names: no cross-thread counter race on a shared session,
+        # no collision with user views; views are session-scoped
+        import uuid
+
+        view = f"_svspark_tvf_{uuid.uuid4().hex[:12]}"
         run_tvf(spark, catalog, tvf, id_col=id_col).createOrReplaceTempView(view)
         out = out[: m.start()] + view + out[end:]
     raise ValueError("too many embedded TVF calls")  # pragma: no cover

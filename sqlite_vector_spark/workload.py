@@ -1835,7 +1835,7 @@ def token_doc_freq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: co-occurrence vocab gate: 5% <= df/n_docs <= 50% (scale-free), pair
+#: co-occurrence vocab gate: 5% <= df/n_docs <= 95% (scale-free), pair
 #: floor n_xy/n_docs >= 2%, top pairs by lift
 COOC_TOP = 100
 
@@ -1850,7 +1850,8 @@ def token_cooccurrence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape (market-basket): per-doc DISTINCT tokens explode once
     (bounded by types-per-doc); the vocabulary is df-gated to the
-    5%-50% band and BROADCAST; the within-doc pair join co-partitions
+    5%-95% band and BROADCAST (the ceiling only drops near-ubiquitous
+    stopword-like tokens whose pairs carry no signal at lift ~ 1); the within-doc pair join co-partitions
     both sides on doc_id (one shuffle each, text never shuffles);
     pair counts collapse with map-side partials; the relative pair
     floor (2% of docs) kills the tail before the final top-k. All

@@ -645,7 +645,7 @@ def test_token_cooccurrence_planted_lift(spark):
 
     rows = []
     # 40 docs: even docs get alpha+beta, odd docs get gamma; 'fill'
-    # appears in every doc (df=100% -> excluded by the 95% ceiling),
+    # appears in every doc (df=100% -> excluded by the 95% df ceiling),
     # 'mid' in half of them (in-band).
     for i in range(40):
         toks = ["fill", "common", "word"]

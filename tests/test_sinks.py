@@ -90,3 +90,29 @@ def test_compact_store_flat_with_sort(spark, emb, tmp_path):
     for f in after.inputFiles():
         ids = pq.read_table(f.removeprefix("file:"), columns=["vec_id"])["vec_id"].to_pylist()
         assert ids == sorted(ids)
+
+
+def test_compact_store_salvages_late_files(tmp_path):
+    """Files a concurrent writer commits between the snapshot listing
+    and the swap end up only in the superseded layout; the salvage
+    pass moves them into the new layout and leaves snapshot files
+    (already compacted) alone — no duplicates, no loss."""
+    import os
+
+    from sqlite_vector_spark.sinks import _salvage_late_files
+
+    root = tmp_path / "store"
+    old = tmp_path / "store__pre_compact"
+    (old / "part=1").mkdir(parents=True)
+    (root / "part=1").mkdir(parents=True)
+    # snapshot file: was compacted, must NOT be copied back
+    (old / "part=1" / "part-0001-snap.parquet").write_bytes(b"old")
+    # late file: committed after the snapshot, must move over
+    (old / "part=1" / "part-0002-late.parquet").write_bytes(b"late")
+    (old / "_SUCCESS").write_bytes(b"")  # marker skipped
+    snap_rel = {os.path.join("part=1", "part-0001-snap.parquet")}
+    n = _salvage_late_files(str(root), str(old), snap_rel)
+    assert n == 1
+    assert (root / "part=1" / "part-0002-late.parquet").read_bytes() == b"late"
+    assert not (root / "part=1" / "part-0001-snap.parquet").exists()
+    assert (old / "part=1" / "part-0001-snap.parquet").exists()  # retained for readers

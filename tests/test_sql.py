@@ -378,3 +378,44 @@ def test_reference_ep1_join_composition(spark, emb, tmp_path):
     assert {r.vec_id for r in rows} == {r.rowid for r in alone}
     # distances ride through the join unchanged (quantized units)
     assert sorted(r.distance for r in rows) == sorted(r.distance for r in alone)
+
+
+def test_expand_escaped_quote_in_literal():
+    """Spark's default parser escapes quotes with backslash; a literal
+    containing \\' followed by the token must stay untouched."""
+    sql = r"SELECT 'it\'s vector_distance(' AS s, vector_distance(a, b) AS d FROM t"
+    out = expand_vector_sql(sql)
+    assert r"'it\'s vector_distance(' AS s" in out
+    assert "aggregate(" in out  # the real call expanded
+
+
+def test_route_metric_default_is_l2_on_every_path(spark, emb, tmp_path):
+    """vector_distance with no metric means L2 whether the text routes
+    (registered catalog) or passes through as macro SQL — the same
+    string can never return different results by catalog state. A
+    table registered with a NON-L2 init metric still routes its
+    2-arg text as L2 (the init metric belongs to the TVF spelling)."""
+    from sqlite_vector_spark.catalog import VectorCatalog
+
+    cat = VectorCatalog(str(tmp_path / "cat"))
+    emb.createOrReplaceTempView("emb_metric_t")
+    cat.vector_init(emb, "emb_metric_t", "embedding", "type=FLOAT32,dimension=64,distance=cosine")
+    sql = (
+        f"SELECT vec_id AS id, vector_distance(embedding, {_arr(Q64)}) AS distance "
+        "FROM emb_metric_t ORDER BY distance ASC LIMIT 10"
+    )
+    routed = route_sql(spark, cat, sql)  # canonical -> routed (exact tier, no replica)
+    passthrough = route_sql(spark, None, sql)  # macro passthrough
+    assert [r.id for r in routed.collect()] == [r.id for r in passthrough.collect()]
+    # and the TVF spelling uses the registered cosine metric (differs from L2 order)
+    import json
+
+    tvf = route_sql(
+        spark, cat,
+        f"SELECT rowid, distance FROM vector_full_scan('emb_metric_t','embedding','{json.dumps(Q64)}', 10)",
+        id_col="vec_id",
+    )
+    from sqlite_vector_spark.operators.search import full_scan
+
+    want = full_scan(emb, "embedding", Q64, 10, "COSINE", id_col="vec_id").collect()
+    assert [r.rowid for r in tvf.collect()] == [r.id for r in want]
