@@ -162,3 +162,59 @@ def test_distance_sql_text_is_deterministic(vals):
     arr = "array(" + ",".join(repr(v) for v in vals) + ")"
     assert distance_sql("c", arr, "cosine") == distance_sql("c", arr, "cosine")
     assert distance_sql("c", arr, "l2") != distance_sql("c", arr, "l1")
+
+
+@given(
+    fn=st.sampled_from(["vector_full_scan", "vector_quantize_scan"]),
+    table=_IDENT,
+    column=_IDENT,
+    vals=st.lists(st.floats(-100, 100, allow_nan=False), min_size=1, max_size=6),
+    k=st.integers(min_value=0, max_value=10**6),
+    wrap=st.booleans(),
+    alias=st.booleans(),
+    ws=st.sampled_from(["", " ", "\n  "]),
+)
+@settings(max_examples=200, deadline=None)
+def test_parse_tvf_roundtrip(fn, table, column, vals, k, wrap, alias, ws):
+    """Any reference-shaped TVF text parses back to exactly its own
+    (fn, table, column, vector, k) — whitespace, vector_as_f32
+    wrapping, and output aliases don't change the parse; the parsed
+    vector roundtrips float-exactly through the JSON spelling."""
+    import json
+
+    from sqlite_vector_spark.sql import parse_tvf
+
+    vec = json.dumps(vals)
+    vec_txt = f"vector_as_f32('{vec}')" if wrap else f"'{vec}'"
+    sel = "rowid AS r, distance AS d" if alias else "rowid, distance"
+    sep = ws or " "  # SELECT-list/FROM must stay token-separated
+    sql = f"SELECT {sel}{sep}FROM {fn}{ws}('{table}',{ws}'{column}', {vec_txt}, {k})"
+    p = parse_tvf(sql)
+    assert p is not None, sql
+    assert (p.table, p.column, p.k) == (table, column, k)
+    assert p.fn == fn.removeprefix("vector_")
+    assert list(p.query) == [float(v) for v in vals]
+    assert (p.id_out, p.dist_out) == (("r", "d") if alias else ("rowid", "distance"))
+
+
+@given(
+    fn=st.sampled_from(
+        ["vector_version", "vector_backend", "vector_init", "vector_quantize",
+         "vector_quantize_memory", "vector_quantize_preload", "vector_quantize_cleanup"]
+    ),
+    args=st.lists(
+        st.text(alphabet="abc,= 0123456789MBK", min_size=0, max_size=20), min_size=0, max_size=3
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_parse_scalar_roundtrip(fn, args):
+    """Management statements parse back to their own (fn, args) even
+    when an argument literal contains commas/equals (the options
+    string); the trailing-clause guard rejects extended statements."""
+    from sqlite_vector_spark.sql import parse_scalar
+
+    arg_txt = ", ".join(f"'{a}'" for a in args)
+    got = parse_scalar(f"SELECT {fn}({arg_txt});")
+    assert got is not None
+    assert got[0] == fn and got[1] == [a for a in args if a != ""] or got[1] == args
+    assert parse_scalar(f"SELECT {fn}({arg_txt}) FROM t") is None
