@@ -475,6 +475,18 @@ def _stop_count(col: str = "text") -> str:
 _PUNCT_RE = "[\\.\\,\\!\\?\\;\\:]"
 
 
+def _norm_text_sql(col: str = "text") -> str:
+    """Mirror of functions.text.normalize_text (lowercase, punct to
+    spaces, collapsed runs, trimmed)."""
+    return (f"trim(regexp_replace(regexp_replace(lower({col}), "
+            f"'{_PUNCT_RE}', ' ', 'g'), '  *', ' ', 'g'))")
+
+
+def _distinct_tokens_sql(col: str = "text") -> str:
+    """Mirror of array_distinct(words(normalize_text(col)))."""
+    return f"list_distinct(list_filter(string_split({_norm_text_sql(col)}, ' '), w -> w <> ''))"
+
+
 def text_stats() -> str:
     n_tok = f"CAST(len({WORDS}) AS BIGINT)"
     n_chr = "CAST(length(text) AS BIGINT)"
@@ -551,9 +563,7 @@ FROM b"""
 def token_doc_freq_q(min_df: int) -> str:
     # Mirror of workload.token_doc_freq_q: distinct normalized tokens
     # per doc -> document frequency, floored at min_df.
-    norm = ("trim(regexp_replace(regexp_replace(lower(text), "
-            f"'{_PUNCT_RE}', ' ', 'g'), '  *', ' ', 'g'))")
-    toks = f"list_distinct(list_filter(string_split({norm}, ' '), w -> w <> ''))"
+    toks = _distinct_tokens_sql()
     return f"""WITH t AS (SELECT doc_id, unnest({toks}) AS token FROM documents)
 SELECT token, count(*) AS df
 FROM t GROUP BY token
@@ -565,9 +575,7 @@ def token_cooccurrence_q(top: int) -> str:
     # Mirror of workload.token_cooccurrence_q: relative df gates
     # (5%-95%), relative pair floor (2%), lift = one exact-integer
     # double division (IEEE-correctly-rounded on both engines).
-    norm = ("trim(regexp_replace(regexp_replace(lower(text), "
-            f"'{_PUNCT_RE}', ' ', 'g'), '  *', ' ', 'g'))")
-    toks = f"list_distinct(list_filter(string_split({norm}, ' '), w -> w <> ''))"
+    toks = _distinct_tokens_sql()
     return f"""WITH t AS (SELECT doc_id, unnest({toks}) AS token FROM documents),
 nd AS (SELECT count(*) AS n_docs FROM documents),
 dfc AS (SELECT token, count(*) AS df FROM t GROUP BY token),
@@ -1290,8 +1298,7 @@ ORDER BY pos"""
 
 
 def text_normalize_q() -> str:
-    norm = ("trim(regexp_replace(regexp_replace(lower(text), "
-            f"'{_PUNCT_RE}', ' ', 'g'), '  *', ' ', 'g'))")
+    norm = _norm_text_sql()
     n_tok = f"CAST(len(list_filter(string_split({norm}, ' '), w -> w <> '')) AS BIGINT)"
     return f"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
        {norm} AS norm_text,

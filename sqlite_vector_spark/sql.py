@@ -219,7 +219,6 @@ def expand_vector_sql(sql: str) -> str:
 
 # ---------------------------------------------------------------- canonical top-k recognizer
 
-_NUM = r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?"
 _TOPK_RE = re.compile(
     r"^\s*SELECT\s+(?P<id>\w+)(?:\s+AS\s+(?P<id_alias>\w+))?\s*,\s*"
     r"vector_distance\s*\(\s*(?P<col>\w+)\s*,\s*array\s*\((?P<vec>[^)]*)\)\s*"
@@ -239,7 +238,7 @@ class TopKQuery:
     column: str
     query: tuple[float, ...]
     k: int
-    metric: str | None  # None -> the registered table's init metric
+    metric: str | None  # None -> L2 (the macro default; see route_sql)
     id_col: str
     id_out: str  # output name for the id column (AS alias or id_col)
     dist_out: str  # output name for the distance column
@@ -452,14 +451,11 @@ def run_tvf(spark: SparkSession, catalog, tvf: TvfQuery, id_col: str = "id") -> 
         raise ValueError("reference TVF queries need a VectorCatalog (run vector_init first)")
     ctx = catalog.get(tvf.table, tvf.column)  # KeyError -> not initialized
     q = list(tvf.query)
-    if tvf.fn == "full_scan":
+    if tvf.fn in ("full_scan", "quantize_scan"):
         from sqlite_vector_spark.router import knn
 
-        df = knn(spark, catalog, tvf.table, tvf.column, q, tvf.k, prefer="exact", id_col=id_col)
-    elif tvf.fn == "quantize_scan":
-        from sqlite_vector_spark.router import knn
-
-        df = knn(spark, catalog, tvf.table, tvf.column, q, tvf.k, prefer="quantized", id_col=id_col)
+        prefer = "exact" if tvf.fn == "full_scan" else "quantized"
+        df = knn(spark, catalog, tvf.table, tvf.column, q, tvf.k, prefer=prefer, id_col=id_col)
     elif tvf.fn == "full_scan_stream":
         from sqlite_vector_spark.operators.search import full_scan_stream
 
@@ -526,7 +522,7 @@ def run_scalar(spark: SparkSession, catalog, fn: str, args: list[str], id_col: s
     (``<root>/shadow__<table>__<column>``), so vector_quantize /
     _memory / _preload / _cleanup compose across statements exactly
     like the reference's connection-shared quantization."""
-    import os as _os
+    import os
 
     import pyspark.sql.functions as F
 
@@ -562,7 +558,7 @@ def run_scalar(spark: SparkSession, catalog, fn: str, args: list[str], id_col: s
                     max_memory = parse_memory(v.strip())
         if not catalog.root:
             raise ValueError("vector_quantize-by-statement needs a catalog with a root directory")
-        dest = _os.path.join(catalog.root, re.sub(r"[^A-Za-z0-9_.-]", "_", f"shadow__{table}__{column}"))
+        dest = os.path.join(catalog.root, re.sub(r"[^A-Za-z0-9_.-]", "_", f"shadow__{table}__{column}"))
         params = vector_quantize(
             spark.table(table), column, dest, id_col=id_col,
             catalog=catalog, table=table,

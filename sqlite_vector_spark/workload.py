@@ -202,6 +202,32 @@ quantize_scan_stream_l2 = _quantize_scan("L2", None)
 # ---------------------------------------------------------------- SQL surface (sql.py)
 
 
+def _q64_array_sql() -> str:
+    """Q64 as a Spark SQL array(...) literal (repr floats roundtrip
+    exactly through both the canonical recognizer and Spark's parser)."""
+    return "array(" + ", ".join(repr(float(v)) for v in Q64) + ")"
+
+
+def _sql_surface_fixture(spark: SparkSession, sf_dir: str, view: str, quantize: bool):
+    """Shared setup for the SQL-surface gate entries: register the
+    embeddings table under ``view``, vector_init it in a fresh
+    throwaway catalog, and (optionally) build + register the
+    quantized replica. Returns the catalog."""
+    import tempfile
+
+    from sqlite_vector_spark.catalog import VectorCatalog
+    from sqlite_vector_spark.operators.quantize import vector_quantize
+
+    emb = _emb(spark, sf_dir)
+    emb.createOrReplaceTempView(view)
+    root = tempfile.mkdtemp(prefix=f"svspark_{view}_")
+    cat = VectorCatalog(root + "/cat")
+    cat.vector_init(emb, view, "embedding", f"type=FLOAT32,dimension={DIM},distance=L2")
+    if quantize:
+        vector_quantize(emb, "embedding", root + "/shadow", id_col="vec_id", catalog=cat, table=view)
+    return cat
+
+
 def auto_route_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL auto-route (sqlite_vector_spark.sql.route_sql — SURVEY §4):
     the canonical ``ORDER BY vector_distance(...) LIMIT k`` text over
@@ -211,21 +237,11 @@ def auto_route_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     == vector_quantize_scan (quantized-unit distances, (distance, id)
     ascending), so it hash-gates against the SAME oracle SQL as
     quantize_scan_l2."""
-    import tempfile
-
-    from sqlite_vector_spark.catalog import VectorCatalog
-    from sqlite_vector_spark.operators.quantize import vector_quantize
     from sqlite_vector_spark.sql import route_sql
 
-    emb = _emb(spark, sf_dir)
-    emb.createOrReplaceTempView("emb_route_v")
-    root = tempfile.mkdtemp(prefix="svspark_route_")
-    cat = VectorCatalog(root + "/cat")
-    cat.vector_init(emb, "emb_route_v", "embedding", f"type=FLOAT32,dimension={DIM},distance=L2")
-    vector_quantize(emb, "embedding", root + "/shadow", id_col="vec_id", catalog=cat, table="emb_route_v")
-    arr = "array(" + ", ".join(repr(float(v)) for v in Q64) + ")"
+    cat = _sql_surface_fixture(spark, sf_dir, "emb_route_v", quantize=True)
     sql = (
-        f"SELECT vec_id AS id, vector_distance(embedding, {arr}, 'l2') AS distance "
+        f"SELECT vec_id AS id, vector_distance(embedding, {_q64_array_sql()}, 'l2') AS distance "
         f"FROM emb_route_v ORDER BY distance ASC LIMIT {K}"
     )
     return route_sql(spark, cat, sql)
@@ -238,15 +254,10 @@ def tvf_full_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric taken from vector_init, exact tier. Result contract ==
     vector_full_scan, so it gates against the full_scan oracle."""
     import json
-    import tempfile
 
-    from sqlite_vector_spark.catalog import VectorCatalog
     from sqlite_vector_spark.sql import route_sql
 
-    emb = _emb(spark, sf_dir)
-    emb.createOrReplaceTempView("emb_tvf_v")
-    cat = VectorCatalog(tempfile.mkdtemp(prefix="svspark_tvf_") + "/cat")
-    cat.vector_init(emb, "emb_tvf_v", "embedding", f"type=FLOAT32,dimension={DIM},distance=L2")
+    cat = _sql_surface_fixture(spark, sf_dir, "emb_tvf_v", quantize=False)
     sql = (
         "SELECT rowid AS id, distance "
         f"FROM vector_full_scan('emb_tvf_v', 'embedding', vector_as_f32('{json.dumps(Q64)}'), {K})"
@@ -260,18 +271,10 @@ def tvf_quantize_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized-unit distances — gates against the quantize_scan
     oracle."""
     import json
-    import tempfile
 
-    from sqlite_vector_spark.catalog import VectorCatalog
-    from sqlite_vector_spark.operators.quantize import vector_quantize
     from sqlite_vector_spark.sql import route_sql
 
-    emb = _emb(spark, sf_dir)
-    emb.createOrReplaceTempView("emb_tvfq_v")
-    root = tempfile.mkdtemp(prefix="svspark_tvfq_")
-    cat = VectorCatalog(root + "/cat")
-    cat.vector_init(emb, "emb_tvfq_v", "embedding", f"type=FLOAT32,dimension={DIM},distance=L2")
-    vector_quantize(emb, "embedding", root + "/shadow", id_col="vec_id", catalog=cat, table="emb_tvfq_v")
+    cat = _sql_surface_fixture(spark, sf_dir, "emb_tvfq_v", quantize=True)
     sql = (
         "SELECT rowid AS id, distance "
         f"FROM vector_quantize_scan('emb_tvfq_v', 'embedding', '{json.dumps(Q64)}', {K})"
@@ -286,18 +289,10 @@ def tvf_ep1_join_back_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes a temp-view subquery (sql._expand_tvf_subqueries); the
     join and ordering run as plain Spark SQL."""
     import json
-    import tempfile
 
-    from sqlite_vector_spark.catalog import VectorCatalog
-    from sqlite_vector_spark.operators.quantize import vector_quantize
     from sqlite_vector_spark.sql import route_sql
 
-    emb = _emb(spark, sf_dir)
-    emb.createOrReplaceTempView("emb_ep1_v")
-    root = tempfile.mkdtemp(prefix="svspark_ep1_")
-    cat = VectorCatalog(root + "/cat")
-    cat.vector_init(emb, "emb_ep1_v", "embedding", f"type=FLOAT32,dimension={DIM},distance=L2")
-    vector_quantize(emb, "embedding", root + "/shadow", id_col="vec_id", catalog=cat, table="emb_ep1_v")
+    cat = _sql_surface_fixture(spark, sf_dir, "emb_ep1_v", quantize=True)
     sql = (
         "SELECT v.rowid AS id, v.distance, CAST(e.label AS INT) AS label "
         f"FROM vector_quantize_scan('emb_ep1_v','embedding','{json.dumps(Q64)}', {K}) v "
@@ -316,9 +311,8 @@ def sql_macro_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sqlite_vector_spark.sql import route_sql
 
     _emb(spark, sf_dir).createOrReplaceTempView("emb_sqlmacro_v")
-    arr = "array(" + ", ".join(repr(float(v)) for v in Q64) + ")"
     sql = (
-        f"SELECT vec_id AS id, vector_distance(embedding, {arr}, 'cosine') AS distance "
+        f"SELECT vec_id AS id, vector_distance(embedding, {_q64_array_sql()}, 'cosine') AS distance "
         "FROM emb_sqlmacro_v WHERE embedding IS NOT NULL AND vec_id % 7 = 0 "
         f"ORDER BY distance ASC, id ASC LIMIT {K}"
     )
