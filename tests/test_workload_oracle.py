@@ -104,3 +104,28 @@ def test_spot_oracle_match(spark, duck, name):
     assert sorted(ocols) == scols
     orows = sorted(tuple(repr(r[ocols.index(c)]) for c in sorted(ocols)) for r in cur.fetchall())
     assert srows == orows
+
+
+def test_gate_window_contains_round8_rotation():
+    """The driver adjudicates only the FIRST 50 queries() entries, so
+    window membership is part of the declared evidence plan: every
+    new-in-r8 entry and the never-driver-gated r7 trio must sit inside
+    positions 1-50, keys must be unique, and the inventory must match
+    oracle_sql 1:1 (an insert that silently pushes an intended entry
+    past the horizon breaks the rotation bookkeeping — this pins it)."""
+    import __spark_entry__ as e
+
+    keys = list(e.queries().keys())
+    assert len(keys) == len(set(keys))
+    assert set(keys) == set(e.oracle_sql())
+    window = set(keys[:50])
+    must_gate = [
+        # new in r8
+        "auto_route_scan", "sql_macro_scan", "tvf_full_scan",
+        "tvf_quantize_scan", "tvf_ep1_join_back", "token_cooccurrence",
+        "bq_band_scan", "passage_strip_frozen", "bq_knn_join_projected",
+        # never driver-gated r7 entries
+        "hybrid_rrf_batch", "ivf_recall_curve", "source_snapshot_drift",
+    ]
+    missing = [k for k in must_gate if k not in window]
+    assert not missing, f"intended gate entries fell past the 50-entry horizon: {missing}"
