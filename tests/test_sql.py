@@ -419,3 +419,13 @@ def test_route_metric_default_is_l2_on_every_path(spark, emb, tmp_path):
 
     want = full_scan(emb, "embedding", Q64, 10, "COSINE", id_col="vec_id").collect()
     assert [r.rowid for r in tvf.collect()] == [r.id for r in want]
+
+
+def test_parse_tvf_select_star():
+    """SELECT * over a TVF yields the reference's (rowid, distance)."""
+    from sqlite_vector_spark.sql import parse_tvf
+
+    p = parse_tvf("SELECT * FROM vector_full_scan('t', 'c', '[1.0, 2.0]', 5)")
+    assert p is not None
+    assert (p.id_out, p.dist_out, p.k) == ("rowid", "distance", 5)
+    assert p.query == (1.0, 2.0)
