@@ -83,8 +83,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    keep the window at 50; the late-r8 SQL-surface cohort
         #    (auto_route_scan, sql_macro_scan, tvf_full_scan,
         #    tvf_quantize_scan, tvf_ep1_join_back) + token_cooccurrence
-        #    joined — SIX inserts, so the (5) fill keeps only its first
-        #    four entries and the displaced six (pq_scan_l2,
+        #    + neardup_keep_best joined — SEVEN inserts, so the (5)
+        #    fill keeps only its first three entries and the displaced
+        #    seven (incremental_dedup, pq_scan_l2,
         #    pq_rerank_scan_l2, ivf_pq_scan_l2, ivf_pq_knn_join_l2,
         #    knn_join_l2, semantic_dedup) moved past the horizon as the
         #    TOP r9 rotation priority)
@@ -94,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tvf_quantize_scan": w.tvf_quantize_scan_q,
         "tvf_ep1_join_back": w.tvf_ep1_join_back_q,
         "token_cooccurrence": w.token_cooccurrence_q,
+        "neardup_keep_best": w.neardup_keep_best_q,
         "bq_band_scan": w.bq_band_scan_q,
         "passage_strip_frozen": w.passage_strip_frozen_q,
         "bq_knn_join_projected": w.bq_knn_join_projected_q,
@@ -137,22 +139,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bq_rerank_scan_l2": w.bq_rerank_scan_l2,
         "bq_knn_join_hamming": w.bq_knn_join_hamming_q,
         "opq_scan_l2": w.opq_scan_l2,
-        # -- (5) oldest-r6 refresh fill (positions 47-50)
+        # -- (5) oldest-r6 refresh fill (positions 48-50)
         "bm25_topk": w.bm25_topk_q,
         "hybrid_rrf": w.hybrid_rrf_q,
         "lm_doc_scores": w.lm_doc_scores_q,
-        "incremental_dedup": w.incremental_dedup_q,
         # ---- past the 50-entry gate horizon: every entry below is
         # r6/r7-green with its subsystem and oracle text unchanged in
         # r8 (the batch_matrix kernel refactor is value-exact and the
         # full local sweep re-verified every entry after it). ROUND-9
         # ROTATION PRIORITY: first the six displaced by the late-r8
-        # SQL-surface inserts (pq_scan_l2, pq_rerank_scan_l2,
-        # ivf_pq_scan_l2, ivf_pq_knn_join_l2, knn_join_l2,
-        # semantic_dedup), then the r6-green entries (3 rounds stale
+        # SQL-surface inserts (incremental_dedup, pq_scan_l2,
+        # pq_rerank_scan_l2, ivf_pq_scan_l2, ivf_pq_knn_join_l2,
+        # knn_join_l2, semantic_dedup), then the r6-green entries (3 rounds stale
         # in r9), then spot-checks of any r9-changed subsystems; the
         # local tools/check_oracle.py sweep covers ALL entries every
         # round.
+        "incremental_dedup": w.incremental_dedup_q,
         "pq_scan_l2": w.pq_scan_l2,
         "pq_rerank_scan_l2": w.pq_rerank_scan_l2,
         "ivf_pq_scan_l2": w.ivf_pq_scan_l2,
@@ -311,6 +313,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": o.jaccard_pairs_q(),
         "embedding_neardup": o.embedding_neardup_q(),
         "neardup_representatives": o.neardup_representatives_q(w.JACCARD_T),
+        "neardup_keep_best": o.neardup_keep_best_q(w.JACCARD_T),
         "sample_mix": o.sample_mix_q(w.MIX_RATES),
         "token_budget_pack": o.token_budget_pack_q(w.LANG_TOKEN_BUDGET),
         "normalize": o.normalize_q(),

@@ -391,6 +391,7 @@ def main():
     bench("doc_split_assign", lambda: w.doc_split_assign_q(spark, SF_DIR).count())
     bench("token_doc_freq", lambda: w.token_doc_freq_q(spark, SF_DIR).count())
     bench("token_cooccurrence", lambda: w.token_cooccurrence_q(spark, SF_DIR).count())
+    bench("neardup_keep_best", lambda: w.neardup_keep_best_q(spark, SF_DIR).count())
     bench("asof_null_carry", lambda: w.asof_null_carry_events_q(spark, SF_DIR).count())
     bench("embedding_dim_stats", lambda: w.embedding_dim_stats_q(spark, SF_DIR).count())
     bench("purchase_session_join", lambda: w.purchase_session_join_q(spark, SF_DIR).count())

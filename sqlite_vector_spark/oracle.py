@@ -725,6 +725,35 @@ LEFT JOIN comp ON comp.id = CAST(d.doc_id AS BIGINT)
 ORDER BY doc_id"""
 
 
+def neardup_keep_best_q(jaccard_t: float) -> str:
+    """Mirror of workload.neardup_keep_best_q: same recursive-CTE
+    component closure as neardup_representatives_q, keeper = the
+    member with most whitespace tokens (tiebreak min id)."""
+    did = "CAST(d.doc_id AS BIGINT)"
+    keep = f"coalesce(k.keeper_id, {did})"
+    return f"""WITH RECURSIVE jp AS ({jaccard_pairs_q()}),
+pairs AS (SELECT a, b FROM jp WHERE jaccard >= {jaccard_t!r}),
+edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+reach(id, m) AS (
+  SELECT a AS id, a AS m FROM edges
+  UNION
+  SELECT e.a AS id, r.m AS m FROM edges e JOIN reach r ON r.id = e.b
+),
+comp AS (SELECT id, min(m) AS cluster FROM reach GROUP BY id),
+tok AS (SELECT CAST(doc_id AS BIGINT) AS id, CAST(len({WORDS}) AS BIGINT) AS n_tok
+        FROM documents),
+members AS (SELECT c.id, c.cluster, t.n_tok FROM comp c JOIN tok t ON t.id = c.id),
+keep AS (SELECT cluster, id AS keeper_id FROM (
+    SELECT cluster, id,
+           row_number() OVER (PARTITION BY cluster ORDER BY n_tok DESC, id ASC) AS rn
+    FROM members) WHERE rn = 1)
+SELECT {did} AS doc_id, {keep} AS keeper_id, {keep} <> {did} AS is_dup
+FROM documents d
+LEFT JOIN comp ON comp.id = {did}
+LEFT JOIN keep k ON k.cluster = comp.cluster
+ORDER BY doc_id"""
+
+
 def normalize_q() -> str:
     # Gate form mirrors workload.normalize_q: fixed-point micro-units
     # CSV (round(x*1e6) -> BIGINT -> comma-joined) because the driver's

@@ -1020,6 +1020,53 @@ def neardup_representatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def neardup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper selection — the production variant of
+    neardup_representatives: instead of keeping the min-id member of
+    each near-dup cluster, keep the member with the MOST whitespace
+    tokens (longest-content quality proxy; swap in any score column —
+    the plan is identical), tiebreak min doc_id. Every doc maps to
+    its cluster's keeper; keeper_id != doc_id marks a removable dup.
+
+    Scale shape: the rank window runs only over the MEMBER set (docs
+    that appear in the verified edge set — candidate-bounded, tiny
+    relative to the corpus), broadcast both ways; the corpus itself
+    is touched map-only. Singletons keep themselves via coalesce, so
+    no window ever partitions by a corpus-sized key."""
+    from sqlite_vector_spark.functions.text import token_count
+    from sqlite_vector_spark.operators.dedup import connected_components_min_label
+
+    docs = _docs(spark, sf_dir)
+    pairs = (
+        jaccard_pairs_q(spark, sf_dir)
+        .where(F.col("jaccard") >= F.lit(JACCARD_T))
+        .select("a", "b")
+    )
+    comp = connected_components_min_label(pairs)  # (id, cluster), members only
+    did = F.col("doc_id").cast("bigint")
+    toks = docs.select(did.alias("doc_id"), token_count(F.col("text")).alias("n_tok"))
+    members = toks.join(F.broadcast(comp), toks["doc_id"] == comp["id"]).select(
+        "doc_id", "cluster", "n_tok"
+    )
+    wk = Window.partitionBy("cluster").orderBy(F.col("n_tok").desc(), F.col("doc_id").asc())
+    keepers = (
+        members.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") == 1)
+        .select("cluster", F.col("doc_id").alias("keeper_id"))
+    )
+    return (
+        docs.select(did.alias("doc_id"))
+        .join(F.broadcast(comp), F.col("doc_id") == comp["id"], "left")
+        .join(F.broadcast(keepers), "cluster", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("keeper_id"), F.col("doc_id")).alias("keeper_id"),
+        )
+        .withColumn("is_dup", F.col("keeper_id") != F.col("doc_id"))
+        .orderBy("doc_id")
+    )
+
+
 def normalize_vectors(emb: DataFrame, vec_col: str = "embedding") -> F.Column:
     """L2-unit-normalized copy of ``vec_col`` as an ARRAY<DOUBLE> column
     (zero vectors pass through). Library form — map-only, the norm

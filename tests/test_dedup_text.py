@@ -351,3 +351,34 @@ def test_repeated_passage_strip_randomized_invariants(spark):
     # min_df beyond any possible occurrence count -> identity
     out2 = repeated_passage_strip(docs, width=W, min_df=10_000_000).collect()
     assert all(r.n_removed == 0 and r.n_spans == 0 for r in out2)
+
+
+def test_neardup_keep_best_planted(spark):
+    """Quality-aware keeper: in a planted near-dup cluster the LONGEST
+    member is kept (not the min id), every other member maps to it,
+    and non-duplicate docs keep themselves."""
+    import tempfile
+
+    from sqlite_vector_spark import workload as w
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        # near-dup cluster: same shingles, doc 2 is the longest
+        (0, base),
+        (1, base + " lambda"),
+        (2, base + " lambda mu"),
+        # unrelated singleton
+        (3, "completely different text with its own unique words here"),
+    ]
+    # pad with distinct filler docs so LSH banding has a corpus
+    for i in range(4, 24):
+        rows.append((i, f"filler{i} " + " ".join(f"tok{i}_{j}" for j in range(12))))
+    sf_dir = tempfile.mkdtemp(prefix="svspark_keepbest_")
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode("overwrite").parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    out = {r.doc_id: (r.keeper_id, r.is_dup) for r in w.neardup_keep_best_q(spark, sf_dir).collect()}
+    assert out[0] == (2, True) and out[1] == (2, True)  # longest member keeps
+    assert out[2] == (2, False)
+    assert out[3] == (3, False)  # singleton keeps itself
+    assert all(out[i] == (i, False) for i in range(4, 24))

@@ -123,6 +123,7 @@ def test_gate_window_contains_round8_rotation():
         # new in r8
         "auto_route_scan", "sql_macro_scan", "tvf_full_scan",
         "tvf_quantize_scan", "tvf_ep1_join_back", "token_cooccurrence",
+        "neardup_keep_best",
         "bq_band_scan", "passage_strip_frozen", "bq_knn_join_projected",
         # never driver-gated r7 entries
         "hybrid_rrf_batch", "ivf_recall_curve", "source_snapshot_drift",
