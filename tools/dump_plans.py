@@ -110,6 +110,7 @@ def main():
         ("auto_route_scan", "auto-routed SQL: canonical text rewritten onto the quantized replica scan (Arrow kernel under backend=auto; the oracle gate pins codegen)", w.auto_route_scan_q),
         ("token_cooccurrence", "co-occurrence lift: broadcast df-banded vocab, doc_id co-partitioned pair join, partial-agg counts", w.token_cooccurrence_q),
         ("tvf_ep1_join_back", "EP1 composed SQL: embedded quantize-scan TVF as temp-view subquery, broadcast join-back", w.tvf_ep1_join_back_q),
+        ("neardup_keep_best", "quality keeper: rank window over the member set only, corpus map-only with broadcast joins", w.neardup_keep_best_q),
     ]
 
     print("# PLANS — physical plans of headline operators (sf0.001, AQE on)")
