@@ -429,3 +429,22 @@ def test_parse_tvf_select_star():
     assert p is not None
     assert (p.id_out, p.dist_out, p.k) == ("rowid", "distance", 5)
     assert p.query == (1.0, 2.0)
+
+
+def test_management_statement_error_paths(spark, emb, tmp_path):
+    """Contract errors mirror the reference: init takes exactly 3
+    args; replica-dependent statements need a catalog; statement-form
+    vector_quantize needs a rooted catalog (the replica must land
+    somewhere durable)."""
+    from sqlite_vector_spark.catalog import VectorCatalog
+
+    with pytest.raises(ValueError, match="needs a VectorCatalog"):
+        route_sql(spark, None, "SELECT vector_quantize_preload('t', 'c')")
+    emb.createOrReplaceTempView("mgmt_err_t")
+    cat = VectorCatalog(str(tmp_path / "cat"))
+    with pytest.raises(ValueError, match="takes 3 arguments"):
+        route_sql(spark, cat, "SELECT vector_init('mgmt_err_t', 'embedding')")
+    rootless = VectorCatalog(None)
+    rootless.vector_init(emb, "mgmt_err_t", "embedding", "type=FLOAT32,dimension=64,distance=L2")
+    with pytest.raises(ValueError, match="root directory"):
+        route_sql(spark, rootless, "SELECT vector_quantize('mgmt_err_t', 'embedding')", id_col="vec_id")
