@@ -67,93 +67,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return _q({
         # ---- ORDER MATTERS: the driver adjudicates the FIRST 50
-        # entries. Round-8 rotation (VERDICT r7 #1/#2): (1) the two
-        # NEW r8 entries (persisted-MIH band scan, frozen-index
-        # passage strip), (2) the three r7 entries never driver-gated
-        # (hybrid_rrf_batch, ivf_recall_curve, source_snapshot_drift),
-        # (3) the ENTIRE 27-entry cohort whose latest driver green is
-        # r5 (asof/events/sketch-audit), (4) spot-checks of every
-        # subsystem r8 touched (features.py trailing_agg tie-lift fix
-        # -> user_rolling/user_decay; bq.py append+band-store fixes ->
-        # the bq family; pq.py opq_fit refresh -> opq_scan_l2), and
-        # (5) an oldest-r6 refresh fill. After this window no entry's
-        # latest driver green is older than r6.
-        # -- (1) new r8 (projected MIH joined the window; the
-        #    boilerplate_strip r6 fill moved past the horizon to
-        #    keep the window at 50; the late-r8 SQL-surface cohort
-        #    (auto_route_scan, sql_macro_scan, tvf_full_scan,
-        #    tvf_quantize_scan, tvf_ep1_join_back) + token_cooccurrence
-        #    + neardup_keep_best joined — SEVEN inserts, so the (5)
-        #    fill keeps only its first three entries and the displaced
-        #    seven (incremental_dedup, pq_scan_l2,
-        #    pq_rerank_scan_l2, ivf_pq_scan_l2, ivf_pq_knn_join_l2,
-        #    knn_join_l2, semantic_dedup) moved past the horizon as the
-        #    TOP r9 rotation priority)
-        "auto_route_scan": w.auto_route_scan_q,
-        "sql_macro_scan": w.sql_macro_scan_q,
-        "tvf_full_scan": w.tvf_full_scan_q,
-        "tvf_quantize_scan": w.tvf_quantize_scan_q,
-        "tvf_ep1_join_back": w.tvf_ep1_join_back_q,
-        "token_cooccurrence": w.token_cooccurrence_q,
-        "neardup_keep_best": w.neardup_keep_best_q,
-        "bq_band_scan": w.bq_band_scan_q,
-        "passage_strip_frozen": w.passage_strip_frozen_q,
-        "bq_knn_join_projected": w.bq_knn_join_projected_q,
-        # -- (2) never driver-gated r7 entries
-        "hybrid_rrf_batch": w.hybrid_rrf_batch_q,
-        "ivf_recall_curve": w.ivf_recall_curve_q,
-        "source_snapshot_drift": w.source_snapshot_drift_q,
-        # -- (3) the r5-stale cohort, all 27
-        "approx_quantile_audit": w.approx_quantile_audit_q,
-        "asof_forward_events": w.asof_forward_events_q,
-        "asof_join_events": w.asof_join_events_q,
-        "asof_null_carry_events": w.asof_null_carry_events_q,
-        "asof_tolerance_events": w.asof_tolerance_events_q,
-        "balanced_sample": w.balanced_sample_q,
-        "bpe_token_counts": w.bpe_token_counts_q,
-        "doc_split_assign": w.doc_split_assign_q,
-        "embedding_dim_stats": w.embedding_dim_stats_q,
-        "events_hourly": w.events_hourly,
-        "events_props_agg": w.events_props_agg,
-        "events_rollup": w.events_rollup,
-        "full_scan_k_gt_n": w.full_scan_k_gt_n,
-        "normalize": w.normalize_q,
-        "order_priority_counts": w.order_priority_counts,
-        "pii_scrub": w.pii_scrub_q,
-        "purchase_session_join": w.purchase_session_join_q,
-        "quantize_codes": w.quantize_codes,
-        "quantize_memory": w.quantize_memory,
-        "sample_mix": w.sample_mix_q,
-        "sessionize": w.sessionize,
-        "simhash_neardup": w.simhash_neardup_q,
-        "source_stats": w.source_stats_q,
-        "token_doc_freq": w.token_doc_freq_q,
-        "top_customers": w.top_customers,
-        "value_quantiles": w.value_quantiles_q,
-        "value_winsorize": w.value_winsorize_q,
-        # -- (4) r8-changed-subsystem spot-checks
-        "user_rolling": w.user_rolling_q,
-        "user_decay": w.user_decay_q,
-        "bq_codes": w.bq_codes_q,
-        "bq_scan_hamming": w.bq_scan_hamming,
-        "bq_rerank_scan_l2": w.bq_rerank_scan_l2,
-        "bq_knn_join_hamming": w.bq_knn_join_hamming_q,
-        "opq_scan_l2": w.opq_scan_l2,
-        # -- (5) oldest-r6 refresh fill (positions 48-50)
-        "bm25_topk": w.bm25_topk_q,
-        "hybrid_rrf": w.hybrid_rrf_q,
-        "lm_doc_scores": w.lm_doc_scores_q,
-        # ---- past the 50-entry gate horizon: every entry below is
-        # r6/r7-green with its subsystem and oracle text unchanged in
-        # r8 (the batch_matrix kernel refactor is value-exact and the
-        # full local sweep re-verified every entry after it). ROUND-9
-        # ROTATION PRIORITY: first the six displaced by the late-r8
-        # SQL-surface inserts (incremental_dedup, pq_scan_l2,
-        # pq_rerank_scan_l2, ivf_pq_scan_l2, ivf_pq_knn_join_l2,
-        # knn_join_l2, semantic_dedup), then the r6-green entries (3 rounds stale
-        # in r9), then spot-checks of any r9-changed subsystems; the
-        # local tools/check_oracle.py sweep covers ALL entries every
-        # round.
+        # entries. Round-9 rotation (VERDICT r8 #1/#3): (1) the FULL
+        # 42-entry cohort whose latest driver green is r6 (2 rounds
+        # stale entering r9 - the staleness invariant breaks if any
+        # miss this window), led by the seven entries the late-r8
+        # SQL-surface inserts displaced; (2) the ONE new r9 entry
+        # (bq_band_join - the last benched engine op without a gate
+        # twin); (3) seven spot-checks of every subsystem r9 touched
+        # (sql.py routing/arity + the cached SQL-surface fixture ->
+        # auto_route_scan/tvf_quantize_scan/tvf_ep1_join_back; bq.py
+        # query-encoder backend pass-through + router MIH marker ->
+        # the bq join family; the build-once store cache ->
+        # bq_band_scan/passage_strip_frozen). 42 + 1 + 7 = 50.
+        # -- (1) the r6-stale cohort, all 42 (displaced seven first)
         "incremental_dedup": w.incremental_dedup_q,
         "pq_scan_l2": w.pq_scan_l2,
         "pq_rerank_scan_l2": w.pq_rerank_scan_l2,
@@ -162,6 +88,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_l2": w.knn_join_l2,
         "semantic_dedup": w.semantic_dedup_q,
         "boilerplate_strip": w.boilerplate_strip_q,
+        "quantize_params": w.quantize_params,
+        "quantize_scan_l2": w.quantize_scan_l2,
+        "f16_scan_l2": w.f16_scan_l2,
+        "knn_join_blocked_l2": w.knn_join_blocked_l2,
+        "text_stats": w.text_stats,
+        "lsh_candidate_pairs": w.lsh_pairs_q,
+        "ngram_jaccard_pairs": w.jaccard_pairs_q,
+        "neardup_representatives": w.neardup_representatives_q,
+        "pq_codes": w.pq_codes_q,
+        "pq_recall_at_k": w.pq_recall_at_k_q,
+        "ivf_cluster_stats": w.ivf_cluster_stats_q,
+        "doc_chunk_overlap": w.doc_chunk_overlap_q,
+        "temperature_mix": w.temperature_mix_q,
+        "matryoshka_rerank_l2": w.matryoshka_rerank_l2,
+        "approx_distinct_audit": w.approx_distinct_audit_q,
+        "cohort_retention": w.cohort_retention_q,
+        "event_funnel": w.event_funnel_q,
+        "quantize_update_codes": w.quantize_update_codes,
+        "gopher_quality": w.gopher_quality_q,
+        "knn_classify": w.knn_classify_q,
+        "embedding_outliers": w.embedding_outliers_q,
+        "mmr_rerank_l2": w.mmr_rerank_l2,
+        "source_overlap": w.source_overlap_q,
+        "corpus_report": w.corpus_report_q,
+        "pack_sequences": w.pack_sequences_q,
+        "negative_samples": w.negative_samples_q,
+        "edit_distance_pairs": w.edit_distance_pairs_q,
+        "value_zscore": w.value_zscore_q,
+        "source_overlap_sketch": w.source_overlap_sketch_q,
+        "bm25_batch_topk": w.bm25_batch_topk_q,
+        "events_resample": w.events_resample_q,
+        "user_type_pivot": w.user_type_pivot_q,
+        "error_incidents": w.error_incidents_q,
+        "session_incident_overlap": w.session_incident_overlap_q,
+        # -- (2) new in r9: persisted-store multi-query Hamming join
+        "bq_band_join": w.bq_band_join_q,
+        # -- (3) r9-changed-subsystem spot-checks
+        "auto_route_scan": w.auto_route_scan_q,
+        "tvf_quantize_scan": w.tvf_quantize_scan_q,
+        "tvf_ep1_join_back": w.tvf_ep1_join_back_q,
+        "bq_knn_join_hamming": w.bq_knn_join_hamming_q,
+        "bq_knn_join_projected": w.bq_knn_join_projected_q,
+        "bq_band_scan": w.bq_band_scan_q,
+        "passage_strip_frozen": w.passage_strip_frozen_q,
+        # ---- past the 50-entry gate horizon: every entry below is
+        # r7/r8-green with its subsystem and oracle text unchanged in
+        # r9 (the local tools/check_oracle.py sweep re-verifies ALL
+        # entries every round). ROUND-10 ROTATION PRIORITY: the
+        # 48-entry cohort whose latest driver green is r7 (2 rounds
+        # stale entering r10 - the invariant breaks if they miss the
+        # r10 window; they are listed FIRST below, in order), then
+        # spot-checks of any r10-changed subsystems, then the newest
+        # r8/r9 greens.
         "bf16_scan_l2": w.bf16_scan_l2,
         "chunk_dedup": w.chunk_dedup_q,
         "contamination_check": w.contamination_check_q,
@@ -210,40 +189,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_scan_cosine": w.lsh_scan_cosine,
         "codec_json_roundtrip": w.codec_json_roundtrip,
         "passage_dedup": w.passage_dedup_q,
-        "quantize_params": w.quantize_params,
-        "quantize_scan_l2": w.quantize_scan_l2,
-        "f16_scan_l2": w.f16_scan_l2,
-        "knn_join_blocked_l2": w.knn_join_blocked_l2,
-        "text_stats": w.text_stats,
-        "lsh_candidate_pairs": w.lsh_pairs_q,
-        "ngram_jaccard_pairs": w.jaccard_pairs_q,
-        "neardup_representatives": w.neardup_representatives_q,
-        "pq_codes": w.pq_codes_q,
-        "pq_recall_at_k": w.pq_recall_at_k_q,
-        "ivf_cluster_stats": w.ivf_cluster_stats_q,
-        "doc_chunk_overlap": w.doc_chunk_overlap_q,
-        "temperature_mix": w.temperature_mix_q,
-        "matryoshka_rerank_l2": w.matryoshka_rerank_l2,
-        "approx_distinct_audit": w.approx_distinct_audit_q,
-        "cohort_retention": w.cohort_retention_q,
-        "event_funnel": w.event_funnel_q,
-        "quantize_update_codes": w.quantize_update_codes,
-        "gopher_quality": w.gopher_quality_q,
-        "knn_classify": w.knn_classify_q,
-        "embedding_outliers": w.embedding_outliers_q,
-        "mmr_rerank_l2": w.mmr_rerank_l2,
-        "source_overlap": w.source_overlap_q,
-        "corpus_report": w.corpus_report_q,
-        "pack_sequences": w.pack_sequences_q,
-        "negative_samples": w.negative_samples_q,
-        "edit_distance_pairs": w.edit_distance_pairs_q,
-        "value_zscore": w.value_zscore_q,
-        "source_overlap_sketch": w.source_overlap_sketch_q,
-        "bm25_batch_topk": w.bm25_batch_topk_q,
-        "events_resample": w.events_resample_q,
-        "user_type_pivot": w.user_type_pivot_q,
-        "error_incidents": w.error_incidents_q,
-        "session_incident_overlap": w.session_incident_overlap_q,
+        # -- r8-green (1 round stale entering r10)
+        "sql_macro_scan": w.sql_macro_scan_q,
+        "tvf_full_scan": w.tvf_full_scan_q,
+        "token_cooccurrence": w.token_cooccurrence_q,
+        "neardup_keep_best": w.neardup_keep_best_q,
+        "hybrid_rrf_batch": w.hybrid_rrf_batch_q,
+        "ivf_recall_curve": w.ivf_recall_curve_q,
+        "source_snapshot_drift": w.source_snapshot_drift_q,
+        "approx_quantile_audit": w.approx_quantile_audit_q,
+        "asof_forward_events": w.asof_forward_events_q,
+        "asof_join_events": w.asof_join_events_q,
+        "asof_null_carry_events": w.asof_null_carry_events_q,
+        "asof_tolerance_events": w.asof_tolerance_events_q,
+        "balanced_sample": w.balanced_sample_q,
+        "bpe_token_counts": w.bpe_token_counts_q,
+        "doc_split_assign": w.doc_split_assign_q,
+        "embedding_dim_stats": w.embedding_dim_stats_q,
+        "events_hourly": w.events_hourly,
+        "events_props_agg": w.events_props_agg,
+        "events_rollup": w.events_rollup,
+        "full_scan_k_gt_n": w.full_scan_k_gt_n,
+        "normalize": w.normalize_q,
+        "order_priority_counts": w.order_priority_counts,
+        "pii_scrub": w.pii_scrub_q,
+        "purchase_session_join": w.purchase_session_join_q,
+        "quantize_codes": w.quantize_codes,
+        "quantize_memory": w.quantize_memory,
+        "sample_mix": w.sample_mix_q,
+        "sessionize": w.sessionize,
+        "simhash_neardup": w.simhash_neardup_q,
+        "source_stats": w.source_stats_q,
+        "token_doc_freq": w.token_doc_freq_q,
+        "top_customers": w.top_customers,
+        "value_quantiles": w.value_quantiles_q,
+        "value_winsorize": w.value_winsorize_q,
+        "user_rolling": w.user_rolling_q,
+        "user_decay": w.user_decay_q,
+        "bq_codes": w.bq_codes_q,
+        "bq_scan_hamming": w.bq_scan_hamming,
+        "bq_rerank_scan_l2": w.bq_rerank_scan_l2,
+        "opq_scan_l2": w.opq_scan_l2,
+        "bm25_topk": w.bm25_topk_q,
+        "hybrid_rrf": w.hybrid_rrf_q,
+        "lm_doc_scores": w.lm_doc_scores_q,
     })
 
 
@@ -361,6 +350,10 @@ def oracle_sql() -> dict[str, str]:
         "bq_scan_hamming": o.bq_scan_hamming_q(),
         "bq_rerank_scan_l2": o.bq_rerank_scan_l2_q(),
         "bq_knn_join_hamming": o.bq_knn_join_hamming_q(),
+        # persisted-store join: identical result contract to the
+        # in-plan join (the band store holds exactly the rows the
+        # in-plan expansion computes), so the SAME oracle text pins it
+        "bq_band_join": o.bq_knn_join_hamming_q(),
         "bq_band_scan": o.bq_band_scan_q(),
         "bq_knn_join_projected": o.bq_knn_join_projected_q(),
         "passage_strip_frozen": o.passage_strip_frozen_q(),

@@ -458,9 +458,9 @@ def main():
     # Persist the FULL record (per-query spread, full error strings) to
     # the repo: the driver's stdout capture is bounded and clipped the
     # r5-r7 artifacts mid-line (rc=0, parsed:null).
+    stamp = os.environ.get("SPARK_GRAFT_ROUND", "latest")
     try:
         os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchmarks"), exist_ok=True)
-        stamp = os.environ.get("SPARK_GRAFT_ROUND", "latest")
         path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), ".benchmarks", f"bench_{stamp}.json"
         )
@@ -469,21 +469,39 @@ def main():
     except OSError:
         pass  # bench output on stdout is still authoritative
     # stdout gets ONE COMPACT line the driver can parse inside its
-    # capture window: per-query spread collapsed to its max, error
-    # strings to their type, times to 3 decimals (~halves the bytes).
-    compact = {
-        "metric": full["metric"],
-        "value": total,
-        "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in times.items()},
-        "spread_max": round(max(spread.values()), 3) if spread else 0.0,
-        "n_runs": N_RUNS,
-        "sf": float(sf),
-        "cpus": int(CPUS),
-    }
-    if errors:
-        compact["errors"] = {k: v.split(":", 1)[0] for k, v in errors.items()}
-    print(json.dumps(compact, separators=(",", ":")))
+    # ~2000-char capture window (r5-r8 artifacts were clipped mid-line,
+    # parsed:null). The full per-query map lives in .benchmarks/; the
+    # stdout line keeps a `queries` key (driver contract) but trims it
+    # to the slowest entries until the whole line fits with headroom.
+    STDOUT_BUDGET = 1800
+
+    def _compact_line(n_slowest: int) -> str:
+        slowest = dict(
+            sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:n_slowest]
+        )
+        compact = {
+            "metric": full["metric"],
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in slowest.items()},
+            "n_queries": len(times),
+            "queries_shown": len(slowest),
+            "queries_full": ".benchmarks/bench_" + stamp + ".json",
+            "spread_max": round(max(spread.values()), 3) if spread else 0.0,
+            "n_runs": N_RUNS,
+            "sf": float(sf),
+            "cpus": int(CPUS),
+        }
+        if errors:
+            compact["errors"] = {k: v.split(":", 1)[0] for k, v in errors.items()}
+        return json.dumps(compact, separators=(",", ":"))
+
+    n_show = len(times)
+    line = _compact_line(n_show)
+    while len(line) > STDOUT_BUDGET and n_show > 0:
+        n_show = min(n_show - 5, int(n_show * 0.8))
+        line = _compact_line(n_show)
+    print(line)
     spark.stop()
 
 

@@ -208,24 +208,71 @@ def _q64_array_sql() -> str:
     return "array(" + ", ".join(repr(float(v)) for v in Q64) + ")"
 
 
+#: process-level fixture cache: (app_id, sf_dir, view, quantize) ->
+#: (catalog, root). The replica build + parquet write dominated the
+#: routed query itself in r8's bench numbers (VERDICT r8 nit #2), and
+#: every invocation leaked a /tmp/svspark_* dir; caching makes repeat
+#: calls (bench N_RUNS, oracle sweeps) measure ROUTING, and the atexit
+#: hook removes the roots when the process exits.
+_SQL_FIXTURE_CACHE: dict = {}
+_TMP_ROOTS: list = []
+
+
+def _tracked_tmpdir(prefix: str) -> str:
+    """mkdtemp whose root is rm -rf'd at process exit (first use
+    installs the atexit hook)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix=prefix)
+    if not _TMP_ROOTS:
+        @atexit.register
+        def _cleanup_tmp_roots() -> None:
+            for r in _TMP_ROOTS:
+                shutil.rmtree(r, ignore_errors=True)
+    _TMP_ROOTS.append(root)
+    return root
+
+
 def _sql_surface_fixture(spark: SparkSession, sf_dir: str, view: str, quantize: bool):
     """Shared setup for the SQL-surface gate entries: register the
     embeddings table under ``view``, vector_init it in a fresh
     throwaway catalog, and (optionally) build + register the
-    quantized replica. Returns the catalog."""
-    import tempfile
-
+    quantized replica. Returns the catalog. Cached per
+    (session, sf_dir, view, quantize): the temp view is re-registered
+    on every call (session state), the on-disk replica + catalog are
+    built once per process."""
     from sqlite_vector_spark.catalog import VectorCatalog
     from sqlite_vector_spark.operators.quantize import vector_quantize
 
     emb = _emb(spark, sf_dir)
     emb.createOrReplaceTempView(view)
-    root = tempfile.mkdtemp(prefix=f"svspark_{view}_")
+    key = (spark.sparkContext.applicationId, sf_dir, view, quantize)
+    if key in _SQL_FIXTURE_CACHE:
+        return _SQL_FIXTURE_CACHE[key]
+    root = _tracked_tmpdir(f"svspark_{view}_")
     cat = VectorCatalog(root + "/cat")
     cat.vector_init(emb, view, "embedding", f"type=FLOAT32,dimension={DIM},distance=L2")
     if quantize:
         vector_quantize(emb, "embedding", root + "/shadow", id_col="vec_id", catalog=cat, table=view)
+    _SQL_FIXTURE_CACHE[key] = cat
     return cat
+
+
+def _cached_store(spark: SparkSession, sf_dir: str, tag: str, build) -> str:
+    """Build-once-per-process parquet store for gate entries that
+    persist an index next to the query (band stores, frozen passage
+    indexes): ``build(dest)`` writes it, repeat calls reuse the path.
+    Keyed on the Spark application so a fresh session rebuilds; the
+    root is cleaned at process exit via _tracked_tmpdir."""
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
+    if key in _SQL_FIXTURE_CACHE:
+        return _SQL_FIXTURE_CACHE[key]
+    dest = _tracked_tmpdir(f"svspark_{tag}_") + "/store"
+    build(dest)
+    _SQL_FIXTURE_CACHE[key] = dest
+    return dest
 
 
 def auto_route_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3402,8 +3449,6 @@ def passage_strip_frozen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeats first appearing within the batch are by design kept (the
     oracle builds its repeated CTE from the indexed half only, so the
     hash match pins exactly that horizon trade)."""
-    import tempfile
-
     from sqlite_vector_spark.operators.dedup import (
         repeated_passage_hashes,
         repeated_passage_strip_frozen,
@@ -3412,8 +3457,11 @@ def passage_strip_frozen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     indexed = docs.where(F.col("doc_id") % 3 != 0)
     batch = docs.where(F.col("doc_id") % 3 == 0)
-    store = tempfile.mkdtemp(prefix="svspark_passidx_") + "/hashes"
-    repeated_passage_hashes(indexed, width=PASSAGE_W, min_df=2).write.parquet(store)
+    store = _cached_store(
+        spark, sf_dir, "passidx",
+        lambda dest: repeated_passage_hashes(indexed, width=PASSAGE_W, min_df=2)
+        .write.parquet(dest),
+    )
     frozen = spark.read.parquet(store)
     return repeated_passage_strip_frozen(batch, frozen, width=PASSAGE_W).orderBy("doc_id")
 
@@ -3428,15 +3476,40 @@ def bq_band_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hamming, id) among band-collision candidates, complete within
     Hamming m-1 — the oracle mirrors the candidate restriction, so
     the hash pins candidate generation too."""
-    import tempfile
-
     from sqlite_vector_spark.operators.bq import bq_band_scan, bq_band_store, bq_encode
 
     emb = _emb(spark, sf_dir)
     codes = bq_encode(emb, "embedding", DIM, id_col="vec_id")
-    store = tempfile.mkdtemp(prefix="svspark_mihstore_") + "/bands"
-    bq_band_store(codes, DIM, store, band_bits=8)
+    store = _cached_store(
+        spark, sf_dir, "mihstore",
+        lambda dest: bq_band_store(codes, DIM, dest, band_bits=8),
+    )
     return bq_band_scan(spark, store, Q64, DIM, K, band_bits=8)
+
+
+def bq_band_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query Hamming kNN join against the PERSISTED MIH band
+    store (operators/bq.bq_band_join): bq_knn_join_hamming with the
+    corpus-side band expansion read from the partitionBy(b) store —
+    the query batch's Q x m (b, bv) probes broadcast against the
+    stored expansion, dynamic partition pruning on ``b``, then the
+    same min-agg + popcount + (hamming, id) rank window. Same result
+    contract as the in-plan join, so it hash-gates against the SAME
+    oracle SQL as bq_knn_join_hamming (the store holds exactly the
+    rows the in-plan expansion computes). The store is shared with
+    bq_band_scan_q (build-once per process)."""
+    from sqlite_vector_spark.operators.bq import bq_band_join, bq_band_store, bq_encode
+
+    emb = _emb(spark, sf_dir)
+    codes = bq_encode(emb, "embedding", DIM, id_col="vec_id")
+    store = _cached_store(
+        spark, sf_dir, "mihstore",
+        lambda dest: bq_band_store(codes, DIM, dest, band_bits=8),
+    )
+    queries = emb.where((F.col("vec_id") < NQ) & F.col("embedding").isNotNull()).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return bq_band_join(spark, store, queries, DIM, KNN_K, band_bits=8).orderBy("qid", "rank")
 
 
 def bq_knn_join_hamming_q(spark: SparkSession, sf_dir: str) -> DataFrame:

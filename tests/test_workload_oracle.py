@@ -106,10 +106,12 @@ def test_spot_oracle_match(spark, duck, name):
     assert srows == orows
 
 
-def test_gate_window_contains_round8_rotation():
+def test_gate_window_contains_round9_rotation():
     """The driver adjudicates only the FIRST 50 queries() entries, so
-    window membership is part of the declared evidence plan: every
-    new-in-r8 entry and the never-driver-gated r7 trio must sit inside
+    window membership is part of the declared evidence plan: the FULL
+    42-entry r6-stale cohort (staleness invariant: nothing may go 3
+    rounds without a driver green), the new-in-r9 bq_band_join, and
+    the seven r9-changed-subsystem spot-checks must sit inside
     positions 1-50, keys must be unique, and the inventory must match
     oracle_sql 1:1 (an insert that silently pushes an intended entry
     past the horizon breaks the rotation bookkeeping — this pins it)."""
@@ -120,13 +122,29 @@ def test_gate_window_contains_round8_rotation():
     assert set(keys) == set(e.oracle_sql())
     window = set(keys[:50])
     must_gate = [
-        # new in r8
-        "auto_route_scan", "sql_macro_scan", "tvf_full_scan",
-        "tvf_quantize_scan", "tvf_ep1_join_back", "token_cooccurrence",
-        "neardup_keep_best",
-        "bq_band_scan", "passage_strip_frozen", "bq_knn_join_projected",
-        # never driver-gated r7 entries
-        "hybrid_rrf_batch", "ivf_recall_curve", "source_snapshot_drift",
+        # the 42-entry cohort whose latest driver green is r6
+        "incremental_dedup", "pq_scan_l2", "pq_rerank_scan_l2",
+        "ivf_pq_scan_l2", "ivf_pq_knn_join_l2", "knn_join_l2",
+        "semantic_dedup", "boilerplate_strip", "quantize_params",
+        "quantize_scan_l2", "f16_scan_l2", "knn_join_blocked_l2",
+        "text_stats", "lsh_candidate_pairs", "ngram_jaccard_pairs",
+        "neardup_representatives", "pq_codes", "pq_recall_at_k",
+        "ivf_cluster_stats", "doc_chunk_overlap", "temperature_mix",
+        "matryoshka_rerank_l2", "approx_distinct_audit",
+        "cohort_retention", "event_funnel", "quantize_update_codes",
+        "gopher_quality", "knn_classify", "embedding_outliers",
+        "mmr_rerank_l2", "source_overlap", "corpus_report",
+        "pack_sequences", "negative_samples", "edit_distance_pairs",
+        "value_zscore", "source_overlap_sketch", "bm25_batch_topk",
+        "events_resample", "user_type_pivot", "error_incidents",
+        "session_incident_overlap",
+        # new in r9
+        "bq_band_join",
+        # r9-changed-subsystem spot-checks
+        "auto_route_scan", "tvf_quantize_scan", "tvf_ep1_join_back",
+        "bq_knn_join_hamming", "bq_knn_join_projected", "bq_band_scan",
+        "passage_strip_frozen",
     ]
+    assert len(must_gate) == 50
     missing = [k for k in must_gate if k not in window]
     assert not missing, f"intended gate entries fell past the 50-entry horizon: {missing}"
