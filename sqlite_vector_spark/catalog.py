@@ -69,6 +69,12 @@ class VectorContext:
     # the BQ code table
     mih_path: str | None = None
     mih_band_bits: int | None = None
+    # projected band stores (bq_project_encode codes): the plane
+    # matrix (p x dim) and optional center MUST ride with the store —
+    # probing a p-bit projected layout with threshold sign bits over
+    # ctx.dimension silently yields wrong/empty band collisions
+    mih_planes: list | None = None
+    mih_center: list | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -146,7 +152,7 @@ class VectorCatalog:
                 "qscale", "qoffset", "resolved_qtype", "quantized_path",
                 "ivf_path", "ivf_centroids", "pq_path", "pq_codebooks", "pq_residual",
                 "pq_rotation", "bq_path", "bq_thresholds",
-                "mih_path", "mih_band_bits",
+                "mih_path", "mih_band_bits", "mih_planes", "mih_center",
             ):
                 setattr(ctx, k, persisted.get(k))
         self._contexts[key] = ctx
@@ -186,12 +192,24 @@ class VectorCatalog:
         ctx.bq_thresholds = [float(x) for x in thresholds] if thresholds is not None else None
         self._serialize(ctx)
 
-    def set_mih_index(self, table: str, column: str, *, path: str, band_bits: int = 16) -> None:
+    def set_mih_index(
+        self, table: str, column: str, *, path: str, band_bits: int = 16,
+        planes=None, center=None,
+    ) -> None:
         """Register a bq_band_store directory (shares the BQ tier's
-        thresholds — set_bq_index them if non-sign encoding)."""
+        thresholds — set_bq_index them if non-sign encoding). For a
+        store built from bq_project_encode codes, pass the SAME
+        ``planes`` (and ``center``) the codes were built with: the
+        router must encode queries into the projected p-bit layout,
+        and a projected store registered without its planes would
+        silently probe with mismatched axis-aligned codes."""
         ctx = self.get(table, column)
         ctx.mih_path = path
         ctx.mih_band_bits = int(band_bits)
+        ctx.mih_planes = (
+            [[float(x) for x in row] for row in planes] if planes is not None else None
+        )
+        ctx.mih_center = [float(x) for x in center] if center is not None else None
         self._serialize(ctx)
 
     def drop(self, table: str, column: str) -> None:

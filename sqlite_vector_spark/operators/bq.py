@@ -578,6 +578,7 @@ def bq_knn_join(
     id_col: str = "id",
     planes=None,
     center: Sequence[float] | None = None,
+    encode_backend: str | None = None,
 ) -> DataFrame:
     """Multi-query Hamming top-k over the 1-bit index via MULTI-INDEX
     HASHING (Norouzi, Punjani, Fleet, "Fast Exact Search in Hamming
@@ -611,7 +612,13 @@ def bq_knn_join(
     projected — SCALE.md §MIH). When set, ``dim`` is the CODE length
     in bits (= len(planes)), ``codes_df`` must hold
     bq_project_encode codes built with the SAME planes/center, and
-    ``thresholds`` is ignored."""
+    ``thresholds`` is ignored.
+
+    ``encode_backend``: the query-side projected encoder (default:
+    session-routed like bq_project_encode). Pass the SAME backend the
+    corpus codes were built with — a plane dot within an ulp of zero
+    can flip a query bit between the Arrow matmul and the sequential
+    fold, making candidates asymmetric vs the corpus code."""
     _band_layout(dim, band_bits)  # validates dim/band_bits
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -622,7 +629,7 @@ def bq_knn_join(
     from pyspark.sql import Window
 
     q_code = (
-        _project_code_col(F.col(q_vec), planes, center, None)
+        _project_code_col(F.col(q_vec), planes, center, encode_backend)
         if planes is not None
         else bq_encode_col(F.col(q_vec), dim, thresholds)
     )
@@ -746,7 +753,7 @@ def bq_band_join(
     from pyspark.sql import Window
 
     q_code = (
-        _project_code_col(F.col(q_vec), planes, center, None)
+        _project_code_col(F.col(q_vec), planes, center, encode_backend)
         if planes is not None
         else bq_encode_col(F.col(q_vec), dim, thresholds)
     )
@@ -776,16 +783,28 @@ def bq_band_scan(
     k: int,
     band_bits: int = 16,
     thresholds: Sequence[float] | None = None,
+    planes=None,
+    center: Sequence[float] | None = None,
 ) -> DataFrame:
     """Single-query Hamming top-k over a bq_band_store directory: the
     query's m (band, value) probes become a pruned disjunction —
     partition pruning on ``b``, row-group skipping on ``bv`` — then
     exact popcount over the collided candidates and an (hamming, id)
     top-k. Same result contract as bq_knn_join restricted to one
-    query (complete within Hamming m-1)."""
+    query (complete within Hamming m-1). ``planes`` selects
+    projected-code probes (sequential-fold query encode) for a store
+    built from bq_project_encode codes — ``dim`` must then equal the
+    plane count and ``thresholds`` is ignored."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    qw = bq_query_words(query, thresholds)
+    if planes is not None:
+        if len(planes) != dim:
+            raise ValueError(
+                f"projected scan: dim must equal the plane count, got dim={dim}, p={len(planes)}"
+            )
+        qw = bq_project_query_words(query, planes, center)
+    else:
+        qw = bq_query_words(query, thresholds)
     per_word = 64 // band_bits
     mask = (1 << band_bits) - 1
     stored = spark.read.parquet(dest)

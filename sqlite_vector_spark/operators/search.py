@@ -75,6 +75,55 @@ def full_scan_stream(
     )
 
 
+def full_scan_normalized_cosine(
+    df: DataFrame,
+    column: str,
+    query: Sequence[float],
+    k: int,
+    id_col: str = "id",
+) -> DataFrame:
+    """Cosine top-k over a column REGISTERED as normalized: ONE dot
+    fold per row instead of cosine's three (a·b plus both norms).
+
+    The reference parses vector_init's ``normalized`` flag but never
+    uses it (SURVEY §1.3); here the catalog flag buys a real plan
+    improvement — at 100 TB the scan stage's fold count IS the
+    compute bill, and unit-norm rows make ``1 − a·q̂`` mathematically
+    equal to cosine distance. The query is normalized driver-side
+    (constant work); a zero-norm query falls back to the cosine
+    kernel, whose zero→1 rule a dot cannot express. Zero-norm corpus
+    rows agree by construction (dot 0 → distance 1 == cosine's
+    zero-vector rule). Same result contract as full_scan: ascending
+    (distance, id), NULL skip, k=0 empty, snap-zero on the emitted
+    distance.
+
+    Equality with the cosine kernel is mathematical, not bitwise
+    (cosine divides by computed norms ≈ 1.0), so this path is routed
+    only through the catalog's normalized flag — an explicit user
+    declaration — and is equality-tested, not oracle-hash-gated."""
+    import math
+
+    from sqlite_vector_spark.functions.distance import snap_zero
+
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    q = [float(x) for x in query]
+    norm = math.sqrt(sum(x * x for x in q))
+    if norm == 0.0:
+        return full_scan(df, column, q, k, Metric.COSINE, id_col=id_col)
+    qn = [x / norm for x in q]
+    scored = df.where(F.col(column).isNotNull()).select(
+        F.col(id_col).cast("bigint").alias("id"),
+        # distance(DOT) is the NEGATED dot (smaller = closer) and
+        # keeps the session's backend dispatch (codegen fold vs Arrow
+        # matmul); 1 + it == 1 − a·q̂ == cosine for unit rows
+        snap_zero(F.lit(1.0) + distance(F.col(column), qn, Metric.DOT)).alias("distance"),
+    )
+    if k == 0:
+        return scored.limit(0)
+    return scored.orderBy(F.col("distance").asc(), F.col("id").asc()).limit(k)
+
+
 def matryoshka_scan(
     df: DataFrame,
     column: str,

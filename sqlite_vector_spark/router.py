@@ -76,10 +76,12 @@ def knn(
         raise ValueError(
             f"{table}.{column} has no IVF-PQ store — run ivf_pq_store + set_pq_index + set_ivf_index first"
         )
-    if prefer == "mih" and (ctx.mih_path is None or not ctx.dimension):
+    if prefer == "mih" and (
+        ctx.mih_path is None or not (ctx.dimension or ctx.mih_planes)
+    ):
         raise ValueError(
             f"{table}.{column} has no MIH band store — run bq_band_store + set_mih_index first "
-            "(and vector_init with an explicit dimension)"
+            "(and vector_init with an explicit dimension, or register the projection planes)"
         )
     if prefer == "ivf":
         from sqlite_vector_spark.operators.ann import ivf_stored_scan
@@ -125,10 +127,20 @@ def knn(
         from sqlite_vector_spark.functions.distance import distance
         from sqlite_vector_spark.operators.bq import bq_band_scan
 
-        cand = bq_band_scan(
-            spark, ctx.mih_path, query, int(ctx.dimension), prefilter or 10 * k,
-            band_bits=ctx.mih_band_bits or 16, thresholds=ctx.bq_thresholds,
-        ).select("id")
+        # projected stores (set_mih_index planes=) probe in the p-bit
+        # projected layout with the registered planes; axis-aligned
+        # stores probe threshold sign bits over the column dimension
+        if ctx.mih_planes is not None:
+            cand = bq_band_scan(
+                spark, ctx.mih_path, query, len(ctx.mih_planes), prefilter or 10 * k,
+                band_bits=ctx.mih_band_bits or 16,
+                planes=ctx.mih_planes, center=ctx.mih_center,
+            ).select("id")
+        else:
+            cand = bq_band_scan(
+                spark, ctx.mih_path, query, int(ctx.dimension), prefilter or 10 * k,
+                band_bits=ctx.mih_band_bits or 16, thresholds=ctx.bq_thresholds,
+            ).select("id")
         base = spark.table(table).where(F.col(column).isNotNull()).select(
             F.col(id_col).cast("bigint").alias("id"), F.col(column).alias("vec")
         )
@@ -149,4 +161,15 @@ def knn(
         codes = spark.read.parquet(ctx.quantized_path)
         params = QuantParams(ctx.resolved_qtype, float(ctx.qscale), float(ctx.qoffset), 0)
         return vector_quantize_scan(codes, query, params, k, m)
+    # normalized-flag plan improvement: a column the user REGISTERED
+    # as normalized answers cosine with one dot fold per row instead
+    # of three (the reference parses the flag but never uses it —
+    # SURVEY §1.3; here it pays). Equality-tested in test_catalog.
+    from sqlite_vector_spark.types import Metric, parse_metric
+
+    mm = m if isinstance(m, Metric) else parse_metric(m)
+    if mm is Metric.COSINE and ctx.normalized:
+        from sqlite_vector_spark.operators.search import full_scan_normalized_cosine
+
+        return full_scan_normalized_cosine(spark.table(table), column, query, k, id_col=id_col)
     return full_scan(spark.table(table), column, query, k, m, id_col=id_col)

@@ -43,6 +43,15 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def _uri_to_local(uri: str) -> str:
+    """``file:`` URI from DataFrame.inputFiles() -> decoded local
+    path. Spark percent-encodes specials (space, %, non-ASCII string
+    partition values) in the URI form; os.walk sees the raw names."""
+    from urllib.parse import unquote
+
+    return unquote(uri.removeprefix("file:"))
+
+
 def compact_store(
     spark,
     path: str,
@@ -92,16 +101,30 @@ def compact_store(
             "compact_store supports local-filesystem stores only (os.rename swap); "
             "for object stores, rewrite to a new prefix and flip the pointer instead"
         )
+    # inputFiles() returns URIs: percent-decode them to filesystem
+    # paths (a space / % / string partition value URL-encodes, and a
+    # raw-name snap_rel would then match NOTHING in _salvage_late_files
+    # — salvage would re-add EVERY pre-compaction file and double the
+    # store). Refuse up front if any decoded path fails stat: salvage
+    # bookkeeping keyed on an unverifiable snapshot is how silent
+    # duplication happens.
+    snapshot_paths = [_uri_to_local(f) for f in snapshot]
+    missing = [p for p in snapshot_paths if not os.path.isfile(p)]
+    if missing:
+        raise RuntimeError(
+            f"compact_store: {len(missing)} snapshot file(s) cannot be stat'd "
+            f"after URI decode (e.g. {missing[0]!r}); aborting before any "
+            "rewrite — the salvage pass cannot be made reliable for this store"
+        )
     files_before = len(snapshot)
     rows = df.count()
     # size from the CURRENT files (bytes on disk ~ post-compression)
     total_bytes = 0
-    for f in snapshot:
-        p = f.removeprefix("file:")
+    for p in snapshot_paths:
         try:
             total_bytes += os.path.getsize(p)
         except OSError:
-            pass
+            pass  # raced a concurrent delete after the stat gate
     if total_bytes == 0:
         # stat failed (e.g. URL-encoded names): keep parallelism
         # rather than collapsing a possibly huge store into one file
@@ -134,7 +157,7 @@ def compact_store(
     os.rename(root, old)
     os.rename(tmp, root)
     root_abs = os.path.abspath(root)
-    snap_rel = {os.path.relpath(f.removeprefix("file:"), root_abs) for f in snapshot}
+    snap_rel = {os.path.relpath(p, root_abs) for p in snapshot_paths}
     salvaged = _salvage_late_files(root, old, snap_rel)
     # drop this session's cached file listings for the swapped path —
     # Spark's shared FileStatusCache otherwise serves the PRE-swap

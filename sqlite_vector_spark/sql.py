@@ -273,13 +273,21 @@ def parse_topk(sql: str) -> TopKQuery | None:
 
 @dataclass(frozen=True)
 class RouteDecision:
-    """What route_sql decided, for explain/testing."""
+    """What route_sql decided, for explain/testing.
 
-    tier: str  # "routed" (router.knn picks the registered tier) | "sql"
+    route_sql attaches its decision to the returned DataFrame as
+    ``df._sv_route`` — the plain ``vector_distance`` spelling silently
+    lands in the quantized-unit distance domain when a replica is
+    registered (prefer="auto"), and callers who need to know which
+    domain they got read it here (or pre-flight with plan_route)."""
+
+    tier: str  # "routed" | "sql" | "tvf" | "management"
     topk: TopKQuery | None
     #: the concrete tier prefer="auto" would land on ("quantized" when
     #: a replica is registered, else "exact"); None for tier="sql"
     auto_target: str | None = None
+    #: the prefer= actually passed to route_sql (None outside route_sql)
+    prefer: str | None = None
 
 
 def plan_route(catalog, sql: str) -> RouteDecision:
@@ -322,15 +330,31 @@ def route_sql(
        opt-in), result renamed to the SQL text's output columns;
     3. anything else — plain Spark SQL after macro expansion,
        identical semantics, no routing.
+
+    The decision (tier, auto target, effective prefer) rides on the
+    returned DataFrame as ``df._sv_route``: with prefer="auto" the
+    SAME canonical text returns quantized-unit distances once a
+    replica is registered and true distances before — a caller that
+    must not cross distance domains checks the marker (or passes
+    prefer="exact").
     """
+    import dataclasses
+
     import pyspark.sql.functions as F
+
+    def _mark(df: DataFrame, decision: RouteDecision) -> DataFrame:
+        df._sv_route = dataclasses.replace(decision, prefer=prefer)
+        return df
 
     scalar = parse_scalar(sql)
     if scalar is not None:
-        return run_scalar(spark, catalog, scalar[0], scalar[1], id_col=id_col)
+        return _mark(
+            run_scalar(spark, catalog, scalar[0], scalar[1], id_col=id_col),
+            RouteDecision("management", None),
+        )
     tvf = parse_tvf(sql)
     if tvf is not None:
-        return run_tvf(spark, catalog, tvf, id_col=id_col)
+        return _mark(run_tvf(spark, catalog, tvf, id_col=id_col), RouteDecision("tvf", None))
     decision = plan_route(catalog, sql)
     if decision.tier == "routed":
         from sqlite_vector_spark.router import knn
@@ -354,11 +378,17 @@ def route_sql(
             nprobe=nprobe,
             prefilter=prefilter,
         )
-        return df.select(F.col("id").alias(p.id_out), F.col("distance").alias(p.dist_out))
+        return _mark(
+            df.select(F.col("id").alias(p.id_out), F.col("distance").alias(p.dist_out)),
+            decision,
+        )
     # passthrough: embedded TVF calls become temp-view subqueries
     # (SURVEY §3 EP1's JOIN composition), then the distance macro
     # expands, then plain Spark SQL runs the rest
-    return spark.sql(expand_vector_sql(_expand_tvf_subqueries(spark, catalog, sql, id_col=id_col)))
+    return _mark(
+        spark.sql(expand_vector_sql(_expand_tvf_subqueries(spark, catalog, sql, id_col=id_col))),
+        decision,
+    )
 
 
 # ---------------------------------------------------------------- reference TVF spelling
@@ -544,6 +574,15 @@ def run_scalar(spark: SparkSession, catalog, fn: str, args: list[str], id_col: s
             raise ValueError("vector_init('table','column','options') takes 3 arguments")
         catalog.vector_init(spark.table(args[0]), args[0], args[1], args[2])
         return one(None, "string")
+    # quantize family: ('table','column'[,'options']) — validate arity
+    # BEFORE indexing so a 1-arg statement raises the contract
+    # ValueError, not a raw IndexError (ADVICE r8)
+    if len(args) < 2:
+        raise ValueError(
+            f"{fn}('table','column'"
+            + (",'options'" if fn == "vector_quantize" else "")
+            + f") takes at least 2 arguments, got {len(args)}"
+        )
     table, column = args[0], args[1]
     ctx = catalog.get(table, column)
     if fn == "vector_quantize":

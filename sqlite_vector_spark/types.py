@@ -115,7 +115,7 @@ class VectorOptions:
 
     type: VectorType = VectorType.F32
     dimension: int | None = None
-    normalized: bool = False  # parsed + consistency-checked but unused, like the reference (SURVEY §1.3)
+    normalized: bool = False  # reference parses but never uses it (SURVEY §1.3); here the router answers cosine with a single dot fold on registered-normalized columns
     max_memory: int = DEFAULT_MAX_MEMORY
     distance: Metric = Metric.L2
     qtype: QType = QType.AUTO

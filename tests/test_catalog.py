@@ -378,3 +378,108 @@ def test_router_mih_tier(spark, emb, tmp_path):
         prefer="mih", prefilter=200, id_col="vec_id",
     ).collect()
     assert [(r.id, r.distance) for r in again] == [(r.id, r.distance) for r in got]
+
+
+def test_router_normalized_cosine_uses_dot_kernel(spark, emb, tmp_path):
+    """A column registered ``normalized=1`` answers cosine through the
+    single-dot-fold plan (VERDICT r8 #7): same neighbor ids and order
+    as the cosine kernel on unit-norm rows, distances equal to within
+    float roundoff (mathematical identity, not bitwise — cosine
+    divides by computed norms ~ 1.0), and the routed plan carries
+    strictly fewer aggregate folds than the cosine plan. Without the
+    flag the same query routes to the plain cosine kernel."""
+    import pyspark.sql.functions as F
+
+    from sqlite_vector_spark.catalog import VectorCatalog
+    from sqlite_vector_spark.operators.search import full_scan
+    from sqlite_vector_spark.router import knn
+
+    # unit-normalize the fixture rows, materialized to parquet so the
+    # plan comparison below sees only the SCAN-stage folds
+    norm = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
+    emb.where(F.col("embedding").isNotNull()).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double") / norm).alias("embedding")
+    ).write.parquet(str(tmp_path / "unit"))
+    unit = spark.read.parquet(str(tmp_path / "unit"))
+    unit.createOrReplaceTempView("emb_unit_t")
+
+    cat = VectorCatalog(str(tmp_path / "cat_norm"))
+    cat.vector_init(unit, "emb_unit_t", "embedding", "type=FLOAT32,dimension=64,distance=cosine,normalized=1")
+    q = [float(v) for v in range(1, 65)]
+
+    # pin codegen so both plans are HOF folds (the fold-count
+    # assertion below is about the codegen backend; under Arrow both
+    # kernels hide inside a pandas UDF)
+    from sqlite_vector_spark.version import set_backend, vector_backend
+
+    prev = vector_backend()
+    set_backend("codegen")
+    try:
+        routed = knn(spark, cat, "emb_unit_t", "embedding", q, 10, prefer="exact", id_col="vec_id")
+        want = full_scan(unit, "embedding", q, 10, "COSINE", id_col="vec_id")
+        got_rows, want_rows = routed.collect(), want.collect()
+        assert [r.id for r in got_rows] == [r.id for r in want_rows]
+        for g, wnt in zip(got_rows, want_rows):
+            assert abs(g.distance - wnt.distance) < 1e-9
+
+        # plan improvement: fewer folds than the cosine kernel (the
+        # executedPlan string elides long projections, so count in
+        # the analyzed plan, which prints expressions in full)
+        routed_plan = routed._jdf.queryExecution().analyzed().toString()
+        cosine_plan = want._jdf.queryExecution().analyzed().toString()
+        assert routed_plan.count("aggregate(") < cosine_plan.count("aggregate(")
+
+        # without the flag, the same registration routes the cosine kernel
+        cat2 = VectorCatalog(str(tmp_path / "cat_nonorm"))
+        cat2.vector_init(unit, "emb_unit_t", "embedding", "type=FLOAT32,dimension=64,distance=cosine")
+        plain = knn(spark, cat2, "emb_unit_t", "embedding", q, 10, prefer="exact", id_col="vec_id")
+        assert [(r.id, r.distance) for r in plain.collect()] == [
+            (r.id, r.distance) for r in want_rows
+        ]
+    finally:
+        set_backend(prev)
+
+
+def test_router_mih_projected_tier(spark, emb, tmp_path):
+    """A band store built from bq_project_encode codes lives in the
+    p-bit PROJECTED layout — registering it via set_mih_index(planes=)
+    makes the router encode queries with the SAME planes (ADVICE r8:
+    without the marker it probed threshold sign bits over
+    ctx.dimension and got silently wrong/empty collisions). The own
+    row still always survives (identical projected code), and the
+    planes persist through a catalog reload."""
+    import pyspark.sql.functions as F
+
+    from sqlite_vector_spark.catalog import VectorCatalog
+    from sqlite_vector_spark.operators.bq import bq_band_store, bq_project_encode, bq_random_planes
+    from sqlite_vector_spark.router import knn
+
+    planes = bq_random_planes(64, 32, seed=7)
+    cat = VectorCatalog(str(tmp_path / "cat_proj"))
+    emb.createOrReplaceTempView("emb_mihp_router_t")
+    cat.vector_init(emb, "emb_mihp_router_t", "embedding", "type=FLOAT32,dimension=64,distance=L2")
+    dest = str(tmp_path / "mih_proj_bands")
+    codes = bq_project_encode(emb, "embedding", planes, id_col="vec_id", backend="codegen")
+    bq_band_store(codes, 32, dest, band_bits=8)
+    cat.set_mih_index("emb_mihp_router_t", "embedding", path=dest, band_bits=8, planes=planes)
+
+    qrow = emb.where(F.col("vec_id") == 17).collect()[0]
+    q = [float(x) for x in qrow.embedding]
+    got = knn(
+        spark, cat, "emb_mihp_router_t", "embedding", q, 5,
+        prefer="mih", prefilter=200, id_col="vec_id",
+    ).collect()
+    assert len(got) >= 1
+    assert got[0].id == 17 and got[0].distance == 0.0
+    ds = [r.distance for r in got]
+    assert ds == sorted(ds)
+
+    # reload restores the projection marker and the same route
+    cat2 = VectorCatalog(str(tmp_path / "cat_proj"))
+    ctx = cat2.vector_init(emb, "emb_mihp_router_t", "embedding", "type=FLOAT32,dimension=64,distance=L2")
+    assert ctx.mih_planes is not None and len(ctx.mih_planes) == 32
+    again = knn(
+        spark, cat2, "emb_mihp_router_t", "embedding", q, 5,
+        prefer="mih", prefilter=200, id_col="vec_id",
+    ).collect()
+    assert [(r.id, r.distance) for r in again] == [(r.id, r.distance) for r in got]

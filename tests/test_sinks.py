@@ -92,6 +92,36 @@ def test_compact_store_flat_with_sort(spark, emb, tmp_path):
         assert ids == sorted(ids)
 
 
+def test_compact_store_url_encoded_partition_values(spark, emb, tmp_path):
+    """String partition values with a space and a % URL-encode in the
+    inputFiles() URIs but appear raw under os.walk; before the decode
+    fix the salvage pass matched NOTHING against the snapshot and
+    moved every pre-compaction file back in, doubling the store.
+    Contract: rows preserved exactly, salvaged == 0."""
+    from sqlite_vector_spark.sinks import compact_store
+
+    dest = str(tmp_path / "enc store")  # space in the ROOT too
+    base = emb.select("vec_id").withColumn(
+        "part",
+        F.when(F.col("vec_id") % 2 == 0, F.lit("a value")).otherwise(F.lit("b%value")),
+    )
+    base.write.partitionBy("part").parquet(dest)
+    base.withColumn("vec_id", F.col("vec_id") + 1_000_000).write.mode(
+        "append"
+    ).partitionBy("part").parquet(dest)
+    n_rows = spark.read.parquet(dest).count()
+
+    report = compact_store(spark, dest, partition_col="part")
+    assert report["salvaged_files"] == 0
+    assert report["rows"] == n_rows
+    after = spark.read.parquet(dest)
+    assert after.count() == n_rows  # no duplication from a bad salvage
+    assert set(r.part for r in after.select("part").distinct().collect()) == {
+        "a value",
+        "b%value",
+    }
+
+
 def test_compact_store_salvages_late_files(tmp_path):
     """Files a concurrent writer commits between the snapshot listing
     and the swap end up only in the superseded layout; the salvage

@@ -154,6 +154,57 @@ def test_route_sql_tiers(spark, emb, tmp_path):
     assert [r.id for r in passthrough.collect()] == [r.id for r in exact.collect()]
 
 
+def test_route_decision_surfaced_on_result(spark, emb, tmp_path):
+    """route_sql attaches its RouteDecision to the returned DataFrame
+    as ``df._sv_route`` (ADVICE r8): prefer='auto' silently moves the
+    SAME canonical text from true to quantized-unit distances when a
+    replica registers, so the chosen tier must be visible on the
+    result, not only via a separate plan_route call."""
+    from sqlite_vector_spark.catalog import VectorCatalog
+    from sqlite_vector_spark.operators.quantize import vector_quantize
+
+    cat = VectorCatalog(str(tmp_path / "cat"))
+    emb.createOrReplaceTempView("emb_sql_mark_t")
+    cat.vector_init(emb, "emb_sql_mark_t", "embedding", "type=FLOAT32,dimension=64,distance=L2")
+    sql = (
+        f"SELECT vec_id AS id, vector_distance(embedding, {_arr(Q64)}, 'l2') AS distance "
+        "FROM emb_sql_mark_t ORDER BY distance ASC LIMIT 5"
+    )
+    # no replica yet: auto lands on the exact base scan
+    before = route_sql(spark, cat, sql)
+    assert before._sv_route.tier == "routed"
+    assert before._sv_route.auto_target == "exact"
+    assert before._sv_route.prefer == "auto"
+    # replica registered: the same text now routes quantized
+    vector_quantize(
+        emb, "embedding", str(tmp_path / "shadow"), id_col="vec_id",
+        catalog=cat, table="emb_sql_mark_t",
+    )
+    after = route_sql(spark, cat, sql)
+    assert after._sv_route.auto_target == "quantized"
+    forced = route_sql(spark, cat, sql, prefer="exact")
+    assert forced._sv_route.prefer == "exact"
+    # non-canonical text: macro passthrough names itself
+    general = route_sql(
+        spark, None,
+        f"SELECT vec_id, vector_distance(embedding, {_arr(Q64)}) AS d "
+        "FROM emb_sql_mark_t WHERE vec_id < 50 ORDER BY d, vec_id LIMIT 3",
+    )
+    assert general._sv_route.tier == "sql"
+    # the reference TVF spelling and management statements too
+    import json as _json
+
+    tvf = route_sql(
+        spark, cat,
+        "SELECT rowid, distance FROM vector_full_scan('emb_sql_mark_t', 'embedding', "
+        f"vector_as_f32('{_json.dumps(Q64)}'), 5)",
+        id_col="vec_id",
+    )
+    assert tvf._sv_route.tier == "tvf"
+    mgmt = route_sql(spark, cat, "SELECT vector_version()")
+    assert mgmt._sv_route.tier == "management"
+
+
 def test_route_sql_passthrough_general_shape(spark, emb):
     """Non-canonical SQL (WHERE + extra sort key) executes JVM-side via
     macro expansion and matches the DataFrame-built plan bitwise."""
@@ -448,3 +499,13 @@ def test_management_statement_error_paths(spark, emb, tmp_path):
     rootless.vector_init(emb, "mgmt_err_t", "embedding", "type=FLOAT32,dimension=64,distance=L2")
     with pytest.raises(ValueError, match="root directory"):
         route_sql(spark, rootless, "SELECT vector_quantize('mgmt_err_t', 'embedding')", id_col="vec_id")
+    # quantize-family arity: a 1-arg statement parses but must raise
+    # the contract ValueError, not a raw IndexError (ADVICE r8)
+    for stmt in (
+        "SELECT vector_quantize_memory('mgmt_err_t')",
+        "SELECT vector_quantize_preload('mgmt_err_t')",
+        "SELECT vector_quantize_cleanup('mgmt_err_t')",
+        "SELECT vector_quantize('mgmt_err_t')",
+    ):
+        with pytest.raises(ValueError, match="at least 2 arguments"):
+            route_sql(spark, cat, stmt)
