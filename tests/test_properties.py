@@ -197,6 +197,100 @@ def test_parse_tvf_roundtrip(fn, table, column, vals, k, wrap, alias, ws):
     assert (p.id_out, p.dist_out) == (("r", "d") if alias else ("rowid", "distance"))
 
 
+# ---- route_sql mis-route adversaries (VERDICT r8 #6): texts that
+# LOOK routable but must fall through to macro-expanded plain SQL —
+# a false-positive route silently changes the distance domain.
+
+
+@given(
+    table=_IDENT,
+    tvf=st.sampled_from(
+        ["vector_full_scan", "vector_quantize_scan", "vector_full_scan_stream"]
+    ),
+    ws=st.sampled_from(["", " ", "\n"]),
+    upper=st.booleans(),
+)
+@settings(max_examples=100, deadline=None)
+def test_tvf_token_inside_string_literal_never_routes(table, tvf, ws, upper):
+    """A TVF name inside a string literal is DATA: the TVF recognizer
+    must not fire, and the embedded-TVF expander must see every
+    occurrence as in-string (so it never rewrites the literal)."""
+    from sqlite_vector_spark.sql import _TVF_CALL_RE, _in_string, parse_tvf
+
+    name = tvf.upper() if upper else tvf
+    sql = f"SELECT '{name}{ws}(t,c)' AS s, x FROM {table}"
+    assert parse_tvf(sql) is None
+    hits = list(_TVF_CALL_RE.finditer(sql))
+    assert hits, sql  # the token does look like a call lexically
+    for m in hits:
+        assert _in_string(sql, m.start()), sql
+
+
+@given(
+    metric=st.one_of(st.none(), _METRIC),
+    k=st.integers(min_value=0, max_value=1000),
+    ws=st.sampled_from([" ", "\n", "\n  "]),
+)
+@settings(max_examples=200, deadline=None)
+def test_non_canonical_distance_shapes_never_route(metric, k, ws):
+    """vector_distance in a WHERE clause, ordered by a different
+    column, ordered DESC, with a non-literal query vector, or with
+    extra select items — none is the canonical top-k, so parse_topk
+    must return None (conservative fall-through; route_sql then runs
+    the text as macro-expanded SQL with identical semantics)."""
+    from sqlite_vector_spark.sql import parse_topk
+
+    marg = f", '{metric}'" if metric else ""
+    call = f"vector_distance(c,{ws}array(1.0, 2.0){marg})"
+    adversaries = [
+        # WHERE clause between FROM and ORDER BY
+        f"SELECT id, {call} AS d FROM t{ws}WHERE {call} < 0.5 ORDER BY d LIMIT {k}",
+        # ordered by a non-distance column
+        f"SELECT id, {call} AS d FROM t ORDER BY id LIMIT {k}",
+        # descending order must never hit the ascending kNN path
+        f"SELECT id, {call} AS d FROM t ORDER BY d DESC LIMIT {k}",
+        # non-literal query vector (column refs inside array())
+        f"SELECT id, vector_distance(c, array(q1, q2){marg}) AS d FROM t ORDER BY d LIMIT {k}",
+        # extra select item
+        f"SELECT id, other, {call} AS d FROM t ORDER BY d LIMIT {k}",
+        # composite sort key
+        f"SELECT id, {call} AS d FROM t ORDER BY d ASC, id ASC LIMIT {k}",
+        # no LIMIT
+        f"SELECT id, {call} AS d FROM t ORDER BY d",
+    ]
+    for sql in adversaries:
+        assert parse_topk(sql) is None, sql
+
+
+@given(
+    kw_case=st.booleans(),
+    ws=st.sampled_from([" ", "\n", "\n\t "]),
+    k=st.integers(min_value=0, max_value=10**6),
+    metric=st.one_of(st.none(), _METRIC),
+)
+@settings(max_examples=200, deadline=None)
+def test_canonical_topk_parses_across_case_and_newlines(kw_case, ws, k, metric):
+    """Positive control for the adversary suite: keyword case and
+    newline whitespace never break the canonical recognizer (a text
+    that SHOULD route must not silently fall through either — that
+    would flip result domains the other way)."""
+    from sqlite_vector_spark.sql import parse_topk
+
+    sel, frm, ob, lim = ("select", "from", "order by", "limit")
+    if kw_case:
+        sel, frm, ob, lim = ("SELECT", "FROM", "ORDER  BY".replace("  ", ws), "LIMIT")
+    marg = f", '{metric}'" if metric else ""
+    sql = (
+        f"{sel} vid AS id,{ws}vector_distance(emb,{ws}array(0.5, -1.25){marg}) AS d"
+        f"{ws}{frm} tab{ws}{ob} d ASC{ws}{lim} {k}"
+    )
+    p = parse_topk(sql)
+    assert p is not None, sql
+    assert (p.table, p.column, p.k) == ("tab", "emb", k)
+    assert p.query == (0.5, -1.25)
+    assert (p.id_out, p.dist_out) == ("id", "d")
+
+
 @given(
     fn=st.sampled_from(
         ["vector_version", "vector_backend", "vector_init", "vector_quantize",

@@ -205,6 +205,58 @@ def test_route_decision_surfaced_on_result(spark, emb, tmp_path):
     assert mgmt._sv_route.tier == "management"
 
 
+def test_route_sql_adversaries_fall_through_and_match_plain_sql(spark, emb, tmp_path):
+    """Mis-route adversaries end-to-end (VERDICT r8 #6): with a
+    QUANTIZED replica registered (so a false-positive route would
+    silently switch the distance domain), near-canonical texts must
+    fall through to macro SQL and return exactly what plain Spark SQL
+    returns; the canonical k=0 text must route and return 0 rows."""
+    from sqlite_vector_spark.catalog import VectorCatalog
+    from sqlite_vector_spark.operators.quantize import vector_quantize
+    from sqlite_vector_spark.sql import _expand_tvf_subqueries, expand_vector_sql
+
+    cat = VectorCatalog(str(tmp_path / "cat"))
+    emb.createOrReplaceTempView("emb_adv_t")
+    cat.vector_init(emb, "emb_adv_t", "embedding", "type=FLOAT32,dimension=64,distance=L2")
+    vector_quantize(
+        emb, "embedding", str(tmp_path / "shadow"), id_col="vec_id",
+        catalog=cat, table="emb_adv_t",
+    )
+    call = f"vector_distance(embedding, {_arr(Q64)}, 'l2')"
+    adversaries = [
+        # WHERE between FROM and ORDER BY
+        f"SELECT vec_id AS id, {call} AS d FROM emb_adv_t "
+        f"WHERE vec_id % 3 = 0 ORDER BY d ASC LIMIT 7",
+        # DESC — farthest-first must never hit the ascending kNN path
+        f"SELECT vec_id AS id, {call} AS d FROM emb_adv_t ORDER BY d DESC LIMIT 7",
+        # ordered by a different column
+        f"SELECT vec_id AS id, {call} AS d FROM emb_adv_t ORDER BY id ASC LIMIT 7",
+        # mixed case + newlines, composite sort key
+        f"select vec_id as id,\n {call} as d\nfrom emb_adv_t\norder by d asc, id asc\nlimit 7",
+    ]
+    for sql in adversaries:
+        assert plan_route(cat, sql).tier == "sql", sql
+        routed = route_sql(spark, cat, sql)
+        assert routed._sv_route.tier == "sql"
+        plain = spark.sql(expand_vector_sql(_expand_tvf_subqueries(spark, cat, sql)))
+        assert [tuple(r) for r in routed.collect()] == [tuple(r) for r in plain.collect()], sql
+
+    # TVF name inside a string literal: data, not a query
+    lit_sql = "SELECT 'vector_full_scan(t,c)' AS s, vec_id FROM emb_adv_t ORDER BY vec_id LIMIT 3"
+    routed = route_sql(spark, cat, lit_sql)
+    assert routed._sv_route.tier == "sql"
+    assert [r.s for r in routed.collect()] == ["vector_full_scan(t,c)"] * 3
+
+    # canonical k=0: ROUTES (it is the exact canonical shape) and
+    # honors the reference's k=0 -> empty contract on every tier
+    zero_sql = (
+        f"SELECT vec_id AS id, {call} AS d FROM emb_adv_t ORDER BY d ASC LIMIT 0"
+    )
+    assert plan_route(cat, zero_sql).tier == "routed"
+    assert route_sql(spark, cat, zero_sql).count() == 0
+    assert route_sql(spark, cat, zero_sql, prefer="exact").count() == 0
+
+
 def test_route_sql_passthrough_general_shape(spark, emb):
     """Non-canonical SQL (WHERE + extra sort key) executes JVM-side via
     macro expansion and matches the DataFrame-built plan bitwise."""
