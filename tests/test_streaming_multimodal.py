@@ -519,6 +519,60 @@ def test_frame_decode_fake_and_stub(spark):
     assert len(set(feats)) == 4  # per-frame features differ
 
 
+def test_ffmpeg_decoder_feature_detection(spark):
+    """decoder='ffmpeg' is feature-detected like decoder='pil': with
+    imageio+pyav absent it raises the clearly-marked stub error; the
+    NumPy band-feature kernel it shares with the real path is always
+    testable (constant-luminance frame -> exact band means)."""
+    from sqlite_vector_spark.operators.multimodal import (
+        _array_strip_features,
+        ffmpeg_available,
+        frame_decode,
+    )
+
+    import numpy as np
+
+    gray = np.full((8, 12, 3), 128, dtype=np.uint8)
+    feats = _array_strip_features(gray, 4)
+    assert len(feats) == 4
+    assert all(abs(v - 128 / 255.0) < 1e-12 for v in feats)
+    # left half black, right half white -> band means step up
+    half = np.zeros((4, 8), dtype=np.uint8)
+    half[:, 4:] = 255
+    lo, _, _, hi = _array_strip_features(half, 4)
+    assert lo == 0.0 and hi == 1.0
+
+    if not ffmpeg_available():
+        df = spark.createDataFrame([(1, bytearray(b"x"))], "id long, payload binary")
+        with pytest.raises(NotImplementedError, match="imageio"):
+            frame_decode(df, decoder="ffmpeg").collect()
+
+
+def test_ffmpeg_decoder_real_container_roundtrip(spark):
+    """REAL mp4 container decode when imageio+pyav are importable
+    (skipped otherwise, like the PIL tests in the builder container):
+    encode a 3-frame black/gray/white clip, frame_decode it through
+    the Spark plumbing, and check per-frame band luminances."""
+    pytest.importorskip("imageio")
+    pytest.importorskip("av")
+    import numpy as np
+    import imageio.v3 as iio
+
+    from sqlite_vector_spark.operators.multimodal import frame_decode
+
+    lums = [0, 128, 255]
+    clip = np.stack([np.full((16, 16, 3), v, dtype=np.uint8) for v in lums])
+    payload = iio.imwrite("<bytes>", clip, extension=".mp4", plugin="pyav", fps=25)
+    df = spark.createDataFrame([(1, bytearray(payload)), (2, None)], "id long, payload binary")
+    rows = sorted(frame_decode(df, dim=4, decoder="ffmpeg").collect(),
+                  key=lambda r: r.frame_ts_ms)
+    assert [r.id for r in rows] == [1, 1, 1]
+    assert [r.frame_ts_ms for r in rows] == [0, 40, 80]  # 25 fps
+    # lossy codec: band means near the planted luminances
+    for r, lum in zip(rows, lums):
+        assert all(abs(v - lum / 255.0) < 0.05 for v in r.feature)
+
+
 def test_streaming_ingest_then_compaction(spark, emb, tmp_path):
     """The maintenance loop closed: micro-batch appends leave one file
     per batch per cluster; compact_store afterwards shrinks the file

@@ -111,6 +111,8 @@ def main():
         ("token_cooccurrence", "co-occurrence lift: broadcast df-banded vocab, doc_id co-partitioned pair join, partial-agg counts", w.token_cooccurrence_q),
         ("tvf_ep1_join_back", "EP1 composed SQL: embedded quantize-scan TVF as temp-view subquery, broadcast join-back", w.tvf_ep1_join_back_q),
         ("neardup_keep_best", "quality keeper: rank window over the member set only, corpus map-only with broadcast joins", w.neardup_keep_best_q),
+        # round-9 additions
+        ("bq_band_join", "persisted MIH multi-query join: broadcast Qxm probe side against the partitionBy(b) store (dynamic partition pruning on b), min-agg + popcount + WindowGroupLimit", w.bq_band_join_q),
     ]
 
     print("# PLANS — physical plans of headline operators (sf0.001, AQE on)")
