@@ -271,6 +271,51 @@ def parse_topk(sql: str) -> TopKQuery | None:
     )
 
 
+_EXPLAIN_RE = re.compile(r"^\s*EXPLAIN(?:\s+QUERY\s+PLAN)?\s+", re.IGNORECASE)
+
+
+def explain_route(spark: SparkSession, catalog, sql: str, id_col: str = "id") -> DataFrame:
+    """``EXPLAIN [QUERY PLAN] <statement>`` — classify WITHOUT
+    executing: which surface the text hits (management / tvf /
+    routed / sql) and, for routed text, which tier prefer='auto'
+    lands on. The Spark analog of the reference's documented
+    ``EXPLAIN QUERY PLAN SELECT ... FROM vector_full_scan(...)``
+    workflow (API.md — SQLite surfaces the TVF cost choice there;
+    here the same question is answered at the metadata level).
+    Returns one row: (surface, detail, auto_target).
+
+    This is the read-only pre-flight for the distance-domain switch:
+    ``auto_target = quantized`` warns that the plain
+    ``vector_distance`` spelling will return quantized-unit
+    distances on execute."""
+    body = _EXPLAIN_RE.sub("", sql, count=1)
+    scalar = parse_scalar(body)
+    if scalar is not None:
+        surface, detail, target = "management", scalar[0], None
+    else:
+        tvf = parse_tvf(body)
+        if tvf is not None:
+            surface = "tvf"
+            detail = f"vector_{tvf.fn}({tvf.table}.{tvf.column}, k={tvf.k})"
+            target = "quantized" if tvf.fn.startswith("quantize") else "exact"
+        else:
+            decision = plan_route(catalog, body)
+            if decision.tier == "routed":
+                p = decision.topk
+                surface = "routed"
+                detail = f"{p.table}.{p.column} top-{p.k} {p.metric or 'L2'}"
+                target = decision.auto_target
+            else:
+                surface, detail, target = "sql", "macro-expanded Spark SQL passthrough", None
+    import pyspark.sql.functions as F
+
+    return spark.range(1).select(
+        F.lit(surface).alias("surface"),
+        F.lit(detail).alias("detail"),
+        F.lit(target).cast("string").alias("auto_target"),
+    )
+
+
 @dataclass(frozen=True)
 class RouteDecision:
     """What route_sql decided, for explain/testing.
@@ -281,7 +326,7 @@ class RouteDecision:
     registered (prefer="auto"), and callers who need to know which
     domain they got read it here (or pre-flight with plan_route)."""
 
-    tier: str  # "routed" | "sql" | "tvf" | "management"
+    tier: str  # "routed" | "sql" | "tvf" | "management" | "explain"
     topk: TopKQuery | None
     #: the concrete tier prefer="auto" would land on ("quantized" when
     #: a replica is registered, else "exact"); None for tier="sql"
@@ -346,6 +391,11 @@ def route_sql(
         df._sv_route = dataclasses.replace(decision, prefer=prefer)
         return df
 
+    if _EXPLAIN_RE.match(sql):
+        return _mark(
+            explain_route(spark, catalog, sql, id_col=id_col),
+            RouteDecision("explain", None),
+        )
     scalar = parse_scalar(sql)
     if scalar is not None:
         return _mark(

@@ -205,6 +205,52 @@ def test_route_decision_surfaced_on_result(spark, emb, tmp_path):
     assert mgmt._sv_route.tier == "management"
 
 
+def test_explain_query_plan_surface(spark, emb, tmp_path):
+    """EXPLAIN [QUERY PLAN] <stmt> classifies without executing —
+    the reference's documented way to see which TVF/index the planner
+    picks; here it also pre-flights the auto distance-domain switch
+    (auto_target flips exact -> quantized once a replica registers)."""
+    import json as _json
+
+    from sqlite_vector_spark.catalog import VectorCatalog
+    from sqlite_vector_spark.operators.quantize import vector_quantize
+
+    cat = VectorCatalog(str(tmp_path / "cat"))
+    emb.createOrReplaceTempView("emb_explain_t")
+    cat.vector_init(emb, "emb_explain_t", "embedding", "type=FLOAT32,dimension=64,distance=L2")
+    canonical = (
+        f"SELECT vec_id AS id, vector_distance(embedding, {_arr(Q64)}, 'l2') AS distance "
+        "FROM emb_explain_t ORDER BY distance ASC LIMIT 5"
+    )
+    row = route_sql(spark, cat, "EXPLAIN QUERY PLAN " + canonical).collect()[0]
+    assert (row.surface, row.auto_target) == ("routed", "exact")
+    vector_quantize(
+        emb, "embedding", str(tmp_path / "shadow"), id_col="vec_id",
+        catalog=cat, table="emb_explain_t",
+    )
+    row = route_sql(spark, cat, "explain " + canonical).collect()[0]
+    assert (row.surface, row.auto_target) == ("routed", "quantized")
+    assert "emb_explain_t.embedding top-5" in row.detail
+
+    tvf_text = (
+        "SELECT rowid, distance FROM vector_full_scan('emb_explain_t','embedding', "
+        f"vector_as_f32('{_json.dumps(Q64)}'), 5)"
+    )
+    row = route_sql(spark, cat, "EXPLAIN " + tvf_text).collect()[0]
+    assert (row.surface, row.auto_target) == ("tvf", "exact")
+    row = route_sql(spark, cat, "EXPLAIN SELECT vector_version()").collect()[0]
+    assert (row.surface, row.detail) == ("management", "vector_version")
+    row = route_sql(
+        spark, cat,
+        f"EXPLAIN SELECT vec_id, vector_distance(embedding, {_arr(Q64)}) AS d "
+        "FROM emb_explain_t WHERE vec_id < 9 ORDER BY d, vec_id LIMIT 2",
+    ).collect()[0]
+    assert row.surface == "sql" and row.auto_target is None
+    # EXPLAIN never executes: no shadow read, marker names the tier
+    df = route_sql(spark, cat, "EXPLAIN " + canonical)
+    assert df._sv_route.tier == "explain"
+
+
 def test_route_sql_adversaries_fall_through_and_match_plain_sql(spark, emb, tmp_path):
     """Mis-route adversaries end-to-end (VERDICT r8 #6): with a
     QUANTIZED replica registered (so a false-positive route would
