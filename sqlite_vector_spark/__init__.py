@@ -66,7 +66,14 @@ from sqlite_vector_spark.operators.retrieval import bm25_scores, bm25_topk, rrf_
 from sqlite_vector_spark.operators.search import full_scan, full_scan_stream, matryoshka_scan
 from sqlite_vector_spark.router import knn
 from sqlite_vector_spark.sinks import compact_store
-from sqlite_vector_spark.sql import expand_vector_sql, explain_route, plan_route, route_sql
+from sqlite_vector_spark.sql import (
+    expand_vector_sql,
+    explain_route,
+    plan_route,
+    route_sql,
+    run_script,
+    split_statements,
+)
 from sqlite_vector_spark.version import __version__, set_backend, vector_backend, vector_version
 
 #: reference TVF names (sqlite-vector.c:2377-2459) — aliases so every
@@ -86,6 +93,8 @@ __all__ = [
     "route_sql",
     "plan_route",
     "explain_route",
+    "run_script",
+    "split_statements",
     "expand_vector_sql",
     "compact_store",
     "distance",

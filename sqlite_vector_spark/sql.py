@@ -195,6 +195,38 @@ def _in_string(sql: str, pos: int) -> bool:
     return quote is not None
 
 
+def split_statements(script: str) -> list[str]:
+    """Split a ``;``-separated SQL script into statements, quote-aware
+    (a ``;`` inside a string literal — e.g. a text filter pattern —
+    does not terminate the statement). Empty fragments are dropped."""
+    out, start = [], 0
+    for i, ch in enumerate(script):
+        if ch == ";" and not _in_string(script, i):
+            frag = script[start:i].strip()
+            if frag:
+                out.append(frag)
+            start = i + 1
+    tail = script[start:].strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def run_script(spark: SparkSession, catalog, script: str, id_col: str = "id") -> DataFrame | None:
+    """Execute a multi-statement script through route_sql, statement
+    by statement, returning the LAST statement's DataFrame (None for
+    an empty script). The reference's API.md lifecycle — init ->
+    quantize -> preload -> query -> cleanup — is written exactly this
+    way, so a user's existing .sql script runs as one string.
+    Management statements take effect eagerly inside run_scalar
+    (catalog writes, replica builds); query statements stay lazy, and
+    only the last one is returned for the caller to act on."""
+    out = None
+    for stmt in split_statements(script):
+        out = route_sql(spark, catalog, stmt, id_col=id_col)
+    return out
+
+
 def expand_vector_sql(sql: str) -> str:
     """Expand every ``vector_distance(a, b[, 'metric'])`` call in ``sql``
     into the HOF distance expression. Innermost-first, quote-aware, so

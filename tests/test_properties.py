@@ -197,6 +197,27 @@ def test_parse_tvf_roundtrip(fn, table, column, vals, k, wrap, alias, ws):
     assert (p.id_out, p.dist_out) == (("r", "d") if alias else ("rowid", "distance"))
 
 
+@given(
+    frags=st.lists(
+        st.text(alphabet="abcXY (),=0129", min_size=1, max_size=20).map(str.strip).filter(bool),
+        min_size=1, max_size=6,
+    ),
+    lit=st.text(alphabet="a;b; ;;", min_size=0, max_size=10),
+    ws=st.sampled_from(["", " ", "\n  "]),
+)
+@settings(max_examples=200, deadline=None)
+def test_split_statements_roundtrip(frags, lit, ws):
+    """Joining quote-free fragments with ';' splits back to exactly
+    those fragments, in order; a literal full of semicolons embedded
+    in one fragment never splits it (quote-awareness)."""
+    from sqlite_vector_spark.sql import split_statements
+
+    script = (";" + ws).join(frags) + ";"
+    assert split_statements(script) == frags
+    salted = frags[0] + " '" + lit.replace("'", "") + "' tail"
+    assert split_statements(salted) == [salted.strip()]
+
+
 # ---- route_sql mis-route adversaries (VERDICT r8 #6): texts that
 # LOOK routable but must fall through to macro-expanded plain SQL —
 # a false-positive route silently changes the distance domain.

@@ -205,6 +205,54 @@ def test_route_decision_surfaced_on_result(spark, emb, tmp_path):
     assert mgmt._sv_route.tier == "management"
 
 
+def test_run_script_reference_lifecycle(spark, emb, tmp_path):
+    """The reference's API.md lifecycle as ONE ;-separated script:
+    init -> quantize -> preload -> TVF query -> cleanup -> exact TVF
+    query. Management statements take effect eagerly in order (the
+    quantize TVF works mid-script because vector_quantize ran before
+    it); the LAST statement's DataFrame comes back. Splitting is
+    quote-aware: a ';' inside a literal never terminates a statement."""
+    import json as _json
+
+    from sqlite_vector_spark.catalog import VectorCatalog
+    from sqlite_vector_spark.sql import run_script, split_statements
+
+    cat = VectorCatalog(str(tmp_path / "cat"))
+    emb.createOrReplaceTempView("emb_script_t")
+    vec = _json.dumps(Q64)
+    build = f"""
+    SELECT vector_init('emb_script_t', 'embedding', 'type=FLOAT32,dimension=64,distance=L2');
+    SELECT vector_quantize('emb_script_t', 'embedding');
+    SELECT vector_quantize_preload('emb_script_t', 'embedding');
+    SELECT rowid, distance FROM vector_quantize_scan('emb_script_t','embedding','{vec}', 5)
+    """
+    qrows = run_script(spark, cat, build, id_col="vec_id").collect()
+    assert len(qrows) == 5  # the mid-script quantize registered the replica
+    assert cat.get("emb_script_t", "embedding").quantized_path is not None
+
+    teardown = f"""
+    SELECT vector_quantize_cleanup('emb_script_t', 'embedding');
+    SELECT rowid, distance FROM vector_full_scan('emb_script_t','embedding', vector_as_f32('{vec}'), 5)
+    """
+    rows = run_script(spark, cat, teardown, id_col="vec_id").collect()
+    assert len(rows) == 5
+    assert [r.rowid for r in rows] == [
+        r.id for r in route_sql(
+            spark, cat,
+            f"SELECT vec_id AS id, vector_distance(embedding, {_arr(Q64)}, 'l2') AS d "
+            "FROM emb_script_t ORDER BY d ASC LIMIT 5",
+            prefer="exact",
+        ).collect()
+    ]
+    # cleanup-by-statement really dropped the replica registration
+    assert cat.get("emb_script_t", "embedding").quantized_path is None
+
+    # quote-aware split: ';' inside a literal survives
+    parts = split_statements("SELECT 'a;b' AS s; SELECT 2;;  ")
+    assert parts == ["SELECT 'a;b' AS s", "SELECT 2"]
+    assert run_script(spark, None, "") is None
+
+
 def test_explain_query_plan_surface(spark, emb, tmp_path):
     """EXPLAIN [QUERY PLAN] <stmt> classifies without executing —
     the reference's documented way to see which TVF/index the planner
