@@ -355,7 +355,50 @@ def connected_components_min_label(edges: DataFrame, max_iters: int = 30) -> Dat
     raise RuntimeError(f"label propagation did not converge in {max_iters} iterations")
 
 
-def hyperplane_bucket(vec: str | Column, planes: Sequence[Sequence[float]]) -> Column:
+def incremental_labels(labels: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """Merge NEW verified near-dup edges into an existing
+    (id, cluster) labeling without re-running connected components
+    over the whole graph — the daily-ingest closer for the label side
+    of near-dup state, pairing with incremental_dedup_pairs (which
+    closes the candidate side against the frozen band store).
+
+    Only the components the new edges touch are re-solved:
+
+    1. affected old clusters = clusters of any old node appearing in
+       ``new_edges`` (a broadcast-sized set at ingest scale);
+    2. each affected component is compressed to a STAR — (member,
+       cluster-rep) edges from the stored labels — so the re-solve
+       sees diameter <= 2 no matter how deep the original chain was;
+    3. connected_components_min_label runs over new_edges ∪ stars —
+       an edge set bounded by |new_edges| + |members of affected
+       clusters|, never the corpus;
+    4. labels of untouched clusters pass through byte-identical.
+
+    Equivalence to a full rebuild: rebuild labels every node with the
+    min id reachable in the union graph; star edges preserve exactly
+    the old components' membership, and min-label over (stars ∪
+    new_edges) is the min id across every merged component — the same
+    value. Contract test: incremental == rebuild on planted graphs
+    including a new doc bridging two old clusters.
+
+    Returns the FULL updated (id, cluster) table (members only, like
+    connected_components_min_label — a doc enters the labeling when
+    its first edge is verified)."""
+    lab = labels.select(F.col("id").cast("bigint").alias("id"), F.col("cluster").cast("bigint").alias("cluster"))
+    edges = new_edges.select(F.col("a").cast("bigint").alias("a"), F.col("b").cast("bigint").alias("b"))
+    nodes = edges.select(F.col("a").alias("id")).union(edges.select(F.col("b").alias("id"))).distinct()
+    affected = (
+        lab.join(nodes, "id", "left_semi").select("cluster").distinct()
+    )
+    # star edges for affected components only (members pulled by a
+    # broadcast semi-join on the small affected-cluster set)
+    members = lab.join(F.broadcast(affected), "cluster", "left_semi")
+    stars = members.where(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias("a"), F.col("cluster").alias("b")
+    )
+    merged = connected_components_min_label(edges.unionByName(stars))
+    untouched = lab.join(F.broadcast(affected), "cluster", "left_anti")
+    return untouched.unionByName(merged)
     """Random-hyperplane LSH bucket id: bit p = sign(dot(vec, plane_p)).
 
     Planes ride in as literals (broadcast with the plan); the dot

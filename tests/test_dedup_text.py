@@ -382,3 +382,47 @@ def test_neardup_keep_best_planted(spark):
     assert out[2] == (2, False)
     assert out[3] == (3, False)  # singleton keeps itself
     assert all(out[i] == (i, False) for i in range(4, 24))
+
+
+def test_incremental_labels_matches_rebuild(spark):
+    """Daily-ingest label maintenance: merging a batch of new verified
+    edges into stored labels equals a full CC rebuild over the union
+    graph — including the hard cases: a new doc BRIDGING two old
+    clusters, a deep old chain (star compression must preserve its
+    membership), a new-only component, and untouched clusters passing
+    through byte-identical."""
+    import random
+
+    from sqlite_vector_spark.operators.dedup import (
+        connected_components_min_label,
+        incremental_labels,
+    )
+
+    def df_edges(pairs):
+        return spark.createDataFrame(pairs, "a long, b long")
+
+    old = [(1, 2), (3, 4), (6, 7), (20, 21), (21, 22), (22, 23)]
+    new = [(2, 5), (5, 3),      # bridge: merges {1,2} and {3,4} via new doc 5
+           (10, 11),            # new-only component
+           (23, 30)]            # extends the deep chain with a new doc
+    labels0 = connected_components_min_label(df_edges(old))
+    got = {(r.id, r.cluster) for r in incremental_labels(labels0, df_edges(new)).collect()}
+    want = {(r.id, r.cluster) for r in connected_components_min_label(df_edges(old + new)).collect()}
+    assert got == want
+    # untouched cluster {6,7} kept its labels
+    assert (6, 6) in got and (7, 6) in got
+
+    # randomized: seeded graphs split into two batches, incremental == rebuild
+    rng = random.Random(9)
+    nodes = list(range(100))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    cut = len(edges) // 2
+    l0 = connected_components_min_label(df_edges(edges[:cut]))
+    got = {(r.id, r.cluster) for r in incremental_labels(l0, df_edges(edges[cut:])).collect()}
+    want = {(r.id, r.cluster) for r in connected_components_min_label(df_edges(edges)).collect()}
+    assert got == want
+
+    # empty batch: labels unchanged
+    same = {(r.id, r.cluster) for r in incremental_labels(l0, df_edges([]).limit(0)).collect()}
+    assert same == {(r.id, r.cluster) for r in l0.collect()}
