@@ -135,12 +135,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- past the 50-entry gate horizon: every entry below is
         # r7/r8-green with its subsystem and oracle text unchanged in
         # r9 (the local tools/check_oracle.py sweep re-verifies ALL
-        # entries every round). ROUND-10 ROTATION PRIORITY: the
-        # 48-entry cohort whose latest driver green is r7 (2 rounds
-        # stale entering r10 - the invariant breaks if they miss the
-        # r10 window; they are listed FIRST below, in order), then
-        # spot-checks of any r10-changed subsystems, then the newest
-        # r8/r9 greens.
+        # entries every round). ROUND-10 ROTATION PRIORITY: (1) the
+        # NEW late-r9 entry incremental_neardup (never driver-gated —
+        # the r9 window was exactly consumed by the mandatory 42-entry
+        # stale cohort + bq_band_join + spot-checks; it is sweep-green
+        # and listed first here), then (2) the 48-entry cohort whose
+        # latest driver green is r7 (2 rounds stale entering r10 - the
+        # invariant breaks if they miss the r10 window; listed next,
+        # in order), then (3) spot-checks of any r10-changed
+        # subsystems, then the newest r8/r9 greens.
+        "incremental_neardup": w.incremental_neardup_q,
         "bf16_scan_l2": w.bf16_scan_l2,
         "chunk_dedup": w.chunk_dedup_q,
         "contamination_check": w.contamination_check_q,
@@ -302,6 +306,11 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": o.jaccard_pairs_q(),
         "embedding_neardup": o.embedding_neardup_q(),
         "neardup_representatives": o.neardup_representatives_q(w.JACCARD_T),
+        # incremental label maintenance == full rebuild (the cross +
+        # within-batch + within-indexed candidate sets union to the
+        # full corpus's LSH candidates), so the SAME recursive-closure
+        # representatives SQL pins the append path
+        "incremental_neardup": o.neardup_representatives_q(w.JACCARD_T),
         "neardup_keep_best": o.neardup_keep_best_q(w.JACCARD_T),
         "sample_mix": o.sample_mix_q(w.MIX_RATES),
         "token_budget_pack": o.token_budget_pack_q(w.LANG_TOKEN_BUDGET),

@@ -334,6 +334,11 @@ def main():
     except Exception as exc:  # noqa: BLE001
         errors["incremental_dedup"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # round-9: incremental near-dup LABEL maintenance (state cached
+    # per process, so min-of-N measures the daily-append path:
+    # candidates vs frozen index + verify + star-compressed re-solve)
+    bench("incremental_neardup", lambda: w.incremental_neardup_q(spark, SF_DIR).count())
+
     # round-6: binary quantization (1-bit Hamming prefilter)
     try:
         from sqlite_vector_spark.operators.bq import bq_encode, bq_rerank_scan, bq_scan

@@ -399,6 +399,9 @@ def incremental_labels(labels: DataFrame, new_edges: DataFrame) -> DataFrame:
     merged = connected_components_min_label(edges.unionByName(stars))
     untouched = lab.join(F.broadcast(affected), "cluster", "left_anti")
     return untouched.unionByName(merged)
+
+
+def hyperplane_bucket(vec: str | Column, planes: Sequence[Sequence[float]]) -> Column:
     """Random-hyperplane LSH bucket id: bit p = sign(dot(vec, plane_p)).
 
     Planes ride in as literals (broadcast with the plan); the dot

@@ -3382,16 +3382,76 @@ def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     match IS the append == rebuild proof, adjudicated by the driver
     (per-doc band keys are independent of which subset was hashed,
     which is why the two derivations must agree exactly)."""
-    import tempfile
-
     from sqlite_vector_spark.operators.dedup import incremental_dedup_pairs, lsh_band_store
 
     docs = _docs(spark, sf_dir)
     old = docs.where(F.col("doc_id") % 5 != 0)
     batch = docs.where(F.col("doc_id") % 5 == 0)
-    store = tempfile.mkdtemp(prefix="svspark_bandstore_") + "/bands"
-    lsh_band_store(old, "doc_id", "text", store)
+    store = _cached_store(
+        spark, sf_dir, "bandstore",
+        lambda dest: lsh_band_store(old, "doc_id", "text", dest),
+    )
     return incremental_dedup_pairs(spark, batch, store, "doc_id", "text").orderBy("a", "b")
+
+
+def incremental_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup LABEL maintenance end-to-end (the r9
+    operator staged for the r10 gate window): docs with doc_id % 5
+    != 0 are yesterday's corpus — banded into a persisted store and
+    labeled by the full LSH -> Jaccard -> CC pipeline ONCE (cached as
+    yesterday's state); today's batch generates candidates against
+    the frozen ~24-byte band index (incremental_dedup_pairs), gets
+    Jaccard-verified on candidate-bounded token sets over the union
+    corpus, and merges into the stored labels via
+    operators.dedup.incremental_labels (affected components
+    star-compressed, untouched clusters byte-identical).
+
+    Cross + within-batch + within-indexed candidates together are
+    exactly the full corpus's LSH candidate set (band keys are
+    per-doc, independent of which subset was hashed), so the
+    incremental labeling must equal the full rebuild — the oracle IS
+    neardup_representatives' recursive-closure SQL over the whole
+    corpus, making the hash match the append == rebuild proof for
+    the label side."""
+    from sqlite_vector_spark.operators.dedup import (
+        connected_components_min_label,
+        incremental_dedup_pairs,
+        incremental_labels,
+        jaccard_pairs,
+        lsh_band_store,
+        lsh_candidate_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+
+    def build_state(dest: str) -> None:
+        lsh_band_store(old, "doc_id", "text", dest + "/bands")
+        old_edges = (
+            jaccard_pairs(lsh_candidate_pairs(old, "doc_id", "text"), old, "doc_id", "text")
+            .where(F.col("jaccard") >= F.lit(JACCARD_T))
+            .select("a", "b")
+        )
+        connected_components_min_label(old_edges).write.parquet(dest + "/labels")
+
+    state = _cached_store(spark, sf_dir, "npstate", build_state)
+    labels0 = spark.read.parquet(state + "/labels")
+    cand = incremental_dedup_pairs(spark, batch, state + "/bands", "doc_id", "text")
+    new_edges = (
+        jaccard_pairs(cand, docs, "doc_id", "text")
+        .where(F.col("jaccard") >= F.lit(JACCARD_T))
+        .select("a", "b")
+    )
+    comp = incremental_labels(labels0, new_edges)
+    did = F.col("doc_id").cast("bigint")
+    return (
+        docs.select(did.alias("doc_id"))
+        .join(F.broadcast(comp), F.col("doc_id") == comp["id"], "left")
+        .select("doc_id", F.coalesce(F.col("cluster"), F.col("doc_id")).alias("rep_id"))
+        .withColumn("is_dup", F.col("rep_id") != F.col("doc_id"))
+        .orderBy("doc_id")
+    )
 
 
 def ivf_cluster_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
