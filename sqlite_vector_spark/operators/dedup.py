@@ -549,7 +549,7 @@ def lsh_band_store(
 def incremental_dedup_pairs(
     spark,
     new_df: DataFrame,
-    store: str,
+    store: str | Sequence[str],
     id_col: str,
     text_col: str,
     num_hashes: int = NUM_HASHES,
@@ -568,7 +568,9 @@ def incremental_dedup_pairs(
     whose corpus side reads only (id, band, band_hash) rows — the
     ~24-byte index, not the text. Callers append the batch's keys to
     the store afterwards (lsh_band_store mode="append") so tomorrow's
-    batch dedups against today's."""
+    batch dedups against today's. ``store`` may be a list of paths
+    (the streaming maintainer's per-epoch overwrite dirs — it must
+    read exactly the epochs below the one being replayed)."""
     # localCheckpoint (eager) materializes the batch's keys once:
     # both consumers below (cross join + within-batch pairs) read the
     # checkpointed rows instead of re-running the minhash pipeline,
@@ -578,7 +580,7 @@ def incremental_dedup_pairs(
         bands,
         rows_per_band,
     ).localCheckpoint(eager=True)
-    stored = spark.read.parquet(store)
+    stored = spark.read.parquet(*([store] if isinstance(store, str) else list(store)))
     cross = (
         stored.select(F.col("id").alias("a"), "band", "band_hash")
         .join(

@@ -211,6 +211,115 @@ def ingest_stream_ivf(
     )
 
 
+def ingest_stream_neardup(
+    doc_stream: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_min: float = 0.8,
+):
+    """Continuous near-dup STATE maintenance — the streaming form of
+    workload.incremental_neardup_q's daily append. Every micro-batch:
+
+    1. candidates against the persisted band index
+       (incremental_dedup_pairs: batch shingles only, indexed text
+       never re-shingled) — plus within-batch bucket pairs;
+    2. exact Jaccard verify on candidate-bounded token sets (only
+       colliding docs' text is read back from the state's doc
+       mirror);
+    3. verified edges merge into the stored labels via
+       incremental_labels (star-compressed re-solve, untouched
+       clusters byte-identical);
+    4. the batch's band keys + docs append so the NEXT batch dedups
+       against this one.
+
+    Crash/replay contract (same recipe as ingest_stream_ivf): every
+    write is a PER-EPOCH overwrite directory (``bands/epoch=<id>``,
+    ``docs/epoch=<id>``, ``labels/epoch=<id>``), so a replayed epoch
+    lands exactly once; the label merge reads the newest labels epoch
+    STRICTLY BELOW the current epoch id, so a replay recomputes from
+    the same inputs it saw the first time. Readers take
+    ``labels/epoch=<max>`` as current; the extra ``epoch`` partition
+    column on bands/docs is ignored by the probe joins. Local
+    filesystem only (epoch discovery via os.listdir — the same
+    single-maintenance-writer scope as compact_store)."""
+    import os
+
+    from sqlite_vector_spark.operators.dedup import (
+        incremental_dedup_pairs,
+        incremental_labels,
+        jaccard_pairs,
+        lsh_band_keys,
+        minhash_signatures,
+    )
+
+    bands_root = os.path.join(state_dir, "bands")
+    docs_root = os.path.join(state_dir, "docs")
+    labels_root = os.path.join(state_dir, "labels")
+
+    def _epochs(root: str, below: int) -> list[int]:
+        try:
+            return sorted(
+                int(d.split("=", 1)[1])
+                for d in os.listdir(root)
+                if d.startswith("epoch=") and int(d.split("=", 1)[1]) < below
+            )
+        except OSError:
+            return []
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.select(
+            F.col(id_col).cast("bigint").alias(id_col), F.col(text_col).alias(text_col)
+        ).localCheckpoint(eager=True)
+
+        # read ONLY epochs strictly below the current id: a replayed
+        # epoch must not see its own crashed attempt's partial output
+        band_epochs = _epochs(bands_root, epoch_id)
+        if band_epochs:
+            cand = incremental_dedup_pairs(
+                spark, batch,
+                [f"{bands_root}/epoch={e}" for e in band_epochs],
+                id_col, text_col,
+            )
+            old_docs = spark.read.parquet(
+                *[f"{docs_root}/epoch={e}" for e in _epochs(docs_root, epoch_id)]
+            ).select(id_col, text_col)
+            union_docs = old_docs.unionByName(batch)
+        else:  # first epoch: within-batch only
+            from sqlite_vector_spark.operators.dedup import lsh_candidate_pairs
+
+            cand = lsh_candidate_pairs(batch, id_col, text_col)
+            union_docs = batch
+        new_edges = (
+            jaccard_pairs(cand, union_docs, id_col, text_col)
+            .where(F.col("jaccard") >= F.lit(jaccard_min))
+            .select("a", "b")
+        )
+        label_epochs = _epochs(labels_root, epoch_id)
+        labels0 = (
+            spark.read.parquet(f"{labels_root}/epoch={label_epochs[-1]}")
+            if label_epochs
+            else spark.createDataFrame([], "id bigint, cluster bigint")
+        )
+        merged = incremental_labels(labels0, new_edges)
+        merged.write.mode("overwrite").parquet(f"{labels_root}/epoch={epoch_id}")
+        lsh_band_keys(minhash_signatures(batch, id_col, text_col)).write.partitionBy(
+            "band"
+        ).mode("overwrite").parquet(f"{bands_root}/epoch={epoch_id}")
+        batch.write.mode("overwrite").parquet(f"{docs_root}/epoch={epoch_id}")
+
+    return (
+        doc_stream.writeStream.foreachBatch(handle)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def windowed_event_counts(
     stream: DataFrame,
     ts_col: str = "ts",

@@ -440,6 +440,47 @@ def test_router_normalized_cosine_uses_dot_kernel(spark, emb, tmp_path):
         set_backend(prev)
 
 
+def test_normalized_cosine_reaches_sql_route(spark, emb, tmp_path):
+    """The canonical SQL spelling inherits the normalized-flag plan:
+    'cosine' text over a normalized=1 registration routes through the
+    single-dot-fold scan (fold count pinned vs the unregistered
+    route), same ids out."""
+    import pyspark.sql.functions as F
+
+    from sqlite_vector_spark.catalog import VectorCatalog
+    from sqlite_vector_spark.sql import route_sql
+    from sqlite_vector_spark.version import set_backend, vector_backend
+
+    norm = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
+    emb.where(F.col("embedding").isNotNull()).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double") / norm).alias("embedding")
+    ).write.parquet(str(tmp_path / "unit"))
+    unit = spark.read.parquet(str(tmp_path / "unit"))
+    unit.createOrReplaceTempView("emb_unit_sql_t")
+
+    cat = VectorCatalog(str(tmp_path / "cat"))
+    cat.vector_init(unit, "emb_unit_sql_t", "embedding", "type=FLOAT32,dimension=64,distance=cosine,normalized=1")
+    q = ", ".join(repr(float(v)) for v in range(1, 65))
+    sql = (
+        f"SELECT vec_id AS id, vector_distance(embedding, array({q}), 'cosine') AS distance "
+        "FROM emb_unit_sql_t ORDER BY distance ASC LIMIT 8"
+    )
+    prev = vector_backend()
+    set_backend("codegen")
+    try:
+        routed = route_sql(spark, cat, sql)
+        assert routed._sv_route.tier == "routed"
+        plan = routed._jdf.queryExecution().analyzed().toString()
+        assert plan.count("aggregate(") == 1  # single dot fold
+        cat2 = VectorCatalog(str(tmp_path / "cat2"))
+        cat2.vector_init(unit, "emb_unit_sql_t", "embedding", "type=FLOAT32,dimension=64,distance=cosine")
+        plain = route_sql(spark, cat2, sql)
+        assert plain._jdf.queryExecution().analyzed().toString().count("aggregate(") > 1
+        assert [r.id for r in routed.collect()] == [r.id for r in plain.collect()]
+    finally:
+        set_backend(prev)
+
+
 def test_router_mih_projected_tier(spark, emb, tmp_path):
     """A band store built from bq_project_encode codes lives in the
     p-bit PROJECTED layout — registering it via set_mih_index(planes=)
