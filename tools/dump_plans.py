@@ -113,6 +113,7 @@ def main():
         ("neardup_keep_best", "quality keeper: rank window over the member set only, corpus map-only with broadcast joins", w.neardup_keep_best_q),
         # round-9 additions
         ("bq_band_join", "persisted MIH multi-query join: broadcast Qxm probe side against the partitionBy(b) store (dynamic partition pruning on b), min-agg + popcount + WindowGroupLimit", w.bq_band_join_q),
+        ("incremental_neardup", "append-path labeling: batch bands vs frozen index, candidate-bounded verify, star-compressed label merge — corpus text never re-shingled", w.incremental_neardup_q),
     ]
 
     print("# PLANS — physical plans of headline operators (sf0.001, AQE on)")
