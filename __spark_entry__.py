@@ -145,6 +145,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in order), then (3) spot-checks of any r10-changed
         # subsystems, then the newest r8/r9 greens.
         "incremental_neardup": w.incremental_neardup_q,
+        # late-r9 filtered-search pair (router where= + include_cols
+        # replica): also never driver-gated — r10 window with the
+        # cohort above
+        "filtered_full_scan_l2": w.filtered_full_scan_l2,
+        "filtered_quantize_scan_l2": w.filtered_quantize_scan_l2,
         "bf16_scan_l2": w.bf16_scan_l2,
         "chunk_dedup": w.chunk_dedup_q,
         "contamination_check": w.contamination_check_q,
@@ -251,6 +256,8 @@ def oracle_sql() -> dict[str, str]:
         "full_scan_cosine": o.full_scan("COSINE"),
         "full_scan_dot": o.full_scan("DOT"),
         "full_scan_l1": o.full_scan("L1"),
+        "filtered_full_scan_l2": o.filtered_full_scan("L2", w.FILTER_PRED),
+        "filtered_quantize_scan_l2": o.filtered_quantize_scan("L2", w.FILTER_PRED),
         "full_scan_k_gt_n": o.full_scan("L2", 10_000_000),
         "full_scan_stream_l2": o.full_scan_stream("L2"),
         "quantize_params": o.quantize_params(),

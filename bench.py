@@ -96,6 +96,10 @@ def main():
     bench("tvf_full_scan", lambda: w.tvf_full_scan_q(spark, SF_DIR).collect())
     bench("tvf_quantize_scan", lambda: w.tvf_quantize_scan_q(spark, SF_DIR).collect())
     bench("tvf_ep1_join_back", lambda: w.tvf_ep1_join_back_q(spark, SF_DIR).collect())
+    # round-9: attribute-filtered search (where= pushed into the base
+    # scan / the include_cols replica scan)
+    bench("filtered_full_scan", lambda: w.filtered_full_scan_l2(spark, SF_DIR).collect())
+    bench("filtered_quantize_scan", lambda: w.filtered_quantize_scan_l2(spark, SF_DIR).collect())
 
     # quantize build (the EP2 two-pass index build) + approximate scan
     import tempfile

@@ -48,6 +48,10 @@ class VectorContext:
     qoffset: float | None = None
     resolved_qtype: str | None = None
     quantized_path: str | None = None
+    # payload columns copied into the replica (vector_quantize
+    # include_cols=) — the predicates the quantized tier can answer
+    # with scan-level pushdown instead of falling back to exact
+    quantized_include_cols: list | None = None
     # persisted after ivf_store: cluster-partitioned replica + its
     # centroids (C x dim — metadata-sized, rides in the catalog JSON)
     ivf_path: str | None = None
@@ -150,6 +154,7 @@ class VectorCatalog:
         if persisted:  # reload quant params (sqlite_unserialize, 451-491)
             for k in (
                 "qscale", "qoffset", "resolved_qtype", "quantized_path",
+                "quantized_include_cols",
                 "ivf_path", "ivf_centroids", "pq_path", "pq_codebooks", "pq_residual",
                 "pq_rotation", "bq_path", "bq_thresholds",
                 "mih_path", "mih_band_bits", "mih_planes", "mih_center",
@@ -165,9 +170,13 @@ class VectorCatalog:
         except KeyError:
             raise KeyError(f"vector column {table}.{column} is not registered — call vector_init first") from None
 
-    def set_quant_params(self, table: str, column: str, *, qtype: str, scale: float, offset: float, path: str | None = None) -> None:
+    def set_quant_params(
+        self, table: str, column: str, *, qtype: str, scale: float, offset: float,
+        path: str | None = None, include_cols: list | None = None,
+    ) -> None:
         ctx = self.get(table, column)
         ctx.resolved_qtype, ctx.qscale, ctx.qoffset, ctx.quantized_path = qtype, scale, offset, path
+        ctx.quantized_include_cols = list(include_cols) if include_cols else None
         self._serialize(ctx)
 
     def set_ivf_index(self, table: str, column: str, *, path: str, centroids) -> None:

@@ -235,6 +235,7 @@ def vector_quantize(
     table: str | None = None,
     max_memory: int | None = None,
     dim: int | None = None,
+    include_cols: Sequence[str] | None = None,
 ) -> QuantParams:
     """Build the quantized replica (parity: vector_quantize).
 
@@ -248,7 +249,15 @@ def vector_quantize(
     max_memory / (8 + dim) records, expressed here as
     ``maxRecordsPerFile`` so each output file is one readable
     "chunk" no bigger than the budget.
-    """
+
+    ``include_cols``: payload columns copied INTO the replica —
+    filtered vector search's scale path. A metadata predicate then
+    pushes down into the REPLICA scan itself (PushedFilters on the
+    shadow parquet), instead of forcing a corpus-scale id join or a
+    fall-back to the exact tier; the reference has no filtered
+    search, so this extension follows the standard vector-store
+    design (attribute-filtered ANN). The catalog records the list so
+    the router knows which predicates the replica can answer."""
     params = compute_quant_params(df, column, qtype, dim=dim)
     # runtime backend dispatch (init_distance_functions analog): the
     # Arrow/NumPy encode produces bit-identical integer codes ~10x
@@ -260,16 +269,20 @@ def vector_quantize(
         code_col = enc(F.col(column).cast("array<double>"))
     else:
         code_col = quantize_codes_column(column, params.scale, params.offset, params.lo, params.hi)
+    extra = [F.col(c) for c in (include_cols or [])]
     codes = (
         df.where(F.col(column).isNotNull())
-        .select(F.col(id_col).cast("bigint").alias("id"), code_col.alias("qvec"))
+        .select(F.col(id_col).cast("bigint").alias("id"), code_col.alias("qvec"), *extra)
     )
     writer = codes.write.mode("overwrite")
     if max_memory is not None and dim is not None:
         writer = writer.option("maxRecordsPerFile", max(1, int(max_memory) // (8 + int(dim))))
     writer.parquet(dest_path)
     if catalog is not None and table is not None:
-        catalog.set_quant_params(table, column, qtype=params.qtype, scale=params.scale, offset=params.offset, path=dest_path)
+        catalog.set_quant_params(
+            table, column, qtype=params.qtype, scale=params.scale, offset=params.offset,
+            path=dest_path, include_cols=list(include_cols) if include_cols else None,
+        )
     return params
 
 

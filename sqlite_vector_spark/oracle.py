@@ -138,6 +138,39 @@ FROM embeddings, qq
 WHERE embedding IS NOT NULL"""
 
 
+def filtered_full_scan(metric: str, pred: str, k: int = K) -> str:
+    """Mirror of workload.filtered_full_scan_l2: exact top-k among
+    rows matching the attribute predicate — the WHERE simply joins
+    the NULL-skip clause; distances and ordering unchanged."""
+    d = dist_sql(metric, "embedding", "q")
+    return f"""WITH qq AS (SELECT {qvec_literal(Q64)} AS q)
+SELECT vec_id AS id, {d} AS distance
+FROM embeddings, qq
+WHERE embedding IS NOT NULL AND ({pred})
+ORDER BY distance ASC, id ASC
+LIMIT {k}"""
+
+
+def filtered_quantize_scan(metric: str, pred: str, k: int = K) -> str:
+    """Mirror of workload.filtered_quantize_scan_l2: quantization
+    params over the FULL table (the replica is built once, filtered
+    at query time — include_cols semantics), codes CTE carries the
+    payload column, the predicate filters the code rows, top-k in
+    quantized units."""
+    d = dist_sql(metric, "qvec", "q")
+    codes = f"""SELECT vec_id AS id, label,
+       list_transform(embedding, x -> CAST({q_round(_CODE_R, 'lo', 'hi')} AS SMALLINT)) AS qvec
+FROM embeddings, {PARAMS} prm
+WHERE embedding IS NOT NULL"""
+    return f"""WITH codes AS ({codes}),
+qq AS (SELECT {QQUERY} AS q FROM {PARAMS} prm)
+SELECT id, {d} AS distance
+FROM codes, qq
+WHERE ({pred})
+ORDER BY distance ASC, id ASC
+LIMIT {k}"""
+
+
 def quantize_params() -> str:
     return f"SELECT qtype, qscale, qoffset, n FROM {PARAMS} prm"
 

@@ -37,8 +37,23 @@ def knn(
     id_col: str = "id",
     nprobe: int = 2,
     prefilter: int | None = None,
+    where: str | None = None,
 ) -> DataFrame:
     """Top-k over a registered vector column.
+
+    ``where``: an optional SQL boolean predicate — FILTERED vector
+    search (the reference has none; this follows the standard
+    attribute-filtered-ANN design). Supported on the full-coverage
+    tiers only: the exact scan filters the base table (predicate
+    pushed into the parquet scan), and the quantized tier filters the
+    REPLICA — which therefore must have been built with
+    ``vector_quantize(include_cols=[...])`` covering the predicate's
+    columns; a predicate the replica cannot answer raises (silently
+    falling back to exact would silently switch the distance domain).
+    Probe-limited tiers (ivf/pq/bq/mih) reject ``where``: filtering
+    AFTER a recall-limited candidate cut changes result semantics
+    (you get "top-k of the probed subset that match", not "top-k
+    matching"), so the composition stays explicit at the API level.
 
     ``prefer``: "auto" picks the cheapest FULL-COVERAGE registered
     path — quantized replica > exact base scan (mirroring the
@@ -59,6 +74,12 @@ def knn(
     """
     if prefer not in ("auto", "exact", "quantized", "ivf", "pq", "ivf_pq", "bq", "mih"):
         raise ValueError(f"prefer must be auto|exact|quantized|ivf|pq|ivf_pq|bq|mih, got {prefer!r}")
+    if where is not None and prefer not in ("auto", "exact", "quantized"):
+        raise ValueError(
+            "filtered search (where=) is supported on the full-coverage tiers only "
+            "(auto/exact/quantized); filtering a probe-limited tier's candidates "
+            "changes result semantics — compose it explicitly if that is intended"
+        )
     ctx = catalog.get(table, column)
     m = metric or ctx.distance
     has_replica = ctx.quantized_path is not None and ctx.qscale is not None
@@ -159,6 +180,21 @@ def knn(
         )
     if prefer != "exact" and has_replica:
         codes = spark.read.parquet(ctx.quantized_path)
+        if where is not None:
+            import pyspark.sql.functions as F
+            from pyspark.errors import AnalysisException
+
+            try:
+                codes = codes.where(F.expr(where))
+                codes.schema  # force analysis so a missing column raises HERE
+            except AnalysisException as exc:
+                raise ValueError(
+                    f"the quantized replica for {table}.{column} cannot answer "
+                    f"predicate {where!r} (replica carries include_cols="
+                    f"{ctx.quantized_include_cols}); rebuild with "
+                    "vector_quantize(include_cols=[...]) covering the predicate, "
+                    "or pass prefer='exact' for true-domain filtered results"
+                ) from exc
         params = QuantParams(ctx.resolved_qtype, float(ctx.qscale), float(ctx.qoffset), 0)
         return vector_quantize_scan(codes, query, params, k, m)
     # normalized-flag plan improvement: a column the user REGISTERED
@@ -167,9 +203,14 @@ def knn(
     # SURVEY §1.3; here it pays). Equality-tested in test_catalog.
     from sqlite_vector_spark.types import Metric, parse_metric
 
+    base = spark.table(table)
+    if where is not None:
+        import pyspark.sql.functions as F
+
+        base = base.where(F.expr(where))  # pushes into the base scan
     mm = m if isinstance(m, Metric) else parse_metric(m)
     if mm is Metric.COSINE and ctx.normalized:
         from sqlite_vector_spark.operators.search import full_scan_normalized_cosine
 
-        return full_scan_normalized_cosine(spark.table(table), column, query, k, id_col=id_col)
-    return full_scan(spark.table(table), column, query, k, m, id_col=id_col)
+        return full_scan_normalized_cosine(base, column, query, k, id_col=id_col)
+    return full_scan(base, column, query, k, m, id_col=id_col)

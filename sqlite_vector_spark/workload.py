@@ -235,27 +235,34 @@ def _tracked_tmpdir(prefix: str) -> str:
     return root
 
 
-def _sql_surface_fixture(spark: SparkSession, sf_dir: str, view: str, quantize: bool):
+def _sql_surface_fixture(
+    spark: SparkSession, sf_dir: str, view: str, quantize: bool,
+    include_cols: tuple[str, ...] | None = None,
+):
     """Shared setup for the SQL-surface gate entries: register the
     embeddings table under ``view``, vector_init it in a fresh
     throwaway catalog, and (optionally) build + register the
-    quantized replica. Returns the catalog. Cached per
-    (session, sf_dir, view, quantize): the temp view is re-registered
-    on every call (session state), the on-disk replica + catalog are
-    built once per process."""
+    quantized replica (``include_cols`` copies payload columns into
+    it — the filtered-search fixture). Returns the catalog. Cached
+    per (session, sf_dir, view, quantize, include_cols): the temp
+    view is re-registered on every call (session state), the on-disk
+    replica + catalog are built once per process."""
     from sqlite_vector_spark.catalog import VectorCatalog
     from sqlite_vector_spark.operators.quantize import vector_quantize
 
     emb = _emb(spark, sf_dir)
     emb.createOrReplaceTempView(view)
-    key = (spark.sparkContext.applicationId, sf_dir, view, quantize)
+    key = (spark.sparkContext.applicationId, sf_dir, view, quantize, include_cols)
     if key in _SQL_FIXTURE_CACHE:
         return _SQL_FIXTURE_CACHE[key]
     root = _tracked_tmpdir(f"svspark_{view}_")
     cat = VectorCatalog(root + "/cat")
     cat.vector_init(emb, view, "embedding", f"type=FLOAT32,dimension={DIM},distance=L2")
     if quantize:
-        vector_quantize(emb, "embedding", root + "/shadow", id_col="vec_id", catalog=cat, table=view)
+        vector_quantize(
+            emb, "embedding", root + "/shadow", id_col="vec_id", catalog=cat, table=view,
+            include_cols=list(include_cols) if include_cols else None,
+        )
     _SQL_FIXTURE_CACHE[key] = cat
     return cat
 
@@ -347,6 +354,46 @@ def tvf_ep1_join_back_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ORDER BY v.distance ASC, id ASC"
     )
     return route_sql(spark, cat, sql, id_col="vec_id")
+
+
+#: the filtered-search gate predicate (label carries 10 classes in
+#: the fixture; ~10% selectivity keeps > K matching rows at sf0.01)
+FILTER_PRED = "label = 2"
+
+
+def filtered_full_scan_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-FILTERED exact search through the router (r9: the
+    reference has no filtered search; this is the standard
+    attribute-filtered-ANN surface): ``knn(where=...)`` pushes the
+    predicate into the base parquet scan (PushedFilters — pinned in
+    test_catalog) and returns the true-distance top-K among matching
+    rows only. Oracle: the same WHERE inside the full-scan SQL."""
+    from sqlite_vector_spark.router import knn
+
+    cat = _sql_surface_fixture(spark, sf_dir, "emb_filt_v", quantize=False)
+    return knn(
+        spark, cat, "emb_filt_v", "embedding", Q64, K,
+        prefer="exact", id_col="vec_id", where=FILTER_PRED,
+    )
+
+
+def filtered_quantize_scan_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered search on the QUANTIZED tier: the replica was built
+    with ``vector_quantize(include_cols=['label'])``, so the
+    predicate filters the replica scan itself — no corpus-scale id
+    join, no fall-back to exact (a predicate the replica cannot
+    answer raises instead of silently switching distance domains).
+    Quantized-unit distances, top-K among matching rows; the oracle
+    applies the same WHERE inside the codes CTE."""
+    from sqlite_vector_spark.router import knn
+
+    cat = _sql_surface_fixture(
+        spark, sf_dir, "emb_filtq_v", quantize=True, include_cols=("label",)
+    )
+    return knn(
+        spark, cat, "emb_filtq_v", "embedding", Q64, K,
+        prefer="quantized", id_col="vec_id", where=FILTER_PRED,
+    )
 
 
 def sql_macro_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:

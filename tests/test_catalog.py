@@ -440,6 +440,75 @@ def test_router_normalized_cosine_uses_dot_kernel(spark, emb, tmp_path):
         set_backend(prev)
 
 
+def test_router_filtered_search(spark, emb, tmp_path):
+    """Attribute-filtered search (r9): where= filters the exact scan
+    with scan-level pushdown; the quantized tier answers predicates
+    over include_cols by filtering the REPLICA scan (PushedFilters on
+    the shadow parquet); a predicate the replica cannot answer raises
+    (no silent domain switch), and probe-limited tiers reject where=."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from sqlite_vector_spark.catalog import VectorCatalog
+    from sqlite_vector_spark.operators.quantize import vector_quantize
+    from sqlite_vector_spark.operators.search import full_scan
+    from sqlite_vector_spark.router import knn
+
+    src = str(tmp_path / "base")
+    emb.withColumn("label", (F.col("vec_id") % 4).cast("int")).write.parquet(src)
+    base = spark.read.parquet(src)
+    base.createOrReplaceTempView("emb_filter_t")
+    q = [0.25 * ((i % 5) - 2) for i in range(64)]
+
+    cat = VectorCatalog(str(tmp_path / "cat"))
+    cat.vector_init(base, "emb_filter_t", "embedding", "type=FLOAT32,dimension=64,distance=L2")
+
+    exact = knn(spark, cat, "emb_filter_t", "embedding", q, 10,
+                prefer="exact", id_col="vec_id", where="label = 1")
+    want = full_scan(base.where("label = 1"), "embedding", q, 10, "L2", id_col="vec_id")
+    assert [(r.id, r.distance) for r in exact.collect()] == [
+        (r.id, r.distance) for r in want.collect()
+    ]
+    assert all(r.id % 4 == 1 for r in exact.collect())
+    plan = exact._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "label" in plan  # predicate reaches the scan
+
+    # replica WITHOUT include_cols: filtered quantized route must raise
+    vector_quantize(base, "embedding", str(tmp_path / "shadow0"), id_col="vec_id",
+                    catalog=cat, table="emb_filter_t")
+    with _pytest.raises(ValueError, match="include_cols"):
+        knn(spark, cat, "emb_filter_t", "embedding", q, 10,
+            prefer="quantized", id_col="vec_id", where="label = 1")
+
+    # rebuild WITH include_cols: replica answers the predicate itself
+    vector_quantize(base, "embedding", str(tmp_path / "shadow1"), id_col="vec_id",
+                    catalog=cat, table="emb_filter_t", include_cols=["label"])
+    ctx = cat.get("emb_filter_t", "embedding")
+    assert ctx.quantized_include_cols == ["label"]
+    filt = knn(spark, cat, "emb_filter_t", "embedding", q, 10,
+               id_col="vec_id", where="label = 1")  # auto -> quantized
+    rows = filt.collect()
+    assert len(rows) == 10 and all(r.id % 4 == 1 for r in rows)
+    qplan = filt._jdf.queryExecution().executedPlan().toString()
+    assert "shadow1" in " ".join(filt.inputFiles())  # really the replica
+    assert "PushedFilters" in qplan and "label" in qplan
+    # unfiltered ranks restricted to label=1 == filtered ranks
+    # (same code domain, the filter only narrows the candidate set)
+    allq = knn(spark, cat, "emb_filter_t", "embedding", q, 200, id_col="vec_id")
+    expect = [r.id for r in allq.collect() if r.id % 4 == 1][:10]
+    assert [r.id for r in rows] == expect
+
+    # include_cols survives a catalog reload
+    cat2 = VectorCatalog(str(tmp_path / "cat"))
+    ctx2 = cat2.vector_init(base, "emb_filter_t", "embedding", "type=FLOAT32,dimension=64,distance=L2")
+    assert ctx2.quantized_include_cols == ["label"]
+
+    # probe-limited tiers reject where=
+    with _pytest.raises(ValueError, match="full-coverage tiers"):
+        knn(spark, cat, "emb_filter_t", "embedding", q, 10,
+            prefer="bq", id_col="vec_id", where="label = 1")
+
+
 def test_normalized_cosine_reaches_sql_route(spark, emb, tmp_path):
     """The canonical SQL spelling inherits the normalized-flag plan:
     'cosine' text over a normalized=1 registration routes through the
