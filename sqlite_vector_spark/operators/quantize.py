@@ -320,9 +320,17 @@ def vector_quantize_update(
     drift_threshold: float = 0.05,
     catalog=None,
     table: str | None = None,
+    include_cols: Sequence[str] | None = None,
 ) -> QuantUpdateReport:
     """Append-mode index maintenance: encode ONLY the new rows against
     the FROZEN params and append them to the existing replica.
+
+    ``include_cols`` must match the columns the replica was built
+    with (vector_quantize include_cols=) — appended files otherwise
+    lack the payload columns and filtered scans over the store go
+    schema-inconsistent. When a catalog is given and the argument is
+    omitted, the registered list is used automatically, and the
+    catalog marker is preserved across the append.
 
     The reference's only maintenance path is a full drop-and-rebuild
     (sqlite-vector.c:1418-1427); at 100 TB a daily-append pipeline
@@ -354,7 +362,14 @@ def vector_quantize_update(
         code_col = enc(F.col(column).cast("array<double>"))
     else:
         code_col = quantize_codes_column(column, params.scale, params.offset, params.lo, params.hi)
-    base.select(F.col(id_col).cast("bigint").alias("id"), code_col.alias("qvec")).write.mode(
+    inc = list(include_cols) if include_cols else None
+    if inc is None and catalog is not None and table is not None:
+        try:
+            inc = catalog.get(table, column).quantized_include_cols
+        except KeyError:
+            inc = None
+    extra = [F.col(c) for c in (inc or [])]
+    base.select(F.col(id_col).cast("bigint").alias("id"), code_col.alias("qvec"), *extra).write.mode(
         "append"
     ).parquet(dest_path)
 
@@ -372,7 +387,7 @@ def vector_quantize_update(
     if catalog is not None and table is not None:
         catalog.set_quant_params(
             table, column, qtype=updated.qtype, scale=updated.scale,
-            offset=updated.offset, path=dest_path,
+            offset=updated.offset, path=dest_path, include_cols=inc,
         )
     return QuantUpdateReport(updated, n_new, new_vmin, new_vmax, drift, drift > drift_threshold)
 

@@ -177,6 +177,38 @@ def test_quantize_update_append_equals_rebuild(spark, emb, tmp_path):
     assert inc == full
 
 
+def test_quantize_update_preserves_include_cols(spark, emb, tmp_path):
+    """Append maintenance on an include_cols replica: appended files
+    carry the payload columns (the registered list is picked up from
+    the catalog automatically), the catalog marker survives the
+    append, and a filtered scan over the mixed old+new store returns
+    only matching rows from BOTH halves."""
+    from sqlite_vector_spark.catalog import VectorCatalog
+    from sqlite_vector_spark.operators.quantize import vector_quantize, vector_quantize_update
+    from sqlite_vector_spark.router import knn
+
+    base = emb.withColumn("label", (F.col("vec_id") % 3).cast("int"))
+    base.createOrReplaceTempView("emb_incfilt_t")
+    old = base.where(F.col("vec_id") % 2 == 0)
+    new = base.where(F.col("vec_id") % 2 == 1)
+    cat = VectorCatalog(str(tmp_path / "cat"))
+    cat.vector_init(base, "emb_incfilt_t", "embedding", "type=FLOAT32,dimension=64,distance=L2")
+    dest = str(tmp_path / "shadow")
+    p = vector_quantize(old, "embedding", dest, id_col="vec_id",
+                        catalog=cat, table="emb_incfilt_t", include_cols=["label"])
+    rep = vector_quantize_update(new, "embedding", dest, p, id_col="vec_id",
+                                 catalog=cat, table="emb_incfilt_t")
+    assert rep.n_appended == new.count()
+    assert cat.get("emb_incfilt_t", "embedding").quantized_include_cols == ["label"]
+    stored = spark.read.parquet(dest)
+    assert "label" in stored.columns and stored.where(F.col("label").isNull()).count() == 0
+    got = knn(spark, cat, "emb_incfilt_t", "embedding", [0.1] * 64, 200,
+              prefer="quantized", id_col="vec_id", where="label = 1").collect()
+    ids = {r.id for r in got}
+    assert ids and all(i % 3 == 1 for i in ids)
+    assert any(i % 2 == 0 for i in ids) and any(i % 2 == 1 for i in ids)  # both halves
+
+
 def test_quantize_update_drift_flags_rebuild(spark, tmp_path):
     """New values outside the frozen range saturate and trip the
     rebuild recommendation once past the threshold."""
