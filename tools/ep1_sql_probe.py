@@ -137,6 +137,9 @@ def main():
     out["plans_equivalent"] = sig_d == sig_s
 
     print(json.dumps(out))
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -107,6 +107,9 @@ def main():
     out["routed_recall_at_k"] = round(sum(1 for r in routed_rows if r.id in exact_ids) / K, 3)
 
     print(json.dumps(out))
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":
