@@ -135,21 +135,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- past the 50-entry gate horizon: every entry below is
         # r7/r8-green with its subsystem and oracle text unchanged in
         # r9 (the local tools/check_oracle.py sweep re-verifies ALL
-        # entries every round). ROUND-10 ROTATION PRIORITY: (1) the
-        # NEW late-r9 entry incremental_neardup (never driver-gated —
-        # the r9 window was exactly consumed by the mandatory 42-entry
-        # stale cohort + bq_band_join + spot-checks; it is sweep-green
-        # and listed first here), then (2) the 48-entry cohort whose
-        # latest driver green is r7 (2 rounds stale entering r10 - the
-        # invariant breaks if they miss the r10 window; listed next,
-        # in order), then (3) spot-checks of any r10-changed
-        # subsystems, then the newest r8/r9 greens.
+        # entries every round). ROUND-10 ROTATION MATH: the mandatory
+        # 48-entry r7-latest cohort (2 rounds stale entering r10)
+        # leaves only TWO free slots, and there are THREE never-gated
+        # late-r9 entries — gate incremental_neardup and
+        # filtered_quantize_scan_l2 in r10 (the novel operators:
+        # label-merge append path; include_cols replica filter) and
+        # sequence filtered_full_scan_l2 (a WHERE on the plain exact
+        # scan — the least novel of the three) to lead r11 alongside
+        # that round's rotation. Order below: the three never-gated
+        # entries first, then the 48-entry r7 cohort in order, then
+        # the newest greens.
         "incremental_neardup": w.incremental_neardup_q,
-        # late-r9 filtered-search pair (router where= + include_cols
-        # replica): also never driver-gated — r10 window with the
-        # cohort above
-        "filtered_full_scan_l2": w.filtered_full_scan_l2,
         "filtered_quantize_scan_l2": w.filtered_quantize_scan_l2,
+        "filtered_full_scan_l2": w.filtered_full_scan_l2,
         "bf16_scan_l2": w.bf16_scan_l2,
         "chunk_dedup": w.chunk_dedup_q,
         "contamination_check": w.contamination_check_q,
