@@ -114,6 +114,8 @@ def main():
         # round-9 additions
         ("bq_band_join", "persisted MIH multi-query join: broadcast Qxm probe side against the partitionBy(b) store (dynamic partition pruning on b), min-agg + popcount + WindowGroupLimit", w.bq_band_join_q),
         ("incremental_neardup", "append-path labeling: batch bands vs frozen index, candidate-bounded verify, star-compressed label merge — corpus text never re-shingled", w.incremental_neardup_q),
+        ("filtered_full_scan_l2", "filtered exact search: predicate pushed into the base parquet scan, k-slot TakeOrdered over matching rows only", w.filtered_full_scan_l2),
+        ("filtered_quantize_scan_l2", "filtered quantized search: predicate pushed into the include_cols REPLICA scan — no id join, smaller scan than unfiltered", w.filtered_quantize_scan_l2),
     ]
 
     print("# PLANS — physical plans of headline operators (sf0.001, AQE on)")
