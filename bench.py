@@ -496,6 +496,7 @@ def main():
             "queries": {k: round(v, 3) for k, v in slowest.items()},
             "n_queries": len(times),
             "queries_shown": len(slowest),
+            "trimmed": len(times) - len(slowest),
             "queries_full": ".benchmarks/bench_" + stamp + ".json",
             "spread_max": round(max(spread.values()), 3) if spread else 0.0,
             "n_runs": N_RUNS,
@@ -509,7 +510,7 @@ def main():
     n_show = len(times)
     line = _compact_line(n_show)
     while len(line) > STDOUT_BUDGET and n_show > 0:
-        n_show = min(n_show - 5, int(n_show * 0.8))
+        n_show = max(0, min(n_show - 5, int(n_show * 0.8)))
         line = _compact_line(n_show)
     print(line)
     spark.stop()

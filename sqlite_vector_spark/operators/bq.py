@@ -732,6 +732,7 @@ def bq_band_join(
     q_vec: str = "qv",
     planes=None,
     center: Sequence[float] | None = None,
+    encode_backend: str | None = None,
 ) -> DataFrame:
     """Multi-query Hamming top-k against the PERSISTED band store —
     bq_knn_join with the corpus-side band expansion read from disk
@@ -742,7 +743,8 @@ def bq_band_join(
     then the same min-agg + popcount + rank-window tail. Same result
     contract as bq_knn_join (complete within Hamming m-1); ``planes``
     selects projected-code probes for a store built from
-    bq_project_encode codes."""
+    bq_project_encode codes, and ``encode_backend`` pins the
+    query-side projected encoder exactly as in bq_knn_join."""
     _band_layout(dim, band_bits)
     if k < 1:
         raise ValueError("k must be >= 1")

@@ -198,10 +198,26 @@ def _in_string(sql: str, pos: int) -> bool:
 def split_statements(script: str) -> list[str]:
     """Split a ``;``-separated SQL script into statements, quote-aware
     (a ``;`` inside a string literal — e.g. a text filter pattern —
-    does not terminate the statement). Empty fragments are dropped."""
+    does not terminate the statement). Empty fragments are dropped.
+
+    Single forward pass: quote/escape state is tracked incrementally
+    (the same rules as _in_string) instead of rescanning the script
+    from 0 at every ``;`` — O(n), not O(n * semicolons), so large
+    run_script inputs split in one sweep."""
     out, start = [], 0
+    quote: str | None = None
+    esc = False
     for i, ch in enumerate(script):
-        if ch == ";" and not _in_string(script, i):
+        if quote is not None:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+        elif ch == ";":
             frag = script[start:i].strip()
             if frag:
                 out.append(frag)

@@ -245,6 +245,7 @@ def ingest_stream_neardup(
     filesystem only (epoch discovery via os.listdir — the same
     single-maintenance-writer scope as compact_store)."""
     import os
+    import re
 
     from sqlite_vector_spark.operators.dedup import (
         incremental_dedup_pairs,
@@ -259,11 +260,12 @@ def ingest_stream_neardup(
     labels_root = os.path.join(state_dir, "labels")
 
     def _epochs(root: str, below: int) -> list[int]:
+        # fullmatch, not startswith+int: a leftover staging dir like
+        # "epoch=3.tmp" must be skipped, not crash every micro-batch
         try:
+            matches = (re.fullmatch(r"epoch=(\d+)", d) for d in os.listdir(root))
             return sorted(
-                int(d.split("=", 1)[1])
-                for d in os.listdir(root)
-                if d.startswith("epoch=") and int(d.split("=", 1)[1]) < below
+                int(m.group(1)) for m in matches if m and int(m.group(1)) < below
             )
         except OSError:
             return []

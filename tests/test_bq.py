@@ -508,6 +508,43 @@ def test_bq_band_join_matches_in_plan_join_with_dpp(spark, emb, tmp_path):
     assert ra == rb and len(ra) == 40
 
 
+def test_bq_band_join_projected_planes(spark, emb, tmp_path):
+    """bq_band_join with planes= (a store built from bq_project_encode
+    codes) must equal the in-plan projected bq_knn_join — including
+    the encode_backend="codegen" query-encoder pin, which routes
+    through the same _project_code_col pass-through as bq_knn_join."""
+    from sqlite_vector_spark.operators.bq import (
+        bq_band_join,
+        bq_band_store,
+        bq_knn_join,
+        bq_project_encode,
+        bq_random_planes,
+    )
+
+    planes = bq_random_planes(DIM, 64, seed=3)
+    proj_codes = bq_project_encode(emb, "embedding", planes, id_col="vec_id")
+    dest = str(tmp_path / "bands_proj")
+    bq_band_store(proj_codes, 64, dest, band_bits=8)
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    want = sorted(
+        tuple(r)
+        for r in bq_knn_join(
+            queries, proj_codes, 64, 5, band_bits=8, planes=planes
+        ).collect()
+    )
+    for backend in (None, "codegen"):
+        got = sorted(
+            tuple(r)
+            for r in bq_band_join(
+                spark, dest, queries, 64, 5, band_bits=8,
+                planes=planes, encode_backend=backend,
+            ).collect()
+        )
+        assert got == want and len(got) == 40, backend
+
+
 def test_bq_band_store_append_equals_rebuild(spark, emb, tmp_path):
     """Frozen band layout: appending new code rows to the store ==
     rebuilding from the full code set — bq_band_scan and bq_band_join

@@ -454,6 +454,10 @@ def test_streaming_neardup_state_maintenance(spark, tmp_path):
     spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
 
     state = str(tmp_path / "nd_state")
+    # leftover staging junk must be SKIPPED by the epoch listing, not
+    # crash every micro-batch (unparseable suffix / non-numeric id)
+    for junk in ("bands/epoch=0.tmp", "docs/epoch=junk"):
+        os.makedirs(os.path.join(state, junk), exist_ok=True)
     stream = (
         spark.readStream.schema(spark.createDataFrame([], schema).schema)
         .option("maxFilesPerTrigger", 1)
