@@ -67,88 +67,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return _q({
         # ---- ORDER MATTERS: the driver adjudicates the FIRST 50
-        # entries. Round-9 rotation (VERDICT r8 #1/#3): (1) the FULL
-        # 42-entry cohort whose latest driver green is r6 (2 rounds
-        # stale entering r9 - the staleness invariant breaks if any
-        # miss this window), led by the seven entries the late-r8
-        # SQL-surface inserts displaced; (2) the ONE new r9 entry
-        # (bq_band_join - the last benched engine op without a gate
-        # twin); (3) seven spot-checks of every subsystem r9 touched
-        # (sql.py routing/arity + the cached SQL-surface fixture ->
-        # auto_route_scan/tvf_quantize_scan/tvf_ep1_join_back; bq.py
-        # query-encoder backend pass-through + router MIH marker ->
-        # the bq join family; the build-once store cache ->
-        # bq_band_scan/passage_strip_frozen). 42 + 1 + 7 = 50.
-        # -- (1) the r6-stale cohort, all 42 (displaced seven first)
-        "incremental_dedup": w.incremental_dedup_q,
-        "pq_scan_l2": w.pq_scan_l2,
-        "pq_rerank_scan_l2": w.pq_rerank_scan_l2,
-        "ivf_pq_scan_l2": w.ivf_pq_scan_l2,
-        "ivf_pq_knn_join_l2": w.ivf_pq_knn_join_l2_q,
-        "knn_join_l2": w.knn_join_l2,
-        "semantic_dedup": w.semantic_dedup_q,
-        "boilerplate_strip": w.boilerplate_strip_q,
-        "quantize_params": w.quantize_params,
-        "quantize_scan_l2": w.quantize_scan_l2,
-        "f16_scan_l2": w.f16_scan_l2,
-        "knn_join_blocked_l2": w.knn_join_blocked_l2,
-        "text_stats": w.text_stats,
-        "lsh_candidate_pairs": w.lsh_pairs_q,
-        "ngram_jaccard_pairs": w.jaccard_pairs_q,
-        "neardup_representatives": w.neardup_representatives_q,
-        "pq_codes": w.pq_codes_q,
-        "pq_recall_at_k": w.pq_recall_at_k_q,
-        "ivf_cluster_stats": w.ivf_cluster_stats_q,
-        "doc_chunk_overlap": w.doc_chunk_overlap_q,
-        "temperature_mix": w.temperature_mix_q,
-        "matryoshka_rerank_l2": w.matryoshka_rerank_l2,
-        "approx_distinct_audit": w.approx_distinct_audit_q,
-        "cohort_retention": w.cohort_retention_q,
-        "event_funnel": w.event_funnel_q,
-        "quantize_update_codes": w.quantize_update_codes,
-        "gopher_quality": w.gopher_quality_q,
-        "knn_classify": w.knn_classify_q,
-        "embedding_outliers": w.embedding_outliers_q,
-        "mmr_rerank_l2": w.mmr_rerank_l2,
-        "source_overlap": w.source_overlap_q,
-        "corpus_report": w.corpus_report_q,
-        "pack_sequences": w.pack_sequences_q,
-        "negative_samples": w.negative_samples_q,
-        "edit_distance_pairs": w.edit_distance_pairs_q,
-        "value_zscore": w.value_zscore_q,
-        "source_overlap_sketch": w.source_overlap_sketch_q,
-        "bm25_batch_topk": w.bm25_batch_topk_q,
-        "events_resample": w.events_resample_q,
-        "user_type_pivot": w.user_type_pivot_q,
-        "error_incidents": w.error_incidents_q,
-        "session_incident_overlap": w.session_incident_overlap_q,
-        # -- (2) new in r9: persisted-store multi-query Hamming join
-        "bq_band_join": w.bq_band_join_q,
-        # -- (3) r9-changed-subsystem spot-checks
-        "auto_route_scan": w.auto_route_scan_q,
-        "tvf_quantize_scan": w.tvf_quantize_scan_q,
-        "tvf_ep1_join_back": w.tvf_ep1_join_back_q,
-        "bq_knn_join_hamming": w.bq_knn_join_hamming_q,
-        "bq_knn_join_projected": w.bq_knn_join_projected_q,
-        "bq_band_scan": w.bq_band_scan_q,
-        "passage_strip_frozen": w.passage_strip_frozen_q,
-        # ---- past the 50-entry gate horizon: every entry below is
-        # r7/r8-green with its subsystem and oracle text unchanged in
-        # r9 (the local tools/check_oracle.py sweep re-verifies ALL
-        # entries every round). ROUND-10 ROTATION MATH: the mandatory
-        # 48-entry r7-latest cohort (2 rounds stale entering r10)
-        # leaves only TWO free slots, and there are THREE never-gated
-        # late-r9 entries — gate incremental_neardup and
-        # filtered_quantize_scan_l2 in r10 (the novel operators:
-        # label-merge append path; include_cols replica filter) and
-        # sequence filtered_full_scan_l2 (a WHERE on the plain exact
-        # scan — the least novel of the three) to lead r11 alongside
-        # that round's rotation. Order below: the three never-gated
-        # entries first, then the 48-entry r7 cohort in order, then
-        # the newest greens.
+        # entries. Round-10 rotation (VERDICT r9 #1, exactly as the
+        # r9 horizon comment staged it): (1) the TWO never-driver-
+        # gated late-r9 novel operators (incremental_neardup — the
+        # label-merge append path; filtered_quantize_scan_l2 — the
+        # include_cols replica WHERE); (2) the FULL 48-entry cohort
+        # whose latest driver green is r7 (2 rounds stale entering
+        # r10 — the staleness invariant breaks if any miss this
+        # window). 2 + 48 = 50.
+        # -- (1) never-gated late-r9 entries
         "incremental_neardup": w.incremental_neardup_q,
         "filtered_quantize_scan_l2": w.filtered_quantize_scan_l2,
-        "filtered_full_scan_l2": w.filtered_full_scan_l2,
+        # -- (2) the r7-latest cohort, all 48
         "bf16_scan_l2": w.bf16_scan_l2,
         "chunk_dedup": w.chunk_dedup_q,
         "contamination_check": w.contamination_check_q,
@@ -197,7 +127,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_scan_cosine": w.lsh_scan_cosine,
         "codec_json_roundtrip": w.codec_json_roundtrip,
         "passage_dedup": w.passage_dedup_q,
-        # -- r8-green (1 round stale entering r10)
+        # ---- past the 50-entry gate horizon: every entry below is
+        # r8/r9-green with its subsystem and oracle text unchanged
+        # (the local tools/check_oracle.py sweep re-verifies ALL
+        # entries every round). ROUND-11 ROTATION MATH: the mandatory
+        # cohort entering r11 at 2 rounds stale is the 43-entry
+        # r8-latest block below; filtered_full_scan_l2 (the one
+        # remaining never-gated r9 entry) leads, and the new-in-r10
+        # entries (quantize_scan_after_delete_l2, filtered_knn_join_l2)
+        # take the remaining slots: 1 + 43 + new = window; the
+        # 50-entry r9-gated block at the bottom is mandatory in r12.
+        "filtered_full_scan_l2": w.filtered_full_scan_l2,
+        # -- r8-green (2 rounds stale entering r11 — mandatory then)
         "sql_macro_scan": w.sql_macro_scan_q,
         "tvf_full_scan": w.tvf_full_scan_q,
         "token_cooccurrence": w.token_cooccurrence_q,
@@ -241,6 +182,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": w.bm25_topk_q,
         "hybrid_rrf": w.hybrid_rrf_q,
         "lm_doc_scores": w.lm_doc_scores_q,
+        # -- r9-gated (freshest greens — mandatory in r12)
+        "incremental_dedup": w.incremental_dedup_q,
+        "pq_scan_l2": w.pq_scan_l2,
+        "pq_rerank_scan_l2": w.pq_rerank_scan_l2,
+        "ivf_pq_scan_l2": w.ivf_pq_scan_l2,
+        "ivf_pq_knn_join_l2": w.ivf_pq_knn_join_l2_q,
+        "knn_join_l2": w.knn_join_l2,
+        "semantic_dedup": w.semantic_dedup_q,
+        "boilerplate_strip": w.boilerplate_strip_q,
+        "quantize_params": w.quantize_params,
+        "quantize_scan_l2": w.quantize_scan_l2,
+        "f16_scan_l2": w.f16_scan_l2,
+        "knn_join_blocked_l2": w.knn_join_blocked_l2,
+        "text_stats": w.text_stats,
+        "lsh_candidate_pairs": w.lsh_pairs_q,
+        "ngram_jaccard_pairs": w.jaccard_pairs_q,
+        "neardup_representatives": w.neardup_representatives_q,
+        "pq_codes": w.pq_codes_q,
+        "pq_recall_at_k": w.pq_recall_at_k_q,
+        "ivf_cluster_stats": w.ivf_cluster_stats_q,
+        "doc_chunk_overlap": w.doc_chunk_overlap_q,
+        "temperature_mix": w.temperature_mix_q,
+        "matryoshka_rerank_l2": w.matryoshka_rerank_l2,
+        "approx_distinct_audit": w.approx_distinct_audit_q,
+        "cohort_retention": w.cohort_retention_q,
+        "event_funnel": w.event_funnel_q,
+        "quantize_update_codes": w.quantize_update_codes,
+        "gopher_quality": w.gopher_quality_q,
+        "knn_classify": w.knn_classify_q,
+        "embedding_outliers": w.embedding_outliers_q,
+        "mmr_rerank_l2": w.mmr_rerank_l2,
+        "source_overlap": w.source_overlap_q,
+        "corpus_report": w.corpus_report_q,
+        "pack_sequences": w.pack_sequences_q,
+        "negative_samples": w.negative_samples_q,
+        "edit_distance_pairs": w.edit_distance_pairs_q,
+        "value_zscore": w.value_zscore_q,
+        "source_overlap_sketch": w.source_overlap_sketch_q,
+        "bm25_batch_topk": w.bm25_batch_topk_q,
+        "events_resample": w.events_resample_q,
+        "user_type_pivot": w.user_type_pivot_q,
+        "error_incidents": w.error_incidents_q,
+        "session_incident_overlap": w.session_incident_overlap_q,
+        "bq_band_join": w.bq_band_join_q,
+        "auto_route_scan": w.auto_route_scan_q,
+        "tvf_quantize_scan": w.tvf_quantize_scan_q,
+        "tvf_ep1_join_back": w.tvf_ep1_join_back_q,
+        "bq_knn_join_hamming": w.bq_knn_join_hamming_q,
+        "bq_knn_join_projected": w.bq_knn_join_projected_q,
+        "bq_band_scan": w.bq_band_scan_q,
+        "passage_strip_frozen": w.passage_strip_frozen_q,
     })
 
 

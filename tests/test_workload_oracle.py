@@ -106,15 +106,15 @@ def test_spot_oracle_match(spark, duck, name):
     assert srows == orows
 
 
-def test_gate_window_contains_round9_rotation():
+def test_gate_window_contains_round10_rotation():
     """The driver adjudicates only the FIRST 50 queries() entries, so
-    window membership is part of the declared evidence plan: the FULL
-    42-entry r6-stale cohort (staleness invariant: nothing may go 3
-    rounds without a driver green), the new-in-r9 bq_band_join, and
-    the seven r9-changed-subsystem spot-checks must sit inside
-    positions 1-50, keys must be unique, and the inventory must match
-    oracle_sql 1:1 (an insert that silently pushes an intended entry
-    past the horizon breaks the rotation bookkeeping — this pins it)."""
+    window membership is part of the declared evidence plan: the TWO
+    never-driver-gated late-r9 novel operators plus the FULL 48-entry
+    r7-latest cohort (staleness invariant: nothing may go 3 rounds
+    without a driver green) must sit inside positions 1-50, keys must
+    be unique, and the inventory must match oracle_sql 1:1 (an insert
+    that silently pushes an intended entry past the horizon breaks
+    the rotation bookkeeping — this pins it)."""
     import __spark_entry__ as e
 
     keys = list(e.queries().keys())
@@ -122,28 +122,26 @@ def test_gate_window_contains_round9_rotation():
     assert set(keys) == set(e.oracle_sql())
     window = set(keys[:50])
     must_gate = [
-        # the 42-entry cohort whose latest driver green is r6
-        "incremental_dedup", "pq_scan_l2", "pq_rerank_scan_l2",
-        "ivf_pq_scan_l2", "ivf_pq_knn_join_l2", "knn_join_l2",
-        "semantic_dedup", "boilerplate_strip", "quantize_params",
-        "quantize_scan_l2", "f16_scan_l2", "knn_join_blocked_l2",
-        "text_stats", "lsh_candidate_pairs", "ngram_jaccard_pairs",
-        "neardup_representatives", "pq_codes", "pq_recall_at_k",
-        "ivf_cluster_stats", "doc_chunk_overlap", "temperature_mix",
-        "matryoshka_rerank_l2", "approx_distinct_audit",
-        "cohort_retention", "event_funnel", "quantize_update_codes",
-        "gopher_quality", "knn_classify", "embedding_outliers",
-        "mmr_rerank_l2", "source_overlap", "corpus_report",
-        "pack_sequences", "negative_samples", "edit_distance_pairs",
-        "value_zscore", "source_overlap_sketch", "bm25_batch_topk",
-        "events_resample", "user_type_pivot", "error_incidents",
-        "session_incident_overlap",
-        # new in r9
-        "bq_band_join",
-        # r9-changed-subsystem spot-checks
-        "auto_route_scan", "tvf_quantize_scan", "tvf_ep1_join_back",
-        "bq_knn_join_hamming", "bq_knn_join_projected", "bq_band_scan",
-        "passage_strip_frozen",
+        # never-gated late-r9 novel operators
+        "incremental_neardup", "filtered_quantize_scan_l2",
+        # the 48-entry cohort whose latest driver green is r7
+        "bf16_scan_l2", "chunk_dedup", "contamination_check",
+        "corpus_prep", "dedup_exact", "embedding_centroids",
+        "embedding_code_dedup", "embedding_neardup", "fingerprint",
+        "i8_scan_l2", "lang_id", "minhash_signatures",
+        "pricing_summary", "promo_revenue_share", "quality_rejects",
+        "random_projection", "recall_at_k", "region_volume",
+        "repetition_scores", "shipping_priority", "simhash",
+        "text_normalize", "token_budget_pack", "token_counts",
+        "ivf_pq_residual_scan_l2", "full_scan_l2", "full_scan_cosine",
+        "full_scan_dot", "full_scan_l1", "full_scan_squared_l2",
+        "full_scan_stream_l2", "quantize_scan_cosine",
+        "quantize_scan_dot", "quantize_scan_l1",
+        "quantize_scan_squared_l2", "quantize_scan_stream_l2",
+        "rerank_scan_l2", "u8_scan_cosine", "knn_join_cosine",
+        "knn_join_back", "ivf_scan_l2", "ivf_scan_cosine",
+        "ivf_knn_join_l2", "ivf_recall_at_k", "ivf_kmeans_scan_l2",
+        "lsh_scan_cosine", "codec_json_roundtrip", "passage_dedup",
     ]
     assert len(must_gate) == 50
     missing = [k for k in must_gate if k not in window]
