@@ -138,6 +138,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # take the remaining slots: 1 + 43 + new = window; the
         # 50-entry r9-gated block at the bottom is mandatory in r12.
         "filtered_full_scan_l2": w.filtered_full_scan_l2,
+        # -- new in r10 (never gated): store DELETE maintenance +
+        #    filtered multi-query join — next free slots after the
+        #    r11 mandatory cohort
+        "quantize_scan_after_delete_l2": w.quantize_scan_after_delete_l2,
+        "filtered_knn_join_l2": w.filtered_knn_join_l2,
         # -- r8-green (2 rounds stale entering r11 — mandatory then)
         "sql_macro_scan": w.sql_macro_scan_q,
         "tvf_full_scan": w.tvf_full_scan_q,
@@ -249,6 +254,12 @@ def oracle_sql() -> dict[str, str]:
         "full_scan_l1": o.full_scan("L1"),
         "filtered_full_scan_l2": o.filtered_full_scan("L2", w.FILTER_PRED),
         "filtered_quantize_scan_l2": o.filtered_quantize_scan("L2", w.FILTER_PRED),
+        # delete == filtered-rebuild: full-corpus frozen params, the
+        # takedown ids excluded from the codes CTE
+        "quantize_scan_after_delete_l2": o.filtered_quantize_scan(
+            "L2", f"id % {w.DELETE_MOD} <> {w.DELETE_REM}"
+        ),
+        "filtered_knn_join_l2": o.filtered_knn_join("L2", w.FILTER_PRED),
         "full_scan_k_gt_n": o.full_scan("L2", 10_000_000),
         "full_scan_stream_l2": o.full_scan_stream("L2"),
         "quantize_params": o.quantize_params(),

@@ -303,6 +303,21 @@ ranked AS (SELECT qid, id, distance,
 SELECT qid, id, distance, CAST(rn AS INTEGER) AS rank FROM ranked WHERE rn <= {k}"""
 
 
+def filtered_knn_join(metric: str, pred: str, k: int = KNN_K, nq: int = NQ) -> str:
+    """Mirror of workload.filtered_knn_join_l2: the knn_join SQL with
+    the attribute predicate inside the corpus CTE — distances and
+    per-query ranking unchanged, candidates restricted up front."""
+    d = dist_sql(metric, "cv", "qv")
+    return f"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {nq} AND embedding IS NOT NULL),
+c AS (SELECT vec_id AS id, embedding AS cv FROM embeddings WHERE embedding IS NOT NULL AND ({pred})),
+scored AS (SELECT qid, id, {d} AS distance FROM c, q),
+ranked AS (SELECT qid, id, distance,
+                  row_number() OVER (PARTITION BY qid ORDER BY distance ASC, id ASC) AS rn
+           FROM scored)
+SELECT qid, id, distance, CAST(rn AS INTEGER) AS rank FROM ranked WHERE rn <= {k}
+ORDER BY qid, rank"""
+
+
 def knn_join_back() -> str:
     return f"""WITH res AS ({knn_join()})
 SELECT r.qid, r.id, r.distance, r.rank, CAST(e.label AS INTEGER) AS label

@@ -214,3 +214,84 @@ def knn(
 
         return full_scan_normalized_cosine(base, column, query, k, id_col=id_col)
     return full_scan(base, column, query, k, m, id_col=id_col)
+
+
+def knn_join(
+    spark: SparkSession,
+    catalog: VectorCatalog,
+    table: str,
+    column: str,
+    queries: DataFrame,
+    k: int,
+    metric: str | None = None,
+    prefer: str = "auto",
+    id_col: str = "id",
+    q_id: str = "qid",
+    q_vec: str = "qv",
+    where: str | None = None,
+) -> DataFrame:
+    """Multi-query top-k over a registered vector column — the batch
+    generalization of ``knn``, with the SAME ``where`` contract (r10:
+    the r9 single-query filtered search generalized): the exact tier
+    pushes the predicate into the base parquet scan; the quantized
+    tier filters the include_cols REPLICA (a predicate the replica
+    cannot answer raises — never a silent fallback that would switch
+    the distance domain); probe-limited tiers reject ``where``
+    outright. Returns (qid, id, distance, rank) per operators.
+    knn_join.knn_join — true distances on the exact tier,
+    quantized-unit distances on the replica tier (queries are encoded
+    in-plan with the replica's FROZEN params, the multi-query analog
+    of vQuantRun's query encode, sqlite-vector.c:2171-2177)."""
+    from sqlite_vector_spark.operators.knn_join import knn_join as knn_join_op
+
+    if prefer not in ("auto", "exact", "quantized"):
+        raise ValueError(
+            "knn_join routes full-coverage tiers only (auto|exact|quantized); "
+            f"got {prefer!r} — probe-limited joins live in their operators "
+            "(ivf_knn_join / ivf_pq_knn_join / bq_knn_join) and do not take where="
+        )
+    ctx = catalog.get(table, column)
+    m = metric or ctx.distance
+    has_replica = ctx.quantized_path is not None and ctx.qscale is not None
+    if prefer == "quantized" and not has_replica:
+        raise ValueError(f"{table}.{column} has no quantized replica — run vector_quantize first")
+    if prefer != "exact" and has_replica:
+        import pyspark.sql.functions as F
+        from pyspark.errors import AnalysisException
+
+        codes = spark.read.parquet(ctx.quantized_path)
+        if where is not None:
+            try:
+                codes = codes.where(F.expr(where))
+                codes.schema  # force analysis so a missing column raises HERE
+            except AnalysisException as exc:
+                raise ValueError(
+                    f"the quantized replica for {table}.{column} cannot answer "
+                    f"predicate {where!r} (replica carries include_cols="
+                    f"{ctx.quantized_include_cols}); rebuild with "
+                    "vector_quantize(include_cols=[...]) covering the predicate, "
+                    "or pass prefer='exact' for true-domain filtered results"
+                ) from exc
+        from sqlite_vector_spark.operators.quantize import quantize_codes_column
+
+        params = QuantParams(ctx.resolved_qtype, float(ctx.qscale), float(ctx.qoffset), 0)
+        qenc = queries.where(F.col(q_vec).isNotNull()).select(
+            F.col(q_id).cast("bigint").alias("qid"),
+            quantize_codes_column(
+                q_vec, F.lit(params.scale), F.lit(params.offset),
+                F.lit(params.lo), F.lit(params.hi),
+            ).cast("array<double>").alias("qv"),
+        )
+        return knn_join_op(
+            qenc, codes, k, m, query_vec="qv", corpus_vec="qvec",
+            query_id="qid", corpus_id="id",
+        )
+    import pyspark.sql.functions as F
+
+    base = spark.table(table)
+    if where is not None:
+        base = base.where(F.expr(where))  # pushes into the base scan
+    return knn_join_op(
+        queries, base, k, m, query_vec=q_vec, corpus_vec=column,
+        query_id=q_id, corpus_id=id_col,
+    )

@@ -16,6 +16,7 @@ module adds the Spark-native sink layer a pipeline needs:
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
@@ -41,6 +42,151 @@ def write_bucketed(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def delete_ids(
+    spark,
+    path: str,
+    ids,
+    id_col: str = "id",
+    partition_col: str | None = None,
+    sort_within: list[str] | None = None,
+) -> dict:
+    """Hard-delete rows by id from a persisted parquet store — the
+    lifecycle verb the append/compact family lacked (takedowns,
+    licensing, right-to-be-forgotten). The reference's only delete
+    path is a wholesale drop + recreate of the shadow table
+    (sqlite-vector.c:1418-1427); this rewrites ONLY the partitions
+    that actually hold the ids, preserving the store's layout:
+    directory partitioning (so pruning keeps working), payload /
+    include_cols columns (the row is rewritten whole), and the
+    within-file sort (pass ``sort_within``, e.g. ['bv'] for the MIH
+    band store). Quantization/codebook parameters are intentionally
+    NOT re-fit — same frozen-params contract as the append family;
+    re-fit means rebuild.
+
+    ``ids``: an iterable of ids or a single-column DataFrame. The id
+    set is broadcast (a takedown batch is bounded, like the append
+    family's batch); the affected-partition probe is a column-pruned
+    scan of (id_col, partition_col) only.
+
+    Shape: for a partitioned store, (1) semi-join finds the affected
+    partition directories (an id-keyed store touches one; a band
+    store touches every band — the probe discovers either), (2) only
+    those partitions are re-read (planning-time pruning on the isin
+    filter), anti-joined against the broadcast id set, and rewritten,
+    (3) each affected directory is swapped via os.rename — untouched
+    partitions are never read or written. A partition whose rows are
+    all deleted is removed. Unpartitioned stores rewrite wholesale
+    (same swap as compact_store). Local filesystem only, single
+    maintenance writer — the same concurrency contract as
+    compact_store; the superseded data is retained at
+    ``<path>__pre_delete`` until the next delete.
+
+    Returns {"deleted_rows", "rows_after", "partitions_rewritten"}.
+    ``rows_after`` is the store total for an unpartitioned rewrite
+    (partitions_rewritten = -1) but only the REWRITTEN partitions'
+    remainder for a partitioned one — a full-store count on every
+    takedown would read 100 TB to report a number nobody needs.
+    """
+    import os
+    import shutil
+
+    if isinstance(ids, DataFrame):
+        ids_df = ids.select(F.col(ids.columns[0]).cast("bigint").alias("_del_id"))
+    else:
+        ids_df = spark.createDataFrame(
+            [(int(i),) for i in ids], "_del_id bigint"
+        )
+    ids_df = ids_df.distinct().localCheckpoint(eager=True)
+    df = spark.read.parquet(path)
+    if not all(f.startswith("file:") or f.startswith("/") for f in df.inputFiles()):
+        raise ValueError(
+            "delete_ids supports local-filesystem stores only (os.rename swap); "
+            "for object stores, rewrite to a new prefix and flip the pointer instead"
+        )
+    key = F.col(id_col).cast("bigint")
+    root = os.path.abspath(path.rstrip("/"))
+    old = root + "__pre_delete"
+    tmp = root + "__deleting"
+
+    if partition_col is None:
+        before = df.count()
+        kept = df.join(
+            F.broadcast(ids_df), key == F.col("_del_id"), "left_anti"
+        )
+        if sort_within:
+            kept = kept.sortWithinPartitions(*sort_within)
+        kept.write.mode("overwrite").parquet(tmp)
+        out = spark.read.parquet(tmp)
+        after = out.count()
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(root, old)
+        os.rename(tmp, root)
+        spark.catalog.refreshByPath(path)
+        return {
+            "deleted_rows": before - after,
+            "rows_after": after,
+            "partitions_rewritten": -1,
+        }
+
+    # (1) column-pruned probe: which partition directories hold ids?
+    # (hit is bounded by |ids| x rows-per-id, checkpointed so the
+    # probe scan runs once for the dir set and the deleted count)
+    hit = (
+        df.select(key.alias("_k"), F.col(partition_col))
+        .join(F.broadcast(ids_df), F.col("_k") == F.col("_del_id"), "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    affected = [r[0] for r in hit.select(partition_col).distinct().collect()]
+    if not affected:
+        return {"deleted_rows": 0, "rows_after": None, "partitions_rewritten": 0}
+    deleted = hit.count()
+    # (2) pruned re-read of ONLY the affected partitions. Map each
+    # affected VALUE to its on-disk directory by percent-decoding the
+    # actual root listing (how Spark encoded it), and refuse if any
+    # value has no directory — swapping a guessed name is how a store
+    # silently loses a partition (same refuse-up-front contract as
+    # compact_store's snapshot stat gate).
+    from urllib.parse import unquote
+
+    pruned = df.where(F.col(partition_col).isin(affected))
+    prefix = f"{partition_col}="
+    by_value = {
+        unquote(d[len(prefix):]): d
+        for d in os.listdir(root)
+        if d.startswith(prefix) and os.path.isdir(os.path.join(root, d))
+    }
+    unmatched = [v for v in affected if str(v) not in by_value]
+    if unmatched:
+        raise RuntimeError(
+            f"delete_ids: no partition directory found for value(s) "
+            f"{unmatched[:3]!r} under {root!r}; aborting before any rewrite"
+        )
+    part_dirs = {by_value[str(v)] for v in affected}
+    before = pruned.count()
+    kept = pruned.join(F.broadcast(ids_df), key == F.col("_del_id"), "left_anti")
+    kept = kept.repartition(max(1, len(part_dirs)), partition_col)
+    if sort_within:
+        kept = kept.sortWithinPartitions(partition_col, *sort_within)
+    kept.write.partitionBy(partition_col).mode("overwrite").parquet(tmp)
+    # (3) per-directory swap: superseded dirs retained under __pre_delete
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.makedirs(old)
+    for d in sorted(part_dirs):
+        os.rename(os.path.join(root, d), os.path.join(old, d))
+        src = os.path.join(tmp, d)
+        if os.path.isdir(src):  # absent == every row of d was deleted
+            os.rename(src, os.path.join(root, d))
+    shutil.rmtree(tmp)
+    spark.catalog.refreshByPath(path)
+    return {
+        "deleted_rows": deleted,
+        "rows_after": before - deleted,  # within the rewritten partitions
+        "partitions_rewritten": len(part_dirs),
+    }
 
 
 def _uri_to_local(uri: str) -> str:

@@ -396,6 +396,67 @@ def filtered_quantize_scan_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def filtered_knn_join_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-FILTERED multi-query kNN join (router.knn_join — r10:
+    the r9 single-query filtered search generalized to a query
+    batch): the first NQ vectors join against ONLY the corpus rows
+    matching FILTER_PRED, predicate pushed into the base parquet scan
+    (exact tier — true distances; the quantized-replica tier is
+    equality-tested in test_knn_join). Oracle: the knn_join SQL with
+    the same predicate inside the corpus CTE."""
+    from sqlite_vector_spark.router import knn_join
+
+    cat = _sql_surface_fixture(spark, sf_dir, "emb_fkj_v", quantize=False)
+    queries = _emb(spark, sf_dir).where(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return knn_join(
+        spark, cat, "emb_fkj_v", "embedding", queries, KNN_K,
+        prefer="exact", id_col="vec_id", where=FILTER_PRED,
+    ).orderBy("qid", "rank")
+
+
+#: the takedown predicate for the DELETE-maintenance gate (~14%
+#: of ids deleted; > K survivors remain at sf0.01)
+DELETE_MOD, DELETE_REM = 7, 3
+
+
+def quantize_scan_after_delete_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store DELETE maintenance gate (sinks.delete_ids — r10): the
+    persisted quantized replica is built over the FULL corpus, then
+    ids with vec_id % DELETE_MOD == DELETE_REM are hard-deleted from
+    it (anti-join rewrite; params stay FROZEN — the delete analog of
+    the append family's frozen-params contract, vs the reference's
+    wholesale drop + recreate, sqlite-vector.c:1418-1427), and the
+    quantize scan runs over the post-delete store. The oracle applies
+    the same id predicate inside a full-corpus-params codes CTE, so
+    the hash match proves delete == filtered-rebuild for the replica:
+    surviving rows byte-identical, deleted rows gone, params unmoved."""
+    from sqlite_vector_spark.operators.quantize import vector_quantize
+    from sqlite_vector_spark.sinks import delete_ids
+
+    emb = _emb(spark, sf_dir)
+
+    def build(dest: str) -> None:
+        vector_quantize(emb, "embedding", dest, id_col="vec_id")
+        victims = emb.where(
+            F.col("vec_id") % DELETE_MOD == DELETE_REM
+        ).select(F.col("vec_id").cast("bigint"))
+        delete_ids(spark, dest, victims, id_col="id")
+
+    store = _cached_store(spark, sf_dir, "qdelstore", build)
+    prm = _shared_params(emb)
+    codes = (
+        spark.read.parquet(store)
+        .crossJoin(F.broadcast(prm))
+        .withColumn("qq", _quantized_query_col())
+    )
+    scored = codes.select(
+        "id", distance(F.col("qvec"), F.col("qq"), "L2").alias("distance")
+    )
+    return scored.orderBy(F.col("distance").asc(), F.col("id").asc()).limit(K)
+
+
 def sql_macro_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic vector SQL via macro expansion (sql.expand_vector_sql):
     a shape the canonical recognizer rejects (WHERE + composite sort)
@@ -3484,7 +3545,12 @@ def incremental_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     state = _cached_store(spark, sf_dir, "npstate", build_state)
     labels0 = spark.read.parquet(state + "/labels")
-    cand = incremental_dedup_pairs(spark, batch, state + "/bands", "doc_id", "text")
+    # candidate pairs are reused by jaccard_pairs' id-set, intersect,
+    # and size joins — checkpoint the (bounded, ~0.01% of docs) pair
+    # set so the band-store probe runs once, not once per join
+    cand = incremental_dedup_pairs(
+        spark, batch, state + "/bands", "doc_id", "text"
+    ).localCheckpoint(eager=True)
     new_edges = (
         jaccard_pairs(cand, docs, "doc_id", "text")
         .where(F.col("jaccard") >= F.lit(JACCARD_T))

@@ -406,11 +406,15 @@ def test_incremental_labels_matches_rebuild(spark):
            (10, 11),            # new-only component
            (23, 30)]            # extends the deep chain with a new doc
     labels0 = connected_components_min_label(df_edges(old))
-    got = {(r.id, r.cluster) for r in incremental_labels(labels0, df_edges(new)).collect()}
     want = {(r.id, r.cluster) for r in connected_components_min_label(df_edges(old + new)).collect()}
-    assert got == want
-    # untouched cluster {6,7} kept its labels
-    assert (6, 6) in got and (7, 6) in got
+    # BOTH merge arms must hit the same fixed point: the driver
+    # union-find fast path (default) and the distributed min-label
+    # loop seeded with the stored labels (fast_path_max=0 forces it)
+    for fpm in (1_000_000, 0):
+        got = {(r.id, r.cluster) for r in incremental_labels(labels0, df_edges(new), fast_path_max=fpm).collect()}
+        assert got == want, fpm
+        # untouched cluster {6,7} kept its labels
+        assert (6, 6) in got and (7, 6) in got
 
     # randomized: seeded graphs split into two batches, incremental == rebuild
     rng = random.Random(9)
@@ -419,9 +423,10 @@ def test_incremental_labels_matches_rebuild(spark):
     edges = [(a, b) for a, b in edges if a != b]
     cut = len(edges) // 2
     l0 = connected_components_min_label(df_edges(edges[:cut]))
-    got = {(r.id, r.cluster) for r in incremental_labels(l0, df_edges(edges[cut:])).collect()}
     want = {(r.id, r.cluster) for r in connected_components_min_label(df_edges(edges)).collect()}
-    assert got == want
+    for fpm in (1_000_000, 0):
+        got = {(r.id, r.cluster) for r in incremental_labels(l0, df_edges(edges[cut:]), fast_path_max=fpm).collect()}
+        assert got == want, fpm
 
     # empty batch: labels unchanged
     same = {(r.id, r.cluster) for r in incremental_labels(l0, df_edges([]).limit(0)).collect()}

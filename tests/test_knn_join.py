@@ -79,3 +79,72 @@ def test_auto_salt_thresholds_and_identical_results(spark, emb):
     # unknown-size sources (localCheckpoint -> LogicalRDD) never salt
     ckpt = emb.select("vec_id", "embedding").localCheckpoint(eager=True)
     assert kj._auto_salt(ckpt) is None
+
+
+def test_router_filtered_knn_join_both_tiers(spark, emb, tmp_path):
+    """router.knn_join(where=): the exact tier must equal a manual
+    knn_join over the pre-filtered corpus (true distances); the
+    quantized tier must equal a manual knn_join over the filtered
+    REPLICA with in-plan-quantized queries (quantized units); a
+    predicate the replica cannot answer raises instead of silently
+    falling back; probe-limited prefer values are rejected."""
+    from sqlite_vector_spark.catalog import VectorCatalog
+    from sqlite_vector_spark.operators.quantize import (
+        quantize_codes_column,
+        vector_quantize,
+    )
+    from sqlite_vector_spark.router import knn_join as router_knn_join
+
+    emb.createOrReplaceTempView("fkj_t")
+    cat = VectorCatalog(str(tmp_path / "cat"))
+    cat.vector_init(emb, "fkj_t", "embedding", "type=FLOAT32,dimension=64,distance=L2")
+    params = vector_quantize(
+        emb, "embedding", str(tmp_path / "shadow"), id_col="vec_id",
+        catalog=cat, table="fkj_t", include_cols=["label"],
+    )
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    pred = "label = 2"
+
+    got_exact = router_knn_join(
+        spark, cat, "fkj_t", "embedding", queries, 5,
+        prefer="exact", id_col="vec_id", where=pred,
+    )
+    want_exact = knn_join(
+        queries, emb.where(F.expr(pred)), 5, "L2",
+        query_vec="qv", corpus_vec="embedding", corpus_id="vec_id",
+    )
+    assert sorted(map(tuple, got_exact.collect())) == sorted(map(tuple, want_exact.collect()))
+    # the filter reached the parquet scan
+    plan = got_exact._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "label" in plan
+
+    got_q = router_knn_join(
+        spark, cat, "fkj_t", "embedding", queries, 5,
+        prefer="quantized", id_col="vec_id", where=pred,
+    )
+    replica = spark.read.parquet(str(tmp_path / "shadow")).where(F.expr(pred))
+    qenc = queries.select(
+        "qid",
+        quantize_codes_column(
+            "qv", F.lit(params.scale), F.lit(params.offset),
+            F.lit(params.lo), F.lit(params.hi),
+        ).cast("array<double>").alias("qv"),
+    )
+    want_q = knn_join(qenc, replica, 5, "L2", query_vec="qv", corpus_vec="qvec", corpus_id="id")
+    assert sorted(map(tuple, got_q.collect())) == sorted(map(tuple, want_q.collect()))
+    # every returned corpus row matches the predicate
+    lbl = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    assert all(lbl[r.id] == 2 for r in got_q.collect())
+
+    with pytest.raises(ValueError, match="cannot answer"):
+        router_knn_join(
+            spark, cat, "fkj_t", "embedding", queries, 5,
+            prefer="quantized", id_col="vec_id", where="nonexistent_col = 1",
+        ).collect()
+    with pytest.raises(ValueError, match="full-coverage"):
+        router_knn_join(
+            spark, cat, "fkj_t", "embedding", queries, 5,
+            prefer="ivf", id_col="vec_id", where=pred,
+        )

@@ -146,3 +146,108 @@ def test_compact_store_salvages_late_files(tmp_path):
     assert (root / "part=1" / "part-0002-late.parquet").read_bytes() == b"late"
     assert not (root / "part=1" / "part-0001-snap.parquet").exists()
     assert (old / "part=1" / "part-0001-snap.parquet").exists()  # retained for readers
+
+
+def test_delete_ids_flat_replica(spark, emb, tmp_path):
+    """Unpartitioned quantized replica: delete_ids must equal an
+    id-filter of the pre-delete store (rows rewritten whole — qvec
+    codes and include_cols payload byte-identical, params frozen),
+    and a follow-up quantize scan sees only surviving rows."""
+    from sqlite_vector_spark.operators.quantize import vector_quantize
+    from sqlite_vector_spark.sinks import delete_ids
+
+    dest = str(tmp_path / "replica")
+    vector_quantize(emb, "embedding", dest, id_col="vec_id", include_cols=["label"])
+    pre = {r.id: (list(r.qvec), r.label) for r in spark.read.parquet(dest).collect()}
+    victims = [i for i in pre if i % 7 == 3]
+    rep = delete_ids(spark, dest, victims, id_col="id")
+    assert rep["deleted_rows"] == len(victims) and rep["partitions_rewritten"] == -1
+    post = {r.id: (list(r.qvec), r.label) for r in spark.read.parquet(dest).collect()}
+    assert post == {i: v for i, v in pre.items() if i % 7 != 3}
+    assert rep["rows_after"] == len(post)
+    # superseded layout retained for draining readers
+    import os
+    assert os.path.isdir(dest + "__pre_delete")
+    # DataFrame id input and no-hit ids are both fine
+    rep2 = delete_ids(spark, dest, spark.range(0).select(F.col("id")), id_col="id")
+    assert rep2["deleted_rows"] == 0
+
+
+def test_delete_ids_partitioned_ivf_store(spark, emb, tmp_path):
+    """IVF layout (partitionBy cluster): only the partitions holding
+    the ids are rewritten — untouched partition files stay the SAME
+    files on disk; a fully-deleted cluster's directory disappears;
+    pruning still works afterwards."""
+    import os
+
+    from sqlite_vector_spark.sinks import delete_ids
+
+    dest = str(tmp_path / "ivf")
+    base = emb.select(
+        F.col("vec_id").alias("id"), "embedding", (F.col("vec_id") % 4).alias("cluster")
+    )
+    base.write.partitionBy("cluster").parquet(dest)
+    pre = {r.id for r in spark.read.parquet(dest).collect()}
+    files_before = {
+        f for f in spark.read.parquet(dest).inputFiles() if "/cluster=3/" in f
+    }
+    # victims: every id in cluster 1 (empties it) + two ids from cluster 0
+    victims = sorted(i for i in pre if i % 4 == 1) + [0, 4]
+    rep = delete_ids(spark, dest, victims, id_col="id", partition_col="cluster")
+    assert rep["deleted_rows"] == len(victims)
+    assert rep["partitions_rewritten"] == 2  # clusters 0 and 1 only
+    post = spark.read.parquet(dest)
+    assert {r.id for r in post.collect()} == pre - set(victims)
+    assert not os.path.isdir(os.path.join(dest, "cluster=1"))  # emptied
+    # untouched partition kept its exact files (never read or written)
+    files_after = {f for f in post.inputFiles() if "/cluster=3/" in f}
+    assert files_after == files_before
+    pruned = post.where(F.col("cluster") == 2)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_delete_ids_band_store_sorted(spark, emb, tmp_path):
+    """MIH band store: an id lives in EVERY band partition — delete
+    must hit them all, preserve the bv sort inside rewritten files,
+    and bq_band_scan over the post-delete store must equal a store
+    rebuilt from the surviving codes."""
+    from sqlite_vector_spark.operators.bq import bq_band_scan, bq_band_store, bq_encode
+    from sqlite_vector_spark.sinks import delete_ids
+
+    codes = bq_encode(emb, "embedding", 64, id_col="vec_id")
+    dest = str(tmp_path / "bands")
+    bq_band_store(codes, 64, dest, band_bits=8)
+    victims = [r.id for r in codes.where(F.col("id") % 5 == 0).collect()]
+    rep = delete_ids(spark, dest, victims, id_col="id", partition_col="b", sort_within=["bv"])
+    assert rep["partitions_rewritten"] == 8  # 64/8 bands, all touched
+    rebuilt = str(tmp_path / "bands_rebuilt")
+    bq_band_store(codes.where(F.col("id") % 5 != 0), 64, rebuilt, band_bits=8)
+    q = list(emb.where(F.col("vec_id") == 7).collect()[0].embedding)
+    got = [tuple(r) for r in bq_band_scan(spark, dest, q, 64, 10, band_bits=8).collect()]
+    want = [tuple(r) for r in bq_band_scan(spark, rebuilt, q, 64, 10, band_bits=8).collect()]
+    assert got == want and len(got) > 0  # < 10 is fine: fewer collisions survive the delete
+    # within-file bv sort preserved in the rewritten partitions
+    import pyarrow.parquet as pq
+    import os
+    bdir = os.path.join(dest, "b=0")
+    fs = [os.path.join(bdir, f) for f in os.listdir(bdir) if f.endswith(".parquet")]
+    for f in fs:
+        bvs = pq.read_table(f, columns=["bv"]).column("bv").to_pylist()
+        assert bvs == sorted(bvs)
+
+
+def test_delete_ids_composes_with_compact(spark, emb, tmp_path):
+    """Lifecycle composition: append-heavy store -> delete -> compact
+    keeps content identical and shrinks files."""
+    from sqlite_vector_spark.sinks import compact_store, delete_ids
+
+    dest = str(tmp_path / "life")
+    base = emb.select(F.col("vec_id").alias("id"), "label", (F.col("vec_id") % 3).alias("p"))
+    for i in range(4):  # simulated appends -> many small files
+        base.where(F.col("id") % 4 == i).write.partitionBy("p").mode("append").parquet(dest)
+    delete_ids(spark, dest, [0, 1, 2, 3], id_col="id", partition_col="p")
+    rep = compact_store(spark, dest, partition_col="p")
+    post = {r.id for r in spark.read.parquet(dest).collect()}
+    assert post == {r.id for r in base.collect()} - {0, 1, 2, 3}
+    assert rep["files_after"] <= rep["files_before"]
