@@ -116,6 +116,9 @@ def main():
         ("incremental_neardup", "append-path labeling: batch bands vs frozen index, candidate-bounded verify, star-compressed label merge — corpus text never re-shingled", w.incremental_neardup_q),
         ("filtered_full_scan_l2", "filtered exact search: predicate pushed into the base parquet scan, k-slot TakeOrdered over matching rows only", w.filtered_full_scan_l2),
         ("filtered_quantize_scan_l2", "filtered quantized search: predicate pushed into the include_cols REPLICA scan — no id join, smaller scan than unfiltered", w.filtered_quantize_scan_l2),
+        # round-10 additions
+        ("quantize_scan_after_delete_l2", "post-delete replica scan: plain parquet scan of the rewritten store — no tombstone filter, no anti-join at query time; the delete already happened at maintenance time", w.quantize_scan_after_delete_l2),
+        ("filtered_knn_join_l2", "filtered multi-query join: predicate pushed into the corpus scan, broadcast query side, salted/windowed top-k per query", w.filtered_knn_join_l2),
     ]
 
     print("# PLANS — physical plans of headline operators (sf0.001, AQE on)")
