@@ -189,6 +189,50 @@ def delete_ids(
     }
 
 
+def _detect_partition_col(root: str) -> str | None:
+    """Directory-partitioned parquet stores carry their partition
+    column in the layout (``col=value`` dirs); detect it so cascade
+    deletes prune whatever layout each store was written with."""
+    import os
+
+    for d in os.listdir(root):
+        if "=" in d and os.path.isdir(os.path.join(root, d)):
+            return d.split("=", 1)[0]
+    return None
+
+
+def delete_ids_everywhere(spark, catalog, table: str, column: str, ids, id_col: str = "id") -> dict:
+    """One takedown call, every derived store maintained: apply
+    delete_ids to EACH store the catalog registers for
+    ``table.column`` — the quantized replica, the IVF store, the
+    PQ/IVF-PQ code table, the BQ code table, and the MIH band store —
+    so a right-to-be-forgotten batch cannot leave an id queryable
+    through a tier the caller forgot. Partition layout is detected
+    from each store's directory structure (cluster/bucket/b); the MIH
+    store additionally restores its bv sort. The base table itself is
+    the caller's (its format is not ours to rewrite); this maintains
+    every index derived FROM it. Returns {store_name: delete_ids
+    report} for the stores that exist."""
+    ctx = catalog.get(table, column)
+    reports: dict = {}
+    stores = [
+        ("quantized", ctx.quantized_path, None),
+        ("ivf", ctx.ivf_path, None),
+        ("pq", ctx.pq_path, None),
+        ("bq", ctx.bq_path, None),
+        ("mih", ctx.mih_path, ["bv"]),
+    ]
+    for name, path, sort_within in stores:
+        if path is None:
+            continue
+        pcol = _detect_partition_col(path)
+        reports[name] = delete_ids(
+            spark, path, ids, id_col=id_col,
+            partition_col=pcol, sort_within=sort_within,
+        )
+    return reports
+
+
 def _uri_to_local(uri: str) -> str:
     """``file:`` URI from DataFrame.inputFiles() -> decoded local
     path. Spark percent-encodes specials (space, %, non-ASCII string

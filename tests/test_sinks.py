@@ -251,3 +251,50 @@ def test_delete_ids_composes_with_compact(spark, emb, tmp_path):
     post = {r.id for r in spark.read.parquet(dest).collect()}
     assert post == {r.id for r in base.collect()} - {0, 1, 2, 3}
     assert rep["files_after"] <= rep["files_before"]
+
+
+def test_delete_ids_everywhere_cascades_all_tiers(spark, emb, tmp_path):
+    """Catalog cascade: one takedown call removes the ids from EVERY
+    registered derived store — replica, IVF, PQ codes, BQ codes, MIH
+    bands — with each store's own layout detected and preserved."""
+    from sqlite_vector_spark.catalog import VectorCatalog
+    from sqlite_vector_spark.operators.ann import ivf_assign
+    from sqlite_vector_spark.operators.bq import bq_band_store, bq_encode
+    from sqlite_vector_spark.operators.pq import pq_encode_col, pq_fit
+    from sqlite_vector_spark.operators.quantize import vector_quantize
+    from sqlite_vector_spark.sinks import delete_ids_everywhere
+
+    emb.createOrReplaceTempView("cas_t")
+    cat = VectorCatalog(str(tmp_path / "cat"))
+    cat.vector_init(emb, "cas_t", "embedding", "type=FLOAT32,dimension=64,distance=L2")
+    vector_quantize(emb, "embedding", str(tmp_path / "rep"), id_col="vec_id",
+                    catalog=cat, table="cas_t")
+    cents = [list(r.embedding) for r in emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()]
+    ivf_assign(emb, "embedding", cents, id_col="vec_id").write.partitionBy(
+        "cluster").parquet(str(tmp_path / "ivf"))
+    cat.set_ivf_index("cas_t", "embedding", path=str(tmp_path / "ivf"), centroids=cents)
+    books = pq_fit(emb, "embedding", m=4, ksub=4, dim=64, iters=2, id_col="vec_id", seed=1)
+    emb.select(F.col("vec_id").alias("id"),
+               pq_encode_col(F.col("embedding"), books).alias("codes")).write.parquet(
+        str(tmp_path / "pq"))
+    cat.set_pq_index("cas_t", "embedding", path=str(tmp_path / "pq"), codebooks=books)
+    codes = bq_encode(emb, "embedding", 64, id_col="vec_id")
+    codes.write.parquet(str(tmp_path / "bq"))
+    cat.set_bq_index("cas_t", "embedding", path=str(tmp_path / "bq"))
+    bq_band_store(codes, 64, str(tmp_path / "mih"), band_bits=8)
+    cat.set_mih_index("cas_t", "embedding", path=str(tmp_path / "mih"), band_bits=8)
+
+    victims = [3, 17, 42]
+    reports = delete_ids_everywhere(spark, cat, "cas_t", "embedding", victims, id_col="id")
+    assert set(reports) == {"quantized", "ivf", "pq", "bq", "mih"}
+    for name, path in [("quantized", "rep"), ("ivf", "ivf"), ("pq", "pq"),
+                       ("bq", "bq"), ("mih", "mih")]:
+        left = {r.id for r in spark.read.parquet(str(tmp_path / path)).select("id").collect()}
+        assert not (left & set(victims)), name
+        assert len(left) > 0, name
+    # layouts detected: ivf pruned per-cluster, mih hit all 8 bands
+    assert reports["ivf"]["partitions_rewritten"] >= 1
+    assert reports["mih"]["partitions_rewritten"] == 8
+    assert reports["quantized"]["partitions_rewritten"] == -1  # flat rewrite
+    # mih deleted one row per (id, band): 3 ids x 8 bands
+    assert reports["mih"]["deleted_rows"] == 24
