@@ -100,6 +100,11 @@ def main():
     # scan / the include_cols replica scan)
     bench("filtered_full_scan", lambda: w.filtered_full_scan_l2(spark, SF_DIR).collect())
     bench("filtered_quantize_scan", lambda: w.filtered_quantize_scan_l2(spark, SF_DIR).collect())
+    # round-10: filtered multi-query join + the post-delete replica
+    # scan (store built+deleted once per process via _cached_store,
+    # so min-of-N measures the SCAN over the rewritten store)
+    bench("filtered_knn_join", lambda: w.filtered_knn_join_l2(spark, SF_DIR).count())
+    bench("quantize_scan_after_delete", lambda: w.quantize_scan_after_delete_l2(spark, SF_DIR).collect())
 
     # quantize build (the EP2 two-pass index build) + approximate scan
     import tempfile
