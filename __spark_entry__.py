@@ -138,11 +138,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # take the remaining slots: 1 + 43 + new = window; the
         # 50-entry r9-gated block at the bottom is mandatory in r12.
         "filtered_full_scan_l2": w.filtered_full_scan_l2,
-        # -- new in r10 (never gated): store DELETE maintenance +
-        #    filtered multi-query join — next free slots after the
-        #    r11 mandatory cohort
+        # -- new in r10 (never gated): store DELETE maintenance,
+        #    filtered multi-query join, near-dup label takedown —
+        #    next free slots after the r11 mandatory cohort
+        #    (1 + 43 + 3 = 47 of 50: the window fits all of them)
         "quantize_scan_after_delete_l2": w.quantize_scan_after_delete_l2,
         "filtered_knn_join_l2": w.filtered_knn_join_l2,
+        "neardup_after_delete": w.neardup_after_delete_q,
         # -- r8-green (2 rounds stale entering r11 — mandatory then)
         "sql_macro_scan": w.sql_macro_scan_q,
         "tvf_full_scan": w.tvf_full_scan_q,
@@ -260,6 +262,11 @@ def oracle_sql() -> dict[str, str]:
             "L2", f"id % {w.DELETE_MOD} <> {w.DELETE_REM}"
         ),
         "filtered_knn_join_l2": o.filtered_knn_join("L2", w.FILTER_PRED),
+        # label-side delete == rebuild: the identical representatives
+        # closure over the SURVIVING corpus
+        "neardup_after_delete": o.neardup_representatives_q(
+            w.JACCARD_T, pred=f"doc_id % {w.DELETE_DOC_MOD} <> {w.DELETE_DOC_REM}"
+        ),
         "full_scan_k_gt_n": o.full_scan("L2", 10_000_000),
         "full_scan_stream_l2": o.full_scan_stream("L2"),
         "quantize_params": o.quantize_params(),

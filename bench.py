@@ -348,6 +348,10 @@ def main():
     # candidates vs frozen index + verify + star-compressed re-solve)
     bench("incremental_neardup", lambda: w.incremental_neardup_q(spark, SF_DIR).count())
 
+    # round-10: near-dup label TAKEDOWN (pre-delete labeling cached
+    # per process; min-of-N measures the affected-component re-solve)
+    bench("neardup_after_delete", lambda: w.neardup_after_delete_q(spark, SF_DIR).count())
+
     # round-6: binary quantization (1-bit Hamming prefilter)
     try:
         from sqlite_vector_spark.operators.bq import bq_encode, bq_rerank_scan, bq_scan

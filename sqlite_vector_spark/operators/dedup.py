@@ -379,6 +379,29 @@ def connected_components_min_label(
     raise RuntimeError(f"label propagation did not converge in {max_iters} iterations")
 
 
+def _union_find_min(pairs) -> dict[int, int]:
+    """Driver-side union-find with MIN-id roots over an edge list —
+    the bounded-batch merge engine shared by incremental_labels and
+    delete_labels. Returns node -> min id reachable (== the min-label
+    propagation fixed point restricted to the given edges)."""
+    parent: dict[int, int] = {}
+
+    def find(v: int) -> int:
+        r = v
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[v] != r:  # path compression
+            parent[v], v = r, parent[v]
+        return r
+
+    for x, y in pairs:
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            lo, hi = (rx, ry) if rx < ry else (ry, rx)
+            parent[hi] = lo
+    return {n: find(n) for n in list(parent)}
+
+
 def incremental_labels(
     labels: DataFrame, new_edges: DataFrame, fast_path_max: int = 1_000_000
 ) -> DataFrame:
@@ -462,23 +485,11 @@ def incremental_labels(
             )
             .collect()
         )
-        parent: dict[int, int] = {}
-
-        def find(v: int) -> int:
-            r = v
-            while parent.setdefault(r, r) != r:
-                r = parent[r]
-            while parent[v] != r:  # path compression
-                parent[v], v = r, parent[v]
-            return r
-
-        for row in rep_edges:
-            rx, ry = find(row.x), find(row.y)
-            if rx != ry:  # min root == min reachable id over reps
-                lo, hi = (rx, ry) if rx < ry else (ry, rx)
-                parent[hi] = lo
-        mapping = [(r, find(r)) for r in list(parent)]
-        map_df = lab.sparkSession.createDataFrame(mapping, "rep bigint, final bigint")
+        # min root == min reachable id over reps
+        mapping = _union_find_min((r.x, r.y) for r in rep_edges)
+        map_df = lab.sparkSession.createDataFrame(
+            list(mapping.items()), "rep bigint, final bigint"
+        )
         new_nodes = nodes.join(lab, "id", "left_anti")
         merged = (
             members.join(F.broadcast(map_df), members["cluster"] == F.col("rep"))
@@ -502,6 +513,95 @@ def incremental_labels(
         edges.unionByName(stars), init_labels=members
     )
     return untouched.unionByName(merged)
+
+
+def delete_labels(
+    labels: DataFrame,
+    docs: DataFrame,
+    deleted_ids,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_t: float = 0.8,
+    num_hashes: int = NUM_HASHES,
+    bands: int = LSH_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+    shingle_n: int = SHINGLE_N,
+    hash_fn=None,
+) -> DataFrame:
+    """Remove docs from a near-dup (id, cluster) labeling — the
+    takedown counterpart of incremental_labels, and the one delete
+    the store-level verb (sinks.delete_ids) cannot express: removing
+    a doc can SPLIT a component (it was the only bridge between two
+    near-dup groups) or RENAME it (it carried the min id), so the
+    affected components must be re-solved, not just filtered.
+
+    Only components containing a deleted id are touched: their
+    SURVIVING members' candidate pairs are regenerated (LSH over the
+    member subset — band keys are per-doc, so the surviving pairs are
+    exactly the original candidate pairs restricted to survivors),
+    Jaccard-verified, and re-clustered; survivors left with no
+    verified edge drop out of the labeling (members-only contract,
+    same as connected_components_min_label). Untouched clusters pass
+    through byte-identical.
+
+    Equals a full rebuild over docs-minus-deleted: every verified
+    edge is intra-component in the original labeling (CC grouped all
+    edge-connected docs), so a rebuild's edge set restricted to
+    survivors decomposes into per-affected-component edge sets plus
+    the untouched components' unchanged ones. Pipeline parameters
+    (hash family, bands, shingles, threshold) must match the ones the
+    labeling was built with — same frozen-family contract as the band
+    store's append path. Pair with ``sinks.delete_ids`` on the
+    persisted band store (partition_col='band') and the docs mirror
+    to complete the state takedown."""
+    lab = labels.select(
+        F.col("id").cast("bigint").alias("id"), F.col("cluster").cast("bigint").alias("cluster")
+    )
+    if isinstance(deleted_ids, DataFrame):
+        del_df = deleted_ids.select(
+            F.col(deleted_ids.columns[0]).cast("bigint").alias("id")
+        )
+    else:
+        del_df = labels.sparkSession.createDataFrame(
+            [(int(i),) for i in deleted_ids], "id bigint"
+        )
+    del_df = del_df.distinct().localCheckpoint(eager=True)
+    affected = lab.join(F.broadcast(del_df), "id", "left_semi").select("cluster").distinct()
+    untouched = lab.join(F.broadcast(affected), "cluster", "left_anti")
+    survivors = (
+        lab.join(F.broadcast(affected), "cluster", "left_semi")
+        .join(F.broadcast(del_df), "id", "left_anti")
+        .select("id")
+    )
+    sub_docs = docs.select(
+        F.col(id_col).cast("bigint").alias(id_col), F.col(text_col).alias(text_col)
+    ).join(F.broadcast(survivors), F.col(id_col) == survivors["id"], "left_semi")
+    # candidates are reused by jaccard's id-set, intersect, and size
+    # joins — checkpoint the (bucket-bounded) pair set so the minhash
+    # pipeline over the survivors runs once, not once per join
+    cand = lsh_candidate_pairs(
+        sub_docs, id_col, text_col, num_hashes, bands, rows_per_band, shingle_n,
+        hash_fn=hash_fn,
+    ).localCheckpoint(eager=True)
+    edges = (
+        jaccard_pairs(cand, sub_docs, id_col, text_col)
+        .where(F.col("jaccard") >= F.lit(jaccard_t))
+        .select(F.col("a").cast("bigint").alias("a"), F.col("b").cast("bigint").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    # re-solve: the verified survivor edges are takedown-bounded in
+    # the common case — union-find them on the driver (the same
+    # bounded-state class as incremental_labels' rep merge); a huge
+    # re-verify set falls back to the distributed min-label loop
+    if edges.count() <= 1_000_000:
+        mapping = _union_find_min((r.a, r.b) for r in edges.collect())
+        if not mapping:
+            return untouched
+        relabeled = labels.sparkSession.createDataFrame(
+            list(mapping.items()), "id bigint, cluster bigint"
+        )
+        return untouched.unionByName(relabeled)
+    return untouched.unionByName(connected_components_min_label(edges))
 
 
 def hyperplane_bucket(vec: str | Column, planes: Sequence[Sequence[float]]) -> Column:

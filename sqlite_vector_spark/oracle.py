@@ -650,8 +650,17 @@ FROM documents GROUP BY text"""
 _MH_A = "[2, 3, 5, 7, 11, 13, 17, 19]"
 _MH_B = "[1, 2, 3, 4, 5, 6, 7, 8]"
 
-_SHINGLES = f"""WITH w AS (
-  SELECT doc_id, {WORDS} AS ws FROM documents),
+
+def _doc_src(pred: str | None) -> str:
+    """The documents read, optionally pre-filtered — the delete-twin
+    oracles run the identical pipeline over the SURVIVING corpus by
+    threading a predicate into every documents scan."""
+    return "documents" if pred is None else f"(SELECT * FROM documents WHERE ({pred}))"
+
+
+def _shingles(pred: str | None = None) -> str:
+    return f"""WITH w AS (
+  SELECT doc_id, {WORDS} AS ws FROM {_doc_src(pred)}),
 sh AS (
   SELECT doc_id,
          unnest(CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
@@ -671,6 +680,9 @@ cand AS (
   SELECT DISTINCT l.id AS a, r.id AS b
   FROM bandkeys l JOIN bandkeys r ON l.band = r.band AND l.band_hash = r.band_hash
   WHERE l.id < r.id)"""
+
+
+_SHINGLES = _shingles()
 
 
 def minhash_sig_q() -> str:
@@ -724,9 +736,9 @@ FROM cand c JOIN fp fa ON fa.id = c.a JOIN fp fb ON fb.id = c.b
 WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {max_hamming}"""
 
 
-def jaccard_pairs_q() -> str:
-    return _SHINGLES + f""",
-dw AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS id, w FROM (SELECT doc_id, unnest({WORDS}) AS w FROM documents)),
+def jaccard_pairs_q(pred: str | None = None) -> str:
+    return _shingles(pred) + f""",
+dw AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS id, w FROM (SELECT doc_id, unnest({WORDS}) AS w FROM {_doc_src(pred)})),
 cnt AS (SELECT id, count(*) AS c FROM dw GROUP BY id),
 inter AS (
   SELECT cand.a, cand.b, count(*) AS inter
@@ -751,14 +763,16 @@ WHERE {bucket} < {case}
 ORDER BY doc_id"""
 
 
-def neardup_representatives_q(jaccard_t: float) -> str:
+def neardup_representatives_q(jaccard_t: float, pred: str | None = None) -> str:
     """Transitive version: rep_id = min doc_id in the connected
     component of the verified near-dup graph, via a recursive CTE
     computing each node's reachable set (the edge set is tiny, so the
-    transitive closure is cheap for the oracle)."""
+    transitive closure is cheap for the oracle). ``pred`` restricts
+    every documents read to the surviving corpus — the delete-twin
+    form: the identical pipeline rebuilt after a takedown."""
     did = "CAST(d.doc_id AS BIGINT)"
     rep = f"coalesce(comp.cluster, {did})"
-    return f"""WITH RECURSIVE jp AS ({jaccard_pairs_q()}),
+    return f"""WITH RECURSIVE jp AS ({jaccard_pairs_q(pred)}),
 pairs AS (SELECT a, b FROM jp WHERE jaccard >= {jaccard_t!r}),
 edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
 reach(id, m) AS (
@@ -768,7 +782,7 @@ reach(id, m) AS (
 ),
 comp AS (SELECT id, min(m) AS cluster FROM reach GROUP BY id)
 SELECT {did} AS doc_id, {rep} AS rep_id, {rep} <> {did} AS is_dup
-FROM documents d
+FROM {_doc_src(pred)} d
 LEFT JOIN comp ON comp.id = CAST(d.doc_id AS BIGINT)
 ORDER BY doc_id"""
 

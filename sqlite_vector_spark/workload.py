@@ -419,6 +419,55 @@ def filtered_knn_join_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the takedown predicate for the DELETE-maintenance gate (~14%
 #: of ids deleted; > K survivors remain at sf0.01)
 DELETE_MOD, DELETE_REM = 7, 3
+#: doc-side takedown predicate for the near-dup label delete gate
+#: (distinct modulus so the two delete fixtures don't alias)
+DELETE_DOC_MOD, DELETE_DOC_REM = 9, 4
+
+
+def neardup_after_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup STATE delete gate (operators.dedup.delete_labels —
+    r10): the corpus is labeled ONCE by the full LSH -> Jaccard -> CC
+    pipeline (cached as the pre-takedown state), then docs with
+    doc_id % DELETE_DOC_MOD == DELETE_DOC_REM are removed via
+    delete_labels — affected components re-solved from their
+    SURVIVING members' text (a deleted doc can split a component or
+    carry its min id, the delete the store-level anti-join cannot
+    express), untouched clusters byte-identical. The oracle is the
+    identical representatives closure rebuilt over the surviving
+    corpus, so the hash match IS the delete == rebuild proof for the
+    label side."""
+    from sqlite_vector_spark.operators.dedup import (
+        connected_components_min_label,
+        delete_labels,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+
+    def build_state(dest: str) -> None:
+        edges = (
+            jaccard_pairs(lsh_candidate_pairs(docs, "doc_id", "text"), docs, "doc_id", "text")
+            .where(F.col("jaccard") >= F.lit(JACCARD_T))
+            .select("a", "b")
+        )
+        connected_components_min_label(edges).write.parquet(dest + "/labels")
+
+    state = _cached_store(spark, sf_dir, "ndelstate", build_state)
+    labels0 = spark.read.parquet(state + "/labels")
+    deleted = docs.where(
+        F.col("doc_id") % DELETE_DOC_MOD == DELETE_DOC_REM
+    ).select(F.col("doc_id").cast("bigint"))
+    comp = delete_labels(labels0, docs, deleted, jaccard_t=JACCARD_T)
+    did = F.col("doc_id").cast("bigint")
+    return (
+        docs.where(F.col("doc_id") % DELETE_DOC_MOD != DELETE_DOC_REM)
+        .select(did.alias("doc_id"))
+        .join(F.broadcast(comp), F.col("doc_id") == comp["id"], "left")
+        .select("doc_id", F.coalesce(F.col("cluster"), F.col("doc_id")).alias("rep_id"))
+        .withColumn("is_dup", F.col("rep_id") != F.col("doc_id"))
+        .orderBy("doc_id")
+    )
 
 
 def quantize_scan_after_delete_l2(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -431,3 +431,83 @@ def test_incremental_labels_matches_rebuild(spark):
     # empty batch: labels unchanged
     same = {(r.id, r.cluster) for r in incremental_labels(l0, df_edges([]).limit(0)).collect()}
     assert same == {(r.id, r.cluster) for r in l0.collect()}
+
+
+def test_delete_labels_matches_rebuild(spark):
+    """Takedown counterpart of incremental_labels: removing docs from
+    a near-dup labeling must equal the full pipeline rebuilt over the
+    surviving corpus — including the hard cases: deleting a BRIDGE
+    doc splits its component, deleting the MIN-id doc renames it,
+    deleting a whole component erases it, and survivors left with no
+    verified edge drop out; untouched clusters pass through
+    byte-identical."""
+    import pyspark.sql.functions as F
+
+    from sqlite_vector_spark.operators.dedup import (
+        connected_components_min_label,
+        delete_labels,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+    )
+
+    T = [f"tok{i}" for i in range(40)]
+
+    def txt(idx):
+        return " ".join(T[i] for i in idx)
+
+    rows = [
+        # chain 0~1~2 (ends dissimilar): deleting bridge 1 must SPLIT
+        (0, txt(range(0, 20))),
+        (1, txt(range(2, 22))),
+        (2, txt(range(4, 24))),
+        # clique 10,11,12 (1-token variants): deleting min 10 RENAMES
+        (10, txt(range(20, 40))[:-1] + " xq10"),
+        (11, txt(range(20, 40))[:-1] + " xq11"),
+        (12, txt(range(20, 40))[:-1] + " xq12"),
+        # untouched pair
+        (20, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (21, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        # whole-component delete
+        (30, "one two three four five six seven eight nine ten"),
+        (31, "one two three four five six seven eight nine eleven"),
+    ] + [(40 + i, " ".join(f"f{i}_{j}" for j in range(12))) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pipeline(d):
+        edges = (
+            jaccard_pairs(lsh_candidate_pairs(d, "doc_id", "text"), d, "doc_id", "text")
+            .where(F.col("jaccard") >= 0.8)
+            .select("a", "b")
+        )
+        return connected_components_min_label(edges)
+
+    labels0 = pipeline(docs).localCheckpoint(eager=True)
+    base = {(r.id, r.cluster) for r in labels0.collect()}
+    # sanity on the planted structure before deleting
+    by0 = dict(base)
+    assert by0[0] == by0[1] == by0[2] == 0          # chain is one component
+    assert by0[10] == by0[11] == by0[12] == 10      # clique
+    assert by0[20] == by0[21] == 20 and by0[30] == 30
+
+    deleted = [1, 10, 30, 31]
+    got = {
+        (r.id, r.cluster)
+        for r in delete_labels(labels0, docs, deleted, jaccard_t=0.8).collect()
+    }
+    survivors = docs.where(~F.col("doc_id").isin(deleted))
+    want = {(r.id, r.cluster) for r in pipeline(survivors).collect()}
+    assert got == want
+    by = dict(got)
+    assert 0 not in by and 2 not in by              # split: both ends edgeless now
+    assert by[11] == 11 and by[12] == 11            # renamed to the new min
+    assert by[20] == 20 and by[21] == 20            # untouched, byte-identical
+    assert 30 not in by and 31 not in by            # component erased
+    # DataFrame-typed id input too
+    got2 = {
+        (r.id, r.cluster)
+        for r in delete_labels(
+            labels0, docs, spark.createDataFrame([(i,) for i in deleted], "x long"),
+            jaccard_t=0.8,
+        ).collect()
+    }
+    assert got2 == want
