@@ -783,7 +783,16 @@ def incremental_dedup_pairs(
         bands,
         rows_per_band,
     ).localCheckpoint(eager=True)
-    stored = spark.read.parquet(*([store] if isinstance(store, str) else list(store)))
+    # multi-path stores (the streaming maintainer's per-epoch dirs)
+    # are read per-path and unioned: a single multi-path read of
+    # band-partitioned roots trips Spark's CONFLICTING_DIRECTORY_
+    # STRUCTURES check (no common basePath), and an explicit basePath
+    # would bolt the epoch= dirname on as a phantom partition column
+    paths = [store] if isinstance(store, str) else list(store)
+    cols = ["id", "band", "band_hash"]
+    stored = spark.read.parquet(paths[0]).select(*cols)
+    for p in paths[1:]:
+        stored = stored.unionByName(spark.read.parquet(p).select(*cols))
     cross = (
         stored.select(F.col("id").alias("a"), "band", "band_hash")
         .join(

@@ -322,6 +322,84 @@ def ingest_stream_neardup(
     )
 
 
+def takedown_stream_state(
+    spark,
+    state_dir: str,
+    doc_ids,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_min: float = 0.8,
+) -> dict:
+    """Takedown maintenance for ingest_stream_neardup state — the
+    streaming face of the r10 delete verb: remove docs from the
+    per-epoch band index, doc mirror, AND the label state so the
+    NEXT micro-batch neither matches against a deleted doc nor keeps
+    it in any cluster. Run BETWEEN triggers (stream stopped or
+    drained) — the same single-maintenance-writer contract as
+    compact_store.
+
+    In-place, not a new epoch: the stream's epoch ids are the
+    checkpoint's batch ids, so appending a synthetic epoch would
+    collide with the next trigger's id. Instead every existing
+    ``bands/epoch=*`` and ``docs/epoch=*`` directory is rewritten via
+    sinks.delete_ids (its ``__pre_delete`` leftovers are invisible to
+    the stream's epoch listing, which fullmatches ``epoch=<digits>``),
+    and the LATEST labels epoch is re-solved via
+    operators.dedup.delete_labels over the surviving doc mirror — a
+    replayed or restarted epoch then reads exactly the post-takedown
+    state. Returns per-root delete report counts."""
+    import os
+    import re
+
+    from sqlite_vector_spark.operators.dedup import delete_labels
+    from sqlite_vector_spark.sinks import delete_ids
+
+    bands_root = os.path.join(state_dir, "bands")
+    docs_root = os.path.join(state_dir, "docs")
+    labels_root = os.path.join(state_dir, "labels")
+
+    def _all_epochs(root: str) -> list[int]:
+        try:
+            matches = (re.fullmatch(r"epoch=(\d+)", d) for d in os.listdir(root))
+            return sorted(int(m.group(1)) for m in matches if m)
+        except OSError:
+            return []
+
+    report = {"band_rows_deleted": 0, "doc_rows_deleted": 0, "labels_rewritten": False}
+    for e in _all_epochs(bands_root):
+        r = delete_ids(
+            spark, f"{bands_root}/epoch={e}", doc_ids, id_col="id", partition_col="band"
+        )
+        report["band_rows_deleted"] += r["deleted_rows"]
+    for e in _all_epochs(docs_root):
+        r = delete_ids(spark, f"{docs_root}/epoch={e}", doc_ids, id_col=id_col)
+        report["doc_rows_deleted"] += r["deleted_rows"]
+    label_epochs = _all_epochs(labels_root)
+    if label_epochs:
+        # older label epochs are dead (the stream reads only the
+        # latest below its epoch id) but still hold the ids — scrub
+        # them with a plain row delete; only the LIVE epoch needs the
+        # component re-solve
+        for e in label_epochs[:-1]:
+            delete_ids(spark, f"{labels_root}/epoch={e}", doc_ids, id_col="id")
+        latest = f"{labels_root}/epoch={label_epochs[-1]}"
+        labels0 = spark.read.parquet(latest)
+        doc_epochs = _all_epochs(docs_root)
+        if doc_epochs:
+            docs = spark.read.parquet(
+                *[f"{docs_root}/epoch={e}" for e in doc_epochs]
+            ).select(id_col, text_col)
+        else:
+            docs = spark.createDataFrame([], f"{id_col} bigint, {text_col} string")
+        new_labels = delete_labels(
+            labels0, docs, doc_ids, id_col=id_col, text_col=text_col,
+            jaccard_t=jaccard_min,
+        ).localCheckpoint(eager=True)  # materialize BEFORE overwriting its input
+        new_labels.write.mode("overwrite").parquet(latest)
+        report["labels_rewritten"] = True
+    return report
+
+
 def windowed_event_counts(
     stream: DataFrame,
     ts_col: str = "ts",

@@ -502,3 +502,107 @@ def test_streaming_neardup_state_maintenance(spark, tmp_path):
     # per-epoch overwrite layout on every state table
     for sub in ("bands", "docs", "labels"):
         assert any(d.startswith("epoch=") for d in os.listdir(os.path.join(state, sub)))
+
+
+def test_takedown_stream_state_then_resume(spark, tmp_path):
+    """Streaming takedown: after two micro-batches build near-dup
+    state, takedown_stream_state removes a doc from the band index,
+    doc mirror, and labels (its cluster re-solved); a RESUMED stream
+    ingesting a third batch then produces labels equal to a full
+    batch rebuild over (all docs - deleted) — the deleted doc never
+    matches again and never reappears in any cluster."""
+    import os
+    import time
+
+    import pyspark.sql.functions as F
+
+    from sqlite_vector_spark.operators.dedup import (
+        connected_components_min_label,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+    )
+    from sqlite_vector_spark.streaming.scoring import (
+        ingest_stream_neardup,
+        takedown_stream_state,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    b1 = [(0, base), (1, base + " lambda")]
+    b2 = [(10, base + " mu"), (20, other), (21, other + " eleven")]
+    b3 = [(30, base + " nu")]  # post-takedown near-dup of 1/10
+    for i in range(40, 52):
+        (b1 if i % 3 == 0 else b2 if i % 3 == 1 else b3).append(
+            (i, f"fill{i} " + " ".join(f"t{i}_{j}" for j in range(12)))
+        )
+    src = str(tmp_path / "src")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream(n_label_epochs):
+        stream = (
+            spark.readStream.schema(spark.createDataFrame([], schema).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = ingest_stream_neardup(stream, state, ckpt)
+        try:
+            deadline = time.time() + 120
+            labels_root = os.path.join(state, "labels")
+            while time.time() < deadline:
+                eps = (
+                    [d for d in os.listdir(labels_root)
+                     if d.startswith("epoch=") and "__" not in d]
+                    if os.path.isdir(labels_root)
+                    else []
+                )
+                if len(eps) >= n_label_epochs and not q.status["isDataAvailable"]:
+                    break
+                time.sleep(1)
+        finally:
+            q.stop()
+
+    run_stream(2)
+    # takedown doc 0 between triggers (cluster {0,1,10} must re-solve)
+    rep = takedown_stream_state(spark, state, [0])
+    assert rep["band_rows_deleted"] > 0
+    assert rep["doc_rows_deleted"] == 1 and rep["labels_rewritten"]
+    # state: no trace of doc 0 anywhere
+    for sub, col in (("bands", "id"), ("docs", "doc_id"), ("labels", "id")):
+        root = os.path.join(state, sub)
+        dirs = [f"{root}/{d}" for d in os.listdir(root)
+                if d.startswith("epoch=") and "__" not in d]
+        left = spark.read.option("basePath", root).parquet(*dirs)
+        assert left.where(F.col(col) == 0).count() == 0, sub
+    # labels re-solved: {1,10} survive as a cluster with min 1
+    eps = sorted(int(d.split("=")[1]) for d in os.listdir(os.path.join(state, "labels"))
+                 if d.startswith("epoch=") and "__" not in d)
+    lab = {r.id: r.cluster
+           for r in spark.read.parquet(f"{state}/labels/epoch={eps[-1]}").collect()}
+    assert lab[1] == 1 and lab[10] == 1 and 0 not in lab
+
+    # resume: batch 3 bridges to the re-solved cluster
+    spark.createDataFrame(b3, schema).coalesce(1).write.mode("append").parquet(src)
+    run_stream(3)
+    eps = sorted(int(d.split("=")[1]) for d in os.listdir(os.path.join(state, "labels"))
+                 if d.startswith("epoch=") and "__" not in d)
+    got = {(r.id, r.cluster)
+           for r in spark.read.parquet(f"{state}/labels/epoch={eps[-1]}").collect()}
+
+    survivors = spark.createDataFrame(
+        [r for r in b1 + b2 + b3 if r[0] != 0], schema
+    )
+    edges = (
+        jaccard_pairs(lsh_candidate_pairs(survivors, "doc_id", "text"),
+                      survivors, "doc_id", "text")
+        .where(F.col("jaccard") >= 0.8)
+        .select("a", "b")
+    )
+    want = {(r.id, r.cluster) for r in connected_components_min_label(edges).collect()}
+    assert got == want
+    by = dict(got)
+    assert by[30] == by[1] == by[10] == 1  # new doc joined the re-solved cluster
