@@ -527,6 +527,7 @@ def delete_labels(
     rows_per_band: int = ROWS_PER_BAND,
     shingle_n: int = SHINGLE_N,
     hash_fn=None,
+    fast_path_max: int = 1_000_000,
 ) -> DataFrame:
     """Remove docs from a near-dup (id, cluster) labeling — the
     takedown counterpart of incremental_labels, and the one delete
@@ -593,7 +594,7 @@ def delete_labels(
     # the common case — union-find them on the driver (the same
     # bounded-state class as incremental_labels' rep merge); a huge
     # re-verify set falls back to the distributed min-label loop
-    if edges.count() <= 1_000_000:
+    if edges.count() <= fast_path_max:
         mapping = _union_find_min((r.a, r.b) for r in edges.collect())
         if not mapping:
             return untouched

@@ -490,13 +490,18 @@ def test_delete_labels_matches_rebuild(spark):
     assert by0[20] == by0[21] == 20 and by0[30] == 30
 
     deleted = [1, 10, 30, 31]
-    got = {
-        (r.id, r.cluster)
-        for r in delete_labels(labels0, docs, deleted, jaccard_t=0.8).collect()
-    }
     survivors = docs.where(~F.col("doc_id").isin(deleted))
     want = {(r.id, r.cluster) for r in pipeline(survivors).collect()}
-    assert got == want
+    # BOTH re-solve arms pinned to the same fixed point: the driver
+    # union-find fast path (default) and the distributed min-label
+    # loop (fast_path_max=0 forces it)
+    for fpm in (1_000_000, 0):
+        got = {
+            (r.id, r.cluster)
+            for r in delete_labels(labels0, docs, deleted, jaccard_t=0.8,
+                                   fast_path_max=fpm).collect()
+        }
+        assert got == want, fpm
     by = dict(got)
     assert 0 not in by and 2 not in by              # split: both ends edgeless now
     assert by[11] == 11 and by[12] == 11            # renamed to the new min
