@@ -298,3 +298,33 @@ def test_delete_ids_everywhere_cascades_all_tiers(spark, emb, tmp_path):
     assert reports["quantized"]["partitions_rewritten"] == -1  # flat rewrite
     # mih deleted one row per (id, band): 3 ids x 8 bands
     assert reports["mih"]["deleted_rows"] == 24
+
+
+def test_delete_ids_flat_all_rows(spark, emb, tmp_path):
+    """Deleting every row of a flat store must leave a readable,
+    empty store (schema preserved) — the degenerate takedown."""
+    from sqlite_vector_spark.sinks import delete_ids
+
+    dest = str(tmp_path / "tiny")
+    emb.limit(5).select(F.col("vec_id").alias("id"), "label").write.parquet(dest)
+    ids = [r.id for r in spark.read.parquet(dest).collect()]
+    rep = delete_ids(spark, dest, ids, id_col="id")
+    assert rep["deleted_rows"] == 5 and rep["rows_after"] == 0
+    back = spark.read.parquet(dest)
+    assert back.count() == 0 and set(back.columns) == {"id", "label"}
+
+
+def test_quantize_scan_after_delete_plan_has_no_query_time_filter(spark):
+    """The post-delete replica scan must be a PLAIN store scan — no
+    tombstone filter, no anti-join at query time: the delete already
+    happened at maintenance time (PLANS.md property pin)."""
+    import os
+
+    from sqlite_vector_spark import workload as w
+
+    sf = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+    df = w.quantize_scan_after_delete_l2(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # the only join is the broadcast of the 1-row params frame
+    assert "SortMergeJoin" not in plan and "anti" not in plan.lower()
