@@ -328,3 +328,36 @@ def test_quantize_scan_after_delete_plan_has_no_query_time_filter(spark):
     assert "TakeOrderedAndProject" in plan
     # the only join is the broadcast of the 1-row params frame
     assert "SortMergeJoin" not in plan and "anti" not in plan.lower()
+
+
+def test_lifecycle_delete_append_compact_compose(spark, emb, tmp_path):
+    """The full store lifecycle in one chain: build -> DELETE ->
+    APPEND (frozen params) -> COMPACT. Content after the chain equals
+    the set arithmetic (base - deleted + appended), the appended rows
+    encode with the ORIGINAL params (delete did not re-fit), and the
+    store stays scannable after every verb."""
+    from sqlite_vector_spark.operators.quantize import (
+        vector_quantize,
+        vector_quantize_update,
+    )
+    from sqlite_vector_spark.sinks import compact_store, delete_ids
+
+    dest = str(tmp_path / "life2")
+    old = emb.where(F.col("vec_id") < 400)
+    new = emb.where(F.col("vec_id") >= 400)
+    params = vector_quantize(old, "embedding", dest, id_col="vec_id")
+    pre = {r.id: list(r.qvec) for r in spark.read.parquet(dest).collect()}
+
+    victims = [i for i in pre if i % 11 == 5]
+    delete_ids(spark, dest, victims, id_col="id")
+    vector_quantize_update(new, "embedding", dest, params, id_col="vec_id")
+    rep = compact_store(spark, dest)
+
+    post = {r.id: list(r.qvec) for r in spark.read.parquet(dest).collect()}
+    kept = {i for i in pre if i % 11 != 5}
+    appended = {r.vec_id for r in new.where(F.col("embedding").isNotNull())
+                .select("vec_id").collect()}
+    assert set(post) == kept | appended
+    # surviving originals byte-identical through delete AND compact
+    assert all(post[i] == pre[i] for i in kept)
+    assert rep["rows"] == len(post)
