@@ -296,7 +296,10 @@ def jaccard_pairs(
 
 
 def connected_components_min_label(
-    edges: DataFrame, max_iters: int = 30, init_labels: DataFrame | None = None
+    edges: DataFrame,
+    max_iters: int = 30,
+    init_labels: DataFrame | None = None,
+    fast_path_max: int = 1_000_000,
 ) -> DataFrame:
     """(id, cluster) for every node appearing in ``edges``: cluster is
     the smallest id reachable through the undirected edge set —
@@ -339,8 +342,26 @@ def connected_components_min_label(
     Raises RuntimeError if ``max_iters`` rounds do not converge (the
     fixed point is required for deterministic, oracle-checkable
     output; diameter > max_iters would silently under-merge).
+
+    Fast path (r10): a verified near-dup edge set is ~0.01% of docs —
+    BOUNDED driver state, the same class as the batch merges — so up
+    to ``fast_path_max`` edges the component solve is a driver
+    union-find with min roots (identical fixed point, zero
+    propagation rounds: the loop is job-overhead-bound at ~0.5 s per
+    round). Beyond that the distributed loop takes over unchanged;
+    pass fast_path_max=0 to force it (the equality tests pin both
+    arms). ``init_labels`` only accelerates the loop, so the fast
+    path ignores it — the fixed point is seed-independent.
     """
-    sym = edges.select(F.col("a").cast("bigint").alias("a"), F.col("b").cast("bigint").alias("b"))
+    e = edges.select(
+        F.col("a").cast("bigint").alias("a"), F.col("b").cast("bigint").alias("b")
+    ).localCheckpoint(eager=True)
+    if e.count() <= fast_path_max:
+        mapping = _union_find_min((r.a, r.b) for r in e.collect())
+        return edges.sparkSession.createDataFrame(
+            list(mapping.items()) or [], "id bigint, cluster bigint"
+        )
+    sym = e
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint()
     nodes = sym.select(F.col("a").alias("id")).distinct()
     if init_labels is None:
@@ -510,7 +531,7 @@ def incremental_labels(
     # label movement across NEW edges, not for re-deriving old
     # components round by round
     merged = connected_components_min_label(
-        edges.unionByName(stars), init_labels=members
+        edges.unionByName(stars), init_labels=members, fast_path_max=fast_path_max
     )
     return untouched.unionByName(merged)
 
@@ -587,22 +608,14 @@ def delete_labels(
     edges = (
         jaccard_pairs(cand, sub_docs, id_col, text_col)
         .where(F.col("jaccard") >= F.lit(jaccard_t))
-        .select(F.col("a").cast("bigint").alias("a"), F.col("b").cast("bigint").alias("b"))
-        .localCheckpoint(eager=True)
+        .select("a", "b")
     )
-    # re-solve: the verified survivor edges are takedown-bounded in
-    # the common case — union-find them on the driver (the same
-    # bounded-state class as incremental_labels' rep merge); a huge
-    # re-verify set falls back to the distributed min-label loop
-    if edges.count() <= fast_path_max:
-        mapping = _union_find_min((r.a, r.b) for r in edges.collect())
-        if not mapping:
-            return untouched
-        relabeled = labels.sparkSession.createDataFrame(
-            list(mapping.items()), "id bigint, cluster bigint"
-        )
-        return untouched.unionByName(relabeled)
-    return untouched.unionByName(connected_components_min_label(edges))
+    # re-solve: connected_components_min_label picks the engine —
+    # driver union-find for a takedown-bounded edge set, the
+    # distributed min-label loop beyond fast_path_max
+    return untouched.unionByName(
+        connected_components_min_label(edges, fast_path_max=fast_path_max)
+    )
 
 
 def hyperplane_bucket(vec: str | Column, planes: Sequence[Sequence[float]]) -> Column:

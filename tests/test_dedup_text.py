@@ -110,8 +110,12 @@ def test_connected_components_chain_collapses(spark):
     from sqlite_vector_spark.operators.dedup import connected_components_min_label
 
     edges = spark.createDataFrame([(2, 3), (3, 4)], "a long, b long")
-    got = {r.id: r.cluster for r in connected_components_min_label(edges).collect()}
-    assert got == {2: 2, 3: 2, 4: 2}
+    # both engines: driver union-find (default) and the distributed
+    # min-label loop (fast_path_max=0 forces it)
+    for fpm in (1_000_000, 0):
+        got = {r.id: r.cluster
+               for r in connected_components_min_label(edges, fast_path_max=fpm).collect()}
+        assert got == {2: 2, 3: 2, 4: 2}, fpm
 
 
 def test_connected_components_long_chain_and_islands(spark):
@@ -122,9 +126,11 @@ def test_connected_components_long_chain_and_islands(spark):
     path = [(i, i + 1) for i in range(10, 15)]  # 10-11-12-13-14-15
     island = [(100, 101)]
     edges = spark.createDataFrame(path + island, "a long, b long")
-    got = {r.id: r.cluster for r in connected_components_min_label(edges).collect()}
-    assert all(got[i] == 10 for i in range(10, 16))
-    assert got[100] == 100 and got[101] == 100
+    for fpm in (1_000_000, 0):
+        got = {r.id: r.cluster
+               for r in connected_components_min_label(edges, fast_path_max=fpm).collect()}
+        assert all(got[i] == 10 for i in range(10, 16)), fpm
+        assert got[100] == 100 and got[101] == 100, fpm
 
 
 def test_dedup_ops_stay_jvm_side(spark, docs):
