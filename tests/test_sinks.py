@@ -361,3 +361,27 @@ def test_lifecycle_delete_append_compact_compose(spark, emb, tmp_path):
     # surviving originals byte-identical through delete AND compact
     assert all(post[i] == pre[i] for i in kept)
     assert rep["rows"] == len(post)
+
+
+def test_delete_ids_ivf_scan_after_delete(spark, emb, tmp_path):
+    """Probe-pruned scans over a post-delete IVF store must equal the
+    same scan over a store rebuilt from the surviving corpus — the
+    pruning path reads the rewritten partitions transparently."""
+    from sqlite_vector_spark.operators.ann import ivf_assign, ivf_stored_scan
+    from sqlite_vector_spark.sinks import delete_ids
+
+    cents = [list(r.embedding)
+             for r in emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()]
+    assigned = ivf_assign(emb, "embedding", cents, id_col="vec_id")
+    dest = str(tmp_path / "ivf_s")
+    assigned.write.partitionBy("cluster").parquet(dest)
+    victims = [r.id for r in assigned.where(F.col("id") % 6 == 2).select("id").collect()]
+    delete_ids(spark, dest, victims, id_col="id", partition_col="cluster")
+
+    rebuilt = str(tmp_path / "ivf_r")
+    assigned.where(~F.col("id").isin(victims)).write.partitionBy("cluster").parquet(rebuilt)
+    q = list(emb.where(F.col("vec_id") == 3).collect()[0].embedding)
+    got = [tuple(r) for r in ivf_stored_scan(spark, dest, q, cents, 10, nprobe=3).collect()]
+    want = [tuple(r) for r in ivf_stored_scan(spark, rebuilt, q, cents, 10, nprobe=3).collect()]
+    assert got == want and len(got) == 10
+    assert not set(victims) & {r[0] for r in got}
