@@ -352,6 +352,11 @@ def main():
     # per process; min-of-N measures the affected-component re-solve)
     bench("neardup_after_delete", lambda: w.neardup_after_delete_q(spark, SF_DIR).count())
 
+    # round-10: embedding-side incremental labeling (frozen bucket
+    # index cached per process; min-of-N measures the append path)
+    bench("incremental_embedding_neardup",
+          lambda: w.incremental_embedding_neardup_q(spark, SF_DIR).count())
+
     # round-6: binary quantization (1-bit Hamming prefilter)
     try:
         from sqlite_vector_spark.operators.bq import bq_encode, bq_rerank_scan, bq_scan

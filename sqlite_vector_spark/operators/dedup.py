@@ -688,6 +688,113 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_bucket_store(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: Sequence[Sequence[float]],
+    dest: str,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the (id, bucket) hyperplane-LSH index — the embedding
+    analog of lsh_band_store. Written partitioned by bucket so a
+    batch's collision join prunes to matching bucket directories;
+    ``mode="append"`` is the daily-ingest path (buckets depend only
+    on the FROZEN plane family, so append == rebuild exactly, the
+    same contract as the band/IVF/quantize stores). ~16 bytes per
+    row: the corpus vectors are never copied into the index — the
+    verify step reads them back candidate-bounded."""
+    keys = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).cast("bigint").alias("id"),
+        hyperplane_bucket(vec_col, planes).alias("bucket"),
+    )
+    keys.write.partitionBy("bucket").mode(mode).parquet(dest)
+
+
+def incremental_embedding_pairs(
+    spark,
+    new_df: DataFrame,
+    store: str | Sequence[str],
+    id_col: str,
+    vec_col: str,
+    planes: Sequence[Sequence[float]],
+) -> DataFrame:
+    """Cross-corpus incremental embedding near-dup CANDIDATES: bucket
+    ONLY the new batch, join its keys against the persisted bucket
+    store (batch vs corpus), and expand within-batch bucket pairs —
+    the embedding analog of incremental_dedup_pairs. Returns (a, b)
+    with a < b over the union id space; verify with
+    embedding_pair_distances. Because buckets are per-row under the
+    frozen planes, cross + within-batch + within-indexed candidates
+    union to exactly the full corpus's bucket-collision pairs — the
+    append == rebuild argument the text side gates on."""
+    new_keys = (
+        new_df.where(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).cast("bigint").alias("id"),
+            hyperplane_bucket(vec_col, planes).alias("bucket"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    paths = [store] if isinstance(store, str) else list(store)
+    stored = spark.read.parquet(paths[0]).select("id", "bucket")
+    for p in paths[1:]:
+        stored = stored.unionByName(spark.read.parquet(p).select("id", "bucket"))
+    cross = (
+        stored.select(F.col("id").alias("a"), "bucket")
+        .join(new_keys.select(F.col("id").alias("b"), "bucket"), "bucket")
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+    )
+    within = _bucket_pairs(new_keys.withColumn("_g", F.lit(0)), "_g", "bucket")
+    return cross.unionByName(within).distinct()
+
+
+def embedding_pair_distances(
+    candidates: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    metric: str = "COSINE",
+) -> DataFrame:
+    """Exact distance for candidate pairs (a, b) -> (a, b, distance),
+    vectors pulled candidate-bounded (broadcast semi-join BEFORE the
+    pair joins — the corpus never shuffles). The cosine arithmetic is
+    the SAME norm-precompute fold as embedding_neardup_pairs, so the
+    incremental path's distances are bit-identical to the full-scan
+    path's (and to the oracle's)."""
+    cand_ids = (
+        candidates.select(F.col("a").alias("id"))
+        .unionByName(candidates.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    base = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("v")
+    ).join(F.broadcast(cand_ids), "id", "left_semi")
+    if str(metric).upper() == "COSINE":
+        from sqlite_vector_spark.functions.distance import _dot_sum, snap_zero
+
+        base = base.withColumn("nrm", F.sqrt(_dot_sum(F.col("v"), F.col("v"))))
+        left = base.select(F.col("id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+        right = base.select(F.col("id").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+        denom = F.col("na") * F.col("nb")
+        cos = F.when(denom == F.lit(0.0), F.lit(1.0)).otherwise(
+            F.lit(1.0) - _dot_sum(F.col("va"), F.col("vb")) / denom
+        )
+        return (
+            candidates.join(left, "a").join(right, "b")
+            .select("a", "b", snap_zero(cos).alias("distance"))
+        )
+    from sqlite_vector_spark.functions.distance import distance as _dist
+
+    left = base.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    right = base.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    return (
+        candidates.join(left, "a").join(right, "b")
+        .select("a", "b", _dist(F.col("va"), F.col("vb"), metric).alias("distance"))
+    )
+
+
 def chunk_dedup_stats(
     docs: DataFrame,
     id_col: str = "doc_id",

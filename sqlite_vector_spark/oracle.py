@@ -892,6 +892,28 @@ SELECT a, b, distance FROM (
 WHERE distance < {NEARDUP_T!r}"""
 
 
+def embedding_neardup_representatives_q() -> str:
+    """Transitive closure over the verified embedding near-dup pairs
+    (embedding_neardup_q), every non-NULL vector joined back — the
+    embedding twin of neardup_representatives_q, pinning the
+    incremental bucket-store path's label maintenance."""
+    vid = "CAST(e.vec_id AS BIGINT)"
+    rep = f"coalesce(comp.cluster, {vid})"
+    return f"""WITH RECURSIVE jp AS ({embedding_neardup_q()}),
+edges AS (SELECT a, b FROM jp UNION ALL SELECT b AS a, a AS b FROM jp),
+reach(id, m) AS (
+  SELECT a AS id, a AS m FROM edges
+  UNION
+  SELECT e.a AS id, r.m AS m FROM edges e JOIN reach r ON r.id = e.b
+),
+comp AS (SELECT id, min(m) AS cluster FROM reach GROUP BY id)
+SELECT {vid} AS id, {rep} AS rep_id, {rep} <> {vid} AS is_dup
+FROM embeddings e
+LEFT JOIN comp ON comp.id = CAST(e.vec_id AS BIGINT)
+WHERE e.embedding IS NOT NULL
+ORDER BY id"""
+
+
 def ivf_scan_l2() -> str:
     return ivf_scan("L2")
 

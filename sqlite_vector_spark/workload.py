@@ -1031,6 +1031,66 @@ IVF_NPROBE = 2
 IVF_K = 10
 
 
+def incremental_embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EMBEDDING near-dup label maintenance (r10 — the
+    embedding-side twin of incremental_neardup): vectors with
+    vec_id % 5 != 0 are yesterday's corpus — hyperplane-bucketed into
+    a persisted ~16-byte index (embedding_bucket_store) and labeled
+    by the full bucket -> cosine-verify -> CC pipeline ONCE; today's
+    batch generates candidates against the frozen index
+    (incremental_embedding_pairs), verifies exact cosine on
+    candidate-bounded vector reads (embedding_pair_distances — the
+    SAME norm-precompute fold as the full-scan path, bit-identical
+    distances), and merges into the stored labels via
+    incremental_labels. Buckets are per-row under the frozen planes,
+    so the incremental labeling must equal the full rebuild — the
+    oracle is the representatives closure over the full corpus's
+    verified embedding pairs."""
+    from sqlite_vector_spark.operators.dedup import (
+        connected_components_min_label,
+        embedding_bucket_store,
+        embedding_neardup_pairs,
+        embedding_pair_distances,
+        incremental_embedding_pairs,
+        incremental_labels,
+    )
+
+    emb = _emb(spark, sf_dir)
+    old = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+
+    def build_state(dest: str) -> None:
+        embedding_bucket_store(old, "vec_id", "embedding", HYPERPLANES, dest + "/buckets")
+        edges0 = embedding_neardup_pairs(
+            old, "vec_id", "embedding", HYPERPLANES, NEARDUP_T
+        ).select("a", "b")
+        connected_components_min_label(edges0).write.parquet(dest + "/labels")
+
+    state = _cached_store(spark, sf_dir, "embndstate", build_state)
+    labels0 = spark.read.parquet(state + "/labels")
+    cand = incremental_embedding_pairs(
+        spark, batch, state + "/buckets", "vec_id", "embedding", HYPERPLANES
+    ).localCheckpoint(eager=True)
+    edges = (
+        embedding_pair_distances(cand, emb, "vec_id", "embedding", "COSINE")
+        .where(F.col("distance") < F.lit(NEARDUP_T))
+        .select("a", "b")
+    )
+    comp = incremental_labels(labels0, edges)
+    vid = F.col("vec_id").cast("bigint")
+    return (
+        emb.where(F.col("embedding").isNotNull())
+        .select(vid.alias("vec_id"))
+        .join(F.broadcast(comp), F.col("vec_id") == comp["id"], "left")
+        .select(
+            F.col("vec_id").alias("id"),
+            F.coalesce(F.col("cluster"), F.col("vec_id")).alias("rep_id"),
+        )
+        .withColumn("is_dup", F.col("rep_id") != F.col("id"))
+        .orderBy("id")
+    )
+
+
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token/char/punct/stopword counts + quality score."""
     d = _docs(spark, sf_dir)

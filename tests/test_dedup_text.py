@@ -522,3 +522,67 @@ def test_delete_labels_matches_rebuild(spark):
         ).collect()
     }
     assert got2 == want
+
+
+def test_incremental_embedding_pairs_equals_full_rebuild(spark, emb):
+    """Embedding-side daily-ingest contract (the twin of
+    test_incremental_dedup_equals_full_rebuild): bucketing only the
+    new batch against the persisted hyperplane index yields exactly
+    the full corpus's bucket-collision pairs minus pairs internal to
+    the old corpus; appending the batch's keys closes the store for
+    tomorrow; verified distances are bit-identical to the full-scan
+    path's."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from sqlite_vector_spark.operators.dedup import (
+        embedding_bucket_store,
+        embedding_neardup_pairs,
+        embedding_pair_distances,
+        hyperplane_bucket,
+        incremental_embedding_pairs,
+    )
+    from sqlite_vector_spark.workload import HYPERPLANES, NEARDUP_T
+
+    old = emb.where(F.col("vec_id") % 3 != 0)
+    new = emb.where(F.col("vec_id") % 3 == 0)
+    store = tempfile.mkdtemp() + "/buckets"
+    embedding_bucket_store(old, "vec_id", "embedding", HYPERPLANES, store)
+
+    got = {(r.a, r.b) for r in incremental_embedding_pairs(
+        spark, new, store, "vec_id", "embedding", HYPERPLANES).collect()}
+
+    def coll_pairs(d):
+        keys = d.where(F.col("embedding").isNotNull()).select(
+            F.col("vec_id").cast("bigint").alias("id"),
+            hyperplane_bucket("embedding", HYPERPLANES).alias("bucket"),
+        )
+        x = keys.select(F.col("id").alias("a"), "bucket")
+        y = keys.select(F.col("id").alias("b"), "bucket")
+        return {(r.a, r.b) for r in x.join(y, "bucket")
+                .where(F.col("a") < F.col("b")).distinct().collect()}
+
+    full, old_only = coll_pairs(emb), coll_pairs(old)
+    assert got == full - old_only and got
+
+    # verified distances: incremental verify == full-scan pairs
+    cand = spark.createDataFrame(sorted(got), "a long, b long")
+    inc_edges = {
+        (r.a, r.b, r.distance)
+        for r in embedding_pair_distances(cand, emb, "vec_id", "embedding")
+        .where(F.col("distance") < NEARDUP_T).collect()
+    }
+    full_edges = {
+        (r.a, r.b, r.distance)
+        for r in embedding_neardup_pairs(emb, "vec_id", "embedding", HYPERPLANES, NEARDUP_T)
+        .collect()
+    }
+    new_ids = {r.vec_id for r in new.select("vec_id").collect()}
+    assert inc_edges == {e for e in full_edges if e[0] in new_ids or e[1] in new_ids}
+
+    # append today's keys -> empty batch finds nothing tomorrow
+    embedding_bucket_store(new, "vec_id", "embedding", HYPERPLANES, store, mode="append")
+    got2 = {(r.a, r.b) for r in incremental_embedding_pairs(
+        spark, new.limit(0), store, "vec_id", "embedding", HYPERPLANES).collect()}
+    assert got2 == set()
