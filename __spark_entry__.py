@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_knn_join_l2": w.filtered_knn_join_l2,
         "neardup_after_delete": w.neardup_after_delete_q,
         "incremental_embedding_neardup": w.incremental_embedding_neardup_q,
+        "embedding_neardup_after_delete": w.embedding_neardup_after_delete_q,
         # -- r8-green (2 rounds stale entering r11 — mandatory then)
         "sql_macro_scan": w.sql_macro_scan_q,
         "tvf_full_scan": w.tvf_full_scan_q,
@@ -271,6 +272,10 @@ def oracle_sql() -> dict[str, str]:
         # embedding-side incremental labeling == full rebuild (frozen
         # plane family => candidate union == full bucket collisions)
         "incremental_embedding_neardup": o.embedding_neardup_representatives_q(),
+        # embedding label delete == rebuild over the surviving vectors
+        "embedding_neardup_after_delete": o.embedding_neardup_representatives_q(
+            pred=f"vec_id % {w.DELETE_DOC_MOD} <> {w.DELETE_DOC_REM}"
+        ),
         "full_scan_k_gt_n": o.full_scan("L2", 10_000_000),
         "full_scan_stream_l2": o.full_scan_stream("L2"),
         "quantize_params": o.quantize_params(),

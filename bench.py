@@ -356,6 +356,8 @@ def main():
     # index cached per process; min-of-N measures the append path)
     bench("incremental_embedding_neardup",
           lambda: w.incremental_embedding_neardup_q(spark, SF_DIR).count())
+    bench("embedding_neardup_after_delete",
+          lambda: w.embedding_neardup_after_delete_q(spark, SF_DIR).count())
 
     # round-6: binary quantization (1-bit Hamming prefilter)
     try:

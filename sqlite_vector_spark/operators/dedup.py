@@ -576,6 +576,41 @@ def delete_labels(
     store's append path. Pair with ``sinks.delete_ids`` on the
     persisted band store (partition_col='band') and the docs mirror
     to complete the state takedown."""
+    def edges_of(sub_docs: DataFrame) -> DataFrame:
+        # candidates are reused by jaccard's id-set, intersect, and
+        # size joins — checkpoint the (bucket-bounded) pair set so the
+        # minhash pipeline over the survivors runs once, not per join
+        cand = lsh_candidate_pairs(
+            sub_docs, id_col, text_col, num_hashes, bands, rows_per_band, shingle_n,
+            hash_fn=hash_fn,
+        ).localCheckpoint(eager=True)
+        return (
+            jaccard_pairs(cand, sub_docs, id_col, text_col)
+            .where(F.col("jaccard") >= F.lit(jaccard_t))
+            .select("a", "b")
+        )
+
+    base = docs.select(
+        F.col(id_col).cast("bigint").alias(id_col), F.col(text_col).alias(text_col)
+    )
+    return _takedown_relabel(labels, base, deleted_ids, id_col, edges_of, fast_path_max)
+
+
+def _takedown_relabel(
+    labels: DataFrame,
+    df: DataFrame,
+    deleted_ids,
+    id_col: str,
+    edges_of,
+    fast_path_max: int,
+) -> DataFrame:
+    """Shared takedown core for the text and embedding label states:
+    untouched clusters pass through byte-identical; components holding
+    a deleted id are re-solved from the verified edges ``edges_of``
+    regenerates over their SURVIVING members (pulled candidate-bounded
+    from ``df``); connected_components_min_label picks the solve
+    engine (driver union-find under fast_path_max, the distributed
+    min-label loop beyond)."""
     lab = labels.select(
         F.col("id").cast("bigint").alias("id"), F.col("cluster").cast("bigint").alias("cluster")
     )
@@ -595,27 +630,43 @@ def delete_labels(
         .join(F.broadcast(del_df), "id", "left_anti")
         .select("id")
     )
-    sub_docs = docs.select(
-        F.col(id_col).cast("bigint").alias(id_col), F.col(text_col).alias(text_col)
-    ).join(F.broadcast(survivors), F.col(id_col) == survivors["id"], "left_semi")
-    # candidates are reused by jaccard's id-set, intersect, and size
-    # joins — checkpoint the (bucket-bounded) pair set so the minhash
-    # pipeline over the survivors runs once, not once per join
-    cand = lsh_candidate_pairs(
-        sub_docs, id_col, text_col, num_hashes, bands, rows_per_band, shingle_n,
-        hash_fn=hash_fn,
-    ).localCheckpoint(eager=True)
-    edges = (
-        jaccard_pairs(cand, sub_docs, id_col, text_col)
-        .where(F.col("jaccard") >= F.lit(jaccard_t))
-        .select("a", "b")
-    )
-    # re-solve: connected_components_min_label picks the engine —
-    # driver union-find for a takedown-bounded edge set, the
-    # distributed min-label loop beyond fast_path_max
+    sub = df.join(F.broadcast(survivors), df[id_col] == survivors["id"], "left_semi")
+    edges = edges_of(sub)
     return untouched.unionByName(
         connected_components_min_label(edges, fast_path_max=fast_path_max)
     )
+
+
+def delete_labels_embedding(
+    labels: DataFrame,
+    df: DataFrame,
+    deleted_ids,
+    planes: Sequence[Sequence[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "COSINE",
+    fast_path_max: int = 1_000_000,
+) -> DataFrame:
+    """Remove vectors from an embedding near-dup labeling — the
+    embedding twin of delete_labels, same component argument: buckets
+    are per-row under the frozen planes, so the affected components'
+    surviving members regenerate exactly the original candidate
+    pairs restricted to survivors (embedding_neardup_pairs over the
+    member subset), verified with the same fold, re-clustered;
+    untouched clusters byte-identical; edgeless survivors drop out.
+    Pair with sinks.delete_ids on the bucket store for the full
+    state takedown."""
+
+    def edges_of(sub: DataFrame) -> DataFrame:
+        return embedding_neardup_pairs(
+            sub, id_col, vec_col, planes, threshold, metric
+        ).select("a", "b")
+
+    base = df.select(
+        F.col(id_col).cast("bigint").alias(id_col), F.col(vec_col).alias(vec_col)
+    )
+    return _takedown_relabel(labels, base, deleted_ids, id_col, edges_of, fast_path_max)
 
 
 def hyperplane_bucket(vec: str | Column, planes: Sequence[Sequence[float]]) -> Column:

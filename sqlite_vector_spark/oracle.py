@@ -877,7 +877,13 @@ def _plane_dot(vec: str, plane: list[float]) -> str:
     return _fold(f"list_transform(range(1, {DIM + 1}), i -> CAST({vec}[i] AS DOUBLE) * ({lit})[i])")
 
 
-def embedding_neardup_q() -> str:
+def _emb_src(pred: str | None) -> str:
+    """The embeddings read, optionally pre-filtered — the delete-twin
+    form of the embedding pipelines (mirrors _doc_src)."""
+    return "embeddings" if pred is None else f"(SELECT * FROM embeddings WHERE ({pred}))"
+
+
+def embedding_neardup_q(pred: str | None = None) -> str:
     bucket = " + ".join(
         f"(CASE WHEN {_plane_dot('embedding', plane)} > 0.0 THEN {1 << p} ELSE 0 END)"
         for p, plane in enumerate(HYPERPLANES)
@@ -885,21 +891,23 @@ def embedding_neardup_q() -> str:
     d = dist_sql("COSINE", "va", "vb")
     return f"""WITH base AS (
   SELECT CAST(vec_id AS BIGINT) AS id, embedding AS v, CAST({bucket} AS BIGINT) AS bucket
-  FROM embeddings WHERE embedding IS NOT NULL)
+  FROM {_emb_src(pred)} WHERE embedding IS NOT NULL)
 SELECT a, b, distance FROM (
   SELECT l.id AS a, r.id AS b, {d.replace('va', 'l.v').replace('vb', 'r.v')} AS distance
   FROM base l JOIN base r ON l.bucket = r.bucket AND l.id < r.id)
 WHERE distance < {NEARDUP_T!r}"""
 
 
-def embedding_neardup_representatives_q() -> str:
+def embedding_neardup_representatives_q(pred: str | None = None) -> str:
     """Transitive closure over the verified embedding near-dup pairs
     (embedding_neardup_q), every non-NULL vector joined back — the
     embedding twin of neardup_representatives_q, pinning the
-    incremental bucket-store path's label maintenance."""
+    incremental bucket-store path's label maintenance. ``pred``
+    restricts every embeddings read to the surviving corpus (the
+    delete-twin form)."""
     vid = "CAST(e.vec_id AS BIGINT)"
     rep = f"coalesce(comp.cluster, {vid})"
-    return f"""WITH RECURSIVE jp AS ({embedding_neardup_q()}),
+    return f"""WITH RECURSIVE jp AS ({embedding_neardup_q(pred)}),
 edges AS (SELECT a, b FROM jp UNION ALL SELECT b AS a, a AS b FROM jp),
 reach(id, m) AS (
   SELECT a AS id, a AS m FROM edges
@@ -908,7 +916,7 @@ reach(id, m) AS (
 ),
 comp AS (SELECT id, min(m) AS cluster FROM reach GROUP BY id)
 SELECT {vid} AS id, {rep} AS rep_id, {rep} <> {vid} AS is_dup
-FROM embeddings e
+FROM {_emb_src(pred)} e
 LEFT JOIN comp ON comp.id = CAST(e.vec_id AS BIGINT)
 WHERE e.embedding IS NOT NULL
 ORDER BY id"""

@@ -1091,6 +1091,57 @@ def incremental_embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def embedding_neardup_after_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding label TAKEDOWN gate (delete_labels_embedding — r10,
+    closing the {text, embedding} x {append, takedown} matrix): the
+    corpus is bucket-labeled ONCE (cached pre-takedown state), then
+    vectors with vec_id % DELETE_DOC_MOD == DELETE_DOC_REM are
+    removed — affected components re-solved from surviving members'
+    bucket pairs (frozen planes => exactly the original candidates
+    restricted to survivors), untouched clusters byte-identical. The
+    oracle is the identical embedding closure rebuilt over the
+    surviving vectors: the hash match IS the embedding-side label
+    delete == rebuild proof."""
+    from sqlite_vector_spark.operators.dedup import (
+        connected_components_min_label,
+        delete_labels_embedding,
+        embedding_neardup_pairs,
+    )
+
+    emb = _emb(spark, sf_dir)
+
+    def build_state(dest: str) -> None:
+        edges0 = embedding_neardup_pairs(
+            emb, "vec_id", "embedding", HYPERPLANES, NEARDUP_T
+        ).select("a", "b")
+        connected_components_min_label(edges0).write.parquet(dest + "/labels")
+
+    state = _cached_store(spark, sf_dir, "embdelstate", build_state)
+    labels0 = spark.read.parquet(state + "/labels")
+    deleted = emb.where(
+        F.col("vec_id") % DELETE_DOC_MOD == DELETE_DOC_REM
+    ).select(F.col("vec_id").cast("bigint"))
+    comp = delete_labels_embedding(
+        labels0, emb, deleted, HYPERPLANES, NEARDUP_T,
+        id_col="vec_id", vec_col="embedding",
+    )
+    vid = F.col("vec_id").cast("bigint")
+    return (
+        emb.where(
+            (F.col("vec_id") % DELETE_DOC_MOD != DELETE_DOC_REM)
+            & F.col("embedding").isNotNull()
+        )
+        .select(vid.alias("vec_id"))
+        .join(F.broadcast(comp), F.col("vec_id") == comp["id"], "left")
+        .select(
+            F.col("vec_id").alias("id"),
+            F.coalesce(F.col("cluster"), F.col("vec_id")).alias("rep_id"),
+        )
+        .withColumn("is_dup", F.col("rep_id") != F.col("id"))
+        .orderBy("id")
+    )
+
+
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token/char/punct/stopword counts + quality score."""
     d = _docs(spark, sf_dir)

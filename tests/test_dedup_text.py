@@ -586,3 +586,42 @@ def test_incremental_embedding_pairs_equals_full_rebuild(spark, emb):
     got2 = {(r.a, r.b) for r in incremental_embedding_pairs(
         spark, new.limit(0), store, "vec_id", "embedding", HYPERPLANES).collect()}
     assert got2 == set()
+
+
+def test_delete_labels_embedding_matches_rebuild(spark, emb):
+    """Embedding label takedown == full pipeline rebuild over the
+    surviving vectors, both solve engines — the embedding twin of
+    test_delete_labels_matches_rebuild on real fixture data (cluster
+    members chosen from the actual verified pair set so deletions
+    genuinely force component re-solves)."""
+    import pyspark.sql.functions as F
+
+    from sqlite_vector_spark.operators.dedup import (
+        connected_components_min_label,
+        delete_labels_embedding,
+        embedding_neardup_pairs,
+    )
+    from sqlite_vector_spark.workload import HYPERPLANES, NEARDUP_T
+
+    def labels_of(d):
+        edges = embedding_neardup_pairs(
+            d, "vec_id", "embedding", HYPERPLANES, NEARDUP_T
+        ).select("a", "b")
+        return connected_components_min_label(edges)
+
+    labels0 = labels_of(emb).localCheckpoint(eager=True)
+    members = sorted(r.id for r in labels0.collect())
+    assert len(members) >= 4
+    deleted = members[::3][:5]  # real cluster members -> re-solves
+    survivors = emb.where(~F.col("vec_id").isin(deleted))
+    want = {(r.id, r.cluster) for r in labels_of(survivors).collect()}
+    for fpm in (1_000_000, 0):
+        got = {
+            (r.id, r.cluster)
+            for r in delete_labels_embedding(
+                labels0, emb, deleted, HYPERPLANES, NEARDUP_T,
+                fast_path_max=fpm,
+            ).collect()
+        }
+        assert got == want, fpm
+    assert not set(deleted) & {i for i, _ in want}
