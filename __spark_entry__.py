@@ -139,9 +139,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 50-entry r9-gated block at the bottom is mandatory in r12.
         "filtered_full_scan_l2": w.filtered_full_scan_l2,
         # -- new in r10 (never gated): store DELETE maintenance,
-        #    filtered multi-query join, near-dup label takedown —
-        #    next free slots after the r11 mandatory cohort
-        #    (1 + 43 + 3 = 47 of 50: the window fits all of them)
+        #    filtered multi-query join, and the {text, embedding} x
+        #    {append, takedown} label-maintenance matrix — next free
+        #    slots after the r11 mandatory cohort (1 + 5 + 43 = 49
+        #    of 50: the window fits all of them plus one spare)
         "quantize_scan_after_delete_l2": w.quantize_scan_after_delete_l2,
         "filtered_knn_join_l2": w.filtered_knn_join_l2,
         "neardup_after_delete": w.neardup_after_delete_q,
