@@ -120,6 +120,7 @@ def main():
         ("quantize_scan_after_delete_l2", "post-delete replica scan: plain parquet scan of the rewritten store — no tombstone filter, no anti-join at query time; the delete already happened at maintenance time", w.quantize_scan_after_delete_l2),
         ("filtered_knn_join_l2", "filtered multi-query join: predicate pushed into the corpus scan, broadcast query side, salted/windowed top-k per query", w.filtered_knn_join_l2),
         ("neardup_after_delete", "label takedown: affected components re-solved from surviving members only (candidate-bounded), untouched labels pass through; merge is a driver union-find, zero CC rounds", w.neardup_after_delete_q),
+        ("incremental_embedding_neardup", "embedding append path: batch bucketed against the frozen ~16-byte index, exact-cosine verify candidate-bounded, label merge — corpus vectors never re-bucketed", w.incremental_embedding_neardup_q),
     ]
 
     print("# PLANS — physical plans of headline operators (sf0.001, AQE on)")
