@@ -748,18 +748,23 @@ def embedding_bucket_store(
     mode: str = "overwrite",
 ) -> None:
     """Persist the (id, bucket) hyperplane-LSH index — the embedding
-    analog of lsh_band_store. Written partitioned by bucket so a
-    batch's collision join prunes to matching bucket directories;
-    ``mode="append"`` is the daily-ingest path (buckets depend only
-    on the FROZEN plane family, so append == rebuild exactly, the
-    same contract as the band/IVF/quantize stores). ~16 bytes per
-    row: the corpus vectors are never copied into the index — the
-    verify step reads them back candidate-bounded."""
+    analog of lsh_band_store. Written FLAT, hash-distributed and
+    sorted on bucket within each file (row-group min/max skipping),
+    NOT partitionBy(bucket): bucket cardinality is 2^planes, and a
+    directory per value melts the filesystem at a realistic plane
+    count (measured: p=20 at 1M rows -> ~50k directories, the store
+    write 20x slower than the clustering it indexes; the text band
+    store partitions by its 4-value band key, which has no bucket
+    analog). ``mode="append"`` is the daily-ingest path (buckets
+    depend only on the FROZEN plane family, so append == rebuild
+    exactly, the same contract as the band/IVF/quantize stores).
+    ~16 bytes per row: the corpus vectors are never copied into the
+    index — the verify step reads them back candidate-bounded."""
     keys = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).cast("bigint").alias("id"),
         hyperplane_bucket(vec_col, planes).alias("bucket"),
     )
-    keys.write.partitionBy("bucket").mode(mode).parquet(dest)
+    keys.repartition("bucket").sortWithinPartitions("bucket").write.mode(mode).parquet(dest)
 
 
 def incremental_embedding_pairs(
