@@ -67,88 +67,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return _q({
         # ---- ORDER MATTERS: the driver adjudicates the FIRST 50
-        # entries. Round-10 rotation (VERDICT r9 #1, exactly as the
-        # r9 horizon comment staged it): (1) the TWO never-driver-
-        # gated late-r9 novel operators (incremental_neardup — the
-        # label-merge append path; filtered_quantize_scan_l2 — the
-        # include_cols replica WHERE); (2) the FULL 48-entry cohort
-        # whose latest driver green is r7 (2 rounds stale entering
-        # r10 — the staleness invariant breaks if any miss this
-        # window). 2 + 48 = 50.
-        # -- (1) never-gated late-r9 entries
-        "incremental_neardup": w.incremental_neardup_q,
-        "filtered_quantize_scan_l2": w.filtered_quantize_scan_l2,
-        # -- (2) the r7-latest cohort, all 48
-        "bf16_scan_l2": w.bf16_scan_l2,
-        "chunk_dedup": w.chunk_dedup_q,
-        "contamination_check": w.contamination_check_q,
-        "corpus_prep": w.corpus_prep_q,
-        "dedup_exact": w.dedup_exact_q,
-        "embedding_centroids": w.embedding_centroids_q,
-        "embedding_code_dedup": w.embedding_code_dedup_q,
-        "embedding_neardup": w.embedding_neardup_q,
-        "fingerprint": w.fingerprint_q,
-        "i8_scan_l2": w.i8_scan_l2,
-        "lang_id": w.lang_id_q,
-        "minhash_signatures": w.minhash_sig_q,
-        "pricing_summary": w.pricing_summary,
-        "promo_revenue_share": w.promo_revenue_share,
-        "quality_rejects": w.quality_rejects,
-        "random_projection": w.random_projection_q,
-        "recall_at_k": w.recall_at_k,
-        "region_volume": w.region_volume,
-        "repetition_scores": w.repetition_scores_q,
-        "shipping_priority": w.shipping_priority,
-        "simhash": w.simhash_q,
-        "text_normalize": w.text_normalize_q,
-        "token_budget_pack": w.token_budget_pack_q,
-        "token_counts": w.token_counts_q,
-        "ivf_pq_residual_scan_l2": w.ivf_pq_residual_scan_l2,
-        "full_scan_l2": w.full_scan_l2,
-        "full_scan_cosine": w.full_scan_cosine,
-        "full_scan_dot": w.full_scan_dot,
-        "full_scan_l1": w.full_scan_l1,
-        "full_scan_squared_l2": w.full_scan_squared_l2,
-        "full_scan_stream_l2": w.full_scan_stream_l2,
-        "quantize_scan_cosine": w.quantize_scan_cosine,
-        "quantize_scan_dot": w.quantize_scan_dot,
-        "quantize_scan_l1": w.quantize_scan_l1,
-        "quantize_scan_squared_l2": w.quantize_scan_squared_l2,
-        "quantize_scan_stream_l2": w.quantize_scan_stream_l2,
-        "rerank_scan_l2": w.rerank_scan_l2,
-        "u8_scan_cosine": w.u8_scan_cosine,
-        "knn_join_cosine": w.knn_join_cosine,
-        "knn_join_back": w.knn_join_back,
-        "ivf_scan_l2": w.ivf_scan_l2,
-        "ivf_scan_cosine": w.ivf_scan_cosine,
-        "ivf_knn_join_l2": w.ivf_knn_join_l2_q,
-        "ivf_recall_at_k": w.ivf_recall_at_k_q,
-        "ivf_kmeans_scan_l2": w.ivf_kmeans_scan_l2,
-        "lsh_scan_cosine": w.lsh_scan_cosine,
-        "codec_json_roundtrip": w.codec_json_roundtrip,
-        "passage_dedup": w.passage_dedup_q,
-        # ---- past the 50-entry gate horizon: every entry below is
-        # r8/r9-green with its subsystem and oracle text unchanged
-        # (the local tools/check_oracle.py sweep re-verifies ALL
-        # entries every round). ROUND-11 ROTATION MATH: the mandatory
-        # cohort entering r11 at 2 rounds stale is the 43-entry
-        # r8-latest block below; filtered_full_scan_l2 (the one
-        # remaining never-gated r9 entry) leads, and the new-in-r10
-        # entries (quantize_scan_after_delete_l2, filtered_knn_join_l2)
-        # take the remaining slots: 1 + 43 + new = window; the
-        # 50-entry r9-gated block at the bottom is mandatory in r12.
+        # entries. Round-11 rotation (VERDICT r10 #1, exactly as the
+        # r10 horizon comment staged it): (1) filtered_full_scan_l2 —
+        # the one remaining never-gated r9 entry; (2) the FIVE
+        # never-gated r10 entries (store DELETE, filtered multi-query
+        # join, the {text, embedding} x {append, takedown} label
+        # matrix); (3) ivf_scan_after_delete_l2 — NEW in r11, the
+        # one-call takedown orchestrator driving the PARTITIONED
+        # delete arm (the spare slot, VERDICT r10 #2); (4) the FULL
+        # 43-entry cohort whose latest driver green is r8 (2 rounds
+        # stale entering r11 — the staleness invariant edge).
+        # 1 + 5 + 1 + 43 = 50.
+        # -- (1) never-gated late-r9 filtered search
         "filtered_full_scan_l2": w.filtered_full_scan_l2,
-        # -- new in r10 (never gated): store DELETE maintenance,
-        #    filtered multi-query join, and the {text, embedding} x
-        #    {append, takedown} label-maintenance matrix — next free
-        #    slots after the r11 mandatory cohort (1 + 5 + 43 = 49
-        #    of 50: the window fits all of them plus one spare)
+        # -- (2) never-gated r10 delete/filtered-join matrix
         "quantize_scan_after_delete_l2": w.quantize_scan_after_delete_l2,
         "filtered_knn_join_l2": w.filtered_knn_join_l2,
         "neardup_after_delete": w.neardup_after_delete_q,
         "incremental_embedding_neardup": w.incremental_embedding_neardup_q,
         "embedding_neardup_after_delete": w.embedding_neardup_after_delete_q,
-        # -- r8-green (2 rounds stale entering r11 — mandatory then)
+        # -- (3) NEW r11: one-call takedown orchestrator, IVF tier
+        "ivf_scan_after_delete_l2": w.ivf_scan_after_delete_l2,
+        # -- (4) the r8-latest cohort, all 43
         "sql_macro_scan": w.sql_macro_scan_q,
         "tvf_full_scan": w.tvf_full_scan_q,
         "token_cooccurrence": w.token_cooccurrence_q,
@@ -192,7 +132,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": w.bm25_topk_q,
         "hybrid_rrf": w.hybrid_rrf_q,
         "lm_doc_scores": w.lm_doc_scores_q,
-        # -- r9-gated (freshest greens — mandatory in r12)
+        # ---- past the 50-entry gate horizon: every entry below is
+        # r9/r10-green with its subsystem and oracle text unchanged
+        # (the local tools/check_oracle.py sweep re-verifies ALL 150
+        # entries every round). ROUND-12 ROTATION MATH: the mandatory
+        # cohort entering r12 at 2 rounds stale is the 50-entry
+        # r9-gated block directly below — it fills the window exactly
+        # (50 of 50, no spare); the 50-entry r10-gated block at the
+        # bottom is mandatory in r13. A NEW r12 entry therefore needs
+        # a swap: displace one r9 entry only if its subsystem is
+        # pinned by an equality test to an in-window twin, and note
+        # the displacement here.
+        # -- r9-gated (mandatory in r12)
         "incremental_dedup": w.incremental_dedup_q,
         "pq_scan_l2": w.pq_scan_l2,
         "pq_rerank_scan_l2": w.pq_rerank_scan_l2,
@@ -243,6 +194,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bq_knn_join_projected": w.bq_knn_join_projected_q,
         "bq_band_scan": w.bq_band_scan_q,
         "passage_strip_frozen": w.passage_strip_frozen_q,
+        # -- r10-gated (freshest greens — mandatory in r13)
+        "incremental_neardup": w.incremental_neardup_q,
+        "filtered_quantize_scan_l2": w.filtered_quantize_scan_l2,
+        "bf16_scan_l2": w.bf16_scan_l2,
+        "chunk_dedup": w.chunk_dedup_q,
+        "contamination_check": w.contamination_check_q,
+        "corpus_prep": w.corpus_prep_q,
+        "dedup_exact": w.dedup_exact_q,
+        "embedding_centroids": w.embedding_centroids_q,
+        "embedding_code_dedup": w.embedding_code_dedup_q,
+        "embedding_neardup": w.embedding_neardup_q,
+        "fingerprint": w.fingerprint_q,
+        "i8_scan_l2": w.i8_scan_l2,
+        "lang_id": w.lang_id_q,
+        "minhash_signatures": w.minhash_sig_q,
+        "pricing_summary": w.pricing_summary,
+        "promo_revenue_share": w.promo_revenue_share,
+        "quality_rejects": w.quality_rejects,
+        "random_projection": w.random_projection_q,
+        "recall_at_k": w.recall_at_k,
+        "region_volume": w.region_volume,
+        "repetition_scores": w.repetition_scores_q,
+        "shipping_priority": w.shipping_priority,
+        "simhash": w.simhash_q,
+        "text_normalize": w.text_normalize_q,
+        "token_budget_pack": w.token_budget_pack_q,
+        "token_counts": w.token_counts_q,
+        "ivf_pq_residual_scan_l2": w.ivf_pq_residual_scan_l2,
+        "full_scan_l2": w.full_scan_l2,
+        "full_scan_cosine": w.full_scan_cosine,
+        "full_scan_dot": w.full_scan_dot,
+        "full_scan_l1": w.full_scan_l1,
+        "full_scan_squared_l2": w.full_scan_squared_l2,
+        "full_scan_stream_l2": w.full_scan_stream_l2,
+        "quantize_scan_cosine": w.quantize_scan_cosine,
+        "quantize_scan_dot": w.quantize_scan_dot,
+        "quantize_scan_l1": w.quantize_scan_l1,
+        "quantize_scan_squared_l2": w.quantize_scan_squared_l2,
+        "quantize_scan_stream_l2": w.quantize_scan_stream_l2,
+        "rerank_scan_l2": w.rerank_scan_l2,
+        "u8_scan_cosine": w.u8_scan_cosine,
+        "knn_join_cosine": w.knn_join_cosine,
+        "knn_join_back": w.knn_join_back,
+        "ivf_scan_l2": w.ivf_scan_l2,
+        "ivf_scan_cosine": w.ivf_scan_cosine,
+        "ivf_knn_join_l2": w.ivf_knn_join_l2_q,
+        "ivf_recall_at_k": w.ivf_recall_at_k_q,
+        "ivf_kmeans_scan_l2": w.ivf_kmeans_scan_l2,
+        "lsh_scan_cosine": w.lsh_scan_cosine,
+        "codec_json_roundtrip": w.codec_json_roundtrip,
+        "passage_dedup": w.passage_dedup_q,
     })
 
 
@@ -265,6 +267,12 @@ def oracle_sql() -> dict[str, str]:
             "L2", f"id % {w.DELETE_MOD} <> {w.DELETE_REM}"
         ),
         "filtered_knn_join_l2": o.filtered_knn_join("L2", w.FILTER_PRED),
+        # r11 orchestrator gate: the PARTITIONED store's delete ==
+        # filtered-rebuild — frozen (unfiltered) centroids, survivor
+        # predicate on assigned rows only
+        "ivf_scan_after_delete_l2": o.ivf_scan(
+            "L2", pred=f"id % {w.DELETE_MOD} <> {w.DELETE_REM}"
+        ),
         # label-side delete == rebuild: the identical representatives
         # closure over the SURVIVING corpus
         "neardup_after_delete": o.neardup_representatives_q(

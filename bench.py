@@ -105,6 +105,11 @@ def main():
     # so min-of-N measures the SCAN over the rewritten store)
     bench("filtered_knn_join", lambda: w.filtered_knn_join_l2(spark, SF_DIR).count())
     bench("quantize_scan_after_delete", lambda: w.quantize_scan_after_delete_l2(spark, SF_DIR).collect())
+    # round-11: the one-call takedown orchestrator driving the
+    # PARTITIONED (IVF) delete arm; store built + taken down once per
+    # process, min-of-N measures the pruned probe over the rewritten
+    # partitions
+    bench("ivf_scan_after_delete", lambda: w.ivf_scan_after_delete_l2(spark, SF_DIR).collect())
 
     # quantize build (the EP2 two-pass index build) + approximate scan
     import tempfile

@@ -79,6 +79,20 @@ class VectorContext:
     # ctx.dimension silently yields wrong/empty band collisions
     mih_planes: list | None = None
     mih_center: list | None = None
+    # r11: near-dup STATE registration — the stores/states the
+    # one-call takedown orchestrator (sinks.takedown) must maintain
+    # beyond the vector tiers above. Paths only: each store/state
+    # carries its own frozen pipeline params in a _sv_params.json
+    # sidecar (written by lsh_band_store / embedding_bucket_store /
+    # write_label_state), so the takedown re-solve can never run
+    # with mismatched defaults.
+    band_store_path: str | None = None
+    docs_mirror_path: str | None = None
+    text_labels_path: str | None = None
+    bucket_store_path: str | None = None
+    vectors_mirror_path: str | None = None
+    embedding_labels_path: str | None = None
+    stream_state_dir: str | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -158,6 +172,9 @@ class VectorCatalog:
                 "ivf_path", "ivf_centroids", "pq_path", "pq_codebooks", "pq_residual",
                 "pq_rotation", "bq_path", "bq_thresholds",
                 "mih_path", "mih_band_bits", "mih_planes", "mih_center",
+                "band_store_path", "docs_mirror_path", "text_labels_path",
+                "bucket_store_path", "vectors_mirror_path",
+                "embedding_labels_path", "stream_state_dir",
             ):
                 setattr(ctx, k, persisted.get(k))
         self._contexts[key] = ctx
@@ -219,6 +236,55 @@ class VectorCatalog:
             [[float(x) for x in row] for row in planes] if planes is not None else None
         )
         ctx.mih_center = [float(x) for x in center] if center is not None else None
+        self._serialize(ctx)
+
+    def set_text_neardup_state(
+        self, table: str, column: str, *,
+        band_store: str | None = None,
+        docs_mirror: str | None = None,
+        labels: str | None = None,
+    ) -> None:
+        """Register the TEXT near-dup state tiers for the one-call
+        takedown (sinks.takedown): the persisted LSH band store
+        (dedup.lsh_band_store), the docs mirror it was built from
+        (the label re-solve reads surviving members' text from it),
+        and the (id, cluster) label state (dedup.write_label_state —
+        its params sidecar carries the frozen LSH family)."""
+        ctx = self.get(table, column)
+        if band_store is not None:
+            ctx.band_store_path = band_store
+        if docs_mirror is not None:
+            ctx.docs_mirror_path = docs_mirror
+        if labels is not None:
+            ctx.text_labels_path = labels
+        self._serialize(ctx)
+
+    def set_embedding_neardup_state(
+        self, table: str, column: str, *,
+        bucket_store: str | None = None,
+        vectors_mirror: str | None = None,
+        labels: str | None = None,
+    ) -> None:
+        """Register the EMBEDDING near-dup state tiers for the
+        one-call takedown: the hyperplane bucket store
+        (dedup.embedding_bucket_store — planes ride in its sidecar),
+        the vectors mirror the verify step reads candidate-bounded,
+        and the label state (sidecar: planes/threshold/metric)."""
+        ctx = self.get(table, column)
+        if bucket_store is not None:
+            ctx.bucket_store_path = bucket_store
+        if vectors_mirror is not None:
+            ctx.vectors_mirror_path = vectors_mirror
+        if labels is not None:
+            ctx.embedding_labels_path = labels
+        self._serialize(ctx)
+
+    def set_stream_state(self, table: str, column: str, *, state_dir: str) -> None:
+        """Register an ingest_stream_neardup state directory so the
+        one-call takedown also rewrites the per-epoch streaming state
+        (streaming.scoring.takedown_stream_state)."""
+        ctx = self.get(table, column)
+        ctx.stream_state_dir = state_dir
         self._serialize(ctx)
 
     def drop(self, table: str, column: str) -> None:

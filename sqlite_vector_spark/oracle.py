@@ -1019,10 +1019,16 @@ ORDER BY distance ASC, id ASC
 LIMIT {k}"""
 
 
-def ivf_scan(metric: str) -> str:
+def ivf_scan(metric: str, pred: str | None = None) -> str:
+    """``pred`` (over ``id``) is the survivor predicate for the store
+    DELETE gate: the cent CTE stays UNFILTERED (frozen centroids —
+    the delete does not re-fit, same contract as the quantize twin)
+    and row assignment is per-row, so filtering assigned rows equals
+    deleting them from the partitioned store."""
     d_assign = dist_sql("L2", "e.embedding", "c.cv")
     d_probe = dist_sql("L2", "cv", "q")
     d_final = dist_sql(metric, "v", "q")
+    survives = f" AND ({pred})" if pred else ""
     return f"""WITH qq AS (SELECT {qvec_literal(Q64)} AS q),
 cent AS (SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_C}),
 assign AS (
@@ -1038,7 +1044,7 @@ probes AS (
   WHERE rn <= {IVF_NPROBE})
 SELECT id, {d_final} AS distance
 FROM assign, qq
-WHERE cluster IN (SELECT cid FROM probes)
+WHERE cluster IN (SELECT cid FROM probes){survives}
 ORDER BY distance ASC, id ASC
 LIMIT {IVF_K}"""
 

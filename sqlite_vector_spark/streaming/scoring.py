@@ -258,6 +258,14 @@ def ingest_stream_neardup(
     bands_root = os.path.join(state_dir, "bands")
     docs_root = os.path.join(state_dir, "docs")
     labels_root = os.path.join(state_dir, "labels")
+    # r11: freeze the state's pipeline params at the state root so the
+    # takedown verb resolves them from the state itself instead of
+    # trusting re-passed defaults (sinks.check_frozen_params raises on
+    # a conflicting restart)
+    from sqlite_vector_spark.sinks import check_frozen_params, write_params_sidecar
+
+    _prm = {"id_col": id_col, "text_col": text_col, "jaccard_min": jaccard_min}
+    write_params_sidecar(state_dir, {**_prm, **check_frozen_params(state_dir, _prm)})
 
     def _epochs(root: str, below: int) -> list[int]:
         # fullmatch, not startswith+int: a leftover staging dir like
@@ -326,9 +334,9 @@ def takedown_stream_state(
     spark,
     state_dir: str,
     doc_ids,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    jaccard_min: float = 0.8,
+    id_col: str | None = None,
+    text_col: str | None = None,
+    jaccard_min: float | None = None,
 ) -> dict:
     """Takedown maintenance for ingest_stream_neardup state — the
     streaming face of the r10 delete verb: remove docs from the
@@ -347,12 +355,25 @@ def takedown_stream_state(
     and the LATEST labels epoch is re-solved via
     operators.dedup.delete_labels over the surviving doc mirror — a
     replayed or restarted epoch then reads exactly the post-takedown
-    state. Returns per-root delete report counts."""
+    state. Returns per-root delete report counts.
+
+    r11: id_col/text_col/jaccard_min left at None resolve from the
+    state's ``_sv_params.json`` sidecar (written by
+    ingest_stream_neardup); an explicit conflicting value raises —
+    re-solving the labels with a different threshold than the stream
+    maintains them with would silently fork the state."""
     import os
     import re
 
     from sqlite_vector_spark.operators.dedup import delete_labels
-    from sqlite_vector_spark.sinks import delete_ids
+    from sqlite_vector_spark.sinks import check_frozen_params, delete_ids
+
+    prm = check_frozen_params(state_dir, {
+        "id_col": id_col, "text_col": text_col, "jaccard_min": jaccard_min,
+    })
+    id_col = prm.get("id_col", "doc_id")
+    text_col = prm.get("text_col", "text")
+    jaccard_min = prm.get("jaccard_min", 0.8)
 
     bands_root = os.path.join(state_dir, "bands")
     docs_root = os.path.join(state_dir, "docs")

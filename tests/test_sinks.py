@@ -292,12 +292,20 @@ def test_delete_ids_everywhere_cascades_all_tiers(spark, emb, tmp_path):
         left = {r.id for r in spark.read.parquet(str(tmp_path / path)).select("id").collect()}
         assert not (left & set(victims)), name
         assert len(left) > 0, name
-    # layouts detected: ivf pruned per-cluster, mih hit all 8 bands
+    # layouts detected: ivf pruned per-cluster
     assert reports["ivf"]["partitions_rewritten"] >= 1
-    assert reports["mih"]["partitions_rewritten"] == 8
+    assert reports["ivf"]["strategy"] == "in_place"
     assert reports["quantized"]["partitions_rewritten"] == -1  # flat rewrite
-    # mih deleted one row per (id, band): 3 ids x 8 bands
-    assert reports["mih"]["deleted_rows"] == 24
+    # r11 cheaper arm: with the BQ code table registered, the MIH band
+    # store (where an in-place delete rewrites EVERY band) is rebuilt
+    # from the post-delete codes instead (measured 0.9x in-place at 1M)
+    assert reports["mih"]["strategy"] == "rebuild_from_codes"
+    n_left = spark.read.parquet(str(tmp_path / "bq")).count()
+    assert reports["mih"]["code_rows"] == n_left
+    # band expansion intact: every surviving id in all 8 bands, bv-sorted
+    mih = spark.read.parquet(str(tmp_path / "mih"))
+    assert mih.count() == n_left * 8
+    assert mih.select("b").distinct().count() == 8
 
 
 def test_delete_ids_flat_all_rows(spark, emb, tmp_path):
@@ -328,6 +336,24 @@ def test_quantize_scan_after_delete_plan_has_no_query_time_filter(spark):
     assert "TakeOrderedAndProject" in plan
     # the only join is the broadcast of the 1-row params frame
     assert "SortMergeJoin" not in plan and "anti" not in plan.lower()
+
+
+def test_ivf_scan_after_delete_plan_prunes_partitions_no_tombstone(spark):
+    """The orchestrator-built post-takedown IVF probe must be a plain
+    PARTITION-PRUNED scan: PartitionFilters on the probed clusters,
+    no tombstone filter, no anti-join at query time (the delete
+    rewrote the victim clusters at maintenance time — r11 PLANS.md
+    property pin)."""
+    import os
+
+    from sqlite_vector_spark import workload as w
+
+    sf = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+    df = w.ivf_scan_after_delete_l2(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "PartitionFilters: [cluster" in plan
+    assert "Join" not in plan and "anti" not in plan.lower()
 
 
 def test_lifecycle_delete_append_compact_compose(spark, emb, tmp_path):

@@ -106,15 +106,17 @@ def test_spot_oracle_match(spark, duck, name):
     assert srows == orows
 
 
-def test_gate_window_contains_round10_rotation():
+def test_gate_window_contains_round11_rotation():
     """The driver adjudicates only the FIRST 50 queries() entries, so
-    window membership is part of the declared evidence plan: the TWO
-    never-driver-gated late-r9 novel operators plus the FULL 48-entry
-    r7-latest cohort (staleness invariant: nothing may go 3 rounds
-    without a driver green) must sit inside positions 1-50, keys must
-    be unique, and the inventory must match oracle_sql 1:1 (an insert
-    that silently pushes an intended entry past the horizon breaks
-    the rotation bookkeeping — this pins it)."""
+    window membership is part of the declared evidence plan:
+    filtered_full_scan_l2 (the last never-gated r9 entry), the FIVE
+    never-gated r10 delete/filtered-join entries, the NEW r11
+    orchestrator gate (ivf_scan_after_delete_l2), and the FULL
+    43-entry r8-latest cohort (staleness invariant: nothing may go 3
+    rounds without a driver green) must sit inside positions 1-50,
+    keys must be unique, and the inventory must match oracle_sql 1:1
+    (an insert that silently pushes an intended entry past the
+    horizon breaks the rotation bookkeeping — this pins it)."""
     import __spark_entry__ as e
 
     keys = list(e.queries().keys())
@@ -122,26 +124,30 @@ def test_gate_window_contains_round10_rotation():
     assert set(keys) == set(e.oracle_sql())
     window = set(keys[:50])
     must_gate = [
-        # never-gated late-r9 novel operators
-        "incremental_neardup", "filtered_quantize_scan_l2",
-        # the 48-entry cohort whose latest driver green is r7
-        "bf16_scan_l2", "chunk_dedup", "contamination_check",
-        "corpus_prep", "dedup_exact", "embedding_centroids",
-        "embedding_code_dedup", "embedding_neardup", "fingerprint",
-        "i8_scan_l2", "lang_id", "minhash_signatures",
-        "pricing_summary", "promo_revenue_share", "quality_rejects",
-        "random_projection", "recall_at_k", "region_volume",
-        "repetition_scores", "shipping_priority", "simhash",
-        "text_normalize", "token_budget_pack", "token_counts",
-        "ivf_pq_residual_scan_l2", "full_scan_l2", "full_scan_cosine",
-        "full_scan_dot", "full_scan_l1", "full_scan_squared_l2",
-        "full_scan_stream_l2", "quantize_scan_cosine",
-        "quantize_scan_dot", "quantize_scan_l1",
-        "quantize_scan_squared_l2", "quantize_scan_stream_l2",
-        "rerank_scan_l2", "u8_scan_cosine", "knn_join_cosine",
-        "knn_join_back", "ivf_scan_l2", "ivf_scan_cosine",
-        "ivf_knn_join_l2", "ivf_recall_at_k", "ivf_kmeans_scan_l2",
-        "lsh_scan_cosine", "codec_json_roundtrip", "passage_dedup",
+        # never-gated late-r9 filtered search
+        "filtered_full_scan_l2",
+        # never-gated r10 delete/filtered-join matrix
+        "quantize_scan_after_delete_l2", "filtered_knn_join_l2",
+        "neardup_after_delete", "incremental_embedding_neardup",
+        "embedding_neardup_after_delete",
+        # new in r11: the one-call takedown orchestrator gate
+        "ivf_scan_after_delete_l2",
+        # the 43-entry cohort whose latest driver green is r8
+        "sql_macro_scan", "tvf_full_scan", "token_cooccurrence",
+        "neardup_keep_best", "hybrid_rrf_batch", "ivf_recall_curve",
+        "source_snapshot_drift", "approx_quantile_audit",
+        "asof_forward_events", "asof_join_events",
+        "asof_null_carry_events", "asof_tolerance_events",
+        "balanced_sample", "bpe_token_counts", "doc_split_assign",
+        "embedding_dim_stats", "events_hourly", "events_props_agg",
+        "events_rollup", "full_scan_k_gt_n", "normalize",
+        "order_priority_counts", "pii_scrub", "purchase_session_join",
+        "quantize_codes", "quantize_memory", "sample_mix",
+        "sessionize", "simhash_neardup", "source_stats",
+        "token_doc_freq", "top_customers", "value_quantiles",
+        "value_winsorize", "user_rolling", "user_decay", "bq_codes",
+        "bq_scan_hamming", "bq_rerank_scan_l2", "opq_scan_l2",
+        "bm25_topk", "hybrid_rrf", "lm_doc_scores",
     ]
     assert len(must_gate) == 50
     missing = [k for k in must_gate if k not in window]
