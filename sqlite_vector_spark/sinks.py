@@ -222,17 +222,22 @@ def delete_ids(
         }
 
     # (1) column-pruned probe: which partition directories hold ids?
-    # (hit is bounded by |ids| x rows-per-id, checkpointed so the
-    # probe scan runs once for the dir set and the deleted count)
+    # hit is bounded by |ids| x rows-per-id (the same bounded-driver
+    # class as the broadcast id set itself), so collect it in ONE
+    # pass and derive the dir set + deleted count driver-side — the
+    # r10 shape (checkpoint, then distinct + count) inherited the
+    # scan's partitioning and re-scheduled ~C near-empty tasks per
+    # follow-up job, which at C=4096 made the probe 3x its scan cost
+    # (measured r11, SCALE.md)
     hit = (
         df.select(key.alias("_k"), F.col(partition_col))
         .join(F.broadcast(ids_df), F.col("_k") == F.col("_del_id"), "left_semi")
-        .localCheckpoint(eager=True)
+        .collect()
     )
-    affected = [r[0] for r in hit.select(partition_col).distinct().collect()]
+    affected = sorted({r[1] for r in hit})
     if not affected:
         return {"deleted_rows": 0, "rows_after": None, "partitions_rewritten": 0}
-    deleted = hit.count()
+    deleted = len(hit)
     # (2) pruned re-read of ONLY the affected partitions. Map each
     # affected VALUE to its on-disk directory by percent-decoding the
     # actual root listing (how Spark encoded it), and refuse if any

@@ -314,6 +314,29 @@ def test_vacuum_store_reclaims_retained_layouts(spark, emb, tmp_path):
         vacuum_store(str(tmp_path / "never_existed"))
 
 
+def test_takedown_reaches_registered_stream_state(spark, emb, docs, tmp_path):
+    """A catalog-registered streaming state is part of the one-call
+    cascade: takedown() rewrites its per-epoch docs and labels too."""
+    from sqlite_vector_spark.catalog import VectorCatalog
+    from sqlite_vector_spark.sinks import takedown, write_params_sidecar
+
+    emb.createOrReplaceTempView("td_stream")
+    cat = VectorCatalog(str(tmp_path / "cat4"))
+    cat.vector_init(emb, "td_stream", "embedding", f"type=FLOAT32,dimension={DIM},distance=L2")
+    state = str(tmp_path / "sstate")
+    os.makedirs(state)
+    write_params_sidecar(state, {"id_col": "doc_id", "text_col": "text", "jaccard_min": 0.6})
+    docs.limit(20).select(F.col("doc_id").cast("bigint").alias("doc_id"), "text").write.parquet(
+        f"{state}/docs/epoch=0")
+    spark.createDataFrame([(1, 1), (2, 1)], "id bigint, cluster bigint").write.parquet(
+        f"{state}/labels/epoch=0")
+    cat.set_stream_state("td_stream", "embedding", state_dir=state)
+    reports = takedown(spark, cat, "td_stream", "embedding", [1])
+    assert "stream_state" in reports and reports["stream_state"]["labels_rewritten"]
+    assert 1 not in {r.id for r in spark.read.parquet(f"{state}/labels/epoch=0").collect()}
+    assert 1 not in {r.doc_id for r in spark.read.parquet(f"{state}/docs/epoch=0").collect()}
+
+
 def test_takedown_stream_state_reads_sidecar_params(spark, docs, tmp_path):
     """The streaming state's sidecar (written at stream setup) feeds
     takedown_stream_state; a conflicting explicit threshold raises."""
