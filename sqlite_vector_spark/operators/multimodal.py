@@ -19,6 +19,13 @@ STUBBED (the container has no image/audio libraries) behind
   feeding the shared NumPy strip descriptor. This path needs no
   feature gate, so a real pixel-decode test executes in EVERY
   environment regardless of Pillow/imageio availability.
+- ``decoder="png"`` (r11) -> REAL decode of the common interchange
+  format with ZERO third-party deps: PNG's pixel pipeline is stdlib
+  zlib plus five per-scanline difference filters (RFC 2083 §6), so
+  _png_decode inflates IDAT, unfilters (None/Sub/Up/Average/Paeth),
+  and resolves palette/alpha — 8-bit, non-interlaced; 16-bit and
+  Adam7 refuse loudly. Cross-checked byte-equal against Pillow's
+  reader where PIL exists; the golden tests run everywhere.
 - ``decoder="wav"`` -> REAL audio decode via the stdlib ``wave``
   module (always available, no third-party dependency): parses PCM
   WAV payloads (8/16/32-bit), extracts per-slice RMS energy of the
@@ -194,6 +201,111 @@ def _ppm_features(payload: bytes, dim: int) -> list[float]:
     return _array_strip_features(_ppm_decode(payload), dim)
 
 
+def _png_decode(payload: bytes):
+    """Pure-stdlib PNG decode -> (H, W[, C]) uint8 NumPy array — the
+    r11 extension of the netpbm path to the format images actually
+    ship in: PNG's pixel pipeline is zlib (stdlib) + five per-scanline
+    difference filters, so a REAL decode needs no image library at
+    all. Supports bit depth 8, color types 0 (gray), 2 (RGB), 3
+    (palette -> RGB via PLTE), 4 (gray+alpha -> gray), 6 (RGBA),
+    non-interlaced; 16-bit, sub-8-bit, and Adam7-interlaced rasters
+    RAISE rather than silently mis-decode (same refusal posture as
+    _ppm_decode's 16-bit gate). Unfiltering follows the spec
+    (RFC 2083 §6): None/Sub/Up/Average/Paeth per scanline, all
+    arithmetic mod 256; Up is vectorized, the sequential filters run
+    per-pixel in-row (decode cost is zlib-dominated for real images,
+    and the Pillow cross-check test pins byte equality where PIL
+    exists)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, ihdr, idat, plte = 8, None, [], None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("truncated PNG: missing IHDR or IDAT")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported, got bit depth {depth}")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {color}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != (stride + 1) * h:
+        raise ValueError(
+            f"PNG raster size mismatch: expected {(stride + 1) * h} filtered "
+            f"bytes, got {len(raw)}"
+        )
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if f == 0:  # None
+            pass
+        elif f == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (int(line[x]) + int(line[x - bpp])) & 0xFF
+        elif f == 2:  # Up (uint8 add wraps mod 256, per spec)
+            line += prev
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                line[x] = (int(line[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (int(line[x]) + pr) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = line
+        prev = line
+    arr = out.reshape((h, w, channels)) if channels > 1 else out.reshape((h, w))
+    if color == 3:  # palette indices -> RGB
+        if plte is None:
+            raise ValueError("palette PNG missing its PLTE chunk")
+        pal = np.frombuffer(plte, np.uint8)
+        pal = pal.reshape(len(pal) // 3, 3)
+        arr = pal[arr.reshape(h, w)]
+    elif color == 4:  # gray+alpha -> gray (descriptor ignores alpha)
+        arr = arr[..., 0]
+    return arr
+
+
+def _png_features(payload: bytes, dim: int) -> list[float]:
+    """REAL PNG pixel features with zero third-party image deps:
+    stdlib zlib inflate + spec unfiltering + the shared NumPy strip
+    descriptor (RGBA passes through — _array_strip_features reads the
+    RGB planes and ignores alpha)."""
+    return _array_strip_features(_png_decode(payload), dim)
+
+
 def _pil_features(payload: bytes, dim: int) -> list[float]:
     """Real image features via Pillow: decode, grayscale, resample to a
     (dim x 1) strip, normalize to [0, 1]. A stand-in global descriptor
@@ -304,6 +416,10 @@ def extract_features(
     elif decoder == "ppm":
         # pure-stdlib raster decode — needs no feature gate, ever
         dec = lambda b: _ppm_features(b, dim)  # noqa: E731
+    elif decoder == "png":
+        # pure-stdlib PNG decode (zlib + spec unfiltering) — real
+        # pixel decode of the common interchange format, no gate
+        dec = lambda b: _png_features(b, dim)  # noqa: E731
     elif decoder == "wav":
         dec = lambda b: _wav_features(b, dim)  # noqa: E731
     elif decoder == "fake":

@@ -686,6 +686,180 @@ def test_ppm_decoder_through_spark_plumbing(spark):
     assert got[2] is None
 
 
+def _png_bytes(arr, color_type, filters=None, palette=None):
+    """Build a PNG payload from an (H, W[, C]) uint8 array by applying
+    the FORWARD scanline filters (the inverse direction of the
+    decoder's unfiltering — agreement between the two is a real
+    round-trip proof, not a mirrored implementation). ``filters`` is a
+    per-row filter-type list (default all 0/None)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h = a.shape[0]
+    ch = 1 if a.ndim == 2 else a.shape[2]
+    w = a.shape[1]
+    rows = a.reshape(h, w * ch).astype(np.int64)
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        line, f = rows[y], filters[y]
+        raw.append(f)
+        for x in range(w * ch):
+            av = int(line[x - ch]) if x >= ch else 0
+            b, c = int(prev[x]), (int(prev[x - ch]) if x >= ch else 0)
+            if f == 0:
+                enc = line[x]
+            elif f == 1:
+                enc = line[x] - av
+            elif f == 2:
+                enc = line[x] - b
+            elif f == 3:
+                enc = line[x] - ((av + b) >> 1)
+            else:  # Paeth
+                p = av + b - c
+                pa, pb, pc = abs(p - av), abs(p - b), abs(p - c)
+                pr = av if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc = line[x] - pr
+            raw.append(int(enc) & 0xFF)
+        prev = line
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    out = b"\x89PNG\r\n\x1a\n"
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(palette))
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def test_png_decoder_real_decode_golden():
+    """decoder='png' (r11): REAL decode of the common interchange
+    format with zero third-party deps — stdlib zlib + spec
+    unfiltering. Gray/RGB/RGBA/palette payloads decode to the exact
+    pixel arrays; 16-bit, interlaced, and bad-signature payloads
+    refuse. Runs in EVERY container, like the netpbm path."""
+    import numpy as np
+    import pytest
+
+    from sqlite_vector_spark.operators.multimodal import _png_decode, _png_features
+
+    # gray (color type 0): horizontal ramp
+    gray = np.tile(np.array([0, 85, 170, 255], np.uint8), (2, 1))
+    assert np.array_equal(_png_decode(_png_bytes(gray, 0)), gray)
+    # RGB (type 2): left black / right white strip features
+    rgb = np.zeros((2, 8, 3), np.uint8)
+    rgb[:, 4:, :] = 255
+    assert _png_features(_png_bytes(rgb, 2), 4) == [0.0, 0.0, 1.0, 1.0]
+    # RGBA (type 6): alpha ignored by the descriptor
+    rgba = np.dstack([rgb, np.full((2, 8), 7, np.uint8)])
+    assert _png_features(_png_bytes(rgba, 6), 4) == [0.0, 0.0, 1.0, 1.0]
+    # palette (type 3): indices resolve through PLTE to RGB
+    idx = np.array([[0, 1], [1, 0]], np.uint8)
+    pal = bytes([10, 20, 30, 200, 100, 50])
+    got = _png_decode(_png_bytes(idx, 3, palette=pal))
+    assert got.shape == (2, 2, 3)
+    assert list(got[0, 0]) == [10, 20, 30] and list(got[0, 1]) == [200, 100, 50]
+    # refusals
+    import struct
+    import zlib as _z
+
+    def _chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    with pytest.raises(ValueError, match="signature"):
+        _png_decode(b"PLAINLYNOTAPNG")
+    with pytest.raises(ValueError, match="bit depth"):
+        _png_decode(sig + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
+                    + _chunk(b"IDAT", _z.compress(b"\x00\x00\x00")))
+    with pytest.raises(ValueError, match="interlaced"):
+        _png_decode(sig + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1))
+                    + _chunk(b"IDAT", _z.compress(b"\x00\x00")))
+    with pytest.raises(ValueError, match="size mismatch"):
+        _png_decode(sig + _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+                    + _chunk(b"IDAT", _z.compress(b"\x00\x00")))
+
+
+def test_png_decoder_all_filter_types_roundtrip():
+    """Every scanline filter (None/Sub/Up/Average/Paeth) unfilters
+    back to the source pixels: the test applies the FORWARD filters
+    (spec direction), the decoder inverts them — a disagreement on
+    any row is a real spec bug, not a mirrored one."""
+    import numpy as np
+
+    from sqlite_vector_spark.operators.multimodal import _png_decode
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    payload = _png_bytes(img, 2, filters=[0, 1, 2, 3, 4])
+    assert np.array_equal(_png_decode(payload), img)
+    # gray with alpha (type 4): alpha plane dropped, gray preserved
+    ga = np.dstack([img[..., 0], img[..., 1]])
+    got = _png_decode(_png_bytes(ga, 4, filters=[4, 3, 2, 1, 0]))
+    assert np.array_equal(got, img[..., 0])
+
+
+def test_png_decoder_through_spark_plumbing(spark):
+    """The stdlib PNG decode through the REAL mapInPandas path: binary
+    payload in, fixed-dim float vector out, NULLs skipped."""
+    import numpy as np
+
+    from sqlite_vector_spark.operators.multimodal import extract_features
+
+    rgb = np.zeros((2, 8, 3), np.uint8)
+    rgb[:, :4, :] = 255
+    rows = [
+        (0, bytearray(_png_bytes(rgb, 2))),
+        (1, bytearray(_png_bytes(np.full((4, 4), 128, np.uint8), 0))),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r.id: r.feature and list(r.feature) for r in
+           extract_features(df, dim=2, decoder="png").collect()}
+    assert got[0] == [1.0, 0.0]
+    assert got[1] == [pytest.approx(128 / 255.0)] * 2
+    assert got[2] is None
+
+
+def test_png_decode_matches_pillow_when_available():
+    """Cross-check: Pillow's PNG reader must produce the identical
+    pixel array for (a) our encoder's output and (b) a PIL-WRITTEN
+    PNG (PIL picks its own filter mix — real-world coverage our
+    hand-rolled filters can't fake)."""
+    import numpy as np
+    import pytest
+
+    pytest.importorskip("PIL.Image")
+    import io
+
+    from PIL import Image
+
+    from sqlite_vector_spark.operators.multimodal import _png_decode
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    ours = _png_decode(_png_bytes(img, 2, filters=[i % 5 for i in range(13)]))
+    theirs = np.asarray(Image.open(io.BytesIO(_png_bytes(img, 2))))
+    assert np.array_equal(ours, img) and np.array_equal(theirs, img)
+    # PIL-written payload (its own filter choices) -> our decode
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    assert np.array_equal(_png_decode(buf.getvalue()), img)
+
+
 def test_ppm_decode_matches_pillow_when_available():
     """Cross-check: where Pillow IS importable, its read of the same
     PPM bytes must produce the identical pixel array (both are real
