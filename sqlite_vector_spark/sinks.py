@@ -399,7 +399,10 @@ def _mirror_id_col(name: str, *sidecar_paths: str) -> str:
     )
 
 
-def takedown(spark, catalog, table: str, column: str, ids, id_col: str = "id") -> dict:
+def takedown(
+    spark, catalog, table: str, column: str, ids, id_col: str = "id",
+    verify: bool = False,
+) -> dict:
     """ONE call, EVERY registered tier — the corpus-level
     right-to-be-forgotten orchestrator (r11, closing the r10 judge's
     What's-missing #2: composing five verbs by hand means one
@@ -430,7 +433,12 @@ def takedown(spark, catalog, table: str, column: str, ids, id_col: str = "id") -
     wrong defaults, and it cannot forget a tier it doesn't know
     about: registration IS the completeness contract (a store created
     outside the catalog is the caller's to delete). Returns
-    {tier: report}."""
+    {tier: report}.
+
+    ``verify=True`` runs verify_ids_absent over the same registry
+    afterwards — column-pruned residual counts per tier — and RAISES
+    if any tier still holds one of the ids (the compliance receipt;
+    the counts ride in the report under "verified")."""
     ctx = catalog.get(table, column)
     if isinstance(ids, DataFrame):
         ids_df = ids.select(F.col(ids.columns[0]).cast("bigint").alias("_del_id"))
@@ -505,7 +513,85 @@ def takedown(spark, catalog, table: str, column: str, ids, id_col: str = "id") -
         reports["stream_state"] = takedown_stream_state(
             spark, ctx.stream_state_dir, ids_df
         )
+    if verify:
+        residuals = verify_ids_absent(spark, catalog, table, column, ids_df, id_col=id_col)
+        leaking = {k: v for k, v in residuals.items() if v}
+        if leaking:
+            raise RuntimeError(
+                f"takedown verification FAILED — tiers still holding deleted ids: {leaking}"
+            )
+        reports["verified"] = residuals
     return reports
+
+
+def verify_ids_absent(spark, catalog, table: str, column: str, ids, id_col: str = "id") -> dict:
+    """PROVE the forgetting: scan every tier the catalog registers for
+    ``table.column`` and return {tier: residual_row_count} for the
+    given ids — all zeros after a successful ``takedown``. This is the
+    compliance half of right-to-be-forgotten: the takedown mutates,
+    this verifies, and they share the registry walk so a tier the
+    orchestrator would delete is exactly a tier this audits. Each
+    check is a column-pruned scan (id column only, plus the epoch
+    layout for streaming state) with a broadcast semi-join count —
+    no full-width reads. Mirrors resolve their id column from the
+    state sidecars like the orchestrator does."""
+    import os
+    import re
+
+    ctx = catalog.get(table, column)
+    if isinstance(ids, DataFrame):
+        ids_df = ids.select(F.col(ids.columns[0]).cast("bigint").alias("_del_id"))
+    else:
+        ids_df = spark.createDataFrame([(int(i),) for i in ids], "_del_id bigint")
+    ids_df = ids_df.distinct().localCheckpoint(eager=True)
+
+    def residual(path: str, col: str) -> int:
+        df = spark.read.parquet(path)
+        return (
+            df.select(F.col(col).cast("bigint").alias("_k"))
+            .join(F.broadcast(ids_df), F.col("_k") == F.col("_del_id"), "left_semi")
+            .count()
+        )
+
+    report: dict = {}
+    for tier, path, col in [
+        ("quantized", ctx.quantized_path, id_col),
+        ("ivf", ctx.ivf_path, id_col),
+        ("pq", ctx.pq_path, id_col),
+        ("bq", ctx.bq_path, id_col),
+        ("mih", ctx.mih_path, id_col),
+        ("band_store", ctx.band_store_path, "id"),
+        ("bucket_store", ctx.bucket_store_path, "id"),
+        ("text_labels", ctx.text_labels_path, "id"),
+        ("embedding_labels", ctx.embedding_labels_path, "id"),
+    ]:
+        if path is not None:
+            report[tier] = residual(path, col)
+    if ctx.docs_mirror_path:
+        dcol = _mirror_id_col(
+            "docs mirror", ctx.docs_mirror_path, ctx.text_labels_path, ctx.band_store_path
+        )
+        report["docs_mirror"] = residual(ctx.docs_mirror_path, dcol)
+    if ctx.vectors_mirror_path:
+        vcol = _mirror_id_col(
+            "vectors mirror", ctx.vectors_mirror_path,
+            ctx.embedding_labels_path, ctx.bucket_store_path,
+        )
+        report["vectors_mirror"] = residual(ctx.vectors_mirror_path, vcol)
+    if ctx.stream_state_dir:
+        prm = read_params_sidecar(ctx.stream_state_dir) or {}
+        scol = prm.get("id_col", "doc_id")
+        total = 0
+        for sub, col in (("bands", "id"), ("docs", scol), ("labels", "id")):
+            sroot = os.path.join(ctx.stream_state_dir, sub)
+            try:
+                epochs = [d for d in os.listdir(sroot) if re.fullmatch(r"epoch=\d+", d)]
+            except OSError:
+                continue
+            for e in epochs:
+                total += residual(os.path.join(sroot, e), col)
+        report["stream_state"] = total
+    return report
 
 
 def vacuum_store(path: str) -> dict:

@@ -118,6 +118,27 @@ def test_takedown_no_registered_tier_holds_a_deleted_id(spark, emb, docs, tmp_pa
             assert len(left) > 0, name
 
 
+def test_takedown_verify_receipt_and_leak_detection(spark, emb, docs, tmp_path, full_state):
+    """verify=True returns an all-zero residual report (the compliance
+    receipt) over every registered tier; a leftover file planted into
+    a store afterwards is CAUGHT by verify_ids_absent — the check is a
+    real scan, not bookkeeping."""
+    from sqlite_vector_spark.sinks import takedown, verify_ids_absent
+
+    victims = [3, 17, 42]
+    reports = takedown(spark, full_state, "td_t", "embedding", victims, verify=True)
+    receipt = reports["verified"]
+    assert receipt and all(v == 0 for v in receipt.values())
+    assert {"quantized", "ivf", "bq", "mih", "band_store", "docs_mirror",
+            "bucket_store", "vectors_mirror"} <= set(receipt)
+    # plant a leftover: append a victim row back into the bucket store
+    spark.createDataFrame([(17, 0)], "id bigint, bucket bigint").write.mode(
+        "append").parquet(str(tmp_path / "buckets"))
+    residuals = verify_ids_absent(spark, full_state, "td_t", "embedding", victims)
+    assert residuals["bucket_store"] == 1
+    assert sum(v for k, v in residuals.items() if k != "bucket_store") == 0
+
+
 def test_takedown_label_states_equal_rebuild_over_survivors(spark, emb, docs, tmp_path, full_state):
     """The orchestrator's label re-solve (params from sidecar) equals
     a from-scratch rebuild over the surviving corpus — the same
