@@ -402,6 +402,7 @@ def _mirror_id_col(name: str, *sidecar_paths: str) -> str:
 def takedown(
     spark, catalog, table: str, column: str, ids, id_col: str = "id",
     verify: bool = False,
+    audit_dir: str | None = None,
 ) -> dict:
     """ONE call, EVERY registered tier — the corpus-level
     right-to-be-forgotten orchestrator (r11, closing the r10 judge's
@@ -438,7 +439,15 @@ def takedown(
     ``verify=True`` runs verify_ids_absent over the same registry
     afterwards — column-pruned residual counts per tier — and RAISES
     if any tier still holds one of the ids (the compliance receipt;
-    the counts ride in the report under "verified")."""
+    the counts ride in the report under "verified").
+
+    ``audit_dir=`` appends one JSON line per takedown to
+    ``<audit_dir>/takedown_audit.jsonl`` — timestamp, table.column,
+    id-batch SIZE, per-tier summaries, and the verify receipt when
+    present. The ids themselves are deliberately NOT recorded:
+    persisting a list of the very identifiers a right-to-be-forgotten
+    batch erases would re-create the data the verb exists to
+    destroy."""
     ctx = catalog.get(table, column)
     if isinstance(ids, DataFrame):
         ids_df = ids.select(F.col(ids.columns[0]).cast("bigint").alias("_del_id"))
@@ -521,6 +530,21 @@ def takedown(
                 f"takedown verification FAILED — tiers still holding deleted ids: {leaking}"
             )
         reports["verified"] = residuals
+    if audit_dir is not None:
+        import json
+        import os
+        import time
+
+        os.makedirs(audit_dir, exist_ok=True)
+        with open(os.path.join(audit_dir, "takedown_audit.jsonl"), "a") as f:
+            f.write(json.dumps({
+                "ts": time.time(),
+                "table": table,
+                "column": column,
+                "n_ids": ids_df.count(),
+                "tiers": {k: v for k, v in reports.items() if k != "verified"},
+                "verified": reports.get("verified"),
+            }) + "\n")
     return reports
 
 

@@ -125,10 +125,19 @@ def test_takedown_verify_receipt_and_leak_detection(spark, emb, docs, tmp_path, 
     real scan, not bookkeeping."""
     from sqlite_vector_spark.sinks import takedown, verify_ids_absent
 
+    import json
+
     victims = [3, 17, 42]
-    reports = takedown(spark, full_state, "td_t", "embedding", victims, verify=True)
+    reports = takedown(spark, full_state, "td_t", "embedding", victims, verify=True,
+                       audit_dir=str(tmp_path / "audit"))
     receipt = reports["verified"]
     assert receipt and all(v == 0 for v in receipt.values())
+    # audit record: one line, counts only — NEVER the ids themselves
+    with open(tmp_path / "audit" / "takedown_audit.jsonl") as f:
+        lines = [json.loads(x) for x in f]
+    assert len(lines) == 1 and lines[0]["n_ids"] == 3
+    assert lines[0]["verified"] == receipt
+    assert "ids" not in lines[0]  # counts only — never the ids themselves
     assert {"quantized", "ivf", "bq", "mih", "band_store", "docs_mirror",
             "bucket_store", "vectors_mirror"} <= set(receipt)
     # plant a leftover: append a victim row back into the bucket store
