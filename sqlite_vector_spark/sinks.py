@@ -655,6 +655,72 @@ def vacuum_store(path: str) -> dict:
     return {"removed": removed, "bytes_freed": freed}
 
 
+def _registered_stores(ctx) -> list:
+    """(name, path, partition_col_hint, sort_within) for every
+    maintainable store the catalog registers — the shared registry
+    walk behind the *_everywhere maintenance verbs. Label states are
+    included (tiny, but they fragment too: every takedown rewrite is
+    a fresh file set); streaming state is NOT — its per-epoch dirs
+    are the stream's replay consistency unit and are maintained by
+    takedown_stream_state only."""
+    return [
+        ("quantized", ctx.quantized_path, None),
+        ("ivf", ctx.ivf_path, None),
+        ("pq", ctx.pq_path, None),
+        ("bq", ctx.bq_path, None),
+        ("mih", ctx.mih_path, ["bv"]),
+        ("band_store", ctx.band_store_path, None),
+        ("bucket_store", ctx.bucket_store_path, ["bucket"]),
+        ("docs_mirror", ctx.docs_mirror_path, None),
+        ("vectors_mirror", ctx.vectors_mirror_path, None),
+        ("text_labels", ctx.text_labels_path, None),
+        ("embedding_labels", ctx.embedding_labels_path, None),
+    ]
+
+
+def compact_everywhere(
+    spark, catalog, table: str, column: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Post-append maintenance over EVERY registered tier: one call
+    bin-packs the small files that daily appends (and takedown
+    rewrites) leave across the quantized replica, IVF store, PQ/BQ
+    code tables, MIH band store, band/bucket stores, mirrors, and
+    label states — the compaction twin of delete_ids_everywhere /
+    takedown, same registry walk, layout detected per store,
+    within-file sorts restored where the store relies on row-group
+    skipping (MIH bv, bucket store). Streaming state is excluded
+    (per-epoch dirs are the replay unit). Returns
+    {tier: compact_store report}."""
+    ctx = catalog.get(table, column)
+    reports: dict = {}
+    for name, path, sort_within in _registered_stores(ctx):
+        if path is None:
+            continue
+        reports[name] = compact_store(
+            spark, path,
+            partition_col=_detect_partition_col(path),
+            target_file_bytes=target_file_bytes,
+            sort_within=sort_within,
+        )
+    return reports
+
+
+def vacuum_everywhere(spark, catalog, table: str, column: str) -> dict:
+    """Reclaim every registered tier's retained superseded layouts
+    (``__pre_delete`` / ``__pre_compact``) in one call — run after
+    readers drain, typically following a takedown + compact cycle.
+    Same refuse-on-surprise posture as vacuum_store per tier.
+    Returns {tier: vacuum_store report}."""
+    ctx = catalog.get(table, column)
+    reports: dict = {}
+    for name, path, _sort in _registered_stores(ctx):
+        if path is None:
+            continue
+        reports[name] = vacuum_store(path)
+    return reports
+
+
 def _uri_to_local(uri: str) -> str:
     """``file:`` URI from DataFrame.inputFiles() -> decoded local
     path. Spark percent-encodes specials (space, %, non-ASCII string

@@ -333,3 +333,35 @@ def test_parse_scalar_roundtrip(fn, args):
     assert got is not None
     assert got[0] == fn and got[1] == [a for a in args if a != ""] or got[1] == args
     assert parse_scalar(f"SELECT {fn}({arg_txt}) FROM t") is None
+
+
+# ---- stdlib PNG decoder (r11): filter/shape/color-type domain ------
+
+_png_shapes = st.tuples(
+    st.integers(min_value=1, max_value=12),   # height
+    st.integers(min_value=1, max_value=12),   # width
+    st.sampled_from([0, 2, 4, 6]),            # gray / RGB / gray+alpha / RGBA
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_png_shapes, st.integers(min_value=0, max_value=2**31 - 1))
+def test_png_decode_roundtrip_random_filters(shape, seed):
+    """Any 8-bit image under any per-row filter assignment decodes
+    back to the source pixels: the test applies the FORWARD spec
+    filters (tests/test_streaming_multimodal._png_bytes), the decoder
+    inverts them — gray+alpha drops its alpha plane, everything else
+    round-trips byte-exact."""
+    import numpy as np
+
+    from sqlite_vector_spark.operators.multimodal import _png_decode
+    from tests.test_streaming_multimodal import _png_bytes
+
+    h, w, color = shape
+    rng = np.random.default_rng(seed)
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    img = rng.integers(0, 256, size=(h, w, ch) if ch > 1 else (h, w), dtype=np.uint8)
+    filters = list(rng.integers(0, 5, size=h))
+    got = _png_decode(_png_bytes(img, color, filters=filters))
+    want = img[..., 0] if color == 4 else img
+    assert np.array_equal(got, want)

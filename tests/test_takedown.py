@@ -367,6 +367,50 @@ def test_takedown_reaches_registered_stream_state(spark, emb, docs, tmp_path):
     assert 1 not in {r.doc_id for r in spark.read.parquet(f"{state}/docs/epoch=0").collect()}
 
 
+def test_compact_and_vacuum_everywhere(spark, emb, docs, tmp_path, full_state):
+    """The registry-walking maintenance twins: compact_everywhere
+    bin-packs every registered tier (content preserved, file counts
+    never grow), and vacuum_everywhere reclaims the retained layouts
+    a takedown + compact cycle leaves behind."""
+    from sqlite_vector_spark.sinks import (
+        compact_everywhere,
+        takedown,
+        vacuum_everywhere,
+    )
+
+    # fragment two stores with small appends (frozen-family contract:
+    # bucket store appends go through embedding_bucket_store)
+    from sqlite_vector_spark.operators.dedup import embedding_bucket_store
+
+    for i in range(3):
+        embedding_bucket_store(
+            emb.where(F.col("vec_id") % 17 == i), "vec_id", "embedding",
+            PLANES, str(tmp_path / "buckets"), mode="append",
+        )
+    pre_rows = spark.read.parquet(str(tmp_path / "buckets")).count()
+
+    reports = compact_everywhere(spark, full_state, "td_t", "embedding",
+                                 target_file_bytes=64 * 1024 * 1024)
+    assert {"quantized", "ivf", "bq", "mih", "band_store", "bucket_store",
+            "docs_mirror", "vectors_mirror", "text_labels",
+            "embedding_labels"} <= set(reports)
+    for name, rep in reports.items():
+        assert rep["files_after"] <= rep["files_before"], name
+    assert spark.read.parquet(str(tmp_path / "buckets")).count() == pre_rows
+    # MIH bv sort restored — probe the report store stayed scannable
+    assert spark.read.parquet(str(tmp_path / "mih")).count() > 0
+
+    takedown(spark, full_state, "td_t", "embedding", [3, 17])
+    vac = vacuum_everywhere(spark, full_state, "td_t", "embedding")
+    assert set(vac) == set(reports)
+    assert any(v["removed"] for v in vac.values())
+    for p in ("rep", "ivf", "bq", "mih", "bands", "buckets",
+              "docsmirror", "vecmirror", "tlabels", "elabels"):
+        assert not os.path.exists(str(tmp_path / p) + "__pre_delete"), p
+        assert not os.path.exists(str(tmp_path / p) + "__pre_compact"), p
+        assert spark.read.parquet(str(tmp_path / p)).columns  # still readable
+
+
 def test_takedown_stream_state_reads_sidecar_params(spark, docs, tmp_path):
     """The streaming state's sidecar (written at stream setup) feeds
     takedown_stream_state; a conflicting explicit threshold raises."""
