@@ -296,7 +296,10 @@ def _detect_partition_col(root: str) -> str | None:
     return None
 
 
-def delete_ids_everywhere(spark, catalog, table: str, column: str, ids, id_col: str = "id") -> dict:
+def delete_ids_everywhere(
+    spark, catalog, table: str, column: str, ids, id_col: str = "id",
+    tiers=None,
+) -> dict:
     """One takedown call, every derived VECTOR store maintained: apply
     delete_ids to EACH store the catalog registers for
     ``table.column`` — the quantized replica, the IVF store, the
@@ -321,7 +324,15 @@ def delete_ids_everywhere(spark, catalog, table: str, column: str, ids, id_col: 
     instead (same swap + ``__pre_delete`` retention). A PROJECTED
     band store (mih_planes set) cannot use this arm — its codes are
     p-bit projections, not the axis-aligned bq_path codes — and falls
-    back to the in-place delete."""
+    back to the in-place delete.
+
+    ``tiers`` restricts the walk to a subset (names from the list
+    below, order preserved) — used by takedown's parallel scheduler
+    to run independent tiers as concurrent chains while keeping
+    bq -> mih inside one chain. NOTE a caller selecting ("mih",)
+    WITHOUT "bq" gets the in-place arm only if bq is unregistered;
+    with bq registered the rebuild arm reads whatever state the code
+    table is in — takedown always selects ("bq", "mih") together."""
     ctx = catalog.get(table, column)
     reports: dict = {}
     stores = [
@@ -331,6 +342,8 @@ def delete_ids_everywhere(spark, catalog, table: str, column: str, ids, id_col: 
         ("bq", ctx.bq_path, None),
         ("mih", ctx.mih_path, ["bv"]),
     ]
+    if tiers is not None:
+        stores = [s for s in stores if s[0] in set(tiers)]
     for name, path, sort_within in stores:
         if path is None:
             continue
@@ -403,6 +416,7 @@ def takedown(
     spark, catalog, table: str, column: str, ids, id_col: str = "id",
     verify: bool = False,
     audit_dir: str | None = None,
+    max_parallel: int = 1,
 ) -> dict:
     """ONE call, EVERY registered tier — the corpus-level
     right-to-be-forgotten orchestrator (r11, closing the r10 judge's
@@ -447,7 +461,19 @@ def takedown(
     present. The ids themselves are deliberately NOT recorded:
     persisting a list of the very identifiers a right-to-be-forgotten
     batch erases would re-create the data the verb exists to
-    destroy."""
+    destroy.
+
+    ``max_parallel > 1`` runs the tier deletes as CONCURRENT Spark
+    actions from a thread pool — a takedown is many small maintenance
+    jobs, so overlapping their scheduling/IO cuts wall-clock without
+    changing any result (every tier mutates a different path).
+    Dependency chains are preserved inside one thread each:
+    quantized/IVF/PQ deletes are independent; bq -> mih (the rebuild
+    arm reads the post-delete code table); docs mirror -> text label
+    re-solve; vectors mirror -> embedding label re-solve; band and
+    bucket stores and streaming state stand alone. The serial path
+    (default) and the parallel path produce identical reports —
+    equality-pinned in tests."""
     ctx = catalog.get(table, column)
     if isinstance(ids, DataFrame):
         ids_df = ids.select(F.col(ids.columns[0]).cast("bigint").alias("_del_id"))
@@ -455,73 +481,116 @@ def takedown(
         ids_df = spark.createDataFrame([(int(i),) for i in ids], "_del_id bigint")
     ids_df = ids_df.distinct().localCheckpoint(eager=True)
 
-    reports = delete_ids_everywhere(spark, catalog, table, column, ids_df, id_col=id_col)
+    # validation BEFORE any mutation or thread launch: a label state
+    # registered without its corpus mirror must refuse deterministically
+    if ctx.text_labels_path and not ctx.docs_mirror_path:
+        raise ValueError(
+            "takedown: a text label state is registered but no docs mirror — "
+            "the component re-solve needs the surviving members' text; "
+            "register it via catalog.set_text_neardup_state(docs_mirror=...)"
+        )
+    if ctx.embedding_labels_path and not ctx.vectors_mirror_path:
+        raise ValueError(
+            "takedown: an embedding label state is registered but no vectors "
+            "mirror — the re-solve needs the surviving vectors; register it "
+            "via catalog.set_embedding_neardup_state(vectors_mirror=...)"
+        )
 
-    # -- text near-dup state ------------------------------------------
-    if ctx.band_store_path:
-        reports["band_store"] = delete_ids(
+    # dependency CHAINS: each list entry is a self-contained thunk
+    # whose internal ordering matters (bq -> mih rebuild arm reads the
+    # post-delete code table; each label re-solve reads its
+    # post-delete mirror); chains are mutually independent — every one
+    # mutates distinct paths — so they may run concurrently
+    def _vector_chain(tiers):
+        return lambda: delete_ids_everywhere(
+            spark, catalog, table, column, ids_df, id_col=id_col, tiers=tiers
+        )
+
+    def _band_chain():
+        return {"band_store": delete_ids(
             spark, ctx.band_store_path, ids_df, id_col="id",
             partition_col=_detect_partition_col(ctx.band_store_path),
-        )
-    if ctx.docs_mirror_path:
-        dcol = _mirror_id_col(
-            "docs mirror", ctx.docs_mirror_path, ctx.text_labels_path, ctx.band_store_path
-        )
-        reports["docs_mirror"] = delete_ids(
-            spark, ctx.docs_mirror_path, ids_df, id_col=dcol,
-            partition_col=_detect_partition_col(ctx.docs_mirror_path),
-        )
-    if ctx.text_labels_path:
-        from sqlite_vector_spark.operators.dedup import delete_labels_state
+        )}
 
-        if not ctx.docs_mirror_path:
-            raise ValueError(
-                "takedown: a text label state is registered but no docs mirror — "
-                "the component re-solve needs the surviving members' text; "
-                "register it via catalog.set_text_neardup_state(docs_mirror=...)"
-            )
-        docs = spark.read.parquet(ctx.docs_mirror_path)
-        reports["text_labels"] = delete_labels_state(
-            spark, ctx.text_labels_path, docs, ids_df
-        )
-
-    # -- embedding near-dup state --------------------------------------
-    if ctx.bucket_store_path:
-        reports["bucket_store"] = delete_ids(
+    def _bucket_chain():
+        return {"bucket_store": delete_ids(
             spark, ctx.bucket_store_path, ids_df, id_col="id",
             partition_col=_detect_partition_col(ctx.bucket_store_path),
             sort_within=["bucket"],
-        )
-    if ctx.vectors_mirror_path:
-        vcol = _mirror_id_col(
-            "vectors mirror", ctx.vectors_mirror_path,
-            ctx.embedding_labels_path, ctx.bucket_store_path,
-        )
-        reports["vectors_mirror"] = delete_ids(
-            spark, ctx.vectors_mirror_path, ids_df, id_col=vcol,
-            partition_col=_detect_partition_col(ctx.vectors_mirror_path),
-        )
-    if ctx.embedding_labels_path:
-        from sqlite_vector_spark.operators.dedup import delete_labels_embedding_state
+        )}
 
-        if not ctx.vectors_mirror_path:
-            raise ValueError(
-                "takedown: an embedding label state is registered but no vectors "
-                "mirror — the re-solve needs the surviving vectors; register it "
-                "via catalog.set_embedding_neardup_state(vectors_mirror=...)"
+    def _text_chain():
+        out = {}
+        if ctx.docs_mirror_path:
+            dcol = _mirror_id_col(
+                "docs mirror", ctx.docs_mirror_path, ctx.text_labels_path,
+                ctx.band_store_path,
             )
-        vectors = spark.read.parquet(ctx.vectors_mirror_path)
-        reports["embedding_labels"] = delete_labels_embedding_state(
-            spark, ctx.embedding_labels_path, vectors, ids_df
-        )
+            out["docs_mirror"] = delete_ids(
+                spark, ctx.docs_mirror_path, ids_df, id_col=dcol,
+                partition_col=_detect_partition_col(ctx.docs_mirror_path),
+            )
+        if ctx.text_labels_path:
+            from sqlite_vector_spark.operators.dedup import delete_labels_state
 
-    # -- streaming state -----------------------------------------------
-    if ctx.stream_state_dir:
+            docs = spark.read.parquet(ctx.docs_mirror_path)
+            out["text_labels"] = delete_labels_state(
+                spark, ctx.text_labels_path, docs, ids_df
+            )
+        return out
+
+    def _embedding_chain():
+        out = {}
+        if ctx.vectors_mirror_path:
+            vcol = _mirror_id_col(
+                "vectors mirror", ctx.vectors_mirror_path,
+                ctx.embedding_labels_path, ctx.bucket_store_path,
+            )
+            out["vectors_mirror"] = delete_ids(
+                spark, ctx.vectors_mirror_path, ids_df, id_col=vcol,
+                partition_col=_detect_partition_col(ctx.vectors_mirror_path),
+            )
+        if ctx.embedding_labels_path:
+            from sqlite_vector_spark.operators.dedup import delete_labels_embedding_state
+
+            vectors = spark.read.parquet(ctx.vectors_mirror_path)
+            out["embedding_labels"] = delete_labels_embedding_state(
+                spark, ctx.embedding_labels_path, vectors, ids_df
+            )
+        return out
+
+    def _stream_chain():
         from sqlite_vector_spark.streaming.scoring import takedown_stream_state
 
-        reports["stream_state"] = takedown_stream_state(
-            spark, ctx.stream_state_dir, ids_df
-        )
+        return {"stream_state": takedown_stream_state(spark, ctx.stream_state_dir, ids_df)}
+
+    chains = [
+        _vector_chain(("quantized",)),
+        _vector_chain(("ivf",)),
+        _vector_chain(("pq",)),
+        _vector_chain(("bq", "mih")),
+    ]
+    if ctx.band_store_path:
+        chains.append(_band_chain)
+    if ctx.bucket_store_path:
+        chains.append(_bucket_chain)
+    if ctx.docs_mirror_path or ctx.text_labels_path:
+        chains.append(_text_chain)
+    if ctx.vectors_mirror_path or ctx.embedding_labels_path:
+        chains.append(_embedding_chain)
+    if ctx.stream_state_dir:
+        chains.append(_stream_chain)
+
+    reports: dict = {}
+    if max_parallel > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_parallel) as ex:
+            for fut in [ex.submit(fn) for fn in chains]:
+                reports.update(fut.result())
+    else:
+        for fn in chains:
+            reports.update(fn())
     if verify:
         residuals = verify_ids_absent(spark, catalog, table, column, ids_df, id_col=id_col)
         leaking = {k: v for k, v in residuals.items() if v}

@@ -96,11 +96,13 @@ def full_state(spark, emb, docs, tmp_path):
 
 def test_takedown_no_registered_tier_holds_a_deleted_id(spark, emb, docs, tmp_path, full_state):
     """The r11 gate property: ONE call, and a deleted id is queryable
-    through NO registered tier."""
+    through NO registered tier. Runs with max_parallel=4 — the
+    concurrent-chain scheduler must satisfy the exact same content
+    assertions as the serial path (which the receipt test covers)."""
     from sqlite_vector_spark.sinks import takedown
 
     victims = [3, 17, 42, 99]
-    reports = takedown(spark, full_state, "td_t", "embedding", victims)
+    reports = takedown(spark, full_state, "td_t", "embedding", victims, max_parallel=4)
     assert {"quantized", "ivf", "bq", "mih", "band_store", "docs_mirror",
             "text_labels", "bucket_store", "vectors_mirror",
             "embedding_labels"} <= set(reports)
