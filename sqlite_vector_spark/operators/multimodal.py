@@ -264,9 +264,11 @@ def _png_decode(payload: bytes):
         ).copy()
         if f == 0:  # None
             pass
-        elif f == 1:  # Sub
-            for x in range(bpp, stride):
-                line[x] = (int(line[x]) + int(line[x - bpp])) & 0xFF
+        elif f == 1:  # Sub — out[x] = enc[x] + out[x-bpp] unrolls to a
+            # per-channel prefix sum mod 256: vectorized cumsum
+            line = (
+                line.reshape(w, bpp).astype(np.uint32).cumsum(axis=0) & 0xFF
+            ).astype(np.uint8).reshape(stride)
         elif f == 2:  # Up (uint8 add wraps mod 256, per spec)
             line += prev
         elif f == 3:  # Average
