@@ -16,7 +16,7 @@ the corpus and were rejected there; exact-copy planted dups).
 Victims are id % 1000 == 1 — every one a planted CLUSTER MEMBER, so
 both label re-solves do real component work.
 
-Usage: python tools/takedown_probe.py [n_rows]
+Usage: python tools/takedown_probe.py [n_rows] [max_parallel]
 Prints one JSON line; paste into SCALE.md.
 """
 
@@ -32,6 +32,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+MAX_PARALLEL = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 TOKENS = 40
 DIM = 64
 IVF_C = 256
@@ -177,8 +178,10 @@ def main():
         # ---- ONE call -------------------------------------------------
         victims = [int(i) for i in range(1, N, 1000)]
         out["n_deleted"] = len(victims)
+        out["max_parallel"] = MAX_PARALLEL
         t0 = time.time()
-        reports = takedown(spark, cat, "probe_t", "embedding", victims, verify=True)
+        reports = takedown(spark, cat, "probe_t", "embedding", victims, verify=True,
+                           max_parallel=MAX_PARALLEL)
         out["takedown_one_call_s"] = round(time.time() - t0, 2)
         out["tiers_touched"] = sorted(k for k in reports if k != "verified")
         out["verify_all_zero"] = all(v == 0 for v in reports["verified"].values())
