@@ -747,6 +747,9 @@ def delete_labels_state(
         "rows_per_band": rows_per_band, "shingle_n": shingle_n,
     })
     labels0 = spark.read.parquet(path)
+    skipped = _labels_unaffected(spark, labels0, deleted_ids, path)
+    if skipped is not None:
+        return skipped
     new = delete_labels(
         labels0, docs, deleted_ids,
         id_col=prm.get("id_col", "doc_id"),
@@ -760,6 +763,30 @@ def delete_labels_state(
         fast_path_max=fast_path_max,
     ).localCheckpoint(eager=True)
     return _rewrite_label_state(spark, new, path)
+
+
+def _labels_unaffected(spark, labels0: DataFrame, deleted_ids, path: str) -> dict | None:
+    """Short-circuit for the state-level takedowns: when NO deleted id
+    is a label member, the labeling is already the post-takedown fixed
+    point (untouched clusters pass through byte-identical and there
+    are no affected components) — one broadcast semi-join count
+    instead of a full re-solve + directory swap. Returns the report
+    dict when unaffected, None when the re-solve must run."""
+    if isinstance(deleted_ids, DataFrame):
+        del_df = deleted_ids.select(
+            F.col(deleted_ids.columns[0]).cast("bigint").alias("id")
+        )
+    else:
+        del_df = spark.createDataFrame([(int(i),) for i in deleted_ids], "id bigint")
+    hit = (
+        labels0.select(F.col("id").cast("bigint").alias("id"))
+        .join(F.broadcast(del_df.distinct()), "id", "left_semi")
+        .count()
+    )
+    if hit:
+        return None
+    n = labels0.count()
+    return {"labels_before": n, "labels_after": n, "skipped": "no_member_match"}
 
 
 def delete_labels_embedding_state(
@@ -792,6 +819,9 @@ def delete_labels_embedding_state(
             "or use a label state written by write_label_state (sidecar)"
         )
     labels0 = spark.read.parquet(path)
+    skipped = _labels_unaffected(spark, labels0, deleted_ids, path)
+    if skipped is not None:
+        return skipped
     new = delete_labels_embedding(
         labels0, vectors, deleted_ids,
         prm["planes"], prm["threshold"],

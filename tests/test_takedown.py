@@ -369,6 +369,32 @@ def test_takedown_reaches_registered_stream_state(spark, emb, docs, tmp_path):
     assert 1 not in {r.doc_id for r in spark.read.parquet(f"{state}/docs/epoch=0").collect()}
 
 
+def test_repeated_takedown_batches_compose(spark, emb, docs, tmp_path, full_state):
+    """Three successive takedown batches (worst case for the retained
+    __pre_delete generations, sidecar survival, and label-state
+    swaps): after every batch the cumulative victim set is absent
+    from every tier, the receipt stays all-zero, and sidecars keep
+    resolving. A no-member batch short-circuits the label re-solves
+    (skipped report) instead of rewriting."""
+    from sqlite_vector_spark.sinks import read_params_sidecar, takedown
+
+    batches = [[3, 17], [42, 99, 123], [8]]
+    seen: list = []
+    for b in batches:
+        seen += b
+        reports = takedown(spark, full_state, "td_t", "embedding", b, verify=True)
+        assert all(v == 0 for v in reports["verified"].values())
+        # cumulative: earlier victims stay gone
+        left = {r.id for r in spark.read.parquet(str(tmp_path / "rep")).select("id").collect()}
+        assert not (left & set(seen))
+    assert read_params_sidecar(str(tmp_path / "buckets"))["planes"]  # sidecar survived 3 swaps
+    # a batch matching nothing: label re-solves short-circuit
+    rep = takedown(spark, full_state, "td_t", "embedding", [10_000_001])
+    for k in ("text_labels", "embedding_labels"):
+        if k in rep:
+            assert rep[k].get("skipped") == "no_member_match", rep[k]
+
+
 def test_compact_and_vacuum_everywhere(spark, emb, docs, tmp_path, full_state):
     """The registry-walking maintenance twins: compact_everywhere
     bin-packs every registered tier (content preserved, file counts
