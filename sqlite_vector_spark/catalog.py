@@ -93,6 +93,7 @@ class VectorContext:
     vectors_mirror_path: str | None = None
     embedding_labels_path: str | None = None
     stream_state_dir: str | None = None
+    embedding_stream_state_dir: str | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -175,6 +176,7 @@ class VectorCatalog:
                 "band_store_path", "docs_mirror_path", "text_labels_path",
                 "bucket_store_path", "vectors_mirror_path",
                 "embedding_labels_path", "stream_state_dir",
+                "embedding_stream_state_dir",
             ):
                 setattr(ctx, k, persisted.get(k))
         self._contexts[key] = ctx
@@ -279,12 +281,22 @@ class VectorCatalog:
             ctx.embedding_labels_path = labels
         self._serialize(ctx)
 
-    def set_stream_state(self, table: str, column: str, *, state_dir: str) -> None:
-        """Register an ingest_stream_neardup state directory so the
-        one-call takedown also rewrites the per-epoch streaming state
-        (streaming.scoring.takedown_stream_state)."""
+    def set_stream_state(
+        self, table: str, column: str, *,
+        state_dir: str | None = None,
+        embedding_state_dir: str | None = None,
+    ) -> None:
+        """Register streaming near-dup state directories so the
+        one-call takedown also rewrites the per-epoch streaming
+        state: ``state_dir`` for ingest_stream_neardup (text),
+        ``embedding_state_dir`` for ingest_stream_embedding_neardup
+        (streaming.scoring.takedown_stream_state /
+        takedown_stream_state_embedding)."""
         ctx = self.get(table, column)
-        ctx.stream_state_dir = state_dir
+        if state_dir is not None:
+            ctx.stream_state_dir = state_dir
+        if embedding_state_dir is not None:
+            ctx.embedding_stream_state_dir = embedding_state_dir
         self._serialize(ctx)
 
     def drop(self, table: str, column: str) -> None:

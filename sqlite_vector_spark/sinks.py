@@ -564,6 +564,13 @@ def takedown(
 
         return {"stream_state": takedown_stream_state(spark, ctx.stream_state_dir, ids_df)}
 
+    def _embedding_stream_chain():
+        from sqlite_vector_spark.streaming.scoring import takedown_stream_state_embedding
+
+        return {"embedding_stream_state": takedown_stream_state_embedding(
+            spark, ctx.embedding_stream_state_dir, ids_df
+        )}
+
     chains = [
         _vector_chain(("quantized",)),
         _vector_chain(("ivf",)),
@@ -580,6 +587,8 @@ def takedown(
         chains.append(_embedding_chain)
     if ctx.stream_state_dir:
         chains.append(_stream_chain)
+    if ctx.embedding_stream_state_dir:
+        chains.append(_embedding_stream_chain)
 
     reports: dict = {}
     if max_parallel > 1:
@@ -671,19 +680,29 @@ def verify_ids_absent(spark, catalog, table: str, column: str, ids, id_col: str 
             ctx.embedding_labels_path, ctx.bucket_store_path,
         )
         report["vectors_mirror"] = residual(ctx.vectors_mirror_path, vcol)
-    if ctx.stream_state_dir:
-        prm = read_params_sidecar(ctx.stream_state_dir) or {}
+    def _stream_residual(state_dir: str, subs) -> int:
+        prm = read_params_sidecar(state_dir) or {}
         scol = prm.get("id_col", "doc_id")
         total = 0
-        for sub, col in (("bands", "id"), ("docs", scol), ("labels", "id")):
-            sroot = os.path.join(ctx.stream_state_dir, sub)
+        for sub, col in subs:
+            sroot = os.path.join(state_dir, sub)
             try:
                 epochs = [d for d in os.listdir(sroot) if re.fullmatch(r"epoch=\d+", d)]
             except OSError:
                 continue
             for e in epochs:
-                total += residual(os.path.join(sroot, e), col)
-        report["stream_state"] = total
+                total += residual(os.path.join(sroot, e), scol if col is None else col)
+        return total
+
+    if ctx.stream_state_dir:
+        report["stream_state"] = _stream_residual(
+            ctx.stream_state_dir, (("bands", "id"), ("docs", None), ("labels", "id"))
+        )
+    if ctx.embedding_stream_state_dir:
+        report["embedding_stream_state"] = _stream_residual(
+            ctx.embedding_stream_state_dir,
+            (("buckets", "id"), ("vecs", None), ("labels", "id")),
+        )
     return report
 
 

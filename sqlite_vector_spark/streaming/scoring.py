@@ -421,6 +421,210 @@ def takedown_stream_state(
     return report
 
 
+def ingest_stream_embedding_neardup(
+    vec_stream: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    planes,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.1,
+    metric: str = "COSINE",
+):
+    """Continuous EMBEDDING near-dup state maintenance — the embedding
+    twin of ingest_stream_neardup, filling the {embedding} x
+    {streaming} cell of the state-maintenance matrix (r11). Every
+    micro-batch:
+
+    1. candidates against the persisted per-epoch bucket indexes
+       (incremental_embedding_pairs: the batch is hyperplane-bucketed
+       once; indexed vectors are never re-bucketed) plus within-batch
+       bucket pairs;
+    2. exact-distance verify on candidate-bounded vector reads from
+       the state's vector mirror (embedding_pair_distances — the same
+       norm-precompute fold as the batch path, bit-identical);
+    3. verified edges merge into the stored labels via
+       incremental_labels (star-compressed re-solve);
+    4. the batch's bucket keys + vectors append as new epoch dirs so
+       the NEXT batch dedups against this one.
+
+    Same crash/replay contract as the text twin: every write is a
+    PER-EPOCH overwrite directory (``buckets/epoch=<id>``,
+    ``vecs/epoch=<id>``, ``labels/epoch=<id>``), each epoch reads
+    only epochs strictly below its id, readers take
+    ``labels/epoch=<max>`` as current. The frozen plane family (+
+    threshold/metric/column names) persists in the state root's
+    ``_sv_params.json`` AND per bucket-epoch sidecars — a restart
+    with a conflicting family raises (sinks.check_frozen_params).
+    Local filesystem only (os.listdir epoch discovery)."""
+    import os
+    import re
+
+    from sqlite_vector_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        embedding_pair_distances,
+        hyperplane_bucket,
+        incremental_embedding_pairs,
+        incremental_labels,
+    )
+    from sqlite_vector_spark.sinks import check_frozen_params, write_params_sidecar
+
+    buckets_root = os.path.join(state_dir, "buckets")
+    vecs_root = os.path.join(state_dir, "vecs")
+    labels_root = os.path.join(state_dir, "labels")
+    planes = [[float(x) for x in p] for p in planes]
+    _prm = {
+        "planes": planes, "threshold": float(threshold), "metric": str(metric),
+        "id_col": id_col, "vec_col": vec_col,
+    }
+    write_params_sidecar(state_dir, {**_prm, **check_frozen_params(state_dir, _prm)})
+
+    def _epochs(root: str, below: int) -> list[int]:
+        try:
+            matches = (re.fullmatch(r"epoch=(\d+)", d) for d in os.listdir(root))
+            return sorted(
+                int(m.group(1)) for m in matches if m and int(m.group(1)) < below
+            )
+        except OSError:
+            return []
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.where(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).cast("bigint").alias(id_col), F.col(vec_col).alias(vec_col)
+        ).localCheckpoint(eager=True)
+
+        bucket_epochs = _epochs(buckets_root, epoch_id)
+        if bucket_epochs:
+            cand = incremental_embedding_pairs(
+                spark, batch,
+                [f"{buckets_root}/epoch={e}" for e in bucket_epochs],
+                id_col, vec_col, planes,
+            )
+            old_vecs = spark.read.parquet(
+                *[f"{vecs_root}/epoch={e}" for e in _epochs(vecs_root, epoch_id)]
+            ).select(id_col, vec_col)
+            union_vecs = old_vecs.unionByName(batch)
+            new_edges = (
+                embedding_pair_distances(cand, union_vecs, id_col, vec_col, metric)
+                .where(F.col("distance") < F.lit(threshold))
+                .select("a", "b")
+            )
+        else:  # first epoch: within-batch only (verify fused in)
+            new_edges = embedding_neardup_pairs(
+                batch, id_col, vec_col, planes, threshold, metric
+            ).select("a", "b")
+        label_epochs = _epochs(labels_root, epoch_id)
+        labels0 = (
+            spark.read.parquet(f"{labels_root}/epoch={label_epochs[-1]}")
+            if label_epochs
+            else spark.createDataFrame([], "id bigint, cluster bigint")
+        )
+        merged = incremental_labels(labels0, new_edges)
+        merged.select("id", "cluster").write.mode("overwrite").parquet(
+            f"{labels_root}/epoch={epoch_id}"
+        )
+        epoch_buckets = f"{buckets_root}/epoch={epoch_id}"
+        batch.select(
+            F.col(id_col).cast("bigint").alias("id"),
+            hyperplane_bucket(vec_col, planes).alias("bucket"),
+        ).sortWithinPartitions("bucket").write.mode("overwrite").parquet(epoch_buckets)
+        write_params_sidecar(epoch_buckets, {"planes": planes, "id_col": id_col, "vec_col": vec_col})
+        batch.write.mode("overwrite").parquet(f"{vecs_root}/epoch={epoch_id}")
+
+    return (
+        vec_stream.writeStream.foreachBatch(handle)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def takedown_stream_state_embedding(
+    spark,
+    state_dir: str,
+    vec_ids,
+    id_col: str | None = None,
+    vec_col: str | None = None,
+    threshold: float | None = None,
+    metric: str | None = None,
+    planes=None,
+) -> dict:
+    """Takedown maintenance for ingest_stream_embedding_neardup state
+    — the embedding twin of takedown_stream_state, same in-place
+    contract (run BETWEEN triggers; epoch ids are the checkpoint's
+    batch ids, so no synthetic epochs): every ``buckets/epoch=*`` and
+    ``vecs/epoch=*`` dir is rewritten via sinks.delete_ids, dead
+    label epochs are row-scrubbed, and the LIVE labels epoch is
+    re-solved via delete_labels_embedding over the surviving vector
+    mirror. Params left at None resolve from the state root's
+    sidecar; a conflicting explicit value raises."""
+    import os
+    import re
+
+    from sqlite_vector_spark.operators.dedup import delete_labels_embedding
+    from sqlite_vector_spark.sinks import check_frozen_params, delete_ids
+
+    prm = check_frozen_params(state_dir, {
+        "id_col": id_col, "vec_col": vec_col,
+        "threshold": threshold, "metric": metric,
+        "planes": [[float(x) for x in p] for p in planes] if planes is not None else None,
+    })
+    id_col = prm.get("id_col", "vec_id")
+    vec_col = prm.get("vec_col", "embedding")
+    threshold = prm.get("threshold")
+    metric = prm.get("metric", "COSINE")
+    planes = prm.get("planes")
+    if planes is None or threshold is None:
+        raise ValueError(
+            "takedown_stream_state_embedding: no plane family/threshold — the "
+            "state root carries them when written by "
+            "ingest_stream_embedding_neardup; otherwise pass them explicitly"
+        )
+
+    buckets_root = os.path.join(state_dir, "buckets")
+    vecs_root = os.path.join(state_dir, "vecs")
+    labels_root = os.path.join(state_dir, "labels")
+
+    def _all_epochs(root: str) -> list[int]:
+        try:
+            matches = (re.fullmatch(r"epoch=(\d+)", d) for d in os.listdir(root))
+            return sorted(int(m.group(1)) for m in matches if m)
+        except OSError:
+            return []
+
+    report = {"bucket_rows_deleted": 0, "vec_rows_deleted": 0, "labels_rewritten": False}
+    for e in _all_epochs(buckets_root):
+        r = delete_ids(spark, f"{buckets_root}/epoch={e}", vec_ids, id_col="id",
+                       sort_within=["bucket"])
+        report["bucket_rows_deleted"] += r["deleted_rows"]
+    for e in _all_epochs(vecs_root):
+        r = delete_ids(spark, f"{vecs_root}/epoch={e}", vec_ids, id_col=id_col)
+        report["vec_rows_deleted"] += r["deleted_rows"]
+    label_epochs = _all_epochs(labels_root)
+    if label_epochs:
+        for e in label_epochs[:-1]:
+            delete_ids(spark, f"{labels_root}/epoch={e}", vec_ids, id_col="id")
+        latest = f"{labels_root}/epoch={label_epochs[-1]}"
+        labels0 = spark.read.parquet(latest)
+        vec_epochs = _all_epochs(vecs_root)
+        if vec_epochs:
+            vecs = spark.read.parquet(
+                *[f"{vecs_root}/epoch={e}" for e in vec_epochs]
+            ).select(id_col, vec_col)
+        else:
+            vecs = spark.createDataFrame([], f"{id_col} bigint, {vec_col} array<float>")
+        new_labels = delete_labels_embedding(
+            labels0, vecs, vec_ids, planes, threshold,
+            id_col=id_col, vec_col=vec_col, metric=metric,
+        ).localCheckpoint(eager=True)  # materialize BEFORE overwriting its input
+        new_labels.select("id", "cluster").write.mode("overwrite").parquet(latest)
+        report["labels_rewritten"] = True
+    return report
+
+
 def windowed_event_counts(
     stream: DataFrame,
     ts_col: str = "ts",

@@ -606,3 +606,167 @@ def test_takedown_stream_state_then_resume(spark, tmp_path):
     assert got == want
     by = dict(got)
     assert by[30] == by[1] == by[10] == 1  # new doc joined the re-solved cluster
+
+
+# ---- r11: the {embedding} x {streaming} state-maintenance cell ----
+
+_EPLANES = [[((p * 8 + j) * 37 % 101) / 101.0 - 0.5 for j in range(8)] for p in range(3)]
+
+
+def _vec(i):
+    """Deterministic 8-dim vector per id (hash lanes, no linear
+    correlation across ids)."""
+    return [float(((i * 2654435761 + j * 40503) % 1009) / 1009.0 - 0.5) for j in range(8)]
+
+
+def _emb_batches():
+    """b2 contains an exact copy of a b1 vector (cross-epoch edge via
+    the frozen bucket index) and an internal exact-copy pair."""
+    b1 = [(0, _vec(0)), (1, _vec(0))]            # near-dup pair inside batch 1
+    b2 = [(10, _vec(0)),                          # near-dup of batch-1 vecs 0/1
+          (20, _vec(20)), (21, _vec(20))]         # pair inside batch 2
+    b3 = [(30, _vec(0))]                          # post-takedown near-dup of 1/10
+    for i in range(40, 52):
+        (b1 if i % 3 == 0 else b2 if i % 3 == 1 else b3).append((i, _vec(i)))
+    return b1, b2, b3
+
+
+def _run_emb_stream(spark, src, state, ckpt, n_label_epochs, schema):
+    import os
+    import time
+
+    from sqlite_vector_spark.streaming.scoring import ingest_stream_embedding_neardup
+
+    stream = (
+        spark.readStream.schema(spark.createDataFrame([], schema).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = ingest_stream_embedding_neardup(
+        stream, state, ckpt, _EPLANES, threshold=0.1
+    )
+    try:
+        deadline = time.time() + 120
+        labels_root = os.path.join(state, "labels")
+        while time.time() < deadline:
+            eps = (
+                [d for d in os.listdir(labels_root)
+                 if d.startswith("epoch=") and "__" not in d]
+                if os.path.isdir(labels_root)
+                else []
+            )
+            if len(eps) >= n_label_epochs and not q.status["isDataAvailable"]:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+
+
+def test_streaming_embedding_neardup_state_maintenance(spark, tmp_path):
+    """Two micro-batches flow through ingest_stream_embedding_neardup
+    (cross-epoch edge via the frozen per-epoch bucket indexes); the
+    newest labels epoch equals a full batch rebuild over all vectors,
+    and the state carries its frozen plane family in sidecars."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from sqlite_vector_spark.operators.dedup import (
+        connected_components_min_label,
+        embedding_neardup_pairs,
+    )
+    from sqlite_vector_spark.sinks import read_params_sidecar
+
+    b1, b2, _ = _emb_batches()
+    src = str(tmp_path / "vec_src")
+    schema = "vec_id long, embedding array<float>"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    state = str(tmp_path / "end_state")
+    _run_emb_stream(spark, src, state, str(tmp_path / "ckpt_end"), 2, schema)
+
+    labels_root = os.path.join(state, "labels")
+    epochs = sorted(int(d.split("=")[1]) for d in os.listdir(labels_root) if d.startswith("epoch="))
+    assert len(epochs) >= 2
+    got = {(r.id, r.cluster)
+           for r in spark.read.parquet(f"{labels_root}/epoch={epochs[-1]}").collect()}
+
+    vecs = spark.createDataFrame(b1 + b2, schema)
+    edges = embedding_neardup_pairs(vecs, "vec_id", "embedding", _EPLANES, 0.1).select("a", "b")
+    want = {(r.id, r.cluster) for r in connected_components_min_label(edges).collect()}
+    assert got == want
+    by = dict(got)
+    assert by[10] == by[0] == by[1] == 0 and by[21] == 20
+    assert read_params_sidecar(state)["threshold"] == 0.1
+    # restart with a conflicting family must raise at setup
+    import pytest
+
+    from sqlite_vector_spark.streaming.scoring import ingest_stream_embedding_neardup
+
+    stream = (spark.readStream.schema(spark.createDataFrame([], schema).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    with pytest.raises(ValueError, match="frozen-params conflict"):
+        ingest_stream_embedding_neardup(stream, state, str(tmp_path / "ckpt2"),
+                                        _EPLANES, threshold=0.5)
+
+
+def test_takedown_stream_state_embedding_then_resume(spark, tmp_path):
+    """Embedding streaming takedown: remove a vector from the per-epoch
+    bucket indexes, vector mirror, and labels (cluster re-solved);
+    a RESUMED stream ingesting a third batch produces labels equal to
+    a batch rebuild over the survivors — and the orchestrator reaches
+    the registered state."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from sqlite_vector_spark.catalog import VectorCatalog
+    from sqlite_vector_spark.operators.dedup import (
+        connected_components_min_label,
+        embedding_neardup_pairs,
+    )
+    from sqlite_vector_spark.sinks import takedown, verify_ids_absent
+
+    b1, b2, b3 = _emb_batches()
+    src = str(tmp_path / "vsrc")
+    schema = "vec_id long, embedding array<float>"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    state = str(tmp_path / "estate")
+    ckpt = str(tmp_path / "eckpt")
+    _run_emb_stream(spark, src, state, ckpt, 2, schema)
+
+    # takedown vec 0 through the ORCHESTRATOR (registered state)
+    emb_df = spark.createDataFrame(b1 + b2, schema)
+    emb_df.createOrReplaceTempView("estream_t")
+    cat = VectorCatalog(str(tmp_path / "ecat"))
+    cat.vector_init(emb_df, "estream_t", "embedding", "type=FLOAT32,dimension=8,distance=L2")
+    cat.set_stream_state("estream_t", "embedding", embedding_state_dir=state)
+    rep = takedown(spark, cat, "estream_t", "embedding", [0])
+    assert rep["embedding_stream_state"]["vec_rows_deleted"] == 1
+    assert rep["embedding_stream_state"]["labels_rewritten"]
+    assert verify_ids_absent(spark, cat, "estream_t", "embedding", [0]) == {
+        "embedding_stream_state": 0
+    }
+    # labels re-solved: {1,10} survive as a cluster with min 1
+    eps = sorted(int(d.split("=")[1]) for d in os.listdir(os.path.join(state, "labels"))
+                 if d.startswith("epoch=") and "__" not in d)
+    lab = {r.id: r.cluster
+           for r in spark.read.parquet(f"{state}/labels/epoch={eps[-1]}").collect()}
+    assert lab[1] == 1 and lab[10] == 1 and 0 not in lab
+
+    # resume: batch 3 bridges to the re-solved cluster
+    spark.createDataFrame(b3, schema).coalesce(1).write.mode("append").parquet(src)
+    _run_emb_stream(spark, src, state, ckpt, 3, schema)
+    eps = sorted(int(d.split("=")[1]) for d in os.listdir(os.path.join(state, "labels"))
+                 if d.startswith("epoch=") and "__" not in d)
+    got = {(r.id, r.cluster)
+           for r in spark.read.parquet(f"{state}/labels/epoch={eps[-1]}").collect()}
+    survivors = spark.createDataFrame([r for r in b1 + b2 + b3 if r[0] != 0], schema)
+    edges = embedding_neardup_pairs(survivors, "vec_id", "embedding", _EPLANES, 0.1).select("a", "b")
+    want = {(r.id, r.cluster) for r in connected_components_min_label(edges).collect()}
+    assert got == want
+    by = dict(got)
+    assert by[30] == by[1] == by[10] == 1
