@@ -439,8 +439,10 @@ def takedown(
     3. the EMBEDDING near-dup state: bucket store (flat,
        bucket-sorted), vectors mirror, then
        delete_labels_embedding_state (planes/threshold from sidecar);
-    4. the STREAMING state (takedown_stream_state — per-epoch band/
-       doc/label rewrite, params from the state sidecar).
+    4. the STREAMING states — text (takedown_stream_state: per-epoch
+       band/doc/label rewrite) and embedding
+       (takedown_stream_state_embedding: per-epoch bucket/vec/label
+       rewrite), params from each state's sidecar.
 
     The id batch is normalized + checkpointed ONCE and broadcast into
     every tier's anti-join. Params are read from each state's
