@@ -142,7 +142,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bottom is mandatory in r13. A NEW r12 entry therefore needs
         # a swap: displace one r9 entry only if its subsystem is
         # pinned by an equality test to an in-window twin, and note
-        # the displacement here.
+        # the displacement here. Safest displacement candidates (each
+        # shares its ORACLE TEXT with another entry, so a hash-green
+        # twin covers the subsystem): knn_join_blocked_l2 (oracle ==
+        # knn_join_l2, in this block), auto_route_scan /
+        # tvf_quantize_scan (oracle == quantize_scan_l2, in this
+        # block), bq_band_join (== bq_knn_join_hamming, in this
+        # block).
         # -- r9-gated (mandatory in r12)
         "incremental_dedup": w.incremental_dedup_q,
         "pq_scan_l2": w.pq_scan_l2,
