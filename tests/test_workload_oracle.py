@@ -106,17 +106,16 @@ def test_spot_oracle_match(spark, duck, name):
     assert srows == orows
 
 
-def test_gate_window_contains_round11_rotation():
+def test_gate_window_contains_round12_rotation():
     """The driver adjudicates only the FIRST 50 queries() entries, so
-    window membership is part of the declared evidence plan:
-    filtered_full_scan_l2 (the last never-gated r9 entry), the FIVE
-    never-gated r10 delete/filtered-join entries, the NEW r11
-    orchestrator gate (ivf_scan_after_delete_l2), and the FULL
-    43-entry r8-latest cohort (staleness invariant: nothing may go 3
-    rounds without a driver green) must sit inside positions 1-50,
-    keys must be unique, and the inventory must match oracle_sql 1:1
-    (an insert that silently pushes an intended entry past the
-    horizon breaks the rotation bookkeeping — this pins it)."""
+    window membership is part of the declared evidence plan: the r12
+    rotation (VERDICT r11 #1) is the FULL 50-entry cohort whose latest
+    driver green is r9 (staleness invariant: nothing may go 3 rounds
+    without a driver green) — it fills the window exactly, no spare
+    slot. All 50 must sit inside positions 1-50, keys must be unique,
+    and the inventory must match oracle_sql 1:1 (an insert that
+    silently pushes an intended entry past the horizon breaks the
+    rotation bookkeeping — this pins it)."""
     import __spark_entry__ as e
 
     keys = list(e.queries().keys())
@@ -124,30 +123,25 @@ def test_gate_window_contains_round11_rotation():
     assert set(keys) == set(e.oracle_sql())
     window = set(keys[:50])
     must_gate = [
-        # never-gated late-r9 filtered search
-        "filtered_full_scan_l2",
-        # never-gated r10 delete/filtered-join matrix
-        "quantize_scan_after_delete_l2", "filtered_knn_join_l2",
-        "neardup_after_delete", "incremental_embedding_neardup",
-        "embedding_neardup_after_delete",
-        # new in r11: the one-call takedown orchestrator gate
-        "ivf_scan_after_delete_l2",
-        # the 43-entry cohort whose latest driver green is r8
-        "sql_macro_scan", "tvf_full_scan", "token_cooccurrence",
-        "neardup_keep_best", "hybrid_rrf_batch", "ivf_recall_curve",
-        "source_snapshot_drift", "approx_quantile_audit",
-        "asof_forward_events", "asof_join_events",
-        "asof_null_carry_events", "asof_tolerance_events",
-        "balanced_sample", "bpe_token_counts", "doc_split_assign",
-        "embedding_dim_stats", "events_hourly", "events_props_agg",
-        "events_rollup", "full_scan_k_gt_n", "normalize",
-        "order_priority_counts", "pii_scrub", "purchase_session_join",
-        "quantize_codes", "quantize_memory", "sample_mix",
-        "sessionize", "simhash_neardup", "source_stats",
-        "token_doc_freq", "top_customers", "value_quantiles",
-        "value_winsorize", "user_rolling", "user_decay", "bq_codes",
-        "bq_scan_hamming", "bq_rerank_scan_l2", "opq_scan_l2",
-        "bm25_topk", "hybrid_rrf", "lm_doc_scores",
+        # the 50-entry cohort whose latest driver green is r9
+        "incremental_dedup", "pq_scan_l2", "pq_rerank_scan_l2",
+        "ivf_pq_scan_l2", "ivf_pq_knn_join_l2", "knn_join_l2",
+        "semantic_dedup", "boilerplate_strip", "quantize_params",
+        "quantize_scan_l2", "f16_scan_l2", "knn_join_blocked_l2",
+        "text_stats", "lsh_candidate_pairs", "ngram_jaccard_pairs",
+        "neardup_representatives", "pq_codes", "pq_recall_at_k",
+        "ivf_cluster_stats", "doc_chunk_overlap", "temperature_mix",
+        "matryoshka_rerank_l2", "approx_distinct_audit",
+        "cohort_retention", "event_funnel", "quantize_update_codes",
+        "gopher_quality", "knn_classify", "embedding_outliers",
+        "mmr_rerank_l2", "source_overlap", "corpus_report",
+        "pack_sequences", "negative_samples", "edit_distance_pairs",
+        "value_zscore", "source_overlap_sketch", "bm25_batch_topk",
+        "events_resample", "user_type_pivot", "error_incidents",
+        "session_incident_overlap", "bq_band_join", "auto_route_scan",
+        "tvf_quantize_scan", "tvf_ep1_join_back",
+        "bq_knn_join_hamming", "bq_knn_join_projected",
+        "bq_band_scan", "passage_strip_frozen",
     ]
     assert len(must_gate) == 50
     missing = [k for k in must_gate if k not in window]
