@@ -210,7 +210,12 @@ def _png_decode(payload: bytes):
     (palette -> RGB via PLTE), 4 (gray+alpha -> gray), 6 (RGBA),
     non-interlaced; 16-bit, sub-8-bit, and Adam7-interlaced rasters
     RAISE rather than silently mis-decode (same refusal posture as
-    _ppm_decode's 16-bit gate). Unfiltering follows the spec
+    _ppm_decode's 16-bit gate). Malformed palettes (PLTE not a
+    multiple of 3, index past the table) raise explicit ValueErrors
+    rather than surfacing raw NumPy shape/index errors; a tRNS
+    palette-transparency chunk is IGNORED (palette pixels decode as
+    opaque RGB — same alpha posture as color type 4/6, where the
+    descriptor reads the color planes and drops alpha). Unfiltering follows the spec
     (RFC 2083 §6): None/Sub/Up/Average/Paeth per scanline, all
     arithmetic mod 256; Up is vectorized, the sequential filters run
     per-pixel in-row (decode cost is zlib-dominated for real images,
@@ -292,9 +297,20 @@ def _png_decode(payload: bytes):
     if color == 3:  # palette indices -> RGB
         if plte is None:
             raise ValueError("palette PNG missing its PLTE chunk")
+        if len(plte) == 0 or len(plte) % 3 != 0:
+            raise ValueError(
+                f"malformed PLTE chunk: {len(plte)} bytes is not a "
+                "positive multiple of 3"
+            )
         pal = np.frombuffer(plte, np.uint8)
         pal = pal.reshape(len(pal) // 3, 3)
-        arr = pal[arr.reshape(h, w)]
+        idx = arr.reshape(h, w)
+        hi = int(idx.max())
+        if hi >= len(pal):
+            raise ValueError(
+                f"palette index {hi} out of range for a {len(pal)}-entry PLTE"
+            )
+        arr = pal[idx]
     elif color == 4:  # gray+alpha -> gray (descriptor ignores alpha)
         arr = arr[..., 0]
     return arr

@@ -791,6 +791,13 @@ def test_png_decoder_real_decode_golden():
     with pytest.raises(ValueError, match="size mismatch"):
         _png_decode(sig + _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
                     + _chunk(b"IDAT", _z.compress(b"\x00\x00")))
+    # malformed palette: PLTE not a multiple of 3 -> explicit refusal,
+    # not a raw NumPy reshape error (advisor r11)
+    with pytest.raises(ValueError, match="PLTE"):
+        _png_decode(_png_bytes(idx, 3, palette=bytes([10, 20, 30, 200])))
+    # palette index past the table -> explicit refusal, not IndexError
+    with pytest.raises(ValueError, match="out of range"):
+        _png_decode(_png_bytes(np.array([[0, 5]], np.uint8), 3, palette=pal))
 
 
 def test_png_decoder_all_filter_types_roundtrip():
