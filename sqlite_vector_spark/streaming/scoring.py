@@ -29,6 +29,25 @@ from sqlite_vector_spark.functions.distance import distance
 from sqlite_vector_spark.types import Metric
 
 
+def _epoch_ids(root: str, below: int | None = None) -> list[int]:
+    """Sorted epoch ids under a state root (``epoch=<digits>`` dirs).
+
+    fullmatch, not startswith+int: leftover staging/retained dirs
+    (``epoch=3.tmp``, ``epoch=3__pre_delete``, ``epoch=4__compacting``)
+    must be skipped, not crash every micro-batch. ``below`` bounds the
+    listing exclusively (a replayed epoch must not see its own crashed
+    attempt's partial output)."""
+    import os
+    import re
+
+    try:
+        matches = (re.fullmatch(r"epoch=(\d+)", d) for d in os.listdir(root))
+        ids = sorted(int(m.group(1)) for m in matches if m)
+    except OSError:
+        return []
+    return ids if below is None else [e for e in ids if e < below]
+
+
 def score_stream(
     stream: DataFrame,
     vec_col: str,
@@ -267,16 +286,7 @@ def ingest_stream_neardup(
     _prm = {"id_col": id_col, "text_col": text_col, "jaccard_min": jaccard_min}
     write_params_sidecar(state_dir, {**_prm, **check_frozen_params(state_dir, _prm)})
 
-    def _epochs(root: str, below: int) -> list[int]:
-        # fullmatch, not startswith+int: a leftover staging dir like
-        # "epoch=3.tmp" must be skipped, not crash every micro-batch
-        try:
-            matches = (re.fullmatch(r"epoch=(\d+)", d) for d in os.listdir(root))
-            return sorted(
-                int(m.group(1)) for m in matches if m and int(m.group(1)) < below
-            )
-        except OSError:
-            return []
+    _epochs = _epoch_ids  # module-level lister: fullmatch digits, skip staging/retained dirs
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -379,12 +389,7 @@ def takedown_stream_state(
     docs_root = os.path.join(state_dir, "docs")
     labels_root = os.path.join(state_dir, "labels")
 
-    def _all_epochs(root: str) -> list[int]:
-        try:
-            matches = (re.fullmatch(r"epoch=(\d+)", d) for d in os.listdir(root))
-            return sorted(int(m.group(1)) for m in matches if m)
-        except OSError:
-            return []
+    _all_epochs = _epoch_ids
 
     report = {"band_rows_deleted": 0, "doc_rows_deleted": 0, "labels_rewritten": False}
     for e in _all_epochs(bands_root):
@@ -479,14 +484,7 @@ def ingest_stream_embedding_neardup(
     }
     write_params_sidecar(state_dir, {**_prm, **check_frozen_params(state_dir, _prm)})
 
-    def _epochs(root: str, below: int) -> list[int]:
-        try:
-            matches = (re.fullmatch(r"epoch=(\d+)", d) for d in os.listdir(root))
-            return sorted(
-                int(m.group(1)) for m in matches if m and int(m.group(1)) < below
-            )
-        except OSError:
-            return []
+    _epochs = _epoch_ids  # module-level lister: fullmatch digits, skip staging/retained dirs
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -588,12 +586,7 @@ def takedown_stream_state_embedding(
     vecs_root = os.path.join(state_dir, "vecs")
     labels_root = os.path.join(state_dir, "labels")
 
-    def _all_epochs(root: str) -> list[int]:
-        try:
-            matches = (re.fullmatch(r"epoch=(\d+)", d) for d in os.listdir(root))
-            return sorted(int(m.group(1)) for m in matches if m)
-        except OSError:
-            return []
+    _all_epochs = _epoch_ids
 
     report = {"bucket_rows_deleted": 0, "vec_rows_deleted": 0, "labels_rewritten": False}
     for e in _all_epochs(buckets_root):
@@ -623,6 +616,205 @@ def takedown_stream_state_embedding(
         new_labels.select("id", "cluster").write.mode("overwrite").parquet(latest)
         report["labels_rewritten"] = True
     return report
+
+
+def compact_stream_state(
+    spark,
+    state_dir: str,
+    below_epoch: int | None = None,
+) -> dict:
+    """Fold a streaming near-dup state's per-epoch dirs below a
+    watermark into ONE base epoch — the growth bound the per-epoch
+    replay layout otherwise lacks. Every micro-batch of
+    ingest_stream_neardup / ingest_stream_embedding_neardup plans a
+    per-path read of ALL prior ``bands|buckets/epoch=*`` and
+    ``docs|vecs/epoch=*`` dirs (O(#epochs) plan branches) and each
+    labels epoch holds the FULL merged labeling with dead epochs
+    retained forever; after thousands of micro-batches planning cost
+    and state size grow without bound. This verb compacts both, and
+    is the reason sinks.compact_everywhere deliberately excludes
+    streaming state: per-epoch dirs are the replay unit MID-stream,
+    so folding them is only legal between runs, from the maintenance
+    seat — the same single-writer, stream-stopped contract as
+    takedown_stream_state (reference anchor: the chunked shadow table
+    is rebuilt wholesale on re-quantize, sqlite-vector.c:1418-1427 —
+    this is the incremental equivalent).
+
+    Semantics (text and embedding layouts auto-detected):
+
+    - data roots (``bands``/``docs`` or ``buckets``/``vecs``): all
+      epochs STRICTLY BELOW ``below_epoch`` are unioned (per-path
+      read — partitioned and flat epoch dirs cannot share one
+      multi-path scan) and rewritten as the single dir
+      ``epoch=<max folded id>``, preserving each root's layout
+      (bands re-partitioned by ``band``, buckets bucket-sorted with
+      their plane-family sidecar carried over). Folding into the MAX
+      folded id keeps every surviving reader's view identical: epoch
+      N still reads exactly the data of epochs < N.
+    - ``labels``: only the NEWEST epoch below the watermark is live
+      (readers take ``labels/epoch=<max below current>``); older ones
+      are dead full labelings and are dropped. Label epochs at or
+      above the watermark are untouched.
+    - superseded dirs are retained under ``<root>__pre_compact``
+      (one generation, like delete/compact) together with any
+      ``epoch=N__pre_delete`` leftovers of folded epochs;
+      vacuum_stream_state reclaims them.
+
+    ``below_epoch`` defaults to the max data epoch id — i.e. fold
+    everything EXCEPT the newest epoch. The newest epoch is the only
+    one an unclean shutdown can make Structured Streaming replay, and
+    a replayed epoch must not find its own output folded into the
+    base (it would candidate-match against itself). After a clean
+    drain (query.stop() with no pending trigger) pass
+    ``below_epoch=<max>+1`` to fold everything.
+
+    Restart equivalence is the contract, not a hope: a stream resumed
+    over the compacted state reads byte-identical inputs at every
+    later epoch, so its labels match the uncompacted run exactly
+    (pinned by test_compact_stream_state_resume_equivalence).
+
+    Returns {root: {"folded": [...], "base": id} for each folded
+    root, "labels_dropped": [...], "below_epoch": N, "read_paths":
+    {"before": k, "after": m}}.
+    """
+    import os
+    import shutil
+
+    roots = [
+        d for d in ("bands", "buckets", "docs", "vecs")
+        if os.path.isdir(os.path.join(state_dir, d))
+    ]
+    labels_root = os.path.join(state_dir, "labels")
+    if not roots:
+        raise ValueError(
+            f"compact_stream_state: {state_dir!r} has no bands/buckets/"
+            "docs/vecs state roots — not a streaming near-dup state dir"
+        )
+    if below_epoch is None:
+        data_max = max(
+            (e for r in roots for e in _epoch_ids(os.path.join(state_dir, r))),
+            default=None,
+        )
+        if data_max is None:
+            return {"below_epoch": None, "labels_dropped": [],
+                    "read_paths": {"before": 0, "after": 0}}
+        below_epoch = data_max  # exclusive: the newest epoch stays replayable
+
+    report: dict = {"below_epoch": below_epoch, "labels_dropped": []}
+    paths_before = paths_after = 0
+    for name in roots:
+        root = os.path.join(state_dir, name)
+        all_eps = _epoch_ids(root)
+        folded = [e for e in all_eps if e < below_epoch]
+        paths_before += len(all_eps)
+        if len(folded) < 2:  # nothing to merge
+            paths_after += len(all_eps)
+            continue
+        base = max(folded)
+        parts = [os.path.join(root, f"epoch={e}") for e in folded]
+        df = None
+        for p in parts:  # per-path: epoch dirs must not share one scan
+            d = spark.read.parquet(p)
+            df = d if df is None else df.unionByName(d)
+        staging = os.path.join(root, f"epoch={base}__compacting")
+        if name == "bands":  # keep the band-partitioned probe layout
+            (df.repartition(F.col("band"))
+               .write.partitionBy("band").mode("overwrite").parquet(staging))
+        elif name == "buckets":  # flat, bucket-sorted (row-group skip)
+            n = max(1, len(df.inputFiles()) // 8)
+            (df.coalesce(n).sortWithinPartitions("bucket")
+               .write.mode("overwrite").parquet(staging))
+        else:  # docs / vecs mirrors: flat
+            n = max(1, len(df.inputFiles()) // 8)
+            df.coalesce(n).write.mode("overwrite").parquet(staging)
+        # retain superseded dirs (one generation), then promote staging
+        retained = root + "__pre_compact"
+        if os.path.exists(retained):
+            shutil.rmtree(retained)
+        os.makedirs(retained)
+        for e in folded:
+            os.rename(os.path.join(root, f"epoch={e}"), os.path.join(retained, f"epoch={e}"))
+            leftover = os.path.join(root, f"epoch={e}__pre_delete")
+            if os.path.isdir(leftover):  # takedown retention of a folded epoch
+                os.rename(leftover, os.path.join(retained, f"epoch={e}__pre_delete"))
+        if name == "buckets":  # plane-family sidecar must survive the fold
+            from sqlite_vector_spark.sinks import _preserve_sidecars
+
+            _preserve_sidecars(os.path.join(retained, f"epoch={base}"), staging)
+        os.rename(staging, os.path.join(root, f"epoch={base}"))
+        spark.catalog.refreshByPath(root)
+        report[name] = {"folded": folded, "base": base}
+        paths_after += len(all_eps) - len(folded) + 1
+
+    # labels: keep the newest epoch below the watermark (the live
+    # labeling for every surviving reader), drop the dead ones
+    label_eps = _epoch_ids(labels_root, below_epoch)
+    if len(label_eps) > 1:
+        retained = labels_root + "__pre_compact"
+        if os.path.exists(retained):
+            shutil.rmtree(retained)
+        os.makedirs(retained)
+        for e in label_eps[:-1]:
+            os.rename(
+                os.path.join(labels_root, f"epoch={e}"),
+                os.path.join(retained, f"epoch={e}"),
+            )
+            leftover = os.path.join(labels_root, f"epoch={e}__pre_delete")
+            if os.path.isdir(leftover):
+                os.rename(leftover, os.path.join(retained, f"epoch={e}__pre_delete"))
+        report["labels_dropped"] = label_eps[:-1]
+        spark.catalog.refreshByPath(labels_root)
+    report["read_paths"] = {"before": paths_before, "after": paths_after}
+    return report
+
+
+def vacuum_stream_state(state_dir: str) -> dict:
+    """Reclaim a streaming state's RETAINED superseded layouts — the
+    ``<root>__pre_compact`` generations compact_stream_state keeps and
+    the per-epoch ``epoch=N__pre_delete`` dirs takedown_stream_state
+    leaves inside every root on every takedown (which would otherwise
+    accumulate a full shadow copy of the state across repeated
+    takedowns — streaming state is outside sinks.vacuum_everywhere's
+    batch-tier walk, so this is its vacuum verb; the catalog-level
+    vacuum_everywhere calls it for registered stream states). Same
+    refuse-on-surprise posture as sinks.vacuum_store: an
+    ``epoch=N__pre_delete`` whose live ``epoch=N`` dir is MISSING is
+    skipped (a crashed swap may have left it the only copy), never
+    removed. Run once readers have drained. Returns
+    {"removed": [...], "skipped": [...], "bytes_freed": N}."""
+    import os
+    import shutil
+
+    def _du(p: str) -> int:
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(p)
+            for f in fs
+        )
+
+    removed, skipped, freed = [], [], 0
+    for name in ("bands", "buckets", "docs", "vecs", "labels"):
+        root = os.path.join(state_dir, name)
+        if not os.path.isdir(root):
+            continue
+        live = {f"epoch={e}" for e in _epoch_ids(root)}
+        retained = root + "__pre_compact"
+        if os.path.isdir(retained) and live:  # root still has a live epoch
+            freed += _du(retained)
+            shutil.rmtree(retained)
+            removed.append(f"{name}__pre_compact")
+        for d in sorted(os.listdir(root)):
+            if not d.endswith("__pre_delete"):
+                continue
+            rel = os.path.join(name, d)
+            if d.removesuffix("__pre_delete") in live:
+                p = os.path.join(root, d)
+                freed += _du(p)
+                shutil.rmtree(p)
+                removed.append(rel)
+            else:
+                skipped.append(rel)  # live twin missing: may be the only copy
+    return {"removed": removed, "skipped": skipped, "bytes_freed": freed}
 
 
 def windowed_event_counts(

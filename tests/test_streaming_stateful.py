@@ -585,9 +585,35 @@ def test_takedown_stream_state_then_resume(spark, tmp_path):
            for r in spark.read.parquet(f"{state}/labels/epoch={eps[-1]}").collect()}
     assert lab[1] == 1 and lab[10] == 1 and 0 not in lab
 
-    # resume: batch 3 bridges to the re-solved cluster
+    # clean drain -> FULL epoch fold (below = max+1): both band/doc
+    # epochs merge into one base dir, dead label epochs drop, and the
+    # takedown's per-epoch __pre_delete retention rides into the
+    # compaction retention
+    from sqlite_vector_spark.streaming.scoring import (
+        compact_stream_state,
+        vacuum_stream_state,
+    )
+
+    all_eps = sorted(int(d.split("=")[1]) for d in os.listdir(os.path.join(state, "bands"))
+                     if d.startswith("epoch=") and "__" not in d)
+    assert len(all_eps) == 2
+    crep = compact_stream_state(spark, state, below_epoch=all_eps[-1] + 1)
+    assert crep["bands"]["folded"] == all_eps and crep["bands"]["base"] == all_eps[-1]
+    assert crep["docs"]["folded"] == all_eps
+    assert crep["labels_dropped"] == all_eps[:-1]
+    assert crep["read_paths"]["after"] < crep["read_paths"]["before"]
+    # one vacuum reclaims BOTH retention kinds (advisor r11: takedown
+    # leftovers in streaming state were otherwise unreclaimable)
+    vrep = vacuum_stream_state(state)
+    assert vrep["bytes_freed"] > 0 and not vrep["skipped"]
+    assert "bands__pre_compact" in vrep["removed"]
+    leftovers = [d for dp, ds, _ in os.walk(state) for d in ds if "__pre_" in d]
+    assert not leftovers
+
+    # resume: batch 3 bridges to the re-solved cluster, reading the
+    # folded base epoch exactly as it read the per-epoch dirs
     spark.createDataFrame(b3, schema).coalesce(1).write.mode("append").parquet(src)
-    run_stream(3)
+    run_stream(2)  # labels = {folded base's live epoch, new epoch}
     eps = sorted(int(d.split("=")[1]) for d in os.listdir(os.path.join(state, "labels"))
                  if d.startswith("epoch=") and "__" not in d)
     got = {(r.id, r.cluster)
@@ -770,3 +796,67 @@ def test_takedown_stream_state_embedding_then_resume(spark, tmp_path):
     assert got == want
     by = dict(got)
     assert by[30] == by[1] == by[10] == 1
+
+
+def test_compact_stream_state_resume_equivalence(spark, tmp_path):
+    """Epoch compaction under the REPLAY-SAFE default watermark: three
+    micro-batches build per-epoch embedding near-dup state;
+    compact_stream_state (default = fold everything below the newest
+    epoch) merges the old bucket/vec epochs into one base dir and
+    drops the dead label epochs; a RESUMED stream ingesting a fourth
+    batch then produces labels equal to a full batch rebuild over all
+    vectors — i.e. byte-identical inputs at every later epoch, the
+    equality the per-epoch layout guaranteed before folding. Also
+    pins: read-path count shrinks, the newest (replayable) epoch is
+    untouched, and the bucket base epoch keeps its plane-family
+    sidecar."""
+    import os
+
+    from sqlite_vector_spark.operators.dedup import (
+        connected_components_min_label,
+        embedding_neardup_pairs,
+    )
+    from sqlite_vector_spark.sinks import read_params_sidecar
+    from sqlite_vector_spark.streaming.scoring import compact_stream_state
+
+    b1, b2, b3 = _emb_batches()
+    b4 = [(60, _vec(20)), (61, _vec(61))]  # joins cluster 20 post-compaction
+    src = str(tmp_path / "csrc")
+    schema = "vec_id long, embedding array<float>"
+    for b in (b1, b2, b3):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
+
+    state = str(tmp_path / "cstate")
+    ckpt = str(tmp_path / "cckpt")
+    _run_emb_stream(spark, src, state, ckpt, 3, schema)
+
+    def eps(sub):
+        return sorted(int(d.split("=")[1]) for d in os.listdir(os.path.join(state, sub))
+                      if d.startswith("epoch=") and "__" not in d)
+
+    assert len(eps("buckets")) == 3
+    newest = eps("buckets")[-1]
+    crep = compact_stream_state(spark, state)  # default: keep the newest replayable
+    assert crep["below_epoch"] == newest
+    assert crep["buckets"]["folded"] == crep["vecs"]["folded"]
+    assert len(crep["buckets"]["folded"]) == 2
+    assert eps("buckets") == [crep["buckets"]["base"], newest]
+    assert eps("vecs") == [crep["vecs"]["base"], newest]
+    assert crep["read_paths"]["after"] < crep["read_paths"]["before"]
+    # dead label epochs dropped; the live one (newest below) + newest kept
+    assert eps("labels") == [crep["buckets"]["base"], newest]
+    # the folded bucket epoch keeps its frozen plane family
+    side = read_params_sidecar(f"{state}/buckets/epoch={crep['buckets']['base']}")
+    assert side and side["planes"] == _EPLANES
+
+    # resume over the compacted state: same labels as a full rebuild
+    spark.createDataFrame(b4, schema).coalesce(1).write.mode("append").parquet(src)
+    _run_emb_stream(spark, src, state, ckpt, 3, schema)
+    got = {(r.id, r.cluster)
+           for r in spark.read.parquet(f"{state}/labels/epoch={eps('labels')[-1]}").collect()}
+    vecs = spark.createDataFrame(b1 + b2 + b3 + b4, schema)
+    edges = embedding_neardup_pairs(vecs, "vec_id", "embedding", _EPLANES, 0.1).select("a", "b")
+    want = {(r.id, r.cluster) for r in connected_components_min_label(edges).collect()}
+    assert got == want
+    by = dict(got)
+    assert by[60] == by[20] == by[21]  # bridged across the fold
