@@ -58,8 +58,14 @@ def write_params_sidecar(path: str, params: dict) -> None:
     import os
 
     os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, _SIDECAR), "w") as f:
+    # Write-temp-then-rename: a crash mid-dump must not leave a
+    # truncated sidecar that bricks every later maintenance verb on
+    # the store (os.replace is atomic on POSIX within a filesystem).
+    final = os.path.join(path, _SIDECAR)
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(params, f, indent=1)
+    os.replace(tmp, final)
 
 
 def read_params_sidecar(path: str) -> dict | None:
@@ -72,7 +78,15 @@ def read_params_sidecar(path: str) -> dict | None:
     if not os.path.exists(p):
         return None
     with open(p) as f:
-        return json.load(f)
+        try:
+            return json.load(f)
+        except json.JSONDecodeError as e:
+            raise ValueError(
+                f"corrupt frozen-params sidecar {p!r}: {e}. The store's "
+                "data is intact; restore the sidecar (or delete it to "
+                "fall back to caller-supplied params) before running "
+                "maintenance verbs."
+            ) from e
 
 
 def check_frozen_params(path: str, passed: dict) -> dict:
@@ -181,6 +195,14 @@ def delete_ids(
     import os
     import shutil
 
+    from sqlite_vector_spark.versioned import delete_ids_versioned, is_versioned
+
+    if is_versioned(spark, path):
+        # manifest pointer-flip swap: rename-free, works on any Hadoop
+        # scheme; partition_col comes from the manifest
+        return delete_ids_versioned(
+            spark, path, ids, id_col=id_col, sort_within=sort_within
+        )
     if isinstance(ids, DataFrame):
         ids_df = ids.select(F.col(ids.columns[0]).cast("bigint").alias("_del_id"))
     else:
@@ -191,8 +213,11 @@ def delete_ids(
     df = spark.read.parquet(path)
     if not all(f.startswith("file:") or f.startswith("/") for f in df.inputFiles()):
         raise ValueError(
-            "delete_ids supports local-filesystem stores only (os.rename swap); "
-            "for object stores, rewrite to a new prefix and flip the pointer instead"
+            "delete_ids: this FLAT store is not on a local filesystem, and the "
+            "flat swap is os.rename; migrate it to a versioned store "
+            "(sqlite_vector_spark.versioned.versioned_store_init) — its "
+            "manifest pointer-flip swap needs no rename and runs on any "
+            "Hadoop-supported object store"
         )
     key = F.col(id_col).cast("bigint")
     root = os.path.abspath(path.rstrip("/"))
@@ -221,23 +246,27 @@ def delete_ids(
             "partitions_rewritten": -1,
         }
 
-    # (1) column-pruned probe: which partition directories hold ids?
-    # hit is bounded by |ids| x rows-per-id (the same bounded-driver
-    # class as the broadcast id set itself), so collect it in ONE
-    # pass and derive the dir set + deleted count driver-side — the
-    # r10 shape (checkpoint, then distinct + count) inherited the
-    # scan's partitioning and re-scheduled ~C near-empty tasks per
-    # follow-up job, which at C=4096 made the probe 3x its scan cost
-    # (measured r11, SCALE.md)
+    # (1) column-pruned probe: which partition directories hold ids,
+    # and how many rows? ONE pass over the store (the r10 shape —
+    # checkpoint, then distinct + count — inherited the scan's
+    # partitioning and re-scheduled ~C near-empty tasks per follow-up
+    # job, which at C=4096 made the probe 3x its scan cost; measured
+    # r11, SCALE.md), folded to per-partition counts EXECUTOR-side so
+    # the driver holds #affected-partitions rows, not |ids| x
+    # rows-per-id — a band-expanded layout (MIH/LSH holds every id in
+    # all m bands) would otherwise materialize millions of Row
+    # objects on the driver for a large takedown batch (advisor r11).
     hit = (
         df.select(key.alias("_k"), F.col(partition_col))
         .join(F.broadcast(ids_df), F.col("_k") == F.col("_del_id"), "left_semi")
+        .groupBy(partition_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
         .collect()
     )
-    affected = sorted({r[1] for r in hit})
+    affected = sorted(r[0] for r in hit)
     if not affected:
         return {"deleted_rows": 0, "rows_after": None, "partitions_rewritten": 0}
-    deleted = len(hit)
+    deleted = sum(r[1] for r in hit)
     # (2) pruned re-read of ONLY the affected partitions. Map each
     # affected VALUE to its on-disk directory by percent-decoding the
     # actual root listing (how Spark encoded it), and refuse if any
@@ -650,7 +679,7 @@ def verify_ids_absent(spark, catalog, table: str, column: str, ids, id_col: str 
     ids_df = ids_df.distinct().localCheckpoint(eager=True)
 
     def residual(path: str, col: str) -> int:
-        df = spark.read.parquet(path)
+        df = read_store(spark, path)  # versioned roots resolve via manifest
         return (
             df.select(F.col(col).cast("bigint").alias("_k"))
             .join(F.broadcast(ids_df), F.col("_k") == F.col("_del_id"), "left_semi")
@@ -708,7 +737,20 @@ def verify_ids_absent(spark, catalog, table: str, column: str, ids, id_col: str 
     return report
 
 
-def vacuum_store(path: str) -> dict:
+def read_store(spark, path: str) -> DataFrame:
+    """Read a store regardless of swap mode: versioned roots resolve
+    through their live manifest (reading the root directly would scan
+    every retained generation), flat stores read as plain parquet.
+    The audit/verify paths use this so a versioned tier's superseded
+    generations never count as residuals."""
+    from sqlite_vector_spark.versioned import is_versioned, read_versioned
+
+    if is_versioned(spark, path):
+        return read_versioned(spark, path)
+    return spark.read.parquet(path)
+
+
+def vacuum_store(path: str, spark=None) -> dict:
     """Drop a store's RETAINED superseded layouts — the
     ``<path>__pre_delete`` / ``<path>__pre_compact`` directories the
     delete/compact verbs keep (one generation each) for racing
@@ -721,9 +763,20 @@ def vacuum_store(path: str) -> dict:
     renaming the retained layout back instead). In-flight staging
     dirs (``__deleting`` / ``__compacting``) are never touched — they
     belong to a running maintenance writer. Returns
-    {removed: [...], bytes_freed: N}."""
+    {removed: [...], bytes_freed: N}.
+
+    Versioned stores (pass ``spark`` so the manifest scheme can be
+    detected on any Hadoop filesystem) route to
+    versioned.vacuum_versioned — same retained-generation reclaim,
+    rename-free layout."""
     import os
     import shutil
+
+    if spark is not None:
+        from sqlite_vector_spark.versioned import is_versioned, vacuum_versioned
+
+        if is_versioned(spark, path):
+            return vacuum_versioned(spark, path)
 
     root = os.path.abspath(path.rstrip("/"))
     if not os.path.isdir(root):
@@ -801,13 +854,26 @@ def vacuum_everywhere(spark, catalog, table: str, column: str) -> dict:
     (``__pre_delete`` / ``__pre_compact``) in one call — run after
     readers drain, typically following a takedown + compact cycle.
     Same refuse-on-surprise posture as vacuum_store per tier.
-    Returns {tier: vacuum_store report}."""
+    Registered STREAMING states are included too (advisor r11: their
+    per-epoch ``__pre_delete`` retention from repeated takedowns
+    otherwise accumulates a shadow copy of the state) — vacuuming
+    only drops superseded layouts, never the per-epoch replay unit,
+    so unlike compaction it is safe from the registry walk. Returns
+    {tier: vacuum report}."""
+    from sqlite_vector_spark.streaming.scoring import vacuum_stream_state
+
     ctx = catalog.get(table, column)
     reports: dict = {}
     for name, path, _sort in _registered_stores(ctx):
         if path is None:
             continue
-        reports[name] = vacuum_store(path)
+        reports[name] = vacuum_store(path, spark=spark)
+    for name, path in (
+        ("stream_state", ctx.stream_state_dir),
+        ("embedding_stream_state", ctx.embedding_stream_state_dir),
+    ):
+        if path is not None:
+            reports[name] = vacuum_stream_state(path)
     return reports
 
 
@@ -862,12 +928,22 @@ def compact_store(
     """
     import os
 
+    from sqlite_vector_spark.versioned import compact_versioned, is_versioned
+
+    if is_versioned(spark, path):
+        return compact_versioned(
+            spark, path, target_file_bytes=target_file_bytes,
+            sort_within=sort_within,
+        )
     df = spark.read.parquet(path)
     snapshot = df.inputFiles()
     if not all(f.startswith("file:") or f.startswith("/") for f in snapshot):
         raise ValueError(
-            "compact_store supports local-filesystem stores only (os.rename swap); "
-            "for object stores, rewrite to a new prefix and flip the pointer instead"
+            "compact_store: this FLAT store is not on a local filesystem, and "
+            "the flat swap is os.rename; migrate it to a versioned store "
+            "(sqlite_vector_spark.versioned.versioned_store_init) — its "
+            "manifest pointer-flip swap needs no rename and runs on any "
+            "Hadoop-supported object store"
         )
     # inputFiles() returns URIs: percent-decode them to filesystem
     # paths (a space / % / string partition value URL-encodes, and a

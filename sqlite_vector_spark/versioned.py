@@ -1,0 +1,408 @@
+"""Rename-free versioned stores: the object-store-safe swap for the
+delete/compact/takedown family (round 12, VERDICT r11 #3).
+
+The flat maintenance verbs (sinks.delete_ids / compact_store) swap
+layouts with ``os.rename`` — atomic and cheap on a local filesystem,
+impossible on an object store (S3-class stores have no rename; a
+"rename" is a copy of every byte). At the 100 TB design point the
+store lives on an object store, so the lifecycle verbs need a swap
+built ONLY from the primitives those stores make cheap and atomic:
+PUT a new object, LIST a prefix, DELETE an object. This module
+generalizes operators/stats_store.py's versioned-path indirection
+(vN snapshot dirs + newest-committed-wins) into a reusable scheme:
+
+- a VERSIONED STORE is a root holding immutable data-file
+  generations (``data/g{N}/...``) and a manifest per generation
+  (``_sv_manifests/v{N}.json`` — the POINTER; one small object, PUT
+  last, so commit is the manifest write and a crash before it leaves
+  only unreferenced data files for vacuum);
+- the live store is the newest manifest's file list; maintenance
+  writes a NEW generation's files, then PUTs manifest N+1 — readers
+  never observe a partial swap because nothing is ever renamed or
+  mutated in place;
+- a delete rewrites ONLY the partitions that hold the ids (same
+  partition-pruned shape as the flat verb): the new manifest reuses
+  the untouched partitions' files BY REFERENCE, so delete cost stays
+  proportional to partitions touched even where rename doesn't exist;
+- superseded generations are retained (the ``__pre_delete`` analog)
+  until ``vacuum_versioned`` drops manifests older than the newest
+  ``retain`` and every data file no kept manifest references.
+
+All manifest IO goes through the Hadoop FileSystem API resolved from
+the path's scheme (file:, hdfs:, s3a:, ...), and data files through
+Spark writes — no ``os`` filesystem calls anywhere in this module, so
+the scheme runs unchanged against any Hadoop-supported store. Local
+directories work too (the tests run both swap modes over the same
+lifecycle).
+
+Partitioned layouts keep one-value-per-file by writing each
+generation with ``partitionBy``; readers re-derive the partition
+column per generation via ``option("basePath", <gen dir>)`` and union
+across generations (bounded: compaction folds to one). The partition
+value per file is carried in the manifest, so partition pruning is a
+manifest filter — no listing of the data prefix on the read path.
+
+Reference anchor: the reference swaps its chunked shadow table by
+dropping and recreating it inside one transaction
+(sqlite-vector.c:1418-1427); a transactional rename is exactly what
+object stores lack, and the manifest pointer is the equivalent commit
+point."""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_RE = re.compile(r"^v(\d{6})\.json$")
+_MANIFESTS = "_sv_manifests"
+
+
+# ---- Hadoop FS plumbing (scheme-agnostic small-object IO) -----------
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jp = jvm.org.apache.hadoop.fs.Path(path)
+    return jp, jp.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _put_text(spark: SparkSession, path: str, text: str) -> None:
+    """PUT one small object (overwrite) — the commit primitive."""
+    jp, fs = _fs(spark, path)
+    out = fs.create(jp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _get_text(spark: SparkSession, path: str) -> str:
+    jvm = spark._jvm
+    jp, fs = _fs(spark, path)
+    stream = fs.open(jp)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 65536, True)
+    return bytes(baos.toByteArray()).decode("utf-8")
+
+
+def _list_names(spark: SparkSession, path: str) -> list[str]:
+    jp, fs = _fs(spark, path)
+    if not fs.exists(jp):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(jp)]
+
+
+def _delete(spark: SparkSession, path: str, recursive: bool = False) -> None:
+    jvm = spark._jvm
+    _, fs = _fs(spark, path)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(path), recursive)
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    jp, fs = _fs(spark, path)
+    return bool(fs.exists(jp))
+
+
+# ---- manifests -------------------------------------------------------
+
+def is_versioned(spark: SparkSession, root: str) -> bool:
+    """A versioned store is recognized by its manifests prefix — the
+    flat maintenance verbs dispatch here when they see one."""
+    return _exists(spark, f"{root.rstrip('/')}/{_MANIFESTS}")
+
+
+def manifest_versions(spark: SparkSession, root: str) -> list[int]:
+    out = []
+    for name in _list_names(spark, f"{root.rstrip('/')}/{_MANIFESTS}"):
+        m = _MANIFEST_RE.match(name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def read_manifest(spark: SparkSession, root: str, version: int) -> dict:
+    text = _get_text(spark, f"{root.rstrip('/')}/{_MANIFESTS}/v{version:06d}.json")
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError as e:
+        raise ValueError(
+            f"corrupt manifest v{version} under {root!r}: {e} — the data "
+            "generations are intact; resolve from an older manifest"
+        ) from e
+
+
+def current_manifest(spark: SparkSession, root: str) -> tuple[int, dict]:
+    vs = manifest_versions(spark, root)
+    if not vs:
+        raise FileNotFoundError(f"no committed manifest under {root!r}")
+    return vs[-1], read_manifest(spark, root, vs[-1])
+
+
+def _write_manifest(spark, root, version, partition_col, entries) -> None:
+    _put_text(
+        spark,
+        f"{root.rstrip('/')}/{_MANIFESTS}/v{version:06d}.json",
+        json.dumps({"partition_col": partition_col, "files": entries}, indent=1),
+    )
+
+
+def _gen_entries(spark, root: str, gen: str, partition_col: str | None) -> list[dict]:
+    """Manifest entries for every data file Spark committed under a
+    generation dir — relative paths plus the partition value parsed
+    from the ``col=value`` path segment (percent-decoded, matching how
+    Spark encoded it)."""
+    from urllib.parse import unquote
+
+    rootp = root.rstrip("/")
+    files = spark.read.parquet(f"{rootp}/{gen}").inputFiles()
+    entries = []
+    for uri in sorted(files):
+        rel = uri.split(f"/{gen}/", 1)[1]
+        e: dict = {"path": f"{gen}/{rel}"}
+        if partition_col is not None:
+            seg = next(
+                (s for s in rel.split("/") if s.startswith(f"{partition_col}=")),
+                None,
+            )
+            if seg is None:
+                raise RuntimeError(
+                    f"versioned store {root!r}: file {rel!r} in generation "
+                    f"{gen!r} has no {partition_col}= path segment"
+                )
+            e["value"] = unquote(seg.split("=", 1)[1])
+        entries.append(e)
+    return entries
+
+
+# ---- reads -----------------------------------------------------------
+
+def read_versioned(
+    spark: SparkSession,
+    root: str,
+    partition_values=None,
+) -> DataFrame:
+    """DataFrame over the LIVE generation set (newest manifest),
+    optionally pruned to a set of partition values — pruning is a
+    manifest filter, so the data prefix is never listed. Files are
+    read per source generation with that generation as ``basePath``
+    (restores the dir-derived partition column) and unioned; a
+    compacted store is a single generation, so the union is bounded."""
+    rootp = root.rstrip("/")
+    _, man = current_manifest(spark, rootp)
+    pcol = man["partition_col"]
+    entries = man["files"]
+    if partition_values is not None:
+        want = {str(v) for v in partition_values}
+        entries = [e for e in entries if e.get("value") in want]
+    by_gen: dict[str, list[str]] = {}
+    for e in entries:
+        gen = "/".join(e["path"].split("/")[:2])  # "data/g000123"
+        by_gen.setdefault(gen, []).append(f"{rootp}/{e['path']}")
+    df = None
+    for gen in sorted(by_gen):
+        r = spark.read
+        if pcol is not None:
+            r = r.option("basePath", f"{rootp}/{gen}")
+        d = r.parquet(*by_gen[gen])
+        df = d if df is None else df.unionByName(d)
+    if df is None:
+        raise ValueError(f"versioned store {root!r}: live manifest lists no files")
+    return df
+
+
+# ---- writes ----------------------------------------------------------
+
+def _write_generation(
+    df: DataFrame, root: str, version: int, partition_col: str | None,
+    sort_within=None, target_partitions: int | None = None,
+) -> list[dict]:
+    """Write one immutable generation dir and return its entries."""
+    spark = df.sparkSession
+    gen = f"data/g{version:06d}"
+    dest = f"{root.rstrip('/')}/{gen}"
+    if partition_col is not None:
+        w = df.repartition(max(1, target_partitions or 1), partition_col)
+        if sort_within:
+            w = w.sortWithinPartitions(partition_col, *sort_within)
+        w.write.partitionBy(partition_col).mode("overwrite").parquet(dest)
+    else:
+        w = df if target_partitions is None else df.repartition(target_partitions)
+        if sort_within:
+            w = w.sortWithinPartitions(*sort_within)
+        w.write.mode("overwrite").parquet(dest)
+    return _gen_entries(spark, root, gen, partition_col)
+
+
+def versioned_store_init(
+    df: DataFrame,
+    root: str,
+    partition_col: str | None = None,
+    sort_within=None,
+) -> dict:
+    """Create a versioned store (generation 0 + manifest v0) from a
+    DataFrame — also the migration path for an existing flat store:
+    ``versioned_store_init(spark.read.parquet(flat), new_root, ...)``.
+    The frozen-params sidecar, when the source had one, is the
+    caller's to re-write (sinks.write_params_sidecar works on any
+    local root; versioned stores keep theirs beside the manifests)."""
+    spark = df.sparkSession
+    rootp = root.rstrip("/")
+    if is_versioned(spark, rootp) and manifest_versions(spark, rootp):
+        raise ValueError(
+            f"versioned_store_init: {root!r} already has committed manifests; "
+            "use the maintenance verbs to evolve it"
+        )
+    n = max(1, min(df.sparkSession.sparkContext.defaultParallelism, 64))
+    entries = _write_generation(
+        df, rootp, 0, partition_col, sort_within, target_partitions=n
+    )
+    _write_manifest(spark, rootp, 0, partition_col, entries)
+    return {"version": 0, "files": len(entries)}
+
+
+def delete_ids_versioned(
+    spark: SparkSession,
+    root: str,
+    ids,
+    id_col: str = "id",
+    sort_within=None,
+) -> dict:
+    """Rename-free, partition-pruned hard delete: the pointer-flip
+    twin of sinks.delete_ids. (1) the same executor-folded probe finds
+    the affected partition values; (2) ONLY those partitions' rows are
+    re-read (a manifest filter — untouched partitions are never read)
+    and rewritten, anti-joined against the broadcast id batch, into a
+    fresh generation; (3) manifest N+1 reuses every untouched file by
+    reference and swaps in the new generation's files — the PUT of the
+    manifest is the commit, no rename anywhere. The superseded
+    manifest keeps the old generation set readable (``__pre_delete``
+    semantics) until vacuum_versioned."""
+    rootp = root.rstrip("/")
+    ver, man = current_manifest(spark, rootp)
+    pcol = man["partition_col"]
+    if isinstance(ids, DataFrame):
+        ids_df = ids.select(F.col(ids.columns[0]).cast("bigint").alias("_del_id"))
+    else:
+        ids_df = spark.createDataFrame([(int(i),) for i in ids], "_del_id bigint")
+    ids_df = ids_df.distinct().localCheckpoint(eager=True)
+    key = F.col(id_col).cast("bigint")
+
+    if pcol is None:
+        df = read_versioned(spark, rootp)
+        before = df.count()
+        kept = df.join(F.broadcast(ids_df), key == F.col("_del_id"), "left_anti")
+        entries = _write_generation(kept, rootp, ver + 1, None, sort_within)
+        _write_manifest(spark, rootp, ver + 1, None, entries)
+        after = read_versioned(spark, rootp).count()
+        return {"deleted_rows": before - after, "rows_after": after,
+                "partitions_rewritten": -1, "version": ver + 1}
+
+    hit = (
+        read_versioned(spark, rootp)
+        .select(key.alias("_k"), F.col(pcol))
+        .join(F.broadcast(ids_df), F.col("_k") == F.col("_del_id"), "left_semi")
+        .groupBy(pcol)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    if not hit:
+        return {"deleted_rows": 0, "rows_after": None,
+                "partitions_rewritten": 0, "version": ver}
+    affected = sorted(str(r[0]) for r in hit)
+    deleted = sum(r[1] for r in hit)
+    pruned = read_versioned(spark, rootp, partition_values=affected)
+    before = pruned.count()
+    kept = pruned.join(F.broadcast(ids_df), key == F.col("_del_id"), "left_anti")
+    new_entries = _write_generation(
+        kept, rootp, ver + 1, pcol, sort_within,
+        target_partitions=len(affected),
+    )
+    untouched = [e for e in man["files"] if e.get("value") not in set(affected)]
+    _write_manifest(spark, rootp, ver + 1, pcol, untouched + new_entries)
+    return {"deleted_rows": deleted, "rows_after": before - deleted,
+            "partitions_rewritten": len(affected), "version": ver + 1}
+
+
+def compact_versioned(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within=None,
+) -> dict:
+    """Fold the live generation set into ONE fresh generation with
+    files sized toward ``target_file_bytes`` — the pointer-flip twin
+    of sinks.compact_store (and the generation-count bound: reads
+    union per-generation, so compaction restores a single-relation
+    plan)."""
+    rootp = root.rstrip("/")
+    ver, man = current_manifest(spark, rootp)
+    pcol = man["partition_col"]
+    df = read_versioned(spark, rootp)
+    files_before = len(man["files"])
+    rows = df.count()
+    jvm = spark._jvm
+    total = 0
+    for e in man["files"]:
+        jp, fs = _fs(spark, f"{rootp}/{e['path']}")
+        if fs.exists(jp):
+            total += fs.getFileStatus(jp).getLen()
+    target_files = max(1, int(total // target_file_bytes) + 1)
+    entries = _write_generation(
+        df, rootp, ver + 1, pcol, sort_within, target_partitions=target_files
+    )
+    _write_manifest(spark, rootp, ver + 1, pcol, entries)
+    out = read_versioned(spark, rootp)
+    if out.count() != rows:  # commit already happened; fail loudly
+        raise RuntimeError(
+            f"compact_versioned row-count mismatch on {root!r} — manifest "
+            f"v{ver + 1} is live; previous manifest v{ver} retained for recovery"
+        )
+    return {"files_before": files_before, "files_after": len(entries),
+            "rows": rows, "version": ver + 1}
+
+
+def vacuum_versioned(spark: SparkSession, root: str, retain: int = 1) -> dict:
+    """Drop manifests older than the newest ``retain`` and every data
+    file no kept manifest references (superseded generations, plus
+    orphans from a crash between generation write and manifest PUT).
+    Same role as sinks.vacuum_store's retained-layout reclaim; run
+    once readers have drained past the dropped manifests."""
+    rootp = root.rstrip("/")
+    vs = manifest_versions(spark, rootp)
+    if not vs:
+        raise RuntimeError(f"vacuum_versioned: no manifests under {root!r}")
+    keep_vs = vs[-max(1, retain):]
+    referenced: set[str] = set()
+    for v in keep_vs:
+        for e in read_manifest(spark, rootp, v)["files"]:
+            referenced.add(e["path"])
+    removed_files, freed = [], 0
+    for gen in _list_names(spark, f"{rootp}/data"):
+        gen_prefix = f"data/{gen}"
+        jp, fs = _fs(spark, f"{rootp}/{gen_prefix}")
+        it = fs.listFiles(jp, True)
+        gen_files = []
+        while it.hasNext():
+            st = it.next()
+            uri = st.getPath().toString()
+            rel = f"{gen_prefix}/{uri.split('/' + gen_prefix + '/', 1)[1]}"
+            gen_files.append((rel, st.getLen()))
+        live = [f for f, _ in gen_files if f in referenced]
+        if not live:  # whole generation superseded or orphaned
+            freed += sum(sz for _, sz in gen_files)
+            removed_files.extend(f for f, _ in gen_files)
+            _delete(spark, f"{rootp}/{gen_prefix}", recursive=True)
+        else:
+            for rel, sz in gen_files:
+                base = rel.rsplit("/", 1)[1]
+                if rel not in referenced and not base.startswith(("_", ".")):
+                    freed += sz
+                    removed_files.append(rel)
+                    _delete(spark, f"{rootp}/{rel}")
+    removed_manifests = [v for v in vs if v not in keep_vs]
+    for v in removed_manifests:
+        _delete(spark, f"{rootp}/{_MANIFESTS}/v{v:06d}.json")
+    return {"removed_manifests": removed_manifests,
+            "removed_files": len(removed_files), "bytes_freed": freed}

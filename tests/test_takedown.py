@@ -252,6 +252,34 @@ def test_projected_mih_store_falls_back_to_in_place(spark, emb, tmp_path):
     assert not (left & {3, 17}) and left
 
 
+def test_params_sidecar_atomic_write_and_corruption_refusal(tmp_path):
+    """The sidecar is written temp-then-os.replace so a crash cannot
+    leave truncated JSON; if a sidecar IS corrupt (external cause),
+    reading it raises a clear ValueError naming the file instead of a
+    bare JSONDecodeError that bricks maintenance opaquely (advisor
+    r11)."""
+    import pytest
+
+    from sqlite_vector_spark.sinks import (
+        _SIDECAR,
+        read_params_sidecar,
+        write_params_sidecar,
+    )
+
+    store = str(tmp_path / "s")
+    write_params_sidecar(store, {"planes": 16})
+    assert read_params_sidecar(store) == {"planes": 16}
+    # no temp residue from the atomic-write path
+    assert os.listdir(store) == [_SIDECAR]
+    # overwrite keeps the file valid (replace, not append/truncate)
+    write_params_sidecar(store, {"planes": 16, "seed": 7})
+    assert read_params_sidecar(store)["seed"] == 7
+    with open(os.path.join(store, _SIDECAR), "w") as f:
+        f.write('{"planes": 16, "se')  # simulated torn write
+    with pytest.raises(ValueError, match="corrupt frozen-params sidecar"):
+        read_params_sidecar(store)
+
+
 def test_frozen_params_sidecar_raises_on_conflict(spark, docs, tmp_path):
     """The enforced frozen-family contract: maintenance with an
     explicitly conflicting param RAISES; None resolves from the

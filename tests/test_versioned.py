@@ -1,0 +1,189 @@
+"""Versioned (rename-free) stores: the object-store-safe swap for the
+delete/compact/vacuum lifecycle (round 12).
+
+The same lifecycle runs over BOTH swap modes — the local os.rename
+fast path and the manifest pointer-flip — and must produce identical
+surviving contents; the versioned mode additionally pins manifest
+mechanics (file reuse by reference, generation pruning, orphan
+reclaim, corrupt-manifest refusal)."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _frame(spark, n=2000):
+    return spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 16).cast("int").alias("cluster"),
+        F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("payload"),
+    )
+
+
+def _rows(df):
+    return sorted((r.id, r.cluster, r.payload) for r in df.collect())
+
+
+def _build(spark, tmp_path, mode: str, partition_col):
+    """Build one store per swap mode; return (path, reader)."""
+    from sqlite_vector_spark.sinks import read_store
+    from sqlite_vector_spark.versioned import versioned_store_init
+
+    df = _frame(spark)
+    path = str(tmp_path / f"store_{mode}")
+    if mode == "rename":
+        w = df.write
+        if partition_col:
+            w = w.partitionBy(partition_col)
+        w.parquet(path)
+    else:
+        versioned_store_init(df, path, partition_col=partition_col)
+    return path, (lambda: read_store(spark, path))
+
+
+@pytest.mark.parametrize("mode", ["rename", "pointer"])
+def test_lifecycle_delete_compact_vacuum_both_swap_modes(spark, tmp_path, mode):
+    """delete -> compact -> vacuum over a partitioned store, same
+    surviving contents in both swap modes; the pointer mode must touch
+    only the affected partitions (manifest reuse by reference) and
+    never rename anything."""
+    from sqlite_vector_spark.sinks import compact_store, delete_ids, vacuum_store
+    from sqlite_vector_spark.versioned import current_manifest, manifest_versions
+
+    path, read = _build(spark, tmp_path, mode, "cluster")
+    victims = [5, 21, 37, 1600]  # clusters 5, 5, 5, 0 -> 2 affected
+    want = _rows(_frame(spark).where(~F.col("id").isin(victims)))
+
+    rep = delete_ids(spark, path, victims, id_col="id",
+                     partition_col="cluster" if mode == "rename" else None)
+    assert rep["deleted_rows"] == len(victims)
+    assert rep["partitions_rewritten"] == 2  # pruned in BOTH modes
+    assert _rows(read()) == want
+
+    if mode == "pointer":
+        ver, man = current_manifest(spark, path)
+        assert ver == 1
+        gens = {e["path"].split("/")[1] for e in man["files"]}
+        # untouched partitions still served from generation 0 BY
+        # REFERENCE; only the rewritten ones moved to generation 1
+        assert gens == {"g000000", "g000001"}
+        assert {e["value"] for e in man["files"]
+                if e["path"].startswith("data/g000001/")} == {"0", "5"}
+
+    crep = compact_store(
+        spark, path, partition_col="cluster" if mode == "rename" else None
+    )
+    assert crep["rows"] == len(want)
+    assert _rows(read()) == want
+
+    vrep = vacuum_store(path, spark=spark)
+    assert _rows(read()) == want
+    if mode == "pointer":
+        assert vrep["removed_manifests"] == [0, 1]
+        assert manifest_versions(spark, path) == [2]
+        # all files now live in the compacted generation only
+        _, man = current_manifest(spark, path)
+        assert {e["path"].split("/")[1] for e in man["files"]} == {"g000002"}
+        assert sorted(os.listdir(os.path.join(path, "data"))) == ["g000002"]
+    else:
+        assert vrep["removed"]  # retained layouts reclaimed
+        assert not os.path.exists(path + "__pre_delete")
+        assert not os.path.exists(path + "__pre_compact")
+
+
+@pytest.mark.parametrize("mode", ["rename", "pointer"])
+def test_lifecycle_unpartitioned_both_swap_modes(spark, tmp_path, mode):
+    """Unpartitioned stores rewrite wholesale in both modes; contents
+    stay equal and the versioned report carries the new generation."""
+    from sqlite_vector_spark.sinks import delete_ids
+
+    path, read = _build(spark, tmp_path, mode, None)
+    victims = list(range(0, 2000, 100))
+    want = _rows(_frame(spark).where(~F.col("id").isin(victims)))
+    rep = delete_ids(spark, path, victims, id_col="id")
+    assert rep["deleted_rows"] == len(victims)
+    assert rep["partitions_rewritten"] == -1
+    assert rep["rows_after"] == len(want)
+    assert _rows(read()) == want
+    if mode == "pointer":
+        assert rep["version"] == 1
+
+
+def test_versioned_no_match_delete_is_noop(spark, tmp_path):
+    from sqlite_vector_spark.sinks import delete_ids
+    from sqlite_vector_spark.versioned import current_manifest
+
+    path, read = _build(spark, tmp_path, "pointer", "cluster")
+    rep = delete_ids(spark, path, [999_999], id_col="id")
+    assert rep["deleted_rows"] == 0 and rep["partitions_rewritten"] == 0
+    assert current_manifest(spark, path)[0] == 0  # no new generation
+    assert len(_rows(read())) == 2000
+
+
+def test_versioned_vacuum_reclaims_orphan_generation(spark, tmp_path):
+    """A crash between writing a generation and PUTting its manifest
+    leaves unreferenced data files; vacuum reclaims them (and old
+    manifests past the retain window)."""
+    from sqlite_vector_spark.versioned import (
+        current_manifest,
+        vacuum_versioned,
+        versioned_store_init,
+    )
+
+    path = str(tmp_path / "vs")
+    versioned_store_init(_frame(spark, 200), path, partition_col="cluster")
+    # simulate the crash: generation files exist, no manifest points at them
+    _frame(spark, 10).write.parquet(os.path.join(path, "data", "g000099"))
+    rep = vacuum_versioned(spark, path)
+    assert rep["removed_files"] > 0 and rep["bytes_freed"] > 0
+    assert not os.path.exists(os.path.join(path, "data", "g000099"))
+    assert current_manifest(spark, path)[0] == 0  # live generation intact
+    assert len(os.listdir(os.path.join(path, "data", "g000000"))) > 0
+
+
+def test_versioned_corrupt_manifest_refusal(spark, tmp_path):
+    from sqlite_vector_spark.versioned import read_versioned, versioned_store_init
+
+    path = str(tmp_path / "cm")
+    versioned_store_init(_frame(spark, 50), path, partition_col=None)
+    # corrupt through the same FS API (a plain open() would only trip
+    # the local ChecksumFileSystem, masking the JSON refusal)
+    from sqlite_vector_spark.versioned import _put_text
+
+    _put_text(spark, os.path.join(path, "_sv_manifests", "v000000.json"),
+              '{"files": [tru')
+    with pytest.raises(ValueError, match="corrupt manifest"):
+        read_versioned(spark, path)
+
+
+def test_versioned_store_in_takedown_registry(spark, tmp_path):
+    """A versioned tier registered in the catalog flows through the
+    one-call takedown + verify receipt: delete_ids dispatches on the
+    manifest layout and verify_ids_absent reads through read_store, so
+    superseded generations never count as residuals."""
+    from sqlite_vector_spark.catalog import VectorCatalog
+    from sqlite_vector_spark.sinks import takedown
+    from sqlite_vector_spark.versioned import versioned_store_init
+
+    dim = 8
+    emb = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda j: (F.col("id") % 7 + j).cast("float")).alias("embedding"),
+    )
+    emb.createOrReplaceTempView("vstore_t")
+    cat = VectorCatalog(str(tmp_path / "cat"))
+    cat.vector_init(emb, "vstore_t", "embedding",
+                    f"type=FLOAT32,dimension={dim},distance=L2")
+    codes = emb.select(F.col("vec_id").alias("id"), (F.col("vec_id") % 13).alias("code"))
+    bq_path = str(tmp_path / "bq_versioned")
+    versioned_store_init(codes, bq_path, partition_col=None)
+    cat.set_bq_index("vstore_t", "embedding", path=bq_path)
+
+    rep = takedown(spark, cat, "vstore_t", "embedding", [3, 44, 210], verify=True)
+    assert rep["bq"]["deleted_rows"] == 3
+    assert rep["bq"]["version"] == 1  # pointer-flip arm ran
+    assert rep["verified"]["bq"] == 0
