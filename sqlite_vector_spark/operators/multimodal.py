@@ -26,6 +26,16 @@ STUBBED (the container has no image/audio libraries) behind
   and resolves palette/alpha — 8-bit, non-interlaced; 16-bit and
   Adam7 refuse loudly. Cross-checked byte-equal against Pillow's
   reader where PIL exists; the golden tests run everywhere.
+- ``decoder="jpeg"`` (r12) -> REAL decode of baseline JPEG with ZERO
+  third-party deps: segment parse (SOI/DQT/DHT/SOF0-1/DRI/SOS),
+  canonical Huffman entropy decode (the spec's mincode/maxcode
+  walk), then vectorized dequant -> de-zigzag -> batched 8x8 IDCT
+  (one einsum over every block of a component) -> chroma upsample ->
+  JFIF YCbCr->RGB. Progressive (SOF2), arithmetic-coded, 12-bit, and
+  sampling factors above 2 refuse loudly rather than mis-decode —
+  the same posture as the PNG/PPM gates. Closes the last env-gated
+  common format: PPM/PGM, PNG, WAV, and JPEG all real-decode in ANY
+  container.
 - ``decoder="wav"`` -> REAL audio decode via the stdlib ``wave``
   module (always available, no third-party dependency): parses PCM
   WAV payloads (8/16/32-bit), extracts per-slice RMS energy of the
@@ -324,6 +334,307 @@ def _png_features(payload: bytes, dim: int) -> list[float]:
     return _array_strip_features(_png_decode(payload), dim)
 
 
+# ---- baseline JPEG (r12): stdlib + NumPy, no image libraries --------
+
+# zigzag scan order: _JPEG_ZIGZAG[k] = natural (row*8+col) index of the
+# k-th zigzag coefficient (ITU-T T.81 figure A.6)
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_dct_basis():
+    """8x8 DCT-II basis M with M[x, u] = c(u)/2 * cos((2x+1)u*pi/16);
+    IDCT of F is M @ F @ M.T (T.81 A.3.3). Shared by the decoder and
+    the tests' forward encoder (which uses the transpose direction, so
+    agreement is a round-trip proof, not a mirrored implementation)."""
+    import math
+
+    import numpy as np
+
+    m = np.empty((8, 8), dtype=np.float64)
+    for x in range(8):
+        for u in range(8):
+            c = math.sqrt(0.5) if u == 0 else 1.0
+            m[x, u] = 0.5 * c * math.cos((2 * x + 1) * u * math.pi / 16)
+    return m
+
+
+class _JpegHuffTable:
+    """Canonical Huffman decode table from a DHT segment (16 length
+    counts + symbols), decoded with the spec's mincode/maxcode/valptr
+    walk (T.81 F.2.2.3) — O(code length) per symbol."""
+
+    def __init__(self, counts, symbols):
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        self.symbols = symbols
+        code, k = 0, 0
+        for length in range(1, 17):
+            n = counts[length - 1]
+            self.valptr[length] = k
+            self.mincode[length] = code
+            self.maxcode[length] = code + n - 1 if n else -1
+            code = (code + n) << 1
+            k += n
+
+    def decode(self, br):
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.read_bit()
+            if self.maxcode[length] >= code >= self.mincode[length]:
+                return self.symbols[self.valptr[length] + code - self.mincode[length]]
+        raise ValueError("invalid JPEG Huffman code (corrupt entropy stream)")
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy-coded segment. Byte
+    stuffing (FF 00 -> FF) and restart markers are handled by the
+    caller, which feeds one marker-free segment at a time."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                # past the end: the spec pads the final byte with 1s
+                return 1
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """DC/AC magnitude-category decode (T.81 F.2.2.1 EXTEND)."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _jpeg_entropy_segments(data: bytes, start: int):
+    """Split the scan's entropy-coded bytes into marker-free segments
+    (byte-stuffed FF 00 collapsed to FF; RST0-7 are segment breaks).
+    Returns (segments, pos_after_scan)."""
+    segs, cur, i, n = [], bytearray(), start, len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        nxt = data[i + 1] if i + 1 < n else 0xD9
+        if nxt == 0x00:  # stuffed FF
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:  # restart marker
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # any other marker ends the scan (EOI, next segment)
+            break
+    segs.append(bytes(cur))
+    return segs, i
+
+
+def _jpeg_decode(payload: bytes):
+    """Pure-stdlib baseline JPEG decode -> (H, W) or (H, W, 3) uint8.
+
+    Supports baseline and extended-sequential Huffman JPEG (SOF0/SOF1),
+    8-bit precision, 1 or 3 components, sampling factors 1 or 2 (4:4:4,
+    4:2:2, 4:2:0, 4:4:0), restart intervals. Progressive (SOF2),
+    hierarchical, arithmetic-coded, 12-bit, and 4-component (Adobe
+    CMYK) payloads RAISE rather than silently mis-decode — the same
+    refusal posture as _png_decode's 16-bit/Adam7 gates.
+
+    Shape: the sequential Huffman walk runs per block in Python (the
+    honest zero-dependency cost, like PNG's Paeth loop); everything
+    after the symbol stream is vectorized — per-component dequant,
+    de-zigzag, and IDCT run as ONE einsum over all of the component's
+    blocks, then NumPy upsampling and the JFIF color transform."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], _JpegHuffTable] = {}
+    frame = None  # (H, W, [(comp_id, h, v, tq), ...])
+    restart_interval = 0
+    i, n = 2, len(payload)
+    scan = None
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at byte {i}")
+        marker = payload[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack(">H", payload[i + 2:i + 4])
+        seg = payload[i + 4:i + 2 + seg_len]
+        i += 2 + seg_len
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables (12-bit JPEG) not supported")
+                qt[tq] = list(seg[p + 1:p + 65])
+                p += 65
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended seq.
+            prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise ValueError(f"only 8-bit JPEG supported, got precision {prec}")
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported JPEG component count {ncomp} (CMYK?)")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                ch, cv = hv >> 4, hv & 0xF
+                if ch not in (1, 2) or cv not in (1, 2):
+                    raise ValueError(f"unsupported sampling factor {ch}x{cv}")
+                comps.append((cid, ch, cv, tq))
+            frame = (h, w, comps)
+        elif marker == 0xC2:
+            raise ValueError("progressive JPEG (SOF2) not supported — baseline only")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG coding process (SOF{marker - 0xC0}); baseline "
+                "Huffman (SOF0/SOF1) only"
+            )
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                counts = list(seg[p + 1:p + 17])
+                nsym = sum(counts)
+                symbols = list(seg[p + 17:p + 17 + nsym])
+                huff[(tc, th)] = _JpegHuffTable(counts, symbols)
+                p += 17 + nsym
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0xF)
+                    for c in range(ns)]
+            break  # entropy-coded data follows
+        # APPn / COM / others: skipped
+    if frame is None or scan is None:
+        raise ValueError("truncated JPEG: missing SOF or SOS")
+
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    segs, _ = _jpeg_entropy_segments(payload, i)
+
+    by_id = {cid: (ch, cv, tq) for cid, ch, cv, tq in comps}
+    order = []  # per-MCU block order: (comp_index, within-MCU row, col)
+    for ci, (cid, td, ta) in enumerate(scan):
+        ch, cv, _ = by_id[cid]
+        for bv in range(cv):
+            for bh in range(ch):
+                order.append((ci, bv, bh, huff.get((0, td)), huff.get((1, ta))))
+    if any(o[3] is None or o[4] is None for o in order):
+        raise ValueError("JPEG scan references an undeclared Huffman table")
+
+    ncomp = len(scan)
+    blocks_w = [mcux * by_id[cid][0] for cid, _, _ in scan]
+    blocks_h = [mcuy * by_id[cid][1] for cid, _, _ in scan]
+    coeffs = [np.zeros((blocks_h[c] * blocks_w[c], 64), dtype=np.int32)
+              for c in range(ncomp)]
+
+    n_mcus = mcux * mcuy
+    mcu = 0
+    ri = restart_interval or n_mcus
+    for seg_bytes in segs:
+        if mcu >= n_mcus:
+            break
+        br = _JpegBitReader(seg_bytes)
+        pred = [0] * ncomp
+        for _ in range(min(ri, n_mcus - mcu)):
+            my, mx = divmod(mcu, mcux)
+            for ci, bv, bh, dc_tab, ac_tab in order:
+                blk = np.zeros(64, dtype=np.int32)
+                s = dc_tab.decode(br)
+                diff = _jpeg_extend(br.read_bits(s), s) if s else 0
+                pred[ci] += diff
+                blk[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = ac_tab.decode(br)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:  # ZRL: sixteen zeros
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG AC run past block end (corrupt stream)")
+                    blk[k] = _jpeg_extend(br.read_bits(s), s)
+                    k += 1
+                cid = scan[ci][0]
+                ch, cv, _ = by_id[cid]
+                row = my * cv + bv
+                col = mx * ch + bh
+                coeffs[ci][row * blocks_w[ci] + col] = blk
+            mcu += 1
+
+    # vectorized tail: dequant -> de-zigzag -> batched IDCT per component
+    m = _jpeg_dct_basis()
+    planes = []
+    for ci, (cid, _, _) in enumerate(scan):
+        ch, cv, tq = by_id[cid]
+        if tq not in qt:
+            raise ValueError(f"JPEG component references undeclared DQT table {tq}")
+        deq = coeffs[ci].astype(np.float64) * np.asarray(qt[tq], dtype=np.float64)
+        nat = np.zeros_like(deq)
+        nat[:, _JPEG_ZIGZAG] = deq  # zigzag k -> natural index
+        f = nat.reshape(-1, 8, 8)
+        pix = np.einsum("xu,nuv,yv->nxy", m, f, m) + 128.0
+        bh_, bw_ = blocks_h[ci], blocks_w[ci]
+        plane = (
+            pix.reshape(bh_, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh_ * 8, bw_ * 8)
+        )
+        # upsample to full MCU-padded resolution, then crop to (h, w)
+        plane = np.repeat(np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1)
+        planes.append(np.clip(plane[:h, :w].round(), 0, 255).astype(np.uint8))
+
+    if ncomp == 1:
+        return planes[0]
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=-1
+    )
+    return np.clip(rgb.round(), 0, 255).astype(np.uint8)
+
+
+def _jpeg_features(payload: bytes, dim: int) -> list[float]:
+    """REAL baseline-JPEG pixel features with zero third-party image
+    deps: stdlib segment/Huffman decode + batched NumPy IDCT feeding
+    the shared strip descriptor."""
+    return _array_strip_features(_jpeg_decode(payload), dim)
+
+
 def _pil_features(payload: bytes, dim: int) -> list[float]:
     """Real image features via Pillow: decode, grayscale, resample to a
     (dim x 1) strip, normalize to [0, 1]. A stand-in global descriptor
@@ -438,6 +749,10 @@ def extract_features(
         # pure-stdlib PNG decode (zlib + spec unfiltering) — real
         # pixel decode of the common interchange format, no gate
         dec = lambda b: _png_features(b, dim)  # noqa: E731
+    elif decoder == "jpeg":
+        # pure-stdlib baseline JPEG (Huffman + batched IDCT) — real
+        # pixel decode, no gate; progressive/12-bit refuse loudly
+        dec = lambda b: _jpeg_features(b, dim)  # noqa: E731
     elif decoder == "wav":
         dec = lambda b: _wav_features(b, dim)  # noqa: E731
     elif decoder == "fake":
