@@ -300,11 +300,15 @@ def ingest_stream_neardup(
         # epoch must not see its own crashed attempt's partial output
         band_epochs = _epochs(bands_root, epoch_id)
         if band_epochs:
+            # checkpoint the bounded candidate set: jaccard_pairs fans
+            # it into the id-set and both pair joins, and each branch
+            # would otherwise re-run the whole multi-epoch band probe
+            # (the r11 jaccard-checkpoint lesson, streaming side)
             cand = incremental_dedup_pairs(
                 spark, batch,
                 [f"{bands_root}/epoch={e}" for e in band_epochs],
                 id_col, text_col,
-            )
+            ).localCheckpoint(eager=True)
             old_docs = spark.read.parquet(
                 *[f"{docs_root}/epoch={e}" for e in _epochs(docs_root, epoch_id)]
             ).select(id_col, text_col)
@@ -496,11 +500,16 @@ def ingest_stream_embedding_neardup(
 
         bucket_epochs = _epochs(buckets_root, epoch_id)
         if bucket_epochs:
+            # checkpoint the bounded candidate set BEFORE the verify:
+            # embedding_pair_distances consumes it three times (id set
+            # + both pair joins), and each branch would otherwise
+            # re-run the whole multi-epoch bucket join — measured 3x+
+            # per-batch cost growth at 1M (SCALE.md r12)
             cand = incremental_embedding_pairs(
                 spark, batch,
                 [f"{buckets_root}/epoch={e}" for e in bucket_epochs],
                 id_col, vec_col, planes,
-            )
+            ).localCheckpoint(eager=True)
             old_vecs = spark.read.parquet(
                 *[f"{vecs_root}/epoch={e}" for e in _epochs(vecs_root, epoch_id)]
             ).select(id_col, vec_col)
