@@ -13,6 +13,13 @@ run (steady-state throughput — whole-stage-codegen compile and FS
 cache warm-up amortize to zero at real scale) and "spread" reports
 max-min across the runs, so a regression can be told from machine
 noise. Set SPARK_GRAFT_BENCH_N to override.
+
+Cross-SESSION swings are multiplicative (SCALE.md: same-tree totals
+spanned 80.5-91.5 s in r11, and the r11 driver run sat a uniform
++20-30% over same-tree medians), so every run also times a fixed
+synthetic calibration job (range->xxhash64->sum, repo-independent)
+and reports it as ``calibration_s`` — compare value/calibration_s
+across rounds to factor the session out.
 """
 
 from __future__ import annotations
@@ -472,6 +479,21 @@ def main():
     # headline composition: docs in -> training rows out, one plan
     bench("e2e_corpus_prep", lambda: w.e2e_corpus_prep_q(spark, SF_DIR).count())
 
+    # CALIBRATION (r12, VERDICT r11 nit #1): a fixed synthetic job
+    # whose cost is independent of the repo's code — cross-session
+    # swings are MULTIPLICATIVE (r11: the driver's run sat a uniform
+    # +20-30% over same-tree builder medians across untouched
+    # queries), so a reference workload lets any consumer normalize:
+    # compare value/calibration_s across rounds, not raw seconds.
+    calib_runs = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(1_000_000_000).select(
+            F.sum(F.xxhash64("id") % 1000)
+        ).collect()
+        calib_runs.append(time.time() - t0)
+    calibration = round(min(calib_runs), 4)
+
     total = round(sum(times.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     full = {
@@ -483,6 +505,7 @@ def main():
         "n_runs": N_RUNS,
         "sf": float(sf),
         "cpus": int(CPUS),
+        "calibration_s": calibration,
     }
     if errors:
         full["errors"] = errors
@@ -523,6 +546,7 @@ def main():
             "n_runs": N_RUNS,
             "sf": float(sf),
             "cpus": int(CPUS),
+            "calibration_s": calibration,
         }
         if errors:
             compact["errors"] = {k: v.split(":", 1)[0] for k, v in errors.items()}
