@@ -316,10 +316,16 @@ def delete_ids(
 def _detect_partition_col(root: str) -> str | None:
     """Directory-partitioned parquet stores carry their partition
     column in the layout (``col=value`` dirs); detect it so cascade
-    deletes prune whatever layout each store was written with."""
+    deletes prune whatever layout each store was written with. Remote
+    (non-os.listdir-able) roots return None — the versioned dispatch
+    resolves their partition column from the manifest instead."""
     import os
 
-    for d in os.listdir(root):
+    try:
+        names = os.listdir(root)
+    except OSError:
+        return None
+    for d in names:
         if "=" in d and os.path.isdir(os.path.join(root, d)):
             return d.split("=", 1)[0]
     return None
@@ -376,7 +382,12 @@ def delete_ids_everywhere(
     for name, path, sort_within in stores:
         if path is None:
             continue
-        if name == "mih" and ctx.bq_path is not None and ctx.mih_planes is None:
+        from sqlite_vector_spark.versioned import is_versioned
+
+        if (
+            name == "mih" and ctx.bq_path is not None and ctx.mih_planes is None
+            and not is_versioned(spark, ctx.mih_path)  # rebuild swap is os.rename
+        ):
             # bq_path was already processed above (list order), so the
             # code table is post-delete here; when the batch matched
             # nothing there, the derived band store holds nothing
@@ -408,7 +419,9 @@ def _rebuild_band_store_from_codes(spark, ctx) -> dict:
 
     root = os.path.abspath(ctx.mih_path.rstrip("/"))
     tmp, old = root + "__deleting", root + "__pre_delete"
-    codes = spark.read.parquet(ctx.bq_path).select("id", "bits")
+    # read_store: a VERSIONED bq tier must resolve through its live
+    # manifest — a direct root read would scan superseded generations
+    codes = read_store(spark, ctx.bq_path).select("id", "bits")
     n = codes.count()
     bq_band_store(
         codes, int(ctx.dimension), tmp,
@@ -564,7 +577,7 @@ def takedown(
         if ctx.text_labels_path:
             from sqlite_vector_spark.operators.dedup import delete_labels_state
 
-            docs = spark.read.parquet(ctx.docs_mirror_path)
+            docs = read_store(spark, ctx.docs_mirror_path)
             out["text_labels"] = delete_labels_state(
                 spark, ctx.text_labels_path, docs, ids_df
             )
@@ -584,7 +597,7 @@ def takedown(
         if ctx.embedding_labels_path:
             from sqlite_vector_spark.operators.dedup import delete_labels_embedding_state
 
-            vectors = spark.read.parquet(ctx.vectors_mirror_path)
+            vectors = read_store(spark, ctx.vectors_mirror_path)
             out["embedding_labels"] = delete_labels_embedding_state(
                 spark, ctx.embedding_labels_path, vectors, ids_df
             )

@@ -183,7 +183,21 @@ def test_versioned_store_in_takedown_registry(spark, tmp_path):
     versioned_store_init(codes, bq_path, partition_col=None)
     cat.set_bq_index("vstore_t", "embedding", path=bq_path)
 
+    # a versioned MIH tier must take the (versioned) in-place arm, not
+    # the rebuild-from-codes arm whose swap is os.rename
+    mih = emb.select(
+        F.col("vec_id").alias("id"),
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band"),
+        (F.col("vec_id") % 251).alias("bv"),
+    )
+    mih_path = str(tmp_path / "mih_versioned")
+    versioned_store_init(mih, mih_path, partition_col="band", sort_within=["bv"])
+    cat.set_mih_index("vstore_t", "embedding", path=mih_path, band_bits=8)
+
     rep = takedown(spark, cat, "vstore_t", "embedding", [3, 44, 210], verify=True)
     assert rep["bq"]["deleted_rows"] == 3
     assert rep["bq"]["version"] == 1  # pointer-flip arm ran
-    assert rep["verified"]["bq"] == 0
+    assert rep["mih"]["strategy"] == "in_place"
+    assert rep["mih"]["deleted_rows"] == 12  # 3 ids x 4 bands
+    assert rep["mih"]["partitions_rewritten"] == 4
+    assert rep["verified"]["bq"] == 0 and rep["verified"]["mih"] == 0
