@@ -71,7 +71,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r11 horizon comment staged it): the 50-entry cohort whose
         # latest driver green is r9 (2 rounds stale entering r12 —
         # the staleness invariant edge). It fills the window EXACTLY
-        # (50 of 50, no spare slot).
+        # (50 of 50, no spare slot). r12 adds NO new gate entry and
+        # therefore no oracle-twin displacement: the round's new
+        # surfaces (streaming-state epoch compaction, rename-free
+        # versioned stores, stdlib JPEG) are maintenance DDL /
+        # non-SQL-expressible and carry equality-test + probe proofs
+        # instead (tests/test_streaming_stateful.py,
+        # tests/test_versioned.py, SCALE.md r12).
         # -- r9-gated cohort, all 50 (mandatory in r12)
         "incremental_dedup": w.incremental_dedup_q,
         "pq_scan_l2": w.pq_scan_l2,

@@ -42,6 +42,16 @@ across generations (bounded: compaction folds to one). The partition
 value per file is carried in the manifest, so partition pruning is a
 manifest filter — no listing of the data prefix on the read path.
 
+Integration boundary: the MAINTENANCE family (delete_ids /
+compact_store / vacuum_store, the takedown orchestrator and
+verify_ids_absent via sinks.read_store) dispatches on the manifest
+layout automatically. QUERY paths read a store through
+``sinks.read_store(spark, root)`` (or ``read_versioned``) — the
+catalog's routed scans expect flat store roots today, so a tier you
+plan to query through the router should stay flat-local or be read
+through the resolver; versioned layout targets the maintenance-heavy
+derived stores living on object storage.
+
 Reference anchor: the reference swaps its chunked shadow table by
 dropping and recreating it inside one transaction
 (sqlite-vector.c:1418-1427); a transactional rename is exactly what
