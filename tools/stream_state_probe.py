@@ -140,10 +140,14 @@ def main():
                 ).alias("embedding"),
             )
 
-        planes = [
-            [(((p * DIM + j) * 2_654_435_761) % BIGP) / BIGP - 0.5 for j in range(DIM)]
-            for p in range(PLANES_P)
-        ]
+        # Gaussian family, NOT a linear formula: correlated planes
+        # concentrate the corpus into few buckets and blow the
+        # candidate count up ~64x (measured — see
+        # operators.dedup.random_hyperplanes); with 1M vectors that
+        # skew turned every micro-batch verify into a 146M-pair join
+        from sqlite_vector_spark.operators.dedup import random_hyperplanes
+
+        planes = random_hyperplanes(PLANES_P, DIM, seed=7)
 
         doc_src = os.path.join(root, "doc_src")
         vec_src = os.path.join(root, "vec_src")
