@@ -730,12 +730,16 @@ def compact_stream_state(
             (df.repartition(F.col("band"))
                .write.partitionBy("band").mode("overwrite").parquet(staging))
         elif name == "buckets":  # flat, bucket-sorted (row-group skip)
-            n = max(1, len(df.inputFiles()) // 8)
-            (df.coalesce(n).sortWithinPartitions("bucket")
+            # NO coalesce: the fold's goal is one plan branch, not
+            # fewer files — collapsing k per-epoch files into one
+            # under-128MB file would also collapse the next batch's
+            # verify to a single read task (measured slower post-fold
+            # batches at small file sizes); file count stays bounded
+            # by #epochs between compactions
+            (df.sortWithinPartitions("bucket")
                .write.mode("overwrite").parquet(staging))
-        else:  # docs / vecs mirrors: flat
-            n = max(1, len(df.inputFiles()) // 8)
-            df.coalesce(n).write.mode("overwrite").parquet(staging)
+        else:  # docs / vecs mirrors: flat (same no-coalesce rationale)
+            df.write.mode("overwrite").parquet(staging)
         # retain superseded dirs (one generation), then promote staging
         retained = root + "__pre_compact"
         if os.path.exists(retained):
