@@ -201,3 +201,35 @@ def test_versioned_store_in_takedown_registry(spark, tmp_path):
     assert rep["mih"]["deleted_rows"] == 12  # 3 ids x 4 bands
     assert rep["mih"]["partitions_rewritten"] == 4
     assert rep["verified"]["bq"] == 0 and rep["verified"]["mih"] == 0
+
+
+def test_versioned_delete_sequence_matches_flat(spark, tmp_path):
+    """Adversarial multi-round equivalence: the SAME sequence of
+    delete batches (overlapping ids, already-deleted ids, no-match
+    batches) applied to a flat rename-mode store and a pointer-mode
+    versioned store, with a compaction thrown mid-sequence on the
+    versioned side only, must keep contents identical at every step —
+    the two swap implementations are interchangeable, not merely
+    each-correct-once."""
+    from sqlite_vector_spark.sinks import compact_store, delete_ids
+
+    flat, read_flat = _build(spark, tmp_path, "rename", "cluster")
+    vers, read_vers = _build(spark, tmp_path, "pointer", "cluster")
+    alive = set(range(2000))
+    batches = [
+        [(i * 37 + 13) % 2000 for i in range(40)],
+        [5, 5, 21, 999_999],            # dups in batch + no-match id
+        [(i * 37 + 13) % 2000 for i in range(40)],  # all already deleted
+        list(range(0, 2000, 7)),
+    ]
+    for n, ids in enumerate(batches):
+        r1 = delete_ids(spark, flat, ids, id_col="id", partition_col="cluster")
+        r2 = delete_ids(spark, vers, ids, id_col="id")
+        hits = alive & set(ids)
+        assert r1["deleted_rows"] == r2["deleted_rows"] == len(hits), (n, ids[:5])
+        alive -= hits
+        assert _rows(read_flat()) == _rows(read_vers())
+        if n == 1:  # compact only the versioned side mid-sequence
+            compact_store(spark, vers)
+            assert _rows(read_flat()) == _rows(read_vers())
+    assert len(_rows(read_vers())) == len(alive)
