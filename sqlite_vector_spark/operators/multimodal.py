@@ -23,9 +23,11 @@ STUBBED (the container has no image/audio libraries) behind
   format with ZERO third-party deps: PNG's pixel pipeline is stdlib
   zlib plus five per-scanline difference filters (RFC 2083 §6), so
   _png_decode inflates IDAT, unfilters (None/Sub/Up/Average/Paeth),
-  and resolves palette/alpha — 8-bit, non-interlaced; 16-bit and
-  Adam7 refuse loudly. Cross-checked byte-equal against Pillow's
-  reader where PIL exists; the golden tests run everywhere.
+  and resolves palette/alpha — every legal bit depth (1/2/4/8/16)
+  and BOTH interlace methods (Adam7 sub-rasters unfilter
+  independently and scatter back; r12 — previously refusals).
+  Cross-checked byte-equal against Pillow's reader where PIL
+  exists; the golden tests run everywhere.
 - ``decoder="jpeg"`` (r12) -> REAL decode of baseline JPEG with ZERO
   third-party deps: segment parse (SOI/DQT/DHT/SOF0-1/DRI/SOS),
   canonical Huffman entropy decode (the spec's mincode/maxcode
@@ -168,8 +170,10 @@ def _ppm_decode(payload: bytes):
     '#' comments allowed between tokens) followed by raw bytes — the
     one real pixel decode that runs in ANY container (Pillow and
     imageio availability varies by environment; r9 judging had
-    neither). 8-bit samples only (maxval <= 255); 16-bit rasters
-    raise rather than silently truncate."""
+    neither). Any legal maxval (1..65535): samples above 255 are the
+    netpbm two-byte big-endian wide format (r12; previously a
+    refusal), rescaled to the descriptor's 8-bit domain with the same
+    round-to-nearest used for sub-8-bit maxvals."""
     import numpy as np
 
     magic = payload[:2]
@@ -189,17 +193,20 @@ def _ppm_decode(payload: bytes):
         tokens.append(int(payload[start:pos]))
     pos += 1  # exactly ONE whitespace byte separates maxval from raster
     w, h, maxval = tokens
-    if not (0 < maxval <= 255):
-        raise ValueError(f"only 8-bit PGM/PPM supported, got maxval={maxval}")
+    if not (0 < maxval <= 65535):
+        raise ValueError(f"PGM/PPM maxval out of range (1..65535): {maxval}")
     ch = 3 if magic == b"P6" else 1
-    need = w * h * ch
+    wide = maxval > 255  # netpbm wide format: big-endian 2-byte samples
+    need = w * h * ch * (2 if wide else 1)
     if len(payload) - pos < need:
         raise ValueError(
             f"truncated raster: need {need} bytes, have {len(payload) - pos}"
         )
-    raster = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+    raster = np.frombuffer(
+        payload, dtype=">u2" if wide else np.uint8, count=w * h * ch, offset=pos
+    )
     arr = raster.reshape((h, w, 3) if ch == 3 else (h, w))
-    if maxval != 255:  # rescale sub-8-bit samples to full range
+    if maxval != 255:  # rescale sub-8-bit / wide samples to full range
         arr = (arr.astype(np.float64) * (255.0 / maxval)).round().astype(np.uint8)
     return arr
 
@@ -211,26 +218,105 @@ def _ppm_features(payload: bytes, dim: int) -> list[float]:
     return _array_strip_features(_ppm_decode(payload), dim)
 
 
+# Adam7 pass geometry: (x-origin, y-origin, x-step, y-step) for each of
+# the seven sub-rasters, in transmission order (RFC 2083 §2.6)
+_PNG_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(raw, offset, h, stride, bpp):
+    """Invert the five spec scanline filters (RFC 2083 §6) over ``h``
+    lines of ``stride`` filtered bytes each (one leading filter-type
+    byte per line), reading from ``raw`` at ``offset``. Filtering is
+    BYTE-domain regardless of bit depth — ``bpp`` is bytes per
+    complete pixel, floored at 1 — so this one routine serves
+    1/2/4/8/16-bit rasters and every Adam7 pass (each pass filters its
+    sub-raster independently; the caller resets the previous-line
+    state by calling again). All arithmetic mod 256; Sub vectorizes as
+    a per-channel cumsum, Up as a uint8 add; Average/Paeth run
+    per-pixel in-row (their data dependency is inherently sequential).
+    Returns an (h, stride) uint8 block."""
+    import numpy as np
+
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        base = offset + y * (stride + 1)
+        f = raw[base]
+        line = np.frombuffer(raw, np.uint8, count=stride, offset=base + 1).copy()
+        if f == 0:  # None
+            pass
+        elif f == 1:  # Sub — out[x] = enc[x] + out[x-bpp] unrolls to a
+            # per-channel prefix sum mod 256: vectorized cumsum
+            line = (
+                line.reshape(-1, bpp).astype(np.uint32).cumsum(axis=0) & 0xFF
+            ).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up (uint8 add wraps mod 256, per spec)
+            line += prev
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                line[x] = (int(line[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (int(line[x]) + pr) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = line
+        prev = line
+    return out
+
+
+def _png_samples(block, width, height, channels, depth):
+    """Unfiltered byte block (height, stride-bytes) -> (height, width,
+    channels) integer samples: 8-bit passes through, 16-bit reads
+    big-endian words (uint16 out), 1/2/4-bit unpacks MSB-first bit
+    groups and discards each scanline's pad bits (sub-8-bit is
+    single-channel only per the spec, enforced by the caller)."""
+    import numpy as np
+
+    if depth == 8:
+        return block.reshape(height, width, channels)
+    if depth == 16:
+        b = block.reshape(height, width * channels, 2).astype(np.uint16)
+        return ((b[..., 0] << 8) | b[..., 1]).reshape(height, width, channels)
+    bits = np.unpackbits(block, axis=1)[:, : width * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (bits.reshape(height, width, depth) * weights).sum(axis=2)
+    return vals.astype(np.uint8).reshape(height, width, 1)
+
+
 def _png_decode(payload: bytes):
     """Pure-stdlib PNG decode -> (H, W[, C]) uint8 NumPy array — the
     r11 extension of the netpbm path to the format images actually
     ship in: PNG's pixel pipeline is zlib (stdlib) + five per-scanline
     difference filters, so a REAL decode needs no image library at
-    all. Supports bit depth 8, color types 0 (gray), 2 (RGB), 3
-    (palette -> RGB via PLTE), 4 (gray+alpha -> gray), 6 (RGBA),
-    non-interlaced; 16-bit, sub-8-bit, and Adam7-interlaced rasters
-    RAISE rather than silently mis-decode (same refusal posture as
-    _ppm_decode's 16-bit gate). Malformed palettes (PLTE not a
-    multiple of 3, index past the table) raise explicit ValueErrors
-    rather than surfacing raw NumPy shape/index errors; a tRNS
-    palette-transparency chunk is IGNORED (palette pixels decode as
-    opaque RGB — same alpha posture as color type 4/6, where the
-    descriptor reads the color planes and drops alpha). Unfiltering follows the spec
-    (RFC 2083 §6): None/Sub/Up/Average/Paeth per scanline, all
-    arithmetic mod 256; Up is vectorized, the sequential filters run
-    per-pixel in-row (decode cost is zlib-dominated for real images,
-    and the Pillow cross-check test pins byte equality where PIL
-    exists)."""
+    all. Supports every legal bit depth (1/2/4/8/16 — sub-8-bit gray
+    expands exactly, 255/(2^d-1) is integral; 16-bit scales to 8-bit
+    round-to-nearest, the descriptor's sample domain), color types 0
+    (gray), 2 (RGB), 3 (palette -> RGB via PLTE), 4 (gray+alpha ->
+    gray), 6 (RGBA), and BOTH interlace methods — Adam7 unfilters each
+    of the seven sub-rasters independently and scatters them back with
+    strided assignment (r12; previously a refusal). Illegal
+    depth/color combinations (the spec's table: sub-8-bit only for
+    gray/palette, no 16-bit palette) RAISE rather than silently
+    mis-decode. Malformed palettes (PLTE not a multiple of 3, index
+    past the table) raise explicit ValueErrors rather than surfacing
+    raw NumPy shape/index errors; a tRNS palette-transparency chunk is
+    IGNORED (palette pixels decode as opaque RGB — same alpha posture
+    as color type 4/6, where the descriptor reads the color planes and
+    drops alpha). Unfiltering follows the spec (RFC 2083 §6) in
+    _png_unfilter; decode cost is zlib-dominated for real images, and
+    the Pillow cross-check tests pin byte equality where PIL
+    exists."""
     import struct
     import zlib
 
@@ -255,56 +341,58 @@ def _png_decode(payload: bytes):
     if ihdr is None or not idat:
         raise ValueError("truncated PNG: missing IHDR or IDAT")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8:
-        raise ValueError(f"only 8-bit PNG supported, got bit depth {depth}")
-    if interlace != 0:
-        raise ValueError("interlaced (Adam7) PNG not supported")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise ValueError(f"unknown PNG color type {color}")
-    raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
-    if len(raw) != (stride + 1) * h:
+    if (
+        depth not in (1, 2, 4, 8, 16)
+        or (depth < 8 and color not in (0, 3))
+        or (depth == 16 and color == 3)
+    ):
         raise ValueError(
-            f"PNG raster size mismatch: expected {(stride + 1) * h} filtered "
-            f"bytes, got {len(raw)}"
+            f"invalid PNG bit depth {depth} for color type {color}"
         )
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    bpp = channels
-    for y in range(h):
-        f = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).copy()
-        if f == 0:  # None
-            pass
-        elif f == 1:  # Sub — out[x] = enc[x] + out[x-bpp] unrolls to a
-            # per-channel prefix sum mod 256: vectorized cumsum
-            line = (
-                line.reshape(w, bpp).astype(np.uint32).cumsum(axis=0) & 0xFF
-            ).astype(np.uint8).reshape(stride)
-        elif f == 2:  # Up (uint8 add wraps mod 256, per spec)
-            line += prev
-        elif f == 3:  # Average
-            for x in range(stride):
-                a = int(line[x - bpp]) if x >= bpp else 0
-                line[x] = (int(line[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for x in range(stride):
-                a = int(line[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[x] = (int(line[x]) + pr) & 0xFF
-        else:
-            raise ValueError(f"unknown PNG filter type {f}")
-        out[y] = line
-        prev = line
-    arr = out.reshape((h, w, channels)) if channels > 1 else out.reshape((h, w))
-    if color == 3:  # palette indices -> RGB
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    raw = zlib.decompress(b"".join(idat))
+    bpp = max(1, channels * depth // 8)
+
+    def _stride(width):  # filtered bytes per scanline (excl. filter byte)
+        return (width * channels * depth + 7) // 8
+
+    if interlace == 0:
+        stride = _stride(w)
+        if len(raw) != (stride + 1) * h:
+            raise ValueError(
+                f"PNG raster size mismatch: expected {(stride + 1) * h} "
+                f"filtered bytes, got {len(raw)}"
+            )
+        arr = _png_samples(_png_unfilter(raw, 0, h, stride, bpp),
+                           w, h, channels, depth)
+    else:  # Adam7: seven independently-filtered sub-rasters, scattered
+        sdtype = np.uint16 if depth == 16 else np.uint8
+        arr = np.zeros((h, w, channels), dtype=sdtype)
+        pos2 = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:  # empty pass carries NO bytes at all
+                continue
+            stride = _stride(pw)
+            need = (stride + 1) * ph
+            if len(raw) - pos2 < need:
+                raise ValueError(
+                    "PNG raster size mismatch: truncated Adam7 pass"
+                )
+            blk = _png_unfilter(raw, pos2, ph, stride, bpp)
+            pos2 += need
+            arr[y0::dy, x0::dx] = _png_samples(blk, pw, ph, channels, depth)
+        if pos2 != len(raw):
+            raise ValueError(
+                f"PNG raster size mismatch: {len(raw) - pos2} trailing "
+                "bytes after the Adam7 passes"
+            )
+    if color == 3:  # palette indices -> RGB (index domain = raw samples)
         if plte is None:
             raise ValueError("palette PNG missing its PLTE chunk")
         if len(plte) == 0 or len(plte) % 3 != 0:
@@ -320,10 +408,14 @@ def _png_decode(payload: bytes):
             raise ValueError(
                 f"palette index {hi} out of range for a {len(pal)}-entry PLTE"
             )
-        arr = pal[idx]
-    elif color == 4:  # gray+alpha -> gray (descriptor ignores alpha)
-        arr = arr[..., 0]
-    return arr
+        return pal[idx]
+    if depth == 16:  # big-endian words -> 8-bit, round-to-nearest
+        arr = ((arr.astype(np.uint32) * 255 + 32767) // 65535).astype(np.uint8)
+    elif depth < 8:  # gray: exact range expansion (255/(2^d-1) integral)
+        arr = (arr * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    if color == 4:  # gray+alpha -> gray (descriptor ignores alpha)
+        return arr[..., 0]
+    return arr.reshape(h, w) if channels == 1 else arr
 
 
 def _png_features(payload: bytes, dim: int) -> list[float]:
@@ -460,7 +552,8 @@ def _jpeg_decode(payload: bytes):
     4:2:2, 4:2:0, 4:4:0), restart intervals. Progressive (SOF2),
     hierarchical, arithmetic-coded, 12-bit, and 4-component (Adobe
     CMYK) payloads RAISE rather than silently mis-decode — the same
-    refusal posture as _png_decode's 16-bit/Adam7 gates.
+    refuse-don't-misdecode posture as _png_decode's illegal
+    depth/color-combination gate.
 
     Shape: the sequential Huffman walk runs per block in Python (the
     honest zero-dependency cost, like PNG's Paeth loop); everything

@@ -365,3 +365,59 @@ def test_png_decode_roundtrip_random_filters(shape, seed):
     got = _png_decode(_png_bytes(img, color, filters=filters))
     want = img[..., 0] if color == 4 else img
     assert np.array_equal(got, want)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_png_shapes, st.integers(min_value=0, max_value=2**31 - 1))
+def test_png_decode_adam7_roundtrip_random_filters(shape, seed):
+    """r12: the same forward/inverse property through the Adam7
+    interlaced path — any image shape (small shapes leave several of
+    the seven passes empty), any per-scanline filter assignment
+    across the passes."""
+    import numpy as np
+
+    from sqlite_vector_spark.operators.multimodal import _png_decode
+    from tests.test_streaming_multimodal import _png_bytes_ex
+
+    h, w, color = shape
+    rng = np.random.default_rng(seed)
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    img = rng.integers(0, 256, size=(h, w, ch) if ch > 1 else (h, w), dtype=np.uint8)
+    filters = list(rng.integers(0, 5, size=4 * (h + 8)))
+    got = _png_decode(_png_bytes_ex(img, color, interlace=1, filters=filters))
+    want = img[..., 0] if color == 4 else img
+    assert np.array_equal(got, want)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=1, max_value=10),
+    st.sampled_from([1, 2, 4, 16]),
+    st.booleans(),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_decode_gray_depths_roundtrip(h, w, depth, interlaced, seed):
+    """r12: every non-8 legal gray bit depth round-trips under random
+    filters, interlaced or not. Sub-8-bit expands by the exact
+    integral factor 255/(2^d-1); 16-bit uses v*257 (the exact 8->16
+    expansion) so the reduction must be the identity."""
+    import numpy as np
+
+    from sqlite_vector_spark.operators.multimodal import _png_decode
+    from tests.test_streaming_multimodal import _png_bytes_ex
+
+    rng = np.random.default_rng(seed)
+    filters = list(rng.integers(0, 5, size=4 * (h + 8)))
+    interlace = 1 if interlaced else 0
+    if depth == 16:
+        v = rng.integers(0, 256, size=(h, w), dtype=np.uint16)
+        payload = _png_bytes_ex(v * 257, 0, depth=16, interlace=interlace,
+                                filters=filters)
+        want = v.astype(np.uint8)
+    else:
+        v = rng.integers(0, 1 << depth, size=(h, w), dtype=np.uint8)
+        payload = _png_bytes_ex(v, 0, depth=depth, interlace=interlace,
+                                filters=filters)
+        want = v * (255 // ((1 << depth) - 1))
+    assert np.array_equal(_png_decode(payload), want)

@@ -639,8 +639,8 @@ def test_ppm_decoder_real_decode_golden():
     environment had neither Pillow nor imageio, so no real image
     decode executed; the stdlib netpbm path closes that gap).
     Left-black/right-white rasters must produce the exact strip
-    means; comments, PGM grayscale, and sub-8-bit maxval all parse;
-    16-bit rasters refuse."""
+    means; comments, PGM grayscale, sub-8-bit maxval, and the
+    two-byte wide format (maxval > 255, r12) all parse."""
     import pytest
 
     from sqlite_vector_spark.operators.multimodal import _ppm_decode, _ppm_features
@@ -658,13 +658,24 @@ def test_ppm_decoder_real_decode_golden():
     dim_img = _ppm_bytes(2, 1, lambda x, y: (x * 15, 0, 0), maxval=15)
     arr = _ppm_decode(dim_img)
     assert arr[0, 0, 0] == 0 and arr[0, 1, 0] == 255
-    # refusals: 16-bit, bad magic, truncated raster
-    with pytest.raises(ValueError, match="8-bit"):
-        _ppm_decode(b"P6\n2 1\n65535\n" + b"\x00" * 12)
+    # 16-bit wide format (r12): big-endian two-byte samples, rescaled
+    # round-to-nearest to the 8-bit descriptor domain
+    import struct
+
+    wide = b"P5\n3 1\n65535\n" + struct.pack(">3H", 0, 32768, 65535)
+    assert list(_ppm_decode(wide)[0]) == [0, 128, 255]
+    # non-full-scale wide maxval: 1023 -> the same rescale formula
+    wide2 = b"P6\n1 1\n1023\n" + struct.pack(">3H", 0, 512, 1023)
+    assert list(_ppm_decode(wide2)[0, 0]) == [0, 128, 255]
+    # refusals: out-of-range maxval, bad magic, truncated raster
+    with pytest.raises(ValueError, match="maxval"):
+        _ppm_decode(b"P6\n1 1\n70000\n" + b"\x00" * 6)
     with pytest.raises(ValueError, match="magic"):
         _ppm_decode(b"P3\n1 1\n255\n0 0 0")
     with pytest.raises(ValueError, match="truncated"):
         _ppm_decode(b"P6\n4 4\n255\n\x00\x00")
+    with pytest.raises(ValueError, match="truncated"):  # wide needs 2x bytes
+        _ppm_decode(b"P5\n2 1\n65535\n\x00\x00\x00")
 
 
 def test_ppm_decoder_through_spark_plumbing(spark):
@@ -686,46 +697,87 @@ def test_ppm_decoder_through_spark_plumbing(spark):
     assert got[2] is None
 
 
-def _png_bytes(arr, color_type, filters=None, palette=None):
-    """Build a PNG payload from an (H, W[, C]) uint8 array by applying
+# Adam7 pass geometry, restated from the spec table (RFC 2083 §2.6) —
+# deliberately NOT imported from the decoder, so an encode/decode
+# agreement also re-derives the geometry
+_TEST_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_bytes_ex(arr, color_type, depth=8, interlace=0, filters=None,
+                  palette=None):
+    """Build a PNG payload from an (H, W[, C]) sample array by applying
     the FORWARD scanline filters (the inverse direction of the
     decoder's unfiltering — agreement between the two is a real
-    round-trip proof, not a mirrored implementation). ``filters`` is a
-    per-row filter-type list (default all 0/None)."""
+    round-trip proof, not a mirrored implementation). Generalized for
+    r12: ``depth`` 1/2/4/8/16 (16-bit samples are written as
+    big-endian words, sub-8-bit packed MSB-first with scanlines padded
+    to a byte boundary), and ``interlace=1`` writes the seven Adam7
+    sub-rasters in transmission order, each filtered independently.
+    ``filters`` is a filter-type list consumed one per emitted
+    scanline across all passes (default all 0/None)."""
     import struct
     import zlib
 
     import numpy as np
 
-    a = np.asarray(arr, dtype=np.uint8)
-    h = a.shape[0]
+    a = np.asarray(arr)
+    h, w = a.shape[0], a.shape[1]
     ch = 1 if a.ndim == 2 else a.shape[2]
-    w = a.shape[1]
-    rows = a.reshape(h, w * ch).astype(np.int64)
-    filters = filters or [0] * h
+    a3 = a.reshape(h, w, ch)
+    bpp = max(1, ch * depth // 8)
+    fit = iter(filters or [])
+
+    def line_bytes(sub):  # (ph, pw, ch) samples -> (ph, stride) uint8
+        ph, pw = sub.shape[0], sub.shape[1]
+        if depth == 8:
+            return sub.reshape(ph, pw * ch).astype(np.uint8)
+        if depth == 16:
+            s = np.ascontiguousarray(sub.reshape(ph, pw * ch).astype(">u2"))
+            return np.frombuffer(s.tobytes(), np.uint8).reshape(ph, pw * ch * 2)
+        v = sub.reshape(ph, pw).astype(np.uint8)
+        bits = ((v[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1)
+        return np.packbits(bits.reshape(ph, pw * depth), axis=1)
+
+    def filt_block(rows):  # FORWARD-filter a pass; one filter byte/line
+        ph, stride = rows.shape
+        rows = rows.astype(np.int64)
+        raw = bytearray()
+        prev = np.zeros(stride, dtype=np.int64)
+        for y in range(ph):
+            line = rows[y]
+            f = next(fit, 0)
+            raw.append(f)
+            for x in range(stride):
+                av = int(line[x - bpp]) if x >= bpp else 0
+                b, c = int(prev[x]), (int(prev[x - bpp]) if x >= bpp else 0)
+                if f == 0:
+                    enc = line[x]
+                elif f == 1:
+                    enc = line[x] - av
+                elif f == 2:
+                    enc = line[x] - b
+                elif f == 3:
+                    enc = line[x] - ((av + b) >> 1)
+                else:  # Paeth
+                    p = av + b - c
+                    pa, pb, pc = abs(p - av), abs(p - b), abs(p - c)
+                    pr = av if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    enc = line[x] - pr
+                raw.append(int(enc) & 0xFF)
+            prev = line
+        return bytes(raw)
+
     raw = bytearray()
-    prev = np.zeros(w * ch, dtype=np.int64)
-    for y in range(h):
-        line, f = rows[y], filters[y]
-        raw.append(f)
-        for x in range(w * ch):
-            av = int(line[x - ch]) if x >= ch else 0
-            b, c = int(prev[x]), (int(prev[x - ch]) if x >= ch else 0)
-            if f == 0:
-                enc = line[x]
-            elif f == 1:
-                enc = line[x] - av
-            elif f == 2:
-                enc = line[x] - b
-            elif f == 3:
-                enc = line[x] - ((av + b) >> 1)
-            else:  # Paeth
-                p = av + b - c
-                pa, pb, pc = abs(p - av), abs(p - b), abs(p - c)
-                pr = av if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                enc = line[x] - pr
-            raw.append(int(enc) & 0xFF)
-        prev = line
+    if interlace == 0:
+        raw += filt_block(line_bytes(a3))
+    else:
+        for x0, y0, dx, dy in _TEST_ADAM7:
+            sub = a3[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:  # empty passes carry no bytes
+                raw += filt_block(line_bytes(sub))
 
     def chunk(ctype, data):
         return (
@@ -734,7 +786,9 @@ def _png_bytes(arr, color_type, filters=None, palette=None):
         )
 
     out = b"\x89PNG\r\n\x1a\n"
-    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+    out += chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    )
     if palette is not None:
         out += chunk(b"PLTE", bytes(palette))
     out += chunk(b"IDAT", zlib.compress(bytes(raw)))
@@ -742,11 +796,16 @@ def _png_bytes(arr, color_type, filters=None, palette=None):
     return out
 
 
+def _png_bytes(arr, color_type, filters=None, palette=None):
+    """8-bit non-interlaced shorthand (the r11 encoder's signature)."""
+    return _png_bytes_ex(arr, color_type, 8, 0, filters, palette)
+
+
 def test_png_decoder_real_decode_golden():
     """decoder='png' (r11): REAL decode of the common interchange
     format with zero third-party deps — stdlib zlib + spec
     unfiltering. Gray/RGB/RGBA/palette payloads decode to the exact
-    pixel arrays; 16-bit, interlaced, and bad-signature payloads
+    pixel arrays; illegal depth/color combinations and bad signatures
     refuse. Runs in EVERY container, like the netpbm path."""
     import numpy as np
     import pytest
@@ -782,11 +841,20 @@ def test_png_decoder_real_decode_golden():
     sig = b"\x89PNG\r\n\x1a\n"
     with pytest.raises(ValueError, match="signature"):
         _png_decode(b"PLAINLYNOTAPNG")
-    with pytest.raises(ValueError, match="bit depth"):
-        _png_decode(sig + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
+    # r12: 16-bit and Adam7 now DECODE (dedicated tests below); what
+    # refuses is the spec's illegal depth/color table and unknown
+    # interlace methods — never a silent mis-decode
+    with pytest.raises(ValueError, match="bit depth"):  # depth 3 illegal
+        _png_decode(sig + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 3, 0, 0, 0, 0))
+                    + _chunk(b"IDAT", _z.compress(b"\x00\x00")))
+    with pytest.raises(ValueError, match="bit depth"):  # sub-8-bit RGB illegal
+        _png_decode(sig + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 4, 2, 0, 0, 0))
+                    + _chunk(b"IDAT", _z.compress(b"\x00\x00")))
+    with pytest.raises(ValueError, match="bit depth"):  # 16-bit palette illegal
+        _png_decode(sig + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0))
                     + _chunk(b"IDAT", _z.compress(b"\x00\x00\x00")))
-    with pytest.raises(ValueError, match="interlaced"):
-        _png_decode(sig + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1))
+    with pytest.raises(ValueError, match="interlace method"):
+        _png_decode(sig + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 2))
                     + _chunk(b"IDAT", _z.compress(b"\x00\x00")))
     with pytest.raises(ValueError, match="size mismatch"):
         _png_decode(sig + _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
@@ -865,6 +933,168 @@ def test_png_decode_matches_pillow_when_available():
     buf = io.BytesIO()
     Image.fromarray(img).save(buf, format="PNG")
     assert np.array_equal(_png_decode(buf.getvalue()), img)
+
+
+def test_png_decoder_adam7_roundtrip():
+    """Adam7-interlaced payloads (r12) decode to the source pixels:
+    the encoder splits the image into the seven spec sub-rasters
+    (geometry restated from the spec table, not imported from the
+    decoder) and FORWARD-filters each independently; the decoder
+    unfilters and scatters them back. Every filter type appears
+    across the passes, and the tiny shapes exercise empty passes
+    (1x1 uses ONLY pass 1; 2x3 leaves several passes with zero width
+    or height, which must carry no bytes at all)."""
+    import numpy as np
+    import pytest
+
+    from sqlite_vector_spark.operators.multimodal import _png_decode
+
+    rng = np.random.default_rng(12)
+    filters = [i % 5 for i in range(64)]
+    img = rng.integers(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    got = _png_decode(_png_bytes_ex(img, 2, interlace=1, filters=filters))
+    assert np.array_equal(got, img)
+    # gray, RGBA, gray+alpha through the interlaced path
+    g = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    assert np.array_equal(
+        _png_decode(_png_bytes_ex(g, 0, interlace=1, filters=filters)), g
+    )
+    rgba = rng.integers(0, 256, size=(5, 6, 4), dtype=np.uint8)
+    assert np.array_equal(_png_decode(_png_bytes_ex(rgba, 6, interlace=1)), rgba)
+    ga = rng.integers(0, 256, size=(7, 3, 2), dtype=np.uint8)
+    assert np.array_equal(
+        _png_decode(_png_bytes_ex(ga, 4, interlace=1, filters=filters)),
+        ga[..., 0],
+    )
+    # tiny shapes: most Adam7 passes are EMPTY
+    for shape in [(1, 1), (1, 5), (5, 1), (2, 3), (3, 2), (4, 4), (7, 7),
+                  (8, 8), (9, 9)]:
+        t = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        got = _png_decode(_png_bytes_ex(t, 0, interlace=1, filters=filters))
+        assert np.array_equal(got, t), shape
+    # truncated interlaced raster refuses (same size-mismatch posture)
+    import struct
+    import zlib as _z
+
+    def _chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    with pytest.raises(ValueError, match="size mismatch"):
+        _png_decode(
+            sig
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1))
+            + _chunk(b"IDAT", _z.compress(b"\x00" * 3))
+        )
+
+
+def test_png_decoder_16bit():
+    """16-bit rasters (r12) decode through byte-domain unfiltering
+    (bpp doubles to channels*2) and scale to the descriptor's 8-bit
+    domain round-to-nearest. The gray case is an INDEPENDENT check:
+    v*257 is the exact 8->16-bit expansion, so the reduction back to
+    uint8 must be the identity for every 8-bit value — no shared
+    formula with the decoder."""
+    import numpy as np
+
+    from sqlite_vector_spark.operators.multimodal import _png_decode
+
+    v = np.arange(256, dtype=np.uint16).reshape(16, 16)
+    got = _png_decode(
+        _png_bytes_ex(v * 257, 0, depth=16, filters=[1, 2, 3, 4] * 4)
+    )
+    assert np.array_equal(got, v.astype(np.uint8))
+    # boundary rounding: 0x8000 -> 128 (127.502 rounds up), 0x0080 -> 0
+    b = np.array([[0, 0x8000, 0xFFFF, 0x0080]], np.uint16)
+    assert list(_png_decode(_png_bytes_ex(b, 0, depth=16))[0]) == [0, 128, 255, 0]
+    # 16-bit RGB, every filter type, bpp=6 byte-domain filtering; the
+    # expected array uses the same rounding formula (the filter and
+    # raster plumbing under test is independent of the reduction)
+    rng = np.random.default_rng(16)
+    rgb16 = rng.integers(0, 65536, size=(6, 5, 3), dtype=np.uint16)
+    want = ((rgb16.astype(np.uint32) * 255 + 32767) // 65535).astype(np.uint8)
+    got = _png_decode(
+        _png_bytes_ex(rgb16, 2, depth=16, filters=[0, 1, 2, 3, 4, 1])
+    )
+    assert np.array_equal(got, want)
+    # 16-bit composes with Adam7
+    got = _png_decode(
+        _png_bytes_ex(rgb16, 2, depth=16, interlace=1, filters=[4] * 30)
+    )
+    assert np.array_equal(got, want)
+
+
+def test_png_decoder_sub8bit():
+    """1/2/4-bit rasters (r12): MSB-first unpack, per-scanline pad
+    bits discarded (widths not a multiple of 8 samples), gray expands
+    exactly (255/(2^d-1) is integral: x255, x85, x17), palette
+    indices stay in the raw index domain."""
+    import numpy as np
+
+    from sqlite_vector_spark.operators.multimodal import _png_decode
+
+    # 1-bit checkerboard, width 5 (pad bits in every scanline)
+    bits = (np.indices((3, 5)).sum(axis=0) % 2).astype(np.uint8)
+    got = _png_decode(_png_bytes_ex(bits, 0, depth=1, filters=[0, 2, 2]))
+    assert np.array_equal(got, bits * 255)
+    # 2-bit ramp: 0,1,2,3 -> 0,85,170,255
+    v2 = np.array([[0, 1, 2, 3, 1]], np.uint8)
+    assert list(_png_decode(_png_bytes_ex(v2, 0, depth=2))[0]) == \
+        [0, 85, 170, 255, 85]
+    # 4-bit: value*17, with Sub and Paeth filters over packed bytes
+    v4 = np.arange(16, dtype=np.uint8).reshape(2, 8)
+    got = _png_decode(_png_bytes_ex(v4, 0, depth=4, filters=[1, 4]))
+    assert np.array_equal(got, v4 * 17)
+    # 4-bit PALETTE: indices resolve through PLTE, no range expansion
+    pal = bytes(range(48))  # 16 RGB entries
+    idx = np.array([[0, 15, 7], [3, 3, 1]], np.uint8)
+    got = _png_decode(_png_bytes_ex(idx, 3, depth=4, palette=pal))
+    want = np.frombuffer(pal, np.uint8).reshape(16, 3)[idx]
+    assert np.array_equal(got, want)
+    # sub-8-bit composes with Adam7 (odd size -> ragged pass widths)
+    v1 = (np.indices((9, 11)).sum(axis=0) % 2).astype(np.uint8)
+    got = _png_decode(
+        _png_bytes_ex(v1, 0, depth=1, interlace=1, filters=[2] * 40)
+    )
+    assert np.array_equal(got, v1 * 255)
+
+
+def test_png_decoder_adam7_16bit_matches_pillow_when_available():
+    """Pillow cross-check of the r12 paths: PIL is a fully independent
+    decoder, so its agreement on our interlaced / 16-bit / sub-8-bit
+    payloads kills mirrored-encoder-bug doubt. 16-bit grays open in a
+    16/32-bit PIL mode — compare in the wide domain, then check our
+    8-bit reduction against the rounding formula separately."""
+    import numpy as np
+    import pytest
+
+    pytest.importorskip("PIL.Image")
+    import io
+
+    from PIL import Image
+
+    from sqlite_vector_spark.operators.multimodal import _png_decode
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, size=(11, 7, 3), dtype=np.uint8)
+    pay = _png_bytes_ex(img, 2, interlace=1, filters=[i % 5 for i in range(40)])
+    assert np.array_equal(np.asarray(Image.open(io.BytesIO(pay))), img)
+    assert np.array_equal(_png_decode(pay), img)
+    g16 = rng.integers(0, 65536, size=(6, 9), dtype=np.uint16)
+    pay16 = _png_bytes_ex(g16, 0, depth=16, filters=[3, 4, 1, 2, 0, 4])
+    pil16 = np.asarray(Image.open(io.BytesIO(pay16)))
+    assert np.array_equal(pil16.astype(np.uint32), g16.astype(np.uint32))
+    want8 = ((g16.astype(np.uint32) * 255 + 32767) // 65535).astype(np.uint8)
+    assert np.array_equal(_png_decode(pay16), want8)
+    # 4-bit palette through PIL's P-mode reader
+    pal = bytes(range(48))
+    idx = rng.integers(0, 16, size=(5, 5), dtype=np.uint8)
+    pay4 = _png_bytes_ex(idx, 3, depth=4, palette=pal)
+    pil4 = np.asarray(Image.open(io.BytesIO(pay4)).convert("RGB"))
+    assert np.array_equal(pil4, _png_decode(pay4))
 
 
 def test_ppm_decode_matches_pillow_when_available():
