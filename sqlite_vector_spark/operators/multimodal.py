@@ -207,6 +207,14 @@ def _ppm_decode(payload: bytes):
     )
     arr = raster.reshape((h, w, 3) if ch == 3 else (h, w))
     if maxval != 255:  # rescale sub-8-bit / wide samples to full range
+        hi = int(arr.max())
+        if hi > maxval:
+            # netpbm requires samples <= maxval; rescaling an illegal
+            # sample would wrap through the uint8 cast into garbage —
+            # refuse like the truncation gate
+            raise ValueError(
+                f"PGM/PPM sample {hi} exceeds the declared maxval {maxval}"
+            )
         arr = (arr.astype(np.float64) * (255.0 / maxval)).round().astype(np.uint8)
     return arr
 
@@ -370,28 +378,32 @@ def _png_decode(payload: bytes):
         arr = _png_samples(_png_unfilter(raw, 0, h, stride, bpp),
                            w, h, channels, depth)
     else:  # Adam7: seven independently-filtered sub-rasters, scattered
-        sdtype = np.uint16 if depth == 16 else np.uint8
-        arr = np.zeros((h, w, channels), dtype=sdtype)
-        pos2 = 0
+        # validate the TOTAL payload size against the pass geometry
+        # BEFORE allocating the output — a hostile header declaring
+        # 65535x65535 must fail the cheap length check, not OOM on
+        # np.zeros (the non-interlaced branch has the same order)
+        geo = []
+        expected = 0
         for x0, y0, dx, dy in _PNG_ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:  # empty pass carries NO bytes at all
                 continue
             stride = _stride(pw)
-            need = (stride + 1) * ph
-            if len(raw) - pos2 < need:
-                raise ValueError(
-                    "PNG raster size mismatch: truncated Adam7 pass"
-                )
-            blk = _png_unfilter(raw, pos2, ph, stride, bpp)
-            pos2 += need
-            arr[y0::dy, x0::dx] = _png_samples(blk, pw, ph, channels, depth)
-        if pos2 != len(raw):
+            geo.append((x0, y0, dx, dy, pw, ph, stride))
+            expected += (stride + 1) * ph
+        if len(raw) != expected:
             raise ValueError(
-                f"PNG raster size mismatch: {len(raw) - pos2} trailing "
-                "bytes after the Adam7 passes"
+                f"PNG raster size mismatch: expected {expected} filtered "
+                f"bytes across the Adam7 passes, got {len(raw)}"
             )
+        sdtype = np.uint16 if depth == 16 else np.uint8
+        arr = np.zeros((h, w, channels), dtype=sdtype)
+        pos2 = 0
+        for x0, y0, dx, dy, pw, ph, stride in geo:
+            blk = _png_unfilter(raw, pos2, ph, stride, bpp)
+            pos2 += (stride + 1) * ph
+            arr[y0::dy, x0::dx] = _png_samples(blk, pw, ph, channels, depth)
     if color == 3:  # palette indices -> RGB (index domain = raw samples)
         if plte is None:
             raise ValueError("palette PNG missing its PLTE chunk")
@@ -575,6 +587,13 @@ def _jpeg_decode(payload: bytes):
     while i + 4 <= n:
         if payload[i] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at byte {i}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker — skip them or a padded (camera-firmware) file would
+        # misparse the real marker byte as a segment length
+        while i + 1 < n and payload[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > n:
+            break
         marker = payload[i + 1]
         if marker == 0xD9:  # EOI
             break
@@ -629,6 +648,16 @@ def _jpeg_decode(payload: bytes):
         # APPn / COM / others: skipped
     if frame is None or scan is None:
         raise ValueError("truncated JPEG: missing SOF or SOS")
+    if len(scan) != len(frame[2]):
+        # legal per T.81 (each component may ship in its own scan) but
+        # this decoder reads only the first SOS — decoding it as the
+        # whole image would silently emit wrong pixels, so refuse like
+        # the SOF2/12-bit gates
+        raise ValueError(
+            f"non-interleaved JPEG ({len(scan)}-component scan over a "
+            f"{len(frame[2])}-component frame) not supported — baseline "
+            "interleaved single-scan only"
+        )
 
     h, w, comps = frame
     hmax = max(c[1] for c in comps)

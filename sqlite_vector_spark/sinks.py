@@ -797,18 +797,38 @@ def vacuum_store(path: str, spark=None) -> dict:
             f"vacuum_store: store {path!r} does not exist — its retained "
             "layouts may be the only copy; refusing to remove them"
         )
+    if os.path.isdir(os.path.join(root, "_sv_manifests")):
+        # versioned store but no session to route through: returning
+        # {removed: []} here would look like success while superseded
+        # generations accumulate — the one silent-degrade this verb
+        # must not have (advisor-class gap, r12 review)
+        raise RuntimeError(
+            f"vacuum_store: {path!r} is a VERSIONED store (_sv_manifests "
+            "present); pass spark= so the vacuum can walk its manifests "
+            "— the flat-layout sweep would free nothing"
+        )
     removed, freed = [], 0
     for suffix in ("__pre_delete", "__pre_compact"):
         p = root + suffix
         if os.path.isdir(p):
-            freed += sum(
-                os.path.getsize(os.path.join(dp, f))
-                for dp, _, fs in os.walk(p)
-                for f in fs
-            )
+            freed += dir_bytes(p)
             shutil.rmtree(p)
             removed.append(os.path.basename(p))
     return {"removed": removed, "bytes_freed": freed}
+
+
+def dir_bytes(path: str) -> int:
+    """Recursive on-disk byte total of a directory — the one
+    bytes-freed accounting used by every local vacuum verb
+    (vacuum_store here, streaming.scoring.vacuum_stream_state), so a
+    future behavior change applies to all reports at once."""
+    import os
+
+    return sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+    )
 
 
 def _registered_stores(ctx) -> list:

@@ -264,7 +264,6 @@ def ingest_stream_neardup(
     filesystem only (epoch discovery via os.listdir — the same
     single-maintenance-writer scope as compact_store)."""
     import os
-    import re
 
     from sqlite_vector_spark.operators.dedup import (
         incremental_dedup_pairs,
@@ -377,7 +376,6 @@ def takedown_stream_state(
     re-solving the labels with a different threshold than the stream
     maintains them with would silently fork the state."""
     import os
-    import re
 
     from sqlite_vector_spark.operators.dedup import delete_labels
     from sqlite_vector_spark.sinks import check_frozen_params, delete_ids
@@ -467,7 +465,6 @@ def ingest_stream_embedding_neardup(
     with a conflicting family raises (sinks.check_frozen_params).
     Local filesystem only (os.listdir epoch discovery)."""
     import os
-    import re
 
     from sqlite_vector_spark.operators.dedup import (
         embedding_neardup_pairs,
@@ -569,7 +566,6 @@ def takedown_stream_state_embedding(
     mirror. Params left at None resolve from the state root's
     sidecar; a conflicting explicit value raises."""
     import os
-    import re
 
     from sqlite_vector_spark.operators.dedup import delete_labels_embedding
     from sqlite_vector_spark.sinks import check_frozen_params, delete_ids
@@ -798,12 +794,7 @@ def vacuum_stream_state(state_dir: str) -> dict:
     import os
     import shutil
 
-    def _du(p: str) -> int:
-        return sum(
-            os.path.getsize(os.path.join(dp, f))
-            for dp, _, fs in os.walk(p)
-            for f in fs
-        )
+    from sqlite_vector_spark.sinks import dir_bytes as _du
 
     removed, skipped, freed = [], [], 0
     for name in ("bands", "buckets", "docs", "vecs", "labels"):

@@ -303,9 +303,17 @@ def delete_ids_versioned(
         df = read_versioned(spark, rootp)
         before = df.count()
         kept = df.join(F.broadcast(ids_df), key == F.col("_del_id"), "left_anti")
-        entries = _write_generation(kept, rootp, ver + 1, None, sort_within)
+        # Count BEFORE writing: a delete that wipes every row must not
+        # write a generation at all (an empty dir has no parquet files,
+        # so _gen_entries' schema inference would crash mid-commit) —
+        # the new manifest just lists no files, and read_versioned's
+        # empty-manifest refusal names the state clearly.
+        after = kept.count()
+        entries = (
+            [] if after == 0
+            else _write_generation(kept, rootp, ver + 1, None, sort_within)
+        )
         _write_manifest(spark, rootp, ver + 1, None, entries)
-        after = read_versioned(spark, rootp).count()
         return {"deleted_rows": before - after, "rows_after": after,
                 "partitions_rewritten": -1, "version": ver + 1}
 
@@ -324,11 +332,21 @@ def delete_ids_versioned(
     deleted = sum(r[1] for r in hit)
     pruned = read_versioned(spark, rootp, partition_values=affected)
     before = pruned.count()
-    kept = pruned.join(F.broadcast(ids_df), key == F.col("_del_id"), "left_anti")
-    new_entries = _write_generation(
-        kept, rootp, ver + 1, pcol, sort_within,
-        target_partitions=len(affected),
-    )
+    if deleted == before:
+        # the batch wipes EVERY row of every affected partition (the
+        # flat twin drops those directories): no generation to write —
+        # writing one would leave an empty dir whose schema inference
+        # crashes _gen_entries — the manifest simply stops referencing
+        # the wiped partitions' files.
+        new_entries: list[dict] = []
+    else:
+        kept = pruned.join(
+            F.broadcast(ids_df), key == F.col("_del_id"), "left_anti"
+        )
+        new_entries = _write_generation(
+            kept, rootp, ver + 1, pcol, sort_within,
+            target_partitions=len(affected),
+        )
     untouched = [e for e in man["files"] if e.get("value") not in set(affected)]
     _write_manifest(spark, rootp, ver + 1, pcol, untouched + new_entries)
     return {"deleted_rows": deleted, "rows_after": before - deleted,

@@ -676,6 +676,12 @@ def test_ppm_decoder_real_decode_golden():
         _ppm_decode(b"P6\n4 4\n255\n\x00\x00")
     with pytest.raises(ValueError, match="truncated"):  # wide needs 2x bytes
         _ppm_decode(b"P5\n2 1\n65535\n\x00\x00\x00")
+    # samples above the declared maxval would wrap through the uint8
+    # rescale cast into garbage — refuse instead (r12 review)
+    with pytest.raises(ValueError, match="exceeds"):
+        _ppm_decode(b"P5\n1 1\n100\n" + bytes([200]))
+    with pytest.raises(ValueError, match="exceeds"):
+        _ppm_decode(b"P5\n1 1\n1000\n" + struct.pack(">H", 2000))
 
 
 def test_ppm_decoder_through_spark_plumbing(spark):
@@ -988,6 +994,16 @@ def test_png_decoder_adam7_roundtrip():
             sig
             + _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1))
             + _chunk(b"IDAT", _z.compress(b"\x00" * 3))
+        )
+    # hostile header: 60000x60000 RGBA 16-bit interlaced (~28 GB if
+    # allocated) with a tiny payload must fail the LENGTH check before
+    # any output allocation (r12 review: the Adam7 arm allocated from
+    # header-declared dims first)
+    with pytest.raises(ValueError, match="size mismatch"):
+        _png_decode(
+            sig
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 60000, 60000, 16, 6, 0, 0, 1))
+            + _chunk(b"IDAT", _z.compress(b"\x00" * 16))
         )
 
 
@@ -1374,6 +1390,40 @@ def test_jpeg_decoder_refusals():
     bad = base[:comp0 + 1] + bytes([0x41]) + base[comp0 + 2:]
     with pytest.raises(ValueError, match="sampling"):
         _jpeg_decode(bad)
+    # non-interleaved (multi-scan) layout: legal per T.81 but only the
+    # first SOS is read here — decoding a 1-component scan as the
+    # whole 3-component image silently emitted wrong pixels before the
+    # r12 refusal
+    rng = np.random.default_rng(5)
+    color = _jpeg_bytes(rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8))
+    i = color.index(b"\xff\xda")  # SOS: len(2) ns(1) 3x(id,tables) Ss Se AhAl
+    onescan = (
+        color[:i + 2] + struct.pack(">H", 8) + b"\x01"
+        + color[i + 5:i + 7] + color[i + 11:i + 14] + color[i + 14:]
+    )
+    with pytest.raises(ValueError, match="non-interleaved"):
+        _jpeg_decode(onescan)
+
+
+def test_jpeg_decoder_tolerates_fill_bytes():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker (camera firmware pads with them); the r12 parser skips
+    them instead of misreading the real marker byte as a segment
+    length and claiming the file is truncated."""
+    import numpy as np
+
+    from sqlite_vector_spark.operators.multimodal import _jpeg_decode
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    base = _jpeg_bytes(img)
+    want = _jpeg_decode(base)
+    for nfill in (1, 3):
+        i = base.index(b"\xff\xdb")  # pad before DQT
+        padded = base[:i] + b"\xff" * nfill + base[i:]
+        j = padded.index(b"\xff\xc0")  # and before SOF
+        padded = padded[:j] + b"\xff" * nfill + padded[j:]
+        assert np.array_equal(_jpeg_decode(padded), want)
 
 
 def test_jpeg_decoder_through_spark_plumbing(spark):

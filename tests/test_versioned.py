@@ -233,3 +233,72 @@ def test_versioned_delete_sequence_matches_flat(spark, tmp_path):
             compact_store(spark, vers)
             assert _rows(read_flat()) == _rows(read_vers())
     assert len(_rows(read_vers())) == len(alive)
+
+
+def test_versioned_delete_wipes_whole_partitions(spark, tmp_path):
+    """A delete batch that removes EVERY row of the affected
+    partitions must commit the pointer flip instead of crashing on an
+    empty-generation write (r12 review finding: Spark emits no parquet
+    files for an empty partitioned write, so schema inference on the
+    new generation dir threw mid-commit). The new manifest simply
+    stops referencing the wiped partitions' files — the flat twin
+    drops those directories the same way."""
+    from sqlite_vector_spark.versioned import (
+        delete_ids_versioned,
+        read_versioned,
+        versioned_store_init,
+    )
+
+    path = str(tmp_path / "store")
+    versioned_store_init(_frame(spark, 64), path, partition_col="cluster")
+    wipe = [i for i in range(64) if i % 16 in (1, 2)]  # clusters 1+2 entirely
+    rep = delete_ids_versioned(spark, path, wipe)
+    assert rep["deleted_rows"] == len(wipe)
+    assert rep["rows_after"] == 0  # of the rewritten subset
+    left = read_versioned(spark, path)
+    assert left.count() == 64 - len(wipe)
+    assert left.where(F.col("cluster").isin(1, 2)).count() == 0
+    # wiping everything that remains still commits; reads then refuse
+    # with the clear empty-manifest error (the flat twin's empty root
+    # is just as unreadable — this one at least names the state)
+    rest = [i for i in range(64) if i % 16 not in (1, 2)]
+    rep2 = delete_ids_versioned(spark, path, rest)
+    assert rep2["deleted_rows"] == len(rest)
+    with pytest.raises(ValueError, match="no files"):
+        read_versioned(spark, path)
+
+
+def test_versioned_unpartitioned_full_wipe(spark, tmp_path):
+    """Same r12 review hole on the unpartitioned arm: deleting every
+    row must not write (then fail to schema-infer) an empty
+    generation. The delete also now counts the kept side directly
+    instead of re-reading the store after the flip."""
+    from sqlite_vector_spark.versioned import (
+        delete_ids_versioned,
+        read_versioned,
+        versioned_store_init,
+    )
+
+    path = str(tmp_path / "flatless")
+    versioned_store_init(_frame(spark, 10), path, partition_col=None)
+    rep = delete_ids_versioned(spark, path, list(range(10)))
+    assert rep["deleted_rows"] == 10 and rep["rows_after"] == 0
+    with pytest.raises(ValueError, match="no files"):
+        read_versioned(spark, path)
+
+
+def test_vacuum_store_refuses_versioned_without_spark(spark, tmp_path):
+    """vacuum_store(path) without spark= on a versioned store used to
+    return {removed: [], bytes_freed: 0} — success-shaped output while
+    superseded generations accumulate (r12 review). It now refuses and
+    names the fix; with spark= it routes to the manifest-aware
+    vacuum."""
+    from sqlite_vector_spark.sinks import vacuum_store
+    from sqlite_vector_spark.versioned import versioned_store_init
+
+    path = str(tmp_path / "vstore")
+    versioned_store_init(_frame(spark, 20), path, partition_col=None)
+    with pytest.raises(RuntimeError, match="VERSIONED"):
+        vacuum_store(path)
+    rep = vacuum_store(path, spark=spark)
+    assert "bytes_freed" in rep
