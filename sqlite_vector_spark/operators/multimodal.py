@@ -28,16 +28,18 @@ STUBBED (the container has no image/audio libraries) behind
   independently and scatter back; r12 — previously refusals).
   Cross-checked byte-equal against Pillow's reader where PIL
   exists; the golden tests run everywhere.
-- ``decoder="jpeg"`` (r12) -> REAL decode of baseline JPEG with ZERO
-  third-party deps: segment parse (SOI/DQT/DHT/SOF0-1/DRI/SOS),
-  canonical Huffman entropy decode (the spec's mincode/maxcode
-  walk), then vectorized dequant -> de-zigzag -> batched 8x8 IDCT
-  (one einsum over every block of a component) -> chroma upsample ->
-  JFIF YCbCr->RGB. Progressive (SOF2), arithmetic-coded, 12-bit, and
-  sampling factors above 2 refuse loudly rather than mis-decode —
-  the same posture as the PNG/PPM gates. Closes the last env-gated
-  common format: PPM/PGM, PNG, WAV, and JPEG all real-decode in ANY
-  container.
+- ``decoder="jpeg"`` (r12) -> REAL decode of baseline AND progressive
+  JPEG with ZERO third-party deps: segment parse
+  (SOI/DQT/DHT/SOF0-2/DRI/SOS), canonical Huffman entropy decode (the
+  spec's mincode/maxcode walk), then vectorized dequant -> de-zigzag
+  -> batched 8x8 IDCT (one einsum over every block of a component) ->
+  chroma upsample -> JFIF YCbCr->RGB. Progressive (SOF2) accumulates
+  coefficients across DC first/refinement and per-component AC band
+  scans with successive approximation and EOB runs (T.81 Annex G).
+  Arithmetic-coded, 12-bit, and sampling factors above 2 refuse
+  loudly rather than mis-decode — the same posture as the PNG/PPM
+  gates. Closes the last env-gated common format: PPM/PGM, PNG, WAV,
+  and JPEG all real-decode in ANY container.
 - ``decoder="wav"`` -> REAL audio decode via the stdlib ``wave``
   module (always available, no third-party dependency): parses PCM
   WAV payloads (8/16/32-bit), extracts per-slice RMS energy of the
@@ -556,22 +558,235 @@ def _jpeg_entropy_segments(data: bytes, start: int):
     return segs, i
 
 
+def _jpeg_ac_first(br, ac_tab, blk, ss, se, al, eobrun):
+    """One block of a progressive AC FIRST scan (T.81 G.1.2.2): the
+    band's coefficients at reduced precision (magnitudes shifted left
+    by Al on store), with EOBn run-length codes spanning whole blocks.
+    Returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = ac_tab.decode(br)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            return (1 << r) + (br.read_bits(r) if r else 0) - 1  # EOBn
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run past band end (corrupt stream)")
+        blk[k] = _jpeg_extend(br.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _jpeg_ac_refine(br, ac_tab, blk, ss, se, al, eobrun):
+    """One block of a progressive AC REFINEMENT scan (T.81 G.1.2.3):
+    newly-nonzero coefficients arrive as (run, 1) symbols + a sign
+    bit; every already-nonzero coefficient passed on the walk carries
+    one correction bit (appended toward larger magnitude when set).
+    Blocks inside an EOB run still carry correction bits for their
+    nonzero history. Returns the remaining EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = ac_tab.decode(br)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:  # EOBn: refine the tail, then run on
+                    eobrun = (1 << r) + (br.read_bits(r) if r else 0)
+                    break
+                # ZRL: walk 16 zero-history slots (refining along the way)
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "corrupt progressive AC refinement (magnitude != 1)"
+                    )
+                val = p1 if br.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if br.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # EOB-run block: correction bits only
+            if blk[k] != 0:
+                if br.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_comp_grid(comp, w, h, hmax, vmax):
+    """Non-interleaved block-grid width/height for a component: the
+    spec sizes single-component scans by the COMPONENT's own sample
+    dims (T.81 A.2.2), which can be smaller than the MCU-padded grid
+    the frame allocates."""
+    _, ch, cv, _ = comp
+    cw = -(-w * ch // hmax)
+    chh = -(-h * cv // vmax)
+    return -(-cw // 8), -(-chh // 8)
+
+
+def _jpeg_progressive(scans, comps, fidx, coeffs, bws, mcux, mcuy, h, w,
+                      hmax, vmax):
+    """Accumulate DCT coefficients across progressive scans (T.81
+    Annex G, Huffman): DC first/refinement scans (interleaved over the
+    frame MCU grid when the scan lists >1 component, else the
+    component's own grid), AC spectral bands one component at a time
+    with successive approximation and EOB runs. Restart markers reset
+    the DC predictors and the EOB run."""
+    import numpy as np  # noqa: F401  (kept for parity with callers)
+
+    n_mcus = mcux * mcuy
+    for sc, ss, se, ah, al, segs, ri, tabs in scans:
+        if ss == 0:  # ---- DC scan
+            if se != 0:
+                raise ValueError(
+                    "invalid progressive scan (DC scan with Se != 0)"
+                )
+            if len(sc) > 1:  # interleaved over the frame MCU grid
+                order = []
+                for cid, td, _ in sc:
+                    fi = fidx.get(cid)
+                    if fi is None:
+                        raise ValueError(
+                            f"JPEG scan references undeclared component {cid}"
+                        )
+                    dc_tab = tabs.get((0, td))
+                    if ah == 0 and dc_tab is None:
+                        raise ValueError(
+                            "JPEG scan references an undeclared Huffman table"
+                        )
+                    _, ch, cv, _ = comps[fi]
+                    for bv in range(cv):
+                        for bh2 in range(ch):
+                            order.append((fi, ch, cv, bv, bh2, dc_tab))
+                mcu = 0
+                ri_eff = ri or n_mcus
+                for seg_bytes in segs:
+                    if mcu >= n_mcus:
+                        break
+                    br = _JpegBitReader(seg_bytes)
+                    pred = [0] * len(comps)
+                    for _ in range(min(ri_eff, n_mcus - mcu)):
+                        my, mx = divmod(mcu, mcux)
+                        for fi, ch, cv, bv, bh2, dc_tab in order:
+                            idx = (my * cv + bv) * bws[fi] + mx * ch + bh2
+                            if ah == 0:
+                                s = dc_tab.decode(br)
+                                diff = (
+                                    _jpeg_extend(br.read_bits(s), s) if s else 0
+                                )
+                                pred[fi] += diff
+                                coeffs[fi][idx, 0] = pred[fi] << al
+                            elif br.read_bit():
+                                coeffs[fi][idx, 0] |= 1 << al
+                        mcu += 1
+            else:  # single component: its own (unpadded) grid
+                cid, td, _ = sc[0]
+                fi = fidx.get(cid)
+                if fi is None:
+                    raise ValueError(
+                        f"JPEG scan references undeclared component {cid}"
+                    )
+                dc_tab = tabs.get((0, td))
+                if ah == 0 and dc_tab is None:
+                    raise ValueError(
+                        "JPEG scan references an undeclared Huffman table"
+                    )
+                nbw, nbh = _jpeg_comp_grid(comps[fi], w, h, hmax, vmax)
+                nblocks = nbw * nbh
+                bi = 0
+                ri_eff = ri or nblocks
+                for seg_bytes in segs:
+                    if bi >= nblocks:
+                        break
+                    br = _JpegBitReader(seg_bytes)
+                    pred = 0
+                    for _ in range(min(ri_eff, nblocks - bi)):
+                        rowb, colb = divmod(bi, nbw)
+                        idx = rowb * bws[fi] + colb
+                        if ah == 0:
+                            s = dc_tab.decode(br)
+                            diff = _jpeg_extend(br.read_bits(s), s) if s else 0
+                            pred += diff
+                            coeffs[fi][idx, 0] = pred << al
+                        elif br.read_bit():
+                            coeffs[fi][idx, 0] |= 1 << al
+                        bi += 1
+        else:  # ---- AC scan: exactly one component, band Ss..Se
+            if len(sc) != 1:
+                raise ValueError(
+                    "invalid progressive scan (interleaved AC scan)"
+                )
+            if not (ss <= se <= 63):
+                raise ValueError(
+                    f"invalid progressive scan (band {ss}..{se})"
+                )
+            cid, _, ta = sc[0]
+            fi = fidx.get(cid)
+            if fi is None:
+                raise ValueError(
+                    f"JPEG scan references undeclared component {cid}"
+                )
+            ac_tab = tabs.get((1, ta))
+            if ac_tab is None:
+                raise ValueError(
+                    "JPEG scan references an undeclared Huffman table"
+                )
+            nbw, nbh = _jpeg_comp_grid(comps[fi], w, h, hmax, vmax)
+            nblocks = nbw * nbh
+            bi = 0
+            ri_eff = ri or nblocks
+            step = _jpeg_ac_first if ah == 0 else _jpeg_ac_refine
+            for seg_bytes in segs:
+                if bi >= nblocks:
+                    break
+                br = _JpegBitReader(seg_bytes)
+                eobrun = 0
+                for _ in range(min(ri_eff, nblocks - bi)):
+                    rowb, colb = divmod(bi, nbw)
+                    blk = coeffs[fi][rowb * bws[fi] + colb]
+                    eobrun = step(br, ac_tab, blk, ss, se, al, eobrun)
+                    bi += 1
+
+
 def _jpeg_decode(payload: bytes):
-    """Pure-stdlib baseline JPEG decode -> (H, W) or (H, W, 3) uint8.
+    """Pure-stdlib JPEG decode -> (H, W) or (H, W, 3) uint8.
 
-    Supports baseline and extended-sequential Huffman JPEG (SOF0/SOF1),
-    8-bit precision, 1 or 3 components, sampling factors 1 or 2 (4:4:4,
-    4:2:2, 4:2:0, 4:4:0), restart intervals. Progressive (SOF2),
-    hierarchical, arithmetic-coded, 12-bit, and 4-component (Adobe
-    CMYK) payloads RAISE rather than silently mis-decode — the same
-    refuse-don't-misdecode posture as _png_decode's illegal
-    depth/color-combination gate.
+    Supports baseline and extended-sequential Huffman JPEG (SOF0/SOF1)
+    AND progressive Huffman JPEG (SOF2, r12: spectral selection +
+    successive approximation per T.81 Annex G — DC first/refinement
+    scans, per-component AC band scans with EOB runs and correction
+    bits), 8-bit precision, 1 or 3 components, sampling factors 1 or 2
+    (4:4:4, 4:2:2, 4:2:0, 4:4:0), restart intervals, 0xFF fill bytes
+    before markers. Hierarchical, arithmetic-coded, 12-bit,
+    4-component (Adobe CMYK), and sequential multi-scan
+    (non-interleaved baseline) payloads RAISE rather than silently
+    mis-decode — the same refuse-don't-misdecode posture as
+    _png_decode's illegal depth/color-combination gate.
 
-    Shape: the sequential Huffman walk runs per block in Python (the
+    Shape: the per-scan Huffman walk runs per block in Python (the
     honest zero-dependency cost, like PNG's Paeth loop); everything
     after the symbol stream is vectorized — per-component dequant,
     de-zigzag, and IDCT run as ONE einsum over all of the component's
-    blocks, then NumPy upsampling and the JFIF color transform."""
+    blocks, then NumPy upsampling and the JFIF color transform.
+    Progressive costs one Huffman pass per scan over the same
+    coefficient arrays; the vectorized tail is identical."""
     import struct
 
     import numpy as np
@@ -581,9 +796,10 @@ def _jpeg_decode(payload: bytes):
     qt: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], _JpegHuffTable] = {}
     frame = None  # (H, W, [(comp_id, h, v, tq), ...])
+    progressive = False
     restart_interval = 0
     i, n = 2, len(payload)
-    scan = None
+    scans = []  # (scan comps, Ss, Se, Ah, Al, entropy segs, DRI, tables)
     while i + 4 <= n:
         if payload[i] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at byte {i}")
@@ -608,7 +824,8 @@ def _jpeg_decode(payload: bytes):
                     raise ValueError("16-bit quantization tables (12-bit JPEG) not supported")
                 qt[tq] = list(seg[p + 1:p + 65])
                 p += 65
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended seq.
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise ValueError(f"only 8-bit JPEG supported, got precision {prec}")
@@ -622,12 +839,10 @@ def _jpeg_decode(payload: bytes):
                     raise ValueError(f"unsupported sampling factor {ch}x{cv}")
                 comps.append((cid, ch, cv, tq))
             frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG (SOF2) not supported — baseline only")
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"unsupported JPEG coding process (SOF{marker - 0xC0}); baseline "
-                "Huffman (SOF0/SOF1) only"
+                f"unsupported JPEG coding process (SOF{marker - 0xC0}); "
+                "sequential or progressive Huffman (SOF0-2) only"
             )
         elif marker == 0xC4:  # DHT
             p = 0
@@ -640,98 +855,113 @@ def _jpeg_decode(payload: bytes):
                 p += 17 + nsym
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS: scan header, then entropy data
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            scan = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0xF)
-                    for c in range(ns)]
-            break  # entropy-coded data follows
+            sc = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0xF)
+                  for c in range(ns)]
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            segs, i = _jpeg_entropy_segments(payload, i)
+            # tables can be redefined between scans: snapshot the refs
+            scans.append((sc, ss, se, ahal >> 4, ahal & 0xF, segs,
+                          restart_interval, dict(huff)))
         # APPn / COM / others: skipped
-    if frame is None or scan is None:
+    if frame is None or not scans:
         raise ValueError("truncated JPEG: missing SOF or SOS")
-    if len(scan) != len(frame[2]):
-        # legal per T.81 (each component may ship in its own scan) but
-        # this decoder reads only the first SOS — decoding it as the
-        # whole image would silently emit wrong pixels, so refuse like
-        # the SOF2/12-bit gates
-        raise ValueError(
-            f"non-interleaved JPEG ({len(scan)}-component scan over a "
-            f"{len(frame[2])}-component frame) not supported — baseline "
-            "interleaved single-scan only"
-        )
 
     h, w, comps = frame
+    fidx = {cid: k for k, (cid, _, _, _) in enumerate(comps)}
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    segs, _ = _jpeg_entropy_segments(payload, i)
+    # per-FRAME-component coefficient grids (MCU-padded dims)
+    bws = [mcux * c[1] for c in comps]
+    bhs = [mcuy * c[2] for c in comps]
+    coeffs = [np.zeros((bhs[k] * bws[k], 64), dtype=np.int32)
+              for k in range(len(comps))]
 
-    by_id = {cid: (ch, cv, tq) for cid, ch, cv, tq in comps}
-    order = []  # per-MCU block order: (comp_index, within-MCU row, col)
-    for ci, (cid, td, ta) in enumerate(scan):
-        ch, cv, _ = by_id[cid]
-        for bv in range(cv):
-            for bh in range(ch):
-                order.append((ci, bv, bh, huff.get((0, td)), huff.get((1, ta))))
-    if any(o[3] is None or o[4] is None for o in order):
-        raise ValueError("JPEG scan references an undeclared Huffman table")
+    if progressive:
+        _jpeg_progressive(
+            scans, comps, fidx, coeffs, bws, mcux, mcuy, h, w, hmax, vmax
+        )
+    else:
+        sc, ss, se, ah, al, segs, ri0, tabs = scans[0]
+        if len(sc) != len(comps):
+            # legal per T.81 (each component may ship in its own scan)
+            # but only the first SOS is decoded here — decoding it as
+            # the whole image would silently emit wrong pixels, so
+            # refuse like the SOF gates
+            raise ValueError(
+                f"non-interleaved JPEG ({len(sc)}-component scan over a "
+                f"{len(comps)}-component frame) not supported — baseline "
+                "interleaved single-scan only"
+            )
+        order = []  # per-MCU block order
+        for cid, td, ta in sc:
+            fi = fidx.get(cid)
+            if fi is None:
+                raise ValueError(
+                    f"JPEG scan references undeclared component {cid}"
+                )
+            _, ch, cv, _ = comps[fi]
+            for bv in range(cv):
+                for bh2 in range(ch):
+                    order.append(
+                        (fi, ch, cv, bv, bh2, tabs.get((0, td)), tabs.get((1, ta)))
+                    )
+        if any(o[5] is None or o[6] is None for o in order):
+            raise ValueError("JPEG scan references an undeclared Huffman table")
 
-    ncomp = len(scan)
-    blocks_w = [mcux * by_id[cid][0] for cid, _, _ in scan]
-    blocks_h = [mcuy * by_id[cid][1] for cid, _, _ in scan]
-    coeffs = [np.zeros((blocks_h[c] * blocks_w[c], 64), dtype=np.int32)
-              for c in range(ncomp)]
-
-    n_mcus = mcux * mcuy
-    mcu = 0
-    ri = restart_interval or n_mcus
-    for seg_bytes in segs:
-        if mcu >= n_mcus:
-            break
-        br = _JpegBitReader(seg_bytes)
-        pred = [0] * ncomp
-        for _ in range(min(ri, n_mcus - mcu)):
-            my, mx = divmod(mcu, mcux)
-            for ci, bv, bh, dc_tab, ac_tab in order:
-                blk = np.zeros(64, dtype=np.int32)
-                s = dc_tab.decode(br)
-                diff = _jpeg_extend(br.read_bits(s), s) if s else 0
-                pred[ci] += diff
-                blk[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = ac_tab.decode(br)
-                    r, s = rs >> 4, rs & 0xF
-                    if s == 0:
-                        if r == 15:  # ZRL: sixteen zeros
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("JPEG AC run past block end (corrupt stream)")
-                    blk[k] = _jpeg_extend(br.read_bits(s), s)
-                    k += 1
-                cid = scan[ci][0]
-                ch, cv, _ = by_id[cid]
-                row = my * cv + bv
-                col = mx * ch + bh
-                coeffs[ci][row * blocks_w[ci] + col] = blk
-            mcu += 1
+        n_mcus = mcux * mcuy
+        mcu = 0
+        ri = ri0 or n_mcus
+        for seg_bytes in segs:
+            if mcu >= n_mcus:
+                break
+            br = _JpegBitReader(seg_bytes)
+            pred = [0] * len(comps)
+            for _ in range(min(ri, n_mcus - mcu)):
+                my, mx = divmod(mcu, mcux)
+                for fi, ch, cv, bv, bh2, dc_tab, ac_tab in order:
+                    blk = np.zeros(64, dtype=np.int32)
+                    s = dc_tab.decode(br)
+                    diff = _jpeg_extend(br.read_bits(s), s) if s else 0
+                    pred[fi] += diff
+                    blk[0] = pred[fi]
+                    k = 1
+                    while k < 64:
+                        rs = ac_tab.decode(br)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL: sixteen zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC run past block end (corrupt stream)")
+                        blk[k] = _jpeg_extend(br.read_bits(s), s)
+                        k += 1
+                    row = my * cv + bv
+                    col = mx * ch + bh2
+                    coeffs[fi][row * bws[fi] + col] = blk
+                mcu += 1
 
     # vectorized tail: dequant -> de-zigzag -> batched IDCT per component
     m = _jpeg_dct_basis()
     planes = []
-    for ci, (cid, _, _) in enumerate(scan):
-        ch, cv, tq = by_id[cid]
+    for fi, (cid, ch, cv, tq) in enumerate(comps):
         if tq not in qt:
             raise ValueError(f"JPEG component references undeclared DQT table {tq}")
-        deq = coeffs[ci].astype(np.float64) * np.asarray(qt[tq], dtype=np.float64)
+        deq = coeffs[fi].astype(np.float64) * np.asarray(qt[tq], dtype=np.float64)
         nat = np.zeros_like(deq)
         nat[:, _JPEG_ZIGZAG] = deq  # zigzag k -> natural index
         f = nat.reshape(-1, 8, 8)
         pix = np.einsum("xu,nuv,yv->nxy", m, f, m) + 128.0
-        bh_, bw_ = blocks_h[ci], blocks_w[ci]
+        bh_, bw_ = bhs[fi], bws[fi]
         plane = (
             pix.reshape(bh_, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh_ * 8, bw_ * 8)
         )
@@ -739,7 +969,7 @@ def _jpeg_decode(payload: bytes):
         plane = np.repeat(np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1)
         planes.append(np.clip(plane[:h, :w].round(), 0, 255).astype(np.uint8))
 
-    if ncomp == 1:
+    if len(comps) == 1:
         return planes[0]
     y = planes[0].astype(np.float64)
     cb = planes[1].astype(np.float64) - 128.0

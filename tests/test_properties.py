@@ -421,3 +421,43 @@ def test_png_decode_gray_depths_roundtrip(h, w, depth, interlaced, seed):
                                 filters=filters)
         want = v * (255 // ((1 << depth) - 1))
     assert np.array_equal(_png_decode(payload), want)
+
+
+# ---- stdlib JPEG decoder (r12): progressive == baseline domain -----
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.booleans(),
+    st.sampled_from([(1, 1), (2, 2), (2, 1), (1, 2)]),
+    st.integers(min_value=0, max_value=3),
+    st.integers(min_value=0, max_value=3),
+    st.integers(min_value=1, max_value=63),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_progressive_equals_baseline(h, w, gray, sub, al_dc, al_ac,
+                                          split, seed):
+    """Any image, any chroma subsampling, any successive-approximation
+    depth, any two-band split: the progressive scan script must
+    reconstruct the EXACT coefficient grids of the baseline scan, so
+    the decoded pixels are byte-identical. The forward direction is
+    the tests' own Annex G encoder; the decoder inverts it."""
+    import numpy as np
+
+    from sqlite_vector_spark.operators.multimodal import _jpeg_decode
+    from tests.test_streaming_multimodal import (
+        _jpeg_bytes,
+        _jpeg_progressive_bytes,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    bands = ((1, split), (split + 1, 63)) if split < 63 else ((1, 63),)
+    base = _jpeg_decode(_jpeg_bytes(img, subsample=sub))
+    prog = _jpeg_decode(
+        _jpeg_progressive_bytes(img, subsample=sub, al_dc=al_dc,
+                                al_ac=al_ac, ac_bands=bands)
+    )
+    assert np.array_equal(base, prog)

@@ -1135,16 +1135,13 @@ def test_ppm_decode_matches_pillow_when_available():
 # ---- baseline JPEG (r12): forward encoder + decoder round-trips ------
 
 
-def _jpeg_bytes(arr, subsample=(1, 1), qval=1, restart_interval=0):
-    """Build a baseline JPEG payload by running the SPEC'S ENCODE
-    direction (RGB->YCbCr, optional 2x2 chroma subsampling, forward
-    DCT, quantize, zigzag, DC-diff + AC run-length, canonical Huffman)
-    — the inverse direction of _jpeg_decode, so agreement is a real
-    round-trip proof, not a mirrored implementation. Tables are
-    equal-length canonical codes built from the symbols actually
-    emitted (DHT carries them; any canonical table is legal)."""
+def _jpeg_plan(arr, subsample=(1, 1), qval=1):
+    """The spec's FORWARD transform front half, shared by the baseline
+    and progressive test encoders: RGB->YCbCr, optional chroma
+    subsampling, FDCT, quantize, zigzag. Returns
+    (h, w, samp, mcux, mcuy, comp_blocks) where comp_blocks[ci] is the
+    component's MCU-padded 2D grid of 64-coeff zigzag blocks."""
     import math
-    import struct
 
     import numpy as np
 
@@ -1197,6 +1194,24 @@ def _jpeg_bytes(arr, subsample=(1, 1), qval=1, restart_interval=0):
         # ^ take natural->zigzag: element k of output = natural coeff
         # at _JPEG_ZIGZAG[k], exactly the decoder's inverse placement
         comp_blocks.append(zz)
+    return h, w, samp, mcux, mcuy, comp_blocks
+
+
+def _jpeg_bytes(arr, subsample=(1, 1), qval=1, restart_interval=0):
+    """Build a baseline JPEG payload by running the SPEC'S ENCODE
+    direction (RGB->YCbCr, optional 2x2 chroma subsampling, forward
+    DCT, quantize, zigzag, DC-diff + AC run-length, canonical Huffman)
+    — the inverse direction of _jpeg_decode, so agreement is a real
+    round-trip proof, not a mirrored implementation. Tables are
+    equal-length canonical codes built from the symbols actually
+    emitted (DHT carries them; any canonical table is legal)."""
+    import struct
+
+    import numpy as np  # noqa: F401
+
+    h, w, samp, mcux, mcuy, comp_blocks = _jpeg_plan(arr, subsample, qval)
+    ncomp = len(comp_blocks)
+    planes = comp_blocks  # name kept for the tid mapping below
 
     def category(v):
         return int(abs(int(v))).bit_length()
@@ -1318,6 +1333,257 @@ def _jpeg_bytes(arr, subsample=(1, 1), qval=1, restart_interval=0):
     return bytes(out)
 
 
+def _jpeg_progressive_bytes(arr, subsample=(1, 1), qval=1, al_dc=1,
+                            ac_bands=((1, 5), (6, 63)), al_ac=2):
+    """Build a PROGRESSIVE JPEG payload (SOF2) by running T.81 Annex
+    G's ENCODE direction: a DC first scan at Al=al_dc (interleaved
+    when ncomp > 1, the single-component grid otherwise), per-band AC
+    first scans at Al=al_ac, then DC and AC refinement scans down to
+    Al=0 — with EOB-run accumulation across blocks and the
+    correction-bit interleaving the refinement walk requires. Every
+    scan gets fresh canonical tables under REUSED table ids (DHT
+    between scans is legal and exercises the decoder's per-scan table
+    snapshots). The decode side reconstructs the exact same
+    coefficient grids the baseline encoder emits, so progressive
+    decode == baseline decode pixel-for-pixel."""
+    import struct
+
+    h, w, samp, mcux, mcuy, comp_blocks = _jpeg_plan(arr, subsample, qval)
+    ncomp = len(comp_blocks)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    def grid(ci):  # non-interleaved (unpadded) block grid of a component
+        ch, cv = samp[ci]
+        cw = -(-w * ch // hmax)
+        chh = -(-h * cv // vmax)
+        return -(-cw // 8), -(-chh // 8)
+
+    def category(v):
+        return int(abs(int(v))).bit_length()
+
+    # ---- scan assembly: each scan -> (header fields, token list) ----
+    # tokens: ("sym", s) huffman-coded, ("bits", value, nbits) raw
+    def dc_first_tokens():
+        toks = []
+        pred = [0] * ncomp
+        for mcu in range(mcux * mcuy):
+            my, mx = divmod(mcu, mcux)
+            for ci in range(ncomp):
+                ch, cv = samp[ci]
+                for bv in range(cv):
+                    for bh2 in range(ch):
+                        v = int(comp_blocks[ci][my * cv + bv, mx * ch + bh2][0])
+                        v >>= al_dc  # DC point transform: arithmetic shift
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        s = category(diff)
+                        toks.append(("sym", s))
+                        if s:
+                            enc = diff if diff > 0 else diff + (1 << s) - 1
+                            toks.append(("bits", enc, s))
+        return toks
+
+    def dc_refine_tokens(al):
+        toks = []
+        for mcu in range(mcux * mcuy):
+            my, mx = divmod(mcu, mcux)
+            for ci in range(ncomp):
+                ch, cv = samp[ci]
+                for bv in range(cv):
+                    for bh2 in range(ch):
+                        v = int(comp_blocks[ci][my * cv + bv, mx * ch + bh2][0])
+                        toks.append(("bits", (v >> al) & 1, 1))
+        return toks
+
+    def ac_first_tokens(ci, ss, se, al):
+        toks = []
+        nbw, nbh = grid(ci)
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                toks.append(("sym", r << 4))
+                if r:
+                    toks.append(("bits", eobrun - (1 << r), r))
+                eobrun = 0
+
+        for bi in range(nbw * nbh):
+            rowb, colb = divmod(bi, nbw)
+            blk = comp_blocks[ci][rowb, colb]
+            # AC point transform: sign-magnitude shift (T.81 G.1.2.1)
+            vals = [
+                (int(v) >> al if v >= 0 else -((-int(v)) >> al))
+                for v in blk[ss:se + 1]
+            ]
+            if not any(vals):
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            last_nz = max(j for j, v in enumerate(vals) if v)
+            for j, v in enumerate(vals[:last_nz + 1]):
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    toks.append(("sym", 0xF0))
+                    run -= 16
+                s = category(v)
+                toks.append(("sym", (run << 4) | s))
+                enc = v if v > 0 else v + (1 << s) - 1
+                toks.append(("bits", enc, s))
+                run = 0
+            if last_nz < se - ss:  # trailing zeros start an EOB run
+                eobrun = 1
+        flush_eob()
+        return toks
+
+    def ac_refine_tokens(ci, ss, se, al):
+        # mirrors the decoder's walk: the independent anchors are the
+        # baseline-equality assertion and PIL reading these payloads
+        toks = []
+        nbw, nbh = grid(ci)
+        eobrun = 0
+        eob_bits = []
+
+        def flush_eob():
+            nonlocal eobrun, eob_bits
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                toks.append(("sym", r << 4))
+                if r:
+                    toks.append(("bits", eobrun - (1 << r), r))
+                for b in eob_bits:
+                    toks.append(("bits", b, 1))
+                eobrun = 0
+                eob_bits = []
+
+        for bi in range(nbw * nbh):
+            rowb, colb = divmod(bi, nbw)
+            blk = comp_blocks[ci][rowb, colb]
+            band = [int(v) for v in blk[ss:se + 1]]
+            t = [abs(v) >> al for v in band]
+            newly = [j for j, tv in enumerate(t) if tv == 1]
+            if not newly:
+                eobrun += 1
+                eob_bits.extend(tv & 1 for tv in t if tv >= 2)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            k = 0
+            for nk in newly:
+                r = sum(1 for j in range(k, nk) if t[j] == 0)
+                while r > 15:
+                    toks.append(("sym", 0xF0))
+                    cnt = 0  # the decoder walk: 16 zero-history slots,
+                    while cnt < 16:  # correction bits interleaved
+                        if t[k] >= 2:
+                            toks.append(("bits", t[k] & 1, 1))
+                        else:
+                            cnt += 1
+                        k += 1
+                    r -= 16
+                toks.append(("sym", (r << 4) | 1))
+                toks.append(("bits", 1 if band[nk] > 0 else 0, 1))
+                while k < nk:
+                    if t[k] >= 2:
+                        toks.append(("bits", t[k] & 1, 1))
+                    k += 1
+                k = nk + 1
+            tail_bits = [t[j] & 1 for j in range(k, len(t)) if t[j] >= 2]
+            if tail_bits or any(t[j] == 0 for j in range(k, len(t))):
+                eobrun += 1
+                eob_bits.extend(tail_bits)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        return toks
+
+    # scan script: DC first, AC firsts, then interleave the refinements
+    scan_list = []  # (tclass, comp_ids, Ss, Se, Ah, Al, tokens)
+    all_ids = list(range(1, ncomp + 1))
+    scan_list.append((0, all_ids, 0, 0, 0, al_dc, dc_first_tokens()))
+    for ci in range(ncomp):
+        for ss, se in ac_bands:
+            scan_list.append(
+                (1, [ci + 1], ss, se, 0, al_ac, ac_first_tokens(ci, ss, se, al_ac))
+            )
+    for al in range(al_dc - 1, -1, -1):
+        scan_list.append((0, all_ids, 0, 0, al + 1, al, dc_refine_tokens(al)))
+    for al in range(al_ac - 1, -1, -1):
+        for ci in range(ncomp):
+            for ss, se in ac_bands:
+                scan_list.append(
+                    (1, [ci + 1], ss, se, al + 1, al,
+                     ac_refine_tokens(ci, ss, se, al))
+                )
+
+    # ---- emission: fresh canonical table (id 0, redefined) per scan --
+    def build_table(symbols):
+        syms = sorted(set(symbols))
+        L = max(1, (len(syms)).bit_length())
+        while (1 << L) - 1 < len(syms):
+            L += 1
+        enc = {s: (i, L) for i, s in enumerate(syms)}
+        counts = [0] * 16
+        counts[L - 1] = len(syms)
+        return enc, bytes(counts) + bytes(syms)
+
+    def seg(marker, body):
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(qval) for _ in range(64)))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0])
+    out += seg(0xC2, sof)  # SOF2: progressive, Huffman
+
+    for tclass, comp_ids, ss, se, ah, al, toks in scan_list:
+        syms = [t[1] for t in toks if t[0] == "sym"]
+        enc = {}
+        if syms:  # refinement DC scans carry no Huffman symbols
+            enc, dht = build_table(syms)
+            out += seg(0xC4, bytes([(tclass << 4) | 0]) + dht)
+        sos = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            sos += bytes([cid, 0x00])  # Td=0, Ta=0 (redefined per scan)
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        # bit-pack with FF stuffing, pad the tail with 1s
+        bits = bytearray()
+        acc, nb = 0, 0
+
+        def put(code, length):
+            nonlocal acc, nb
+            for i in range(length - 1, -1, -1):
+                acc = (acc << 1) | ((code >> i) & 1)
+                nb += 1
+                if nb == 8:
+                    bits.append(acc)
+                    if acc == 0xFF:
+                        bits.append(0x00)
+                    acc, nb = 0, 0
+
+        for t in toks:
+            if t[0] == "sym":
+                code, length = enc[t[1]]
+                put(code, length)
+            else:
+                put(t[1], t[2])
+        if nb:
+            put((1 << (8 - nb)) - 1, 8 - nb)
+        out += bits
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def test_jpeg_decoder_real_decode_roundtrip():
     """decoder='jpeg' (r12): REAL baseline-JPEG decode with zero
     third-party deps. The test encodes with the spec's FORWARD
@@ -1357,9 +1623,9 @@ def test_jpeg_decoder_real_decode_roundtrip():
 
 
 def test_jpeg_decoder_refusals():
-    """Progressive, 12-bit, CMYK-count, oversize sampling, and
-    non-JPEG payloads refuse with explicit messages (the PNG gate
-    posture), never a silent mis-decode."""
+    """12-bit, CMYK-count, oversize sampling, structurally invalid
+    progressive scripts, and non-JPEG payloads refuse with explicit
+    messages (the PNG gate posture), never a silent mis-decode."""
     import struct
 
     import numpy as np
@@ -1370,7 +1636,10 @@ def test_jpeg_decoder_refusals():
     base = _jpeg_bytes(np.zeros((8, 8), np.uint8))
     with pytest.raises(ValueError, match="SOI"):
         _jpeg_decode(b"NOTAJPEG")
-    with pytest.raises(ValueError, match="progressive"):
+    # a baseline file relabeled SOF2 is a structurally invalid
+    # progressive script (its one scan claims band 0..63): refused,
+    # not mis-decoded (real progressive decodes are tested below)
+    with pytest.raises(ValueError, match="invalid progressive scan"):
         _jpeg_decode(base.replace(b"\xff\xc0", b"\xff\xc2"))
     with pytest.raises(ValueError, match="arithmetic|coding process"):
         _jpeg_decode(base.replace(b"\xff\xc0", b"\xff\xc9"))
@@ -1448,6 +1717,64 @@ def test_jpeg_decoder_through_spark_plumbing(spark):
     assert got[2] is None
 
 
+def test_jpeg_decoder_progressive_matches_baseline():
+    """Progressive decode (r12, T.81 Annex G) reconstructs the EXACT
+    same coefficient grids as the baseline scan of the same plan, so
+    the pixels must be byte-identical — a sharp equality, not a
+    tolerance. Covers interleaved + single-component DC scans, chroma
+    subsampling, odd (MCU-padded) dims, deep successive approximation,
+    varied band splits, maximal EOB runs (flat image), and
+    spectral-selection-only scripts (Al=0)."""
+    import numpy as np
+
+    from sqlite_vector_spark.operators.multimodal import _jpeg_decode
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    cases = [
+        (rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8), (2, 2), {}),
+        (rng.integers(0, 256, size=(13, 9, 3), dtype=np.uint8), (2, 2), {}),
+        (rng.integers(0, 256, size=(8, 8), dtype=np.uint8), (1, 1), {}),
+        (np.full((32, 32, 3), 128, np.uint8), (2, 2), {"qval": 4}),  # EOB runs
+        (img, (2, 2), {"al_dc": 3, "al_ac": 3,
+                       "ac_bands": ((1, 1), (2, 9), (10, 62), (63, 63))}),
+        (img, (1, 1), {"ac_bands": ((1, 63),), "al_ac": 1}),
+        (img, (2, 1), {"al_dc": 0, "al_ac": 0}),  # spectral selection only
+    ]
+    for im, sub, kw in cases:
+        base = _jpeg_decode(_jpeg_bytes(im, subsample=sub, qval=kw.get("qval", 1)))
+        prog = _jpeg_decode(_jpeg_progressive_bytes(im, subsample=sub, **kw))
+        assert np.array_equal(base, prog), (im.shape, sub, kw)
+
+
+def test_jpeg_decoder_progressive_invalid_scans():
+    """Structurally invalid progressive scan scripts refuse: a DC scan
+    claiming a spectral band (the shape a baseline file relabeled as
+    SOF2 produces), and an interleaved AC scan."""
+    import numpy as np
+    import pytest
+
+    from sqlite_vector_spark.operators.multimodal import _jpeg_decode
+
+    base = _jpeg_bytes(np.zeros((8, 8, 3), np.uint8))
+    with pytest.raises(ValueError, match="invalid progressive scan"):
+        _jpeg_decode(base.replace(b"\xff\xc0", b"\xff\xc2"))
+    # interleaved AC scan: rewrite a progressive AC SOS (ns=1) into
+    # ns=3 by cloning the component entry
+    prog = _jpeg_progressive_bytes(np.zeros((8, 8, 3), np.uint8))
+    import struct
+
+    i = prog.index(b"\xff\xda", prog.index(b"\xff\xda") + 1)  # 2nd SOS = AC
+    assert prog[i + 4] == 1  # ns
+    comp = prog[i + 5:i + 7]
+    bad = (
+        prog[:i + 2] + struct.pack(">H", 12) + b"\x03"
+        + comp + b"\x02\x00" + b"\x03\x00" + prog[i + 7:]
+    )
+    with pytest.raises(ValueError, match="interleaved AC"):
+        _jpeg_decode(bad)
+
+
 def test_jpeg_decode_matches_pillow_when_available():
     """Cross-check where Pillow exists: (a) PIL must read our
     encoder's output to pixels near the source; (b) a PIL-WRITTEN
@@ -1481,3 +1808,22 @@ def test_jpeg_decode_matches_pillow_when_available():
         assert ours.shape == pil.shape
         diff = np.abs(ours.astype(int) - pil.astype(int))
         assert float(diff.mean()) <= 2.0 and int(diff.max()) <= 16
+
+    # r12 progressive: (c) PIL must read OUR progressive payload to
+    # the same pixels as our own decode of it (PIL is an independent
+    # Annex G implementation, so this kills mirrored-encoder doubt);
+    # (d) a PIL-WRITTEN progressive JPEG (libjpeg's scan script with
+    # successive approximation) must decode through _jpeg_decode
+    prog = _jpeg_progressive_bytes(img, subsample=(2, 2))
+    ours = _jpeg_decode(prog)
+    theirs = np.asarray(Image.open(io.BytesIO(prog)))
+    diff = np.abs(ours.astype(int) - theirs.astype(int))
+    # identical coefficient grids, two IDCT/rounding implementations
+    assert float(diff.mean()) <= 2.0 and int(diff.max()) <= 16
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=95,
+                              progressive=True)
+    ours = _jpeg_decode(buf.getvalue())
+    pil = np.asarray(Image.open(io.BytesIO(buf.getvalue())))
+    diff = np.abs(ours.astype(int) - pil.astype(int))
+    assert float(diff.mean()) <= 2.0 and int(diff.max()) <= 16
