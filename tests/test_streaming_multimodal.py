@@ -1827,3 +1827,46 @@ def test_jpeg_decode_matches_pillow_when_available():
     pil = np.asarray(Image.open(io.BytesIO(buf.getvalue())))
     diff = np.abs(ours.astype(int) - pil.astype(int))
     assert float(diff.mean()) <= 2.0 and int(diff.max()) <= 16
+
+
+def test_jpeg_progressive_refinement_zrl_interleave():
+    """Adversarial refinement-walk case random images rarely produce:
+    two newly-nonzero coefficients >16 zero-history slots apart with a
+    HISTORY coefficient inside the gap — the ZRL branch must consume
+    exactly 16 zero-history slots while emitting/reading the history
+    coefficient's correction bit mid-walk. Pixels are synthesized from
+    chosen DCT coefficients (IDCT, then the encoder's FDCT recovers
+    them exactly at qval=1), so the hit is deterministic."""
+    import math
+
+    import numpy as np
+
+    from sqlite_vector_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        _jpeg_decode,
+    )
+
+    zz = np.zeros(64)
+    zz[1], zz[5], zz[40] = 2, 8, -3  # newly @Al=1, history, newly
+    nat = np.zeros(64)
+    nat[_JPEG_ZIGZAG] = zz
+    m = np.array([
+        [0.5 * (math.sqrt(0.5) if u == 0 else 1.0)
+         * math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+        for x in range(8)
+    ])
+    pix = m @ nat.reshape(8, 8) @ m.T + 128.0
+    img = np.clip(pix.round(), 0, 255).astype(np.uint8)
+    base = _jpeg_decode(_jpeg_bytes(img))
+    for al in (1, 2, 3):
+        prog = _jpeg_decode(
+            _jpeg_progressive_bytes(img, al_ac=al, ac_bands=((1, 63),))
+        )
+        assert np.array_equal(base, prog), al
+    # tiled: the same pattern across blocks mixes EOB runs with ZRLs
+    img4 = np.tile(img, (4, 4))
+    base = _jpeg_decode(_jpeg_bytes(img4))
+    prog = _jpeg_decode(
+        _jpeg_progressive_bytes(img4, al_ac=2, ac_bands=((1, 63),))
+    )
+    assert np.array_equal(base, prog)
