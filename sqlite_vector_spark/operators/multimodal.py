@@ -208,7 +208,7 @@ def _ppm_decode(payload: bytes):
         payload, dtype=">u2" if wide else np.uint8, count=w * h * ch, offset=pos
     )
     arr = raster.reshape((h, w, 3) if ch == 3 else (h, w))
-    if maxval != 255:  # rescale sub-8-bit / wide samples to full range
+    if maxval != 255 and arr.size:  # rescale sub-8-bit / wide samples
         hi = int(arr.max())
         if hi > maxval:
             # netpbm requires samples <= maxval; rescaling an illegal
@@ -548,6 +548,8 @@ def _jpeg_entropy_segments(data: bytes, start: int):
         if nxt == 0x00:  # stuffed FF
             cur.append(0xFF)
             i += 2
+        elif nxt == 0xFF:  # 0xFF fill byte before a marker (T.81
+            i += 1         # B.1.1.2 allows any number, incl. before RSTn)
         elif 0xD0 <= nxt <= 0xD7:  # restart marker
             segs.append(bytes(cur))
             cur = bytearray()
@@ -649,8 +651,6 @@ def _jpeg_progressive(scans, comps, fidx, coeffs, bws, mcux, mcuy, h, w,
     component's own grid), AC spectral bands one component at a time
     with successive approximation and EOB runs. Restart markers reset
     the DC predictors and the EOB run."""
-    import numpy as np  # noqa: F401  (kept for parity with callers)
-
     n_mcus = mcux * mcuy
     for sc, ss, se, ah, al, segs, ri, tabs in scans:
         if ss == 0:  # ---- DC scan
@@ -981,9 +981,9 @@ def _jpeg_decode(payload: bytes):
 
 
 def _jpeg_features(payload: bytes, dim: int) -> list[float]:
-    """REAL baseline-JPEG pixel features with zero third-party image
-    deps: stdlib segment/Huffman decode + batched NumPy IDCT feeding
-    the shared strip descriptor."""
+    """REAL JPEG pixel features (baseline AND progressive) with zero
+    third-party image deps: stdlib segment/Huffman decode + batched
+    NumPy IDCT feeding the shared strip descriptor."""
     return _array_strip_features(_jpeg_decode(payload), dim)
 
 

@@ -682,6 +682,10 @@ def test_ppm_decoder_real_decode_golden():
         _ppm_decode(b"P5\n1 1\n100\n" + bytes([200]))
     with pytest.raises(ValueError, match="exceeds"):
         _ppm_decode(b"P5\n1 1\n1000\n" + struct.pack(">H", 2000))
+    # zero-dimension raster with a non-255 maxval: the over-maxval
+    # guard must not call max() on an empty array (r12 review) — the
+    # pre-existing behavior (empty array out) is preserved
+    assert _ppm_decode(b"P5\n0 0\n100\n").shape == (0, 0)
 
 
 def test_ppm_decoder_through_spark_plumbing(spark):
@@ -1693,6 +1697,18 @@ def test_jpeg_decoder_tolerates_fill_bytes():
         j = padded.index(b"\xff\xc0")  # and before SOF
         padded = padded[:j] + b"\xff" * nfill + padded[j:]
         assert np.array_equal(_jpeg_decode(padded), want)
+    # fill bytes INSIDE entropy data, before restart markers: without
+    # the segment-splitter skip, FF FF D0 read as end-of-scan and the
+    # remaining MCUs silently decoded as zeros (r12 review, confirmed
+    # by execution)
+    img2 = rng.integers(0, 256, size=(8, 24, 3), dtype=np.uint8)
+    rst = _jpeg_bytes(img2, restart_interval=1)
+    want2 = _jpeg_decode(rst)
+    k = rst.index(b"\xff\xd0")
+    padded = rst[:k] + b"\xff" + rst[k:]
+    k = padded.index(b"\xff\xd1")
+    padded = padded[:k] + b"\xff\xff" + padded[k:]
+    assert np.array_equal(_jpeg_decode(padded), want2)
 
 
 def test_jpeg_decoder_through_spark_plumbing(spark):
