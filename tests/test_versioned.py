@@ -302,3 +302,29 @@ def test_vacuum_store_refuses_versioned_without_spark(spark, tmp_path):
         vacuum_store(path)
     rep = vacuum_store(path, spark=spark)
     assert "bytes_freed" in rep
+
+
+def test_versioned_reader_survives_pointer_flip_until_vacuum(spark, tmp_path):
+    """The __pre_delete analog, pinned: a reader that resolved the v0
+    manifest BEFORE a delete keeps reading the v0 generation's files
+    unchanged after the flip (the PUT of manifest v1 never touches
+    them), and only vacuum past the retain window invalidates it —
+    the documented drain requirement for racing readers."""
+    from sqlite_vector_spark.versioned import (
+        delete_ids_versioned,
+        read_versioned,
+        vacuum_versioned,
+        versioned_store_init,
+    )
+
+    path = str(tmp_path / "rs")
+    versioned_store_init(_frame(spark, 200), path, partition_col="cluster")
+    old_reader = read_versioned(spark, path)  # binds v0's concrete files
+    delete_ids_versioned(spark, path, [0, 1, 2, 3])
+    assert read_versioned(spark, path).count() == 196  # new readers: v1
+    assert old_reader.count() == 200  # pre-flip reader: still the v0 rows
+    vacuum_versioned(spark, path, retain=1)  # drops v0 + superseded files
+    assert read_versioned(spark, path).count() == 196
+    spark.catalog.clearCache()
+    with pytest.raises(Exception, match="not exist|FileNotFound|FAILED_READ"):
+        old_reader.count()  # drained window over: the old binding is gone
