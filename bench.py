@@ -85,6 +85,17 @@ def main():
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             return
+        finally:
+            # Release this query's plan references NOW: many workload
+            # plans localCheckpoint bounded frames, and the JVM block
+            # manager only frees those via ContextCleaner once the
+            # py4j refs are collected. Left to chance, ~100 queries of
+            # checkpoint blocks pile up and late queries absorb
+            # eviction/GC spikes (r12: source_overlap spread hit
+            # 14.5 s in-sequence vs a 1.3 s isolated steady state).
+            import gc
+
+            gc.collect()
         times[name] = round(min(runs), 4)
         spread[name] = round(max(runs) - min(runs), 4)
 
