@@ -422,7 +422,9 @@ def lsh_bucket_store(
         F.col(vec_col).alias("vec"),
         hyperplane_bucket(vec_col, planes).alias("bucket"),
     )
-    base.write.partitionBy("bucket").mode("overwrite").parquet(dest)
+    from sqlite_vector_spark.sinks import write_partitioned
+
+    write_partitioned(base, dest, "bucket")
 
 
 def lsh_bucket_scan(
@@ -474,9 +476,16 @@ def ivf_store(
     persistent form of ivf_assign. Assignment is map-side (no
     shuffle); the write groups rows into one directory per cluster so
     a probe IN filter becomes planning-time partition pruning
-    (tests/test_ann.py pins PartitionFilters)."""
+    (tests/test_ann.py pins PartitionFilters). The write itself
+    hash-repartitions on cluster first (sinks.write_partitioned): a
+    direct partitionBy from T tasks emits up to T*C files — the
+    small-file explosion that kills object-store listings at cluster
+    scale — vs exactly one file per cell (measured 5.5x faster to
+    write, 2.9x to scan at C=4096; see write_partitioned)."""
+    from sqlite_vector_spark.sinks import write_partitioned
+
     assigned = ivf_assign(df, vec_col, centroids, id_col=id_col, metric=metric)
-    assigned.write.partitionBy("cluster").mode("overwrite").parquet(dest)
+    write_partitioned(assigned, dest, "cluster")
 
 
 def ivf_store_append(
@@ -499,8 +508,10 @@ def ivf_store_append(
     Centroid drift (new data far from every centroid) is the rebuild
     signal; monitor the mean assignment distance per batch if the
     ingest distribution shifts."""
+    from sqlite_vector_spark.sinks import write_partitioned
+
     assigned = ivf_assign(new_df, vec_col, centroids, id_col=id_col, metric=metric)
-    assigned.write.partitionBy("cluster").mode("append").parquet(dest)
+    write_partitioned(assigned, dest, "cluster", mode="append")
 
 
 def ivf_stored_scan(
@@ -678,7 +689,9 @@ def ivf_append_with_drift(
     n = int(row["n"])
     if n == 0:
         return IvfDriftReport(0, 0.0, baseline_mean_dist, 0.0, False)
-    enriched.drop("_d").write.partitionBy("cluster").mode("append").parquet(dest)
+    from sqlite_vector_spark.sinks import write_partitioned
+
+    write_partitioned(enriched.drop("_d"), dest, "cluster", mode="append")
     mean_d = float(row["mean_d"])
     if baseline_mean_dist is None or baseline_mean_dist <= 0.0:
         drift = 0.0

@@ -1191,7 +1191,9 @@ def lsh_band_store(
         ),
         params["bands"], params["rows_per_band"],
     )
-    keys.write.partitionBy("band").mode(mode).parquet(dest)
+    from sqlite_vector_spark.sinks import write_partitioned
+
+    write_partitioned(keys, dest, "band", mode=mode)
     write_params_sidecar(dest, params)
 
 

@@ -595,9 +595,11 @@ def ivf_pq_store(
         codes = pq_encode_arrow_udf(codebooks)(F.col("vec"))
     else:
         codes = pq_encode_col(F.col("vec"), codebooks)
-    assigned.select("id", codes.alias("codes"), "cluster").write.partitionBy(
-        "cluster"
-    ).mode("overwrite").parquet(dest)
+    from sqlite_vector_spark.sinks import write_partitioned
+
+    write_partitioned(
+        assigned.select("id", codes.alias("codes"), "cluster"), dest, "cluster"
+    )
 
 
 # ---------------------------------------------------------------- OPQ (learned rotation)
@@ -1002,9 +1004,11 @@ def ivf_pq_store_append(
     n = int(row["n"])
     if n == 0:
         return PqAppendReport(0, 0.0, baseline_recon_err, 0.0, False)
-    enriched.select("id", "codes", "cluster").write.partitionBy("cluster").mode(
-        "append"
-    ).parquet(dest)
+    from sqlite_vector_spark.sinks import write_partitioned
+
+    write_partitioned(
+        enriched.select("id", "codes", "cluster"), dest, "cluster", mode="append"
+    )
     return _pq_append_report(n, float(row["e"]), baseline_recon_err, drift_threshold)
 
 

@@ -817,6 +817,29 @@ def vacuum_store(path: str, spark=None) -> dict:
     return {"removed": removed, "bytes_freed": freed}
 
 
+def write_partitioned(df, dest: str, partition_col: str,
+                      mode: str = "overwrite", sort_within=None) -> None:
+    """One-file-per-partition-value store layout: hash-repartition on
+    the partition column BEFORE ``partitionBy``, so each value's rows
+    land in exactly one task and one file. A direct
+    ``write.partitionBy`` from T input tasks over C values emits up to
+    T*C files — measured at 50k rows / C=4096 on local[32]
+    (tools/versioned_probe.py): 92.6 s write + 21.5 s scan direct vs
+    16.8 s + 7.4 s repartitioned (5.5x / 2.9x), and at cluster scale
+    (1000 executors x C ~ 30k IVF cells) the direct form is a
+    ~30M-small-file store that object-store listings never recover
+    from. The one extra shuffle moves each row once — always cheaper
+    than the metadata explosion. Hot values still read in parallel:
+    parquet is splittable, so maxPartitionBytes re-splits a large
+    per-value file into multiple input partitions at scan time."""
+    spark = df.sparkSession
+    n = max(1, spark.sparkContext.defaultParallelism)
+    out = df.repartition(n, partition_col)
+    if sort_within:
+        out = out.sortWithinPartitions(partition_col, *sort_within)
+    out.write.partitionBy(partition_col).mode(mode).parquet(dest)
+
+
 def dir_bytes(path: str) -> int:
     """Recursive on-disk byte total of a directory — the one
     bytes-freed accounting used by every local vacuum verb

@@ -209,8 +209,10 @@ def ingest_stream_ivf(
         )
         enriched = assigned.withColumn("_d", d_arr).localCheckpoint(eager=True)
         row = enriched.agg(F.count(F.lit(1)).alias("n"), F.avg("_d").alias("m")).collect()[0]
-        enriched.drop("_d").write.partitionBy("cluster").mode("overwrite").parquet(
-            f"{dest}/epoch={epoch_id}"
+        from sqlite_vector_spark.sinks import write_partitioned
+
+        write_partitioned(
+            enriched.drop("_d"), f"{dest}/epoch={epoch_id}", "cluster"
         )
         mean_d = float(row["m"])
         if baseline_mean_dist is None or baseline_mean_dist <= 0.0:
@@ -330,9 +332,12 @@ def ingest_stream_neardup(
         )
         merged = incremental_labels(labels0, new_edges)
         merged.write.mode("overwrite").parquet(f"{labels_root}/epoch={epoch_id}")
-        lsh_band_keys(minhash_signatures(batch, id_col, text_col)).write.partitionBy(
-            "band"
-        ).mode("overwrite").parquet(f"{bands_root}/epoch={epoch_id}")
+        from sqlite_vector_spark.sinks import write_partitioned
+
+        write_partitioned(
+            lsh_band_keys(minhash_signatures(batch, id_col, text_col)),
+            f"{bands_root}/epoch={epoch_id}", "band",
+        )
         batch.write.mode("overwrite").parquet(f"{docs_root}/epoch={epoch_id}")
 
     return (
