@@ -823,12 +823,12 @@ def write_partitioned(df, dest: str, partition_col: str,
     the partition column BEFORE ``partitionBy``, so each value's rows
     land in exactly one task and one file. A direct
     ``write.partitionBy`` from T input tasks over C values emits up to
-    T*C files — measured at 50k rows / C=4096 on local[32]
-    (tools/versioned_probe.py): 92.6 s write + 21.5 s scan direct vs
-    16.8 s + 7.4 s repartitioned (5.5x / 2.9x), and at cluster scale
-    (1000 executors x C ~ 30k IVF cells) the direct form is a
-    ~30M-small-file store that object-store listings never recover
-    from. The one extra shuffle moves each row once — always cheaper
+    T*C files — measured at 1M x 768 / C=4096 on local[32]
+    (tools/versioned_probe.py, SVSPARK_PROBE_RAW_LAYOUT): 322 s write
+    + 48 s scan direct (131k files) vs 60 s + 8 s repartitioned (4096
+    files; 5.3x / 6.2x) — and at cluster scale (1000 executors x
+    C ~ 30k IVF cells) the direct form is a ~30M-small-file store that
+    object-store listings never recover from. The one extra shuffle moves each row once — always cheaper
     than the metadata explosion. Hot values still read in parallel:
     parquet is splittable, so maxPartitionBytes re-splits a large
     per-value file into multiple input partitions at scan time."""

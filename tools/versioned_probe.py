@@ -80,7 +80,15 @@ def main():
 
         flat = os.path.join(root, "flat")
         t0 = time.time()
-        base.write.partitionBy("cluster").parquet(flat)
+        if os.environ.get("SVSPARK_PROBE_RAW_LAYOUT"):
+            # the pre-r12 layout: partitionBy straight off the compute
+            # tasks -> up to T*C files (kept behind a flag to reproduce
+            # the layout-effect measurement in SCALE.md)
+            base.write.partitionBy("cluster").parquet(flat)
+        else:
+            from sqlite_vector_spark.sinks import write_partitioned
+
+            write_partitioned(base, flat, "cluster")
         out["flat_build_s"] = round(time.time() - t0, 2)
 
         ver = os.path.join(root, "ver")
