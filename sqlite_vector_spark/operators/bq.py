@@ -671,18 +671,14 @@ def bq_band_store(
     base = codes_df.where(F.col(bits_col).isNotNull()).select(
         F.col(id_col).cast("bigint").alias("id"), F.col(bits_col).alias("bits")
     )
-    (
-        explode_bands(base, F.col("bits"), ["id", "bits"], dim, band_bits)
-        .repartition("b")
-        # sort key must PREFIX with the dynamic-partition column "b":
-        # partitionBy(b) requires ordering on b, and if the requirement
-        # is unmet Spark inserts its own sort on b alone, silently
-        # discarding a bare bv sort (and with it the min/max row-group
-        # skipping bq_band_scan relies on)
-        .sortWithinPartitions("b", "bv")
-        .write.partitionBy("b")
-        .mode("overwrite")
-        .parquet(dest)
+    from sqlite_vector_spark.sinks import write_partitioned
+
+    # sort_within=["bv"] keeps the min/max row-group skipping
+    # bq_band_scan relies on (the helper prefixes the sort with "b",
+    # the dynamic-partition requirement)
+    write_partitioned(
+        explode_bands(base, F.col("bits"), ["id", "bits"], dim, band_bits),
+        dest, "b", sort_within=["bv"],
     )
 
 
@@ -709,13 +705,11 @@ def bq_band_store_append(
     n = base.count()
     if n == 0:
         return 0
-    (
-        explode_bands(base, F.col("bits"), ["id", "bits"], dim, band_bits)
-        .repartition("b")
-        .sortWithinPartitions("b", "bv")
-        .write.partitionBy("b")
-        .mode("append")
-        .parquet(dest)
+    from sqlite_vector_spark.sinks import write_partitioned
+
+    write_partitioned(
+        explode_bands(base, F.col("bits"), ["id", "bits"], dim, band_bits),
+        dest, "b", mode="append", sort_within=["bv"],
     )
     return n
 

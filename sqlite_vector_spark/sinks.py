@@ -5,8 +5,11 @@ The reference's only sink is the quantized shadow table insert
 module adds the Spark-native sink layer a pipeline needs:
 
 - ``write_partitioned``: directory partitioning -> planning-time
-  partition pruning for filters on the partition key (the IVF store
-  uses this via partitionBy('cluster')).
+  partition pruning for filters on the partition key, with a
+  hash-repartition first so the store gets ONE file per value
+  instead of tasks x values (every partitioned store writer — IVF,
+  LSH, PQ, band, streaming epochs — and the delete/compact rewrites
+  route through it; measurements in its docstring).
 - ``write_bucketed``: hash-bucketed + sorted table -> joins and
   aggregations on the bucket key need NO exchange on either side
   (proved in tests/test_sinks.py). At 100 TB, bucketing both fact
@@ -20,8 +23,38 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
-def write_partitioned(df: DataFrame, path: str, partition_col: str, mode: str = "overwrite") -> None:
-    df.write.mode(mode).partitionBy(partition_col).parquet(path)
+def write_partitioned(df: DataFrame, path: str, partition_col: str,
+                      mode: str = "overwrite", sort_within=None,
+                      num_partitions: int | None = None) -> None:
+    """Directory-partitioned parquet with a one-file-per-value layout:
+    hash-repartition on the partition column BEFORE ``partitionBy``,
+    so each value's rows land in exactly one task and one file. A
+    direct ``write.partitionBy`` from T input tasks over C values
+    emits up to T*C files — measured at 1M x 768 / C=4096 on
+    local[32] (tools/versioned_probe.py, SVSPARK_PROBE_RAW_LAYOUT):
+    322 s write + 48 s scan direct (131k files) vs 60 s + 8 s
+    repartitioned (4096 files; 5.3x / 6.2x) — and at cluster scale
+    (1000 executors x C ~ 30k IVF cells) the direct form is a
+    ~30M-small-file store that object-store listings never recover
+    from. The one extra shuffle moves each row once — always cheaper
+    than the metadata explosion. Hot values still read in parallel:
+    parquet is splittable, so maxPartitionBytes re-splits a large
+    per-value file into multiple input partitions at scan time.
+
+    ``sort_within`` orders rows inside each value's file AFTER the
+    partition column (the sort key must prefix with the dynamic
+    partition column: partitionBy requires ordering on it, and if
+    unmet Spark inserts its own sort on the column alone, silently
+    discarding the secondary order and the parquet min/max row-group
+    skipping it enables). ``num_partitions`` overrides the writer
+    count (default: the session's core parallelism) — the delete /
+    compact rewrites size it to the partitions touched / the target
+    file count."""
+    n = num_partitions or max(1, df.sparkSession.sparkContext.defaultParallelism)
+    out = df.repartition(n, partition_col)
+    if sort_within:
+        out = out.sortWithinPartitions(partition_col, *sort_within)
+    out.write.partitionBy(partition_col).mode(mode).parquet(path)
 
 
 def write_bucketed(
@@ -291,10 +324,8 @@ def delete_ids(
     part_dirs = {by_value[str(v)] for v in affected}
     before = pruned.count()
     kept = pruned.join(F.broadcast(ids_df), key == F.col("_del_id"), "left_anti")
-    kept = kept.repartition(max(1, len(part_dirs)), partition_col)
-    if sort_within:
-        kept = kept.sortWithinPartitions(partition_col, *sort_within)
-    kept.write.partitionBy(partition_col).mode("overwrite").parquet(tmp)
+    write_partitioned(kept, tmp, partition_col, sort_within=sort_within,
+                      num_partitions=max(1, len(part_dirs)))
     # (3) per-directory swap: superseded dirs retained under __pre_delete
     if os.path.exists(old):
         shutil.rmtree(old)
@@ -817,29 +848,6 @@ def vacuum_store(path: str, spark=None) -> dict:
     return {"removed": removed, "bytes_freed": freed}
 
 
-def write_partitioned(df, dest: str, partition_col: str,
-                      mode: str = "overwrite", sort_within=None) -> None:
-    """One-file-per-partition-value store layout: hash-repartition on
-    the partition column BEFORE ``partitionBy``, so each value's rows
-    land in exactly one task and one file. A direct
-    ``write.partitionBy`` from T input tasks over C values emits up to
-    T*C files — measured at 1M x 768 / C=4096 on local[32]
-    (tools/versioned_probe.py, SVSPARK_PROBE_RAW_LAYOUT): 322 s write
-    + 48 s scan direct (131k files) vs 60 s + 8 s repartitioned (4096
-    files; 5.3x / 6.2x) — and at cluster scale (1000 executors x
-    C ~ 30k IVF cells) the direct form is a ~30M-small-file store that
-    object-store listings never recover from. The one extra shuffle moves each row once — always cheaper
-    than the metadata explosion. Hot values still read in parallel:
-    parquet is splittable, so maxPartitionBytes re-splits a large
-    per-value file into multiple input partitions at scan time."""
-    spark = df.sparkSession
-    n = max(1, spark.sparkContext.defaultParallelism)
-    out = df.repartition(n, partition_col)
-    if sort_within:
-        out = out.sortWithinPartitions(partition_col, *sort_within)
-    out.write.partitionBy(partition_col).mode(mode).parquet(dest)
-
-
 def dir_bytes(path: str) -> int:
     """Recursive on-disk byte total of a directory — the one
     bytes-freed accounting used by every local vacuum verb
@@ -1036,10 +1044,8 @@ def compact_store(
     if partition_col is not None:
         # one write job; files-per-partition bounded by repartitioning
         # on the partition key (rows of one key land in one task)
-        w = df.repartition(target_files, partition_col)
-        if sort_within:
-            w = w.sortWithinPartitions(partition_col, *sort_within)
-        w.write.partitionBy(partition_col).mode("overwrite").parquet(tmp)
+        write_partitioned(df, tmp, partition_col, sort_within=sort_within,
+                          num_partitions=target_files)
     else:
         w = df.repartition(target_files)
         if sort_within:

@@ -233,10 +233,10 @@ def _write_generation(
     gen = f"data/g{version:06d}"
     dest = f"{root.rstrip('/')}/{gen}"
     if partition_col is not None:
-        w = df.repartition(max(1, target_partitions or 1), partition_col)
-        if sort_within:
-            w = w.sortWithinPartitions(partition_col, *sort_within)
-        w.write.partitionBy(partition_col).mode("overwrite").parquet(dest)
+        from sqlite_vector_spark.sinks import write_partitioned
+
+        write_partitioned(df, dest, partition_col, sort_within=sort_within,
+                          num_partitions=max(1, target_partitions or 1))
     else:
         w = df if target_partitions is None else df.repartition(target_partitions)
         if sort_within:

@@ -65,7 +65,7 @@ def main():
     root = tempfile.mkdtemp(prefix="svspark_delprobe_")
     out: dict = {"n_rows": N, "dim": DIM, "n_delete": N_DELETE, "cpus": int(CPUS)}
     try:
-        victims = list(range(0, N, N // N_DELETE))[:N_DELETE]
+        victims = list(range(0, N, max(1, N // N_DELETE)))[:N_DELETE]
         vset = set(victims)
         if MIH_ONLY:
             _mih_section(spark, root, out, victims, vset)

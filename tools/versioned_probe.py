@@ -68,7 +68,7 @@ def main():
     out: dict = {"n_rows": N, "dim": DIM, "n_delete": N_DELETE,
                  "ivf_c": IVF_C, "cpus": int(CPUS)}
     try:
-        victims = list(range(0, N, N // N_DELETE))[:N_DELETE]
+        victims = list(range(0, N, max(1, N // N_DELETE)))[:N_DELETE]
         base = spark.range(N).select(
             F.col("id"),
             F.transform(
