@@ -411,3 +411,42 @@ def test_delete_ids_ivf_scan_after_delete(spark, emb, tmp_path):
     want = [tuple(r) for r in ivf_stored_scan(spark, rebuilt, q, cents, 10, nprobe=3).collect()]
     assert got == want and len(got) == 10
     assert not set(victims) & {r[0] for r in got}
+
+
+def test_write_partitioned_one_file_per_value(spark, tmp_path):
+    """The layout contract behind the 1M measurements (SCALE.md): a
+    frame arriving in MANY input partitions still writes exactly ONE
+    data file per partition value (hash-repartition first), where a
+    direct write.partitionBy would emit up to tasks x values files.
+    sort_within orders rows inside each value's file."""
+    import os
+
+    dest = str(tmp_path / "layout")
+    df = (
+        spark.range(0, 4000, 1, 16)  # 16 input partitions
+        .withColumn("part", F.col("id") % 4)
+        .withColumn("v", F.col("id") * 7 % 100)
+    )
+    write_partitioned(df, dest, "part", sort_within=["v"])
+    for d in os.listdir(dest):
+        if not d.startswith("part="):
+            continue
+        files = [f for f in os.listdir(os.path.join(dest, d))
+                 if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+    # secondary order held inside each value's file
+    import pyarrow.parquet as pq
+
+    part0 = os.path.join(dest, "part=0")
+    f = [x for x in os.listdir(part0) if x.endswith(".parquet")][0]
+    vals = pq.read_table(os.path.join(part0, f), columns=["v"])["v"].to_pylist()
+    assert vals == sorted(vals)
+    # num_partitions override still yields one file per value
+    dest2 = str(tmp_path / "layout2")
+    write_partitioned(df, dest2, "part", num_partitions=2)
+    n = sum(
+        1
+        for d in os.listdir(dest2) if d.startswith("part=")
+        for x in os.listdir(os.path.join(dest2, d)) if x.endswith(".parquet")
+    )
+    assert n == 4
