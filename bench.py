@@ -18,7 +18,9 @@ Cross-SESSION swings are multiplicative (SCALE.md: same-tree totals
 spanned 80.5-91.5 s in r11, and the r11 driver run sat a uniform
 +20-30% over same-tree medians), so every run also times a fixed
 synthetic calibration job (range->xxhash64->sum, repo-independent)
-and reports it as ``calibration_s`` — compare value/calibration_s
+and reports it as ``calibration_s``; r13 also emits the quotient as
+``value_calibrated`` (= value / calibration_s) so the driver records
+the session-normalized total straight off stdout — compare THAT
 across rounds to factor the session out.
 """
 
@@ -110,6 +112,10 @@ def main():
     # (VERDICT r8 nit #2; replica-build cost is benched separately as
     # quantize_build).
     bench("auto_route_scan", lambda: w.auto_route_scan_q(spark, SF_DIR).collect())
+    # r13: the same routed text over a VERSIONED replica — the delta
+    # vs auto_route_scan is the manifest resolve + per-generation read
+    bench("auto_route_scan_versioned",
+          lambda: w.auto_route_scan_versioned_q(spark, SF_DIR).collect())
     bench("sql_macro_scan", lambda: w.sql_macro_scan_q(spark, SF_DIR).collect())
     bench("tvf_full_scan", lambda: w.tvf_full_scan_q(spark, SF_DIR).collect())
     bench("tvf_quantize_scan", lambda: w.tvf_quantize_scan_q(spark, SF_DIR).collect())
@@ -506,6 +512,11 @@ def main():
     calibration = round(min(calib_runs), 4)
 
     total = round(sum(times.values()), 4)
+    # normalized total (r13, VERDICT r12 #5): value in units of the
+    # fixed calibration job, so cross-round comparisons divide out the
+    # session's multiplicative swing WITHOUT post-processing — the
+    # driver records it straight off stdout
+    value_calibrated = round(total / calibration, 4) if calibration else None
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     full = {
         "metric": "headline operator wall-clock at sf" + sf,
@@ -517,6 +528,7 @@ def main():
         "sf": float(sf),
         "cpus": int(CPUS),
         "calibration_s": calibration,
+        "value_calibrated": value_calibrated,
     }
     if errors:
         full["errors"] = errors
@@ -558,6 +570,7 @@ def main():
             "sf": float(sf),
             "cpus": int(CPUS),
             "calibration_s": calibration,
+            "value_calibrated": value_calibrated,
         }
         if errors:
             compact["errors"] = {k: v.split(":", 1)[0] for k, v in errors.items()}

@@ -126,13 +126,15 @@ def knn(
         # ADC distances (compressed domain, like the quantized tier's
         # quantized-unit contract): opt-in only, never auto
         from sqlite_vector_spark.operators.pq import pq_scan
+        from sqlite_vector_spark.sinks import read_store
 
-        codes = spark.read.parquet(ctx.pq_path)
+        codes = read_store(spark, ctx.pq_path)
         return pq_scan(codes, _pq_query(), ctx.pq_codebooks, k, m)
     if prefer == "bq":
         from sqlite_vector_spark.operators.bq import bq_rerank_scan
+        from sqlite_vector_spark.sinks import read_store
 
-        codes = spark.read.parquet(ctx.bq_path)
+        codes = read_store(spark, ctx.bq_path)
         return bq_rerank_scan(
             spark.table(table), column, query, k, prefilter or 10 * k,
             ctx.bq_thresholds, m, id_col=id_col, codes_df=codes,
@@ -179,7 +181,16 @@ def knn(
             nprobe=nprobe, metric=m, residual=ctx.pq_residual,
         )
     if prefer != "exact" and has_replica:
-        codes = spark.read.parquet(ctx.quantized_path)
+        # read_store, not read.parquet: a replica migrated to the
+        # rename-free VERSIONED layout (versioned.py) resolves through
+        # its live manifest here, so swap mode is invisible to the
+        # routed query path — the reference's one index IS its query
+        # path (sqlite-vector.c:2405-2431), and ours must not fork on
+        # maintenance layout. Flat roots read as plain parquet, same
+        # plan as before (one FS exists() probe decides).
+        from sqlite_vector_spark.sinks import read_store
+
+        codes = read_store(spark, ctx.quantized_path)
         if where is not None:
             import pyspark.sql.functions as F
             from pyspark.errors import AnalysisException
@@ -259,7 +270,11 @@ def knn_join(
         import pyspark.sql.functions as F
         from pyspark.errors import AnalysisException
 
-        codes = spark.read.parquet(ctx.quantized_path)
+        from sqlite_vector_spark.sinks import read_store
+
+        # same swap-mode-agnostic resolve as knn (versioned replicas
+        # route through their live manifest)
+        codes = read_store(spark, ctx.quantized_path)
         if where is not None:
             try:
                 codes = codes.where(F.expr(where))

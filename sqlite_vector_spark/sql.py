@@ -598,7 +598,9 @@ def run_tvf(spark: SparkSession, catalog, tvf: TvfQuery, id_col: str = "id") -> 
             raise ValueError(
                 f"{tvf.table}.{tvf.column} has no quantized replica — run vector_quantize first"
             )
-        codes = spark.read.parquet(ctx.quantized_path)
+        from sqlite_vector_spark.sinks import read_store
+
+        codes = read_store(spark, ctx.quantized_path)
         params = QuantParams(ctx.resolved_qtype, float(ctx.qscale), float(ctx.qoffset), 0)
         df = vector_quantize_scan_stream(codes, q, params, ctx.distance)
     return df.select(F.col("id").alias(tvf.id_out), F.col("distance").alias(tvf.dist_out))
@@ -704,7 +706,9 @@ def run_scalar(spark: SparkSession, catalog, fn: str, args: list[str], id_col: s
         return one(params.count, "bigint")
     if ctx.quantized_path is None:
         raise ValueError(f"{table}.{column} has no quantized replica — run vector_quantize first")
-    codes = spark.read.parquet(ctx.quantized_path)
+    from sqlite_vector_spark.sinks import read_store
+
+    codes = read_store(spark, ctx.quantized_path)
     if fn == "vector_quantize_memory":
         from sqlite_vector_spark.operators.quantize import vector_quantize_memory
 

@@ -301,6 +301,40 @@ def auto_route_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return route_sql(spark, cat, sql)
 
 
+def auto_route_scan_versioned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """auto_route_scan's contract over a VERSIONED quantized replica
+    (r13, VERDICT r12 #3): the flat replica built by vector_quantize
+    is migrated to the rename-free manifest/pointer-flip layout
+    (versioned.versioned_store_init — the object-store swap mode) and
+    re-registered in the catalog; the SAME canonical top-k SQL then
+    routes through router.knn, whose replica read resolves the live
+    manifest via sinks.read_store. Swap mode must be invisible to
+    queries (the reference's one index IS its query path,
+    sqlite-vector.c:2405-2431), so the result contract — and the
+    oracle — are identical to quantize_scan_l2."""
+    from sqlite_vector_spark.sql import route_sql
+    from sqlite_vector_spark.versioned import versioned_store_init
+
+    view = "emb_route_ver_v"
+    cat = _sql_surface_fixture(spark, sf_dir, view, quantize=True)
+    key = (spark.sparkContext.applicationId, sf_dir, "route_ver_migrated")
+    if key not in _SQL_FIXTURE_CACHE:
+        ctx = cat.get(view, "embedding")
+        vroot = _tracked_tmpdir("svspark_route_ver_") + "/store"
+        versioned_store_init(spark.read.parquet(ctx.quantized_path), vroot)
+        cat.set_quant_params(
+            view, "embedding", qtype=ctx.resolved_qtype,
+            scale=float(ctx.qscale), offset=float(ctx.qoffset),
+            path=vroot, include_cols=ctx.quantized_include_cols,
+        )
+        _SQL_FIXTURE_CACHE[key] = vroot
+    sql = (
+        f"SELECT vec_id AS id, vector_distance(embedding, {_q64_array_sql()}, 'l2') AS distance "
+        f"FROM {view} ORDER BY distance ASC LIMIT {K}"
+    )
+    return route_sql(spark, cat, sql)
+
+
 def tvf_full_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's OWN query text executed verbatim (API.md:229:
     ``SELECT rowid, distance FROM vector_full_scan('t','col',

@@ -106,16 +106,21 @@ def test_spot_oracle_match(spark, duck, name):
     assert srows == orows
 
 
-def test_gate_window_contains_round12_rotation():
+def test_gate_window_contains_round13_rotation():
     """The driver adjudicates only the FIRST 50 queries() entries, so
-    window membership is part of the declared evidence plan: the r12
-    rotation (VERDICT r11 #1) is the FULL 50-entry cohort whose latest
-    driver green is r9 (staleness invariant: nothing may go 3 rounds
-    without a driver green) — it fills the window exactly, no spare
-    slot. All 50 must sit inside positions 1-50, keys must be unique,
-    and the inventory must match oracle_sql 1:1 (an insert that
-    silently pushes an intended entry past the horizon breaks the
-    rotation bookkeeping — this pins it)."""
+    window membership is part of the declared evidence plan: the r13
+    rotation (VERDICT r12 #1) is the 50-entry cohort whose latest
+    driver green is r10 (staleness invariant: nothing may go 3 rounds
+    without a driver green), MINUS full_scan_stream_l2 — displaced by
+    the documented oracle-twin swap (its oracle text == full_scan_l2,
+    which IS in this window; stream==batch framing equality-pinned in
+    test_search.py) to make room for the one NEW r13 entry,
+    auto_route_scan_versioned (VERDICT r12 #3). All 50 must sit inside
+    positions 1-50, keys must be unique, and the inventory must match
+    oracle_sql 1:1 (an insert that silently pushes an intended entry
+    past the horizon breaks the rotation bookkeeping — this pins it).
+    full_scan_stream_l2 must sit at position 51 (first past the
+    horizon) so it re-gates in r14."""
     import __spark_entry__ as e
 
     keys = list(e.queries().keys())
@@ -123,26 +128,32 @@ def test_gate_window_contains_round12_rotation():
     assert set(keys) == set(e.oracle_sql())
     window = set(keys[:50])
     must_gate = [
-        # the 50-entry cohort whose latest driver green is r9
-        "incremental_dedup", "pq_scan_l2", "pq_rerank_scan_l2",
-        "ivf_pq_scan_l2", "ivf_pq_knn_join_l2", "knn_join_l2",
-        "semantic_dedup", "boilerplate_strip", "quantize_params",
-        "quantize_scan_l2", "f16_scan_l2", "knn_join_blocked_l2",
-        "text_stats", "lsh_candidate_pairs", "ngram_jaccard_pairs",
-        "neardup_representatives", "pq_codes", "pq_recall_at_k",
-        "ivf_cluster_stats", "doc_chunk_overlap", "temperature_mix",
-        "matryoshka_rerank_l2", "approx_distinct_audit",
-        "cohort_retention", "event_funnel", "quantize_update_codes",
-        "gopher_quality", "knn_classify", "embedding_outliers",
-        "mmr_rerank_l2", "source_overlap", "corpus_report",
-        "pack_sequences", "negative_samples", "edit_distance_pairs",
-        "value_zscore", "source_overlap_sketch", "bm25_batch_topk",
-        "events_resample", "user_type_pivot", "error_incidents",
-        "session_incident_overlap", "bq_band_join", "auto_route_scan",
-        "tvf_quantize_scan", "tvf_ep1_join_back",
-        "bq_knn_join_hamming", "bq_knn_join_projected",
-        "bq_band_scan", "passage_strip_frozen",
+        # the r10-gated cohort minus the displaced stream twin
+        "incremental_neardup", "filtered_quantize_scan_l2",
+        "bf16_scan_l2", "chunk_dedup", "contamination_check",
+        "corpus_prep", "dedup_exact", "embedding_centroids",
+        "embedding_code_dedup", "embedding_neardup", "fingerprint",
+        "i8_scan_l2", "lang_id", "minhash_signatures",
+        "pricing_summary", "promo_revenue_share", "quality_rejects",
+        "random_projection", "recall_at_k", "region_volume",
+        "repetition_scores", "shipping_priority", "simhash",
+        "text_normalize", "token_budget_pack", "token_counts",
+        "ivf_pq_residual_scan_l2", "full_scan_l2", "full_scan_cosine",
+        "full_scan_dot", "full_scan_l1", "full_scan_squared_l2",
+        "quantize_scan_cosine", "quantize_scan_dot",
+        "quantize_scan_l1", "quantize_scan_squared_l2",
+        "quantize_scan_stream_l2", "rerank_scan_l2", "u8_scan_cosine",
+        "knn_join_cosine", "knn_join_back", "ivf_scan_l2",
+        "ivf_scan_cosine", "ivf_knn_join_l2", "ivf_recall_at_k",
+        "ivf_kmeans_scan_l2", "lsh_scan_cosine",
+        "codec_json_roundtrip", "passage_dedup",
+        # the one NEW r13 entry (versioned-tier routing)
+        "auto_route_scan_versioned",
     ]
     assert len(must_gate) == 50
     missing = [k for k in must_gate if k not in window]
     assert not missing, f"intended gate entries fell past the 50-entry horizon: {missing}"
+    assert keys[50] == "full_scan_stream_l2", (
+        "the displaced r10 entry must lead the past-horizon block so it "
+        "re-gates first in r14"
+    )
