@@ -29,22 +29,135 @@ from sqlite_vector_spark.functions.distance import distance
 from sqlite_vector_spark.types import Metric
 
 
-def _epoch_ids(root: str, below: int | None = None) -> list[int]:
+class _LocalOps:
+    """Local-filesystem walk for the state verbs — byte-identical to
+    the pre-r13 os/shutil behavior (the hot path for every local
+    state; no JVM round-trips)."""
+
+    @staticmethod
+    def listdir(p):
+        import os
+
+        try:
+            return os.listdir(p)
+        except OSError:
+            return []
+
+    @staticmethod
+    def isdir(p):
+        import os
+
+        return os.path.isdir(p)
+
+    @staticmethod
+    def exists(p):
+        import os
+
+        return os.path.exists(p)
+
+    @staticmethod
+    def rename(src, dst):
+        import os
+
+        os.rename(src, dst)
+
+    @staticmethod
+    def rmtree(p):
+        import shutil
+
+        shutil.rmtree(p)
+
+    @staticmethod
+    def makedirs(p):
+        import os
+
+        os.makedirs(p)
+
+    @staticmethod
+    def du(p):
+        from sqlite_vector_spark.sinks import dir_bytes
+
+        return dir_bytes(p)
+
+
+class _HadoopOps:
+    """Scheme-resolved walk (fsutil / Hadoop FileSystem API): the SAME
+    verbs run on hdfs:/s3a:/... state roots (r13, VERDICT r12 #2 — a
+    streaming state written to an object store could previously never
+    be compacted, vacuumed, or taken down there). rename on an
+    S3-class store is a bounded copy of one epoch dir; the verbs run
+    stream-stopped from the single-maintenance-writer seat, so rename
+    atomicity is not load-bearing (fsutil docstring)."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def listdir(self, p):
+        from sqlite_vector_spark import fsutil
+
+        return fsutil.list_names(self.spark, p)
+
+    def isdir(self, p):
+        from sqlite_vector_spark import fsutil
+
+        return fsutil.is_dir(self.spark, p)
+
+    def exists(self, p):
+        from sqlite_vector_spark import fsutil
+
+        return fsutil.exists(self.spark, p)
+
+    def rename(self, src, dst):
+        from sqlite_vector_spark import fsutil
+
+        fsutil.rename(self.spark, src, dst)
+
+    def rmtree(self, p):
+        from sqlite_vector_spark import fsutil
+
+        fsutil.delete(self.spark, p, recursive=True)
+
+    def makedirs(self, p):
+        from sqlite_vector_spark import fsutil
+
+        fsutil.mkdirs(self.spark, p)
+
+    def du(self, p):
+        from sqlite_vector_spark import fsutil
+
+        return fsutil.du_bytes(self.spark, p)
+
+
+_LOCAL_OPS = _LocalOps()
+
+
+def _state_ops(root: str, spark=None):
+    """Pick the walk for a state root by scheme: plain paths keep the
+    os fast path, scheme-carrying roots go through the Hadoop FS layer
+    (resolving the active session when none is passed — raising, not
+    silently walking a remote root with os.listdir and reporting an
+    empty state)."""
+    from sqlite_vector_spark import fsutil
+
+    if fsutil.has_scheme(root):
+        return _HadoopOps(spark if spark is not None else fsutil.active_spark())
+    return _LOCAL_OPS
+
+
+def _epoch_ids(root: str, below: int | None = None, spark=None) -> list[int]:
     """Sorted epoch ids under a state root (``epoch=<digits>`` dirs).
 
     fullmatch, not startswith+int: leftover staging/retained dirs
     (``epoch=3.tmp``, ``epoch=3__pre_delete``, ``epoch=4__compacting``)
     must be skipped, not crash every micro-batch. ``below`` bounds the
     listing exclusively (a replayed epoch must not see its own crashed
-    attempt's partial output)."""
-    import os
+    attempt's partial output). Scheme-carrying roots list through the
+    Hadoop FS layer (r13); a missing root is [] either way."""
     import re
 
-    try:
-        matches = (re.fullmatch(r"epoch=(\d+)", d) for d in os.listdir(root))
-        ids = sorted(int(m.group(1)) for m in matches if m)
-    except OSError:
-        return []
+    ops = _state_ops(root, spark)
+    matches = (re.fullmatch(r"epoch=(\d+)", d) for d in ops.listdir(root))
+    ids = sorted(int(m.group(1)) for m in matches if m)
     return ids if below is None else [e for e in ids if e < below]
 
 
@@ -262,8 +375,9 @@ def ingest_stream_neardup(
     STRICTLY BELOW the current epoch id, so a replay recomputes from
     the same inputs it saw the first time. Readers take
     ``labels/epoch=<max>`` as current; the extra ``epoch`` partition
-    column on bands/docs is ignored by the probe joins. Local
-    filesystem only (epoch discovery via os.listdir — the same
+    column on bands/docs is ignored by the probe joins. Any
+    Hadoop-supported filesystem (r13: epoch discovery and the sidecar
+    route through the FS layer on scheme-carrying roots; the same
     single-maintenance-writer scope as compact_store)."""
     import os
 
@@ -396,16 +510,22 @@ def takedown_stream_state(
     docs_root = os.path.join(state_dir, "docs")
     labels_root = os.path.join(state_dir, "labels")
 
-    _all_epochs = _epoch_ids
+    def _all_epochs(root):
+        return _epoch_ids(root, spark=spark)
 
+    # remote_ok: each per-epoch delete swaps ONE micro-batch epoch dir
+    # (bounded copy on an object store), so the verb runs on any
+    # Hadoop-supported scheme (r13, VERDICT r12 #2)
     report = {"band_rows_deleted": 0, "doc_rows_deleted": 0, "labels_rewritten": False}
     for e in _all_epochs(bands_root):
         r = delete_ids(
-            spark, f"{bands_root}/epoch={e}", doc_ids, id_col="id", partition_col="band"
+            spark, f"{bands_root}/epoch={e}", doc_ids, id_col="id", partition_col="band",
+            remote_ok=True,
         )
         report["band_rows_deleted"] += r["deleted_rows"]
     for e in _all_epochs(docs_root):
-        r = delete_ids(spark, f"{docs_root}/epoch={e}", doc_ids, id_col=id_col)
+        r = delete_ids(spark, f"{docs_root}/epoch={e}", doc_ids, id_col=id_col,
+                       remote_ok=True)
         report["doc_rows_deleted"] += r["deleted_rows"]
     label_epochs = _all_epochs(labels_root)
     if label_epochs:
@@ -414,7 +534,8 @@ def takedown_stream_state(
         # them with a plain row delete; only the LIVE epoch needs the
         # component re-solve
         for e in label_epochs[:-1]:
-            delete_ids(spark, f"{labels_root}/epoch={e}", doc_ids, id_col="id")
+            delete_ids(spark, f"{labels_root}/epoch={e}", doc_ids, id_col="id",
+                       remote_ok=True)
         latest = f"{labels_root}/epoch={label_epochs[-1]}"
         labels0 = spark.read.parquet(latest)
         doc_epochs = _all_epochs(docs_root)
@@ -468,7 +589,7 @@ def ingest_stream_embedding_neardup(
     threshold/metric/column names) persists in the state root's
     ``_sv_params.json`` AND per bucket-epoch sidecars — a restart
     with a conflicting family raises (sinks.check_frozen_params).
-    Local filesystem only (os.listdir epoch discovery)."""
+    Any Hadoop-supported filesystem (r13, like the text twin)."""
     import os
 
     from sqlite_vector_spark.operators.dedup import (
@@ -596,20 +717,25 @@ def takedown_stream_state_embedding(
     vecs_root = os.path.join(state_dir, "vecs")
     labels_root = os.path.join(state_dir, "labels")
 
-    _all_epochs = _epoch_ids
+    def _all_epochs(root):
+        return _epoch_ids(root, spark=spark)
 
+    # remote_ok: bounded one-epoch-dir swaps, any scheme (r13 — see
+    # takedown_stream_state)
     report = {"bucket_rows_deleted": 0, "vec_rows_deleted": 0, "labels_rewritten": False}
     for e in _all_epochs(buckets_root):
         r = delete_ids(spark, f"{buckets_root}/epoch={e}", vec_ids, id_col="id",
-                       sort_within=["bucket"])
+                       sort_within=["bucket"], remote_ok=True)
         report["bucket_rows_deleted"] += r["deleted_rows"]
     for e in _all_epochs(vecs_root):
-        r = delete_ids(spark, f"{vecs_root}/epoch={e}", vec_ids, id_col=id_col)
+        r = delete_ids(spark, f"{vecs_root}/epoch={e}", vec_ids, id_col=id_col,
+                       remote_ok=True)
         report["vec_rows_deleted"] += r["deleted_rows"]
     label_epochs = _all_epochs(labels_root)
     if label_epochs:
         for e in label_epochs[:-1]:
-            delete_ids(spark, f"{labels_root}/epoch={e}", vec_ids, id_col="id")
+            delete_ids(spark, f"{labels_root}/epoch={e}", vec_ids, id_col="id",
+                       remote_ok=True)
         latest = f"{labels_root}/epoch={label_epochs[-1]}"
         labels0 = spark.read.parquet(latest)
         vec_epochs = _all_epochs(vecs_root)
@@ -688,11 +814,15 @@ def compact_stream_state(
     {"before": k, "after": m}}.
     """
     import os
-    import shutil
 
+    # scheme-resolved walk (r13): plain paths keep the os fast path,
+    # hdfs:/s3a:/... roots go through the Hadoop FS layer — the same
+    # verb, any supported store (os.path.join only concatenates with
+    # '/', which is URI-safe)
+    ops = _state_ops(state_dir, spark)
     roots = [
         d for d in ("bands", "buckets", "docs", "vecs")
-        if os.path.isdir(os.path.join(state_dir, d))
+        if ops.isdir(os.path.join(state_dir, d))
     ]
     labels_root = os.path.join(state_dir, "labels")
     if not roots:
@@ -702,7 +832,8 @@ def compact_stream_state(
         )
     if below_epoch is None:
         data_max = max(
-            (e for r in roots for e in _epoch_ids(os.path.join(state_dir, r))),
+            (e for r in roots
+             for e in _epoch_ids(os.path.join(state_dir, r), spark=spark)),
             default=None,
         )
         if data_max is None:
@@ -714,7 +845,7 @@ def compact_stream_state(
     paths_before = paths_after = 0
     for name in roots:
         root = os.path.join(state_dir, name)
-        all_eps = _epoch_ids(root)
+        all_eps = _epoch_ids(root, spark=spark)
         folded = [e for e in all_eps if e < below_epoch]
         paths_before += len(all_eps)
         if len(folded) < 2:  # nothing to merge
@@ -743,46 +874,46 @@ def compact_stream_state(
             df.write.mode("overwrite").parquet(staging)
         # retain superseded dirs (one generation), then promote staging
         retained = root + "__pre_compact"
-        if os.path.exists(retained):
-            shutil.rmtree(retained)
-        os.makedirs(retained)
+        if ops.exists(retained):
+            ops.rmtree(retained)
+        ops.makedirs(retained)
         for e in folded:
-            os.rename(os.path.join(root, f"epoch={e}"), os.path.join(retained, f"epoch={e}"))
+            ops.rename(os.path.join(root, f"epoch={e}"), os.path.join(retained, f"epoch={e}"))
             leftover = os.path.join(root, f"epoch={e}__pre_delete")
-            if os.path.isdir(leftover):  # takedown retention of a folded epoch
-                os.rename(leftover, os.path.join(retained, f"epoch={e}__pre_delete"))
+            if ops.isdir(leftover):  # takedown retention of a folded epoch
+                ops.rename(leftover, os.path.join(retained, f"epoch={e}__pre_delete"))
         if name == "buckets":  # plane-family sidecar must survive the fold
             from sqlite_vector_spark.sinks import _preserve_sidecars
 
             _preserve_sidecars(os.path.join(retained, f"epoch={base}"), staging)
-        os.rename(staging, os.path.join(root, f"epoch={base}"))
+        ops.rename(staging, os.path.join(root, f"epoch={base}"))
         spark.catalog.refreshByPath(root)
         report[name] = {"folded": folded, "base": base}
         paths_after += len(all_eps) - len(folded) + 1
 
     # labels: keep the newest epoch below the watermark (the live
     # labeling for every surviving reader), drop the dead ones
-    label_eps = _epoch_ids(labels_root, below_epoch)
+    label_eps = _epoch_ids(labels_root, below_epoch, spark=spark)
     if len(label_eps) > 1:
         retained = labels_root + "__pre_compact"
-        if os.path.exists(retained):
-            shutil.rmtree(retained)
-        os.makedirs(retained)
+        if ops.exists(retained):
+            ops.rmtree(retained)
+        ops.makedirs(retained)
         for e in label_eps[:-1]:
-            os.rename(
+            ops.rename(
                 os.path.join(labels_root, f"epoch={e}"),
                 os.path.join(retained, f"epoch={e}"),
             )
             leftover = os.path.join(labels_root, f"epoch={e}__pre_delete")
-            if os.path.isdir(leftover):
-                os.rename(leftover, os.path.join(retained, f"epoch={e}__pre_delete"))
+            if ops.isdir(leftover):
+                ops.rename(leftover, os.path.join(retained, f"epoch={e}__pre_delete"))
         report["labels_dropped"] = label_eps[:-1]
         spark.catalog.refreshByPath(labels_root)
     report["read_paths"] = {"before": paths_before, "after": paths_after}
     return report
 
 
-def vacuum_stream_state(state_dir: str) -> dict:
+def vacuum_stream_state(state_dir: str, spark=None) -> dict:
     """Reclaim a streaming state's RETAINED superseded layouts — the
     ``<root>__pre_compact`` generations compact_stream_state keeps and
     the per-epoch ``epoch=N__pre_delete`` dirs takedown_stream_state
@@ -794,32 +925,32 @@ def vacuum_stream_state(state_dir: str) -> dict:
     refuse-on-surprise posture as sinks.vacuum_store: an
     ``epoch=N__pre_delete`` whose live ``epoch=N`` dir is MISSING is
     skipped (a crashed swap may have left it the only copy), never
-    removed. Run once readers have drained. Returns
+    removed. Run once readers have drained. Scheme-carrying roots walk
+    through the Hadoop FS layer (pass ``spark`` or have an active
+    session; r13). Returns
     {"removed": [...], "skipped": [...], "bytes_freed": N}."""
     import os
-    import shutil
 
-    from sqlite_vector_spark.sinks import dir_bytes as _du
-
+    ops = _state_ops(state_dir, spark)
     removed, skipped, freed = [], [], 0
     for name in ("bands", "buckets", "docs", "vecs", "labels"):
         root = os.path.join(state_dir, name)
-        if not os.path.isdir(root):
+        if not ops.isdir(root):
             continue
-        live = {f"epoch={e}" for e in _epoch_ids(root)}
+        live = {f"epoch={e}" for e in _epoch_ids(root, spark=spark)}
         retained = root + "__pre_compact"
-        if os.path.isdir(retained) and live:  # root still has a live epoch
-            freed += _du(retained)
-            shutil.rmtree(retained)
+        if ops.isdir(retained) and live:  # root still has a live epoch
+            freed += ops.du(retained)
+            ops.rmtree(retained)
             removed.append(f"{name}__pre_compact")
-        for d in sorted(os.listdir(root)):
+        for d in sorted(ops.listdir(root)):
             if not d.endswith("__pre_delete"):
                 continue
             rel = os.path.join(name, d)
             if d.removesuffix("__pre_delete") in live:
                 p = os.path.join(root, d)
-                freed += _du(p)
-                shutil.rmtree(p)
+                freed += ops.du(p)
+                ops.rmtree(p)
                 removed.append(rel)
             else:
                 skipped.append(rel)  # live twin missing: may be the only copy

@@ -45,12 +45,18 @@ manifest filter — no listing of the data prefix on the read path.
 Integration boundary: the MAINTENANCE family (delete_ids /
 compact_store / vacuum_store, the takedown orchestrator and
 verify_ids_absent via sinks.read_store) dispatches on the manifest
-layout automatically. QUERY paths read a store through
-``sinks.read_store(spark, root)`` (or ``read_versioned``) — the
-catalog's routed scans expect flat store roots today, so a tier you
-plan to query through the router should stay flat-local or be read
-through the resolver; versioned layout targets the maintenance-heavy
-derived stores living on object storage.
+layout automatically. QUERY paths (r13, VERDICT r12 #3): the catalog
+router (router.knn / knn_join), the TVF surface, and route_sql
+resolve the quantized / PQ / BQ replica through
+``sinks.read_store(spark, root)`` too, so swap mode is invisible to
+routed queries — a tier migrated to versioned layout keeps answering
+the same SQL (oracle-gated: auto_route_scan_versioned; equality-
+pinned: tests/test_versioned.py routed-versioned == routed-flat).
+The partition-PRUNED tier readers (IVF cluster dirs, MIH band dirs —
+ann.ivf_stored_scan / bq.bq_band_scan) prune by directory today and
+expect flat roots; a versioned band/IVF tier is read with
+``read_versioned(spark, root, partition_values=...)`` (the manifest
+filter gives the same pruning without listing the data prefix).
 
 Reference anchor: the reference swaps its chunked shadow table by
 dropping and recreating it inside one transaction
@@ -71,48 +77,18 @@ _MANIFESTS = "_sv_manifests"
 
 
 # ---- Hadoop FS plumbing (scheme-agnostic small-object IO) -----------
+# r13: generalized into sqlite_vector_spark.fsutil so the STREAMING
+# state lifecycle verbs share the same layer (VERDICT r12 #2); the
+# local aliases keep this module's call sites and test imports stable.
 
-def _fs(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    jp = jvm.org.apache.hadoop.fs.Path(path)
-    return jp, jp.getFileSystem(spark._jsc.hadoopConfiguration())
-
-
-def _put_text(spark: SparkSession, path: str, text: str) -> None:
-    """PUT one small object (overwrite) — the commit primitive."""
-    jp, fs = _fs(spark, path)
-    out = fs.create(jp, True)
-    try:
-        out.write(bytearray(text.encode("utf-8")))
-    finally:
-        out.close()
-
-
-def _get_text(spark: SparkSession, path: str) -> str:
-    jvm = spark._jvm
-    jp, fs = _fs(spark, path)
-    stream = fs.open(jp)
-    baos = jvm.java.io.ByteArrayOutputStream()
-    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 65536, True)
-    return bytes(baos.toByteArray()).decode("utf-8")
-
-
-def _list_names(spark: SparkSession, path: str) -> list[str]:
-    jp, fs = _fs(spark, path)
-    if not fs.exists(jp):
-        return []
-    return [st.getPath().getName() for st in fs.listStatus(jp)]
-
-
-def _delete(spark: SparkSession, path: str, recursive: bool = False) -> None:
-    jvm = spark._jvm
-    _, fs = _fs(spark, path)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(path), recursive)
-
-
-def _exists(spark: SparkSession, path: str) -> bool:
-    jp, fs = _fs(spark, path)
-    return bool(fs.exists(jp))
+from sqlite_vector_spark.fsutil import (  # noqa: E402
+    delete as _delete,
+    exists as _exists,
+    fs_for as _fs,
+    get_text as _get_text,
+    list_names as _list_names,
+    put_text as _put_text,
+)
 
 
 # ---- manifests -------------------------------------------------------
@@ -259,17 +235,28 @@ def versioned_store_init(
     local root; versioned stores keep theirs beside the manifests)."""
     spark = df.sparkSession
     rootp = root.rstrip("/")
+    ver = 0
     if is_versioned(spark, rootp) and manifest_versions(spark, rootp):
-        raise ValueError(
-            f"versioned_store_init: {root!r} already has committed manifests; "
-            "use the maintenance verbs to evolve it"
-        )
+        # A store whose LIVE manifest lists zero files (a full-wipe
+        # delete committed an empty manifest) must be repopulatable:
+        # read_versioned refuses an empty manifest, so without this
+        # branch every verb fails and init refuses too — permanently
+        # bricked (ADVICE r12). Re-init commits the NEXT generation on
+        # top; a store with live files still refuses (the maintenance
+        # verbs evolve it).
+        cur_ver, man = current_manifest(spark, rootp)
+        if man["files"]:
+            raise ValueError(
+                f"versioned_store_init: {root!r} already has committed manifests; "
+                "use the maintenance verbs to evolve it"
+            )
+        ver = cur_ver + 1
     n = max(1, min(df.sparkSession.sparkContext.defaultParallelism, 64))
     entries = _write_generation(
-        df, rootp, 0, partition_col, sort_within, target_partitions=n
+        df, rootp, ver, partition_col, sort_within, target_partitions=n
     )
-    _write_manifest(spark, rootp, 0, partition_col, entries)
-    return {"version": 0, "files": len(entries)}
+    _write_manifest(spark, rootp, ver, partition_col, entries)
+    return {"version": ver, "files": len(entries)}
 
 
 def delete_ids_versioned(

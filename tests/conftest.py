@@ -20,6 +20,17 @@ def spark():
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
+        # "mock:" scheme -> RawLocalFileSystem semantics under a
+        # NON-file URI (tests/javalib/src/MockFileSystem.java): the
+        # object-store-path tests run the maintenance verbs against a
+        # root where any leftover os.*/shutil call breaks loudly
+        # (os.path.isdir("mock:/...") is False) instead of silently
+        # passing because the test root happened to be local
+        .config("spark.hadoop.fs.mock.impl", "MockFileSystem")
+        .config(
+            "spark.driver.extraClassPath",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "javalib", "classes"),
+        )
         .getOrCreate()
     )
     s.sparkContext.setLogLevel("ERROR")

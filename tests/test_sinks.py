@@ -450,3 +450,31 @@ def test_write_partitioned_one_file_per_value(spark, tmp_path):
         for x in os.listdir(os.path.join(dest2, d)) if x.endswith(".parquet")
     )
     assert n == 4
+
+
+def test_write_partitioned_max_rows_per_file_splits_hot_value(spark, tmp_path):
+    """ADVICE r12: the one-file-per-value layout funnels each value
+    through a single writer task, so a hot value became one
+    arbitrarily large file. max_rows_per_file bounds it: the hot value
+    splits into ceil(rows/cap) files, cold values keep exactly one —
+    never back to the T*C explosion."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from sqlite_vector_spark.sinks import write_partitioned
+
+    df = spark.range(1030).select(
+        F.col("id"),
+        F.when(F.col("id") < 1000, F.lit(0)).otherwise(F.lit(1)).alias("cell"),
+    )
+    path = str(tmp_path / "capped")
+    write_partitioned(df, path, "cell", max_rows_per_file=300)
+
+    def files(v):
+        d = os.path.join(path, f"cell={v}")
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    assert len(files(0)) == 4  # ceil(1000/300)
+    assert len(files(1)) == 1  # cold value: still one file
+    assert spark.read.parquet(path).count() == 1030

@@ -1,6 +1,7 @@
 """Stateful streaming operators: cross-batch dedup + top-k maintenance."""
 
 import pyspark.sql.functions as F
+import pytest
 
 from sqlite_vector_spark.streaming.stateful import streaming_first_seen, streaming_topk
 
@@ -504,13 +505,49 @@ def test_streaming_neardup_state_maintenance(spark, tmp_path):
         assert any(d.startswith("epoch=") for d in os.listdir(os.path.join(state, sub)))
 
 
-def test_takedown_stream_state_then_resume(spark, tmp_path):
+def _state_eps(spark, state, sub):
+    """Epoch ids under <state>/<sub>, scheme-agnostic (the engine's
+    lister — the mock-scheme runs cannot use os.listdir)."""
+    from sqlite_vector_spark.streaming.scoring import _epoch_ids
+
+    return _epoch_ids(f"{state}/{sub}", spark=spark)
+
+
+def _state_ls(spark, p):
+    """Child names under a state path, scheme-agnostic."""
+    from sqlite_vector_spark import fsutil
+
+    if fsutil.has_scheme(p):
+        return fsutil.list_names(spark, p)
+    import os
+
+    try:
+        return os.listdir(p)
+    except OSError:
+        return []
+
+
+def _state_root(tmp_path, scheme, name):
+    """A state root for the given scheme: plain local path, or the
+    same directory under the test-only "mock:" scheme (conftest wires
+    fs.mock.impl -> MockFileSystem: RawLocalFileSystem semantics under
+    a NON-file URI, so any engine code that still walks the root with
+    os./shutil breaks loudly — the object-store-safety gate, r13
+    VERDICT r12 #2)."""
+    return str(tmp_path / name) if scheme == "local" else f"mock:{tmp_path}/{name}"
+
+
+@pytest.mark.parametrize("scheme", ["local", "mock"])
+def test_takedown_stream_state_then_resume(spark, tmp_path, scheme):
     """Streaming takedown: after two micro-batches build near-dup
     state, takedown_stream_state removes a doc from the band index,
     doc mirror, and labels (its cluster re-solved); a RESUMED stream
     ingesting a third batch then produces labels equal to a full
     batch rebuild over (all docs - deleted) — the deleted doc never
-    matches again and never reappears in any cluster."""
+    matches again and never reappears in any cluster. Runs over a
+    plain local root AND a mocked non-file scheme (r13): ingest,
+    takedown, compact, vacuum, and resume must hold the SAME
+    invariants through the Hadoop FS layer."""
     import os
     import time
 
@@ -540,7 +577,7 @@ def test_takedown_stream_state_then_resume(spark, tmp_path):
     spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src)
     spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
 
-    state = str(tmp_path / "state")
+    state = _state_root(tmp_path, scheme, "state")
     ckpt = str(tmp_path / "ckpt")
 
     def run_stream(n_label_epochs):
@@ -552,14 +589,8 @@ def test_takedown_stream_state_then_resume(spark, tmp_path):
         q = ingest_stream_neardup(stream, state, ckpt)
         try:
             deadline = time.time() + 120
-            labels_root = os.path.join(state, "labels")
             while time.time() < deadline:
-                eps = (
-                    [d for d in os.listdir(labels_root)
-                     if d.startswith("epoch=") and "__" not in d]
-                    if os.path.isdir(labels_root)
-                    else []
-                )
+                eps = _state_eps(spark, state, "labels")
                 if len(eps) >= n_label_epochs and not q.status["isDataAvailable"]:
                     break
                 time.sleep(1)
@@ -573,14 +604,12 @@ def test_takedown_stream_state_then_resume(spark, tmp_path):
     assert rep["doc_rows_deleted"] == 1 and rep["labels_rewritten"]
     # state: no trace of doc 0 anywhere
     for sub, col in (("bands", "id"), ("docs", "doc_id"), ("labels", "id")):
-        root = os.path.join(state, sub)
-        dirs = [f"{root}/{d}" for d in os.listdir(root)
-                if d.startswith("epoch=") and "__" not in d]
+        root = f"{state}/{sub}"
+        dirs = [f"{root}/epoch={e}" for e in _state_eps(spark, state, sub)]
         left = spark.read.option("basePath", root).parquet(*dirs)
         assert left.where(F.col(col) == 0).count() == 0, sub
     # labels re-solved: {1,10} survive as a cluster with min 1
-    eps = sorted(int(d.split("=")[1]) for d in os.listdir(os.path.join(state, "labels"))
-                 if d.startswith("epoch=") and "__" not in d)
+    eps = _state_eps(spark, state, "labels")
     lab = {r.id: r.cluster
            for r in spark.read.parquet(f"{state}/labels/epoch={eps[-1]}").collect()}
     assert lab[1] == 1 and lab[10] == 1 and 0 not in lab
@@ -594,8 +623,7 @@ def test_takedown_stream_state_then_resume(spark, tmp_path):
         vacuum_stream_state,
     )
 
-    all_eps = sorted(int(d.split("=")[1]) for d in os.listdir(os.path.join(state, "bands"))
-                     if d.startswith("epoch=") and "__" not in d)
+    all_eps = _state_eps(spark, state, "bands")
     assert len(all_eps) == 2
     crep = compact_stream_state(spark, state, below_epoch=all_eps[-1] + 1)
     assert crep["bands"]["folded"] == all_eps and crep["bands"]["base"] == all_eps[-1]
@@ -607,15 +635,19 @@ def test_takedown_stream_state_then_resume(spark, tmp_path):
     vrep = vacuum_stream_state(state)
     assert vrep["bytes_freed"] > 0 and not vrep["skipped"]
     assert "bands__pre_compact" in vrep["removed"]
-    leftovers = [d for dp, ds, _ in os.walk(state) for d in ds if "__pre_" in d]
+    leftovers = [
+        d
+        for p in ([state] + [f"{state}/{n}" for n in ("bands", "docs", "labels")])
+        for d in _state_ls(spark, p)
+        if "__pre_" in d
+    ]
     assert not leftovers
 
     # resume: batch 3 bridges to the re-solved cluster, reading the
     # folded base epoch exactly as it read the per-epoch dirs
     spark.createDataFrame(b3, schema).coalesce(1).write.mode("append").parquet(src)
     run_stream(2)  # labels = {folded base's live epoch, new epoch}
-    eps = sorted(int(d.split("=")[1]) for d in os.listdir(os.path.join(state, "labels"))
-                 if d.startswith("epoch=") and "__" not in d)
+    eps = _state_eps(spark, state, "labels")
     got = {(r.id, r.cluster)
            for r in spark.read.parquet(f"{state}/labels/epoch={eps[-1]}").collect()}
 
@@ -658,7 +690,6 @@ def _emb_batches():
 
 
 def _run_emb_stream(spark, src, state, ckpt, n_label_epochs, schema):
-    import os
     import time
 
     from sqlite_vector_spark.streaming.scoring import ingest_stream_embedding_neardup
@@ -673,14 +704,8 @@ def _run_emb_stream(spark, src, state, ckpt, n_label_epochs, schema):
     )
     try:
         deadline = time.time() + 120
-        labels_root = os.path.join(state, "labels")
         while time.time() < deadline:
-            eps = (
-                [d for d in os.listdir(labels_root)
-                 if d.startswith("epoch=") and "__" not in d]
-                if os.path.isdir(labels_root)
-                else []
-            )
+            eps = _state_eps(spark, state, "labels")
             if len(eps) >= n_label_epochs and not q.status["isDataAvailable"]:
                 break
             time.sleep(1)
@@ -798,7 +823,8 @@ def test_takedown_stream_state_embedding_then_resume(spark, tmp_path):
     assert by[30] == by[1] == by[10] == 1
 
 
-def test_compact_stream_state_resume_equivalence(spark, tmp_path):
+@pytest.mark.parametrize("scheme", ["local", "mock"])
+def test_compact_stream_state_resume_equivalence(spark, tmp_path, scheme):
     """Epoch compaction under the REPLAY-SAFE default watermark: three
     micro-batches build per-epoch embedding near-dup state;
     compact_stream_state (default = fold everything below the newest
@@ -809,9 +835,9 @@ def test_compact_stream_state_resume_equivalence(spark, tmp_path):
     equality the per-epoch layout guaranteed before folding. Also
     pins: read-path count shrinks, the newest (replayable) epoch is
     untouched, and the bucket base epoch keeps its plane-family
-    sidecar."""
-    import os
-
+    sidecar. Runs over a plain local root AND a mocked non-file
+    scheme (r13, VERDICT r12 #2): compaction's fold/retention/promote
+    and the sidecar carry-over go through the Hadoop FS layer."""
     from sqlite_vector_spark.operators.dedup import (
         connected_components_min_label,
         embedding_neardup_pairs,
@@ -826,13 +852,12 @@ def test_compact_stream_state_resume_equivalence(spark, tmp_path):
     for b in (b1, b2, b3):
         spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
 
-    state = str(tmp_path / "cstate")
+    state = _state_root(tmp_path, scheme, "cstate")
     ckpt = str(tmp_path / "cckpt")
     _run_emb_stream(spark, src, state, ckpt, 3, schema)
 
     def eps(sub):
-        return sorted(int(d.split("=")[1]) for d in os.listdir(os.path.join(state, sub))
-                      if d.startswith("epoch=") and "__" not in d)
+        return _state_eps(spark, state, sub)
 
     assert len(eps("buckets")) == 3
     newest = eps("buckets")[-1]
