@@ -218,7 +218,10 @@ def _ppm_decode(payload: bytes):
                 f"PGM/PPM sample {hi} exceeds the declared maxval {maxval}"
             )
         arr = (arr.astype(np.float64) * (255.0 / maxval)).round().astype(np.uint8)
-    return arr
+    # a zero-area wide (maxval>255) raster skips the rescale above —
+    # cast so EVERY decode path returns uint8, never a leaked
+    # big-endian uint16 view (ADVICE r12)
+    return arr if arr.dtype == np.uint8 else arr.astype(np.uint8)
 
 
 def _ppm_features(payload: bytes, dim: int) -> list[float]:
@@ -899,56 +902,93 @@ def _jpeg_decode(payload: bytes):
                 f"{len(comps)}-component frame) not supported — baseline "
                 "interleaved single-scan only"
             )
-        order = []  # per-MCU block order
-        for cid, td, ta in sc:
+        def _decode_block(br, dc_tab, ac_tab, pred):
+            blk = np.zeros(64, dtype=np.int32)
+            s = dc_tab.decode(br)
+            diff = _jpeg_extend(br.read_bits(s), s) if s else 0
+            pred += diff
+            blk[0] = pred
+            k = 1
+            while k < 64:
+                rs = ac_tab.decode(br)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:  # ZRL: sixteen zeros
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("JPEG AC run past block end (corrupt stream)")
+                blk[k] = _jpeg_extend(br.read_bits(s), s)
+                k += 1
+            return blk, pred
+
+        if len(sc) == 1:
+            # Ns=1 scan is NON-interleaved (T.81 A.2.2): one data unit
+            # per MCU, ordered over the COMPONENT's own block grid —
+            # for a 1-component frame declaring sampling factors >1
+            # that grid (ceil(w/8)) is NARROWER than the MCU-padded
+            # interleaved grid (mcux*ch) the branch below walks, and
+            # decoding interleaved mis-places every block (ADVICE r12:
+            # the progressive path already sized by _jpeg_comp_grid;
+            # this keeps the two paths in agreement).
+            cid, td, ta = sc[0]
             fi = fidx.get(cid)
             if fi is None:
                 raise ValueError(
                     f"JPEG scan references undeclared component {cid}"
                 )
-            _, ch, cv, _ = comps[fi]
-            for bv in range(cv):
-                for bh2 in range(ch):
-                    order.append(
-                        (fi, ch, cv, bv, bh2, tabs.get((0, td)), tabs.get((1, ta)))
+            dc_tab, ac_tab = tabs.get((0, td)), tabs.get((1, ta))
+            if dc_tab is None or ac_tab is None:
+                raise ValueError("JPEG scan references an undeclared Huffman table")
+            nbw, nbh = _jpeg_comp_grid(comps[fi], w, h, hmax, vmax)
+            nblocks = nbw * nbh
+            bi = 0
+            ri = ri0 or nblocks
+            for seg_bytes in segs:
+                if bi >= nblocks:
+                    break
+                br = _JpegBitReader(seg_bytes)
+                pred = 0
+                for _ in range(min(ri, nblocks - bi)):
+                    blk, pred = _decode_block(br, dc_tab, ac_tab, pred)
+                    rowb, colb = divmod(bi, nbw)
+                    coeffs[fi][rowb * bws[fi] + colb] = blk
+                    bi += 1
+        else:
+            order = []  # per-MCU block order
+            for cid, td, ta in sc:
+                fi = fidx.get(cid)
+                if fi is None:
+                    raise ValueError(
+                        f"JPEG scan references undeclared component {cid}"
                     )
-        if any(o[5] is None or o[6] is None for o in order):
-            raise ValueError("JPEG scan references an undeclared Huffman table")
+                _, ch, cv, _ = comps[fi]
+                for bv in range(cv):
+                    for bh2 in range(ch):
+                        order.append(
+                            (fi, ch, cv, bv, bh2, tabs.get((0, td)), tabs.get((1, ta)))
+                        )
+            if any(o[5] is None or o[6] is None for o in order):
+                raise ValueError("JPEG scan references an undeclared Huffman table")
 
-        n_mcus = mcux * mcuy
-        mcu = 0
-        ri = ri0 or n_mcus
-        for seg_bytes in segs:
-            if mcu >= n_mcus:
-                break
-            br = _JpegBitReader(seg_bytes)
-            pred = [0] * len(comps)
-            for _ in range(min(ri, n_mcus - mcu)):
-                my, mx = divmod(mcu, mcux)
-                for fi, ch, cv, bv, bh2, dc_tab, ac_tab in order:
-                    blk = np.zeros(64, dtype=np.int32)
-                    s = dc_tab.decode(br)
-                    diff = _jpeg_extend(br.read_bits(s), s) if s else 0
-                    pred[fi] += diff
-                    blk[0] = pred[fi]
-                    k = 1
-                    while k < 64:
-                        rs = ac_tab.decode(br)
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r == 15:  # ZRL: sixteen zeros
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG AC run past block end (corrupt stream)")
-                        blk[k] = _jpeg_extend(br.read_bits(s), s)
-                        k += 1
-                    row = my * cv + bv
-                    col = mx * ch + bh2
-                    coeffs[fi][row * bws[fi] + col] = blk
-                mcu += 1
+            n_mcus = mcux * mcuy
+            mcu = 0
+            ri = ri0 or n_mcus
+            for seg_bytes in segs:
+                if mcu >= n_mcus:
+                    break
+                br = _JpegBitReader(seg_bytes)
+                pred = [0] * len(comps)
+                for _ in range(min(ri, n_mcus - mcu)):
+                    my, mx = divmod(mcu, mcux)
+                    for fi, ch, cv, bv, bh2, dc_tab, ac_tab in order:
+                        blk, pred[fi] = _decode_block(br, dc_tab, ac_tab, pred[fi])
+                        row = my * cv + bv
+                        col = mx * ch + bh2
+                        coeffs[fi][row * bws[fi] + col] = blk
+                    mcu += 1
 
     # vectorized tail: dequant -> de-zigzag -> batched IDCT per component
     m = _jpeg_dct_basis()

@@ -1886,3 +1886,56 @@ def test_jpeg_progressive_refinement_zrl_interleave():
         _jpeg_progressive_bytes(img4, al_ac=2, ac_bands=((1, 63),))
     )
     assert np.array_equal(base, prog)
+
+
+def test_jpeg_gray_declared_sampling_factors_gt1():
+    """ADVICE r12: a single-component frame's entropy stream is
+    ordered over the COMPONENT's block grid (T.81 A.2.2) regardless of
+    the declared sampling factors — with one component, xi =
+    ceil(w*Hi/Hmax) = w, so the grid is ceil(w/8) whatever H1xV1 says.
+    Re-declaring the SOF sampling byte of a grayscale baseline JPEG
+    must therefore not change the decode; before the fix the
+    sequential path walked the MCU-padded interleaved grid (mcux*ch)
+    and mis-placed every block."""
+    import numpy as np
+
+    from sqlite_vector_spark.operators.multimodal import _jpeg_decode
+
+    rng = np.random.default_rng(31)
+    gray = rng.integers(0, 256, size=(13, 21), dtype=np.uint8)
+    base = _jpeg_bytes(gray)
+    want = _jpeg_decode(base)
+    i = base.index(b"\xff\xc0")
+    comp0 = i + 4 + 6  # prec(1) + h(2) + w(2) + ncomp(1) -> first comp id
+    assert base[comp0 + 1] == 0x11
+    for hv in (0x22, 0x21, 0x12):
+        patched = base[:comp0 + 1] + bytes([hv]) + base[comp0 + 2:]
+        got = _jpeg_decode(patched)
+        assert np.array_equal(got, want), f"sampling byte {hv:#x} changed the decode"
+    # restart markers reset the single-component DC predictor too
+    ri = _jpeg_bytes(gray, restart_interval=1)
+    want_ri = _jpeg_decode(ri)
+    j = ri.index(b"\xff\xc0")
+    patched = ri[:j + 11] + bytes([0x22]) + ri[j + 12:]
+    assert np.array_equal(_jpeg_decode(patched), want_ri)
+
+
+def test_ppm_zero_area_returns_uint8():
+    """ADVICE r12: a zero-area wide (maxval>255) PGM used to skip the
+    rescale via the arr.size guard and return big-endian uint16 where
+    every other decode path returns uint8. The zero-area contract
+    stays (empty array out — pinned by the r12 golden test); the DTYPE
+    is now uniformly uint8 on every path."""
+    import numpy as np
+
+    from sqlite_vector_spark.operators.multimodal import _ppm_decode
+
+    for header in (
+        b"P5 0 3 65535\n",
+        b"P5 3 0 65535\n",
+        b"P6 0 0 1023\n",
+        b"P5 0 0 255\n",
+    ):
+        arr = _ppm_decode(header)
+        assert arr.dtype == np.uint8
+        assert arr.size == 0
