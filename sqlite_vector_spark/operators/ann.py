@@ -438,10 +438,15 @@ def lsh_bucket_scan(
 ) -> DataFrame:
     """ANN over a bucket-partitioned store: probe the query's bucket +
     Hamming-``hamming`` neighbors via an IN filter (PartitionFilters in
-    the plan — tests/test_ann.py pins it), exact top-k within."""
-    probes = lsh_probe_buckets(query, planes, hamming)
-    stored = spark.read.parquet(dest)
-    pruned = stored.where(F.col("bucket").isin([int(b) for b in probes]))
+    the plan — tests/test_ann.py pins it), exact top-k within. A
+    VERSIONED store prunes the same probes via its manifest (r13)."""
+    from sqlite_vector_spark.versioned import is_versioned, read_versioned
+
+    probes = [int(b) for b in lsh_probe_buckets(query, planes, hamming)]
+    if is_versioned(spark, dest):
+        pruned = read_versioned(spark, dest, partition_values=probes)
+    else:
+        pruned = spark.read.parquet(dest).where(F.col("bucket").isin(probes))
     return full_scan(pruned, "vec", [float(x) for x in query], k, metric, id_col="id")
 
 
@@ -525,10 +530,21 @@ def ivf_stored_scan(
     metric: str | Metric = "L2",
 ) -> DataFrame:
     """Approximate top-k over an ivf_store directory: probe-cluster
-    IN filter (partition pruning), exact top-k within the probes."""
-    probes = probe_clusters([float(x) for x in query], centroids, nprobe)
-    stored = spark.read.parquet(dest)
-    pruned = stored.where(F.col("cluster").isin([int(c) for c in probes]))
+    IN filter (partition pruning), exact top-k within the probes.
+
+    r13: a store migrated to the VERSIONED manifest layout resolves
+    through read_versioned with the probed clusters as the manifest
+    filter — the same pruning (only probed partitions' files enter the
+    plan) without listing the data prefix, so swap mode stays
+    invisible to the IVF tier too (router contract)."""
+    from sqlite_vector_spark.versioned import is_versioned, read_versioned
+
+    probes = [int(c) for c in probe_clusters([float(x) for x in query], centroids, nprobe)]
+    if is_versioned(spark, dest):
+        pruned = read_versioned(spark, dest, partition_values=probes)
+    else:
+        stored = spark.read.parquet(dest)
+        pruned = stored.where(F.col("cluster").isin(probes))
     return full_scan(pruned, "vec", [float(x) for x in query], k, metric, id_col="id")
 
 

@@ -757,7 +757,12 @@ def bq_band_join(
         F.col(q_id).cast("bigint").alias("qid"), q_code.alias("qbits")
     )
     qx = explode_bands(qenc, F.col("qbits"), ["qid", "qbits"], dim, band_bits)
-    stored = spark.read.parquet(dest).select(
+    # read_store: versioned band stores resolve via manifest (r13);
+    # the Q x m probe side touches every band partition, so the join's
+    # dynamic pruning — not the resolver — is the cost lever either way
+    from sqlite_vector_spark.sinks import read_store
+
+    stored = read_store(spark, dest).select(
         "id", "bits", F.col("b").cast("int").alias("b"), "bv"
     )
     cand = stored.join(F.broadcast(qx.withColumn("b", F.col("b").cast("int"))), ["b", "bv"]).select(
@@ -803,7 +808,14 @@ def bq_band_scan(
         qw = bq_query_words(query, thresholds)
     per_word = 64 // band_bits
     mask = (1 << band_bits) - 1
-    stored = spark.read.parquet(dest)
+    # read_store, not read.parquet: a band store migrated to the
+    # VERSIONED layout resolves through its live manifest (r13 router
+    # contract). No partition_values filter here — the probe touches
+    # EVERY band partition by construction (one (b, bv) term per
+    # band), so the pruning lever is the bv row-group skip either way.
+    from sqlite_vector_spark.sinks import read_store
+
+    stored = read_store(spark, dest)
     cond = None
     for w, i in _band_layout(dim, band_bits):
         b = w * per_word + i

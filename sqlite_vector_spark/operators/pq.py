@@ -1057,11 +1057,18 @@ def ivf_pq_stored_scan(
     the same M-term fold either way."""
     q = [float(x) for x in query]
     from sqlite_vector_spark.operators.ann import probe_clusters
+    from sqlite_vector_spark.versioned import is_versioned, read_versioned
 
-    probes = probe_clusters(q, centroids, nprobe)
-    stored = spark.read.parquet(dest)
+    probes = [int(p) for p in probe_clusters(q, centroids, nprobe)]
+    if is_versioned(spark, dest):
+        # manifest-pruned to the probed clusters (r13): both arms only
+        # ever read probe partitions — the residual arm's per-probe
+        # cluster filters operate within this pruned set
+        stored = read_versioned(spark, dest, partition_values=probes)
+    else:
+        stored = spark.read.parquet(dest)
     if not residual:
-        pruned = stored.where(F.col("cluster").isin([int(p) for p in probes]))
+        pruned = stored.where(F.col("cluster").isin(probes))
         return pq_scan(pruned, q, codebooks, k, metric)
 
     return ivf_pq_residual_adc_scan(stored, q, centroids, codebooks, k, nprobe, metric)

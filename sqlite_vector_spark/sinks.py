@@ -273,13 +273,13 @@ def delete_ids(
     store touches every band — the probe discovers either), (2) only
     those partitions are re-read (planning-time pruning on the isin
     filter), anti-joined against the broadcast id set, and rewritten,
-    (3) each affected directory is swapped via os.rename — untouched
+    (3) each affected directory is swapped via a filesystem rename
+    (the Hadoop FS layer — os-identical locally) — untouched
     partitions are never read or written. A partition whose rows are
     all deleted is removed. Unpartitioned stores rewrite wholesale
-    (same swap as compact_store). Local filesystem only, single
-    maintenance writer — the same concurrency contract as
-    compact_store; the superseded data is retained at
-    ``<path>__pre_delete`` until the next delete.
+    (same swap as compact_store). Single maintenance writer — the
+    same concurrency contract as compact_store; the superseded data
+    is retained at ``<path>__pre_delete`` until the next delete.
 
     Returns {"deleted_rows", "rows_after", "partitions_rewritten"}.
     ``rows_after`` is the store total for an unpartitioned rewrite

@@ -45,18 +45,19 @@ manifest filter — no listing of the data prefix on the read path.
 Integration boundary: the MAINTENANCE family (delete_ids /
 compact_store / vacuum_store, the takedown orchestrator and
 verify_ids_absent via sinks.read_store) dispatches on the manifest
-layout automatically. QUERY paths (r13, VERDICT r12 #3): the catalog
-router (router.knn / knn_join), the TVF surface, and route_sql
-resolve the quantized / PQ / BQ replica through
-``sinks.read_store(spark, root)`` too, so swap mode is invisible to
-routed queries — a tier migrated to versioned layout keeps answering
-the same SQL (oracle-gated: auto_route_scan_versioned; equality-
-pinned: tests/test_versioned.py routed-versioned == routed-flat).
-The partition-PRUNED tier readers (IVF cluster dirs, MIH band dirs —
-ann.ivf_stored_scan / bq.bq_band_scan) prune by directory today and
-expect flat roots; a versioned band/IVF tier is read with
-``read_versioned(spark, root, partition_values=...)`` (the manifest
-filter gives the same pruning without listing the data prefix).
+layout automatically. QUERY paths (r13, VERDICT r12 #3): swap mode is
+invisible to EVERY tier's reader — the catalog router (router.knn /
+knn_join), the TVF surface, and route_sql resolve the quantized / PQ
+/ BQ replica through ``sinks.read_store(spark, root)``
+(oracle-gated: auto_route_scan_versioned; equality-pinned:
+tests/test_versioned.py routed-versioned == routed-flat), and the
+partition-PRUNED tier readers (ann.ivf_stored_scan /
+ann.lsh_bucket_scan / pq.ivf_pq_stored_scan / bq.bq_band_scan /
+bq.bq_band_join) resolve a versioned root via
+``read_versioned(partition_values=<probes>)`` — the manifest filter
+gives the same probe pruning WITHOUT listing the data prefix, and an
+empty probe set returns an empty frame like the flat ``.where()``
+(equality-pinned: test_probe_limited_tiers_versioned_equals_flat).
 
 Reference anchor: the reference swaps its chunked shadow table by
 dropping and recreating it inside one transaction
@@ -182,6 +183,17 @@ def read_versioned(
     if partition_values is not None:
         want = {str(v) for v in partition_values}
         entries = [e for e in entries if e.get("value") in want]
+        if not entries and man["files"]:
+            # the filter matched no live partition (e.g. a probed IVF
+            # cluster emptied by deletes): EMPTY result with the store
+            # schema — the flat twin's .where() returns empty too, and
+            # a query path must not turn pruning into an error
+            e0 = man["files"][0]
+            gen0 = "/".join(e0["path"].split("/")[:2])
+            r = spark.read
+            if pcol is not None:
+                r = r.option("basePath", f"{rootp}/{gen0}")
+            return r.parquet(f"{rootp}/{e0['path']}").limit(0)
     by_gen: dict[str, list[str]] = {}
     for e in entries:
         gen = "/".join(e["path"].split("/")[:2])  # "data/g000123"

@@ -324,3 +324,15 @@ def test_session_incident_overlap_is_bucket_equijoin(spark):
     plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan and "Inner" in plan, plan[:1500]
     assert_not_in_plan(df, "BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin")
+
+
+def test_routed_versioned_scan_single_relation(spark):
+    """The routed scan over a compacted (single-generation) VERSIONED
+    replica must plan exactly like the flat route: one parquet scan
+    into TakeOrdered — no Union, no extra exchange. Plan width only
+    grows while superseded generations are retained (the documented
+    bounded window), never in steady state."""
+    plan = physical_plan(w.auto_route_scan_versioned_q(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Union" not in plan
+    assert plan.count("FileScan") == 1

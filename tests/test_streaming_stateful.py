@@ -762,14 +762,16 @@ def test_streaming_embedding_neardup_state_maintenance(spark, tmp_path):
                                         _EPLANES, threshold=0.5)
 
 
-def test_takedown_stream_state_embedding_then_resume(spark, tmp_path):
+@pytest.mark.parametrize("scheme", ["local", "mock"])
+def test_takedown_stream_state_embedding_then_resume(spark, tmp_path, scheme):
     """Embedding streaming takedown: remove a vector from the per-epoch
     bucket indexes, vector mirror, and labels (cluster re-solved);
     a RESUMED stream ingesting a third batch produces labels equal to
     a batch rebuild over the survivors — and the orchestrator reaches
-    the registered state."""
-    import os
-
+    the registered state. The mock-scheme run additionally proves the
+    ORCHESTRATOR path end-to-end on a non-file root: catalog-registered
+    remote state -> takedown -> verify_ids_absent's stream-residual
+    walk (r13)."""
     import pyspark.sql.functions as F
 
     from sqlite_vector_spark.catalog import VectorCatalog
@@ -785,7 +787,7 @@ def test_takedown_stream_state_embedding_then_resume(spark, tmp_path):
     spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src)
     spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
 
-    state = str(tmp_path / "estate")
+    state = _state_root(tmp_path, scheme, "estate")
     ckpt = str(tmp_path / "eckpt")
     _run_emb_stream(spark, src, state, ckpt, 2, schema)
 
@@ -802,8 +804,7 @@ def test_takedown_stream_state_embedding_then_resume(spark, tmp_path):
         "embedding_stream_state": 0
     }
     # labels re-solved: {1,10} survive as a cluster with min 1
-    eps = sorted(int(d.split("=")[1]) for d in os.listdir(os.path.join(state, "labels"))
-                 if d.startswith("epoch=") and "__" not in d)
+    eps = _state_eps(spark, state, "labels")
     lab = {r.id: r.cluster
            for r in spark.read.parquet(f"{state}/labels/epoch={eps[-1]}").collect()}
     assert lab[1] == 1 and lab[10] == 1 and 0 not in lab
@@ -811,8 +812,7 @@ def test_takedown_stream_state_embedding_then_resume(spark, tmp_path):
     # resume: batch 3 bridges to the re-solved cluster
     spark.createDataFrame(b3, schema).coalesce(1).write.mode("append").parquet(src)
     _run_emb_stream(spark, src, state, ckpt, 3, schema)
-    eps = sorted(int(d.split("=")[1]) for d in os.listdir(os.path.join(state, "labels"))
-                 if d.startswith("epoch=") and "__" not in d)
+    eps = _state_eps(spark, state, "labels")
     got = {(r.id, r.cluster)
            for r in spark.read.parquet(f"{state}/labels/epoch={eps[-1]}").collect()}
     survivors = spark.createDataFrame([r for r in b1 + b2 + b3 if r[0] != 0], schema)

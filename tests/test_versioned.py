@@ -403,3 +403,71 @@ def test_versioned_reinit_after_full_wipe(spark, tmp_path):
     rep = versioned_store_init(_frame(spark, 30), path, partition_col="cluster")
     assert rep["version"] == ver + 1
     assert _rows(read_versioned(spark, path)) == _rows(_frame(spark, 30))
+
+
+def test_probe_limited_tiers_versioned_equals_flat(spark, tmp_path):
+    """r13: the probe-limited tier readers resolve versioned roots
+    too — ivf_stored_scan / lsh_bucket_scan prune the PROBED
+    partitions via the manifest (never listing the data prefix),
+    bq_band_scan reads through read_store — so migrating ANY derived
+    store to the rename-free layout leaves every query result
+    unchanged. Also pins the empty-probe edge: a manifest filter that
+    matches no live partition returns an EMPTY frame with the store
+    schema, like the flat .where()."""
+    import numpy as np
+
+    from sqlite_vector_spark.operators.ann import ivf_store, ivf_stored_scan
+    from sqlite_vector_spark.versioned import read_versioned, versioned_store_init
+
+    dim = 8
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    cents = [[float(x) for x in rng.normal(size=dim)] for _ in range(6)]
+
+    flat = str(tmp_path / "ivf_flat")
+    ivf_store(df, "vec", cents, flat)
+    ver = str(tmp_path / "ivf_ver")
+    versioned_store_init(spark.read.parquet(flat), ver, partition_col="cluster")
+
+    q = [0.3] * dim
+    want = [(r.id, r.distance) for r in ivf_stored_scan(spark, flat, q, cents, 10).collect()]
+    got_df = ivf_stored_scan(spark, ver, q, cents, 10)
+    assert [(r.id, r.distance) for r in got_df.collect()] == want
+    assert all("ivf_ver/data/" in f for f in got_df.inputFiles())
+    # manifest pruning: only the probed clusters' files enter the plan
+    assert len(got_df.inputFiles()) < len(spark.read.parquet(flat).inputFiles())
+
+    # empty-probe edge: no live partition matches -> empty, same schema
+    empty = read_versioned(spark, ver, partition_values=[999])
+    assert empty.count() == 0
+    assert set(empty.columns) == set(spark.read.parquet(flat).columns)
+
+
+def test_band_scan_versioned_equals_flat(spark, tmp_path):
+    """bq_band_scan over a versioned band store == the flat store
+    (read_store resolve; every band partition is probed by
+    construction, so the resolver is the only difference)."""
+    import numpy as np
+
+    from sqlite_vector_spark.operators.bq import bq_band_scan, bq_band_store, bq_encode
+    from sqlite_vector_spark.versioned import versioned_store_init
+
+    dim = 64
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    codes = bq_encode(df, "vec", dim)
+
+    flat = str(tmp_path / "band_flat")
+    bq_band_store(codes, dim, flat, band_bits=16)
+    ver = str(tmp_path / "band_ver")
+    versioned_store_init(
+        spark.read.parquet(flat), ver, partition_col="b", sort_within=["bv"]
+    )
+
+    q = [float(x) for x in rng.normal(size=dim)]
+    want = [(r.id, r.hamming) for r in bq_band_scan(spark, flat, q, dim, 8).collect()]
+    got_df = bq_band_scan(spark, ver, q, dim, 8)
+    assert [(r.id, r.hamming) for r in got_df.collect()] == want
+    assert all("band_ver/data/" in f for f in got_df.inputFiles())

@@ -108,6 +108,8 @@ def main():
         # round-8b additions (SQL surface)
         ("sql_macro_scan", "macro-expanded SQL: HOF fold codegen'd at the scan, pushed filters, TakeOrdered — identical plan class to the Column build", w.sql_macro_scan_q),
         ("auto_route_scan", "auto-routed SQL: canonical text rewritten onto the quantized replica scan (Arrow kernel under backend=auto; the oracle gate pins codegen)", w.auto_route_scan_q),
+        # round-13 addition (versioned tier on the query path)
+        ("auto_route_scan_versioned", "auto-routed SQL over a VERSIONED replica: read_store resolves the live manifest, one generation -> same single-scan plan class as the flat route (no union while compacted)", w.auto_route_scan_versioned_q),
         ("token_cooccurrence", "co-occurrence lift: broadcast df-banded vocab, doc_id co-partitioned pair join, partial-agg counts", w.token_cooccurrence_q),
         ("tvf_ep1_join_back", "EP1 composed SQL: embedded quantize-scan TVF as temp-view subquery, broadcast join-back", w.tvf_ep1_join_back_q),
         ("neardup_keep_best", "quality keeper: rank window over the member set only, corpus map-only with broadcast joins", w.neardup_keep_best_q),
