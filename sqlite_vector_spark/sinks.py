@@ -845,6 +845,57 @@ def verify_ids_absent(spark, catalog, table: str, column: str, ids, id_col: str 
     return report
 
 
+def migrate_tier_to_versioned(
+    spark, catalog, table: str, column: str, tier: str, dest: str | None = None,
+) -> dict:
+    """One call: migrate a catalog-registered VECTOR tier to the
+    rename-free VERSIONED layout and flip the catalog pointer, so the
+    router serves the versioned replica immediately (swap mode is
+    invisible to queries — r13; equality-pinned in test_versioned).
+    ``tier``: quantized | ivf | pq | bq | mih. ``dest`` defaults to
+    ``<old path>__versioned``; the old flat store is left in place
+    for draining readers — remove it (or point vacuum at it) once
+    they are gone. Index metadata (centroids, codebooks, thresholds,
+    planes, quant params) is re-registered unchanged: migration moves
+    bytes, never re-fits."""
+    from sqlite_vector_spark.versioned import migrate_to_versioned
+
+    ctx = catalog.get(table, column)
+    paths = {
+        "quantized": ctx.quantized_path, "ivf": ctx.ivf_path,
+        "pq": ctx.pq_path, "bq": ctx.bq_path, "mih": ctx.mih_path,
+    }
+    if tier not in paths:
+        raise ValueError(f"tier must be one of {sorted(paths)}, got {tier!r}")
+    src = paths[tier]
+    if src is None:
+        raise ValueError(f"{table}.{column} has no registered {tier} store")
+    destp = (dest or src.rstrip("/") + "__versioned").rstrip("/")
+    sort_within = ["bv"] if tier == "mih" else None
+    rep = migrate_to_versioned(spark, src, destp, sort_within=sort_within)
+    if tier == "quantized":
+        catalog.set_quant_params(
+            table, column, qtype=ctx.resolved_qtype, scale=float(ctx.qscale),
+            offset=float(ctx.qoffset), path=destp,
+            include_cols=ctx.quantized_include_cols,
+        )
+    elif tier == "ivf":
+        catalog.set_ivf_index(table, column, path=destp, centroids=ctx.ivf_centroids)
+    elif tier == "pq":
+        catalog.set_pq_index(
+            table, column, path=destp, codebooks=ctx.pq_codebooks,
+            residual=ctx.pq_residual, rotation=ctx.pq_rotation,
+        )
+    elif tier == "bq":
+        catalog.set_bq_index(table, column, path=destp, thresholds=ctx.bq_thresholds)
+    else:  # mih
+        catalog.set_mih_index(
+            table, column, path=destp, band_bits=ctx.mih_band_bits or 16,
+            planes=ctx.mih_planes, center=ctx.mih_center,
+        )
+    return {**rep, "tier": tier, "previous_path": src}
+
+
 def read_store(spark, path: str) -> DataFrame:
     """Read a store regardless of swap mode: versioned roots resolve
     through their live manifest (reading the root directly would scan

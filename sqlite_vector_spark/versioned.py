@@ -271,6 +271,51 @@ def versioned_store_init(
     return {"version": ver, "files": len(entries)}
 
 
+def migrate_to_versioned(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    partition_col: str | None = "auto",
+    sort_within=None,
+) -> dict:
+    """Copy a FLAT store into a fresh VERSIONED root (generation 0 +
+    manifest) — the one-call migration path for moving a derived
+    store onto an object store. ``partition_col="auto"`` detects the
+    directory layout from the source's ``col=value`` dirs (through
+    the FS layer, so a remote source detects too); sidecars
+    (``_sv_*.json``) are carried over; row-count equality is checked
+    before returning. The SOURCE is left in place — remove it once
+    readers have drained (the same grace contract as the swap verbs).
+    For a catalog-registered tier use sinks.migrate_tier_to_versioned,
+    which also flips the catalog pointer so the router serves the
+    versioned replica immediately."""
+    from sqlite_vector_spark import fsutil
+
+    srcp, destp = src.rstrip("/"), dest.rstrip("/")
+    if is_versioned(spark, srcp):
+        raise ValueError(f"migrate_to_versioned: {src!r} is already a versioned store")
+    if partition_col == "auto":
+        partition_col = next(
+            (d.split("=", 1)[0] for d in fsutil.list_dirs(spark, srcp) if "=" in d),
+            None,
+        )
+    df = spark.read.parquet(srcp)
+    n = df.count()
+    rep = versioned_store_init(df, destp, partition_col=partition_col,
+                               sort_within=sort_within)
+    for fname in fsutil.list_names(spark, srcp):
+        if fname.startswith("_sv_") and fname.endswith(".json"):
+            _put_text(spark, f"{destp}/{fname}", _get_text(spark, f"{srcp}/{fname}"))
+    out = read_versioned(spark, destp).count()
+    if out != n:  # manifest committed; fail loudly, source untouched
+        raise RuntimeError(
+            f"migrate_to_versioned row-count mismatch: source {n} rows, "
+            f"versioned {out} — source {src!r} is untouched"
+        )
+    return {"rows": n, "partition_col": partition_col,
+            "files": rep["files"], "dest": destp}
+
+
 def delete_ids_versioned(
     spark: SparkSession,
     root: str,

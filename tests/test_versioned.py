@@ -471,3 +471,53 @@ def test_band_scan_versioned_equals_flat(spark, tmp_path):
     got_df = bq_band_scan(spark, ver, q, dim, 8)
     assert [(r.id, r.hamming) for r in got_df.collect()] == want
     assert all("band_ver/data/" in f for f in got_df.inputFiles())
+
+
+def test_migrate_tier_to_versioned_one_call(spark, emb, tmp_path):
+    """sinks.migrate_tier_to_versioned: flat tier -> versioned layout
+    + catalog pointer flip in one call; the routed query serves the
+    versioned replica immediately with identical results, sidecars
+    carry over, and index metadata is re-registered unchanged."""
+    from sqlite_vector_spark.catalog import VectorCatalog
+    from sqlite_vector_spark.operators.quantize import vector_quantize
+    from sqlite_vector_spark.router import knn
+    from sqlite_vector_spark.sinks import (
+        migrate_tier_to_versioned,
+        read_store,
+        write_params_sidecar,
+    )
+    from sqlite_vector_spark.versioned import is_versioned
+
+    cat = VectorCatalog(str(tmp_path / "cat"))
+    emb.createOrReplaceTempView("emb_mig_t")
+    cat.vector_init(emb, "emb_mig_t", "embedding", "type=FLOAT32,dimension=64,distance=L2")
+    shadow = str(tmp_path / "shadow")
+    vector_quantize(emb, "embedding", shadow, id_col="vec_id", catalog=cat, table="emb_mig_t")
+    write_params_sidecar(shadow, {"id_col": "vec_id"})
+
+    q = [0.02 * j for j in range(64)]
+    flat = [(r.id, r.distance)
+            for r in knn(spark, cat, "emb_mig_t", "embedding", q, 10).collect()]
+
+    rep = migrate_tier_to_versioned(spark, cat, "emb_mig_t", "embedding", "quantized")
+    assert rep["tier"] == "quantized" and rep["previous_path"] == shadow
+    ctx = cat.get("emb_mig_t", "embedding")
+    assert ctx.quantized_path == rep["dest"] != shadow
+    assert is_versioned(spark, ctx.quantized_path)
+    # quant params survived the flip (migration never re-fits)
+    assert ctx.qscale is not None and ctx.resolved_qtype is not None
+    # sidecar carried over
+    from sqlite_vector_spark.sinks import read_params_sidecar
+
+    assert read_params_sidecar(ctx.quantized_path) == {"id_col": "vec_id"}
+    # routed query now serves the versioned replica, same results
+    routed = knn(spark, cat, "emb_mig_t", "embedding", q, 10)
+    assert [(r.id, r.distance) for r in routed.collect()] == flat
+    assert all("__versioned/data/" in f for f in routed.inputFiles())
+    assert read_store(spark, ctx.quantized_path).count() == emb.count()
+
+    # unknown tier / unregistered tier refuse
+    with pytest.raises(ValueError, match="tier must be"):
+        migrate_tier_to_versioned(spark, cat, "emb_mig_t", "embedding", "nope")
+    with pytest.raises(ValueError, match="no registered ivf"):
+        migrate_tier_to_versioned(spark, cat, "emb_mig_t", "embedding", "ivf")
