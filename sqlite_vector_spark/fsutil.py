@@ -57,14 +57,18 @@ def norm_root(path: str) -> str:
 
 
 def active_spark():
-    """The active SparkSession, required for remote filesystem access.
+    """The current SparkSession, required for remote filesystem access.
 
-    Raised loudly instead of silently falling back to ``os`` calls: a
-    verb that walked a remote root with os.listdir would report an
-    empty store and 'succeed'."""
+    getActiveSession() is THREAD-LOCAL and returns None on threads
+    Spark spawns itself — a Structured Streaming foreachBatch handler
+    runs on the query thread, which is exactly where the streaming
+    state verbs call this — so fall back to the process-wide default
+    session before raising. Raised loudly instead of silently falling
+    back to ``os`` calls: a verb that walked a remote root with
+    os.listdir would report an empty store and 'succeed'."""
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.getActiveSession()
+    spark = SparkSession.getActiveSession() or SparkSession._instantiatedSession
     if spark is None:
         raise RuntimeError(
             "this path carries a URI scheme, which needs an active "

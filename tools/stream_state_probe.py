@@ -22,6 +22,15 @@ maxFilesPerTrigger=1):
 
 Usage: python tools/stream_state_probe.py [n_rows] [n_epochs] [max_parallel]
 Prints one JSON line; paste into SCALE.md.
+
+r13: SVSPARK_PROBE_SCHEME=mock roots the STATE dirs at the test-only
+``mock:`` scheme (tests/javalib/MockFileSystem — RawLocalFileSystem
+semantics under a non-file URI), so the same lifecycle measures the
+Hadoop-FS-layer code path the object-store story uses: epoch
+discovery, compaction's fold/retention/promote, the per-epoch
+takedown swaps (delete_ids remote_ok), vacuum, and the sidecar IO.
+Same disk underneath — the delta vs the default run is the FS-layer
+dispatch cost, not network.
 """
 
 from __future__ import annotations
@@ -51,15 +60,15 @@ def _drain(q, labels_root: str, n_label_epochs: int, timeout: float = 1800.0):
     """Wait until the stream has written n_label_epochs labels dirs and
     reports no pending data, then stop it (availableNow is incompatible
     with maxFilesPerTrigger on the file source — same drain recipe as
-    tests/test_streaming_stateful.py)."""
+    tests/test_streaming_stateful.py). Epoch discovery via the
+    engine's scheme-agnostic lister (the mock-scheme runs cannot
+    os.listdir the state)."""
+    from sqlite_vector_spark.streaming.scoring import _epoch_ids
+
     deadline = time.time() + timeout
     try:
         while time.time() < deadline:
-            eps = (
-                [d for d in os.listdir(labels_root)
-                 if d.startswith("epoch=") and "__" not in d]
-                if os.path.isdir(labels_root) else []
-            )
+            eps = _epoch_ids(labels_root)
             if len(eps) >= n_label_epochs and not q.status["isDataAvailable"]:
                 break
             time.sleep(1)
@@ -77,15 +86,25 @@ def main():
     import pyspark.sql.functions as F
     from pyspark.sql import SparkSession
 
-    spark = (
+    scheme = os.environ.get("SVSPARK_PROBE_SCHEME", "")
+    builder = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("stream-state-probe")
         .config("spark.sql.shuffle.partitions", str(max(int(CPUS), 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
-        .getOrCreate()
     )
+    if scheme == "mock":
+        classes = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tests", "javalib", "classes",
+        )
+        builder = (
+            builder.config("spark.hadoop.fs.mock.impl", "MockFileSystem")
+            .config("spark.driver.extraClassPath", classes)
+        )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     from sqlite_vector_spark.catalog import VectorCatalog
@@ -151,8 +170,13 @@ def main():
 
         doc_src = os.path.join(root, "doc_src")
         vec_src = os.path.join(root, "vec_src")
-        tstate = os.path.join(root, "tstate")
-        estate = os.path.join(root, "estate")
+        # sources/checkpoints stay local either way; only the STATE
+        # roots move to the probe scheme — that is where the FS-layer
+        # code path lives
+        prefix = "mock:" if scheme == "mock" else ""
+        tstate = prefix + os.path.join(root, "tstate")
+        estate = prefix + os.path.join(root, "estate")
+        out["state_scheme"] = scheme or "local"
 
         def run_text(n_label_epochs):
             stream = (
