@@ -126,14 +126,23 @@ def delete(spark, path: str, recursive: bool = False) -> None:
 
 
 def rename(spark, src: str, dst: str) -> None:
-    """Checked rename: Hadoop's returns False instead of raising on
-    half the failure modes (missing source, existing destination), and
-    a swap that silently no-ops corrupts the verb's accounting."""
+    """Checked rename. Hadoop filesystems split failures across two
+    conventions — some raise (LocalFileSystem on a missing source),
+    others return False (most object-store adapters on missing
+    source / existing destination) — and a swap that silently no-ops
+    corrupts the verb's accounting, so both normalize to OSError."""
+    from py4j.protocol import Py4JJavaError
+
     jvm = spark._jvm
     jsrc = jvm.org.apache.hadoop.fs.Path(src)
     jdst = jvm.org.apache.hadoop.fs.Path(dst)
     fs = jsrc.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.rename(jsrc, jdst):
+    try:
+        ok = fs.rename(jsrc, jdst)
+    except Py4JJavaError as e:
+        raise OSError(f"filesystem rename failed: {src!r} -> {dst!r}: "
+                      f"{e.java_exception.getMessage()}") from e
+    if not ok:
         raise OSError(f"filesystem rename failed: {src!r} -> {dst!r}")
 
 
