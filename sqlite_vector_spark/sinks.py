@@ -26,7 +26,8 @@ from pyspark.sql import DataFrame
 def write_partitioned(df: DataFrame, path: str, partition_col: str,
                       mode: str = "overwrite", sort_within=None,
                       num_partitions: int | None = None,
-                      max_rows_per_file: int | None = None) -> None:
+                      max_rows_per_file: int | None = None,
+                      tasks_per_value: int = 1) -> None:
     """Directory-partitioned parquet with a one-file-per-value layout:
     hash-repartition on the partition column BEFORE ``partitionBy``,
     so each value's rows land in exactly one task and one file. A
@@ -59,11 +60,24 @@ def write_partitioned(df: DataFrame, path: str, partition_col: str,
     straggler's arbitrarily large single file AND stay a single
     object (ADVICE r12). With the cap, a hot value splits into
     ceil(rows/cap) files while cold values keep exactly one —
-    bounded fan-out, never the T*C explosion. Write-side straggler
-    TIME is unchanged (still one task per value; salt the partition
-    key upstream if that bites), the cap bounds file SIZE."""
+    bounded fan-out, never the T*C explosion. The cap bounds file
+    SIZE, not writer TIME.
+
+    ``tasks_per_value`` bounds writer TIME under skew: > 1 salts the
+    shuffle key with a deterministic row hash mod k, spreading each
+    value's rows over up to k writer tasks — the hot cell's write
+    parallelizes k-ways instead of straggling on one task. The cost
+    is fan-out: EVERY value may now emit up to k files (k*C total,
+    still bounded, never T*C) — so it is an explicit opt-in for
+    skew-dominated writes, not the default."""
     n = num_partitions or max(1, df.sparkSession.sparkContext.defaultParallelism)
-    out = df.repartition(n, partition_col)
+    if tasks_per_value > 1:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(int(tasks_per_value))
+        )
+        out = df.repartition(n, F.col(partition_col), salt)
+    else:
+        out = df.repartition(n, partition_col)
     if sort_within:
         out = out.sortWithinPartitions(partition_col, *sort_within)
     w = out.write

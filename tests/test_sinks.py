@@ -478,3 +478,41 @@ def test_write_partitioned_max_rows_per_file_splits_hot_value(spark, tmp_path):
     assert len(files(0)) == 4  # ceil(1000/300)
     assert len(files(1)) == 1  # cold value: still one file
     assert spark.read.parquet(path).count() == 1030
+
+
+def test_write_partitioned_tasks_per_value_parallelizes_hot_value(spark, tmp_path):
+    """tasks_per_value > 1 salts the shuffle key so a hot value's
+    write spreads over up to k tasks (k files), trading bounded
+    fan-out for writer-time parallelism; contents and the partition
+    layout are unchanged, and the salt is deterministic (two writes
+    of the same frame produce the same file count)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from sqlite_vector_spark.sinks import write_partitioned
+
+    df = spark.range(4000).select(
+        F.col("id"),
+        F.when(F.col("id") < 3900, F.lit(0)).otherwise(F.lit(1)).alias("cell"),
+    )
+
+    def files(path, v):
+        d = os.path.join(path, f"cell={v}")
+        return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+    p1 = str(tmp_path / "salted")
+    write_partitioned(df, p1, "cell", tasks_per_value=4)
+    assert 2 <= len(files(p1, 0)) <= 4  # hot value parallelized
+    assert len(files(p1, 1)) <= 4
+    got = spark.read.parquet(p1)
+    assert got.count() == 4000
+    assert got.where(F.col("cell") == 0).count() == 3900
+
+    p2 = str(tmp_path / "salted2")
+    write_partitioned(df, p2, "cell", tasks_per_value=4)
+    assert len(files(p2, 0)) == len(files(p1, 0))  # deterministic salt
+
+    p3 = str(tmp_path / "unsalted")
+    write_partitioned(df, p3, "cell")
+    assert len(files(p3, 0)) == 1  # default keeps one file per value
