@@ -317,7 +317,15 @@ def bq_store_append(
     if n == 0:
         return BqAppendReport(0, 0.0, baseline_bit_bias, 0.0, False)
     bias = bq_bit_bias(enriched, dim)
-    enriched.write.mode("append").parquet(dest)
+    # versioned roots: append as a new manifest generation — a plain
+    # parquet append would land unreferenced files (silent data loss
+    # at the next vacuum; see versioned.append_versioned)
+    from sqlite_vector_spark.versioned import append_versioned, is_versioned
+
+    if is_versioned(enriched.sparkSession, dest):
+        append_versioned(enriched, dest)
+    else:
+        enriched.write.mode("append").parquet(dest)
     # no recorded baseline -> no drift claim (mirrors _pq_append_report:
     # drift is "excess over baseline", and with baseline None the bias
     # itself is still surfaced via mean_bit_bias)

@@ -958,7 +958,16 @@ def pq_store_append(
     n = int(row["n"])
     if n == 0:
         return PqAppendReport(0, 0.0, baseline_recon_err, 0.0, False)
-    enriched.select("id", "codes").write.mode("append").parquet(dest)
+    out = enriched.select("id", "codes")
+    # versioned roots: append as a new manifest generation (see
+    # versioned.append_versioned — plain appends strand unreferenced
+    # files)
+    from sqlite_vector_spark.versioned import append_versioned, is_versioned
+
+    if is_versioned(out.sparkSession, dest):
+        append_versioned(out, dest)
+    else:
+        out.write.mode("append").parquet(dest)
     return _pq_append_report(n, float(row["e"]), baseline_recon_err, drift_threshold)
 
 

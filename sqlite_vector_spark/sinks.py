@@ -69,7 +69,26 @@ def write_partitioned(df: DataFrame, path: str, partition_col: str,
     parallelizes k-ways instead of straggling on one task. The cost
     is fan-out: EVERY value may now emit up to k files (k*C total,
     still bounded, never T*C) — so it is an explicit opt-in for
-    skew-dominated writes, not the default."""
+    skew-dominated writes, not the default.
+
+    VERSIONED roots (r13): ``mode="append"`` routes through
+    versioned.append_versioned — a plain parquet append would drop
+    files no manifest references (invisible to readers, reclaimed as
+    orphans by vacuum: silent data loss); overwrite of a versioned
+    ROOT refuses outright (it would destroy the manifests — evolve a
+    versioned store with the maintenance verbs or re-init)."""
+    from sqlite_vector_spark.versioned import append_versioned, is_versioned
+
+    if is_versioned(df.sparkSession, path):
+        if mode == "append":
+            append_versioned(df, path, sort_within=sort_within)
+            return
+        raise ValueError(
+            f"write_partitioned(mode={mode!r}) would destroy the versioned "
+            f"store at {path!r} (manifests live under the root); use the "
+            "maintenance verbs to evolve it, or versioned_store_init to "
+            "rebuild"
+        )
     n = num_partitions or max(1, df.sparkSession.sparkContext.defaultParallelism)
     if tasks_per_value > 1:
         salt = F.pmod(

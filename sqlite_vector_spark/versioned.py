@@ -271,6 +271,33 @@ def versioned_store_init(
     return {"version": ver, "files": len(entries)}
 
 
+def append_versioned(df: DataFrame, root: str, sort_within=None) -> dict:
+    """Append rows to a versioned store as a NEW generation: the next
+    manifest lists the old files BY REFERENCE plus the new
+    generation's — the same commit shape as delete, so append is
+    rename-free and crash-safe (a crash before the manifest PUT
+    leaves only unreferenced files for vacuum). This is what
+    ``mode="append")`` MUST become on a versioned root: a plain
+    parquet append would drop files next to the generations where no
+    manifest references them — invisible to every reader and
+    reclaimed as orphans by the next vacuum, i.e. silent data loss
+    (sinks.write_partitioned and the flat append verbs dispatch here
+    automatically, r13). Each append widens the read union by one
+    generation until compact_versioned folds it — the same bounded
+    growth story as the streaming epochs."""
+    spark = df.sparkSession
+    rootp = root.rstrip("/")
+    ver, man = current_manifest(spark, rootp)
+    pcol = man["partition_col"]
+    n = max(1, min(spark.sparkContext.defaultParallelism, 64))
+    entries = _write_generation(
+        df, rootp, ver + 1, pcol, sort_within, target_partitions=n
+    )
+    _write_manifest(spark, rootp, ver + 1, pcol, man["files"] + entries)
+    return {"version": ver + 1, "appended_files": len(entries),
+            "partition_col": pcol}
+
+
 def migrate_to_versioned(
     spark: SparkSession,
     src: str,

@@ -521,3 +521,65 @@ def test_migrate_tier_to_versioned_one_call(spark, emb, tmp_path):
         migrate_tier_to_versioned(spark, cat, "emb_mig_t", "embedding", "nope")
     with pytest.raises(ValueError, match="no registered ivf"):
         migrate_tier_to_versioned(spark, cat, "emb_mig_t", "embedding", "ivf")
+
+
+def test_versioned_append_generation(spark, tmp_path):
+    """r13: append on a versioned root commits a NEW manifest
+    generation (old files by reference + the batch) — a plain parquet
+    append would strand files no manifest references, invisible to
+    readers and reclaimed as orphans by vacuum (silent data loss).
+    write_partitioned(mode='append') dispatches automatically;
+    overwrite of a versioned root refuses; vacuum after a compaction
+    reclaims the superseded generations and keeps every appended row."""
+    from sqlite_vector_spark.sinks import (
+        compact_store,
+        read_store,
+        vacuum_store,
+        write_partitioned,
+    )
+    from sqlite_vector_spark.versioned import current_manifest, versioned_store_init
+
+    path = str(tmp_path / "appstore")
+    versioned_store_init(_frame(spark, 100), path, partition_col="cluster")
+
+    batch = _frame(spark, 140).where(F.col("id") >= 100)  # ids 100..139
+    write_partitioned(batch, path, "cluster", mode="append")
+    ver, man = current_manifest(spark, path)
+    assert ver == 1
+    gens = {e["path"].split("/")[1] for e in man["files"]}
+    assert gens == {"g000000", "g000001"}  # old files BY REFERENCE
+    assert _rows(read_store(spark, path)) == _rows(_frame(spark, 140))
+
+    with pytest.raises(ValueError, match="destroy the versioned"):
+        write_partitioned(batch, path, "cluster", mode="overwrite")
+
+    compact_store(spark, path)
+    vacuum_store(path, spark=spark)
+    assert _rows(read_store(spark, path)) == _rows(_frame(spark, 140))
+
+
+def test_versioned_flat_append_verbs_dispatch(spark, tmp_path):
+    """The flat-layout append verbs (bq_store_append) route through
+    append_versioned on a versioned code store — appended rows are
+    manifest-visible and survive vacuum."""
+    import numpy as np
+
+    from sqlite_vector_spark.operators.bq import bq_encode, bq_store_append
+    from sqlite_vector_spark.sinks import read_store, vacuum_store
+    from sqlite_vector_spark.versioned import versioned_store_init
+
+    dim = 64
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    path = str(tmp_path / "bqv")
+    versioned_store_init(bq_encode(df, "vec", dim), path, partition_col=None)
+
+    new_rows = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(100, 130)]
+    new_df = spark.createDataFrame(new_rows, "id long, vec array<double>")
+    rep = bq_store_append(new_df, "vec", dim, path)
+    assert rep.n_appended == 30
+    assert read_store(spark, path).count() == 130
+    vacuum_store(path, spark=spark)
+    assert read_store(spark, path).count() == 130
+    assert sorted(r.id for r in read_store(spark, path).select("id").collect()) == list(range(130))
