@@ -76,7 +76,11 @@ def write_partitioned(df: DataFrame, path: str, partition_col: str,
     files no manifest references (invisible to readers, reclaimed as
     orphans by vacuum: silent data loss); overwrite of a versioned
     ROOT refuses outright (it would destroy the manifests — evolve a
-    versioned store with the maintenance verbs or re-init)."""
+    versioned store with the maintenance verbs or re-init). The
+    dispatch honors ``sort_within``; the file-size/salt knobs apply
+    to flat layouts (a versioned generation is written with the
+    default one-file-per-value recipe, and compact_versioned is the
+    file-size lever there)."""
     from sqlite_vector_spark.versioned import append_versioned, is_versioned
 
     if is_versioned(df.sparkSession, path):

@@ -235,3 +235,19 @@ def test_quantize_update_drift_flags_rebuild(spark, tmp_path):
         spark.createDataFrame([], "id long, v array<double>"), "v", path, p, id_col="id"
     )
     assert rep3.n_appended == 0 and rep3.drift == 0.0
+
+
+def test_quantize_cleanup_deletes_scheme_roots(spark, tmp_path):
+    """ADVICE-class gap closed in r13: vector_quantize_cleanup used
+    shutil.rmtree(ignore_errors=True), which silently no-ops on a
+    URI — a versioned/remote replica would stay on disk while the
+    catalog forgot it. Scheme-carrying roots now delete through the
+    FS layer."""
+    from sqlite_vector_spark import fsutil
+    from sqlite_vector_spark.operators.quantize import vector_quantize_cleanup
+
+    p = f"mock:{tmp_path}/replica"
+    spark.range(5).write.parquet(p)
+    assert fsutil.exists(spark, p)
+    vector_quantize_cleanup(dest_path=p)
+    assert not fsutil.exists(spark, p)

@@ -110,12 +110,24 @@ def main():
     timed("quantized_knn_cold_s", lambda: vector_quantize_scan(codes, q, params, K, "L2").collect(), n=1)
     vector_quantize_preload(codes)
     approx = timed("quantized_knn_preloaded_s", lambda: vector_quantize_scan(codes, q, params, K, "L2").collect(), n=3)
+    # the same preloaded scan on the Arrow/NumPy backend (what "auto"
+    # — the production default — dispatches literal-query scans to):
+    # the codegen arm above is COMPUTE-bound (interpreted per-element
+    # fold, same element count int8 or f32, so the f32->int8 bytes
+    # ratio cannot show); the Arrow arm is bytes->BLAS, where it can
+    set_backend("arrow-numpy")
+    timed("quantized_knn_preloaded_numpy_s",
+          lambda: vector_quantize_scan(codes, q, params, K, "L2").collect(), n=3)
+    set_backend("codegen")
 
     exact_ids = {r.id for r in exact}
     approx_ids = {r.id for r in approx}
     out["recall_at_k"] = round(len(exact_ids & approx_ids) / K, 4)
     out["preload_speedup_x"] = round(out["quantized_knn_cold_s"] / out["quantized_knn_preloaded_s"], 2)
     out["quantized_vs_exact_x"] = round(out["exact_knn_s"] / out["quantized_knn_preloaded_s"], 2)
+    out["quantized_vs_exact_numpy_x"] = round(
+        out["exact_knn_numpy_s"] / out["quantized_knn_preloaded_numpy_s"], 2
+    )
 
     # IVF at realistic C through the arrow-numpy assignment backend:
     # C=256 x dim literals would bloat codegen (~200k literal plan);
