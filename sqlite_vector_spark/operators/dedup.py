@@ -695,23 +695,24 @@ def write_label_state(labels: DataFrame, path: str, params: dict) -> None:
 def _rewrite_label_state(spark, new_labels: DataFrame, path: str) -> dict:
     """Swap a label-state directory to the re-solved labeling (same
     tmp-write + rename + retained ``__pre_delete`` + sidecar-preserve
-    contract as sinks.delete_ids' unpartitioned arm)."""
-    import os
-    import shutil
-
+    contract as sinks.delete_ids' unpartitioned arm). The walk goes
+    through the FS layer (r13), so a label state rooted at a
+    scheme-carrying path (hdfs:/s3a:/mock:) swaps too — a label state
+    is tiny, so the object-store copy-rename cost is negligible."""
+    from sqlite_vector_spark import fsutil
     from sqlite_vector_spark.sinks import _preserve_sidecars
 
-    root = os.path.abspath(path.rstrip("/"))
+    root = fsutil.norm_root(path)
     tmp, old = root + "__deleting", root + "__pre_delete"
     before = spark.read.parquet(path).count()
     # normalize column order: the re-solve's equi-joins put the join
     # key (cluster) first; the persisted state stays (id, cluster)
     new_labels.select("id", "cluster").write.mode("overwrite").parquet(tmp)
     after = spark.read.parquet(tmp).count()
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(root, old)
-    os.rename(tmp, root)
+    if fsutil.exists(spark, old):
+        fsutil.delete(spark, old, recursive=True)
+    fsutil.rename(spark, root, old)
+    fsutil.rename(spark, tmp, root)
     _preserve_sidecars(old, root)
     spark.catalog.refreshByPath(path)
     return {"labels_before": before, "labels_after": after}

@@ -488,3 +488,44 @@ def test_takedown_stream_state_reads_sidecar_params(spark, docs, tmp_path):
     left = {r.id for r in spark.read.parquet(f"{state}/labels/epoch=0").collect()}
     assert 1 not in left
     assert read_params_sidecar(state)["jaccard_min"] == 0.6
+
+
+def test_label_state_swap_on_scheme_root(spark, docs, tmp_path):
+    """r13: the label-state re-solve swap (_rewrite_label_state) goes
+    through the FS layer, so a label state rooted at a non-file
+    scheme swaps too — same delete == rebuild result, retained
+    ``__pre_delete`` layout, sidecar preserved."""
+    from sqlite_vector_spark import fsutil
+    from sqlite_vector_spark.operators.dedup import (
+        connected_components_min_label,
+        delete_labels_state,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        write_label_state,
+    )
+    from sqlite_vector_spark.sinks import read_params_sidecar
+
+    t = 0.8
+    labels0 = connected_components_min_label(
+        jaccard_pairs(lsh_candidate_pairs(docs, "doc_id", "text"), docs, "doc_id", "text")
+        .where(F.col("jaccard") >= F.lit(t)).select("a", "b")
+    )
+    path = f"mock:{tmp_path}/labels"
+    params = {"jaccard_t": t, "num_hashes": 8, "bands": 4, "rows_per_band": 2,
+              "shingle_n": 3, "id_col": "doc_id", "text_col": "text"}
+    write_label_state(labels0, path, params)
+    assert read_params_sidecar(path)["jaccard_t"] == t
+
+    victims = [r.id for r in labels0.limit(2).collect()]
+    sdocs = docs.where(~F.col("doc_id").isin(victims))
+    rep = delete_labels_state(spark, path, sdocs, victims)
+    assert rep["labels_after"] < rep["labels_before"]
+    want = connected_components_min_label(
+        jaccard_pairs(lsh_candidate_pairs(sdocs, "doc_id", "text"), sdocs, "doc_id", "text")
+        .where(F.col("jaccard") >= F.lit(t)).select("a", "b")
+    )
+    got = spark.read.parquet(path)
+    assert (sorted(map(tuple, got.select("id", "cluster").collect()))
+            == sorted(map(tuple, want.select("id", "cluster").collect())))
+    assert fsutil.exists(spark, path + "__pre_delete")  # retained layout
+    assert read_params_sidecar(path)["jaccard_t"] == t  # sidecar preserved
