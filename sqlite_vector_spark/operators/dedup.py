@@ -684,11 +684,17 @@ def write_label_state(labels: DataFrame, path: str, params: dict) -> None:
     of the state, and delete_labels_state / incremental-maintenance
     callers read it instead of trusting re-passed arguments."""
     from sqlite_vector_spark.sinks import write_params_sidecar
+    from sqlite_vector_spark.versioned import is_versioned, replace_versioned
 
-    labels.select(
+    out = labels.select(
         F.col("id").cast("bigint").alias("id"),
         F.col("cluster").cast("bigint").alias("cluster"),
-    ).write.mode("overwrite").parquet(path)
+    )
+    if is_versioned(out.sparkSession, path):
+        # a plain overwrite would delete the manifests with the data
+        replace_versioned(out, path)
+    else:
+        out.write.mode("overwrite").parquet(path)
     write_params_sidecar(path, params)
 
 
@@ -698,9 +704,25 @@ def _rewrite_label_state(spark, new_labels: DataFrame, path: str) -> dict:
     contract as sinks.delete_ids' unpartitioned arm). The walk goes
     through the FS layer (r13), so a label state rooted at a
     scheme-carrying path (hdfs:/s3a:/mock:) swaps too — a label state
-    is tiny, so the object-store copy-rename cost is negligible."""
+    is tiny, so the object-store copy-rename cost is negligible. A
+    VERSIONED label state replaces via the manifest scheme instead
+    (rename-free; a directory swap would silently downgrade its
+    layout to flat)."""
     from sqlite_vector_spark import fsutil
     from sqlite_vector_spark.sinks import _preserve_sidecars
+    from sqlite_vector_spark.versioned import is_versioned, replace_versioned
+
+    if is_versioned(spark, path):
+        # reads resolve via the live manifest (a root read would also
+        # scan retained generations)
+        from sqlite_vector_spark.sinks import read_store
+
+        before = read_store(spark, path).count()
+        rep = replace_versioned(new_labels.select("id", "cluster"), path)
+        after = read_store(spark, path).count()
+        spark.catalog.refreshByPath(path)
+        return {"labels_before": before, "labels_after": after,
+                "version": rep["version"]}
 
     root = fsutil.norm_root(path)
     tmp, old = root + "__deleting", root + "__pre_delete"
@@ -747,7 +769,9 @@ def delete_labels_state(
         "num_hashes": num_hashes, "bands": bands,
         "rows_per_band": rows_per_band, "shingle_n": shingle_n,
     })
-    labels0 = spark.read.parquet(path)
+    from sqlite_vector_spark.sinks import read_store
+
+    labels0 = read_store(spark, path)  # versioned states resolve via manifest
     skipped = _labels_unaffected(spark, labels0, deleted_ids, path)
     if skipped is not None:
         return skipped
@@ -819,7 +843,9 @@ def delete_labels_embedding_state(
             "delete_labels_embedding_state: no plane family/threshold — pass them "
             "or use a label state written by write_label_state (sidecar)"
         )
-    labels0 = spark.read.parquet(path)
+    from sqlite_vector_spark.sinks import read_store
+
+    labels0 = read_store(spark, path)  # versioned states resolve via manifest
     skipped = _labels_unaffected(spark, labels0, deleted_ids, path)
     if skipped is not None:
         return skipped
@@ -974,7 +1000,19 @@ def embedding_bucket_store(
         F.col(id_col).cast("bigint").alias("id"),
         hyperplane_bucket(vec_col, params["planes"]).alias("bucket"),
     )
-    keys.repartition("bucket").sortWithinPartitions("bucket").write.mode(mode).parquet(dest)
+    # versioned roots: append/overwrite commit as manifest generations
+    # (plain writes strand/destroy — see versioned.append_versioned)
+    from sqlite_vector_spark.versioned import (
+        append_versioned,
+        is_versioned,
+        replace_versioned,
+    )
+
+    if is_versioned(keys.sparkSession, dest):
+        op = append_versioned if mode == "append" else replace_versioned
+        op(keys, dest, sort_within=["bucket"])
+    else:
+        keys.repartition("bucket").sortWithinPartitions("bucket").write.mode(mode).parquet(dest)
     write_params_sidecar(dest, params)
 
 

@@ -72,27 +72,33 @@ def write_partitioned(df: DataFrame, path: str, partition_col: str,
     skew-dominated writes, not the default.
 
     VERSIONED roots (r13): ``mode="append"`` routes through
-    versioned.append_versioned — a plain parquet append would drop
+    versioned.append_versioned and ``mode="overwrite"`` through
+    versioned.replace_versioned — a plain parquet append would drop
     files no manifest references (invisible to readers, reclaimed as
-    orphans by vacuum: silent data loss); overwrite of a versioned
-    ROOT refuses outright (it would destroy the manifests — evolve a
-    versioned store with the maintenance verbs or re-init). The
-    dispatch honors ``sort_within``; the file-size/salt knobs apply
-    to flat layouts (a versioned generation is written with the
-    default one-file-per-value recipe, and compact_versioned is the
-    file-size lever there)."""
-    from sqlite_vector_spark.versioned import append_versioned, is_versioned
+    orphans by vacuum: silent data loss), and a plain overwrite would
+    delete the manifests with the data. Both dispatches honor
+    ``sort_within``; the file-size/salt knobs apply to flat layouts
+    (a versioned generation is written with the default
+    one-file-per-value recipe, and compact_versioned is the file-size
+    lever there)."""
+    from sqlite_vector_spark.versioned import (
+        append_versioned,
+        is_versioned,
+        replace_versioned,
+    )
 
     if is_versioned(df.sparkSession, path):
         if mode == "append":
             append_versioned(df, path, sort_within=sort_within)
-            return
-        raise ValueError(
-            f"write_partitioned(mode={mode!r}) would destroy the versioned "
-            f"store at {path!r} (manifests live under the root); use the "
-            "maintenance verbs to evolve it, or versioned_store_init to "
-            "rebuild"
-        )
+        elif mode == "overwrite":
+            replace_versioned(df, path, sort_within=sort_within)
+        else:
+            raise ValueError(
+                f"write_partitioned(mode={mode!r}) is not defined for the "
+                f"versioned store at {path!r}; append and overwrite dispatch "
+                "to the manifest scheme, other modes have no versioned form"
+            )
+        return
     n = num_partitions or max(1, df.sparkSession.sparkContext.defaultParallelism)
     if tasks_per_value > 1:
         salt = F.pmod(
@@ -885,22 +891,31 @@ def verify_ids_absent(spark, catalog, table: str, column: str, ids, id_col: str 
 def migrate_tier_to_versioned(
     spark, catalog, table: str, column: str, tier: str, dest: str | None = None,
 ) -> dict:
-    """One call: migrate a catalog-registered VECTOR tier to the
-    rename-free VERSIONED layout and flip the catalog pointer, so the
-    router serves the versioned replica immediately (swap mode is
-    invisible to queries — r13; equality-pinned in test_versioned).
-    ``tier``: quantized | ivf | pq | bq | mih. ``dest`` defaults to
-    ``<old path>__versioned``; the old flat store is left in place
-    for draining readers — remove it (or point vacuum at it) once
-    they are gone. Index metadata (centroids, codebooks, thresholds,
-    planes, quant params) is re-registered unchanged: migration moves
-    bytes, never re-fits."""
+    """One call: migrate a catalog-registered tier to the rename-free
+    VERSIONED layout and flip the catalog pointer, so the router (and
+    every maintenance verb) serves the versioned store immediately
+    (swap mode is invisible to queries — r13; equality-pinned in
+    test_versioned). ``tier``: any name from the registry walk —
+    quantized | ivf | pq | bq | mih | band_store | bucket_store |
+    docs_mirror | vectors_mirror | text_labels | embedding_labels.
+    ``dest`` defaults to ``<old path>__versioned``; the old flat
+    store is left in place for draining readers — remove it (or point
+    vacuum at it) once they are gone. Index metadata (centroids,
+    codebooks, thresholds, planes, quant params) is re-registered
+    unchanged, and sidecars (frozen families) carry over: migration
+    moves bytes, never re-fits."""
     from sqlite_vector_spark.versioned import migrate_to_versioned
 
     ctx = catalog.get(table, column)
     paths = {
         "quantized": ctx.quantized_path, "ivf": ctx.ivf_path,
         "pq": ctx.pq_path, "bq": ctx.bq_path, "mih": ctx.mih_path,
+        "band_store": ctx.band_store_path,
+        "bucket_store": ctx.bucket_store_path,
+        "docs_mirror": ctx.docs_mirror_path,
+        "vectors_mirror": ctx.vectors_mirror_path,
+        "text_labels": ctx.text_labels_path,
+        "embedding_labels": ctx.embedding_labels_path,
     }
     if tier not in paths:
         raise ValueError(f"tier must be one of {sorted(paths)}, got {tier!r}")
@@ -908,7 +923,7 @@ def migrate_tier_to_versioned(
     if src is None:
         raise ValueError(f"{table}.{column} has no registered {tier} store")
     destp = (dest or src.rstrip("/") + "__versioned").rstrip("/")
-    sort_within = ["bv"] if tier == "mih" else None
+    sort_within = {"mih": ["bv"], "bucket_store": ["bucket"]}.get(tier)
     rep = migrate_to_versioned(spark, src, destp, sort_within=sort_within)
     if tier == "quantized":
         catalog.set_quant_params(
@@ -925,10 +940,24 @@ def migrate_tier_to_versioned(
         )
     elif tier == "bq":
         catalog.set_bq_index(table, column, path=destp, thresholds=ctx.bq_thresholds)
-    else:  # mih
+    elif tier == "mih":
         catalog.set_mih_index(
             table, column, path=destp, band_bits=ctx.mih_band_bits or 16,
             planes=ctx.mih_planes, center=ctx.mih_center,
+        )
+    elif tier in ("band_store", "docs_mirror", "text_labels"):
+        catalog.set_text_neardup_state(
+            table, column,
+            band_store=destp if tier == "band_store" else None,
+            docs_mirror=destp if tier == "docs_mirror" else None,
+            labels=destp if tier == "text_labels" else None,
+        )
+    else:  # bucket_store / vectors_mirror / embedding_labels
+        catalog.set_embedding_neardup_state(
+            table, column,
+            bucket_store=destp if tier == "bucket_store" else None,
+            vectors_mirror=destp if tier == "vectors_mirror" else None,
+            labels=destp if tier == "embedding_labels" else None,
         )
     return {**rep, "tier": tier, "previous_path": src}
 

@@ -298,6 +298,29 @@ def append_versioned(df: DataFrame, root: str, sort_within=None) -> dict:
             "partition_col": pcol}
 
 
+def replace_versioned(df: DataFrame, root: str, sort_within=None) -> dict:
+    """Replace a versioned store's CONTENT wholesale: manifest N+1
+    lists ONLY the new generation — the rename-free form of the flat
+    whole-store swap (tmp-write + rename). The superseded generation
+    stays readable for draining readers until vacuum_versioned, same
+    retention contract as delete. This is what ``mode="overwrite"``
+    means on a versioned root: a plain parquet overwrite would DELETE
+    the manifests along with the data (the store silently degrades to
+    flat, or readers break mid-swap); the dispatching writers
+    (sinks.write_partitioned, the label-state rewrite, the bucket
+    store) route here instead."""
+    spark = df.sparkSession
+    rootp = root.rstrip("/")
+    ver, man = current_manifest(spark, rootp)
+    pcol = man["partition_col"]
+    n = max(1, min(spark.sparkContext.defaultParallelism, 64))
+    entries = _write_generation(
+        df, rootp, ver + 1, pcol, sort_within, target_partitions=n
+    )
+    _write_manifest(spark, rootp, ver + 1, pcol, entries)
+    return {"version": ver + 1, "files": len(entries), "partition_col": pcol}
+
+
 def migrate_to_versioned(
     spark: SparkSession,
     src: str,

@@ -529,3 +529,39 @@ def test_label_state_swap_on_scheme_root(spark, docs, tmp_path):
             == sorted(map(tuple, want.select("id", "cluster").collect())))
     assert fsutil.exists(spark, path + "__pre_delete")  # retained layout
     assert read_params_sidecar(path)["jaccard_t"] == t  # sidecar preserved
+
+
+def test_takedown_over_fully_versioned_registry(spark, emb, docs, tmp_path, full_state):
+    """r13: migrate EVERY state tier the registry walks (band store,
+    bucket store, both mirrors, both label states) to the versioned
+    layout through migrate_tier_to_versioned, then run the one-call
+    takedown with verify=True — delete_ids dispatches on the manifest
+    layout, the label re-solves read via the live manifest and
+    replace as a new generation, and the receipt is all-zero. The
+    migrated stores stay VERSIONED afterwards (no verb silently
+    downgrades the layout)."""
+    from sqlite_vector_spark.sinks import (
+        migrate_tier_to_versioned,
+        read_store,
+        takedown,
+    )
+    from sqlite_vector_spark.versioned import is_versioned
+
+    tiers = ["band_store", "bucket_store", "docs_mirror",
+             "vectors_mirror", "text_labels", "embedding_labels"]
+    for tier in tiers:
+        rep = migrate_tier_to_versioned(spark, full_state, "td_t", "embedding", tier)
+        assert rep["tier"] == tier
+
+    ctx = full_state.get("td_t", "embedding")
+    victims = [r.doc_id for r in docs.where(F.col("doc_id") % 11 == 3)
+               .select("doc_id").collect()]
+    reports = takedown(spark, full_state, "td_t", "embedding", victims, verify=True)
+    assert all(v == 0 for v in reports["verified"].values())
+    # a migrated tier stayed versioned through its takedown rewrite
+    for p in (ctx.band_store_path, ctx.bucket_store_path,
+              ctx.text_labels_path, ctx.embedding_labels_path):
+        assert p.endswith("__versioned") and is_versioned(spark, p)
+    # and the surviving mirrors hold no victim rows
+    assert read_store(spark, ctx.docs_mirror_path).where(
+        F.col("doc_id").isin(victims)).count() == 0

@@ -529,8 +529,10 @@ def test_versioned_append_generation(spark, tmp_path):
     append would strand files no manifest references, invisible to
     readers and reclaimed as orphans by vacuum (silent data loss).
     write_partitioned(mode='append') dispatches automatically;
-    overwrite of a versioned root refuses; vacuum after a compaction
-    reclaims the superseded generations and keeps every appended row."""
+    overwrite dispatches to replace_versioned (manifest lists ONLY
+    the new content — a plain overwrite would delete the manifests
+    with the data); vacuum after a compaction reclaims the superseded
+    generations."""
     from sqlite_vector_spark.sinks import (
         compact_store,
         read_store,
@@ -550,9 +552,19 @@ def test_versioned_append_generation(spark, tmp_path):
     assert gens == {"g000000", "g000001"}  # old files BY REFERENCE
     assert _rows(read_store(spark, path)) == _rows(_frame(spark, 140))
 
-    with pytest.raises(ValueError, match="destroy the versioned"):
-        write_partitioned(batch, path, "cluster", mode="overwrite")
+    # overwrite = replace: the manifest now lists ONLY the new content
+    # (the batch), the store stays versioned, superseded generations
+    # retained until vacuum
+    write_partitioned(batch, path, "cluster", mode="overwrite")
+    ver2, man2 = current_manifest(spark, path)
+    assert ver2 == 2
+    assert {e["path"].split("/")[1] for e in man2["files"]} == {"g000002"}
+    assert _rows(read_store(spark, path)) == _rows(batch)
+    with pytest.raises(ValueError, match="no versioned form"):
+        write_partitioned(batch, path, "cluster", mode="error")
 
+    # restore the full content, then compact + vacuum keep every row
+    write_partitioned(_frame(spark, 140), path, "cluster", mode="overwrite")
     compact_store(spark, path)
     vacuum_store(path, spark=spark)
     assert _rows(read_store(spark, path)) == _rows(_frame(spark, 140))
