@@ -39,11 +39,26 @@ def has_scheme(path: str) -> bool:
     return bool(_SCHEME_RE.match(path))
 
 
-def is_remote(path: str) -> bool:
+def is_remote(path: str, spark=None) -> bool:
     """True when the path resolves through a NON-local Hadoop
-    filesystem (any scheme but ``file:``). ``file:`` URIs and plain
-    paths are local."""
-    return has_scheme(path) and not path.startswith("file:")
+    filesystem. Scheme-carrying paths decide by scheme (anything but
+    ``file:``). A SCHEME-LESS path resolves through the deployment's
+    ``fs.defaultFS`` — on a cluster whose default filesystem is an
+    object store, a plain path IS remote, and deciding by the path
+    string alone would let the rename-swap verbs bypass their
+    remote_ok refusal (ADVICE r13 #3). Pass ``spark`` (else the
+    active/default session is consulted when one exists; with no
+    session at all, the plain-path local default stands — matching
+    Hadoop's own file:/// default)."""
+    if has_scheme(path):
+        return not path.startswith("file:")
+    sess = spark if spark is not None else _active_spark_or_none()
+    if sess is None:
+        return False
+    default_fs = sess.sparkContext._jsc.hadoopConfiguration().get(
+        "fs.defaultFS", "file:///"
+    )
+    return not str(default_fs).startswith("file:")
 
 
 def norm_root(path: str) -> str:
@@ -56,19 +71,33 @@ def norm_root(path: str) -> str:
     return p if has_scheme(p) else os.path.abspath(p)
 
 
+def _active_spark_or_none():
+    """Active-or-default session, or None — never raises, never
+    creates one. getActiveSession() is THREAD-LOCAL and returns None
+    on threads Spark spawns itself (a Structured Streaming
+    foreachBatch handler runs on the query thread — exactly where the
+    streaming state verbs land), so fall through to the process-wide
+    default via the PUBLIC SparkSession.active() (3.5+; the r13 code
+    read the private _instantiatedSession attribute, which a PySpark
+    upgrade could move — ADVICE r13 #5)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        return spark
+    try:
+        return SparkSession.active()
+    except Exception:
+        return None
+
+
 def active_spark():
     """The current SparkSession, required for remote filesystem access.
 
-    getActiveSession() is THREAD-LOCAL and returns None on threads
-    Spark spawns itself — a Structured Streaming foreachBatch handler
-    runs on the query thread, which is exactly where the streaming
-    state verbs call this — so fall back to the process-wide default
-    session before raising. Raised loudly instead of silently falling
-    back to ``os`` calls: a verb that walked a remote root with
-    os.listdir would report an empty store and 'succeed'."""
-    from pyspark.sql import SparkSession
-
-    spark = SparkSession.getActiveSession() or SparkSession._instantiatedSession
+    Raised loudly instead of silently falling back to ``os`` calls: a
+    verb that walked a remote root with os.listdir would report an
+    empty store and 'succeed'."""
+    spark = _active_spark_or_none()
     if spark is None:
         raise RuntimeError(
             "this path carries a URI scheme, which needs an active "
@@ -163,6 +192,28 @@ def put_text(spark, path: str, text: str) -> None:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+
+
+def put_text_atomic(spark, path: str, text: str) -> None:
+    """Crash-safe OVERWRITE of one small object that already has
+    readers: write ``<path>.tmp`` fully, then swap it in with a
+    rename (atomic on HDFS-class filesystems; a bounded copy on
+    S3-class adapters). A direct overwriting ``create()`` at the
+    final name is truncate-then-write — a crash in between leaves a
+    truncated object that bricks every later verb reading it (ADVICE
+    r13 #4; the local ``os.replace`` path has guarded this since
+    r11). Rename refuses an existing destination on most schemes, so
+    an existing object is deleted first: the vulnerable window
+    shrinks from the whole write to the gap between two metadata
+    ops, and a crash there leaves the intact ``.tmp`` beside the
+    store instead of silent corruption. Brand-NEW names (manifest
+    versions) don't need this — they are never half-read because no
+    pointer references them until after the write returns."""
+    tmp = f"{path}.tmp"
+    put_text(spark, tmp, text)
+    if exists(spark, path):
+        delete(spark, path)
+    rename(spark, tmp, path)
 
 
 def get_text(spark, path: str) -> str:

@@ -439,12 +439,14 @@ def lsh_bucket_scan(
     """ANN over a bucket-partitioned store: probe the query's bucket +
     Hamming-``hamming`` neighbors via an IN filter (PartitionFilters in
     the plan — tests/test_ann.py pins it), exact top-k within. A
-    VERSIONED store prunes the same probes via its manifest (r13)."""
-    from sqlite_vector_spark.versioned import is_versioned, read_versioned
+    VERSIONED store prunes the same probes via its manifest when it is
+    partitioned by bucket, and falls back to the row-level filter when
+    not (r14, ADVICE r13 #1)."""
+    from sqlite_vector_spark.versioned import is_versioned, read_versioned_pruned
 
     probes = [int(b) for b in lsh_probe_buckets(query, planes, hamming)]
     if is_versioned(spark, dest):
-        pruned = read_versioned(spark, dest, partition_values=probes)
+        pruned = read_versioned_pruned(spark, dest, "bucket", probes)
     else:
         pruned = spark.read.parquet(dest).where(F.col("bucket").isin(probes))
     return full_scan(pruned, "vec", [float(x) for x in query], k, metric, id_col="id")
@@ -533,15 +535,17 @@ def ivf_stored_scan(
     IN filter (partition pruning), exact top-k within the probes.
 
     r13: a store migrated to the VERSIONED manifest layout resolves
-    through read_versioned with the probed clusters as the manifest
-    filter — the same pruning (only probed partitions' files enter the
-    plan) without listing the data prefix, so swap mode stays
-    invisible to the IVF tier too (router contract)."""
-    from sqlite_vector_spark.versioned import is_versioned, read_versioned
+    through read_versioned_pruned with the probed clusters as the
+    manifest filter — the same pruning (only probed partitions' files
+    enter the plan) without listing the data prefix, so swap mode stays
+    invisible to the IVF tier too (router contract). A versioned store
+    NOT partitioned by cluster gets the row-level fallback instead of
+    a silently-empty manifest filter (r14, ADVICE r13 #1)."""
+    from sqlite_vector_spark.versioned import is_versioned, read_versioned_pruned
 
     probes = [int(c) for c in probe_clusters([float(x) for x in query], centroids, nprobe)]
     if is_versioned(spark, dest):
-        pruned = read_versioned(spark, dest, partition_values=probes)
+        pruned = read_versioned_pruned(spark, dest, "cluster", probes)
     else:
         stored = spark.read.parquet(dest)
         pruned = stored.where(F.col("cluster").isin(probes))

@@ -1066,14 +1066,16 @@ def ivf_pq_stored_scan(
     the same M-term fold either way."""
     q = [float(x) for x in query]
     from sqlite_vector_spark.operators.ann import probe_clusters
-    from sqlite_vector_spark.versioned import is_versioned, read_versioned
+    from sqlite_vector_spark.versioned import is_versioned, read_versioned_pruned
 
     probes = [int(p) for p in probe_clusters(q, centroids, nprobe)]
     if is_versioned(spark, dest):
         # manifest-pruned to the probed clusters (r13): both arms only
         # ever read probe partitions — the residual arm's per-probe
-        # cluster filters operate within this pruned set
-        stored = read_versioned(spark, dest, partition_values=probes)
+        # cluster filters operate within this pruned set. r14: a store
+        # not partitioned by cluster falls back to the row-level
+        # filter instead of a silently-empty manifest filter.
+        stored = read_versioned_pruned(spark, dest, "cluster", probes)
     else:
         stored = spark.read.parquet(dest)
     if not residual:

@@ -80,14 +80,32 @@ def write_partitioned(df: DataFrame, path: str, partition_col: str,
     ``sort_within``; the file-size/salt knobs apply to flat layouts
     (a versioned generation is written with the default
     one-file-per-value recipe, and compact_versioned is the file-size
-    lever there)."""
+    lever there). The versioned dispatch validates ``partition_col``
+    against the live manifest and raises on mismatch — the manifest's
+    layout always wins, so a caller counting on pruning by a different
+    column must hear about it (ADVICE r13 #2); ``num_partitions`` is
+    likewise a flat-layout knob."""
     from sqlite_vector_spark.versioned import (
         append_versioned,
+        current_manifest,
         is_versioned,
         replace_versioned,
     )
 
     if is_versioned(df.sparkSession, path):
+        # the versioned dispatch reuses the MANIFEST's layout — a
+        # caller expecting pruning on a different column would get
+        # the manifest column with no error and its pruning would
+        # silently never materialize (ADVICE r13 #2): refuse.
+        _, man = current_manifest(df.sparkSession, path)
+        if man["partition_col"] != partition_col:
+            raise ValueError(
+                f"write_partitioned(partition_col={partition_col!r}) does not "
+                f"match the versioned store at {path!r}, whose manifest is "
+                f"partitioned by {man['partition_col']!r}; versioned writes "
+                "reuse the manifest layout — migrate the store (or pass the "
+                "manifest's partition column) instead"
+            )
         if mode == "append":
             append_versioned(df, path, sort_within=sort_within)
         elif mode == "overwrite":
@@ -157,7 +175,11 @@ def write_params_sidecar(path: str, params: dict) -> None:
 
     body = json.dumps(params, indent=1)
     if fsutil.has_scheme(path):
-        fsutil.put_text(fsutil.active_spark(), f"{path.rstrip('/')}/{_SIDECAR}", body)
+        # tmp+rename, same crash posture as the local os.replace path
+        # below (ADVICE r13 #4): never truncate the live sidecar
+        fsutil.put_text_atomic(
+            fsutil.active_spark(), f"{path.rstrip('/')}/{_SIDECAR}", body
+        )
         return
     os.makedirs(path, exist_ok=True)
     # Write-temp-then-rename: a crash mid-dump must not leave a
@@ -347,7 +369,7 @@ def delete_ids(
         )
     ids_df = ids_df.distinct().localCheckpoint(eager=True)
     df = spark.read.parquet(path)
-    if fsutil.is_remote(path) and not remote_ok:
+    if fsutil.is_remote(path, spark=spark) and not remote_ok:
         raise ValueError(
             "delete_ids: this FLAT store is on a remote filesystem, where the "
             "directory swap's rename is a copy; migrate it to a versioned "

@@ -169,18 +169,32 @@ def read_versioned(
     spark: SparkSession,
     root: str,
     partition_values=None,
+    _manifest: dict | None = None,
 ) -> DataFrame:
     """DataFrame over the LIVE generation set (newest manifest),
     optionally pruned to a set of partition values — pruning is a
     manifest filter, so the data prefix is never listed. Files are
     read per source generation with that generation as ``basePath``
     (restores the dir-derived partition column) and unioned; a
-    compacted store is a single generation, so the union is bounded."""
+    compacted store is a single generation, so the union is bounded.
+
+    ``partition_values`` requires a partitioned manifest: on a store
+    written without ``partition_col`` no entry carries a value, so the
+    filter would silently select nothing — raise instead and point the
+    caller at :func:`read_versioned_pruned`, which falls back to a
+    row-level filter (ADVICE r13 #1)."""
     rootp = root.rstrip("/")
-    _, man = current_manifest(spark, rootp)
+    man = _manifest if _manifest is not None else current_manifest(spark, rootp)[1]
     pcol = man["partition_col"]
     entries = man["files"]
     if partition_values is not None:
+        if pcol is None:
+            raise ValueError(
+                f"versioned store {rootp!r} has no partition column: manifest "
+                "pruning by partition_values is impossible (every probe would "
+                "silently match nothing) — use read_versioned_pruned() for the "
+                "row-level fallback"
+            )
         want = {str(v) for v in partition_values}
         entries = [e for e in entries if e.get("value") in want]
         if not entries and man["files"]:
@@ -208,6 +222,32 @@ def read_versioned(
     if df is None:
         raise ValueError(f"versioned store {root!r}: live manifest lists no files")
     return df
+
+
+def read_versioned_pruned(
+    spark: SparkSession,
+    root: str,
+    column: str,
+    values,
+) -> DataFrame:
+    """Live-set read pruned to ``values`` of ``column`` — the probe
+    readers' versioned entry point (IVF clusters, LSH/BQ buckets).
+
+    When the manifest is partitioned BY that column this is the pure
+    manifest filter (one small GET selects the probe partitions' files;
+    the data prefix is never listed). When the store was written
+    without ``partition_col`` — ``versioned_store_init``'s default — or
+    partitioned by a DIFFERENT column, fall back to reading all live
+    files with a row-level ``.where(column IN values)``: same results
+    as the flat twin's filter, just without planning-time pruning.
+    Before this fallback a probe over such a store silently returned
+    empty top-k (ADVICE r13 #1)."""
+    rootp = root.rstrip("/")
+    _, man = current_manifest(spark, rootp)
+    if man["partition_col"] == column:
+        return read_versioned(spark, rootp, partition_values=values, _manifest=man)
+    vals = list(values)
+    return read_versioned(spark, rootp, _manifest=man).where(F.col(column).isin(vals))
 
 
 # ---- writes ----------------------------------------------------------
@@ -517,12 +557,31 @@ def vacuum_versioned(spark: SparkSession, root: str, retain: int = 1) -> dict:
             removed_files.extend(f for f, _ in gen_files)
             _delete(spark, f"{rootp}/{gen_prefix}", recursive=True)
         else:
+            # partially-live generation (kept partially alive by
+            # by-reference manifest reuse): group dead files by their
+            # partition dir and recursive-delete each WHOLLY-dead dir
+            # in one call, falling back to per-file deletes only for
+            # dirs that still hold live files. File-by-file here cost
+            # 94 s vs the flat rmtree's 5 s at the 1M/48M-row probe
+            # (VERDICT r13 #3; object stores delete per-object either
+            # way, so this is the local/HDFS win).
+            live_dirs = {f.rsplit("/", 1)[0] for f in live}
+            dead_by_dir: dict[str, list[tuple[str, int]]] = {}
             for rel, sz in gen_files:
                 base = rel.rsplit("/", 1)[1]
                 if rel not in referenced and not base.startswith(("_", ".")):
-                    freed += sz
-                    removed_files.append(rel)
-                    _delete(spark, f"{rootp}/{rel}")
+                    dead_by_dir.setdefault(rel.rsplit("/", 1)[0], []).append((rel, sz))
+            for d, items in dead_by_dir.items():
+                freed += sum(sz for _, sz in items)
+                removed_files.extend(rel for rel, _ in items)
+                wholly_dead = d != gen_prefix and not any(
+                    ld == d or ld.startswith(d + "/") for ld in live_dirs
+                )
+                if wholly_dead:
+                    _delete(spark, f"{rootp}/{d}", recursive=True)
+                else:
+                    for rel, _ in items:
+                        _delete(spark, f"{rootp}/{rel}")
     removed_manifests = [v for v in vs if v not in keep_vs]
     for v in removed_manifests:
         _delete(spark, f"{rootp}/{_MANIFESTS}/v{v:06d}.json")

@@ -85,3 +85,56 @@ def test_active_spark_resolves_on_foreach_batch_thread(spark, tmp_path):
     t.join()
     assert "error" not in seen
     assert seen["spark"] is not None
+
+
+@pytest.mark.parametrize("scheme", ["local", "mock"])
+def test_put_text_atomic_overwrite(spark, tmp_path, scheme):
+    """ADVICE r13 #4: overwriting a LIVE small object must never
+    truncate-then-write at the final name — write .tmp, swap via
+    rename, leave no .tmp behind on success."""
+    root = str(tmp_path / "atom") if scheme == "local" else f"mock:{tmp_path}/atom"
+    p = f"{root}/_sv_params.json"
+    fsutil.mkdirs(spark, root)
+    fsutil.put_text_atomic(spark, p, '{"v": 1}')
+    assert fsutil.get_text(spark, p) == '{"v": 1}'
+    fsutil.put_text_atomic(spark, p, '{"v": 2}')  # the overwrite case
+    assert fsutil.get_text(spark, p) == '{"v": 2}'
+    assert not fsutil.exists(spark, f"{p}.tmp")
+
+
+def test_params_sidecar_scheme_root_roundtrip(spark, tmp_path):
+    """write_params_sidecar on a scheme-carrying root goes through the
+    atomic tmp+rename path and reads back intact."""
+    from sqlite_vector_spark.sinks import read_params_sidecar, write_params_sidecar
+
+    root = f"mock:{tmp_path}/store"
+    fsutil.mkdirs(spark, root)
+    write_params_sidecar(root, {"dim": 8, "qtype": "U8"})
+    write_params_sidecar(root, {"dim": 8, "qtype": "S8"})  # overwrite
+    assert read_params_sidecar(root) == {"dim": 8, "qtype": "S8"}
+
+
+def test_is_remote_schemeless_follows_default_fs(spark, tmp_path):
+    """ADVICE r13 #3: a SCHEME-LESS path on a deployment whose
+    fs.defaultFS is an object store is remote — the rename-swap verbs'
+    remote_ok refusal must not be bypassable by omitting the scheme."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    prev = hconf.get("fs.defaultFS", "file:///")
+    assert not fsutil.is_remote("/tmp/x", spark=spark)  # local default
+    hconf.set("fs.defaultFS", "mock:///")
+    try:
+        assert fsutil.is_remote("/tmp/x", spark=spark)
+        assert not fsutil.is_remote("file:/tmp/x", spark=spark)  # scheme wins
+        # and the delete_ids refusal actually fires on a plain path
+        import pyspark.sql.functions as F
+
+        from sqlite_vector_spark.sinks import delete_ids
+
+        dest = str(tmp_path / "flatstore")
+        spark.range(20).select(
+            F.col("id"), (F.col("id") % 4).alias("part")
+        ).write.parquet(dest)
+        with pytest.raises(ValueError, match="remote filesystem"):
+            delete_ids(spark, dest, [1, 2], id_col="id")
+    finally:
+        hconf.set("fs.defaultFS", prev)

@@ -595,3 +595,109 @@ def test_versioned_flat_append_verbs_dispatch(spark, tmp_path):
     vacuum_store(path, spark=spark)
     assert read_store(spark, path).count() == 130
     assert sorted(r.id for r in read_store(spark, path).select("id").collect()) == list(range(130))
+
+
+def test_read_versioned_pruned_unpartitioned_fallback(spark, tmp_path):
+    """ADVICE r13 #1: a versioned store created WITHOUT partition_col
+    (versioned_store_init's default) must still answer probe queries.
+    read_versioned(partition_values=...) would match nothing (no entry
+    carries a value) — it now raises; read_versioned_pruned falls back
+    to the row-level filter and returns the flat twin's rows."""
+    from sqlite_vector_spark.versioned import (
+        read_versioned,
+        read_versioned_pruned,
+        versioned_store_init,
+    )
+
+    df = _frame(spark, 200)
+    path = str(tmp_path / "unpart")
+    versioned_store_init(df, path, partition_col=None)
+
+    with pytest.raises(ValueError, match="no partition column"):
+        read_versioned(spark, path, partition_values=[3, 5])
+
+    got = _rows(read_versioned_pruned(spark, path, "cluster", [3, 5]))
+    want = _rows(df.where(F.col("cluster").isin([3, 5])))
+    assert got == want and got  # non-empty: the old path silently returned []
+
+    # partitioned by a DIFFERENT column than the probe: same fallback
+    path2 = str(tmp_path / "otherpart")
+    versioned_store_init(df, path2, partition_col="payload")
+    got2 = _rows(read_versioned_pruned(spark, path2, "cluster", [7]))
+    assert got2 == _rows(df.where(F.col("cluster") == 7)) and got2
+
+
+def test_ivf_stored_scan_versioned_unpartitioned_matches_flat(spark, emb, tmp_path):
+    """End-to-end ADVICE r13 #1: ivf_stored_scan over a versioned store
+    migrated without partition_col returns the SAME top-k as the flat
+    cluster-partitioned twin (it used to return zero rows)."""
+    from sqlite_vector_spark.operators.ann import ivf_store, ivf_stored_scan
+    from sqlite_vector_spark.versioned import versioned_store_init
+
+    cent = [list(r.embedding) for r in emb.where("vec_id < 8").orderBy("vec_id").collect()]
+    flat = str(tmp_path / "ivf_flat")
+    ivf_store(emb, "embedding", cent, flat, id_col="vec_id")
+
+    vroot = str(tmp_path / "ivf_versioned_unpart")
+    versioned_store_init(spark.read.parquet(flat), vroot, partition_col=None)
+
+    q = cent[3]
+    want = [(r.id, round(r.distance, 6)) for r in ivf_stored_scan(spark, flat, q, cent, 10, nprobe=2).collect()]
+    got = [(r.id, round(r.distance, 6)) for r in ivf_stored_scan(spark, vroot, q, cent, 10, nprobe=2).collect()]
+    assert got == want and len(got) == 10
+
+
+def test_write_partitioned_versioned_rejects_mismatched_partition_col(spark, tmp_path):
+    """ADVICE r13 #2: the versioned dispatch reuses the MANIFEST's
+    layout; a caller writing with a different partition column must
+    get an error, not a silently different layout (and silently
+    absent pruning)."""
+    from sqlite_vector_spark.sinks import write_partitioned
+    from sqlite_vector_spark.versioned import versioned_store_init
+
+    df = _frame(spark, 60)
+    path = str(tmp_path / "vstore")
+    versioned_store_init(df, path, partition_col="cluster")
+    with pytest.raises(ValueError, match="partitioned by 'cluster'"):
+        write_partitioned(df, path, "payload", mode="append")
+    # the matching column still dispatches fine
+    write_partitioned(_frame(spark, 20), path, "cluster", mode="append")
+
+
+def test_vacuum_partially_live_generation_groups_dead_dirs(spark, tmp_path):
+    """VERDICT r13 #3: in a partially-live generation, dead files
+    grouped under a wholly-dead partition dir are reclaimed with one
+    recursive delete (the dir disappears), mixed dirs per-file —
+    surviving contents identical either way."""
+    from sqlite_vector_spark.sinks import compact_store, delete_ids, read_store
+    from sqlite_vector_spark.versioned import (
+        current_manifest,
+        vacuum_versioned,
+        versioned_store_init,
+    )
+
+    df = _frame(spark, 320)  # clusters 0..15, 20 rows each
+    path = str(tmp_path / "pl")
+    versioned_store_init(df, path, partition_col="cluster")
+
+    # delete EVERY row of clusters 3 and 7 (their g000000 dirs go
+    # wholly dead) and a few rows of cluster 5 (g000000/cluster=5
+    # stays... actually the rewrite supersedes the whole partition)
+    victims = [i for i in range(320) if i % 16 in (3, 7)] + [5, 21]
+    delete_ids(spark, path, victims, id_col="id")
+    want = _rows(_frame(spark, 320).where(~F.col("id").isin(victims)))
+    assert _rows(read_store(spark, path)) == want
+
+    # generation 0 is now partially live: untouched clusters are
+    # reused by reference, clusters 3/5/7's old dirs are dead
+    rep = vacuum_versioned(spark, path, retain=1)
+    assert rep["removed_files"] > 0
+    import os
+
+    g0 = os.path.join(path, "data", "g000000")
+    gone = {"cluster=3", "cluster=5", "cluster=7"}
+    assert gone.isdisjoint(set(os.listdir(g0)))
+    # live-by-reference dirs survive, content identical
+    assert _rows(read_store(spark, path)) == want
+    _, man = current_manifest(spark, path)
+    assert all(e["value"] not in {"3", "7"} for e in man["files"])
