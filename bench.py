@@ -18,10 +18,16 @@ Cross-SESSION swings are multiplicative (SCALE.md: same-tree totals
 spanned 80.5-91.5 s in r11, and the r11 driver run sat a uniform
 +20-30% over same-tree medians), so every run also times a fixed
 synthetic calibration job (range->xxhash64->sum, repo-independent)
-and reports it as ``calibration_s``; r13 also emits the quotient as
-``value_calibrated`` (= value / calibration_s) so the driver records
-the session-normalized total straight off stdout — compare THAT
-across rounds to factor the session out.
+and reports it as ``calibration_s``, with ``value_calibrated``
+(= value / calibration_s) as the session-normalized total. r14
+(VERDICT r13 #2) hardened both statistics: calibration now runs
+min-of-3 at THREE interleaved checkpoints (start/midpoint/end) and
+reports the median + spread — the r13 single end-of-session sample
+swung ±20% across sessions, wider than the drift it divides out —
+and ``median_query_ratio_vs_prev`` carries the drift-robust PAIRED
+per-query median against the prior round's committed BENCH_r*.json,
+so the driver gets a regression signal that a uniform session swing
+cannot move.
 """
 
 from __future__ import annotations
@@ -36,6 +42,39 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_N", "3"))
+
+
+def _prev_round_queries() -> dict[str, float]:
+    """Per-query seconds from the NEWEST committed BENCH_r*.json (the
+    driver's prior-round record) — the reference for the paired
+    per-query median. The committed artifact trims its stdout queries
+    map to the slowest ~58 entries; those are exactly the entries
+    whose relative movement is least noise-dominated, so the trimmed
+    set is the right paired sample. Returns {} when no artifact
+    exists (round 1) or it cannot be parsed — the ratio field is then
+    null, never an error."""
+    import glob
+    import re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    best, best_n = None, -1
+    for p in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = p, int(m.group(1))
+    if best is None:
+        return {}
+    try:
+        with open(best) as f:
+            d = json.load(f)
+        q = (d.get("parsed") or {}).get("queries") or d.get("queries") or {}
+        return {
+            k: float(v)
+            for k, v in q.items()
+            if isinstance(v, (int, float)) and v > 0
+        }
+    except (OSError, ValueError):
+        return {}
 
 
 def main():
@@ -73,6 +112,28 @@ def main():
     except Exception as exc:  # noqa: BLE001
         errors["__setup__"] = f"{type(exc).__name__}: {exc}"[:500]
         emb = None
+
+    # CALIBRATION checkpoints (r14, VERDICT r13 #2): the r13 scheme
+    # ran the fixed job min-of-3 ONCE at session END, and that single
+    # sample swung ±20% across sessions — wider than the
+    # multiplicative drift it divides out, making value_calibrated
+    # noisier than the raw total. Interleave instead: min-of-3 at
+    # START / MIDPOINT / END, report the MEDIAN as calibration_s plus
+    # the checkpoint spread, so one anomalous window (GC pause, CPU
+    # contention burst) cannot skew the whole round's normalization.
+    calib_checkpoints: list[float] = []
+
+    def calibrate():
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            spark.range(1_000_000_000).select(
+                F.sum(F.xxhash64("id") % 1000)
+            ).collect()
+            runs.append(time.time() - t0)
+        calib_checkpoints.append(round(min(runs), 4))
+
+    calibrate()  # START checkpoint
 
     def bench(name: str, fn, n: int = N_RUNS):
         # Failure-isolated: one query's exception must not destroy the
@@ -354,6 +415,8 @@ def main():
     except Exception as exc:  # noqa: BLE001
         errors["pq_family"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    calibrate()  # MIDPOINT checkpoint (~bench 59 of 116)
+
     # round-7: residual IVFADC (per-probe LUTs, oracle-gated path)
     bench("ivf_pq_residual_scan", lambda: w.ivf_pq_residual_scan_l2(spark, SF_DIR).collect())
 
@@ -496,22 +559,38 @@ def main():
     # headline composition: docs in -> training rows out, one plan
     bench("e2e_corpus_prep", lambda: w.e2e_corpus_prep_q(spark, SF_DIR).count())
 
-    # CALIBRATION (r12, VERDICT r11 nit #1): a fixed synthetic job
-    # whose cost is independent of the repo's code — cross-session
-    # swings are MULTIPLICATIVE (r11: the driver's run sat a uniform
-    # +20-30% over same-tree builder medians across untouched
-    # queries), so a reference workload lets any consumer normalize:
-    # compare value/calibration_s across rounds, not raw seconds.
-    calib_runs = []
-    for _ in range(3):
-        t0 = time.time()
-        spark.range(1_000_000_000).select(
-            F.sum(F.xxhash64("id") % 1000)
-        ).collect()
-        calib_runs.append(time.time() - t0)
-    calibration = round(min(calib_runs), 4)
+    calibrate()  # END checkpoint
+
+    # calibration_s = MEDIAN of the three interleaved checkpoints (a
+    # fixed synthetic job whose cost is independent of the repo's
+    # code — cross-session swings are MULTIPLICATIVE, so consumers
+    # compare value_calibrated across rounds, not raw seconds);
+    # calibration_spread tells a reader how trustworthy that
+    # normalization is THIS session.
+    calibration = sorted(calib_checkpoints)[len(calib_checkpoints) // 2]
+    calibration_spread = round(max(calib_checkpoints) - min(calib_checkpoints), 4)
 
     total = round(sum(times.values()), 4)
+
+    # PAIRED per-query median vs the prior round's committed artifact
+    # (r14, VERDICT r13 #2): the drift-robust statistic — a genuine
+    # regression moves the median of per-query ratios, a session-wide
+    # multiplicative swing moves every ratio UNIFORMLY and is read off
+    # against calibration; both land on stdout for the driver.
+    prev_q = _prev_round_queries()
+    ratio_pairs = sorted(
+        times[k] / prev_q[k] for k in times if k in prev_q and times[k] > 0
+    )
+    if ratio_pairs:
+        mid = len(ratio_pairs) // 2
+        median_ratio = (
+            ratio_pairs[mid]
+            if len(ratio_pairs) % 2
+            else (ratio_pairs[mid - 1] + ratio_pairs[mid]) / 2
+        )
+        median_ratio = round(median_ratio, 4)
+    else:
+        median_ratio = None
     # normalized total (r13, VERDICT r12 #5): value in units of the
     # fixed calibration job, so cross-round comparisons divide out the
     # session's multiplicative swing WITHOUT post-processing — the
@@ -528,7 +607,11 @@ def main():
         "sf": float(sf),
         "cpus": int(CPUS),
         "calibration_s": calibration,
+        "calibration_runs": calib_checkpoints,
+        "calibration_spread": calibration_spread,
         "value_calibrated": value_calibrated,
+        "median_query_ratio_vs_prev": median_ratio,
+        "n_ratio_pairs": len(ratio_pairs),
     }
     if errors:
         full["errors"] = errors
@@ -570,7 +653,11 @@ def main():
             "sf": float(sf),
             "cpus": int(CPUS),
             "calibration_s": calibration,
+            "calibration_runs": calib_checkpoints,
+            "calibration_spread": calibration_spread,
             "value_calibrated": value_calibrated,
+            "median_query_ratio_vs_prev": median_ratio,
+            "n_ratio_pairs": len(ratio_pairs),
         }
         if errors:
             compact["errors"] = {k: v.split(":", 1)[0] for k, v in errors.items()}
