@@ -89,6 +89,7 @@ from sqlite_vector_spark.fsutil import (  # noqa: E402
     get_text as _get_text,
     list_names as _list_names,
     put_text as _put_text,
+    walk_files as _walk_files,
 )
 
 
@@ -543,14 +544,14 @@ def vacuum_versioned(spark: SparkSession, root: str, retain: int = 1) -> dict:
     removed_files, freed = [], 0
     for gen in _list_names(spark, f"{rootp}/data"):
         gen_prefix = f"data/{gen}"
-        jp, fs = _fs(spark, f"{rootp}/{gen_prefix}")
-        it = fs.listFiles(jp, True)
-        gen_files = []
-        while it.hasNext():
-            st = it.next()
-            uri = st.getPath().toString()
-            rel = f"{gen_prefix}/{uri.split('/' + gen_prefix + '/', 1)[1]}"
-            gen_files.append((rel, st.getLen()))
+        # fsutil.walk_files: os fast path on scheme-less roots — the
+        # per-file py4j round-trips of the Hadoop iterator dominated
+        # the r13 probe's vacuum (97 s walking a 3x4096-dir store the
+        # deletes clear in <1 s; VERDICT r13 #3's real cause)
+        gen_files = [
+            (f"{gen_prefix}/{p.split('/' + gen_prefix + '/', 1)[1]}", sz)
+            for p, sz in _walk_files(spark, f"{rootp}/{gen_prefix}")
+        ]
         live = [f for f, _ in gen_files if f in referenced]
         if not live:  # whole generation superseded or orphaned
             freed += sum(sz for _, sz in gen_files)

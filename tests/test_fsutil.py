@@ -138,3 +138,17 @@ def test_is_remote_schemeless_follows_default_fs(spark, tmp_path):
             delete_ids(spark, dest, [1, 2], id_col="id")
     finally:
         hconf.set("fs.defaultFS", prev)
+
+
+@pytest.mark.parametrize("scheme", ["local", "mock"])
+def test_walk_files_both_schemes(spark, tmp_path, scheme):
+    """walk_files: same (path, size) listing from the os fast path and
+    the Hadoop iterator — vacuum's generation walk depends on it."""
+    root = str(tmp_path / "wf") if scheme == "local" else f"mock:{tmp_path}/wf"
+    for d, name, body in [("a", "x.bin", "12345"), ("a/b", "y.bin", "7"), ("c", "z.bin", "999")]:
+        fsutil.mkdirs(spark, f"{root}/{d}")
+        fsutil.put_text(spark, f"{root}/{d}/{name}", body)
+    got = sorted(fsutil.walk_files(spark, root))
+    names = [(p.rsplit("/wf/", 1)[1], sz) for p, sz in got]
+    assert names == [("a/b/y.bin", 1), ("a/x.bin", 5), ("c/z.bin", 3)]
+    assert fsutil.walk_files(spark, f"{root}/missing") == []

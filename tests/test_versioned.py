@@ -701,3 +701,29 @@ def test_vacuum_partially_live_generation_groups_dead_dirs(spark, tmp_path):
     assert _rows(read_store(spark, path)) == want
     _, man = current_manifest(spark, path)
     assert all(e["value"] not in {"3", "7"} for e in man["files"])
+
+
+def test_versioned_lifecycle_on_scheme_root(spark, tmp_path):
+    """r14: the versioned verbs on a NON-file scheme root end-to-end.
+    vacuum's generation walk previously used fs.listFiles(recursive),
+    which RawLocalFileSystem-derived filesystems reject off the file:
+    scheme ('URI scheme is not "file"') — fsutil.walk_files' manual
+    listStatus BFS fixes it; delete/compact were already
+    scheme-clean."""
+    from sqlite_vector_spark.sinks import compact_store, delete_ids, read_store, vacuum_store
+    from sqlite_vector_spark.versioned import manifest_versions, versioned_store_init
+
+    df = _frame(spark, 160)
+    path = f"mock:{tmp_path}/vstore"
+    versioned_store_init(df, path, partition_col="cluster")
+
+    victims = [5, 21, 37]
+    want = _rows(_frame(spark, 160).where(~F.col("id").isin(victims)))
+    delete_ids(spark, path, victims, id_col="id")
+    assert _rows(read_store(spark, path)) == want
+    compact_store(spark, path)
+    assert _rows(read_store(spark, path)) == want
+    rep = vacuum_store(path, spark=spark)
+    assert rep["bytes_freed"] > 0
+    assert _rows(read_store(spark, path)) == want
+    assert len(manifest_versions(spark, path)) == 1  # superseded dropped
