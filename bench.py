@@ -123,16 +123,24 @@ def main():
     # contention burst) cannot skew the whole round's normalization.
     calib_checkpoints: list[float] = []
 
+    def _calib_job():
+        spark.range(1_000_000_000).select(
+            F.sum(F.xxhash64("id") % 1000)
+        ).collect()
+
     def calibrate():
         runs = []
         for _ in range(3):
             t0 = time.time()
-            spark.range(1_000_000_000).select(
-                F.sum(F.xxhash64("id") % 1000)
-            ).collect()
+            _calib_job()
             runs.append(time.time() - t0)
         calib_checkpoints.append(round(min(runs), 4))
 
+    # one untimed warm-up before the first checkpoint: the job's
+    # whole-stage codegen compile lands on the first execution and
+    # biased the START checkpoint +70% even as min-of-3 (r14 smoke:
+    # 0.58 vs 0.34/0.33 at mid/end)
+    _calib_job()
     calibrate()  # START checkpoint
 
     def bench(name: str, fn, n: int = N_RUNS):
