@@ -921,15 +921,36 @@ def embedding_neardup_pairs(
     """(a, b, distance) pairs with distance < threshold, candidates
     restricted to equal LSH buckets (sign-random-projection).
 
-    Scale: the join is shuffle-on-bucket; within-bucket pair counts are
-    bounded by bucket size. More planes -> smaller buckets -> higher
-    speed / lower recall; tune planes to corpus size.
+    Scale: the pair join shuffles VECTORS on bucket — but only for
+    rows in COLLISION buckets (>= 2 members). The planes are sized so
+    most buckets are singletons (2^P ~ corpus size), which means a
+    naive self-join would shuffle the full vector payload twice and
+    throw almost all of it away: measured at the r14 10M x 768 probe,
+    2 x 61 GB of shuffle for a ~10% collision rate — the dominant
+    (and dominantly wasted) shuffle of the whole pipeline, found as an
+    ENOSPC on the 128 GiB probe box. The fix: a bucket-cardinality
+    prefilter (16-byte rows, map-side combined) broadcast back onto
+    the corpus, so the vector shuffle is collision-members-only. The
+    bucket column is computed twice (once for the count, once for the
+    join side) — map-side dot products, always cheaper than shuffling
+    the payload. Within-bucket pair counts stay bounded by bucket
+    size; more planes -> smaller buckets -> higher speed / lower
+    recall; tune planes to corpus size.
     """
     base = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).cast("bigint").alias("id"),
         F.col(vec_col).alias("v"),
         hyperplane_bucket(vec_col, planes).alias("bucket"),
     )
+    # collision buckets only: the broadcast is #collision-buckets x 8B
+    # (bounded by #true near-dup groups + random-collision tail)
+    hot = (
+        base.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= 2)
+        .select("bucket")
+    )
+    base = base.join(F.broadcast(hot), "bucket")
     if str(metric).upper() == "COSINE":
         # precompute each row's norm ONCE before the pair join — the
         # per-pair expression then folds only the dot product (3x less
