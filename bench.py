@@ -587,7 +587,9 @@ def main():
     # against calibration; both land on stdout for the driver.
     prev_q = _prev_round_queries()
     ratio_pairs = sorted(
-        times[k] / prev_q[k] for k in times if k in prev_q and times[k] > 0
+        times[k] / prev_q[k]
+        for k in times
+        if times[k] > 0 and prev_q.get(k, 0) > 0
     )
     if ratio_pairs:
         mid = len(ratio_pairs) // 2

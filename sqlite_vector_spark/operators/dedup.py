@@ -922,20 +922,25 @@ def embedding_neardup_pairs(
     restricted to equal LSH buckets (sign-random-projection).
 
     Scale: the pair join shuffles VECTORS on bucket — but only for
-    rows in COLLISION buckets (>= 2 members). The planes are sized so
-    most buckets are singletons (2^P ~ corpus size), which means a
-    naive self-join would shuffle the full vector payload twice and
-    throw almost all of it away: measured at the r14 10M x 768 probe,
-    2 x 61 GB of shuffle for a ~10% collision rate — the dominant
-    (and dominantly wasted) shuffle of the whole pipeline, found as an
-    ENOSPC on the 128 GiB probe box. The fix: a bucket-cardinality
-    prefilter (16-byte rows, map-side combined) broadcast back onto
-    the corpus, so the vector shuffle is collision-members-only. The
-    bucket column is computed twice (once for the count, once for the
-    join side) — map-side dot products, always cheaper than shuffling
-    the payload. Within-bucket pair counts stay bounded by bucket
-    size; more planes -> smaller buckets -> higher speed / lower
-    recall; tune planes to corpus size.
+    rows in COLLISION buckets (>= 2 members). A naive self-join would
+    shuffle the full vector payload twice and throw almost all of it
+    away: measured at the r14 10M x 768 probe, 2 x 61 GB of shuffle —
+    the dominant (and dominantly wasted) shuffle of the whole
+    pipeline, found as an ENOSPC on the 128 GiB probe box. The fix: a
+    bucket-cardinality prefilter (16-byte rows, map-side combined)
+    broadcast back onto the corpus, so the vector shuffle is
+    collision-members-only. The bucket column is computed twice (once
+    for the count, once for the join side) — map-side dot products,
+    always cheaper than shuffling the payload.
+
+    SIZING RULE (quantitative, probe-measured): with bucket load
+    factor lambda = N / 2^P, the fraction of rows in collision buckets
+    is ~ (1 - e^-lambda) + the true-duplicate fraction, and that
+    fraction of the vector payload is what the pair join shuffles.
+    P=24 at N=10M (lambda 0.6) still puts ~45% of rows in collision
+    buckets (~2 x 28 GB shuffled); P=28 (lambda 0.037) drops it to
+    ~4% + dups. Size P so lambda <~ 0.05 at the target corpus; more
+    planes -> higher speed / lower recall.
     """
     base = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).cast("bigint").alias("id"),

@@ -125,6 +125,54 @@ def test_versioned_delete_zero_renames(spark, vstore):
     assert renames == []
 
 
+def test_versioned_append_op_budget(spark, vstore):
+    """Append is rename-free AND prior-generation-blind: the batch
+    commits as generation N+1 plus a manifest listing the old files BY
+    REFERENCE — so the budget is zero renames at store level and zero
+    reads or LISTs of any prior generation's data (an append to a
+    100k-file store costs the same metadata ops as an append to a
+    10-file store)."""
+    from sqlite_vector_spark.versioned import append_versioned, read_versioned
+
+    root, df = vstore
+    batch = spark.range(200, 250).select(
+        F.col("id"),
+        (F.col("id") % 8).cast("int").alias("cluster"),
+        F.rand(2).alias("v"),
+    )
+    _record(spark)
+    rep = append_versioned(batch, root)
+    ops = _store_level(_ops(spark))
+    assert rep["appended_files"] >= 1
+    assert [p for op, p in ops if op == "rename"] == []
+    assert _dir_lists(ops, "/data/g000000") == []
+    assert [p for op, p in ops if op == "open" and "/data/g000000" in p] == []
+    assert read_versioned(spark, root).count() == df.count() + 50
+
+
+def test_versioned_replace_op_budget(spark, vstore):
+    """Replace (the rename-free whole-store swap) has the same budget
+    as append: new generation + manifest only, zero renames, zero
+    prior-generation reads — the superseded generation is simply no
+    longer referenced and waits for vacuum."""
+    from sqlite_vector_spark.versioned import read_versioned, replace_versioned
+
+    root, _ = vstore
+    repl = spark.range(500, 530).select(
+        F.col("id"),
+        (F.col("id") % 8).cast("int").alias("cluster"),
+        F.rand(3).alias("v"),
+    )
+    _record(spark)
+    rep = replace_versioned(repl, root)
+    ops = _store_level(_ops(spark))
+    assert rep["files"] >= 1
+    assert [p for op, p in ops if op == "rename"] == []
+    assert _dir_lists(ops, "/data/g000000") == []
+    assert [p for op, p in ops if op == "open" and "/data/g000000" in p] == []
+    assert read_versioned(spark, root).count() == 30
+
+
 def test_microbatch_epoch_planning_lists_bounded(spark, tmp_path):
     """SCALE.md:1365-1375 claim (the r13 reasoned decline kept its
     bound on the books): planning a micro-batch read over an

@@ -48,11 +48,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
 DIM = int(sys.argv[2]) if len(sys.argv) > 2 else 768
 C = int(sys.argv[3]) if len(sys.argv) > 3 else 10_000
-P = int(os.environ.get("SVSPARK_PROBE_PLANES", "24"))  # 2^24 buckets
+# Planes sized to the corpus (the embedding_neardup_pairs contract:
+# 2^P >> N so most buckets are singletons). At P=24 over 10M rows the
+# bucket load factor is lambda = N/2^P = 0.6, so ~45% of rows sit in
+# collision buckets (1 - e^-lambda) and the collision-only pair join
+# still shuffles ~2x28 GB of vectors — measured as a second ENOSPC on
+# this box. P=28 restores lambda = 0.037 (~4% collision members), the
+# same regime the 1M probes ran at with P=24.
+P = int(os.environ.get("SVSPARK_PROBE_PLANES", "28"))
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 THRESH = 0.2
 NPROBE = 10
 N_DELETE = 10_000
+
+
+def _drop_dead_shuffles(spark):
+    """Nudge the ContextCleaner so shuffle files whose Python-side
+    references are gone actually leave disk BETWEEN stages: the probe's
+    stage peaks (pair-join vectors, store-build repartition) each fit
+    the box alone but not stacked, and local-mode shuffle files
+    otherwise persist until an incidental driver GC."""
+    import gc
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(3)
 
 
 def main():
@@ -138,6 +158,10 @@ def main():
             .count()
         )
         out["components_path_mismatches"] = mism
+        labels_fast = labels_dist = None
+        edges.unpersist()
+        edges = None
+        _drop_dead_shuffles(spark)
 
         # ---- stage 2: versioned IVF-layout store, C cells, skewed
         store = os.path.join(root, "ivf_versioned")
@@ -161,6 +185,7 @@ def main():
         for dp, _dn, fns in os.walk(store):
             du += sum(os.path.getsize(os.path.join(dp, f)) for f in fns)
         out["store_bytes"] = du
+        _drop_dead_shuffles(spark)  # the 30 GB repartition-by-cell write
 
         # ---- stage 3: routed probe scan (manifest-pruned)
         q = [0.0] * DIM
