@@ -104,9 +104,18 @@ def main():
         versioned_store_init,
     )
 
+    from sqlite_vector_spark.operators.dedup import random_hyperplanes
+
     out = {"n_rows": N, "dim": DIM, "C": C, "planes": P, "cpus": int(CPUS)}
-    rngv = lambda p, j: (((p * DIM + j) * 2_654_435_761) % 10_007) / 10_007.0 - 0.5  # noqa: E731
-    planes = [[rngv(p, j) for j in range(DIM)] for p in range(P)]
+    # i.i.d. Gaussian planes — the family the library itself tells
+    # callers to use. The first draft of this probe hand-rolled a
+    # linear plane formula and reproduced random_hyperplanes' 64x
+    # docstring warning AT SCALE: bit correlations of 0.999 collapsed
+    # 10M vectors into ~10k effective buckets (97% of rows in
+    # collision buckets at ANY plane count, measured on a 200k numpy
+    # replica), i.e. ~7e9 candidate pairs and an unfinishable verify
+    # join. Plane quality is a first-order scale lever.
+    planes = random_hyperplanes(P, DIM, seed=0)
 
     is_dup = (F.col("id") % 20) == 1
     src = F.when(is_dup, F.col("id") - 1).otherwise(F.col("id"))
