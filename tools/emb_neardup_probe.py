@@ -57,9 +57,16 @@ def main():
     )
 
     out = {"n_vectors": N, "dim": DIM, "planes": P, "cpus": int(CPUS)}
-    # deterministic pseudo-random planes (literal-injected, frozen)
-    rngv = lambda p, j: (((p * DIM + j) * 2_654_435_761) % 10_007) / 10_007.0 - 0.5  # noqa: E731
-    planes = [[rngv(p, j) for j in range(DIM)] for p in range(P)]
+    # i.i.d. Gaussian planes (deterministic per seed, frozen). The
+    # earlier hand-rolled linear formula here was the exact correlated
+    # family random_hyperplanes() warns about (bit correlations 0.999,
+    # corpus collapsing into ~10k effective buckets) — numbers this
+    # probe published before r14 were therefore measured under
+    # DEGENERATE bucket skew, i.e. they are upper bounds on the
+    # well-tuned cost.
+    from sqlite_vector_spark.operators.dedup import random_hyperplanes
+
+    planes = random_hyperplanes(P, DIM, seed=0)
 
     is_dup = (F.col("id") % 20) == 1
     src = F.when(is_dup, F.col("id") - 1).otherwise(F.col("id"))

@@ -88,10 +88,11 @@ def main():
                 ).cast("float"),
             ).alias("embedding"),
         ).localCheckpoint(eager=True)
-        planes = [
-            [(((p * DIM + j) * 2_654_435_761) % BIGP) / BIGP - 0.5 for j in range(DIM)]
-            for p in range(PLANES_P)
-        ]
+        # i.i.d. Gaussian planes (the pre-r14 linear formula correlated
+        # the planes and skewed the buckets; see emb_neardup_probe)
+        from sqlite_vector_spark.operators.dedup import random_hyperplanes
+
+        planes = random_hyperplanes(PLANES_P, DIM, seed=0)
         emb.createOrReplaceTempView(f"tdpar_{tag}")
         cat = VectorCatalog(cat_dir)
         cat.vector_init(emb, f"tdpar_{tag}", "embedding", f"type=FLOAT32,dimension={DIM},distance=L2")

@@ -113,10 +113,12 @@ def main():
             )
             .localCheckpoint(eager=True)
         )
-        planes = [
-            [(((p * DIM + j) * 2_654_435_761) % BIGP) / BIGP - 0.5 for j in range(DIM)]
-            for p in range(PLANES_P)
-        ]
+        # i.i.d. Gaussian planes — the linear formula used before r14
+        # makes plane p+1 an affine shift of plane p (correlated bits,
+        # skewed buckets), which inflates the label-rebuild arm
+        from sqlite_vector_spark.operators.dedup import random_hyperplanes
+
+        planes = random_hyperplanes(PLANES_P, DIM, seed=0)
 
         emb.createOrReplaceTempView("probe_t")
         cat = VectorCatalog(os.path.join(root, "cat"))
