@@ -625,3 +625,72 @@ def test_delete_labels_embedding_matches_rebuild(spark, emb):
         }
         assert got == want, fpm
     assert not set(deleted) & {i for i, _ in want}
+
+
+def test_hyperplane_bucket_backends_agree(spark, emb):
+    """arrow-numpy hyperplane_bucket ≡ codegen fold on real fixture
+    vectors (sign bits only disagree when a plane dot lands within
+    accumulation-order rounding of 0.0 — probability ~0 for a Gaussian
+    family over continuous data), and the auto dispatch honors the
+    pinned-backend gate contract exactly like the distance kernels."""
+    import pyspark.sql.functions as F
+
+    from sqlite_vector_spark.operators.dedup import (
+        hyperplane_bucket,
+        random_hyperplanes,
+    )
+    from sqlite_vector_spark.version import set_backend
+
+    planes = random_hyperplanes(16, 64, seed=7)
+    base = emb.where(F.col("embedding").isNotNull()).select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    rows = (
+        base.select(
+            "id",
+            hyperplane_bucket("v", planes, backend="codegen").alias("fold"),
+            hyperplane_bucket("v", planes, backend="arrow-numpy").alias("mat"),
+        )
+        .collect()
+    )
+    assert rows and all(r.fold == r.mat for r in rows)
+
+    # auto under the oracle gate's pinned codegen == the exact fold plan
+    set_backend("codegen")
+    try:
+        pinned = hyperplane_bucket("v", planes)
+        assert "aggregate" in base.select(pinned.alias("b"))._jdf.queryExecution().analyzed().toString().lower()
+    finally:
+        set_backend("auto")
+    # auto at dim >= AUTO_DIM routes to the Arrow kernel (the _kernel UDF)
+    routed = base.select(hyperplane_bucket("v", planes).alias("b"))
+    assert "_kernel(" in routed._jdf.queryExecution().analyzed().toString()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        hyperplane_bucket("v", planes, backend="simd")
+
+
+def test_hyperplane_bucket_arrow_null_matches_fold(spark):
+    """NULL vectors bucket to 0 on BOTH backends (the fold's
+    when(NULL > 0) -> otherwise(0) per bit), so an unfiltered caller
+    gets identical bucketing either way instead of a kernel crash."""
+    from sqlite_vector_spark.operators.dedup import (
+        hyperplane_bucket,
+        random_hyperplanes,
+    )
+
+    planes = random_hyperplanes(8, 4, seed=1)
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.25, 1.0, 2.0]), (2, None), (3, [-1.0, 0.75, -0.5, 0.25])],
+        "id long, v array<double>",
+    )
+    rows = df.select(
+        "id",
+        hyperplane_bucket("v", planes, backend="codegen").alias("fold"),
+        hyperplane_bucket("v", planes, backend="arrow-numpy").alias("mat"),
+    ).collect()
+    assert all(r.fold == r.mat for r in rows)
+    assert next(r.fold for r in rows if r.id == 2) == 0
