@@ -31,17 +31,23 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from sqlite_vector_spark.functions.text import words
+from sqlite_vector_spark.functions.text import let, words
 
 
 def doc_bigrams(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, t1, t2) — one row per adjacent whitespace-token pair,
-    in document order. Docs with < 2 tokens contribute no rows."""
-    w = words(F.col(text_col))
-    pairs = F.zip_with(
-        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
-        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
-        lambda a, b: F.struct(a.alias("t1"), b.alias("t2")),
+    in document order. Docs with < 2 tokens contribute no rows.
+
+    The words array is let-bound: inlined it would be re-split for
+    each of the four slice/size references (HOFs are CodegenFallback,
+    so no codegen subexpression elimination applies)."""
+    pairs = let(
+        words(F.col(text_col)),
+        lambda w: F.zip_with(
+            F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+            F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("t1"), b.alias("t2")),
+        ),
     )
     return docs.select(
         F.col(id_col).cast("bigint").alias("doc_id"), F.explode(pairs).alias("bg")

@@ -1604,12 +1604,15 @@ def strip_chunks_col(
     set — boilerplate sets are few TYPES by construction). Pure HOF
     column, so it applies to Structured Streaming ingestion unchanged
     (no agg, no join, no state)."""
-    from sqlite_vector_spark.functions.text import word_chunks
+    from sqlite_vector_spark.functions.text import let, word_chunks
 
     if hash_fn is None:
         hash_fn = polyhash
     lit_set = F.array(*[F.lit(int(h)).cast("bigint") for h in boiler])
-    chunks = word_chunks(words(text_col), size)
+    # let-bind the words array: word_chunks references it per chunk
+    # slice, and HOF evaluation is interpreted (no codegen CSE), so an
+    # inline words() would re-split the text once per chunk
+    chunks = let(words(text_col), lambda w: word_chunks(w, size))
     kept = F.filter(chunks, lambda c: ~F.array_contains(lit_set, hash_fn(c)))
     return F.concat_ws(" ", kept)
 

@@ -71,11 +71,18 @@ def bm25_scores(
 
     if not terms:
         raise ValueError("bm25 needs at least one query term")
-    toks = words(normalize_text(F.col(text_col)))
+    # materialize the token array behind an attribute boundary before
+    # fanning out dl + per-term tf columns — same rationale (and
+    # measured win) as bm25_batch_topk below: inlined, every tf column
+    # re-runs the lowercase + regex + split chain because HOF lambdas
+    # are CodegenFallback (no codegen subexpression elimination)
     base = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).cast("bigint").alias("id"),
-        F.size(toks).cast("double").alias("dl"),
-        *[_term_tf(toks, t).alias(f"tf_{i}") for i, t in enumerate(terms)],
+        words(normalize_text(F.col(text_col))).alias("toks"),
+    ).select(
+        "id",
+        F.size("toks").cast("double").alias("dl"),
+        *[_term_tf(F.col("toks"), t).alias(f"tf_{i}") for i, t in enumerate(terms)],
     )
     # stats accumulate as BIGINT (dl and the df indicators are exact
     # integers), so the partial-sum merge order can't perturb a double

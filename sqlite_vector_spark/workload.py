@@ -2921,9 +2921,16 @@ def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sqlite_vector_spark.functions.text import STOPWORDS, words
 
     docs = _docs(spark, sf_dir)
-    w = words("text")
+    # words projected behind an attribute boundary: four metric
+    # columns reference the array, and HOFs are CodegenFallback (no
+    # codegen subexpression elimination), so an inline words("text")
+    # re-splits the text once per metric. CollapseProject cannot
+    # re-inline a non-cheap multi-referenced alias.
+    w = F.col("_w")
     d = docs.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("doc_id").cast("bigint").alias("doc_id"), words("text").alias("_w")
+    ).select(
+        "doc_id",
         F.size(w).cast("bigint").alias("n_words"),
         F.aggregate(
             F.transform(w, lambda x: F.length(x).cast("bigint")),
@@ -3180,27 +3187,42 @@ def source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audit that catches one crawl replicated under two names (or
     an eval set leaked into a training source).
 
-    Scale shape: distinct (source, shingle-hash) pairs are ONE
-    map-side-combined shuffle; pair expansion is a per-hash HOF over
-    the collected source set (bounded by #sources) instead of a
-    hash self-join — half the shuffle volume, no join fan-out
-    (measured 1 GB -> ~0.5 GB at 1M docs, cleaning_scale_probe);
-    totals are a tiny per-source agg broadcast back. Text never
-    shuffles."""
+    Scale shape (r14): ONE pass over the text. The raw (source,
+    shingle-hash) rows go straight into the groupBy(h) collect_set
+    (collect_set dedups, so the separate .distinct() exchange is
+    gone), and the per-source totals are derived from the SAME
+    grouped frame by exploding the source sets (each (h, source)
+    appears exactly once there) — previously the scan + shingle
+    explode + hash subtree executed three times (once under the
+    distinct feeding collect_set, twice under the two total-count
+    broadcasts; 3 scan subtrees in the r14-before plan, 1 after).
+    Pair expansion stays a per-hash HOF over the collected source
+    set (bounded by #sources) instead of a hash self-join — half the
+    shuffle volume, no join fan-out (measured 1 GB -> ~0.5 GB at 1M
+    docs, cleaning_scale_probe). Text never shuffles."""
     from sqlite_vector_spark.functions.text import polyhash, shingles
 
     docs = _docs(spark, sf_dir)
-    d = (
-        docs.select("source", F.explode(shingles("text")).alias("s"))
-        .select("source", polyhash(F.col("s")).alias("h"))
-        .distinct()
+    d = docs.select("source", F.explode(shingles("text")).alias("s")).select(
+        "source", polyhash(F.col("s")).alias("h")
     )
-    tot = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    ss = (
+    # lazy localCheckpoint: three consumers (pair expansion + the two
+    # total-count broadcasts) would re-execute the grouped subtree —
+    # AQE's runtime exchange reuse did NOT dedup it here (measured
+    # 2.37 vs 1.87 s at sf0.1); the checkpointed frame is the grouped
+    # per-hash source sets (#distinct shingles, ~30x smaller than the
+    # exploded rows and free of the text), computed once on first use
+    ss_all = (
         d.groupBy("h")
         .agg(F.sort_array(F.collect_set("source")).alias("ss"))
-        .where(F.size("ss") > 1)
+        .localCheckpoint(eager=False)
     )
+    tot = (
+        ss_all.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ss = ss_all.where(F.size("ss") > 1)
     pairs_col = F.flatten(
         F.transform(
             F.col("ss"),
@@ -3244,14 +3266,22 @@ def corpus_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sqlite_vector_spark.functions.text import fingerprint, words
 
     docs = _docs(spark, sf_dir)
-    w = words("text")
-    n_words, char_sum, stop_hits, n_types = _gopher_metrics(w)
+    # words behind an attribute boundary (same rationale as
+    # gopher_quality_q): toks + the keep flag's four metrics would
+    # otherwise each re-split the text in interpreted HOF evaluation
+    n_words, char_sum, stop_hits, n_types = _gopher_metrics(F.col("_w"))
     row = docs.select(
         "source",
         "lang",
-        n_words.alias("toks"),
+        words("text").alias("_w"),
         F.length("text").cast("bigint").alias("chars"),
         fingerprint(F.col("text")).alias("fp"),
+    ).select(
+        "source",
+        "lang",
+        n_words.alias("toks"),
+        "chars",
+        "fp",
         _gopher_keep(n_words, char_sum, stop_hits, n_types).cast("int").alias("keep"),
     )
     g = row.groupBy("source").agg(
@@ -3442,10 +3472,16 @@ def source_overlap_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sqlite_vector_spark.functions.text import polyhash, shingles
 
     docs = _docs(spark, sf_dir)
+    # lazy localCheckpoint (r14): FOUR consumers (totals, shared-pair
+    # expansion, and the HLL sketch agg) would each re-execute the
+    # scan + shingle explode + hash + distinct subtree; the
+    # checkpointed distinct (source, h) table is 16-byte rows, free
+    # of the text, computed once on first use
     d = (
         docs.select("source", F.explode(shingles("text")).alias("s"))
         .select("source", polyhash(F.col("s")).alias("h"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     tot = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     ss = (
@@ -3685,7 +3721,14 @@ def e2e_corpus_prep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     stripped = boilerplate_strip(deduped, size=CHUNK_W, min_df=BOILER_DF).select(
         "doc_id", F.col("clean_text").alias("text")
     )
-    kept = stripped.where(_gopher_keep(*_gopher_metrics(words("text"))))
+    # the filter is ONE expression over four words-derived metrics —
+    # let-bind the words array so the interpreted HOF evaluation
+    # splits the text once per row, not once per metric
+    from sqlite_vector_spark.functions.text import let as _text_let
+
+    kept = stripped.where(
+        _text_let(words("text"), lambda ws: _gopher_keep(*_gopher_metrics(ws)))
+    )
     return kept.select(
         "doc_id",
         F.col("text"),
