@@ -56,7 +56,7 @@ def exact_dedup(df: DataFrame, key_cols: Sequence[str], id_col: str) -> DataFram
     )
 
 
-def minhash_signatures(
+def _minhash_mins(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -64,13 +64,10 @@ def minhash_signatures(
     shingle_n: int = SHINGLE_N,
     hash_fn=None,
 ) -> DataFrame:
-    """Long-form MinHash signature: (id, j, minhash) for j in [0,H).
-
-    Plan shape: explode shingles (map-side), hash (map-side), explode
-    x H (map-side), one groupBy(id, j) shuffle of (16B key, 8B min)
-    rows. Docs with < shingle_n words produce no shingles and are
-    absent (they can't be near-dup candidates).
-    """
+    """WIDE MinHash signature: (id, m0..m{H-1}) — one groupBy(id)
+    shuffle of (8B key, H x 8B partial-min) rows. The shared core of
+    minhash_signatures (long form) and the band-key builders (which
+    compute band hashes map-side from this row, r14)."""
     # hash_fn: the polyhash default is the oracle-parity per-character
     # fold; pass F.xxhash64 at production scale (JVM intrinsic) — the
     # permutation math needs h in [0, P), so custom hashes are pmod'd
@@ -90,7 +87,25 @@ def minhash_signatures(
             for j in range(num_hashes)
         ],
     )
-    mins = perms.groupBy("id").agg(*[F.min(f"p{j}").alias(f"m{j}") for j in range(num_hashes)])
+    return perms.groupBy("id").agg(*[F.min(f"p{j}").alias(f"m{j}") for j in range(num_hashes)])
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = NUM_HASHES,
+    shingle_n: int = SHINGLE_N,
+    hash_fn=None,
+) -> DataFrame:
+    """Long-form MinHash signature: (id, j, minhash) for j in [0,H).
+
+    Plan shape: explode shingles (map-side), hash (map-side), one
+    groupBy(id) shuffle (wide mins), explode x H back out (map-side).
+    Docs with < shingle_n words produce no shingles and are absent
+    (they can't be near-dup candidates).
+    """
+    mins = _minhash_mins(df, id_col, text_col, num_hashes, shingle_n, hash_fn=hash_fn)
     return mins.select(
         "id",
         F.explode(
@@ -120,6 +135,37 @@ def lsh_band_keys(
     )
 
 
+def _band_keys_from_mins(
+    mins: DataFrame,
+    num_hashes: int = NUM_HASHES,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """(id, band, band_hash) computed MAP-SIDE from the wide
+    ``_minhash_mins`` row — same values as
+    ``lsh_band_keys(minhash_signatures(...))`` (the per-band
+    P-weighted sum over the same bigints, in the same order) without
+    the explode-to-long-form + second groupBy(id, band) shuffle the
+    long-form path pays (r14: 3 exchanges -> 2 on the candidate
+    pipeline)."""
+    bands = {}
+    for j in range(num_hashes):
+        b = j // rows_per_band
+        w = HASH_P if j % rows_per_band == 0 else 1
+        term = F.col(f"m{j}") * F.lit(w)
+        bands[b] = term if b not in bands else bands[b] + term
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("bigint").alias("band"), expr.alias("band_hash")
+            )
+            for b, expr in sorted(bands.items())
+        ]
+    )
+    return mins.select("id", F.explode(entries).alias("k")).select(
+        "id", F.col("k.band").alias("band"), F.col("k.band_hash").alias("band_hash")
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -132,7 +178,10 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Near-duplicate candidate pairs (a < b) sharing >= 1 LSH band.
 
-    Single-pass shape: ONE scan/hash pipeline, one shuffle on
+    Single-pass shape: ONE scan/hash pipeline, one groupBy(id) shuffle
+    for the wide mins, band keys computed map-side from that row
+    (_band_keys_from_mins, r14 — previously the long-form signature
+    was exploded and re-shuffled on (id, band)), one shuffle on
     (band, band_hash) collecting each bucket's id list, pairs expanded
     from the sorted list with array HOFs, then a distinct. A self-join
     formulation re-executes the whole minhash pipeline for each side
@@ -140,9 +189,9 @@ def lsh_candidate_pairs(
     doubling the dominant cost; bucket sizes, not corpus size, still
     bound the pair blow-up.
     """
-    keys = lsh_band_keys(
-        minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, hash_fn=hash_fn),
-        bands, rows_per_band,
+    keys = _band_keys_from_mins(
+        _minhash_mins(df, id_col, text_col, num_hashes, shingle_n, hash_fn=hash_fn),
+        num_hashes, rows_per_band,
     )
     return _bucket_pairs(keys, "band", "band_hash")
 
@@ -240,6 +289,33 @@ def simhash_neardup_pairs(
     )
 
 
+def _candidate_token_sets(
+    candidates: DataFrame, df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, tw): each CANDIDATE doc's distinct-token array. The corpus
+    is semi-joined against the broadcast candidate id set BEFORE
+    tokenization (the candidate-boundedness contract —
+    test_plan_shapes pins the LeftSemi under this subtree), and the
+    distinct tokens stay a map-side array: no explode, no token-level
+    exchange. Docs with no tokens are dropped (they had no rows in
+    the pre-r14 exploded token table either)."""
+    cand_ids = (
+        candidates.select(F.col("a").alias("id"))
+        .unionByName(candidates.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    # NB: no size(tw) filter here — a predicate on the derived array
+    # gets pushed below the semi-join onto the corpus scan, which
+    # would tokenize EVERY doc (and twice: once for the pushed filter,
+    # once for the projection). jaccard_pairs filters after its
+    # checkpoint instead.
+    return (
+        df.select(F.col(id_col).cast("bigint").alias("id"), F.col(text_col).alias("_t"))
+        .join(F.broadcast(cand_ids), "id", "left_semi")
+        .select("id", F.array_distinct(words("_t")).alias("tw"))
+    )
+
+
 def jaccard_pairs(
     candidates: DataFrame,
     df: DataFrame,
@@ -248,52 +324,54 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact word-set Jaccard for candidate pairs (a, b) ->
     (a, b, inter, union_, jaccard). Computes set sizes/intersections
-    via distinct-token joins — only candidate pairs are scored, never
-    all pairs.
+    via per-doc distinct-token ARRAYS — only candidate pairs are
+    scored, never all pairs.
 
-    Scale shape: the distinct-token table is built ONLY for candidate
+    Scale shape (r14): the token-set table is built ONLY for candidate
     docs — the corpus is semi-joined against the broadcast candidate
-    id set BEFORE the token explode, so the token-table shuffle is
-    bounded by the candidate count (typically ~0.01% of docs), not the
-    corpus size. At 100 TB, persist ``candidates`` first so its plan
-    is not recomputed for the id set and the two pair joins.
+    id set BEFORE tokenization, so everything downstream is bounded by
+    the candidate count (typically ~0.01% of docs), not the corpus
+    size. Each candidate doc's distinct tokens stay a map-side ARRAY
+    (array_distinct over the words — no explode, no distinct
+    exchange); the pair score is two equi-joins attaching the a-side
+    and b-side arrays and one array_intersect per pair. The pre-r14
+    formulation exploded (id, token) rows, distinct-shuffled them, and
+    ran a token-level join + groupBy plus two count joins — five
+    exchanges and four evaluations of the token subtree; now the only
+    exchanges are the two bounded pair joins (sf0.1: 3.07 -> 2.05 s
+    in-session for jaccard_pairs_q end-to-end). |intersect| of
+    distinct sets and the set sizes are the same integers, and the
+    jaccard division is the identical IEEE op -> hashes unchanged.
+    At 100 TB, persist ``candidates`` first so its plan is not
+    recomputed for the id set and the two pair joins.
     """
-    cand_ids = (
-        candidates.select(F.col("a").alias("id"))
-        .unionByName(candidates.select(F.col("b").alias("id")))
-        .distinct()
+    # candidate-bounded (tiny): checkpoint lazily so the a-side and
+    # b-side joins read the token sets instead of scanning the corpus
+    # twice for the semi-join + tokenize. The tokenless-doc filter
+    # runs on the checkpointed rows (docs with no tokens had no rows
+    # in the pre-r14 exploded token table and were dropped by its
+    # inner count-joins — keep that).
+    toks = (
+        _candidate_token_sets(candidates, df, id_col, text_col)
+        .localCheckpoint(eager=False)
+        .where(F.size("tw") >= 1)
     )
-    cdocs = df.select(
-        F.col(id_col).cast("bigint").alias("id"), F.col(text_col).alias("_t")
-    ).join(F.broadcast(cand_ids), "id", "left_semi")
-    dw = cdocs.select("id", F.explode(words("_t")).alias("w")).distinct()
-    cnt = dw.groupBy("id").agg(F.count(F.lit(1)).alias("c"))
-    x = dw.select(F.col("id").alias("a"), F.col("w").alias("wa"))
-    y = dw.select(F.col("id").alias("b2"), F.col("w").alias("wb"))
-    inter = (
-        candidates.join(x, "a")
-        .join(y, (F.col("b") == F.col("b2")) & (F.col("wa") == F.col("wb")))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    ca = cnt.select(F.col("id").alias("a"), F.col("c").alias("ca"))
-    cb = cnt.select(F.col("id").alias("b"), F.col("c").alias("cb"))
-    out = (
-        candidates.join(inter, ["a", "b"], "left")
-        .join(ca, "a")
-        .join(cb, "b")
+    a_t = toks.select(F.col("id").alias("a"), F.col("tw").alias("ta"))
+    b_t = toks.select(F.col("id").alias("b"), F.col("tw").alias("tb"))
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb"))).cast("bigint")
+    ca = F.size(F.col("ta")).cast("bigint")
+    cb = F.size(F.col("tb")).cast("bigint")
+    return (
+        candidates.join(a_t, "a")
+        .join(b_t, "b")
         .select(
             "a",
             "b",
-            F.coalesce(F.col("inter"), F.lit(0)).alias("inter"),
-            (F.col("ca") + F.col("cb") - F.coalesce(F.col("inter"), F.lit(0))).alias("union_"),
-            (
-                F.coalesce(F.col("inter"), F.lit(0)).cast("double")
-                / (F.col("ca") + F.col("cb") - F.coalesce(F.col("inter"), F.lit(0))).cast("double")
-            ).alias("jaccard"),
+            inter.alias("inter"),
+            (ca + cb - inter).alias("union_"),
+            (inter.cast("double") / (ca + cb - inter).cast("double")).alias("jaccard"),
         )
     )
-    return out
 
 
 def connected_components_min_label(
@@ -1309,12 +1387,12 @@ def lsh_band_store(
     }
     # overwrite replaces the store AND its family; append must match it
     params = _resolve_lsh_params([dest] if mode == "append" else [], passed)
-    keys = lsh_band_keys(
-        minhash_signatures(
+    keys = _band_keys_from_mins(
+        _minhash_mins(
             df, params["id_col"], params["text_col"],
             params["num_hashes"], params["shingle_n"], hash_fn=hash_fn,
         ),
-        params["bands"], params["rows_per_band"],
+        params["num_hashes"], params["rows_per_band"],
     )
     from sqlite_vector_spark.sinks import write_partitioned
 
@@ -1358,11 +1436,11 @@ def incremental_dedup_pairs(
     # both consumers below (cross join + within-batch pairs) read the
     # checkpointed rows instead of re-running the minhash pipeline,
     # and no cache lifetime leaks past this call
-    new_keys = lsh_band_keys(
-        minhash_signatures(
+    new_keys = _band_keys_from_mins(
+        _minhash_mins(
             new_df, id_col, text_col, prm["num_hashes"], prm["shingle_n"], hash_fn=hash_fn
         ),
-        prm["bands"],
+        prm["num_hashes"],
         prm["rows_per_band"],
     ).localCheckpoint(eager=True)
     # multi-path stores (the streaming maintainer's per-epoch dirs)

@@ -382,11 +382,11 @@ def ingest_stream_neardup(
     import os
 
     from sqlite_vector_spark.operators.dedup import (
+        _band_keys_from_mins,
+        _minhash_mins,
         incremental_dedup_pairs,
         incremental_labels,
         jaccard_pairs,
-        lsh_band_keys,
-        minhash_signatures,
     )
 
     bands_root = os.path.join(state_dir, "bands")
@@ -449,7 +449,7 @@ def ingest_stream_neardup(
         from sqlite_vector_spark.sinks import write_partitioned
 
         write_partitioned(
-            lsh_band_keys(minhash_signatures(batch, id_col, text_col)),
+            _band_keys_from_mins(_minhash_mins(batch, id_col, text_col)),
             f"{bands_root}/epoch={epoch_id}", "band",
         )
         batch.write.mode("overwrite").parquet(f"{docs_root}/epoch={epoch_id}")

@@ -58,11 +58,28 @@ def test_jaccard_token_table_is_candidate_bounded(spark):
     df = w.jaccard_pairs_q(spark, SF)
     plan = physical_plan(df)
     assert_not_in_plan(df, "CartesianProduct")
-    # the token table (dw) is referenced three times (pair sides + set
-    # sizes); each copy must carry the broadcast LeftSemi pruning join
-    # under its token explode — a corpus-wide token table would show
-    # fewer LeftSemi joins than dw references
-    assert plan.count("LeftSemi") >= 3, plan[:1200]
+    # r14 shape: scoring is array_intersect over per-doc token ARRAYS
+    # — no token-level explode/distinct exchange in the query plan
+    assert "array_intersect" in plan, plan[:1200]
+    # the token-set table itself (lazily checkpointed inside
+    # jaccard_pairs, so invisible in the query plan) must stay
+    # candidate-bounded: the LeftSemi pruning join sits under the
+    # tokenize, and the tokens stay a map-side array (no Generate)
+    from sqlite_vector_spark.operators.dedup import (
+        _candidate_token_sets,
+        lsh_candidate_pairs,
+    )
+
+    docs = w._docs(spark, SF)
+    # checkpoint the candidates (as jaccard_pairs_q does) so the token
+    # subtree's plan is inspectable on its own
+    cand = lsh_candidate_pairs(docs, "doc_id", "text").localCheckpoint(eager=True)
+    tok_plan = physical_plan(_candidate_token_sets(cand, docs, "doc_id", "text"))
+    assert "LeftSemi" in tok_plan, tok_plan[:1200]
+    # no token/shingle explode, and no derived-array predicate pushed
+    # below the semi-join (it would tokenize the whole corpus)
+    assert "Generate" not in tok_plan, tok_plan[:1200]
+    assert "array_distinct" not in tok_plan.split("LeftSemi")[-1], tok_plan[:1200]
 
 
 def test_neardup_join_is_bucket_keyed_not_cartesian(spark):

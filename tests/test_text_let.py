@@ -80,3 +80,71 @@ def test_doc_bigrams_let_equals_inline(docs):
     ).select("doc_id", F.col("bg.t1").alias("t1"), F.col("bg.t2").alias("t2"))
     bound = doc_bigrams(d)
     assert sorted(map(tuple, bound.collect())) == sorted(map(tuple, inline.collect()))
+
+
+def test_band_keys_from_mins_equals_long_form(docs):
+    """r14: the map-side band-key builder must reproduce
+    lsh_band_keys(minhash_signatures(...)) exactly (same P-weighted
+    sums over the same bigints)."""
+    from sqlite_vector_spark.operators.dedup import (
+        _band_keys_from_mins,
+        _minhash_mins,
+        lsh_band_keys,
+        minhash_signatures,
+    )
+
+    d = docs.limit(300)
+    wide = _band_keys_from_mins(_minhash_mins(d, "doc_id", "text"))
+    long = lsh_band_keys(minhash_signatures(d, "doc_id", "text"))
+    assert sorted(map(tuple, wide.collect())) == sorted(map(tuple, long.collect()))
+
+
+def test_jaccard_pairs_array_form_equals_token_join_form(docs):
+    """r14: array_intersect jaccard must equal the exploded
+    distinct-token-join formulation it replaced."""
+    import pyspark.sql.functions as F
+
+    from sqlite_vector_spark.functions.text import words as _words
+    from sqlite_vector_spark.operators.dedup import jaccard_pairs, lsh_candidate_pairs
+
+    d = docs.limit(300)
+    cand = lsh_candidate_pairs(d, "doc_id", "text").localCheckpoint(eager=True)
+    new = jaccard_pairs(cand, d, "doc_id", "text")
+
+    # pre-r14 formulation, reconstructed
+    cand_ids = (
+        cand.select(F.col("a").alias("id"))
+        .unionByName(cand.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    cdocs = d.select(
+        F.col("doc_id").cast("bigint").alias("id"), F.col("text").alias("_t")
+    ).join(F.broadcast(cand_ids), "id", "left_semi")
+    dw = cdocs.select("id", F.explode(_words("_t")).alias("w")).distinct()
+    cnt = dw.groupBy("id").agg(F.count(F.lit(1)).alias("c"))
+    x = dw.select(F.col("id").alias("a"), F.col("w").alias("wa"))
+    y = dw.select(F.col("id").alias("b2"), F.col("w").alias("wb"))
+    inter = (
+        cand.join(x, "a")
+        .join(y, (F.col("b") == F.col("b2")) & (F.col("wa") == F.col("wb")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = cnt.select(F.col("id").alias("a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("id").alias("b"), F.col("c").alias("cb"))
+    old = (
+        cand.join(inter, ["a", "b"], "left")
+        .join(ca, "a")
+        .join(cb, "b")
+        .select(
+            "a",
+            "b",
+            F.coalesce(F.col("inter"), F.lit(0)).alias("inter"),
+            (F.col("ca") + F.col("cb") - F.coalesce(F.col("inter"), F.lit(0))).alias("union_"),
+            (
+                F.coalesce(F.col("inter"), F.lit(0)).cast("double")
+                / (F.col("ca") + F.col("cb") - F.coalesce(F.col("inter"), F.lit(0))).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))
