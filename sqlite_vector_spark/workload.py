@@ -4050,10 +4050,22 @@ def ivf_recall_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     form of ivf_recall_at_k): for each nprobe in IVF_CURVE, corpus
     recall@KNN_K of the IVF join vs the exact join over the NQ query
     batch, computed as total-hits / (NQ*K) so the double division is
-    a single exact op (no order-dependent float accumulation)."""
+    a single exact op (no order-dependent float accumulation).
+
+    r14 shape: ONE corpus assignment + ONE scoring join for the whole
+    curve. probe_clusters_col's (distance, index)-sorted probe list
+    has the prefix property — the nprobe=p probes are exactly the
+    first p entries of the nprobe=max list — so candidates are scored
+    once at max(IVF_CURVE) with their probe POSITION attached
+    (posexplode), checkpointed, and each curve point is a pos < p
+    filter + the same id-tiebroken rank window ivf_knn_join applies.
+    Previously each point called ivf_knn_join, which re-assigned the
+    full corpus to centroids per branch (the assignment is map-side
+    under a broadcast join — no exchange for AQE to reuse): 4 corpus
+    assignment passes -> 1."""
     from functools import reduce
 
-    from sqlite_vector_spark.operators.ann import ivf_knn_join
+    from sqlite_vector_spark.operators.ann import ivf_assign, probe_clusters_col
     from sqlite_vector_spark.operators.knn_join import knn_join
 
     emb = _emb(spark, sf_dir)
@@ -4062,26 +4074,35 @@ def ivf_recall_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where((F.col("vec_id") < NQ) & F.col("embedding").isNotNull()).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    # the exact arm and the query frame feed all len(IVF_CURVE)
-    # branches of the union below. Measured (SCALE.md §recall curve):
-    # AQE's ReusedExchange ALREADY dedups the exact join's shuffle
-    # across the branches (3 ReusedExchange nodes in the executed
-    # plan), so wall-clock is flat either way at sf0.1 — the
-    # localCheckpoint is kept to make single-evaluation a CONTRACT
-    # rather than an exchange-reuse heuristic (reuse keys on exchange
-    # canonical equality, which a refactor of one branch can silently
-    # break), and to stop the count() re-scanning the parquet.
+    # the query frame feeds the exact arm, the probe explode, and the
+    # count — checkpoint once (NQ rows)
     queries = queries.localCheckpoint(eager=True)
     exact = knn_join(
         queries, emb, KNN_K, "L2", query_vec="qv", corpus_vec="embedding", corpus_id="vec_id"
     ).select("qid", "id").localCheckpoint(eager=True)
     n_q = queries.count()
+    max_p = max(IVF_CURVE)
+    assigned = ivf_assign(emb, "embedding", centroids, id_col="vec_id", metric="L2")
+    qx = queries.select(
+        "qid", F.col("qv").alias("_qv"),
+        F.posexplode(probe_clusters_col("qv", centroids, max_p)).alias("pos", "cluster"),
+    ).select("qid", "_qv", "pos", "cluster")
+    # the same true-domain distance expression ivf_knn_join scores
+    # candidates with; checkpointed once, reused by every curve point
+    scored = (
+        assigned.join(F.broadcast(qx), "cluster")
+        .select("qid", "id", "pos", distance(F.col("vec"), F.col("_qv"), "L2").alias("distance"))
+        .localCheckpoint(eager=True)
+    )
     parts = []
     for p in IVF_CURVE:
-        approx = ivf_knn_join(
-            queries, emb, centroids, KNN_K, nprobe=p, metric="L2",
-            id_col="vec_id", vec_col="embedding",
-        ).select("qid", "id")
+        wp = Window.partitionBy("qid").orderBy(F.col("distance").asc(), F.col("id").asc())
+        approx = (
+            scored.where(F.col("pos") < F.lit(int(p)))
+            .select("qid", "id", "distance", F.row_number().over(wp).alias("rank"))
+            .where(F.col("rank") <= KNN_K)
+            .select("qid", "id")
+        )
         hits = exact.join(approx, ["qid", "id"], "left_semi")
         parts.append(
             hits.agg(
