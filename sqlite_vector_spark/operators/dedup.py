@@ -562,13 +562,6 @@ def incremental_labels(
     if n_edges == 0:
         return lab
     nodes = edges.select(F.col("a").alias("id")).union(edges.select(F.col("b").alias("id"))).distinct()
-    affected = (
-        lab.join(nodes, "id", "left_semi").select("cluster").distinct()
-    )
-    # star edges for affected components only (members pulled by a
-    # broadcast semi-join on the small affected-cluster set)
-    members = lab.join(F.broadcast(affected), "cluster", "left_semi").localCheckpoint(eager=True)
-    untouched = lab.join(F.broadcast(affected), "cluster", "left_anti")
 
     if 0 < n_edges <= fast_path_max:
         # rep-level edges: each endpoint maps to its stored rep (new
@@ -590,17 +583,33 @@ def incremental_labels(
         map_df = lab.sparkSession.createDataFrame(
             list(mapping.items()), "rep bigint, final bigint"
         )
+        # ONE broadcast left-join relabels the whole table (r14):
+        # mapping keys are exactly the affected clusters' reps (every
+        # edge endpoint in lab contributes its cluster id) plus new
+        # node ids (∉ lab ids, and cluster labels ARE member ids, so
+        # a new id can never collide with an untouched cluster
+        # label) — untouched rows miss the map and keep their label
+        # via coalesce, affected members get their merged rep. The
+        # pre-r14 assembly materialized the member set (an eager
+        # checkpoint job) and split lab with a broadcast semi-join +
+        # anti-join + union — three label-table passes and two extra
+        # jobs for the same rows.
         new_nodes = nodes.join(lab, "id", "left_anti")
-        merged = (
-            members.join(F.broadcast(map_df), members["cluster"] == F.col("rep"))
+        relabeled = lab.join(
+            F.broadcast(map_df), lab["cluster"] == F.col("rep"), "left"
+        ).select("id", F.coalesce(F.col("final"), F.col("cluster")).alias("cluster"))
+        return relabeled.unionByName(
+            new_nodes.join(F.broadcast(map_df), new_nodes["id"] == F.col("rep"))
             .select("id", F.col("final").alias("cluster"))
-            .unionByName(
-                new_nodes.join(F.broadcast(map_df), new_nodes["id"] == F.col("rep"))
-                .select("id", F.col("final").alias("cluster"))
-            )
         )
-        return untouched.unionByName(merged)
 
+    affected = (
+        lab.join(nodes, "id", "left_semi").select("cluster").distinct()
+    )
+    # star edges for affected components only (members pulled by a
+    # broadcast semi-join on the small affected-cluster set)
+    members = lab.join(F.broadcast(affected), "cluster", "left_semi").localCheckpoint(eager=True)
+    untouched = lab.join(F.broadcast(affected), "cluster", "left_anti")
     stars = members.where(F.col("id") != F.col("cluster")).select(
         F.col("id").alias("a"), F.col("cluster").alias("b")
     )
@@ -1250,9 +1259,15 @@ def embedding_pair_distances(
         .unionByName(candidates.select(F.col("b").alias("id")))
         .distinct()
     )
-    base = df.where(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("v")
-    ).join(F.broadcast(cand_ids), "id", "left_semi")
+    base = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("v"))
+        .join(F.broadcast(cand_ids), "id", "left_semi")
+        # candidate-bounded (tiny): checkpoint lazily so the a-side
+        # and b-side attach joins read it instead of scanning the
+        # corpus twice (r14, same shape as jaccard_pairs' token sets)
+        .localCheckpoint(eager=False)
+    )
     if str(metric).upper() == "COSINE":
         from sqlite_vector_spark.functions.distance import _dot_sum, snap_zero
 
