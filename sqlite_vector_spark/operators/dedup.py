@@ -1556,9 +1556,12 @@ def boilerplate_strip(
     enters that shuffle. The boilerplate set (df >= min_df) is small
     by construction — chunks frequent across documents are few types
     even when instance counts are huge — so it broadcasts, and pass 2
-    is explode -> broadcast ANTI join -> one re-agg on doc id. Kept
-    chunk text crosses the wire exactly once, on its way to
-    reassembly, which any reconstruction requires.
+    is explode -> broadcast LEFT join -> ONE conditional re-agg on
+    doc id that yields totals, kept counts and the reassembled text
+    together (r14; the anti-join shape needed a third evaluation of
+    the words projection for the totals join). Kept chunk text
+    crosses the wire exactly once, on its way to reassembly, which
+    any reconstruction requires.
 
     ``hash_fn``: chunk -> fingerprint Column. The default polyhash is
     the cross-engine (oracle-parity) fold but hashes per CHARACTER —
@@ -1582,39 +1585,45 @@ def boilerplate_strip(
     if hash_fn is None:
         hash_fn = polyhash
     base = docs.select(F.col(id_col).cast("bigint").alias("id"), words(text_col).alias("w"))
-    ch = base.select("id", F.posexplode(word_chunks(F.col("w"), size)).alias("pos", "chunk"))
+    # posexplode_OUTER keeps zero-chunk docs as a (null, null) row, so
+    # the one groupBy(id) below covers every doc — the pre-r14 shape
+    # re-derived per-doc chunk totals from a third evaluation of the
+    # words projection and joined them back
+    ch = base.select(
+        "id", F.posexplode_outer(word_chunks(F.col("w"), size)).alias("pos", "chunk")
+    )
     hashed = ch.select("id", "pos", "chunk", hash_fn(F.col("chunk")).alias("h"))
     boiler = (
         hashed.groupBy("h")
         .agg(F.countDistinct("id").alias("df"))
         .where(F.col("df") >= F.lit(min_df))
-        .select("h")
+        .select("h", F.lit(True).alias("_boil"))
     )
     boiler_side = F.broadcast(boiler) if boiler_broadcast else boiler
-    kept = hashed.join(boiler_side, "h", "left_anti")
-    per_doc = kept.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
+    # LEFT join + conditional aggregation instead of anti-join +
+    # separate totals join (r14): one pass computes kept text, kept
+    # count, and total chunk count together; a null join key (the
+    # zero-chunk doc row) never matches, and collect_list skips the
+    # null structs of stripped rows
+    flagged = hashed.join(boiler_side, "h", "left")
+    kept_struct = F.when(
+        F.col("chunk").isNotNull() & F.col("_boil").isNull(), F.struct("pos", "chunk")
+    )
+    per_doc = flagged.groupBy("id").agg(
+        F.count("chunk").alias("n_chunks"),
+        F.count(kept_struct).alias("n_kept"),
         F.concat_ws(
             " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
-                lambda s: s["chunk"],
-            ),
+            F.transform(F.array_sort(F.collect_list(kept_struct)), lambda s: s["chunk"]),
         ).alias("clean_text"),
     )
-    totals = base.select(
-        "id", F.ceil(F.size("w") / F.lit(float(size))).cast("bigint").alias("n_chunks")
-    )
-    return (
-        totals.join(per_doc, "id", "left")
-        .select(
-            F.col("id").alias("doc_id"),
-            "n_chunks",
-            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-            (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).cast("bigint").alias("n_removed"),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.length(F.coalesce("clean_text", F.lit(""))).cast("bigint").alias("clean_len"),
-        )
+    return per_doc.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_chunks").cast("bigint").alias("n_chunks"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        (F.col("n_chunks") - F.col("n_kept")).cast("bigint").alias("n_removed"),
+        "clean_text",
+        F.length("clean_text").cast("bigint").alias("clean_len"),
     )
 
 

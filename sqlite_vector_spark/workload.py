@@ -770,8 +770,16 @@ def _fixed_sum(col: F.Column, scale: float) -> F.Column:
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape over lineitem. Double measures are summed in
     fixed-point (see _fixed_sum) so partial-agg order can't perturb
-    the hash; quantities/prices are 2dp money, disc_price uses 4dp."""
-    li = table(spark, sf_dir, "lineitem")
+    the hash; quantities/prices are 2dp money, disc_price uses 4dp.
+
+    widen (r14): the five decimal partial-aggregates run ON the scan
+    task, and a single-file fact reads as one split — the whole Q1
+    map side was serial. widen round-robins it across cores (no-op at
+    real scale where splits >> cores); measured 1.39 -> 0.95 s at
+    sf0.1. Only applied here: for join-shaped queries the extra
+    exchange LOST (region_volume 1.06 -> 1.70), so the other TPC-H
+    entries keep the bare scan."""
+    li = widen(table(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
@@ -3717,6 +3725,10 @@ def e2e_corpus_prep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rn") == 1)
         .drop("rn", "fp")
+        # boilerplate_strip evaluates its input twice (df-count pass +
+        # strip pass) — checkpoint so normalize + fingerprint + the
+        # dedup window run once (r14)
+        .localCheckpoint(eager=False)
     )
     stripped = boilerplate_strip(deduped, size=CHUNK_W, min_df=BOILER_DF).select(
         "doc_id", F.col("clean_text").alias("text")
