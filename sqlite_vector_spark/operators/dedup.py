@@ -1640,10 +1640,26 @@ def edit_distance_pairs(
 
     Scale shape: the O(len^2)-per-pair kernel is gated behind the LSH
     candidate generator, so pair volume is the LSH bucket-collision
-    count, never corpus^2. The candidate table broadcasts; each text
-    rides into the pair exactly once through two broadcast joins —
-    the corpus is scanned, never shuffled."""
-    t = docs.select(F.col(id_col).cast("bigint").alias("id"), F.col(text_col).alias("t"))
+    count, never corpus^2. The candidate set is checkpointed (it
+    feeds the id set and the pair join), the candidate docs' texts
+    are pulled with ONE corpus scan (broadcast semi-join) and
+    checkpointed, and each text rides into the pair through two
+    small attach joins — the pre-r14 shape scanned the full corpus
+    text twice, once per pair side (r14, the embedding_pair_distances
+    / jaccard_pairs candidate-bounded pattern)."""
+    cand = cand.select(
+        F.col("a").cast("bigint").alias("a"), F.col("b").cast("bigint").alias("b")
+    ).localCheckpoint(eager=True)
+    cand_ids = (
+        cand.select(F.col("a").alias("id"))
+        .unionByName(cand.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    t = (
+        docs.select(F.col(id_col).cast("bigint").alias("id"), F.col(text_col).alias("t"))
+        .join(F.broadcast(cand_ids), "id", "left_semi")
+        .localCheckpoint(eager=False)
+    )
     out = (
         t.select(F.col("id").alias("a"), F.col("t").alias("ta"))
         .join(F.broadcast(cand), "a")
