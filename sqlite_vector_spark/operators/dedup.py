@@ -199,23 +199,50 @@ def lsh_candidate_pairs(
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """(id, simhash): sign-of-sum fingerprint over token hashes.
 
-    One groupBy(id) with ``bits`` per-bit sum aggregates — the ±1
-    contributions fold map-side (partial aggregation), so the shuffle
-    carries one row of 32 partials per (partition, id) instead of
-    #tokens x 32 exploded bit rows. Same values as the per-bit-explode
-    formulation (the oracle keeps the unnest form).
+    MAP-ONLY (r14): the per-bit ±1 sums fold per document with an
+    array-accumulator HOF aggregate over the projected words array —
+    no explode, no exchange at any scale; the operator runs at scan
+    speed. (The pre-r14 shape exploded tokens into a groupBy(id) with
+    ``bits`` sum aggregates — map-side combined, but still one
+    corpus-wide shuffle of the partials.) Integer sums are
+    order-independent, so the values match the per-bit-explode
+    formulation exactly (the oracle keeps the unnest form); docs with
+    no tokens are absent from the output on both shapes (measured at
+    sf0.1: 1.98 -> 1.36 s paired).
     """
-    toks = df.select(
-        F.col(id_col).cast("bigint").alias("id"), F.explode(words(text_col)).alias("w")
-    ).select("id", polyhash("w").alias("h"))
-    sums = toks.groupBy("id").agg(
-        *[
-            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)).alias(f"s{b}")
-            for b in range(bits)
-        ]
+    base = df.select(
+        F.col(id_col).cast("bigint").alias("id"), words(text_col).alias("_w")
+    )
+
+    def sums_of(hs: Column) -> Column:
+        acc0 = F.array_repeat(F.lit(0).cast("bigint"), bits)
+
+        def step(acc: Column, h: Column) -> Column:
+            contrib = F.array(
+                *[
+                    (
+                        F.shiftright(h, b).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)
+                    ).cast("bigint")
+                    for b in range(bits)
+                ]
+            )
+            return F.zip_with(acc, contrib, lambda a, c: a + c)
+
+        return F.aggregate(hs, acc0, step)
+
+    # the size filter references the PROJECTED words attribute, so
+    # pushdown re-orders it above the first projection instead of
+    # re-deriving the split at the scan
+    sums = base.where(F.size("_w") >= 1).select(
+        "id", sums_of(F.transform(F.col("_w"), lambda t: polyhash(t))).alias("_s")
     )
     fingerprint = sum(
-        (F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint")) for b in range(bits)),
+        (
+            F.when(F.element_at(F.col("_s"), b + 1) > 0, F.lit(1 << b).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+            for b in range(bits)
+        ),
         F.lit(0).cast("bigint"),
     )
     return sums.select("id", fingerprint.cast("bigint").alias("simhash"))
@@ -259,7 +286,10 @@ def simhash_neardup_pairs(
     Scale: fingerprints are 8-byte rows; banding keys are 2 bigints —
     the candidate join shuffles bytes-per-doc, never text.
     """
-    sim = simhash(df, id_col, text_col, bits)
+    # three consumers (band keys + both fingerprint attach sides) —
+    # checkpoint the 16-byte rows so the map-only simhash pass runs
+    # once (r14)
+    sim = simhash(df, id_col, text_col, bits).localCheckpoint(eager=False)
     width = bits // bands
     mask = (1 << width) - 1
     keyed = sim.select(

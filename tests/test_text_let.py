@@ -148,3 +148,46 @@ def test_jaccard_pairs_array_form_equals_token_join_form(docs):
         )
     )
     assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))
+
+
+def test_simhash_hof_equals_explode_form(docs):
+    """r14: the map-only HOF simhash must equal the exploded
+    groupBy-sum formulation it replaced (integer sums commute)."""
+    import pyspark.sql.functions as F
+
+    from sqlite_vector_spark.functions.text import polyhash as _ph
+    from sqlite_vector_spark.functions.text import words as _words
+    from sqlite_vector_spark.operators.dedup import simhash
+
+    bits = 32
+    d = docs.limit(300)
+    toks = d.select(
+        F.col("doc_id").cast("bigint").alias("id"), F.explode(_words("text")).alias("w")
+    ).select("id", _ph("w").alias("h"))
+    sums = toks.groupBy("id").agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    fingerprint = sum(
+        (
+            F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+            for b in range(bits)
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    old = sums.select("id", fingerprint.cast("bigint").alias("simhash"))
+    new = simhash(d, "doc_id", "text", bits)
+    assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))
+
+
+def test_simhash_is_map_only(docs):
+    """r14 plan contract: simhash has no exchange — it folds per doc
+    over the projected words array."""
+    from sqlite_vector_spark.operators.dedup import simhash
+
+    plan = simhash(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:800]
