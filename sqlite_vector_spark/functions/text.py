@@ -112,11 +112,15 @@ def stopword_count(text: str | Column, stopwords=STOPWORDS) -> Column:
     return total
 
 
-def quality_score(text: str | Column) -> Column:
+def quality_score(text: str | Column, n_tok: Column | None = None) -> Column:
     """Composite quality in [0,1]: longer docs with moderate
     punctuation and some stopwords score higher (the classic
     Gopher/C4-style length+symbol heuristics, reduced to
-    deterministic arithmetic)."""
+    deterministic arithmetic).
+
+    ``n_tok``: pass the doc's token count when the caller already
+    projects one (token_count splits the text; sharing the projected
+    column keeps the plan at one split per row — r14)."""
     t = _col(text)
     n_chr = char_count(t).cast("double")
     punct_ratio = punct_count(t).cast("double") / n_chr
@@ -133,6 +137,8 @@ def quality_score(text: str | Column) -> Column:
     # token_count splits the text; it feeds two ratios -> let-bind so
     # the split runs once per row (char/punct counts are length
     # arithmetic — cheap, left inline)
+    if n_tok is not None:
+        return body(n_tok.cast("double"))
     return let(token_count(t).cast("double"), body)
 
 

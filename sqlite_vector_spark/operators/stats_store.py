@@ -193,8 +193,17 @@ def snapshot_drift(
     from sqlite_vector_spark.functions.text import words
 
     def bucket_counts(docs: DataFrame, out: str) -> DataFrame:
-        n_tok = F.size(words(text_col)).cast("int")
-        b = F.size(F.filter(F.array(*[F.lit(int(e)) for e in edges]), lambda e: e <= n_tok))
+        from sqlite_vector_spark.functions.text import let
+
+        # let-bind the token count: referenced inside the bucket
+        # filter's lambda, it would re-split the text once per edge
+        # (HOFs are CodegenFallback — no subexpression elimination)
+        b = let(
+            F.size(words(text_col)).cast("int"),
+            lambda n_tok: F.size(
+                F.filter(F.array(*[F.lit(int(e)) for e in edges]), lambda e: e <= n_tok)
+            ),
+        )
         return (
             docs.where(F.col(text_col).isNotNull())
             .select(F.col(source_col).alias("source"), b.alias("b"))

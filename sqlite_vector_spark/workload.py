@@ -1228,13 +1228,17 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token/char/punct/stopword counts + quality score."""
     d = _docs(spark, sf_dir)
     t = F.col("text")
+    # token count projected once and shared with quality_score (one
+    # text split per row instead of two — r14)
     return d.select(
+        "doc_id", t, token_count(t).alias("n_tokens")
+    ).select(
         "doc_id",
-        token_count(t).alias("n_tokens"),
+        "n_tokens",
         char_count(t).alias("n_chars_len"),
         punct_count(t).alias("n_punct"),
         stopword_count(t).alias("n_stop"),
-        quality_score(t).alias("quality"),
+        quality_score(t, F.col("n_tokens")).alias("quality"),
     )
 
 
@@ -1369,8 +1373,10 @@ def token_budget_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = d.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         "lang",
+        t,
         token_count(t).alias("n_tokens"),
-        quality_score(t).alias("quality"),
+    ).select(
+        "doc_id", "lang", "n_tokens", quality_score(t, F.col("n_tokens")).alias("quality")
     )
     w = (
         Window.partitionBy("lang")
@@ -1517,7 +1523,8 @@ def corpus_prep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
         token_count(t).alias("n_tokens"),
-        quality_score(t).alias("quality"),
+    ).select(
+        "doc_id", "text", "n_tokens", quality_score(t, F.col("n_tokens")).alias("quality")
     ).where(F.col("quality") > 0.5)
     keepers = stats.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     return (
@@ -1926,8 +1933,8 @@ def source_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     t = F.col("text")
     per_doc = docs.select(
-        "source", "lang", token_count(t).alias("n_tok"), quality_score(t).alias("q")
-    )
+        "source", "lang", t, token_count(t).alias("n_tok")
+    ).select("source", "lang", "n_tok", quality_score(t, F.col("n_tok")).alias("q"))
     return (
         per_doc.groupBy("source", "lang")
         .agg(
@@ -2212,11 +2219,15 @@ def text_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sqlite_vector_spark.functions.text import normalize_text, token_count
 
     docs = _docs(spark, sf_dir)
-    norm = normalize_text(F.col("text"))
+    # normalized text behind an attribute boundary: the token count
+    # would otherwise re-run the lowercase + regex chain per row
     return docs.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
-        norm.alias("norm_text"),
-        token_count(norm).alias("norm_tokens"),
+        normalize_text(F.col("text")).alias("norm_text"),
+    ).select(
+        "doc_id",
+        "norm_text",
+        token_count(F.col("norm_text")).alias("norm_tokens"),
     )
 
 
@@ -2648,20 +2659,27 @@ def doc_chunk_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup/embedding sees reproducible text."""
     from sqlite_vector_spark.functions.text import words
 
+    from sqlite_vector_spark.functions.text import let as _text_let
+
     d = _docs(spark, sf_dir)
-    w = words(F.col("text"))
-    starts = F.sequence(
-        F.lit(1),
-        F.greatest(F.size(w) - F.lit(CHUNK_SIZE) + F.lit(CHUNK_STRIDE), F.lit(1)),
-        F.lit(CHUNK_STRIDE),
-    )
-    chunks = F.transform(
-        starts,
-        lambda s, i: F.struct(
-            (i + 1).cast("bigint").alias("chunk_id"),  # 1-based like SQL generate_subscripts
-            F.slice(w, s, CHUNK_SIZE).alias("toks"),
-        ),
-    )
+
+    # let-bind the words array: the slice inside the chunk transform
+    # would otherwise re-split the text once per chunk window
+    def _chunks(w):
+        starts = F.sequence(
+            F.lit(1),
+            F.greatest(F.size(w) - F.lit(CHUNK_SIZE) + F.lit(CHUNK_STRIDE), F.lit(1)),
+            F.lit(CHUNK_STRIDE),
+        )
+        return F.transform(
+            starts,
+            lambda s, i: F.struct(
+                (i + 1).cast("bigint").alias("chunk_id"),  # 1-based like SQL generate_subscripts
+                F.slice(w, s, CHUNK_SIZE).alias("toks"),
+            ),
+        )
+
+    chunks = _text_let(words(F.col("text")), _chunks)
     return (
         d.select(F.col("doc_id").cast("bigint").alias("doc_id"), F.explode(chunks).alias("c"))
         .select(
