@@ -588,26 +588,34 @@ def incremental_labels(
     edges = new_edges.select(
         F.col("a").cast("bigint").alias("a"), F.col("b").cast("bigint").alias("b")
     ).localCheckpoint(eager=True)
-    n_edges = edges.count()
-    if n_edges == 0:
+    # rep-level edges: each endpoint maps to its stored rep (new nodes
+    # rep themselves), then a driver union-find with min-root keeps
+    # exactly the min-label fixed point. The fast-path bound check is
+    # FOLDED INTO this collect (r14 opt-2: limit fast_path_max+1 —
+    # driver state stays bounded by the same constant) instead of a
+    # separate edges.count() job: one fewer Spark job per ingest
+    # batch, and the common daily no-edge case reads off the same
+    # empty collect.
+    ra = lab.select(F.col("id").alias("a"), F.col("cluster").alias("ra"))
+    rb = lab.select(F.col("id").alias("b"), F.col("cluster").alias("rb"))
+    rep_edges = (
+        edges.join(ra, "a", "left")
+        .join(rb, "b", "left")
+        .select(
+            F.coalesce(F.col("ra"), F.col("a")).alias("x"),
+            F.coalesce(F.col("rb"), F.col("b")).alias("y"),
+        )
+        .limit(fast_path_max + 1)
+        .collect()
+    ) if fast_path_max > 0 else []
+    if fast_path_max > 0 and not rep_edges:
+        return lab
+    if fast_path_max <= 0 and edges.count() == 0:
+        # forced-distributed arm (tests): keep the zero-edge pass-through
         return lab
     nodes = edges.select(F.col("a").alias("id")).union(edges.select(F.col("b").alias("id"))).distinct()
 
-    if 0 < n_edges <= fast_path_max:
-        # rep-level edges: each endpoint maps to its stored rep (new
-        # nodes rep themselves), then a driver union-find with
-        # min-root keeps exactly the min-label fixed point
-        ra = lab.select(F.col("id").alias("a"), F.col("cluster").alias("ra"))
-        rb = lab.select(F.col("id").alias("b"), F.col("cluster").alias("rb"))
-        rep_edges = (
-            edges.join(ra, "a", "left")
-            .join(rb, "b", "left")
-            .select(
-                F.coalesce(F.col("ra"), F.col("a")).alias("x"),
-                F.coalesce(F.col("rb"), F.col("b")).alias("y"),
-            )
-            .collect()
-        )
+    if 0 < len(rep_edges) <= fast_path_max:
         # min root == min reachable id over reps
         mapping = _union_find_min((r.x, r.y) for r in rep_edges)
         map_df = lab.sparkSession.createDataFrame(
