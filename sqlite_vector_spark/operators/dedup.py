@@ -465,8 +465,12 @@ def connected_components_min_label(
     e = edges.select(
         F.col("a").cast("bigint").alias("a"), F.col("b").cast("bigint").alias("b")
     ).localCheckpoint(eager=True)
-    if e.count() <= fast_path_max:
-        mapping = _union_find_min((r.a, r.b) for r in e.collect())
+    # fast-path bound check folded into the collect (r14 opt-2:
+    # limit fast_path_max+1 bounds driver state by the same constant)
+    # instead of a separate e.count() job before e.collect()
+    head = e.limit(fast_path_max + 1).collect() if fast_path_max > 0 else None
+    if head is not None and len(head) <= fast_path_max:
+        mapping = _union_find_min((r.a, r.b) for r in head)
         return edges.sparkSession.createDataFrame(
             list(mapping.items()) or [], "id bigint, cluster bigint"
         )
