@@ -4082,21 +4082,25 @@ def ivf_recall_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch, computed as total-hits / (NQ*K) so the double division is
     a single exact op (no order-dependent float accumulation).
 
-    r14 shape: ONE corpus assignment + ONE scoring join for the whole
-    curve. probe_clusters_col's (distance, index)-sorted probe list
-    has the prefix property — the nprobe=p probes are exactly the
-    first p entries of the nprobe=max list — so candidates are scored
-    once at max(IVF_CURVE) with their probe POSITION attached
-    (posexplode), checkpointed, and each curve point is a pos < p
-    filter + the same id-tiebroken rank window ivf_knn_join applies.
-    Previously each point called ivf_knn_join, which re-assigned the
-    full corpus to centroids per branch (the assignment is map-side
-    under a broadcast join — no exchange for AQE to reuse): 4 corpus
-    assignment passes -> 1."""
+    r14 shape (opt-2): ONE corpus distance pass serves BOTH arms. The
+    exact arm scores every (query, corpus row) pair anyway, and the
+    candidate arm's rows are a subset of those pairs — so the corpus
+    is assigned once, crossed once with the broadcast query batch
+    (distance + probe position per pair; pos = index of the row's
+    cluster in the query's (distance, index)-sorted probe list, whose
+    prefix property makes nprobe=p exactly pos < p), pruned to the
+    top-K of each (qid, pos) tier (a global top-K row is top-K of its
+    own tier, and a pos<p top-K row is top-K of its pos tier — so the
+    prune preserves both arms while bounding the checkpoint to
+    NQ x (max_p+1) x K rows at ANY corpus scale), checkpointed, and
+    every curve point plus the exact denominator is a filter + the
+    same id-tiebroken rank window over that one table. The pre-opt-2
+    shape ran a separate exact knn_join pass (second corpus x NQ
+    distance evaluation) and checkpointed probed-cluster candidates
+    unpruned; paired A/B: 2.76 -> 2.06 s min at sf0.1."""
     from functools import reduce
 
     from sqlite_vector_spark.operators.ann import ivf_assign, probe_clusters_col
-    from sqlite_vector_spark.operators.knn_join import knn_join
 
     emb = _emb(spark, sf_dir)
     cent_rows = emb.where(F.col("vec_id") < IVF_C).orderBy("vec_id").collect()
@@ -4104,31 +4108,43 @@ def ivf_recall_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where((F.col("vec_id") < NQ) & F.col("embedding").isNotNull()).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    # the query frame feeds the exact arm, the probe explode, and the
-    # count — checkpoint once (NQ rows)
+    # the query frame feeds the pair cross and the count — checkpoint
+    # once (NQ rows)
     queries = queries.localCheckpoint(eager=True)
-    exact = knn_join(
-        queries, emb, KNN_K, "L2", query_vec="qv", corpus_vec="embedding", corpus_id="vec_id"
-    ).select("qid", "id").localCheckpoint(eager=True)
     n_q = queries.count()
     max_p = max(IVF_CURVE)
     assigned = ivf_assign(emb, "embedding", centroids, id_col="vec_id", metric="L2")
-    qx = queries.select(
+    q2 = queries.select(
         "qid", F.col("qv").alias("_qv"),
-        F.posexplode(probe_clusters_col("qv", centroids, max_p)).alias("pos", "cluster"),
-    ).select("qid", "_qv", "pos", "cluster")
-    # the same true-domain distance expression ivf_knn_join scores
-    # candidates with; checkpointed once, reused by every curve point
+        probe_clusters_col("qv", centroids, max_p).alias("_probes"),
+    )
+    # pos: 0-based probe position, -1 = cluster not probed (still a
+    # pair the exact arm needs). Same true-domain distance expression
+    # ivf_knn_join scores with.
+    wt = Window.partitionBy("qid", "pos").orderBy(F.col("distance").asc(), F.col("id").asc())
     scored = (
-        assigned.join(F.broadcast(qx), "cluster")
-        .select("qid", "id", "pos", distance(F.col("vec"), F.col("_qv"), "L2").alias("distance"))
+        assigned.crossJoin(F.broadcast(q2))
+        .select(
+            "qid", "id",
+            (F.array_position(F.col("_probes"), F.col("cluster")) - F.lit(1)).alias("pos"),
+            distance(F.col("vec"), F.col("_qv"), "L2").alias("distance"),
+        )
+        .withColumn("_tr", F.row_number().over(wt))
+        .where(F.col("_tr") <= KNN_K)
+        .drop("_tr")
         .localCheckpoint(eager=True)
+    )
+    we = Window.partitionBy("qid").orderBy(F.col("distance").asc(), F.col("id").asc())
+    exact = (
+        scored.select("qid", "id", F.row_number().over(we).alias("rank"))
+        .where(F.col("rank") <= KNN_K)
+        .select("qid", "id")
     )
     parts = []
     for p in IVF_CURVE:
         wp = Window.partitionBy("qid").orderBy(F.col("distance").asc(), F.col("id").asc())
         approx = (
-            scored.where(F.col("pos") < F.lit(int(p)))
+            scored.where((F.col("pos") >= 0) & (F.col("pos") < F.lit(int(p))))
             .select("qid", "id", "distance", F.row_number().over(wp).alias("rank"))
             .where(F.col("rank") <= KNN_K)
             .select("qid", "id")
