@@ -467,7 +467,12 @@ def connected_components_min_label(
     ).localCheckpoint(eager=True)
     # fast-path bound check folded into the collect (r14 opt-2:
     # limit fast_path_max+1 bounds driver state by the same constant)
-    # instead of a separate e.count() job before e.collect()
+    # instead of a separate e.count() job before e.collect(). The
+    # eager checkpoint STAYS: collecting through limit() on the raw
+    # plan executes in incremental partition waves (1, 4, 16, ...),
+    # serializing the verify subtree's final stage — measured ~1 s
+    # slower on the neardup chains than one fully-parallel
+    # checkpoint job followed by an in-memory collect.
     head = e.limit(fast_path_max + 1).collect() if fast_path_max > 0 else None
     if head is not None and len(head) <= fast_path_max:
         mapping = _union_find_min((r.a, r.b) for r in head)
@@ -576,7 +581,7 @@ def incremental_labels(
     union-found ON THE DRIVER (bounded state: one (rep_a, rep_b) pair
     per batch edge — the same class of bounded driver constant as the
     affected-cluster set itself) and the result broadcast back: zero
-    CC rounds, three jobs total, instead of ~0.5 s of per-round job
+    CC rounds, two jobs total, instead of ~0.5 s of per-round job
     overhead times the merge diameter. Larger batches fall back to
     the distributed min-label loop SEEDED with the stored labels, so
     pre-converged star components cost no rounds there either.
@@ -597,31 +602,31 @@ def incremental_labels(
     # exactly the min-label fixed point. The fast-path bound check is
     # FOLDED INTO this collect (r14 opt-2: limit fast_path_max+1 —
     # driver state stays bounded by the same constant) instead of a
-    # separate edges.count() job: one fewer Spark job per ingest
-    # batch, and the common daily no-edge case reads off the same
-    # empty collect.
+    # separate edges.count() job, and the raw endpoints ride along
+    # (null rep == new node) so the new-node labels come out of the
+    # same driver union-find instead of a distributed anti-join
+    # subtree in the returned plan. The eager checkpoint STAYS (see
+    # connected_components_min_label: limit-collect on the raw plan
+    # serializes the verify subtree into partition waves — measured
+    # ~0.8 s slower on incremental_neardup).
     ra = lab.select(F.col("id").alias("a"), F.col("cluster").alias("ra"))
     rb = lab.select(F.col("id").alias("b"), F.col("cluster").alias("rb"))
     rep_edges = (
         edges.join(ra, "a", "left")
         .join(rb, "b", "left")
-        .select(
-            F.coalesce(F.col("ra"), F.col("a")).alias("x"),
-            F.coalesce(F.col("rb"), F.col("b")).alias("y"),
-        )
+        .select("a", "b", "ra", "rb")
         .limit(fast_path_max + 1)
         .collect()
     ) if fast_path_max > 0 else []
     if fast_path_max > 0 and not rep_edges:
         return lab
-    if fast_path_max <= 0 and edges.count() == 0:
-        # forced-distributed arm (tests): keep the zero-edge pass-through
-        return lab
-    nodes = edges.select(F.col("a").alias("id")).union(edges.select(F.col("b").alias("id"))).distinct()
 
     if 0 < len(rep_edges) <= fast_path_max:
         # min root == min reachable id over reps
-        mapping = _union_find_min((r.x, r.y) for r in rep_edges)
+        mapping = _union_find_min(
+            (r.ra if r.ra is not None else r.a, r.rb if r.rb is not None else r.b)
+            for r in rep_edges
+        )
         map_df = lab.sparkSession.createDataFrame(
             list(mapping.items()), "rep bigint, final bigint"
         )
@@ -631,19 +636,25 @@ def incremental_labels(
         # node ids (∉ lab ids, and cluster labels ARE member ids, so
         # a new id can never collide with an untouched cluster
         # label) — untouched rows miss the map and keep their label
-        # via coalesce, affected members get their merged rep. The
-        # pre-r14 assembly materialized the member set (an eager
-        # checkpoint job) and split lab with a broadcast semi-join +
-        # anti-join + union — three label-table passes and two extra
-        # jobs for the same rows.
-        new_nodes = nodes.join(lab, "id", "left_anti")
+        # via coalesce, affected members get their merged rep; new
+        # nodes (endpoints with a null rep lookup) get their merged
+        # rep from the driver mapping directly.
+        new_ids = sorted(
+            {r.a for r in rep_edges if r.ra is None}
+            | {r.b for r in rep_edges if r.rb is None}
+        )
+        new_df = lab.sparkSession.createDataFrame(
+            [(int(n), int(mapping[n])) for n in new_ids], "id bigint, cluster bigint"
+        )
         relabeled = lab.join(
             F.broadcast(map_df), lab["cluster"] == F.col("rep"), "left"
         ).select("id", F.coalesce(F.col("final"), F.col("cluster")).alias("cluster"))
-        return relabeled.unionByName(
-            new_nodes.join(F.broadcast(map_df), new_nodes["id"] == F.col("rep"))
-            .select("id", F.col("final").alias("cluster"))
-        )
+        return relabeled.unionByName(new_df)
+
+    if fast_path_max <= 0 and edges.count() == 0:
+        # forced-distributed arm (tests): keep the zero-edge pass-through
+        return lab
+    nodes = edges.select(F.col("a").alias("id")).union(edges.select(F.col("b").alias("id"))).distinct()
 
     affected = (
         lab.join(nodes, "id", "left_semi").select("cluster").distinct()
