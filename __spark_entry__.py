@@ -67,91 +67,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return _q({
         # ---- ORDER MATTERS: the driver adjudicates the FIRST 50
-        # entries. Round-14 rotation (VERDICT r13 #1, exactly as the
-        # r13 horizon comment staged it): the mandatory cohort is the
-        # 50-entry r11-gated block (2 rounds stale entering r14 — the
-        # staleness invariant edge) PLUS full_scan_stream_l2 (r10-
-        # gated, displaced from the r13 window by the documented
-        # oracle-twin swap). That is 51 candidates for 50 slots, so
-        # ONE r11 entry with a FRESH (r13-gated) oracle twin is
-        # displaced: tvf_full_scan (oracle text == full_scan_l2,
-        # which gated green in r13; the TVF parse layer it adds on
-        # top of the shared plan is pinned by tests/test_sql.py).
-        # tvf_full_scan re-gates in r15.
-        # -- re-gated this round: displaced from the r13 window by
-        #    auto_route_scan_versioned (stream==batch framing is
-        #    equality-pinned in tests/test_search.py)
-        "full_scan_stream_l2": w.full_scan_stream_l2,
-        # -- r11-gated cohort (mandatory in r14), minus the
-        #    displaced tvf_full_scan
-        "filtered_full_scan_l2": w.filtered_full_scan_l2,
-        "quantize_scan_after_delete_l2": w.quantize_scan_after_delete_l2,
-        "filtered_knn_join_l2": w.filtered_knn_join_l2,
-        "neardup_after_delete": w.neardup_after_delete_q,
-        "incremental_embedding_neardup": w.incremental_embedding_neardup_q,
-        "embedding_neardup_after_delete": w.embedding_neardup_after_delete_q,
-        "ivf_scan_after_delete_l2": w.ivf_scan_after_delete_l2,
-        "sql_macro_scan": w.sql_macro_scan_q,
-        "token_cooccurrence": w.token_cooccurrence_q,
-        "neardup_keep_best": w.neardup_keep_best_q,
-        "hybrid_rrf_batch": w.hybrid_rrf_batch_q,
-        "ivf_recall_curve": w.ivf_recall_curve_q,
-        "source_snapshot_drift": w.source_snapshot_drift_q,
-        "approx_quantile_audit": w.approx_quantile_audit_q,
-        "asof_forward_events": w.asof_forward_events_q,
-        "asof_join_events": w.asof_join_events_q,
-        "asof_null_carry_events": w.asof_null_carry_events_q,
-        "asof_tolerance_events": w.asof_tolerance_events_q,
-        "balanced_sample": w.balanced_sample_q,
-        "bpe_token_counts": w.bpe_token_counts_q,
-        "doc_split_assign": w.doc_split_assign_q,
-        "embedding_dim_stats": w.embedding_dim_stats_q,
-        "events_hourly": w.events_hourly,
-        "events_props_agg": w.events_props_agg,
-        "events_rollup": w.events_rollup,
-        "full_scan_k_gt_n": w.full_scan_k_gt_n,
-        "normalize": w.normalize_q,
-        "order_priority_counts": w.order_priority_counts,
-        "pii_scrub": w.pii_scrub_q,
-        "purchase_session_join": w.purchase_session_join_q,
-        "quantize_codes": w.quantize_codes,
-        "quantize_memory": w.quantize_memory,
-        "sample_mix": w.sample_mix_q,
-        "sessionize": w.sessionize,
-        "simhash_neardup": w.simhash_neardup_q,
-        "source_stats": w.source_stats_q,
-        "token_doc_freq": w.token_doc_freq_q,
-        "top_customers": w.top_customers,
-        "value_quantiles": w.value_quantiles_q,
-        "value_winsorize": w.value_winsorize_q,
-        "user_rolling": w.user_rolling_q,
-        "user_decay": w.user_decay_q,
-        "bq_codes": w.bq_codes_q,
-        "bq_scan_hamming": w.bq_scan_hamming,
-        "bq_rerank_scan_l2": w.bq_rerank_scan_l2,
-        "opq_scan_l2": w.opq_scan_l2,
-        "bm25_topk": w.bm25_topk_q,
-        "hybrid_rrf": w.hybrid_rrf_q,
-        "lm_doc_scores": w.lm_doc_scores_q,
-        # ---- past the 50-entry gate horizon: every entry below is
-        # r12/r13-green with its subsystem and oracle text unchanged
-        # (the local tools/check_oracle.py sweep re-verifies ALL
-        # entries every round). ROUND-15 ROTATION MATH: the mandatory
-        # cohort entering r15 at 2 rounds stale is the 50-entry
-        # r12-gated block directly below, PLUS the displaced
+        # entries. Round-15 rotation (exactly as the r14 horizon
+        # comment staged it, VERDICT r14 next-round #8): the mandatory
+        # cohort is the 50-entry r12-gated block (2 rounds stale
+        # entering r15 — the staleness invariant edge) PLUS
         # tvf_full_scan (r11-gated, displaced from the r14 window by
-        # full_scan_stream_l2 per the r13 verdict's documented twin
-        # swap — its oracle text == full_scan_l2, gated r13, and the
-        # TVF parse layer is pinned by tests/test_sql.py). That is 51
-        # candidates for 50 slots: displace ONE r12 entry whose
-        # oracle text has an IN-WINDOW twin — safest is
-        # knn_join_blocked_l2 (oracle text == knn_join_l2, which is
-        # in the same r15 window; blocked==window-path equality is
-        # pinned by tests/test_knn_join.py::
-        # test_blocked_equals_window_path) — and re-gate it in r16.
-        # -- displaced from the r14 window (re-gate in r15)
+        # the documented oracle-twin swap). That is 51 candidates for
+        # 50 slots, so ONE r12 entry with an IN-WINDOW oracle twin is
+        # displaced: knn_join_blocked_l2 (oracle text == knn_join_l2,
+        # which gates in this same r15 window; blocked==window-path
+        # equality is pinned by tests/test_knn_join.py::
+        # test_blocked_equals_window_path). knn_join_blocked_l2
+        # re-gates in r16.
+        # -- re-gated this round: displaced from the r14 window by
+        #    full_scan_stream_l2 (its oracle text == full_scan_l2,
+        #    gated green in r13; the TVF parse layer it adds on top
+        #    of the shared plan is pinned by tests/test_sql.py)
         "tvf_full_scan": w.tvf_full_scan_q,
-        # -- r12-gated (mandatory in r15)
+        # -- r12-gated cohort (mandatory in r15), minus the
+        #    displaced knn_join_blocked_l2
         "incremental_dedup": w.incremental_dedup_q,
         "pq_scan_l2": w.pq_scan_l2,
         "pq_rerank_scan_l2": w.pq_rerank_scan_l2,
@@ -163,7 +97,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_params": w.quantize_params,
         "quantize_scan_l2": w.quantize_scan_l2,
         "f16_scan_l2": w.f16_scan_l2,
-        "knn_join_blocked_l2": w.knn_join_blocked_l2,
         "text_stats": w.text_stats,
         "lsh_candidate_pairs": w.lsh_pairs_q,
         "ngram_jaccard_pairs": w.jaccard_pairs_q,
@@ -202,7 +135,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bq_knn_join_projected": w.bq_knn_join_projected_q,
         "bq_band_scan": w.bq_band_scan_q,
         "passage_strip_frozen": w.passage_strip_frozen_q,
-        # -- r13-gated (freshest greens — mandatory in r16)
+        # ---- past the 50-entry gate horizon: every entry below is
+        # r13/r14-green with its subsystem and oracle text unchanged
+        # (the local tools/check_oracle.py sweep re-verifies ALL
+        # entries every round). ROUND-16 ROTATION MATH: the mandatory
+        # cohort entering r16 at 2 rounds stale is the 50-entry
+        # r13-gated block directly below, PLUS the displaced
+        # knn_join_blocked_l2 (r12-gated, displaced from the r15
+        # window — its oracle text == knn_join_l2, which gates in
+        # r15, and the blocked path's equality with the window path
+        # is pinned by tests/test_knn_join.py). That is 51 candidates
+        # for 50 slots: displace ONE r13 entry whose oracle text has
+        # an IN-WINDOW (r15-gated) twin — safest is full_scan_l2
+        # (oracle text == tvf_full_scan's, which gates in r15; the
+        # shared scan plan is pinned by tests/test_search.py) — and
+        # re-gate it in r17.
+        # -- displaced from the r15 window (re-gate in r16)
+        "knn_join_blocked_l2": w.knn_join_blocked_l2,
+        # -- r13-gated (mandatory in r16)
         "incremental_neardup": w.incremental_neardup_q,
         "filtered_quantize_scan_l2": w.filtered_quantize_scan_l2,
         "bf16_scan_l2": w.bf16_scan_l2,
@@ -253,6 +203,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_json_roundtrip": w.codec_json_roundtrip,
         "passage_dedup": w.passage_dedup_q,
         "auto_route_scan_versioned": w.auto_route_scan_versioned_q,
+        # -- r14-gated (freshest greens — mandatory in r17)
+        "full_scan_stream_l2": w.full_scan_stream_l2,
+        "filtered_full_scan_l2": w.filtered_full_scan_l2,
+        "quantize_scan_after_delete_l2": w.quantize_scan_after_delete_l2,
+        "filtered_knn_join_l2": w.filtered_knn_join_l2,
+        "neardup_after_delete": w.neardup_after_delete_q,
+        "incremental_embedding_neardup": w.incremental_embedding_neardup_q,
+        "embedding_neardup_after_delete": w.embedding_neardup_after_delete_q,
+        "ivf_scan_after_delete_l2": w.ivf_scan_after_delete_l2,
+        "sql_macro_scan": w.sql_macro_scan_q,
+        "token_cooccurrence": w.token_cooccurrence_q,
+        "neardup_keep_best": w.neardup_keep_best_q,
+        "hybrid_rrf_batch": w.hybrid_rrf_batch_q,
+        "ivf_recall_curve": w.ivf_recall_curve_q,
+        "source_snapshot_drift": w.source_snapshot_drift_q,
+        "approx_quantile_audit": w.approx_quantile_audit_q,
+        "asof_forward_events": w.asof_forward_events_q,
+        "asof_join_events": w.asof_join_events_q,
+        "asof_null_carry_events": w.asof_null_carry_events_q,
+        "asof_tolerance_events": w.asof_tolerance_events_q,
+        "balanced_sample": w.balanced_sample_q,
+        "bpe_token_counts": w.bpe_token_counts_q,
+        "doc_split_assign": w.doc_split_assign_q,
+        "embedding_dim_stats": w.embedding_dim_stats_q,
+        "events_hourly": w.events_hourly,
+        "events_props_agg": w.events_props_agg,
+        "events_rollup": w.events_rollup,
+        "full_scan_k_gt_n": w.full_scan_k_gt_n,
+        "normalize": w.normalize_q,
+        "order_priority_counts": w.order_priority_counts,
+        "pii_scrub": w.pii_scrub_q,
+        "purchase_session_join": w.purchase_session_join_q,
+        "quantize_codes": w.quantize_codes,
+        "quantize_memory": w.quantize_memory,
+        "sample_mix": w.sample_mix_q,
+        "sessionize": w.sessionize,
+        "simhash_neardup": w.simhash_neardup_q,
+        "source_stats": w.source_stats_q,
+        "token_doc_freq": w.token_doc_freq_q,
+        "top_customers": w.top_customers,
+        "value_quantiles": w.value_quantiles_q,
+        "value_winsorize": w.value_winsorize_q,
+        "user_rolling": w.user_rolling_q,
+        "user_decay": w.user_decay_q,
+        "bq_codes": w.bq_codes_q,
+        "bq_scan_hamming": w.bq_scan_hamming,
+        "bq_rerank_scan_l2": w.bq_rerank_scan_l2,
+        "opq_scan_l2": w.opq_scan_l2,
+        "bm25_topk": w.bm25_topk_q,
+        "hybrid_rrf": w.hybrid_rrf_q,
+        "lm_doc_scores": w.lm_doc_scores_q,
     })
 
 

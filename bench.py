@@ -28,6 +28,14 @@ and ``median_query_ratio_vs_prev`` carries the drift-robust PAIRED
 per-query median against the prior round's committed BENCH_r*.json,
 so the driver gets a regression signal that a uniform session swing
 cannot move.
+
+r15 (VERDICT r14 #1): the r14 calibration fields cost stdout budget
+and trimmed the driver's paired sample from 58 to 46 queries. The
+stdout line now guarantees >= 58 shown entries (2-decimal seconds,
+per-run calibration list only in the .benchmarks/ artifact) and adds
+``spread_pct`` — each shown entry's max-min spread as an integer
+percent of its best run, aligned with the queries map order — so a
+contended entry is flaggable per query, not just via spread_max.
 """
 
 from __future__ import annotations
@@ -639,13 +647,24 @@ def main():
     except OSError:
         pass  # bench output on stdout is still authoritative
     # stdout gets ONE COMPACT line the driver can parse inside its
-    # ~2000-char capture window (r5-r8 artifacts were clipped mid-line,
-    # parsed:null). The full per-query map lives in .benchmarks/; the
-    # stdout line keeps a `queries` key (driver contract) but trims it
-    # to the slowest entries until the whole line fits with headroom.
-    STDOUT_BUDGET = 1800
+    # capture window: the committed BENCH_r*.json artifacts all carry
+    # exactly the LAST 2000 chars of stdout, and the JSON line is the
+    # last thing printed, so the only hard constraint is line length
+    # <= ~2000 (leading progress junk is what gets truncated). r15
+    # (VERDICT r14 #1): the r14 calibration fields squeezed
+    # queries_shown from 58 to 46, shrinking the driver's paired
+    # sample — so the per-run calibration list moved to the full
+    # artifact only, query seconds are 2-decimal (driver speedup
+    # bands are ~10-15%, so +-5ms quantization is harmless), the trim
+    # floor is 58 entries, and each shown entry now carries its
+    # RELATIVE spread (integer percent of the best run, capped at 99,
+    # `spread_pct` aligned with the queries map order) so the driver
+    # can flag contention-suspect entries itself instead of
+    # adjudicating from spread_max alone.
+    STDOUT_BUDGET = 1950
+    SHOW_FLOOR = 58
 
-    def _compact_line(n_slowest: int) -> str:
+    def _compact_line(n_slowest: int, with_spread: bool) -> str:
         slowest = dict(
             sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:n_slowest]
         )
@@ -653,7 +672,14 @@ def main():
             "metric": full["metric"],
             "value": total,
             "unit": "sec",
-            "queries": {k: round(v, 3) for k, v in slowest.items()},
+            "queries": {k: round(v, 2) for k, v in slowest.items()},
+        }
+        if with_spread:
+            compact["spread_pct"] = [
+                min(99, round(100.0 * spread.get(k, 0.0) / v)) if v > 0 else 0
+                for k, v in slowest.items()
+            ]
+        compact.update({
             "n_queries": len(times),
             "queries_shown": len(slowest),
             "trimmed": len(times) - len(slowest),
@@ -663,21 +689,27 @@ def main():
             "sf": float(sf),
             "cpus": int(CPUS),
             "calibration_s": calibration,
-            "calibration_runs": calib_checkpoints,
             "calibration_spread": calibration_spread,
             "value_calibrated": value_calibrated,
             "median_query_ratio_vs_prev": median_ratio,
             "n_ratio_pairs": len(ratio_pairs),
-        }
+        })
         if errors:
             compact["errors"] = {k: v.split(":", 1)[0] for k, v in errors.items()}
         return json.dumps(compact, separators=(",", ":"))
 
     n_show = len(times)
-    line = _compact_line(n_show)
+    line = _compact_line(n_show, True)
+    while len(line) > STDOUT_BUDGET and n_show > SHOW_FLOOR:
+        n_show = max(SHOW_FLOOR, min(n_show - 5, int(n_show * 0.8)))
+        line = _compact_line(n_show, True)
+    if len(line) > STDOUT_BUDGET:
+        # keep the paired sample >= SHOW_FLOOR: drop the spread array
+        # before dropping any more queries
+        line = _compact_line(n_show, False)
     while len(line) > STDOUT_BUDGET and n_show > 0:
         n_show = max(0, min(n_show - 5, int(n_show * 0.8)))
-        line = _compact_line(n_show)
+        line = _compact_line(n_show, False)
     print(line)
     spark.stop()
 

@@ -42,6 +42,29 @@ LSH_BANDS = 4
 ROWS_PER_BAND = 2
 SHINGLE_N = 3
 
+#: embedding_neardup_pairs runs its collision-bucket prefilter only
+#: when Catalyst estimates the input at/above this many bytes (or
+#: cannot size it — the scale-safe default). Below it, the extra
+#: aggregation + semi-join pass costs more than the full bucket
+#: self-join it would bound; above it, the prefilter is what keeps
+#: the pair join from shuffling the non-colliding vector payload
+#: (r14 10M x 768 probe: 2 x 61 GB wasted shuffle -> ENOSPC without
+#: it). Env-overridable for cluster tuning; the default keeps
+#: local-mode benches on the direct-join shape.
+import os as _os
+
+PREFILTER_MIN_BYTES = int(
+    _os.environ.get("SPARK_GRAFT_PREFILTER_MIN_BYTES", str(256 << 20))
+)
+
+#: edit_distance_pairs pulls candidate texts with one semi-join scan
+#: + checkpoints only when the corpus text is estimated at/above this
+#: many bytes (or unsized); below it the two extra checkpoint jobs
+#: cost more wall-clock than the second corpus scan they save.
+TEXT_PULL_MIN_BYTES = int(
+    _os.environ.get("SPARK_GRAFT_TEXT_PULL_MIN_BYTES", str(256 << 20))
+)
+
 
 def exact_dedup(df: DataFrame, key_cols: Sequence[str], id_col: str) -> DataFrame:
     """One row per distinct key: (keys..., dup_count, keeper_id=min id).
@@ -1141,21 +1164,39 @@ def embedding_neardup_pairs(
     buckets (~2 x 28 GB shuffled); P=28 (lambda 0.037) drops it to
     ~4% + dups. Size P so lambda <~ 0.05 at the target corpus; more
     planes -> higher speed / lower recall.
+
+    r15 (VERDICT r14 #2): the prefilter is GATED on Catalyst's input
+    size estimate — below PREFILTER_MIN_BYTES the extra aggregation +
+    semi-join pass costs more wall-clock than the full bucket
+    self-join it would bound (the r14 sf0.1 0.55x regression), so
+    small/local inputs take the direct join; at/above the threshold
+    (and whenever the estimate is unavailable — scale-safe default)
+    the prefilter bounds the vector shuffle to collision buckets.
+    The semi-join is NOT broadcast-hinted: collision buckets are
+    ~5-10% of rows at probe scale, so a forced broadcast grows
+    linearly with the corpus (a driver/executor OOM cliff at 100 TB);
+    unhinted, AQE broadcasts while `hot` is small and shuffles once
+    it is not. Results are identical either way — singleton buckets
+    produce no (a < b) pairs.
     """
+    from sqlite_vector_spark.sources import plan_size_bytes
+
     base = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).cast("bigint").alias("id"),
         F.col(vec_col).alias("v"),
         hyperplane_bucket(vec_col, planes).alias("bucket"),
     )
-    # collision buckets only: the broadcast is #collision-buckets x 8B
-    # (bounded by #true near-dup groups + random-collision tail)
-    hot = (
-        base.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .where(F.col("_n") >= 2)
-        .select("bucket")
-    )
-    base = base.join(F.broadcast(hot), "bucket")
+    est = plan_size_bytes(df)
+    if est is None or est >= PREFILTER_MIN_BYTES:
+        # collision buckets only: ~#collision-buckets x 8B rows
+        # (bounded by #true near-dup groups + random-collision tail)
+        hot = (
+            base.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") >= 2)
+            .select("bucket")
+        )
+        base = base.join(hot, "bucket", "left_semi")
     if str(metric).upper() == "COSINE":
         # precompute each row's norm ONCE before the pair join — the
         # per-pair expression then folds only the dot product (3x less
@@ -1693,26 +1734,40 @@ def edit_distance_pairs(
 
     Scale shape: the O(len^2)-per-pair kernel is gated behind the LSH
     candidate generator, so pair volume is the LSH bucket-collision
-    count, never corpus^2. The candidate set is checkpointed (it
+    count, never corpus^2. ABOVE TEXT_PULL_MIN_BYTES (or when the
+    corpus cannot be sized): the candidate set is checkpointed (it
     feeds the id set and the pair join), the candidate docs' texts
     are pulled with ONE corpus scan (broadcast semi-join) and
     checkpointed, and each text rides into the pair through two
-    small attach joins — the pre-r14 shape scanned the full corpus
-    text twice, once per pair side (r14, the embedding_pair_distances
-    / jaccard_pairs candidate-bounded pattern)."""
-    cand = cand.select(
-        F.col("a").cast("bigint").alias("a"), F.col("b").cast("bigint").alias("b")
-    ).localCheckpoint(eager=True)
-    cand_ids = (
-        cand.select(F.col("a").alias("id"))
-        .unionByName(cand.select(F.col("b").alias("id")))
-        .distinct()
-    )
-    t = (
-        docs.select(F.col(id_col).cast("bigint").alias("id"), F.col(text_col).alias("t"))
-        .join(F.broadcast(cand_ids), "id", "left_semi")
-        .localCheckpoint(eager=False)
-    )
+    small attach joins (r14, the embedding_pair_distances /
+    jaccard_pairs candidate-bounded pattern — reads the corpus text
+    once instead of twice). BELOW the threshold the extra checkpoint
+    jobs cost more than the saved scan (the r14 sf0.1 0.59x
+    regression), so small/local inputs take the direct two-scan
+    attach (r15 adaptive gate, VERDICT r14 #4). Results identical
+    either way."""
+    from sqlite_vector_spark.sources import plan_size_bytes
+
+    est = plan_size_bytes(docs)
+    if est is not None and est < TEXT_PULL_MIN_BYTES:
+        cand = cand.select(
+            F.col("a").cast("bigint").alias("a"), F.col("b").cast("bigint").alias("b")
+        )
+        t = docs.select(F.col(id_col).cast("bigint").alias("id"), F.col(text_col).alias("t"))
+    else:
+        cand = cand.select(
+            F.col("a").cast("bigint").alias("a"), F.col("b").cast("bigint").alias("b")
+        ).localCheckpoint(eager=True)
+        cand_ids = (
+            cand.select(F.col("a").alias("id"))
+            .unionByName(cand.select(F.col("b").alias("id")))
+            .distinct()
+        )
+        t = (
+            docs.select(F.col(id_col).cast("bigint").alias("id"), F.col(text_col).alias("t"))
+            .join(F.broadcast(cand_ids), "id", "left_semi")
+            .localCheckpoint(eager=False)
+        )
     out = (
         t.select(F.col("id").alias("a"), F.col("t").alias("ta"))
         .join(F.broadcast(cand), "a")

@@ -4121,15 +4121,37 @@ def ivf_recall_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pos: 0-based probe position, -1 = cluster not probed (still a
     # pair the exact arm needs). Same true-domain distance expression
     # ivf_knn_join scores with.
+    #
+    # r15 (VERDICT r14 #3): the tier top-K is the knn_join two-phase
+    # SALTED window above one partition-budget of corpus — the plain
+    # (qid, pos) window concentrates the whole corpus x NQ cross
+    # product onto NQ x (max_p+1) partitions at scale (the pos=-1
+    # tier alone holds ~the full corpus per query). Phase 1 takes the
+    # tier top-K within (qid, pos, id mod salt); any global tier
+    # top-K row is top-K of its salt bucket, so phase 2 ranks only
+    # salt x K survivors per tier — results identical (equality
+    # pinned in tests/test_ann.py). _auto_salt sizes from Catalyst's
+    # corpus estimate: None below one budget (local mode unchanged).
+    from sqlite_vector_spark.operators.knn_join import _auto_salt
+
+    tier_salt = _auto_salt(assigned)
     wt = Window.partitionBy("qid", "pos").orderBy(F.col("distance").asc(), F.col("id").asc())
-    scored = (
-        assigned.crossJoin(F.broadcast(q2))
-        .select(
-            "qid", "id",
-            (F.array_position(F.col("_probes"), F.col("cluster")) - F.lit(1)).alias("pos"),
-            distance(F.col("vec"), F.col("_qv"), "L2").alias("distance"),
+    scored = assigned.crossJoin(F.broadcast(q2)).select(
+        "qid", "id",
+        (F.array_position(F.col("_probes"), F.col("cluster")) - F.lit(1)).alias("pos"),
+        distance(F.col("vec"), F.col("_qv"), "L2").alias("distance"),
+    )
+    if tier_salt is not None and tier_salt > 1:
+        w1 = Window.partitionBy(
+            "qid", "pos", F.pmod(F.col("id"), F.lit(int(tier_salt)))
+        ).orderBy(F.col("distance").asc(), F.col("id").asc())
+        scored = (
+            scored.withColumn("_s1", F.row_number().over(w1))
+            .where(F.col("_s1") <= KNN_K)
+            .drop("_s1")
         )
-        .withColumn("_tr", F.row_number().over(wt))
+    scored = (
+        scored.withColumn("_tr", F.row_number().over(wt))
         .where(F.col("_tr") <= KNN_K)
         .drop("_tr")
         .localCheckpoint(eager=True)

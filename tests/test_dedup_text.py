@@ -97,6 +97,52 @@ def test_embedding_neardup_finds_identical_vectors(spark):
     assert [(p.a, p.b, p.distance) for p in pairs] == [(1, 2, 0.0)]
 
 
+def test_embedding_neardup_prefilter_gate_identical(spark, emb):
+    """The r15 size-gated collision prefilter must be invisible in
+    the results: forcing the prefilter ON (threshold 0) and OFF
+    (threshold huge) returns the same pair set on real vectors —
+    singleton buckets can produce no (a < b) pair, so dropping them
+    before the self-join only removes rows the join would discard."""
+    from sqlite_vector_spark import workload as w
+    from sqlite_vector_spark.operators import dedup as dd
+
+    planes, t = w.HYPERPLANES, w.NEARDUP_T  # known non-empty at sf0.001
+    orig = dd.PREFILTER_MIN_BYTES
+    try:
+        dd.PREFILTER_MIN_BYTES = 0  # always prefilter
+        on = sorted(
+            (r.a, r.b, r.distance)
+            for r in embedding_neardup_pairs(emb, "vec_id", "embedding", planes, t).collect()
+        )
+        dd.PREFILTER_MIN_BYTES = 1 << 60  # never prefilter
+        off = sorted(
+            (r.a, r.b, r.distance)
+            for r in embedding_neardup_pairs(emb, "vec_id", "embedding", planes, t).collect()
+        )
+    finally:
+        dd.PREFILTER_MIN_BYTES = orig
+    assert on == off and len(on) > 0
+
+
+def test_edit_distance_pairs_pull_gate_identical(spark, docs):
+    """The r15 size-gated candidate text pull must be invisible in
+    the results: the direct two-scan attach (below threshold) and the
+    checkpointed semi-join pull (above) return identical rows."""
+    from sqlite_vector_spark.operators import dedup as dd
+    from sqlite_vector_spark.operators.dedup import edit_distance_pairs, lsh_candidate_pairs
+
+    cand = lsh_candidate_pairs(docs, "doc_id", "text")
+    orig = dd.TEXT_PULL_MIN_BYTES
+    try:
+        dd.TEXT_PULL_MIN_BYTES = 1 << 60  # force the direct shape
+        direct = sorted(map(tuple, edit_distance_pairs(cand, docs).collect()))
+        dd.TEXT_PULL_MIN_BYTES = 0  # force the candidate-bounded pull
+        pulled = sorted(map(tuple, edit_distance_pairs(cand, docs).collect()))
+    finally:
+        dd.TEXT_PULL_MIN_BYTES = orig
+    assert direct == pulled and len(direct) > 0
+
+
 def test_quality_and_lang(spark, docs):
     out = docs.select("doc_id", quality_score(F.col("text")).alias("q"), lang_id(F.col("text")).alias("lang")).collect()
     assert all(0.0 <= r.q <= 1.0 for r in out)

@@ -175,3 +175,25 @@ def test_ivf_recall_curve_monotone(spark):
     recalls = [r.recall for r in rows]
     assert all(b >= a for a, b in zip(recalls, recalls[1:])), recalls
     assert 0.0 <= recalls[0] <= 1.0
+
+
+def test_ivf_recall_curve_salted_tier_window_identical(spark):
+    """The r15 two-phase (salted) tier top-K must be invisible in the
+    results: forcing _auto_salt on (tiny partition budget) and the
+    local default (no salting) return the same curve. Any (qid, pos)
+    tier top-K row is top-K of its own salt bucket, so phase 1 cannot
+    drop a survivor."""
+    import importlib
+
+    from sqlite_vector_spark import workload as w
+
+    kj = importlib.import_module("sqlite_vector_spark.operators.knn_join")
+    sf = "/root/testdata/sf0.001"
+    plain = [(r.nprobe, r.recall) for r in w.ivf_recall_curve_q(spark, sf).collect()]
+    orig = kj.SALT_BYTES_PER_PARTITION
+    kj.SALT_BYTES_PER_PARTITION = 1 << 10  # force the salted shape
+    try:
+        salted = [(r.nprobe, r.recall) for r in w.ivf_recall_curve_q(spark, sf).collect()]
+    finally:
+        kj.SALT_BYTES_PER_PARTITION = orig
+    assert salted == plain

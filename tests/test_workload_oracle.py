@@ -106,21 +106,22 @@ def test_spot_oracle_match(spark, duck, name):
     assert srows == orows
 
 
-def test_gate_window_contains_round14_rotation():
+def test_gate_window_contains_round15_rotation():
     """The driver adjudicates only the FIRST 50 queries() entries, so
-    window membership is part of the declared evidence plan: the r14
-    rotation (VERDICT r13 #1, exactly as the r13 horizon comment
-    staged it) is the 50-entry r11-gated cohort (staleness invariant:
-    nothing may go 3 rounds without a driver green) MINUS
-    tvf_full_scan — displaced by the documented oracle-twin swap (its
-    oracle text == full_scan_l2, gated green in r13; the TVF parse
-    layer is pinned by tests/test_sql.py) — PLUS the re-gating
-    full_scan_stream_l2 (r10-gated, displaced from the r13 window).
-    All 50 must sit inside positions 1-50, keys must be unique, and
-    the inventory must match oracle_sql 1:1 (an insert that silently
-    pushes an intended entry past the horizon breaks the rotation
-    bookkeeping — this pins it). tvf_full_scan must sit at position
-    51 (first past the horizon) so it re-gates in r15."""
+    window membership is part of the declared evidence plan: the r15
+    rotation (exactly as the r14 horizon comment staged it) is the
+    50-entry r12-gated cohort (staleness invariant: nothing may go 3
+    rounds without a driver green) MINUS knn_join_blocked_l2 —
+    displaced by the documented oracle-twin swap (its oracle text ==
+    knn_join_l2, which gates in the same window; blocked==window-path
+    equality is pinned by tests/test_knn_join.py) — PLUS the
+    re-gating tvf_full_scan (r11-gated, displaced from the r14
+    window). All 50 must sit inside positions 1-50, keys must be
+    unique, and the inventory must match oracle_sql 1:1 (an insert
+    that silently pushes an intended entry past the horizon breaks
+    the rotation bookkeeping — this pins it). knn_join_blocked_l2
+    must sit at position 51 (first past the horizon) so it re-gates
+    in r16."""
     import __spark_entry__ as e
 
     keys = list(e.queries().keys())
@@ -128,33 +129,32 @@ def test_gate_window_contains_round14_rotation():
     assert set(keys) == set(e.oracle_sql())
     window = set(keys[:50])
     must_gate = [
-        # the displaced r10 stream twin, re-gating this round
-        "full_scan_stream_l2",
-        # the r11-gated cohort minus the displaced tvf_full_scan
-        "filtered_full_scan_l2", "quantize_scan_after_delete_l2",
-        "filtered_knn_join_l2", "neardup_after_delete",
-        "incremental_embedding_neardup",
-        "embedding_neardup_after_delete", "ivf_scan_after_delete_l2",
-        "sql_macro_scan", "token_cooccurrence", "neardup_keep_best",
-        "hybrid_rrf_batch", "ivf_recall_curve",
-        "source_snapshot_drift", "approx_quantile_audit",
-        "asof_forward_events", "asof_join_events",
-        "asof_null_carry_events", "asof_tolerance_events",
-        "balanced_sample", "bpe_token_counts", "doc_split_assign",
-        "embedding_dim_stats", "events_hourly", "events_props_agg",
-        "events_rollup", "full_scan_k_gt_n", "normalize",
-        "order_priority_counts", "pii_scrub",
-        "purchase_session_join", "quantize_codes", "quantize_memory",
-        "sample_mix", "sessionize", "simhash_neardup", "source_stats",
-        "token_doc_freq", "top_customers", "value_quantiles",
-        "value_winsorize", "user_rolling", "user_decay", "bq_codes",
-        "bq_scan_hamming", "bq_rerank_scan_l2", "opq_scan_l2",
-        "bm25_topk", "hybrid_rrf", "lm_doc_scores",
+        # the displaced r11 TVF twin, re-gating this round
+        "tvf_full_scan",
+        # the r12-gated cohort minus the displaced knn_join_blocked_l2
+        "incremental_dedup", "pq_scan_l2", "pq_rerank_scan_l2",
+        "ivf_pq_scan_l2", "ivf_pq_knn_join_l2", "knn_join_l2",
+        "semantic_dedup", "boilerplate_strip", "quantize_params",
+        "quantize_scan_l2", "f16_scan_l2", "text_stats",
+        "lsh_candidate_pairs", "ngram_jaccard_pairs",
+        "neardup_representatives", "pq_codes", "pq_recall_at_k",
+        "ivf_cluster_stats", "doc_chunk_overlap", "temperature_mix",
+        "matryoshka_rerank_l2", "approx_distinct_audit",
+        "cohort_retention", "event_funnel", "quantize_update_codes",
+        "gopher_quality", "knn_classify", "embedding_outliers",
+        "mmr_rerank_l2", "source_overlap", "corpus_report",
+        "pack_sequences", "negative_samples", "edit_distance_pairs",
+        "value_zscore", "source_overlap_sketch", "bm25_batch_topk",
+        "events_resample", "user_type_pivot", "error_incidents",
+        "session_incident_overlap", "bq_band_join", "auto_route_scan",
+        "tvf_quantize_scan", "tvf_ep1_join_back",
+        "bq_knn_join_hamming", "bq_knn_join_projected",
+        "bq_band_scan", "passage_strip_frozen",
     ]
     assert len(must_gate) == 50
     missing = [k for k in must_gate if k not in window]
     assert not missing, f"intended gate entries fell past the 50-entry horizon: {missing}"
-    assert keys[50] == "tvf_full_scan", (
-        "the displaced r11 entry must lead the past-horizon block so it "
-        "re-gates first in r15"
+    assert keys[50] == "knn_join_blocked_l2", (
+        "the displaced r12 entry must lead the past-horizon block so it "
+        "re-gates first in r16"
     )
