@@ -37,6 +37,17 @@ def _n_words(dim: int) -> int:
     return (dim + 63) // 64
 
 
+#: widest code for which bq_store_append folds the per-dim bit-bias
+#: counts into the write job as observe metrics (dim+1 codegen
+#: aggregates); wider codes keep the O(1)-plan mapInPandas pass
+_OBS_BIAS_MAX_DIM = 1024
+
+#: largest query batch bq_band_join encodes DRIVER-SIDE for the
+#: bv IN (...) store-scan prune; bigger batches keep the in-plan
+#: query encode (bounded collect — no unbounded driver materialize)
+_BAND_JOIN_MAX_Q = 4096
+
+
 def _check_thresholds(dim: int, thresholds: Sequence[float] | None) -> list[float]:
     if thresholds is None:
         return [0.0] * dim
@@ -303,20 +314,46 @@ def bq_store_append(
     same frozen-parameter contract as ivf_store_append /
     vector_quantize_update / pq_store_append.
 
-    One pass over the batch (localCheckpoint shared by the bit-bias
-    agg and the append write). ``drift`` is the batch's mean bit bias
-    in excess of ``baseline_bit_bias`` (record it at build time via
-    bq_bit_bias); crossing ``drift_threshold`` means the frozen
-    per-dim thresholds no longer center the ingest distribution —
-    recompute thresholds (embedding_dim_stats means) and rebuild."""
-    enriched = bq_encode(
-        new_df, vec_col, dim, thresholds, id_col=id_col, backend=backend
-    ).localCheckpoint(eager=True)
-    row = enriched.agg(F.count(F.lit(1)).alias("n")).collect()[0]
-    n = int(row["n"])
-    if n == 0:
+    One pass over the batch (r15): the row count and the per-dim
+    set-bit counts ride the append WRITE as ``observe`` metrics —
+    dim+1 integer aggregates over the packed words — instead of the
+    old localCheckpoint + count job + mapInPandas bit-balance pass
+    (4 jobs and a Python boundary down to an emptiness probe + the
+    write). The bias value is bit-identical: the observed counts are
+    exact int64 sums and the driver finishes with the same NumPy
+    expression bq_bit_bias uses. Very wide codes (dim >
+    ``_OBS_BIAS_MAX_DIM``) keep the O(1)-plan mapInPandas path.
+    ``drift`` is the batch's mean bit bias in excess of
+    ``baseline_bit_bias`` (record it at build time via bq_bit_bias);
+    crossing ``drift_threshold`` means the frozen per-dim thresholds
+    no longer center the ingest distribution — recompute thresholds
+    (embedding_dim_stats means) and rebuild."""
+    import numpy as np
+
+    # emptiness probe (limit-1 scan) BEFORE any write: an empty batch
+    # must not commit an empty append (versioned roots would gain a
+    # no-op generation)
+    if new_df.where(F.col(vec_col).isNotNull()).isEmpty():
         return BqAppendReport(0, 0.0, baseline_bit_bias, 0.0, False)
-    bias = bq_bit_bias(enriched, dim)
+    enriched = bq_encode(new_df, vec_col, dim, thresholds, id_col=id_col, backend=backend)
+    obs = None
+    if dim <= _OBS_BIAS_MAX_DIM:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        # bit j of the packed code: (bits[w] >> i) & 1 — arithmetic
+        # shift is fine, the & 1 keeps only the target bit
+        exprs = [F.count(F.lit(1)).alias("n")] + [
+            F.sum(
+                F.shiftright(F.element_at(F.col("bits"), j // 64 + 1), j % 64)
+                .bitwiseAND(F.lit(1))
+                .cast("long")
+            ).alias(f"b{j}")
+            for j in range(dim)
+        ]
+        enriched = enriched.observe(obs, *exprs)
+    else:
+        enriched = enriched.localCheckpoint(eager=True)
     # versioned roots: append as a new manifest generation — a plain
     # parquet append would land unreferenced files (silent data loss
     # at the next vacuum; see versioned.append_versioned)
@@ -326,6 +363,16 @@ def bq_store_append(
         append_versioned(enriched, dest)
     else:
         enriched.write.mode("append").parquet(dest)
+    if obs is not None:
+        got = obs.get
+        n = int(got["n"])
+        ones = np.asarray([int(got[f"b{j}"]) for j in range(dim)], dtype=np.int64)
+        # same NumPy expression as bq_bit_bias over the same exact
+        # integer counts -> bit-identical bias
+        bias = float(np.abs(ones / n - 0.5).mean())
+    else:
+        n = enriched.count()
+        bias = bq_bit_bias(enriched, dim)
     # no recorded baseline -> no drift claim (mirrors _pq_append_report:
     # drift is "excess over baseline", and with baseline None the bias
     # itself is still surfaced via mean_bit_bias)
@@ -746,7 +793,29 @@ def bq_band_join(
     contract as bq_knn_join (complete within Hamming m-1); ``planes``
     selects projected-code probes for a store built from
     bq_project_encode codes, and ``encode_backend`` pins the
-    query-side projected encoder exactly as in bq_knn_join."""
+    query-side projected encoder exactly as in bq_knn_join.
+
+    Scan pruning (r15, axis-aligned path): the query batch is Q rows
+    of metadata, so it is collected and encoded DRIVER-SIDE via
+    bq_query_words (documented bit-identical to bq_encode_col). The
+    probe band values then become a PUSHABLE ``bv IN (...)`` data
+    filter on the store scan — parquet row-group skipping over the
+    bv-sorted band files (the store is written sort_within=["bv"]) —
+    and the query side becomes a LocalRelation instead of a second
+    corpus scan. The filter is a SUPERSET of the join keys (values
+    from all bands pooled), so the exact (b, bv) equi-join is
+    unchanged and results are identical; at band_bits=16 the IN list
+    covers Q*m of 65,536 values per band and skips nearly every row
+    group a probe does not touch. Two driver-safety gates: batches
+    over ``_BAND_JOIN_MAX_Q`` rows keep the in-plan query encode (the
+    collect is bounded, §5 — the limit probe IS the query-side job
+    either way), and the IN filter is skipped when the pooled values
+    cover most of the 2^band_bits domain (no row group could be
+    skipped; the check is free, the list is already driver-side). The
+    ``planes`` path keeps the in-plan query encode: the projected
+    query bits must come from the SAME backend as the corpus codes (a
+    plane dot within an ulp of zero can flip a bit between backends),
+    so no driver-side mirror is safe there."""
     _band_layout(dim, band_bits)
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -756,23 +825,56 @@ def bq_band_join(
         )
     from pyspark.sql import Window
 
-    q_code = (
-        _project_code_col(F.col(q_vec), planes, center, encode_backend)
-        if planes is not None
-        else bq_encode_col(F.col(q_vec), dim, thresholds)
-    )
-    qenc = queries.where(F.col(q_vec).isNotNull()).select(
-        F.col(q_id).cast("bigint").alias("qid"), q_code.alias("qbits")
-    )
+    probe_vals = None
+    qenc = None
+    if planes is None:
+        qrows = (
+            queries.where(F.col(q_vec).isNotNull())
+            .select(F.col(q_id).cast("bigint").alias("qid"), F.col(q_vec).alias("qv"))
+            .limit(_BAND_JOIN_MAX_Q + 1)
+            .collect()
+        )
+        if len(qrows) <= _BAND_JOIN_MAX_Q:
+            enc = [(int(r.qid), bq_query_words(list(r.qv), thresholds)) for r in qrows]
+            qenc = spark.createDataFrame(
+                [(qid, words) for qid, words in enc], "qid bigint, qbits array<bigint>"
+            )
+            mask = (1 << band_bits) - 1
+            # Python's arbitrary-precision >> on the signed word has
+            # the same low bits as the JVM's 64-bit arithmetic shift,
+            # so the masked band values match band_value_col exactly
+            vals = sorted(
+                {
+                    int((qw[w] >> (i * band_bits)) & mask)
+                    for _, qw in enc
+                    for w, i in _band_layout(dim, band_bits)
+                }
+            )
+            # pooled values covering most of the band domain cannot
+            # skip row groups — drop the filter, keep the equi-join
+            if len(vals) < ((1 << band_bits) * 3) // 4:
+                probe_vals = vals
+    if qenc is None:
+        q_code = (
+            _project_code_col(F.col(q_vec), planes, center, encode_backend)
+            if planes is not None
+            else bq_encode_col(F.col(q_vec), dim, thresholds)
+        )
+        qenc = queries.where(F.col(q_vec).isNotNull()).select(
+            F.col(q_id).cast("bigint").alias("qid"), q_code.alias("qbits")
+        )
     qx = explode_bands(qenc, F.col("qbits"), ["qid", "qbits"], dim, band_bits)
     # read_store: versioned band stores resolve via manifest (r13);
-    # the Q x m probe side touches every band partition, so the join's
-    # dynamic pruning — not the resolver — is the cost lever either way
+    # the Q x m probe side touches every band partition, so the bv
+    # row-group skip (axis-aligned) / the join's dynamic pruning
+    # (projected) — not the resolver — is the cost lever either way
     from sqlite_vector_spark.sinks import read_store
 
     stored = read_store(spark, dest).select(
         "id", "bits", F.col("b").cast("int").alias("b"), "bv"
     )
+    if probe_vals is not None:
+        stored = stored.where(F.col("bv").isin(probe_vals))
     cand = stored.join(F.broadcast(qx.withColumn("b", F.col("b").cast("int"))), ["b", "bv"]).select(
         "qid", "id", hamming_pair_col("bits", "qbits").alias("ham")
     )

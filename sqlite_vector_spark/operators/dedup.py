@@ -496,8 +496,12 @@ def connected_components_min_label(
     # serializing the verify subtree's final stage — measured ~1 s
     # slower on the neardup chains than one fully-parallel
     # checkpoint job followed by an in-memory collect.
-    head = e.limit(fast_path_max + 1).collect() if fast_path_max > 0 else None
-    if head is not None and len(head) <= fast_path_max:
+    # fast_path_max <= 0 (the forced-distributed test arm) still
+    # short-circuits the EMPTY edge set via a limit-1 collect on the
+    # checkpointed frame (ADVICE r14: the empty mapping used to cost a
+    # full no-op propagation round), mirroring incremental_labels
+    head = e.limit(max(fast_path_max, 0) + 1).collect()
+    if len(head) <= max(fast_path_max, 0):
         mapping = _union_find_min((r.a, r.b) for r in head)
         return edges.sparkSession.createDataFrame(
             list(mapping.items()) or [], "id bigint, cluster bigint"
@@ -1686,7 +1690,15 @@ def boilerplate_strip(
     ch = base.select(
         "id", F.posexplode_outer(word_chunks(F.col("w"), size)).alias("pos", "chunk")
     )
-    hashed = ch.select("id", "pos", "chunk", hash_fn(F.col("chunk")).alias("h"))
+    # hash only REAL chunks: the zero-chunk sentinel row keeps a null
+    # key under ANY hash_fn (ADVICE r14: xxhash64(NULL) returns the
+    # seed hash, which would put every zero-chunk doc into one real
+    # bucket of the df aggregate instead of relying on the default
+    # polyhash's null propagation)
+    hashed = ch.select(
+        "id", "pos", "chunk",
+        F.when(F.col("chunk").isNotNull(), hash_fn(F.col("chunk"))).alias("h"),
+    )
     boiler = (
         hashed.groupBy("h")
         .agg(F.countDistinct("id").alias("df"))

@@ -415,6 +415,47 @@ def adc_distance_arrow_udf(luts: Sequence[Sequence[float]], metric: str | Metric
     return _kernel
 
 
+def adc_residual_distance_arrow_udf(
+    luts_by_probe: Sequence[tuple[int, Sequence[Sequence[float]]]],
+    metric: str | Metric = "L2",
+):
+    """Arrow-batched residual ADC over MIXED probed clusters:
+    (ARRAY<BIGINT> codes, BIGINT cluster) -> DOUBLE, selecting each
+    row's LUT by its cluster from the per-probe LUT stack. One gather
+    + row sum per batch — the single-pass arrow form of
+    ivf_pq_residual_adc_scan's per-probe adc_distance_arrow_udf
+    branches, with the same per-row summation order (the (B, M)
+    gather rows are identical), so distances are bit-identical."""
+    from pyspark.sql.functions import pandas_udf
+
+    import numpy as np
+
+    m = parse_metric(metric) if isinstance(metric, str) else metric
+    if m not in (Metric.L2, Metric.SQUARED_L2):
+        raise ValueError(f"ADC supports L2/SQUARED_L2, got {m}")
+    probes = [int(p) for p, _ in luts_by_probe]
+    lut3 = np.stack(
+        [np.asarray([[float(v) for v in row] for row in luts], dtype=np.float64)
+         for _, luts in luts_by_probe]
+    )  # (P, M, KSUB)
+    n_sub = lut3.shape[1]
+
+    @pandas_udf("double")
+    def _kernel(col: pd.Series, cluster: pd.Series) -> pd.Series:
+        codes = batch_matrix(col, "int64")  # (B, M)
+        cl = cluster.to_numpy(dtype=np.int64)
+        # rows are pre-filtered to the probed clusters; map each to
+        # its LUT position in the stack
+        idx = np.select([cl == p for p in probes], list(range(len(probes))))
+        d = lut3[idx[:, None], np.arange(n_sub)[None, :], codes].sum(axis=1)
+        if m is Metric.L2:
+            np.sqrt(d, out=d)
+        d = np.where(np.abs(d) <= EPS_SNAP, 0.0, d)
+        return pd.Series(d)
+
+    return _kernel
+
+
 def pq_scan(
     codes_df: DataFrame,
     query: Sequence[float],
@@ -936,29 +977,35 @@ def pq_store_append(
     (tests prove it) — same maintenance contract as ivf_store_append /
     vector_quantize_update, completing the ladder's compressed tier.
 
-    One pass over the batch: the encoded frame is localCheckpointed,
-    the reconstruction-error agg and the append write both read the
-    checkpoint. ``drift`` compares the batch's mean squared
-    reconstruction error against ``baseline_recon_err`` (record it at
-    build time via pq_reconstruction_error); crossing
+    One pass over the batch (r15): the count and the
+    reconstruction-error mean ride the WRITE job as an ``observe``
+    metric instead of a separate localCheckpoint + agg pass — the
+    encode and the Arrow recon-err kernel run exactly once, inside
+    the job that appends the codes. ``drift`` compares the batch's
+    mean squared reconstruction error against ``baseline_recon_err``
+    (record it at build time via pq_reconstruction_error); crossing
     ``drift_threshold`` is the retrain-and-rebuild signal."""
     base = new_df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
     )
+    # emptiness probe (limit-1 scan) BEFORE any write: an empty batch
+    # must not commit an empty append (versioned roots would gain a
+    # no-op generation)
+    if base.isEmpty():
+        return PqAppendReport(0, 0.0, baseline_recon_err, 0.0, False)
     if _pq_backend(codebooks) == "arrow-numpy":
         codes = pq_encode_arrow_udf(codebooks)(F.col("vec"))
     else:
         codes = pq_encode_col(F.col("vec"), codebooks)
-    enriched = (
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = (
         base.select("id", codes.alias("codes"), "vec")
         .withColumn("_err", pq_recon_err_arrow_udf(codebooks)(F.col("vec"), F.col("codes")))
-        .localCheckpoint(eager=True)
+        .observe(obs, F.count(F.lit(1)).alias("n"), F.avg("_err").alias("e"))
+        .select("id", "codes")
     )
-    row = enriched.agg(F.count(F.lit(1)).alias("n"), F.avg("_err").alias("e")).collect()[0]
-    n = int(row["n"])
-    if n == 0:
-        return PqAppendReport(0, 0.0, baseline_recon_err, 0.0, False)
-    out = enriched.select("id", "codes")
     # versioned roots: append as a new manifest generation (see
     # versioned.append_versioned — plain appends strand unreferenced
     # files)
@@ -968,7 +1015,10 @@ def pq_store_append(
         append_versioned(out, dest)
     else:
         out.write.mode("append").parquet(dest)
-    return _pq_append_report(n, float(row["e"]), baseline_recon_err, drift_threshold)
+    got = obs.get
+    return _pq_append_report(
+        int(got["n"]), float(got["e"]), baseline_recon_err, drift_threshold
+    )
 
 
 def ivf_pq_store_append(
@@ -992,33 +1042,37 @@ def ivf_pq_store_append(
 
     ``residual=True`` must match the store's build mode — codes then
     quantize (vec - centroid[cluster]) and the reconstruction error is
-    measured on that same residual frame. One batch pass via
-    localCheckpoint, like ivf_append_with_drift."""
+    measured on that same residual frame. One batch pass (r15): the
+    count and recon-err mean ride the write job as an ``observe``
+    metric, like pq_store_append."""
     if residual:
         assigned = ivf_residuals(new_df, vec_col, centroids, id_col=id_col)
     else:
         from sqlite_vector_spark.operators.ann import ivf_assign
 
         assigned = ivf_assign(new_df, vec_col, centroids, id_col=id_col, metric="L2")
+    if assigned.isEmpty():
+        return PqAppendReport(0, 0.0, baseline_recon_err, 0.0, False)
     if _pq_backend(codebooks) == "arrow-numpy":
         codes = pq_encode_arrow_udf(codebooks)(F.col("vec"))
     else:
         codes = pq_encode_col(F.col("vec"), codebooks)
-    enriched = (
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = (
         assigned.select("id", codes.alias("codes"), "cluster", "vec")
         .withColumn("_err", pq_recon_err_arrow_udf(codebooks)(F.col("vec"), F.col("codes")))
-        .localCheckpoint(eager=True)
+        .observe(obs, F.count(F.lit(1)).alias("n"), F.avg("_err").alias("e"))
+        .select("id", "codes", "cluster")
     )
-    row = enriched.agg(F.count(F.lit(1)).alias("n"), F.avg("_err").alias("e")).collect()[0]
-    n = int(row["n"])
-    if n == 0:
-        return PqAppendReport(0, 0.0, baseline_recon_err, 0.0, False)
     from sqlite_vector_spark.sinks import write_partitioned
 
-    write_partitioned(
-        enriched.select("id", "codes", "cluster"), dest, "cluster", mode="append"
+    write_partitioned(out, dest, "cluster", mode="append")
+    got = obs.get
+    return _pq_append_report(
+        int(got["n"]), float(got["e"]), baseline_recon_err, drift_threshold
     )
-    return _pq_append_report(n, float(row["e"]), baseline_recon_err, drift_threshold)
 
 
 def pq_reconstruction_error(
@@ -1097,31 +1151,47 @@ def ivf_pq_residual_adc_scan(
     """Residual-IVFADC top-k over any (id, codes, cluster) code table
     whose codes quantize ``vec - centroid[cluster]`` (Jegou et al.
     2011 §IV). Each probed cluster gets its OWN lookup table computed
-    on (query - centroid[p]) — nprobe filtered branches unioned, one
-    global top-k. LUT count is nprobe*M*KSUB driver doubles (metadata
-    math); per-row work stays the M-term fold. Works identically over
-    an ivf_pq_store read (partition-pruned branches) or an in-plan
-    residual encode (oracle-gated: workload.ivf_pq_residual_scan_l2)."""
+    on (query - centroid[p]). LUT count is nprobe*M*KSUB driver
+    doubles (metadata math); per-row work stays the M-term fold.
+    Works identically over an ivf_pq_store read or an in-plan
+    residual encode (oracle-gated: workload.ivf_pq_residual_scan_l2).
+
+    Plan shape (r15): the codegen backend runs ONE pass — a
+    ``cluster IN (probes)`` filter (planning-time partition pruning
+    on a store read; a single subtree walk for an in-plan encode
+    pipeline) with a short-circuit CASE WHEN keyed on ``cluster``
+    selecting the probe's LUT fold. The previous per-probe
+    filter-and-union form re-walked an in-plan
+    scan+assign+residual+encode subtree once PER PROBE (nprobe x the
+    corpus work); per-row math is the same adc_distance_col
+    expression either way, so results are identical. The arrow-numpy
+    backend is also one pass: a cluster-aware LUT-gather kernel
+    (adc_residual_distance_arrow_udf) scores mixed probed clusters in
+    a single ArrowEvalPython — a CASE WHEN over per-probe Python UDFs
+    would hoist EVERY probe's kernel out of the conditional and score
+    every row nprobe times, so the LUT selection moves inside the
+    kernel instead."""
     from sqlite_vector_spark.operators.ann import probe_clusters
 
     q = [float(x) for x in query]
     m = parse_metric(metric) if isinstance(metric, str) else metric
     probes = probe_clusters(q, centroids, nprobe)
-    branches = []
+    luts_by_probe = []
     for p in probes:
         q_res = [qq - cc for qq, cc in zip(q, [float(x) for x in centroids[p]])]
-        luts = adc_lut(q_res, codebooks)
-        branch = codes_df.where(F.col("cluster") == int(p))
-        if _pq_backend(codebooks) == "arrow-numpy":
-            dist = adc_distance_arrow_udf(luts, m)(F.col("codes"))
-        else:
-            dist = adc_distance_col("codes", luts, m)
-        branches.append(
-            branch.select(F.col("id").cast("bigint").alias("id"), dist.alias("distance"))
+        luts_by_probe.append((int(p), adc_lut(q_res, codebooks)))
+    pruned = codes_df.where(F.col("cluster").isin([p for p, _ in luts_by_probe]))
+    if _pq_backend(codebooks) == "arrow-numpy":
+        dist = adc_residual_distance_arrow_udf(luts_by_probe, m)(
+            F.col("codes"), F.col("cluster")
         )
-    scored = branches[0]
-    for b in branches[1:]:
-        scored = scored.unionAll(b)
+    else:
+        dist = None
+        for p, luts in luts_by_probe:
+            cond = F.col("cluster") == p
+            expr = adc_distance_col("codes", luts, m)
+            dist = F.when(cond, expr) if dist is None else dist.when(cond, expr)
+    scored = pruned.select(F.col("id").cast("bigint").alias("id"), dist.alias("distance"))
     if k == 0:
         return scored.limit(0)
     return scored.orderBy(F.col("distance").asc(), F.col("id").asc()).limit(k)

@@ -324,6 +324,7 @@ def test_bq_band_store_scan_matches_join_and_prunes(spark, emb, tmp_path):
     assert [(r.id, r.hamming) for r in rows] == want
 
 
+@pytest.mark.slow
 def test_bq_knn_join_multiword_codes(spark):
     """dim > 64: bands index into the RIGHT word (the band layout
     spans words); planted flips in different words are all found with
@@ -406,6 +407,7 @@ def test_bq_store_append_without_baseline_reports_no_drift(spark, emb, tmp_path)
     assert not rep.rebuild_recommended
 
 
+@pytest.mark.slow
 def test_bq_project_encode_codegen_equals_arrow(spark, emb):
     """The sequential-fold codegen projected encoder must pack the
     same bits as the Arrow matmul kernel (real data: no dot lands
@@ -508,6 +510,7 @@ def test_bq_band_join_matches_in_plan_join_with_dpp(spark, emb, tmp_path):
     assert ra == rb and len(ra) == 40
 
 
+@pytest.mark.slow
 def test_bq_band_join_projected_planes(spark, emb, tmp_path):
     """bq_band_join with planes= (a store built from bq_project_encode
     codes) must equal the in-plan projected bq_knn_join — including
@@ -641,3 +644,68 @@ def test_bq_band_join_randomized_pigeonhole_invariant(spark):
         for rank0, (h, i) in enumerate(brute[:k]):
             if h < m_bands:
                 assert got[qi].get(i) == (h, rank0 + 1), (qi, i, h, got[qi].get(i))
+
+
+def test_bq_store_append_empty_batch_writes_nothing(spark, emb, tmp_path):
+    """An empty batch must not commit anything (r15: the emptiness
+    probe runs BEFORE the observe-instrumented write)."""
+    from sqlite_vector_spark.operators.bq import bq_store_append
+
+    dest = tmp_path / "bq_empty"
+    rep = bq_store_append(
+        emb.where(F.lit(False)), "embedding", 64, str(dest), id_col="vec_id"
+    )
+    assert rep.n_appended == 0 and rep.mean_bit_bias == 0.0
+    assert not dest.exists()
+
+
+def test_bq_store_append_observed_bias_equals_bq_bit_bias(spark, emb, tmp_path):
+    """r15: the per-dim bit counts ride the append write as observe
+    metrics; the resulting bias must be BIT-IDENTICAL to the
+    mapInPandas bq_bit_bias over the same codes (exact int64 counts,
+    same NumPy finish)."""
+    from sqlite_vector_spark.operators.bq import bq_bit_bias, bq_encode, bq_store_append
+
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    rep = bq_store_append(batch, "embedding", 64, str(tmp_path / "bq_obs"), id_col="vec_id")
+    want = bq_bit_bias(bq_encode(batch, "embedding", 64, id_col="vec_id"), 64)
+    assert rep.mean_bit_bias == want
+    assert rep.n_appended == batch.count()
+
+
+def test_bq_band_join_driver_gates_identical(spark, emb, tmp_path, monkeypatch):
+    """r15 driver-safety gates: an oversized query batch falls back to
+    the in-plan query encode (bounded collect), and a probe-value set
+    covering most of the band domain drops the bv IN filter — both
+    arms must return exactly the driver-side-pruned results."""
+    import sqlite_vector_spark.operators.bq as bq_mod
+    from sqlite_vector_spark.operators.bq import bq_band_join, bq_band_store
+
+    codes = bq_encode(emb, "embedding", 64, id_col="vec_id")
+    dest = str(tmp_path / "bands_gates")
+    bq_band_store(codes, 64, dest, band_bits=8)
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    want = sorted(tuple(r) for r in bq_band_join(spark, dest, queries, 64, 5, band_bits=8).collect())
+    assert len(want) == 40
+    # arm 1: batch larger than the collect bound -> in-plan encode
+    monkeypatch.setattr(bq_mod, "_BAND_JOIN_MAX_Q", 4)
+    got_big = sorted(tuple(r) for r in bq_band_join(spark, dest, queries, 64, 5, band_bits=8).collect())
+    monkeypatch.undo()
+    assert got_big == want
+    # arm 2: near-full domain coverage -> IN filter dropped. A 1-bit
+    # band store (domain = {0, 1}, 64 bands) always crosses the 3/4
+    # coverage gate, so the driver-side path keeps the LocalRelation
+    # query side but must NOT add the useless filter
+    dest2 = str(tmp_path / "bands_full")
+    bq_band_store(codes, 64, dest2, band_bits=1)
+    from sqlite_vector_spark.operators.bq import bq_knn_join
+
+    got_full = sorted(
+        tuple(r) for r in bq_band_join(spark, dest2, queries, 64, 5, band_bits=1).collect()
+    )
+    ref_full = sorted(
+        tuple(r) for r in bq_knn_join(queries, codes, 64, 5, band_bits=1).collect()
+    )
+    assert got_full == ref_full

@@ -183,6 +183,7 @@ def test_pq_fit_kmeanspp_init(emb):
     assert len(trained) == M and all(len(cb) == KSUB for cb in trained)
 
 
+@pytest.mark.slow
 def test_rerank_recall_exceeds_raw_adc(spark, emb, books):
     """With TRAINED codebooks the two-stage rerank path returns exact
     distances and top-k agreement with the exact scan at least as good
@@ -268,6 +269,7 @@ def test_ivf_pq_store_prunes_and_matches_inplan(spark, emb, books, tmp_path):
     assert stored == inplan and len(stored) == 12
 
 
+@pytest.mark.slow
 def test_ivf_pq_store_append_equals_rebuild(spark, emb, books, tmp_path):
     """Append-mode maintenance: appending a batch into an existing
     store yields the same scan results as rebuilding over the union —
@@ -297,6 +299,7 @@ def test_ivf_pq_store_append_equals_rebuild(spark, emb, books, tmp_path):
     assert a == b and len(a) == 15
 
 
+@pytest.mark.slow
 def test_residual_ivf_pq_improves_recall(spark, tmp_path):
     """IVFADC residual encoding on CLUSTERED data (the regime it is
     designed for): codebooks trained on residuals + per-probe LUTs
@@ -401,6 +404,7 @@ def test_ivf_residuals_roundtrip(emb):
             assert a == pytest.approx(float(b), abs=1e-9)
 
 
+@pytest.mark.slow
 def test_ivf_pq_knn_join_matches_per_query_scan(spark, emb, books):
     """The multi-query compressed join must return the same neighbor
     ids per query as running ivf_pq_scan one query at a time with the
@@ -533,6 +537,7 @@ def test_pq_store_append_equals_rebuild(spark, emb, books, tmp_path):
     assert rep_bad.drift > 0.25 and rep_bad.rebuild_recommended
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("residual", [False, True])
 def test_ivf_pq_store_append_equals_rebuild(spark, emb, books, tmp_path, residual):
     """IVF-PQ append (frozen centroids + codebooks) == rebuild for
@@ -609,6 +614,7 @@ def _aniso_frame(spark, n=600, dim=32, seed=5):
     return spark.createDataFrame(rows, "id long, vec array<double>"), X
 
 
+@pytest.mark.slow
 def test_opq_fit_beats_raw_pq_reconstruction(spark):
     """On anisotropic data, the learned rotation must cut the mean
     squared reconstruction error vs raw PQ at equal M/KSUB (Ge et al.
@@ -767,3 +773,65 @@ def test_opq_fit_returns_self_consistent_pair(spark):
     e1 = recon_err(lloyd_step(cbs))
     assert e1 <= e0  # Lloyd never hurts
     assert (e0 - e1) / e0 < 0.02, (e0, e1)  # stale pair measures 0.026
+
+
+def test_residual_adc_scan_single_pass_both_backends(spark, emb):
+    """r15: the residual-IVFADC scan is ONE pass on BOTH backends — a
+    cluster IN (probes) filter plus a short-circuit CASE WHEN LUT
+    fold (codegen) / a cluster-aware LUT-gather kernel (arrow) —
+    instead of per-probe filter-and-union branches that each re-walk
+    the upstream plan. Results must be bit-identical to the old union
+    form (built inline here, per backend) and the plan must contain
+    no Union."""
+    from sqlite_vector_spark.operators.ann import probe_clusters
+    from sqlite_vector_spark.operators.pq import ivf_pq_residual_adc_scan, ivf_residuals
+
+    cents = [
+        list(r.embedding) for r in emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    res = ivf_residuals(emb, "embedding", cents, id_col="vec_id")
+    book_rows = res.where(F.col("id") < 16).orderBy("id").collect()
+    m, dsub = 8, 8
+    books = [[list(r.vec[s * dsub : (s + 1) * dsub]) for r in book_rows] for s in range(m)]
+    table = res.select("id", pq_encode_col(F.col("vec"), books).alias("codes"), "cluster")
+    q = [0.1 * ((j % 7) - 3) for j in range(64)]
+    probes = probe_clusters(q, cents, 2)
+    try:
+        for backend in ("codegen", "arrow-numpy"):
+            set_backend(backend)
+            got = ivf_pq_residual_adc_scan(table, q, cents, books, 10, nprobe=2)
+            plan = got._jdf.queryExecution().executedPlan().toString()
+            assert "Union" not in plan, backend
+            branches = []
+            for p in probes:
+                q_res = [qq - cc for qq, cc in zip(q, cents[p])]
+                luts = adc_lut(q_res, books)
+                if backend == "arrow-numpy":
+                    dist = adc_distance_arrow_udf(luts, "L2")(F.col("codes"))
+                else:
+                    dist = adc_distance_col("codes", luts, "L2")
+                branches.append(
+                    table.where(F.col("cluster") == int(p)).select(
+                        F.col("id").cast("bigint").alias("id"), dist.alias("distance")
+                    )
+                )
+            ref = branches[0]
+            for b in branches[1:]:
+                ref = ref.unionAll(b)
+            ref = ref.orderBy(F.col("distance").asc(), F.col("id").asc()).limit(10)
+            assert [tuple(r) for r in got.collect()] == [tuple(r) for r in ref.collect()], backend
+    finally:
+        set_backend("auto")
+
+
+def test_pq_store_append_empty_batch_writes_nothing(spark, emb, books, tmp_path):
+    """An empty batch must not commit anything (r15: the emptiness
+    probe runs BEFORE the observe-instrumented write)."""
+    from sqlite_vector_spark.operators.pq import pq_store_append
+
+    dest = tmp_path / "pq_empty"
+    rep = pq_store_append(
+        emb.where(F.lit(False)), "embedding", books, str(dest), id_col="vec_id"
+    )
+    assert rep.n_appended == 0 and rep.batch_mean_recon_err == 0.0
+    assert not dest.exists()
