@@ -53,6 +53,7 @@ def test_ivf_recall_improves_with_nprobe(setup, emb):
     assert set(exact) == r_all  # probing everything == exact
 
 
+@pytest.mark.slow
 def test_lsh_bucket_store_prunes(spark, emb, tmp_path):
     """VERDICT r2 #3: the LSH store written partitionBy('bucket') must
     turn the probe IN filter into planning-time partition pruning, and
@@ -167,6 +168,7 @@ def test_kmeans_fit_ragged_vectors_raise(spark):
         kmeans_fit(df, "v", c=2, dim=2, iters=1)
 
 
+@pytest.mark.slow
 def test_arrow_assignment_matches_codegen(spark, emb):
     """The arrow-numpy assignment backend must agree with the codegen
     literal fold on real embeddings for every metric (no near-ties in
@@ -233,6 +235,7 @@ def test_ivf_store_append_equals_rebuild(spark, emb, tmp_path):
     assert "PartitionFilters" in plan and "cluster" in plan
 
 
+@pytest.mark.slow
 def test_ivf_assignment_stats_and_drift(spark, emb, tmp_path):
     """Drift monitoring for append maintenance: per-cluster stats on
     the build batch, then a shifted batch must raise drift and the

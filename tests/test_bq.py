@@ -137,6 +137,7 @@ def test_projected_bits_match_numpy_reference(spark, emb):
     assert all(len(v) == 2 for v in got.values())
 
 
+@pytest.mark.slow
 def test_projected_rerank_beats_axis_aligned_on_correlated_data(spark):
     """On a smooth correlated manifold (neighboring rows nearly
     identical lane-wise), axis-aligned sign bits collapse into
@@ -431,6 +432,7 @@ def test_bq_project_encode_codegen_equals_arrow(spark, emb):
         assert cg[i] == bq_project_query_words(vecs[i], planes)
 
 
+@pytest.mark.slow
 def test_bq_knn_join_projected_restores_selectivity(spark):
     """The measured MIH failure mode (SCALE.md §MIH): on a smooth
     correlated manifold, axis-aligned sign codes collapse into a few
@@ -576,6 +578,7 @@ def test_bq_band_store_append_equals_rebuild(spark, emb, tmp_path):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_bq_band_join_randomized_pigeonhole_invariant(spark):
     """Randomized invariant (seeded): for random +/-1 corpora, every
     brute-force neighbor within Hamming m-1 of a query MUST appear in

@@ -290,6 +290,7 @@ def test_make_session_returns_tuned_active_session(spark):
     assert s.range(3).count() == 3
 
 
+@pytest.mark.slow
 def test_router_opq_rotation_applied(spark, emb, tmp_path):
     """When the catalog holds an OPQ rotation, prefer='pq' must
     rotate the query with the exact driver fold and scan the rotated
@@ -550,6 +551,7 @@ def test_normalized_cosine_reaches_sql_route(spark, emb, tmp_path):
         set_backend(prev)
 
 
+@pytest.mark.slow
 def test_router_mih_projected_tier(spark, emb, tmp_path):
     """A band store built from bq_project_encode codes lives in the
     p-bit PROJECTED layout — registering it via set_mih_index(planes=)

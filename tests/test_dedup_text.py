@@ -436,6 +436,7 @@ def test_neardup_keep_best_planted(spark):
     assert all(out[i] == (i, False) for i in range(4, 24))
 
 
+@pytest.mark.slow
 def test_incremental_labels_matches_rebuild(spark):
     """Daily-ingest label maintenance: merging a batch of new verified
     edges into stored labels equals a full CC rebuild over the union
@@ -485,6 +486,7 @@ def test_incremental_labels_matches_rebuild(spark):
     assert same == {(r.id, r.cluster) for r in l0.collect()}
 
 
+@pytest.mark.slow
 def test_delete_labels_matches_rebuild(spark):
     """Takedown counterpart of incremental_labels: removing docs from
     a near-dup labeling must equal the full pipeline rebuilt over the

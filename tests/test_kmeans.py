@@ -1,6 +1,7 @@
 """Lloyd's k-means (DataFrame-native) for IVF centroid training."""
 
 import pyspark.sql.functions as F
+import pytest
 
 from sqlite_vector_spark.operators.ann import ivf_assign, ivf_search, kmeans_fit
 
@@ -106,6 +107,7 @@ def _sse(df, cents):
     return float(d2.min(axis=1).sum())
 
 
+@pytest.mark.slow
 def test_kmeanspp_beats_first_seed_on_skew(spark):
     """VERDICT r5 #1: first-C seeding puts all seeds in the dense blob
     (satellites merge into one far cluster); k-means++ D² seeding

@@ -200,6 +200,7 @@ def test_microbatch_epoch_planning_lists_bounded(spark, tmp_path):
     assert len(walks) <= n_epochs + 1, walks
 
 
+@pytest.mark.slow
 def test_stream_takedown_renames_bounded_to_epoch_dirs(spark, tmp_path):
     """Streaming takedown swap budget: every store-level rename moves
     an EPOCH-level directory (epoch=N or its __pre_delete/__deleting

@@ -670,6 +670,7 @@ def test_opq_rotation_persists_in_catalog(spark, emb, tmp_path):
     assert np.allclose(np.asarray(ctx.pq_rotation), R)
 
 
+@pytest.mark.slow
 def test_opq_composes_with_ivf_pq_store(spark, emb, tmp_path):
     """OPQ is a frame transform, so the IVF-PQ store tier works
     unchanged in the rotated basis. The preserved contract is EXACT

@@ -1,6 +1,7 @@
 """Sinks: bucketed tables must join and aggregate with no exchange."""
 
 import pyspark.sql.functions as F
+import pytest
 
 from sqlite_vector_spark.sinks import write_bucketed, write_partitioned
 
@@ -253,6 +254,7 @@ def test_delete_ids_composes_with_compact(spark, emb, tmp_path):
     assert rep["files_after"] <= rep["files_before"]
 
 
+@pytest.mark.slow
 def test_delete_ids_everywhere_cascades_all_tiers(spark, emb, tmp_path):
     """Catalog cascade: one takedown call removes the ids from EVERY
     registered derived store — replica, IVF, PQ codes, BQ codes, MIH

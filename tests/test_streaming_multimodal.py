@@ -28,6 +28,7 @@ def test_stream_static_scoring(spark, emb, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_windowed_event_counts_streaming(spark, tmp_path):
     src = str(tmp_path / "ev_src")
     rows = [(i, f"2026-01-01 0{i % 3}:15:00", "click") for i in range(9)]
@@ -233,6 +234,7 @@ def test_pil_decoder_through_spark_plumbing(spark):
     assert all(r.width == 2 and r.height == 1 for r in out)
 
 
+@pytest.mark.slow
 def test_streaming_ivf_pq_index_ingestion(spark, emb, tmp_path):
     """Continuous compressed-index maintenance: a vector stream is
     coarse-assigned + PQ-encoded (stateless projections — the whole
@@ -339,6 +341,7 @@ def test_streaming_cleaning_with_static_boiler_index(spark, tmp_path):
     assert got[101][1] is False
 
 
+@pytest.mark.slow
 def test_streaming_stats_store_foreachbatch(spark, tmp_path):
     """Streaming maintenance of the incremental data card: each
     micro-batch folds into the store via foreachBatch/stats_append,
@@ -573,6 +576,7 @@ def test_ffmpeg_decoder_real_container_roundtrip(spark):
         assert all(abs(v - lum / 255.0) < 0.05 for v in r.feature)
 
 
+@pytest.mark.slow
 def test_streaming_ingest_then_compaction(spark, emb, tmp_path):
     """The maintenance loop closed: micro-batch appends leave one file
     per batch per cluster; compact_store afterwards shrinks the file

@@ -37,6 +37,7 @@ def _run_batches(spark, tmp_path, name, schema, batches, build):
     return seen
 
 
+@pytest.mark.slow
 def test_first_seen_dedups_across_batches(spark, tmp_path):
     b1 = spark.createDataFrame([(100, 1), (100, 2), (200, 3)], "fp long, id long")
     b2 = spark.createDataFrame([(100, 4), (300, 5)], "fp long, id long")
@@ -50,6 +51,7 @@ def test_first_seen_dedups_across_batches(spark, tmp_path):
     assert after2 == {(100, 1), (200, 3), (300, 5)}  # fp=100 suppressed in batch 2
 
 
+@pytest.mark.slow
 def test_streaming_topk_maintains_best_k(spark, tmp_path):
     b1 = spark.createDataFrame(
         [(1, 10, 5.0), (1, 11, 3.0), (1, 12, 9.0)], "qid long, id long, distance double"
@@ -269,6 +271,7 @@ def test_streaming_trailing_equals_batch_trailing_agg(spark, tmp_path):
     assert streamed == batch
 
 
+@pytest.mark.slow
 def test_score_stream_ivf_pq_restart_proof(spark, emb, tmp_path):
     """Stream-static scoring over the IVF-PQ store: results equal the
     batch ivf_pq_knn_join for every query, across a checkpoint
@@ -329,6 +332,7 @@ def test_score_stream_ivf_pq_restart_proof(spark, emb, tmp_path):
         assert sorted(got[qid]) == sorted(want[qid]), qid
 
 
+@pytest.mark.slow
 def test_ingest_stream_ivf_appends_and_prunes(spark, emb, tmp_path):
     """Streaming IVF maintenance: two micro-batches land as
     epoch/cluster partitions across a kill/restart, the assembled
@@ -422,6 +426,7 @@ def test_score_stream_mih_restart_proof(spark, emb, tmp_path):
         assert sorted(got[qid]) == sorted(want[qid]), qid
 
 
+@pytest.mark.slow
 def test_streaming_neardup_state_maintenance(spark, tmp_path):
     """Continuous near-dup state: two micro-batches (one file per
     trigger) flow through ingest_stream_neardup; batch 2 contains a
@@ -476,7 +481,7 @@ def test_streaming_neardup_state_maintenance(spark, tmp_path):
                 if os.path.isdir(os.path.join(state, "labels")) else []
             if len(eps) >= 2 and not q.status["isDataAvailable"]:
                 break
-            time.sleep(1)
+            time.sleep(0.2)  # poll fast; the 120 s deadline is the bound
     finally:
         q.stop()
 
@@ -537,6 +542,7 @@ def _state_root(tmp_path, scheme, name):
     return str(tmp_path / name) if scheme == "local" else f"mock:{tmp_path}/{name}"
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("scheme", ["local", "mock"])
 def test_takedown_stream_state_then_resume(spark, tmp_path, scheme):
     """Streaming takedown: after two micro-batches build near-dup
@@ -593,7 +599,7 @@ def test_takedown_stream_state_then_resume(spark, tmp_path, scheme):
                 eps = _state_eps(spark, state, "labels")
                 if len(eps) >= n_label_epochs and not q.status["isDataAvailable"]:
                     break
-                time.sleep(1)
+                time.sleep(0.2)  # poll fast; the 120 s deadline is the bound
         finally:
             q.stop()
 
@@ -708,7 +714,7 @@ def _run_emb_stream(spark, src, state, ckpt, n_label_epochs, schema):
             eps = _state_eps(spark, state, "labels")
             if len(eps) >= n_label_epochs and not q.status["isDataAvailable"]:
                 break
-            time.sleep(1)
+            time.sleep(0.2)  # poll fast; the 120 s deadline is the bound
     finally:
         q.stop()
 
@@ -762,6 +768,7 @@ def test_streaming_embedding_neardup_state_maintenance(spark, tmp_path):
                                         _EPLANES, threshold=0.5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("scheme", ["local", "mock"])
 def test_takedown_stream_state_embedding_then_resume(spark, tmp_path, scheme):
     """Embedding streaming takedown: remove a vector from the per-epoch
@@ -823,6 +830,7 @@ def test_takedown_stream_state_embedding_then_resume(spark, tmp_path, scheme):
     assert by[30] == by[1] == by[10] == 1
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("scheme", ["local", "mock"])
 def test_compact_stream_state_resume_equivalence(spark, tmp_path, scheme):
     """Epoch compaction under the REPLAY-SAFE default watermark: three

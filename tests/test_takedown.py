@@ -22,12 +22,16 @@ DIM = 64
 PLANES = [[((p * DIM + j) * 37 % 101) / 101.0 - 0.5 for j in range(DIM)] for p in range(4)]
 
 
-@pytest.fixture()
-def full_state(spark, emb, docs, tmp_path):
+@pytest.fixture(scope="module")
+def _full_state_template(spark, emb, docs, tmp_path_factory):
     """Every tier the catalog can register, built over the smoke data:
     vector tiers (quantized/IVF/BQ/MIH), text near-dup state (band
     store + docs mirror + labels), embedding near-dup state (bucket
-    store + vectors mirror + labels)."""
+    store + vectors mirror + labels). Built ONCE per module (the
+    Spark build is ~8 s and every takedown test MUTATES its state, so
+    full_state hands each test a cheap file copy of this template with
+    the catalog JSON re-pointed — same stores, ~50 s off the suite)."""
+    tmp_path = tmp_path_factory.mktemp("td_template")
     from sqlite_vector_spark.catalog import VectorCatalog
     from sqlite_vector_spark.operators.ann import ivf_assign
     from sqlite_vector_spark.operators.bq import bq_band_store, bq_encode
@@ -91,9 +95,34 @@ def full_state(spark, emb, docs, tmp_path):
         "td_t", "embedding", bucket_store=str(tmp_path / "buckets"),
         vectors_mirror=str(tmp_path / "vecmirror"), labels=str(tmp_path / "elabels"),
     )
+    return tmp_path
+
+
+@pytest.fixture()
+def full_state(spark, emb, tmp_path, _full_state_template):
+    """A per-test MUTABLE copy of the template state (copytree + the
+    catalog JSON re-pointed at the copy). Identical contents to the
+    old per-test Spark build; the temp view is re-asserted because a
+    prior test in the session may have replaced it."""
+    import shutil
+
+    from sqlite_vector_spark.catalog import VectorCatalog
+
+    emb.createOrReplaceTempView("td_t")
+    # copy INTO tmp_path itself so every store sits at the exact
+    # tmp_path/<name> layout the per-test build used (test bodies
+    # read e.g. tmp_path/"tlabels" directly)
+    shutil.copytree(str(_full_state_template), str(tmp_path), dirs_exist_ok=True)
+    for f in (tmp_path / "cat").glob("*.json"):
+        f.write_text(f.read_text().replace(str(_full_state_template), str(tmp_path)))
+    cat = VectorCatalog(str(tmp_path / "cat"))
+    # same restart flow production uses: vector_init on a fresh
+    # catalog instance rehydrates every persisted tier path
+    cat.vector_init(emb, "td_t", "embedding", f"type=FLOAT32,dimension={DIM},distance=L2")
     return cat
 
 
+@pytest.mark.slow
 def test_takedown_no_registered_tier_holds_a_deleted_id(spark, emb, docs, tmp_path, full_state):
     """The r11 gate property: ONE call, and a deleted id is queryable
     through NO registered tier. Runs with max_parallel=4 — the
@@ -120,6 +149,7 @@ def test_takedown_no_registered_tier_holds_a_deleted_id(spark, emb, docs, tmp_pa
             assert len(left) > 0, name
 
 
+@pytest.mark.slow
 def test_takedown_verify_receipt_and_leak_detection(spark, emb, docs, tmp_path, full_state):
     """verify=True returns an all-zero residual report (the compliance
     receipt) over every registered tier; a leftover file planted into
@@ -150,6 +180,7 @@ def test_takedown_verify_receipt_and_leak_detection(spark, emb, docs, tmp_path, 
     assert sum(v for k, v in residuals.items() if k != "bucket_store") == 0
 
 
+@pytest.mark.slow
 def test_takedown_label_states_equal_rebuild_over_survivors(spark, emb, docs, tmp_path, full_state):
     """The orchestrator's label re-solve (params from sidecar) equals
     a from-scratch rebuild over the surviving corpus — the same
@@ -205,6 +236,7 @@ def test_takedown_requires_mirror_for_label_state(spark, emb, tmp_path):
         takedown(spark, cat, "td_nomirror", "embedding", [1])
 
 
+@pytest.mark.slow
 def test_mih_rebuild_arm_equals_in_place_delete(spark, emb, tmp_path):
     """The cheaper-arm pin: rebuilding the band store from post-delete
     codes yields EXACTLY the rows an in-place delete_ids leaves (the
@@ -397,6 +429,7 @@ def test_takedown_reaches_registered_stream_state(spark, emb, docs, tmp_path):
     assert 1 not in {r.doc_id for r in spark.read.parquet(f"{state}/docs/epoch=0").collect()}
 
 
+@pytest.mark.slow
 def test_repeated_takedown_batches_compose(spark, emb, docs, tmp_path, full_state):
     """Three successive takedown batches (worst case for the retained
     __pre_delete generations, sidecar survival, and label-state
@@ -423,6 +456,7 @@ def test_repeated_takedown_batches_compose(spark, emb, docs, tmp_path, full_stat
             assert rep[k].get("skipped") == "no_member_match", rep[k]
 
 
+@pytest.mark.slow
 def test_compact_and_vacuum_everywhere(spark, emb, docs, tmp_path, full_state):
     """The registry-walking maintenance twins: compact_everywhere
     bin-packs every registered tier (content preserved, file counts
@@ -490,6 +524,7 @@ def test_takedown_stream_state_reads_sidecar_params(spark, docs, tmp_path):
     assert read_params_sidecar(state)["jaccard_min"] == 0.6
 
 
+@pytest.mark.slow
 def test_label_state_swap_on_scheme_root(spark, docs, tmp_path):
     """r13: the label-state re-solve swap (_rewrite_label_state) goes
     through the FS layer, so a label state rooted at a non-file
@@ -531,6 +566,7 @@ def test_label_state_swap_on_scheme_root(spark, docs, tmp_path):
     assert read_params_sidecar(path)["jaccard_t"] == t  # sidecar preserved
 
 
+@pytest.mark.slow
 def test_takedown_over_fully_versioned_registry(spark, emb, docs, tmp_path, full_state):
     """r13: migrate EVERY state tier the registry walks (band store,
     bucket store, both mirrors, both label states) to the versioned

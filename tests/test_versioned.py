@@ -159,6 +159,7 @@ def test_versioned_corrupt_manifest_refusal(spark, tmp_path):
         read_versioned(spark, path)
 
 
+@pytest.mark.slow
 def test_versioned_store_in_takedown_registry(spark, tmp_path):
     """A versioned tier registered in the catalog flows through the
     one-call takedown + verify receipt: delete_ids dispatches on the
@@ -203,6 +204,7 @@ def test_versioned_store_in_takedown_registry(spark, tmp_path):
     assert rep["verified"]["bq"] == 0 and rep["verified"]["mih"] == 0
 
 
+@pytest.mark.slow
 def test_versioned_delete_sequence_matches_flat(spark, tmp_path):
     """Adversarial multi-round equivalence: the SAME sequence of
     delete batches (overlapping ids, already-deleted ids, no-match

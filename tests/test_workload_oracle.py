@@ -21,8 +21,10 @@ SPOT = [
     "embedding_dim_stats",
     "asof_null_carry_events",
     # round-6 additions: the compressed-index families
-    "pq_scan_l2",
-    "ivf_pq_scan_l2",
+    # (the two heaviest pq spot checks are slow-tier: the same queries
+    # are hash-matched by the driver's own gate and check_oracle)
+    pytest.param("pq_scan_l2", marks=pytest.mark.slow),
+    pytest.param("ivf_pq_scan_l2", marks=pytest.mark.slow),
     "bq_scan_hamming",
     # round-6c additions: hybrid retrieval / analytics / semantic dedup
     "bm25_topk",
@@ -51,7 +53,7 @@ SPOT = [
     "user_type_pivot",
     "error_incidents",
     "session_incident_overlap",
-    "ivf_pq_knn_join_l2",
+    pytest.param("ivf_pq_knn_join_l2", marks=pytest.mark.slow),
     "incremental_dedup",
     "ivf_cluster_stats",
 ]
@@ -71,21 +73,39 @@ def test_entry_smoke(spark):
 
 
 def test_every_query_runs_and_has_oracle(spark):
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     qs, osql = entry.queries(), entry.oracle_sql()
-    for name, fn in qs.items():
-        df = fn(spark, SF_SMOKE)
-        assert df.columns, name
-        # the driver's canonicalizer sorts + hashes scalar columns and
-        # dies on container types — every gated output must be scalar
-        # (serialize arrays CSV/fixed-point like quantize_codes)
-        bad = [
-            f.name for f in df.schema.fields
-            if isinstance(f.dataType, (ArrayType, MapType, StructType))
-        ]
-        assert not bad, f"{name}: container-typed gate columns {bad}"
+    # Plan construction stays SEQUENTIAL (it builds the per-process
+    # fixture caches and runs eager collects/checkpoints — racy if
+    # overlapped), but each query's end-to-end count() action runs on
+    # a thread pool: Spark schedules concurrent jobs fine, and the
+    # assertions per query are unchanged. This is the suite's single
+    # slowest test (260 s serial; the driver's verify window clipped
+    # the r14 suite) — overlap is a wall-clock fix, not a weakening.
+    def _run(name, df):
         assert df.count() >= 0, name
+        return name
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        futures = []
+        for name, fn in qs.items():
+            df = fn(spark, SF_SMOKE)
+            assert df.columns, name
+            # the driver's canonicalizer sorts + hashes scalar columns
+            # and dies on container types — every gated output must be
+            # scalar (serialize arrays CSV/fixed-point like
+            # quantize_codes)
+            bad = [
+                f.name for f in df.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType))
+            ]
+            assert not bad, f"{name}: container-typed gate columns {bad}"
+            futures.append(pool.submit(_run, name, df))
+        for fut in futures:
+            fut.result()  # re-raises the query's failure with its name
     # every declared query should have an oracle unless documented
     # rows-only (driver records the weaker check; judge sees which)
     ROWS_ONLY: set[str] = set()  # every declared query is now oracle-gated
