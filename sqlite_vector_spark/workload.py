@@ -15,6 +15,7 @@ Determinism contract (why these match DuckDB bitwise):
 from __future__ import annotations
 
 import math
+import os
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -23,7 +24,7 @@ from sqlite_vector_spark.functions.distance import distance, vector_literal
 from sqlite_vector_spark.operators.knn_join import knn_join
 from sqlite_vector_spark.operators.quantize import quantize_codes_column
 from sqlite_vector_spark.operators.search import full_scan, full_scan_stream
-from sqlite_vector_spark.sources import table, widen
+from sqlite_vector_spark.sources import plan_size_bytes, table, widen
 
 # ---------------------------------------------------------------- shared constants (oracle.py mirrors these)
 
@@ -685,6 +686,18 @@ def knn_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: recall_at_k computes both ranking arms from ONE corpus pass (plus a
+#: bounded survivor checkpoint) when Catalyst estimates the embedding
+#: table at/above this many bytes or cannot size it; below it the
+#: extra checkpoint job costs more wall-clock than the corpus scan it
+#: saves (r14 paired A/B at sf0.1: 2.36 two-scan vs 2.61 single-pass —
+#: the trade inverts once the scan dominates). Results are identical
+#: on both arms (pinned by tests/test_retrieval.py).
+RECALL_SINGLE_PASS_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_RECALL_SINGLE_PASS_MIN_BYTES", str(256 << 20))
+)
+
+
 def recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's own recall harness (QUANTIZATION.md:44-76):
     |approx top-k ∩ exact top-k| / k per query -> (qid, recall)."""
@@ -709,25 +722,100 @@ def recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rn") <= RECALL_K)
         )
 
-    exact = topk(
-        emb.select(F.col("vec_id").cast("bigint").alias("id"), "embedding")
-        .crossJoin(F.broadcast(queries))
-        .select("qid", "id", distance(F.col("embedding"), F.col("qvec"), "L2").alias("distance"))
-    ).select("qid", "id")
-
     prm = _shared_params(emb)
-    codes = _codes_df(emb, prm)
-    qcodes = (
-        queries.crossJoin(F.broadcast(prm))
-        .select(
+    est = plan_size_bytes(emb)
+    if est is None or est >= RECALL_SINGLE_PASS_MIN_BYTES:
+        # single-pass arm (r15, VERDICT r14 #9): both arms' distances
+        # from ONE corpus x queries pass. The per-arm rows are emitted
+        # by a map-side explode (so neither arm's subtree can be
+        # column-pruned into a second scan), ranked by ONE two-phase
+        # window chain with `arm` prepended to the partition keys, and
+        # the ~2*NQ*RECALL_K survivors are checkpointed so the final
+        # exact-vs-approx self-join does not re-walk the scan per
+        # side. Per-arm row sets and distance expressions are
+        # identical to the two-scan form below, and row_number's
+        # (distance, id) ordering is total, so survivors — and the
+        # recall output — are identical. The approx arm keeps
+        # _codes_df's embedding-not-null row filter via the struct's
+        # `keep` flag.
+        qside = queries.crossJoin(F.broadcast(prm)).select(
             "qid",
+            "qvec",
             quantize_codes_column("qvec", F.col("qscale"), F.col("qoffset"), F.col("lo"), F.col("hi")).cast("array<double>").alias("qq"),
         )
-    )
-    approx = topk(
-        codes.crossJoin(F.broadcast(qcodes))
-        .select("qid", "id", distance(F.col("qvec").cast("array<double>"), F.col("qq"), "L2").alias("distance"))
-    ).select(F.col("qid").alias("aqid"), F.col("id").alias("aid"))
+        # quantize each corpus row ONCE, below the query cross join
+        # (the Project sits under the join, so the codes are computed
+        # per row, not per (row, query) pair — the property _codes_df
+        # gives the two-scan form)
+        corp = (
+            emb.select(F.col("vec_id").cast("bigint").alias("id"), "embedding")
+            .crossJoin(F.broadcast(prm))
+            .select(
+                "id",
+                "embedding",
+                quantize_codes_column(
+                    "embedding", F.col("qscale"), F.col("qoffset"), F.col("lo"), F.col("hi")
+                ).cast("array<double>").alias("cq"),
+            )
+        )
+        arms = (
+            corp.crossJoin(F.broadcast(qside))
+            .select(
+                "qid",
+                "id",
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.lit(0).alias("arm"),
+                            distance(F.col("embedding"), F.col("qvec"), "L2").alias("distance"),
+                            F.lit(True).alias("keep"),
+                        ),
+                        F.struct(
+                            F.lit(1).alias("arm"),
+                            distance(F.col("cq"), F.col("qq"), "L2").alias("distance"),
+                            F.col("embedding").isNotNull().alias("keep"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .where(F.col("p.keep"))
+            .select("qid", "id", F.col("p.arm").alias("arm"), F.col("p.distance").alias("distance"))
+        )
+        wa = Window.partitionBy("arm", "qid").orderBy(F.col("distance").asc(), F.col("id").asc())
+        wa1 = Window.partitionBy("arm", "qid", F.pmod(F.col("id"), F.lit(SALT))).orderBy(
+            F.col("distance").asc(), F.col("id").asc()
+        )
+        surv = (
+            arms.withColumn("__r1", F.row_number().over(wa1))
+            .where(F.col("__r1") <= RECALL_K)
+            .withColumn("rn", F.row_number().over(wa))
+            .where(F.col("rn") <= RECALL_K)
+            .select("arm", "qid", "id")
+            .localCheckpoint(eager=True)
+        )
+        exact = surv.where(F.col("arm") == 0).select("qid", "id")
+        approx = surv.where(F.col("arm") == 1).select(
+            F.col("qid").alias("aqid"), F.col("id").alias("aid")
+        )
+    else:
+        exact = topk(
+            emb.select(F.col("vec_id").cast("bigint").alias("id"), "embedding")
+            .crossJoin(F.broadcast(queries))
+            .select("qid", "id", distance(F.col("embedding"), F.col("qvec"), "L2").alias("distance"))
+        ).select("qid", "id")
+
+        codes = _codes_df(emb, prm)
+        qcodes = (
+            queries.crossJoin(F.broadcast(prm))
+            .select(
+                "qid",
+                quantize_codes_column("qvec", F.col("qscale"), F.col("qoffset"), F.col("lo"), F.col("hi")).cast("array<double>").alias("qq"),
+            )
+        )
+        approx = topk(
+            codes.crossJoin(F.broadcast(qcodes))
+            .select("qid", "id", distance(F.col("qvec").cast("array<double>"), F.col("qq"), "L2").alias("distance"))
+        ).select(F.col("qid").alias("aqid"), F.col("id").alias("aid"))
 
     hits = exact.join(approx, (exact["qid"] == approx["aqid"]) & (exact["id"] == approx["aid"]), "left")
     return (

@@ -197,3 +197,24 @@ def test_ivf_recall_curve_salted_tier_window_identical(spark):
     finally:
         kj.SALT_BYTES_PER_PARTITION = orig
     assert salted == plain
+
+
+def test_recall_at_k_single_pass_arm_identical(spark):
+    """The r15 single-pass arm of recall_at_k (both ranking arms from
+    one corpus pass + survivor checkpoint, taken when Catalyst sizes
+    the input at/above RECALL_SINGLE_PASS_MIN_BYTES) must be invisible
+    in the results: forcing it and the local default (two-scan form)
+    return identical (qid, recall) rows. Per-arm row sets and distance
+    expressions are shared, and row_number's (distance, id) ordering
+    is total, so survivors cannot differ."""
+    from sqlite_vector_spark import workload as w
+
+    sf = "/root/testdata/sf0.001"
+    plain = sorted(map(tuple, w.recall_at_k(spark, sf).collect()))
+    orig = w.RECALL_SINGLE_PASS_MIN_BYTES
+    w.RECALL_SINGLE_PASS_MIN_BYTES = 0  # force the single-pass arm
+    try:
+        single = sorted(map(tuple, w.recall_at_k(spark, sf).collect()))
+    finally:
+        w.RECALL_SINGLE_PASS_MIN_BYTES = orig
+    assert single == plain

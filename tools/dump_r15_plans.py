@@ -31,6 +31,11 @@ TARGETS = [
     "bq_knn_join_hamming_q",
     "bq_band_join_q",
     "boilerplate_strip_q",
+    # VERDICT r14 #9: gated single-pass recall harness. The default
+    # (sf0.1) plan is the two-scan arm == the pre-change plan; dump
+    # the scale arm with SPARK_GRAFT_RECALL_SINGLE_PASS_MIN_BYTES=0
+    # and tag single_pass_after.
+    "recall_at_k",
 ]
 
 
