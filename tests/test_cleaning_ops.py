@@ -845,3 +845,49 @@ def test_snapshot_drift_semantics(spark):
     assert out["flip"].tvd == 1.0
     assert out["only_old"].tvd == 1.0 and out["only_old"].n_new == 0
     assert out["half"].tvd == 0.5
+
+
+def test_token_cooccurrence_matches_python_recomputation(spark):
+    """Independent end-to-end oracle for the market-basket query:
+    recompute the whole thing — df band, pair counts, pair floor,
+    lift, top-k tie order — in plain Python over the SAME tokenization
+    and compare exactly. (Written while adjudicating the r15 int-keyed
+    pair-join rewrite, which was REJECTED by measurement: shuffle
+    compression already collapses the short repeated token strings, so
+    the narrow keys saved nothing at 1M docs and cost an extra job;
+    see OPTIMIZATION_r15.md. The test outlives the rejection — it pins
+    the string-keyed form against a reference that shares none of its
+    join/window machinery.)"""
+    from collections import Counter
+    from itertools import combinations
+
+    from sqlite_vector_spark import workload as w
+    from sqlite_vector_spark.functions.text import normalize_text, words
+    from sqlite_vector_spark.sources import table
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r.t1, r.t2, r.n_xy, r.df1, r.df2, r.lift)
+        for r in w.token_cooccurrence_q(spark, sf).collect()
+    ]
+
+    docs = table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(words(normalize_text(F.col("text")))).alias("ts"),
+    ).collect()
+    n_docs = len(toks)
+    df = Counter(t for r in toks for t in r.ts)
+    vocab = {t: c for t, c in df.items() if c * 20 >= n_docs and c * 20 <= 19 * n_docs}
+    pair_n = Counter()
+    for r in toks:
+        in_vocab = sorted(t for t in r.ts if t in vocab)
+        for x, y in combinations(in_vocab, 2):
+            pair_n[(x, y)] += 1
+    want = [
+        (x, y, n, vocab[x], vocab[y], float(n * n_docs) / float(vocab[x] * vocab[y]))
+        for (x, y), n in pair_n.items()
+        if n * 50 >= n_docs
+    ]
+    want.sort(key=lambda t: (-t[5], t[0], t[1]))
+    assert got == want[: w.COOC_TOP]
