@@ -579,6 +579,7 @@ def ivf_knn_join(
     q_vec: str = "qv",
     id_col: str = "id",
     vec_col: str = "vec",
+    salt: int | None | str = "auto",
 ) -> DataFrame:
     """Approximate many-query kNN join through the IVF geometry — the
     100 TB form of the similarity join: each query scores only its
@@ -591,7 +592,22 @@ def ivf_knn_join(
     independent of total corpus size in the probe fraction. Top-k per
     query via an id-tiebroken rank window over candidates only.
     Results are true-domain distances; recall is governed by
-    nprobe/C exactly like single-query IVF."""
+    nprobe/C exactly like single-query IVF.
+
+    ``salt``: two-phase top-k for the per-query rank window, identical
+    to knn_join's (r15): the plain window concentrates all of a
+    query's candidates — nprobe/C of the corpus — onto ONE partition;
+    Spark's WindowGroupLimit bounds what each map task emits to k
+    rows per query, but the reduce side still funnels (#map tasks x k)
+    rows per query into a single partition at scale. "auto" (default)
+    sizes the salt from Catalyst's corpus estimate (knn_join._auto_salt):
+    None below one partition-budget (local plans unchanged),
+    ceil(size/budget) capped above it. Results identical — any global
+    top-k row is top-k of its (id mod salt) bucket."""
+    from sqlite_vector_spark.operators.knn_join import _auto_salt
+
+    if salt == "auto":
+        salt = _auto_salt(corpus)
     assigned = ivf_assign(corpus, vec_col, centroids, id_col=id_col, metric="L2")
     qx = (
         queries.select(
@@ -607,6 +623,15 @@ def ivf_knn_join(
     )
     from pyspark.sql import Window
 
+    if salt is not None and salt > 1:
+        w1 = Window.partitionBy("qid", F.pmod(F.col("id"), F.lit(int(salt)))).orderBy(
+            F.col("distance").asc(), F.col("id").asc()
+        )
+        scored = (
+            scored.withColumn("__r1", F.row_number().over(w1))
+            .where(F.col("__r1") <= k)
+            .drop("__r1")
+        )
     w = Window.partitionBy("qid").orderBy(F.col("distance").asc(), F.col("id").asc())
     return (
         scored.select("qid", "id", "distance", F.row_number().over(w).alias("rank"))

@@ -701,10 +701,40 @@ def bq_knn_join(
         "qid", "id", hamming_pair_col("bits", "qbits").alias("ham")
     )
     scored = cand.groupBy("qid", "id").agg(F.min("ham").alias("hamming"))
+    scored = _salted_hamming_topk(scored, k, codes_df)
     w_rank = Window.partitionBy("qid").orderBy(F.col("hamming").asc(), F.col("id").asc())
     return (
         scored.select("qid", "id", "hamming", F.row_number().over(w_rank).alias("rank"))
         .where(F.col("rank") <= k)
+    )
+
+
+def _salted_hamming_topk(scored: DataFrame, k: int, size_from: DataFrame) -> DataFrame:
+    """Phase-1 of the two-phase per-query top-k for the MIH joins
+    (r15, the knn_join._auto_salt contract): the plain rank window
+    funnels every distinct band-collision candidate of a query into
+    one partition — at band_bits=16 a uniform corpus still leaves
+    ~corpus/65536 candidates per (query, band), corpus-proportional.
+    Above one partition-budget of ``size_from`` (Catalyst estimate;
+    None/local stays unsalted so local plans are byte-identical), a
+    local top-k within (qid, id mod salt) bounds what the final
+    window's partition receives to salt x k rows per query. Any
+    global top-k row is top-k of its bucket, so results are
+    unchanged."""
+    from pyspark.sql import Window
+
+    from sqlite_vector_spark.operators.knn_join import _auto_salt
+
+    salt = _auto_salt(size_from)
+    if salt is None or salt <= 1:
+        return scored
+    w1 = Window.partitionBy("qid", F.pmod(F.col("id"), F.lit(int(salt)))).orderBy(
+        F.col("hamming").asc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= k)
+        .drop("__r1")
     )
 
 
@@ -879,6 +909,7 @@ def bq_band_join(
         "qid", "id", hamming_pair_col("bits", "qbits").alias("ham")
     )
     scored = cand.groupBy("qid", "id").agg(F.min("ham").alias("hamming"))
+    scored = _salted_hamming_topk(scored, k, stored)
     w_rank = Window.partitionBy("qid").orderBy(F.col("hamming").asc(), F.col("id").asc())
     return (
         scored.select("qid", "id", "hamming", F.row_number().over(w_rank).alias("rank"))

@@ -31,6 +31,7 @@ bit-parity with the oracle use the window path.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator, Sequence
 
 import pyspark.sql.functions as F
@@ -45,7 +46,13 @@ from sqlite_vector_spark.types import Metric, parse_metric
 #: scored corpus rows, so cap the estimated bytes any single window
 #: partition sees; above the budget the join switches to the two-phase
 #: (salted) window with salt = ceil(size / budget), capped.
-SALT_BYTES_PER_PARTITION = 256 << 20
+#: Env-overridable (r15) like the other scale gates, so a deployment
+#: can tune the partition budget — and a plan audit can force the
+#: salted shape — without code edits; the default keeps every local
+#: bench plan unchanged.
+SALT_BYTES_PER_PARTITION = int(
+    os.environ.get("SPARK_GRAFT_SALT_BYTES_PER_PARTITION", str(256 << 20))
+)
 SALT_MAX = 64
 #: Catalyst reports spark.sql.defaultSizeInBytes (~Long.MaxValue) for
 #: sources it cannot size (LogicalRDD, localCheckpoint); treat any

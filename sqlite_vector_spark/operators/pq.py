@@ -1302,6 +1302,7 @@ def ivf_pq_knn_join(
     q_id: str = "qid",
     q_vec: str = "qv",
     residual: bool = False,
+    salt: int | None | str = "auto",
 ) -> DataFrame:
     """Multi-query ANN join in the COMPRESSED domain — the shape for
     "score 10M queries against 1B embedded docs": ``codes_store`` is
@@ -1314,11 +1315,20 @@ def ivf_pq_knn_join(
     kernel; id-tiebroken rank window for top-k per query. Candidate
     volume is sum over queries of probed-cluster sizes — independent
     of total corpus size in the probe fraction, with per-candidate
-    bytes cut by the compression ratio on top."""
+    bytes cut by the compression ratio on top.
+
+    ``salt``: two-phase top-k for the rank window, same contract as
+    knn_join / ivf_knn_join (r15): the plain window funnels every
+    candidate of a query into one partition; "auto" sizes from
+    Catalyst's estimate of ``codes_store`` (None below one
+    partition-budget — local plans unchanged). Results identical."""
     from pyspark.sql import Window
 
     from sqlite_vector_spark.operators.ann import probe_clusters_col
+    from sqlite_vector_spark.operators.knn_join import _auto_salt
 
+    if salt == "auto":
+        salt = _auto_salt(codes_store)
     qx = (
         queries.select(
             F.col(q_id).cast("bigint").alias("qid"),
@@ -1333,6 +1343,15 @@ def ivf_pq_knn_join(
         "id",
         kernel(F.col("_qv"), F.col("cluster"), F.col("codes")).alias("distance"),
     )
+    if salt is not None and salt > 1:
+        w1 = Window.partitionBy("qid", F.pmod(F.col("id"), F.lit(int(salt)))).orderBy(
+            F.col("distance").asc(), F.col("id").asc()
+        )
+        scored = (
+            scored.withColumn("__r1", F.row_number().over(w1))
+            .where(F.col("__r1") <= k)
+            .drop("__r1")
+        )
     w = Window.partitionBy("qid").orderBy(F.col("distance").asc(), F.col("id").asc())
     return (
         scored.select("qid", "id", "distance", F.row_number().over(w).alias("rank"))

@@ -326,6 +326,24 @@ def bm25_batch_topk(
         .select("id", F.explode(arr).alias("x"))
         .select(F.col("x.qid").alias("qid"), "id", F.col("x.score").alias("score"))
     )
+    # r15: the exploded frame is |docs| x |queries| rows, so the plain
+    # rank window funnels a full corpus' worth of scored rows into ONE
+    # partition per query at scale — the same shape knn_join's
+    # two-phase salted top-k bounds. Gate on Catalyst's estimate of
+    # the corpus (None locally: plans unchanged); any global top-k row
+    # is top-k of its (id mod salt) bucket, so results are identical.
+    from sqlite_vector_spark.operators.knn_join import _auto_salt
+
+    salt = _auto_salt(docs)
+    if salt is not None and salt > 1:
+        w1 = Window.partitionBy("qid", F.pmod(F.col("id"), F.lit(int(salt)))).orderBy(
+            F.col("score").desc(), F.col("id").asc()
+        )
+        exploded = (
+            exploded.withColumn("__r1", F.row_number().over(w1))
+            .where(F.col("__r1") <= k)
+            .drop("__r1")
+        )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("id").asc())
     return (
         exploded.withColumn("rank", F.row_number().over(w))
