@@ -745,26 +745,36 @@ def bq_band_store(
     band_bits: int = 16,
     bits_col: str = "bits",
     id_col: str = "id",
-) -> None:
+) -> int:
     """Materialize the MIH layout: the band expansion written
     ``partitionBy("b")`` with rows SORTED by band value inside each
     band directory. A probe for (b, bv) then costs planning-time
     partition pruning on ``b`` plus parquet min/max row-group
     skipping on the sorted ``bv`` (PushedFilters) — the persisted
     form of bq_knn_join's in-plan corpus expansion, m x the code
-    bytes on disk (16-64 B/row extra at dim 768)."""
+    bytes on disk (16-64 B/row extra at dim 768). Returns the CODE
+    row count, observed on the write itself (r15) so callers that
+    need it (the takedown rebuild arm reports it) don't pay a second
+    full read of the code table."""
     base = codes_df.where(F.col(bits_col).isNotNull()).select(
         F.col(id_col).cast("bigint").alias("id"), F.col(bits_col).alias("bits")
     )
+    from pyspark.sql import Observation
+
     from sqlite_vector_spark.sinks import write_partitioned
 
+    obs = Observation()
     # sort_within=["bv"] keeps the min/max row-group skipping
     # bq_band_scan relies on (the helper prefixes the sort with "b",
     # the dynamic-partition requirement)
     write_partitioned(
-        explode_bands(base, F.col("bits"), ["id", "bits"], dim, band_bits),
+        explode_bands(
+            base.observe(obs, F.count(F.lit(1)).alias("n")),
+            F.col("bits"), ["id", "bits"], dim, band_bits,
+        ),
         dest, "b", sort_within=["bv"],
     )
+    return int(obs.get["n"])
 
 
 def bq_band_store_append(
@@ -782,21 +792,30 @@ def bq_band_store_append(
     append == rebuild holds exactly — the MIH analog of
     bq_store_append's frozen-threshold contract (bit drift is the
     CODE store's concern; this store derives from codes). One pass
-    over the batch; the corpus is never re-read. Returns the number
-    of appended code rows."""
+    over the batch (r15: the code-row count rides the write as an
+    ``observe`` metric behind a limit-1 emptiness probe, replacing
+    the eager localCheckpoint + count pass — no second
+    materialization of the batch in executor memory, same shape as
+    pq_store_append / bq_store_append); the corpus is never re-read.
+    Returns the number of appended code rows."""
     base = new_codes.where(F.col(bits_col).isNotNull()).select(
         F.col(id_col).cast("bigint").alias("id"), F.col(bits_col).alias("bits")
-    ).localCheckpoint(eager=True)
-    n = base.count()
-    if n == 0:
+    )
+    if base.isEmpty():
         return 0
+    from pyspark.sql import Observation
+
     from sqlite_vector_spark.sinks import write_partitioned
 
+    obs = Observation()
     write_partitioned(
-        explode_bands(base, F.col("bits"), ["id", "bits"], dim, band_bits),
+        explode_bands(
+            base.observe(obs, F.count(F.lit(1)).alias("n")),
+            F.col("bits"), ["id", "bits"], dim, band_bits,
+        ),
         dest, "b", mode="append", sort_within=["bv"],
     )
-    return n
+    return int(obs.get["n"])
 
 
 def bq_band_join(

@@ -580,8 +580,10 @@ def _rebuild_band_store_from_codes(spark, ctx) -> dict:
     # read_store: a VERSIONED bq tier must resolve through its live
     # manifest — a direct root read would scan superseded generations
     codes = read_store(spark, ctx.bq_path).select("id", "bits")
-    n = codes.count()
-    bq_band_store(
+    # r15: the code-row count rides the rebuild write as an observe
+    # metric inside bq_band_store — the separate count() was a second
+    # full read of the code table
+    n = bq_band_store(
         codes, int(ctx.dimension), tmp,
         band_bits=int(ctx.mih_band_bits or 16),
     )
