@@ -8,6 +8,13 @@ builds are limited to what plan construction itself needs (centroid
 collects, cached stores). Mirrors tools/dump_r14_plans.py; the
 "before" tag for queries already rewritten by the inherited commit
 e93c867 is produced from a detached worktree at a77932b.
+
+The *_salted_after.txt dumps (the two-phase top-k shape of
+ivf_knn_join_l2 / ivf_pq_knn_join_l2 / bq_knn_join_hamming /
+bq_band_join) force the salt gate with
+SPARK_GRAFT_SALT_BYTES_PER_PARTITION=1024; the DEFAULT sf0.1 plans
+are byte-identical to the pre-change tree (verified by worktree
+diff), which is why no plain _after dumps are committed for them.
 """
 
 from __future__ import annotations
